@@ -1,0 +1,71 @@
+"""Source connectors.
+
+The reference library has no file connectors at all (SURVEY.md §2.1: it only
+ingests in-memory pandas/Polars frames, `preprocessor.py:141-148`). Our engine
+reads the driver-generated Parquet star schema plus CSV/JSON for parity with
+common preprocessing inputs. All readers return lazy DataFrames so Catalyst
+can push filters/projections into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    opts = {"header": "true", "inferSchema": "true"}
+    opts.update(options)
+    return spark.read.options(**opts).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).json(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = False) -> dict[str, DataFrame]:
+    """Load every star-schema table present under ``sf_dir``.
+
+    Optionally registers each as a temp view so ``spark.sql`` queries can
+    reference them by name.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            out[name] = df
+            if register_views:
+                df.createOrReplaceTempView(name)
+    return out
+
+
+def from_pandas(spark: SparkSession, pdf) -> DataFrame:
+    """pandas ingest — reference `preprocessor.py:141-143` equivalent."""
+    return spark.createDataFrame(pdf)
+
+
+def to_pandas(df: DataFrame, max_rows: int | None = None):
+    """pandas egress — reference `preprocessor.py:458-459`. Driver-side;
+    optionally guarded by a row limit since collecting 100 TB is not a plan."""
+    if max_rows is not None:
+        df = df.limit(max_rows)
+    return df.toPandas()
