@@ -1,38 +1,658 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+north-star dedup/similarity/text operators) to a (spark, sf_dir) → DataFrame
+callable; ``oracle_sql()`` provides the DuckDB-equivalent SQL. Column names
+and numeric determinism rules:
+
+- money aggregates run as EXACT decimal sums cast back to double, so
+  Spark's partial-aggregation order and DuckDB's sequential sum produce
+  bit-identical results (a raw double SUM is order-dependent and would
+  hash-mismatch);
+- averages are exact-sum / count (both engines do one IEEE division);
+- derived stats (stddev-based z-scores, cosines) are rounded to 6 decimals
+  on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; read nanos as long and truncate to
+        # microseconds (identical to DuckDB's nanos→timestamp truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def _dec(col, prec=12, scale=2):
+    return col.cast(f"decimal({prec},{scale})")
+
+
+# --------------------------------------------------------------------------
+# relational suite (SURVEY §2.3-2.8 engine surface)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(4,2)") - _dec(F.col("l_discount"), 4, 2))
+    charge = disc_price * (F.lit(1).cast("decimal(4,2)") + _dec(F.col("l_tax"), 4, 2))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+        (F.sum(_dec(F.col("l_discount"), 4, 2)).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q3_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(4,2)") - _dec(F.col("l_discount"), 4, 2))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(4,2)") - _dec(F.col("l_discount"), 4, 2))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+def semi_join_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7000).select("c_custkey")
+    return (
+        o.join(F.broadcast(rich), o.o_custkey == rich.c_custkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def anti_join_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def window_top_order_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def window_running_total(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias("running_total"),
+    )
+
+
+def window_lag_diff(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("price_diff"),
+    )
+
+
+def topk_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def setops_custkeys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 8000).select("c_custkey")
+    low_nation = c.filter(F.col("c_nationkey") < 3).select("c_custkey")
+    return building.union(rich).distinct().subtract(low_nation)
+
+
+def agg_rollup(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+def agg_count_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%e%"))
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_up"),
+        F.substring(F.col("p_brand"), 7, 2).alias("brand_num"),
+        F.concat(F.col("p_type"), F.lit(" / "), F.col("p_brand")).alias("type_brand"),
+        F.length(F.col("p_name")).alias("name_len"),
+    )
+
+
+def date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.min(F.month("o_orderdate")).alias("first_month"))
+    )
+
+
+def json_extract_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def case_bucket_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return c.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_acctbal"),
+    )
+
+
+def tumbling_hour_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour")
+    return e.groupBy(win.alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+    ).select(F.col("w.start").alias("hour_start"), "n_events", "sum_value")
+
+
+def asof_purchase_last_view(spark, sf_dir):
+    from preprocessor_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
+    out = asof_join(purchases, views, on="ts", by=["user_id"], right_prefix="r_")
+    return out.select("event_id", "user_id", "r_event_id", "r_value")
+
+
+# --------------------------------------------------------------------------
+# preprocessing operators as queries (SURVEY §2.4/2.9)
+# --------------------------------------------------------------------------
+
+def prep_value_counts(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("label")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def prep_minmax_normalize(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    mm = c.agg(F.min("c_acctbal").alias("mn"), F.max("c_acctbal").alias("mx"))
+    return c.crossJoin(F.broadcast(mm)).select(
+        "c_custkey",
+        ((F.col("c_acctbal") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias("acctbal_norm"),
+    )
+
+
+def prep_standardize(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    stats = c.agg(F.avg("c_acctbal").alias("mu"), F.stddev_samp("c_acctbal").alias("sigma"))
+    return c.crossJoin(F.broadcast(stats)).select(
+        "c_custkey",
+        F.round((F.col("c_acctbal") - F.col("mu")) / F.col("sigma"), 6).alias("acctbal_z"),
+    )
+
+
+def prep_onehot_segment(spark, sf_dir):
+    from preprocessor_spark.functions.categorical import onehot_exprs
+
+    c = _t(spark, sf_dir, "customer")
+    labels = sorted(r[0] for r in c.select("c_mktsegment").distinct().collect())
+    exprs = onehot_exprs("c_mktsegment", labels)
+    renamed = [e.alias(f"seg_{lab.lower()}") for e, lab in zip(exprs, labels)]
+    return c.select("c_custkey", *renamed)
+
+
+def prep_kbins_ntile(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return c.select("c_custkey", F.ntile(4).over(w).alias("bin"))
+
+
+def prep_inf_clamp(spark, sf_dir):
+    from preprocessor_spark.functions.numerical import clamp_inf
+
+    l = _t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        clamp_inf(F.col("l_extendedprice")).alias("price_clean"),
+    )
+
+
+# --------------------------------------------------------------------------
+# north-star: dedup / text / similarity
+# --------------------------------------------------------------------------
+
+def dedup_exact_documents(spark, sf_dir):
+    from preprocessor_spark.operators.dedup import exact_dup_groups
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(d, "text", "doc_id")
+
+
+def text_token_counts(spark, sf_dir):
+    from preprocessor_spark.operators.text import token_count_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_expr(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("text_len"),
+    )
+
+
+def text_quality_by_source(spark, sf_dir):
+    from preprocessor_spark.operators.text import token_count_expr
+
+    d = _t(spark, sf_dir, "documents")
+    toks = token_count_expr(F.col("text")).cast("bigint")
+    return (
+        d.select("source", toks.alias("tok"), F.col("n_chars"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+    )
+
+
+def knn_bruteforce(spark, sf_dir):
+    from preprocessor_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(e, e.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+# ---- no-SQL-oracle operators (rows-only checks) ----
+
+def dedup_minhash_pairs(spark, sf_dir):
+    from preprocessor_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5)
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    from preprocessor_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=8)
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    from preprocessor_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+
+
+def text_lang_id(spark, sf_dir):
+    from preprocessor_spark.operators.text import lang_id_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+def embed_neardup(spark, sf_dir):
+    from preprocessor_spark.operators.dedup import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.9)
+
+
+def knn_lsh(spark, sf_dir):
+    from preprocessor_spark.operators.similarity import lsh_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = lsh_cosine_topk(e, e.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def preprocessor_fit_transform(spark, sf_dir):
+    """Full Preprocessor lifecycle on customer as a single queryable op."""
+    from preprocessor_spark import Preprocessor
+
+    c = _t(spark, sf_dir, "customer")
+    prep = Preprocessor(c, scaling="standardize", num_fill_null="mean", excluded_col=["c_name"])
+    return prep.transform(c)
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q5_region_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_orders": q3_top_orders,
+        "q5_region_revenue": q5_region_revenue,
+        "semi_join_orders": semi_join_orders,
+        "anti_join_customers": anti_join_customers,
+        "window_top_order_per_customer": window_top_order_per_customer,
+        "window_running_total": window_running_total,
+        "window_lag_diff": window_lag_diff,
+        "topk_orders": topk_orders,
+        "setops_custkeys": setops_custkeys,
+        "agg_rollup": agg_rollup,
+        "agg_count_distinct": agg_count_distinct,
+        "string_funcs": string_funcs,
+        "date_funcs": date_funcs,
+        "json_extract_events": json_extract_events,
+        "case_bucket_customers": case_bucket_customers,
+        "tumbling_hour_counts": tumbling_hour_counts,
+        "asof_purchase_last_view": asof_purchase_last_view,
+        "prep_value_counts": prep_value_counts,
+        "prep_minmax_normalize": prep_minmax_normalize,
+        "prep_standardize": prep_standardize,
+        "prep_onehot_segment": prep_onehot_segment,
+        "prep_kbins_ntile": prep_kbins_ntile,
+        "prep_inf_clamp": prep_inf_clamp,
+        "dedup_exact_documents": dedup_exact_documents,
+        "text_token_counts": text_token_counts,
+        "text_quality_by_source": text_quality_by_source,
+        "knn_bruteforce": knn_bruteforce,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "text_lang_id": text_lang_id,
+        "embed_neardup": embed_neardup,
+        "knn_lsh": knn_lsh,
+        "preprocessor_fit_transform": preprocessor_fit_transform,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dp = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+    charge = f"({dp}) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM({dp}) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM({charge}) AS DOUBLE) AS sum_charge,
+                   SUM(l_quantity) / COUNT(*) AS avg_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": f"""
+            SELECT l_orderkey, o_orderdate, CAST(SUM({dp}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_region_revenue": f"""
+            SELECT n_name, CAST(SUM({dp}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "semi_join_orders": """
+            SELECT o_orderstatus, COUNT(*) AS n_orders
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7000)
+            GROUP BY o_orderstatus
+        """,
+        "anti_join_customers": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "window_top_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
+        "window_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+            FROM orders
+        """,
+        "window_lag_diff": """
+            SELECT o_custkey, o_orderkey,
+                   o_totalprice - LAG(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS price_diff
+            FROM orders
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "setops_custkeys": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION
+            SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_nationkey < 3
+        """,
+        "agg_rollup": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "agg_count_distinct": """
+            SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "string_funcs": """
+            SELECT p_partkey, UPPER(p_name) AS name_up, SUBSTRING(p_brand, 7, 2) AS brand_num,
+                   p_type || ' / ' || p_brand AS type_brand,
+                   CAST(LENGTH(p_name) AS INTEGER) AS name_len
+            FROM part WHERE p_name LIKE '%e%'
+        """,
+        "date_funcs": """
+            SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+                   CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter,
+                   COUNT(*) AS n_orders,
+                   CAST(MIN(MONTH(o_orderdate)) AS INTEGER) AS first_month
+            FROM orders GROUP BY 1, 2
+        """,
+        "json_extract_events": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "case_bucket_customers": """
+            SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                        WHEN c_acctbal < 5000 THEN 'low'
+                        ELSE 'high' END AS bucket,
+                   COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+            FROM customer GROUP BY 1
+        """,
+        "tumbling_hour_counts": """
+            SELECT date_trunc('hour', ts) AS hour_start, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "asof_purchase_last_view": """
+            SELECT p.event_id, p.user_id, v.event_id AS r_event_id, v.value AS r_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND v.ts <= p.ts
+        """,
+        "prep_value_counts": """
+            SELECT c_mktsegment AS label, COUNT(*) AS cnt FROM customer GROUP BY 1
+        """,
+        "prep_minmax_normalize": """
+            SELECT c_custkey,
+                   (c_acctbal - (SELECT MIN(c_acctbal) FROM customer))
+                   / ((SELECT MAX(c_acctbal) FROM customer) - (SELECT MIN(c_acctbal) FROM customer))
+                   AS acctbal_norm
+            FROM customer
+        """,
+        "prep_standardize": """
+            SELECT c_custkey,
+                   ROUND((c_acctbal - (SELECT AVG(c_acctbal) FROM customer))
+                         / (SELECT STDDEV_SAMP(c_acctbal) FROM customer), 6) AS acctbal_z
+            FROM customer
+        """,
+        "prep_onehot_segment": """
+            SELECT c_custkey,
+                   CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS TINYINT) AS seg_automobile,
+                   CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS TINYINT) AS seg_building,
+                   CAST(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS TINYINT) AS seg_furniture,
+                   CAST(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS TINYINT) AS seg_household,
+                   CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS TINYINT) AS seg_machinery
+            FROM customer
+        """,
+        "prep_kbins_ntile": """
+            SELECT c_custkey,
+                   CAST(NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INTEGER) AS bin
+            FROM customer
+        """,
+        "prep_inf_clamp": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN isinf(l_extendedprice) OR isnan(l_extendedprice)
+                             OR ABS(l_extendedprice) > 1e308
+                        THEN NULL ELSE l_extendedprice END AS price_clean
+            FROM lineitem
+        """,
+        "dedup_exact_documents": """
+            SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+            FROM documents GROUP BY md5(text)
+        """,
+        "text_token_counts": """
+            SELECT doc_id,
+                   CAST(LEN(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+                   CAST(LENGTH(text) AS BIGINT) AS text_len
+            FROM documents
+        """,
+        "text_quality_by_source": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(LEN(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+                   CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+            FROM documents GROUP BY source
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS qv
+                FROM embeddings WHERE vec_id < 10
+            ), c AS (
+                SELECT vec_id AS neighbor_id,
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS cv
+                FROM embeddings
+            ), s AS (
+                SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos
+                FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+            ), r AS (
+                SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id ASC) AS INTEGER) AS rank
+                FROM s
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+    }

@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines.
+
+North-star extensions (no reference counterpart): language ID, quality
+scoring, token counting, document fingerprinting. All pure JVM column
+expressions — regex + higher-order array functions — so they run inside
+whole-stage codegen with zero Python on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword lists for the n-gram/stopword language heuristic.
+# Deliberately small: the point is the Spark-shaped scoring, not lexicography.
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"],
+}
+
+_BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_expr(text: Column) -> Column:
+    """Whitespace tokenization."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def bpe_ish_token_count_expr(text: Column) -> Column:
+    """BPE-ish token count: alpha runs + digit runs + individual punctuation
+    (regexp_extract_all, JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH_TOKEN_RE), 0))
+
+
+def quality_exprs(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals."""
+    toks = tokens_expr(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    stop_en = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_en, F.lower(t))))
+    mean_word_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n_tok,
+    )
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tok.cast("bigint"),
+        "mean_word_len": mean_word_len,
+        "punct_ratio": F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite [0,1] quality score from the signals above — a simple,
+    deterministic policy (long-enough, low punctuation, some stopwords)."""
+    q = quality_exprs(text)
+    len_ok = F.least(q["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
+    punct_ok = F.greatest(F.lit(1.0) - q["punct_ratio"] * 5.0, F.lit(0.0))
+    stop_ok = F.least(q["stopword_ratio"] * 5.0, F.lit(1.0))
+    return (len_ok * 0.4 + punct_ok * 0.3 + stop_ok * 0.3).alias("quality_score")
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Stopword-overlap language heuristic: score each language by the
+    fraction of tokens in its stopword list; argmax wins, 'und' if no hits."""
+    toks = F.transform(tokens_expr(text), lambda t: F.lower(t))
+    scores = []
+    for lang, words in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint_expr(text: Column) -> Column:
+    """Order-insensitive document fingerprint: sorted distinct lowercased
+    tokens, joined and hashed (xxhash64). Robust to token reordering /
+    duplication — a cheap canonical fingerprint for clustering."""
+    toks = F.array_sort(F.array_distinct(F.transform(tokens_expr(text), lambda t: F.lower(t))))
+    return F.xxhash64(F.concat_ws(" ", toks))
+
+
+def rolling_hash_fingerprint_expr(text: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min xxhash64 over character n-gram
+    windows of the normalized text (a locality-sensitive content hash)."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    n = F.greatest(F.length(norm) - F.lit(window - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    return F.array_min(F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(window)))))
+
+
+def text_profile(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach all text-analysis columns in one projection."""
+    t = F.col(text_col)
+    q = quality_exprs(t)
+    return df.withColumns(
+        {
+            **q,
+            "bpe_ish_tokens": bpe_ish_token_count_expr(t),
+            "quality_score": quality_score_expr(t),
+            "lang_pred": lang_id_expr(t),
+            "fingerprint": fingerprint_expr(t),
+        }
+    )

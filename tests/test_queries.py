@@ -1,0 +1,89 @@
+"""Local emulation of the driver's t2 correctness gate: run every
+``__spark_entry__.queries()`` entry and its DuckDB oracle side-by-side at
+sf0.001 and require identical (order-insensitive) results. Stricter than the
+driver in one way: floats must match exactly — any fp nondeterminism in a
+query design shows up here before it costs a round."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+ORACLES = entrymod.oracle_sql()
+QUERIES = entrymod.queries()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def _compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
+    assert len(spark_pdf) == len(oracle_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs oracle {len(oracle_pdf)}"
+    )
+    a, b = _canon(spark_pdf), _canon(oracle_pdf)
+    assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+    for c in a.columns:
+        if a[c].dtype == "float64":
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            for i, (x, y) in enumerate(zip(av, bv)):
+                both_nan = (isinstance(x, float) and math.isnan(x)) and (
+                    isinstance(y, float) and math.isnan(y)
+                )
+                assert both_nan or x == y, f"{name}.{c}[{i}]: {x!r} != {y!r} (diff {x - y!r})"
+        else:
+            assert a[c].tolist() == b[c].tolist(), f"{name}.{c}: mismatch"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_vs_oracle(spark, ddb, name):
+    assert name in QUERIES, f"oracle without query: {name}"
+    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    oracle_pdf = ddb.execute(ORACLES[name]).fetchdf()
+    _compare(spark_pdf, oracle_pdf, name)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_query_runs(spark, name):
+    """Rows-only check for non-SQL-expressible operators."""
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
