@@ -1,0 +1,84 @@
+"""Structured Streaming surface over the events table.
+
+The reference has no streaming at all (SURVEY §2.10); this module provides
+the canonical streaming shapes the engine supports, built so that the same
+transformation functions apply to batch and streaming frames (the Spark
+unified-API design):
+
+- tumbling / sliding windowed aggregation (`F.window`)
+- session windows (`F.session_window`)
+- watermark-bounded state (`withWatermark`) for late data
+- stateful streaming dedup (`dropDuplicatesWithinWatermark`)
+
+``run_available_now`` drains a file-backed stream with the availableNow
+trigger into an in-memory sink — the batch-equivalence test pattern: the
+streamed result must equal the batch query over the same files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+
+
+def read_events_stream(spark: SparkSession, path: str, schema: str = EVENTS_SCHEMA) -> DataFrame:
+    """File-source stream over a directory of parquet event files."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows: a session closes after ``gap`` of silence."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup: drops re-deliveries of the same key within
+    the watermark horizon with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(stream_df: DataFrame, table_name: str, output_mode: str = "append", timeout: int = 120):
+    """Drain everything currently available into an in-memory table and stop.
+    Returns after the trigger completes; read results with
+    ``spark.table(table_name)``."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q

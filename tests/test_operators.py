@@ -1,0 +1,240 @@
+"""Unit tests for the LLM-pipeline operators: planted duplicates must be
+found (recall) and clean data must not produce false positives at strict
+thresholds (precision)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from preprocessor_spark.operators.asof import asof_join
+from preprocessor_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from preprocessor_spark.operators.multimodal import attach_media_meta, image_features
+from preprocessor_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from preprocessor_spark.operators.text import text_profile
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and dreams of chasing mice in the garden"
+    )
+    near = base.replace("garden", "meadow")  # one-token edit → near-dup
+    other = (
+        "completely different content about distributed query engines and "
+        "columnar storage formats with vectorized execution pipelines"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, other),
+        (4, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs, ["text"], id_col="doc_id").toPandas()
+    assert len(out) == 4
+    assert 0 in set(out.doc_id) and 1 not in set(out.doc_id)
+    groups = exact_dup_groups(docs, "text", "doc_id").toPandas()
+    assert groups.n_dupes.max() == 2
+    assert groups.loc[groups.n_dupes == 2, "keep_id"].iloc[0] == 0
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5).toPandas()
+    found = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in found  # exact dup: jaccard 1.0
+    assert (0, 2) in found or (1, 2) in found  # near dup
+    # unrelated docs must not pair at 0.5
+    assert not any(3 in p or 4 in p for p in found)
+
+
+def test_minhash_expr_engine_agrees(docs):
+    """The pure-expression signature engine finds the same exact-dup pair."""
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.9, engine="expr"
+    ).toPandas()
+    found = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in found
+
+
+def test_ngram_jaccard(docs):
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=3, threshold=0.5).toPandas()
+    pairs = pairs.set_index(["id_a", "id_b"])
+    assert pairs.loc[(0, 1), "jaccard"] == pytest.approx(1.0)
+    assert 0.5 <= pairs.loc[(0, 2), "jaccard"] < 1.0
+
+
+def test_simhash(docs):
+    pairs = simhash_pairs(docs, "text", "doc_id", max_hamming=10).toPandas()
+    found = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in found
+    hamming = pairs.set_index(["id_a", "id_b"]).loc[(0, 1), "hamming"]
+    assert hamming == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(20, 16).astype("float32")
+    base[1] = base[0] + rng.randn(16).astype("float32") * 0.01  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_cosine_topk(vectors):
+    out = cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=3).toPandas()
+    assert len(out) == 3
+    assert out.sort_values("rank").iloc[0].neighbor_id == 1  # planted near-dup is top-1
+    assert out.cosine.max() > 0.99
+
+
+def test_lsh_topk_recalls_neardup(vectors):
+    out = lsh_cosine_topk(
+        vectors, vectors.filter(F.col("vec_id") == 0), "embedding", "vec_id", k=3, probe_hamming=2
+    ).toPandas()
+    assert out.sort_values("rank").iloc[0].neighbor_id == 1
+
+
+def test_embedding_neardup(vectors):
+    pairs = embedding_neardup_pairs(vectors, "embedding", "vec_id", threshold=0.95, brute_force=True).toPandas()
+    found = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in found
+    lsh = embedding_neardup_pairs(vectors, "embedding", "vec_id", threshold=0.95, n_planes=4).toPandas()
+    assert (0, 1) in {tuple(r) for r in lsh[["id_a", "id_b"]].itertuples(index=False)}
+
+
+def test_text_profile(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house for a while watching it rain"),
+            (2, "el perro y el gato se sientan en la casa por un rato"),
+            (3, "!!! ??? ..."),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = text_profile(df, "text").toPandas().set_index("doc_id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "es"
+    assert out.loc[3, "lang_pred"] == "und"
+    assert out.loc[1, "n_tokens"] == 15
+    assert out.loc[1, "quality_score"] > out.loc[3, "quality_score"]
+    assert out.loc[3, "punct_ratio"] > 0.5
+
+
+def test_fingerprint_order_insensitive(spark):
+    from preprocessor_spark.operators.text import fingerprint_expr
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "id bigint, text string",
+    )
+    out = df.select("id", fingerprint_expr(F.col("text")).alias("fp")).toPandas().set_index("id")
+    assert out.loc[1, "fp"] == out.loc[2, "fp"]
+    assert out.loc[1, "fp"] != out.loc[3, "fp"]
+
+
+def test_asof_join_backward(spark):
+    quotes = spark.createDataFrame(
+        [("A", 1.0, 10.0), ("A", 3.0, 11.0), ("B", 2.0, 20.0)],
+        "sym string, t double, price double",
+    )
+    trades = spark.createDataFrame(
+        [("A", 2.0), ("A", 3.0), ("A", 0.5), ("B", 5.0)],
+        "sym string, t double",
+    )
+    out = asof_join(trades, quotes, on="t", by=["sym"]).toPandas()
+    out = out.set_index(["sym", "t"]).sort_index()
+    assert out.loc[("A", 2.0), "r_price"] == 10.0
+    assert out.loc[("A", 3.0), "r_price"] == 11.0  # inclusive ≤
+    assert pd.isna(out.loc[("A", 0.5), "r_price"])  # nothing before
+    assert out.loc[("B", 5.0), "r_price"] == 20.0
+
+
+def test_asof_join_tolerance(spark):
+    quotes = spark.createDataFrame([("A", 1.0, 10.0)], "sym string, t double, price double")
+    trades = spark.createDataFrame([("A", 100.0)], "sym string, t double")
+    out = asof_join(trades, quotes, on="t", by=["sym"], tolerance_seconds=10).toPandas()
+    assert pd.isna(out["r_price"].iloc[0])
+
+
+def test_multimodal_plumbing(spark):
+    rows = [(i, bytes([i] * 32)) for i in range(5)]
+    df = spark.createDataFrame(rows, "id bigint, img binary")
+    with_meta = attach_media_meta(df, "img", "image", "png")
+    meta = with_meta.select("img_meta.*").toPandas()
+    assert (meta.n_bytes == 32).all()
+    assert (meta.media_type == "image").all()
+    feats = image_features(df, "id", "img").toPandas()
+    assert len(feats) == 5
+    assert feats.width.tolist() == [8] * 5
+    assert feats.mean_intensity.between(0, 1).all()
+    # determinism: same payload → same features
+    f2 = image_features(df, "id", "img").toPandas()
+    pd.testing.assert_frame_equal(feats.sort_values("id").reset_index(drop=True),
+                                  f2.sort_values("id").reset_index(drop=True))
+
+
+def test_streaming_batch_equivalence(spark, sf_dir, tmp_path):
+    """Streamed tumbling counts (availableNow) == batch groupBy on the same
+    data — the unified-API contract."""
+    import __spark_entry__ as em
+    from preprocessor_spark.streaming import read_events_stream, run_available_now, tumbling_counts
+
+    events = em._t(spark, sf_dir, "events")
+    # write a clean copy so the stream source sees standard µs timestamps
+    src = str(tmp_path / "events_stream")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = read_events_stream(spark, src)
+    out = tumbling_counts(stream, window="1 hour")
+    run_available_now(out, "stream_tumbling", output_mode="complete")
+    streamed = spark.table("stream_tumbling").toPandas()
+
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    a = streamed.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert a.n_events.tolist() == b.n_events.tolist()
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from preprocessor_spark.streaming import dedup_within_watermark, read_events_stream, run_available_now
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 1, 2, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 5),
+            "user_id": [1] * 5,
+            "event_type": ["click"] * 5,
+            "value": [1.0] * 5,
+            "props": ["{}"] * 5,
+        }
+    )
+    src = str(tmp_path / "dup_events")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src)
+    deduped = dedup_within_watermark(stream, ["event_id"])
+    run_available_now(deduped, "stream_dedup")
+    out = spark.table("stream_dedup").toPandas()
+    assert sorted(out.event_id.tolist()) == [1, 2, 3]
