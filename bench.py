@@ -49,8 +49,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
-    # warm the JVM + parquet footer caches with a trivial job
+    # Warm one-time process costs so per-query timings measure compute:
+    # JVM/codegen, parquet file-index + footers, and the Python UDF worker
+    # pool (spawned lazily on first pandas UDF).
     spark.range(1000).count()
+    for t in ("lineitem", "orders", "customer", "part", "documents", "embeddings"):
+        try:
+            entrymod._t(spark, sf_dir, t).limit(1).count()
+        except Exception:
+            pass
+    try:
+        entrymod._t(spark, sf_dir, "events").limit(1).count()
+    except Exception:
+        pass
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    spark.range(1000).select(_warm(col("id"))).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

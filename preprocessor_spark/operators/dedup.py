@@ -178,11 +178,12 @@ def minhash_lsh_pairs(
         sig = minhash_signature_udf(num_hashes, shingle_n)(F.col(text_col))
     else:
         sig = _minhash_sig_expr(shingles_expr(F.col(text_col), shingle_n), num_hashes)
-    with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    # referenced by the band explode AND both verification joins — persist so
+    # the signature kernel runs once per row, not three times
+    with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig")).persist()
 
     band_entries = with_sig.select(
         "__id",
-        "__sig",
         F.explode(
             F.array(
                 *[
@@ -194,38 +195,31 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("__id", "__sig", "b.band", "b.bkey")
+    ).select("__id", "b.band", "b.bkey")
 
-    # skew guard: drop degenerate buckets before the pairwise self-join
-    grouped = band_entries.groupBy("band", "bkey").agg(
-        F.collect_list(F.struct("__id", "__sig")).alias("members")
+    # skew guard: drop degenerate buckets before the pairwise self-join —
+    # a 10^6-member bucket would otherwise emit 10^12 candidate pairs
+    sizes = band_entries.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("__bn"))
+    band_entries = band_entries.join(
+        sizes.filter((F.col("__bn") > 1) & (F.col("__bn") <= max_bucket)).select("band", "bkey"),
+        ["band", "bkey"],
     )
-    pairs = (
-        grouped.filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
-        .select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "members",
-                            lambda m1: F.transform(
-                                F.col("members"),
-                                lambda m2: F.struct(
-                                    m1["__id"].alias("id_a"),
-                                    m2["__id"].alias("id_b"),
-                                    m1["__sig"].alias("sig_a"),
-                                    m2["__sig"].alias("sig_b"),
-                                ),
-                            ),
-                        )
-                    ),
-                    lambda p: p["id_a"] < p["id_b"],
-                )
-            ).alias("p")
+    # candidate pairs are id-only (light rows through the shuffle); dedupe
+    # BEFORE re-attaching the 64-long signatures for verification
+    a, b = band_entries.alias("a"), band_entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = with_sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"))
+    sig_b = with_sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"))
+    pairs = cand.join(sig_a, "id_a").join(sig_b, "id_b")
     est = (
         F.aggregate(
             F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))),
