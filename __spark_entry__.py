@@ -250,6 +250,153 @@ def asof_purchase_last_view(spark, sf_dir):
     return out.select("event_id", "user_id", "r_event_id", "r_value")
 
 
+def cube_agg(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n_items"))
+
+
+def grouping_sets_agg(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def cross_join_region_nation(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").select(F.col("r_name"))
+    n = _t(spark, sf_dir, "nation").select(F.col("n_name"))
+    return r.crossJoin(n)
+
+
+def theta_join_late_lines(spark, sf_dir):
+    """Equi-prefix + range predicate join: lineitems shipped > 1 year after
+    their order date."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    )
+    return (
+        l.join(o, cond)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_late_lines"))
+    )
+
+
+def percentile_prices(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+    )
+
+
+def union_all_tagged(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    a = c.select(F.lit("customer").alias("src"), F.col("c_acctbal").alias("acctbal"))
+    b = s.select(F.lit("supplier").alias("src"), F.col("s_acctbal").alias("acctbal"))
+    return (
+        a.unionAll(b)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("acctbal"))).cast("double").alias("total"),
+        )
+    )
+
+
+def having_frequent_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+def regexp_extract_custnum(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract(F.col("c_name"), "([0-9]+)", 1).cast("bigint").alias("name_num"),
+    )
+
+
+def math_funcs(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    return c.select(
+        "c_custkey",
+        F.round(F.sqrt("c_acctbal"), 6).alias("sqrt_bal"),
+        F.round(F.log("c_acctbal"), 6).alias("ln_bal"),
+        F.ceil("c_acctbal").alias("ceil_bal"),
+        F.floor("c_acctbal").alias("floor_bal"),
+        F.round(F.pow(F.col("c_acctbal"), F.lit(2)), 4).alias("bal_sq"),
+    )
+
+
+def interval_shift_months(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    shifted = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    return o.groupBy(F.date_trunc("month", shifted).alias("ship_month")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def split_array_access(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", F.split(F.col("c_name"), "#").getItem(1).alias("name_suffix")
+    )
+
+
+def pivot_status_counts(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+def supplier_region_balance(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            (F.sum(_dec(F.col("s_acctbal"))).cast("double") / F.count(F.lit(1))).alias("avg_acctbal"),
+        )
+    )
+
+
+def fill_forward_events(spark, sf_dir):
+    """Order-dependent op as a query: null out small values, forward-fill
+    per user over event time (SURVEY §2.5)."""
+    from preprocessor_spark.functions.numerical import forward_fill_expr
+
+    e = _t(spark, sf_dir, "events")
+    nulled = e.withColumn(
+        "value", F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value"))
+    )
+    filled = F.coalesce(
+        F.col("value"), forward_fill_expr(F.col("value"), "ts", ["user_id"])
+    )
+    return nulled.select("event_id", "user_id", filled.alias("value_filled"))
+
+
 # --------------------------------------------------------------------------
 # preprocessing operators as queries (SURVEY §2.4/2.9)
 # --------------------------------------------------------------------------
@@ -406,6 +553,33 @@ def preprocessor_fit_transform(spark, sf_dir):
     return prep.transform(c)
 
 
+def prep_full_transform(spark, sf_dir):
+    """End-to-end fit+transform (standardize + one-hot) with a full SQL
+    oracle: the strongest parity check of the whole pipeline. Floats rounded
+    to 6 on both sides (fitted stats vs SQL aggregates agree to ~1e-12)."""
+    out = preprocessor_fit_transform(spark, sf_dir)
+    num_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    proj = [F.round(F.col(c), 6).alias(c) for c in num_cols]
+    dummy = [c for c in out.columns if c.startswith("c_mktsegment_")]
+    return out.select(*proj, F.col("c_name"), *[F.col(d).alias(d) for d in dummy])
+
+
+def prep_roundtrip(spark, sf_dir):
+    """transform → inverse_transform must restore the original table."""
+    from preprocessor_spark import Preprocessor
+
+    c = _t(spark, sf_dir, "customer")
+    prep = Preprocessor(c, scaling="normalize", num_fill_null="mean", excluded_col=["c_name"])
+    back = prep.inverse_transform(prep.transform(c))
+    return back.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 6).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -435,6 +609,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_bucket_customers": case_bucket_customers,
         "tumbling_hour_counts": tumbling_hour_counts,
         "asof_purchase_last_view": asof_purchase_last_view,
+        "cube_agg": cube_agg,
+        "grouping_sets_agg": grouping_sets_agg,
+        "cross_join_region_nation": cross_join_region_nation,
+        "theta_join_late_lines": theta_join_late_lines,
+        "percentile_prices": percentile_prices,
+        "union_all_tagged": union_all_tagged,
+        "having_frequent_customers": having_frequent_customers,
+        "regexp_extract_custnum": regexp_extract_custnum,
+        "math_funcs": math_funcs,
+        "interval_shift_months": interval_shift_months,
+        "split_array_access": split_array_access,
+        "pivot_status_counts": pivot_status_counts,
+        "supplier_region_balance": supplier_region_balance,
+        "fill_forward_events": fill_forward_events,
+        "prep_full_transform": prep_full_transform,
+        "prep_roundtrip": prep_roundtrip,
         "prep_value_counts": prep_value_counts,
         "prep_minmax_normalize": prep_minmax_normalize,
         "prep_standardize": prep_standardize,
@@ -582,6 +772,111 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') v
               ON p.user_id = v.user_id AND v.ts <= p.ts
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "grouping_sets_agg": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+            FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "cross_join_region_nation": """
+            SELECT r_name, n_name FROM region CROSS JOIN nation
+        """,
+        "theta_join_late_lines": """
+            SELECT o_orderstatus, COUNT(*) AS n_late_lines
+            FROM lineitem JOIN orders
+              ON l_orderkey = o_orderkey
+             AND l_shipdate > o_orderdate + INTERVAL 365 DAY
+            GROUP BY o_orderstatus
+        """,
+        "percentile_prices": """
+            SELECT o_orderstatus,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "union_all_tagged": """
+            SELECT src, COUNT(*) AS n, CAST(SUM(CAST(acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total
+            FROM (
+                SELECT 'customer' AS src, c_acctbal AS acctbal FROM customer
+                UNION ALL
+                SELECT 'supplier' AS src, s_acctbal AS acctbal FROM supplier
+            ) GROUP BY src
+        """,
+        "having_frequent_customers": """
+            SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+            GROUP BY o_custkey HAVING COUNT(*) > 12
+        """,
+        "regexp_extract_custnum": """
+            SELECT c_custkey, CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num
+            FROM customer
+        """,
+        "math_funcs": """
+            SELECT c_custkey,
+                   ROUND(sqrt(c_acctbal), 6) AS sqrt_bal,
+                   ROUND(ln(c_acctbal), 6) AS ln_bal,
+                   CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+                   CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+                   ROUND(pow(c_acctbal, 2), 4) AS bal_sq
+            FROM customer WHERE c_acctbal > 0
+        """,
+        "interval_shift_months": """
+            SELECT date_trunc('month', o_orderdate + INTERVAL 30 DAY) AS ship_month,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "split_array_access": """
+            SELECT c_custkey, string_split(c_name, '#')[2] AS name_suffix FROM customer
+        """,
+        "pivot_status_counts": """
+            SELECT c_mktsegment,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "supplier_region_balance": """
+            SELECT r_name, COUNT(*) AS n_suppliers,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "fill_forward_events": """
+            SELECT event_id, user_id,
+                   COALESCE(
+                       CASE WHEN value < 10 THEN NULL ELSE value END,
+                       LAST_VALUE(CASE WHEN value < 10 THEN NULL ELSE value END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ) AS value_filled
+            FROM events
+        """,
+        "prep_full_transform": """
+            WITH stats AS (
+                SELECT AVG(c_custkey) AS mu_k, STDDEV_SAMP(c_custkey) AS sd_k,
+                       AVG(c_nationkey) AS mu_n, STDDEV_SAMP(c_nationkey) AS sd_n,
+                       AVG(c_acctbal) AS mu_b, STDDEV_SAMP(c_acctbal) AS sd_b
+                FROM customer
+            )
+            SELECT ROUND((c_custkey - mu_k) / sd_k, 6) AS c_custkey,
+                   ROUND((c_nationkey - mu_n) / sd_n, 6) AS c_nationkey,
+                   ROUND((c_acctbal - mu_b) / sd_b, 6) AS c_acctbal,
+                   c_name,
+                   CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS TINYINT) AS c_mktsegment_AUTOMOBILE,
+                   CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS TINYINT) AS c_mktsegment_BUILDING,
+                   CAST(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS TINYINT) AS c_mktsegment_FURNITURE,
+                   CAST(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS TINYINT) AS c_mktsegment_HOUSEHOLD,
+                   CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS TINYINT) AS c_mktsegment_MACHINERY
+            FROM customer, stats
+        """,
+        "prep_roundtrip": """
+            SELECT c_custkey, c_name, c_nationkey, ROUND(c_acctbal, 6) AS c_acctbal, c_mktsegment
+            FROM customer
         """,
         "prep_value_counts": """
             SELECT c_mktsegment AS label, COUNT(*) AS cnt FROM customer GROUP BY 1
