@@ -250,6 +250,63 @@ def asof_purchase_last_view(spark, sf_dir):
     return out.select("event_id", "user_id", "r_event_id", "r_value")
 
 
+def outer_join_order_counts(spark, sf_dir):
+    """Full outer join: every customer (even order-less) with their order
+    count; order rows with no customer would surface too."""
+    c = _t(spark, sf_dir, "customer")
+    per_cust = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    j = c.join(per_cust, c.c_custkey == per_cust.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
+        F.col("c_mktsegment"),
+    )
+
+
+def window_rank_lead(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    ).filter(F.col("price_rank") <= 20)
+
+
+def window_trailing_30d(spark, sf_dir):
+    """RANGE frame: orders per customer within the trailing 30 days."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey", F.count(F.lit(1)).over(w).alias("n_trailing_30d")
+    )
+
+
+def setops_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    positive = c.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    return building.intersect(positive)
+
+
+def approx_distinct_parts(spark, sf_dir):
+    """approx_count_distinct — the 100 TB path for n_unique; engine-specific
+    sketches differ across engines so this is a rows-only check."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
 def cube_agg(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     return l.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n_items"))
@@ -609,6 +666,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "case_bucket_customers": case_bucket_customers,
         "tumbling_hour_counts": tumbling_hour_counts,
         "asof_purchase_last_view": asof_purchase_last_view,
+        "outer_join_order_counts": outer_join_order_counts,
+        "window_rank_lead": window_rank_lead,
+        "window_trailing_30d": window_trailing_30d,
+        "setops_intersect": setops_intersect,
+        "approx_distinct_parts": approx_distinct_parts,
         "cube_agg": cube_agg,
         "grouping_sets_agg": grouping_sets_agg,
         "cross_join_region_nation": cross_join_region_nation,
@@ -772,6 +834,35 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') v
               ON p.user_id = v.user_id AND v.ts <= p.ts
+        """,
+        "outer_join_order_counts": """
+            SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+                   COALESCE(cnt, 0) AS n_orders,
+                   c_mktsegment
+            FROM customer
+            FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+              ON c_custkey = o_custkey
+        """,
+        "window_rank_lead": """
+            SELECT o_orderkey, o_orderstatus, price_rank, price_dense_rank, next_price FROM (
+                SELECT o_orderkey, o_orderstatus,
+                       CAST(RANK() OVER w AS INTEGER) AS price_rank,
+                       CAST(DENSE_RANK() OVER w AS INTEGER) AS price_dense_rank,
+                       LEAD(o_totalprice) OVER w AS next_price
+                FROM orders
+                WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ASC)
+            ) WHERE price_rank <= 20
+        """,
+        "window_trailing_30d": """
+            SELECT o_orderkey, o_custkey,
+                   COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_trailing_30d
+            FROM orders
+        """,
+        "setops_intersect": """
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT c_custkey FROM customer WHERE c_acctbal > 0
         """,
         "cube_agg": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
