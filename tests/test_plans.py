@@ -1,0 +1,69 @@
+"""Physical-plan regression tests: the plans we designed for must actually
+be the plans Catalyst produces. These guard the 100 TB properties (no
+accidental shuffles, broadcasts where intended, pushdown reaching the scan)
+that row-count tests can't see."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+from preprocessor_spark import Preprocessor
+from preprocessor_spark.plans import formatted_plan
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def test_transform_is_shuffle_free(spark):
+    """transform without datetime/order-dependent ops must be one narrow
+    stage: no Exchange anywhere in the plan."""
+    c = em._t(spark, SF, "customer")
+    prep = Preprocessor(c, scaling="standardize", num_fill_null="mean", excluded_col=["c_name"])
+    plan = formatted_plan(prep.transform(c))
+    assert "Exchange" not in plan, plan
+
+
+def test_q1_filter_pushdown(spark):
+    plan = formatted_plan(em.q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side combine: partial + final HashAggregate around one Exchange."""
+    plan = formatted_plan(em.q1_pricing_summary(spark, SF))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = formatted_plan(em.q5_region_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q1_column_pruning(spark):
+    plan = formatted_plan(em.q1_pricing_summary(spark, SF))
+    # lineitem has 11 columns; the scan must read only the 7 the query needs
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400], plan
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = formatted_plan(em.topk_orders(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_onehot_stays_codegen(spark):
+    """One-hot dummies are plain when/otherwise projections inside
+    whole-stage codegen — no UDF, no shuffle."""
+    plan = formatted_plan(em.prep_onehot_segment(spark, SF))
+    # formatted explain marks codegen nodes with a "*" prefix
+    assert "* Project" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_semi_join_is_semi(spark):
+    plan = formatted_plan(em.semi_join_orders(spark, SF))
+    assert "LeftSemi" in plan, plan
