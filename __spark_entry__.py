@@ -546,6 +546,25 @@ def text_quality_by_source(spark, sf_dir):
     )
 
 
+def ts_features_by_user(spark, sf_dir):
+    """tsfresh-style per-series features over events (series id = user_id,
+    order = event_id): ONE groupBy pass + a per-series lag window — no
+    driver collect, unlike the reference's pandas escape
+    (reference preprocessor.py:558-638)."""
+    from preprocessor_spark.operators.ts_features import extract_ts_features
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    feats = extract_ts_features(e, time="event_id", column_id="user_id")
+    return feats.select(
+        "user_id",
+        *[
+            F.round(F.col(c), 6).alias(c)
+            for c in feats.columns
+            if c != "user_id"
+        ],
+    )
+
+
 def knn_bruteforce(spark, sf_dir):
     from preprocessor_spark.operators.similarity import cosine_topk
 
@@ -599,6 +618,49 @@ def knn_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = lsh_cosine_topk(e, e.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5)
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def knn_ivf(spark, sf_dir):
+    from preprocessor_spark.operators.similarity import ivf_cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = ivf_cosine_topk(e, e.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def text_fingerprint(spark, sf_dir):
+    """Content fingerprints: order-insensitive token-set hash + winnowing-style
+    rolling min-hash. xxhash64 has no DuckDB twin → rows-only check."""
+    from preprocessor_spark.operators.text import fingerprint_expr, rolling_hash_fingerprint_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_expr(F.col("text")).alias("fingerprint"),
+        rolling_hash_fingerprint_expr(F.col("text")).alias("rolling_fp"),
+    )
+
+
+def multimodal_image_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end: documents.text re-encoded as an opaque
+    binary payload column, wrapped with typed media metadata, then decoded +
+    feature-extracted via Arrow-batched mapInPandas (decode kernel is the
+    deterministic stub — the imaging lib is absent by design)."""
+    from preprocessor_spark.operators.multimodal import attach_media_meta, image_features
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    )
+    d = attach_media_meta(d, "payload", "image", "raw")
+    feats = image_features(d, "doc_id", "payload")
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.round("std_intensity", 6).alias("std_intensity"),
+        "width",
+        "height",
+    )
 
 
 def preprocessor_fit_transform(spark, sf_dir):
@@ -694,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_kbins_ntile": prep_kbins_ntile,
         "prep_inf_clamp": prep_inf_clamp,
         "dedup_exact_documents": dedup_exact_documents,
+        "ts_features_by_user": ts_features_by_user,
         "text_token_counts": text_token_counts,
         "text_quality_by_source": text_quality_by_source,
         "knn_bruteforce": knn_bruteforce,
@@ -703,6 +766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "embed_neardup": embed_neardup,
         "knn_lsh": knn_lsh,
+        "knn_ivf": knn_ivf,
+        "text_fingerprint": text_fingerprint,
+        "multimodal_image_features": multimodal_image_features,
         "preprocessor_fit_transform": preprocessor_fit_transform,
     }
 
@@ -1040,5 +1106,52 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "ts_features_by_user": """
+            WITH d AS (
+                SELECT user_id, CAST(value AS DOUBLE) AS v,
+                       CAST(value AS DOUBLE)
+                         - lag(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY event_id) AS diff
+                FROM events
+            )
+            SELECT user_id,
+                   ROUND(AVG(v), 6) AS "value__mean",
+                   ROUND(quantile_cont(v, 0.5), 6) AS "value__median",
+                   ROUND(stddev_pop(v), 6) AS "value__standard_deviation",
+                   ROUND(var_pop(v), 6) AS "value__variance",
+                   ROUND(MIN(v), 6) AS "value__minimum",
+                   ROUND(MAX(v), 6) AS "value__maximum",
+                   ROUND(SUM(v), 6) AS "value__sum_values",
+                   ROUND(CAST(COUNT(v) AS DOUBLE), 6) AS "value__length",
+                   ROUND(SUM(v * v), 6) AS "value__abs_energy",
+                   ROUND(sqrt(AVG(v * v)), 6) AS "value__root_mean_square",
+                   ROUND(AVG(diff), 6) AS "value__mean_change",
+                   ROUND(AVG(ABS(diff)), 6) AS "value__mean_abs_change"
+            FROM d GROUP BY user_id
+        """,
+        "text_lang_id": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''),
+                           t -> lower(t)) AS tk
+                FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                       len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','a','that','it','for'], t))) AS s_en,
+                       len(list_filter(tk, t -> list_contains(['el','la','de','que','y','en','un','los','se','por'], t))) AS s_es,
+                       len(list_filter(tk, t -> list_contains(['le','la','de','et','les','des','en','un','du','que'], t))) AS s_fr,
+                       len(list_filter(tk, t -> list_contains(['der','die','und','das','von','zu','mit','den','ist','im'], t))) AS s_de
+                FROM toks
+            )
+            -- tie-break mirrors Spark array_max over (score, lang) structs:
+            -- max score wins; ties go to the lexicographically greatest lang
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                        WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                        WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                        WHEN s_en >= s_de THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM scored
         """,
     }

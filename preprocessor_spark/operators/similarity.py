@@ -112,6 +112,81 @@ def cosine_topk(
     )
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    sample_rows: int = 2048,
+    kmeans_iters: int = 5,
+    seed: int = 7,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k with an IVF (inverted-file) index.
+
+    Train: spherical k-means on a driver-side sample (the centroid set is
+    tiny — n_cells × dim floats — the classic IVF shape). Assign: each corpus
+    row goes to its nearest centroid via ONE vectorized pandas-UDF argmax
+    (B×d @ d×C per Arrow batch); each query row is exploded to its n_probe
+    nearest cells. Search: equi-join on cell id — shuffle-partitionable by
+    cell, no cross product, so the corpus side scales arbitrarily. Same
+    recall/cost dial as FAISS IVF-Flat, expressed as Spark relational ops.
+    """
+    rng = np.random.RandomState(seed)
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()], dtype="float64"
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sample = sample / norms
+    n_cells = min(n_cells, len(sample))
+    cents = sample[rng.choice(len(sample), n_cells, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    cmat = cents.T  # d×C
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _nearest_cells(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype="float64")
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (m / n) @ cmat  # B×C
+        order = np.argsort(-sims, axis=1)
+        return pd.Series(list(order.astype("int32")))
+
+    c = _normalized(corpus, vec_col, id_col, "neighbor_id", "__cv").withColumn(
+        "__cell", F.element_at(_nearest_cells(F.col("__cv")), 1)
+    )
+    q = _normalized(queries, vec_col, id_col, "query_id", "__qv").withColumn(
+        "__cell", F.explode(F.slice(_nearest_cells(F.col("__qv")), 1, n_probe))
+    )
+    joined = c.join(q, "__cell")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select("query_id", "neighbor_id", _dot(F.col("__qv"), F.col("__cv")).alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _bucket_expr(vec, planes: np.ndarray):
     bits = [
         F.when(
