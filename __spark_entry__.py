@@ -592,10 +592,13 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard pairs — fully SQL-expressible, so this one
+    carries a value-exact DuckDB oracle (list_intersect twin)."""
     from preprocessor_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+    out = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def text_lang_id(spark, sf_dir):
@@ -606,10 +609,26 @@ def text_lang_id(spark, sf_dir):
 
 
 def embed_neardup(spark, sf_dir):
+    """Exact (brute-force) cosine near-dup pairs — oracle-checked; the LSH
+    scale path is the separate rows-only entry below."""
     from preprocessor_spark.operators.dedup import embedding_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.9)
+    # threshold sits at ~p99.9 of the pairwise-cosine distribution of the
+    # synthetic embeddings (max ≈ 0.51) so the result set is non-trivial
+    out = embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.35, brute_force=True)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def embed_neardup_lsh(spark, sf_dir):
+    from preprocessor_spark.operators.dedup import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    # narrow bands (2 bits) because 0.35 is a weak similarity: per-band
+    # collision 0.61² ≈ 0.37, recall over 8 bands ≈ 0.98. At a real near-dup
+    # threshold (≥0.9) the default 4×4-bit banding is the right dial.
+    out = embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.35, n_planes=16, bands=8)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def knn_lsh(spark, sf_dir):
@@ -765,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "text_lang_id": text_lang_id,
         "embed_neardup": embed_neardup,
+        "embed_neardup_lsh": embed_neardup_lsh,
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
         "text_fingerprint": text_fingerprint,
@@ -1106,6 +1126,39 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "embed_neardup": """
+            WITH n AS (
+                SELECT vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                           x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS v
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.v, b.v), 6) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) >= 0.35
+        """,
+        "dedup_ngram_jaccard": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(
+                               range(1, greatest(len(regexp_split_to_array(lower(text), '\\s+')) - 2, 1) + 1),
+                               i -> array_to_string(
+                                       list_slice(regexp_split_to_array(lower(text), '\\s+'), i, i + 2),
+                                       ' '))) AS g
+                FROM documents
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.g, b.g)) AS inter,
+                       len(a.g) AS n_a, len(b.g) AS n_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 6) AS jaccard
+            FROM pairs
+            WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5
         """,
         "ts_features_by_user": """
             WITH d AS (

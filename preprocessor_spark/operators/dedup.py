@@ -365,57 +365,80 @@ def embedding_neardup_pairs(
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 16,
+    bands: int = 4,
     seed: int = 7,
     brute_force: bool = False,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an array<float> embedding column.
 
-    Scale path (default): random-hyperplane sign LSH — n_planes dot products
-    per row → sign bucket key → pairs within bucket → exact cosine verify.
+    Scale path (default): BANDED random-hyperplane sign LSH. Each row gets
+    n_planes sign bits split into ``bands`` bands; a pair is a candidate if
+    ANY band matches exactly (equi-join on (band, band-bits)), then verified
+    with the exact cosine. Banding is the recall dial: at cosine≥0.9 with
+    16 planes / 4 bands, per-band collision ≈ 0.857⁴ ≈ 0.54 and overall
+    recall ≈ 1−(1−0.54)⁴ ≈ 0.95 — versus 0.29 for a single 8-bit bucket.
     ``brute_force=True`` skips bucketing (exact, quadratic — small inputs).
     """
-    dim = len(df.select(vec_col).first()[0])
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x))
     base = df.select(
         F.col(id_col).alias("__id"),
         F.transform(vec_d, lambda x: x / norm).alias("__v"),
     )
-    if not brute_force:
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(n_planes, dim)
-        bucket = F.concat(
-            *[
-                F.when(
-                    F.aggregate(
-                        F.zip_with(
-                            "__v",
-                            F.array(*[F.lit(float(v)) for v in planes[i]]),
-                            lambda x, y: x * y,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    >= 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0"))
-                for i in range(n_planes)
-            ]
-        )
-        base = base.withColumn("__bucket", bucket)
-        a, b = base.alias("a"), base.alias("b")
-        cond = (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.__id") < F.col("b.__id"))
-    else:
-        a, b = base.alias("a"), base.alias("b")
-        cond = F.col("a.__id") < F.col("b.__id")
     cos = F.aggregate(
         F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if brute_force:
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, F.col("a.__id") < F.col("b.__id"))
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with("__v", F.array(*[F.lit(float(v)) for v in planes[i]]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for i in range(n_planes)
+    ]
+    r = n_planes // bands
+    entries = base.select(
+        "__id",
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat(*bits[bi * r : (bi + 1) * r]).alias("bkey"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "__v", "bb.band", "bb.bkey")
+    a, b = entries.alias("a"), entries.alias("b")
     return (
-        a.join(b, cond)
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
