@@ -27,17 +27,9 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects; read nanos as long and truncate to
-        # microseconds (identical to DuckDB's nanos→timestamp truncation).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+    from preprocessor_spark.sources import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 def _dec(col, prec=12, scale=2):
@@ -508,6 +500,40 @@ def prep_inf_clamp(spark, sf_dir):
     )
 
 
+def prep_quantile_scale(spark, sf_dir):
+    """Quantile scaling end-to-end (sklearn QuantileTransformer parity path,
+    reference numerical_transformer.py:36-39,152-167): approxQuantile
+    landmarks fit driver-side, piecewise-linear rank interpolation + norm.ppf
+    applied via an Arrow-batched pandas UDF. No closed-form normal quantile in
+    SQL → rows-only check."""
+    from preprocessor_spark import Preprocessor
+
+    c = _t(spark, sf_dir, "customer")
+    prep = Preprocessor(c, scaling="quantile", num_fill_null="mean", excluded_col=["c_name"])
+    out = prep.transform(c)
+    num = [f for f in ("c_custkey", "c_nationkey", "c_acctbal") if f in out.columns]
+    return out.select(*[F.round(F.col(f), 4).alias(f) for f in num])
+
+
+def sql_api_revenue(spark, sf_dir):
+    """Raw SQL entry point (TPC-H Q6 shape): tables registered as temp views,
+    query text handed to spark.sql — same Catalyst plan as the DataFrame API."""
+    from preprocessor_spark.sources import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
 # --------------------------------------------------------------------------
 # north-star: dedup / text / similarity
 # --------------------------------------------------------------------------
@@ -774,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_onehot_segment": prep_onehot_segment,
         "prep_kbins_ntile": prep_kbins_ntile,
         "prep_inf_clamp": prep_inf_clamp,
+        "prep_quantile_scale": prep_quantile_scale,
+        "sql_api_revenue": sql_api_revenue,
         "dedup_exact_documents": dedup_exact_documents,
         "ts_features_by_user": ts_features_by_user,
         "text_token_counts": text_token_counts,
@@ -1126,6 +1154,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "sql_api_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "embed_neardup": """
             WITH n AS (

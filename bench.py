@@ -36,9 +36,16 @@ HEADLINE = [
     "preprocessor_fit_transform",
     "dedup_exact_documents",
     "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "embed_neardup_lsh",
     "text_token_counts",
     "text_quality_by_source",
+    "text_fingerprint",
+    "ts_features_by_user",
     "knn_bruteforce",
+    "knn_ivf",
+    "multimodal_image_features",
+    "sql_api_revenue",
 ]
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -28,6 +29,23 @@ TABLES = (
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table, normalizing physical quirks.
+
+    events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; read nanos as long and truncate to microseconds
+    (identical to DuckDB's nanos→timestamp truncation).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(path)
 
 
@@ -51,7 +69,7 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = False) 
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = read_table(spark, sf_dir, name)
             out[name] = df
             if register_views:
                 df.createOrReplaceTempView(name)
