@@ -650,10 +650,27 @@ def embed_neardup_lsh(spark, sf_dir):
     from preprocessor_spark.operators.dedup import embedding_neardup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    # narrow bands (2 bits) because 0.35 is a weak similarity: per-band
-    # collision 0.61² ≈ 0.37, recall over 8 bands ≈ 0.98. At a real near-dup
-    # threshold (≥0.9) the default 4×4-bit banding is the right dial.
-    out = embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.35, n_planes=16, bands=8)
+    # Realistic near-dup workload: inject deterministic perturbed copies of
+    # every 10th vector (first component scaled 1.05 → cosine ≈ 0.999) and
+    # find them at threshold 0.95. Bands sized for that regime: 32 planes /
+    # 4×8-bit bands → per-band collision ≈ 0.986⁸ ≈ 0.89, recall ≈ 0.9999,
+    # and 256 buckets per band keep candidate pairs near-linear. (Sign-LSH is
+    # the wrong tool below ~cosine 0.8 — that regime is similarity search,
+    # not near-dup detection; see knn_* entries.)
+    dupes = (
+        e.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("embedding", 1) * F.lit(1.05)),
+                F.slice("embedding", 2, 10_000),
+            ).alias("embedding"),
+        )
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(dupes)
+    out = embedding_neardup_pairs(
+        corpus, "embedding", "vec_id", threshold=0.95, n_planes=32, bands=4
+    )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -674,15 +691,16 @@ def knn_ivf(spark, sf_dir):
 
 
 def text_fingerprint(spark, sf_dir):
-    """Content fingerprints: order-insensitive token-set hash + winnowing-style
-    rolling min-hash. xxhash64 has no DuckDB twin → rows-only check."""
-    from preprocessor_spark.operators.text import fingerprint_expr, rolling_hash_fingerprint_expr
+    """Content fingerprints: order-insensitive token-set hash (JVM xxhash64)
+    + winnowing-style rolling min-hash (vectorized numpy kernel). Hash values
+    have no DuckDB twin → rows-only check."""
+    from preprocessor_spark.operators.text import fingerprint_expr, rolling_hash_fingerprint_udf
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         fingerprint_expr(F.col("text")).alias("fingerprint"),
-        rolling_hash_fingerprint_expr(F.col("text")).alias("rolling_fp"),
+        rolling_hash_fingerprint_udf()(F.col("text")).alias("rolling_fp"),
     )
 
 
