@@ -67,3 +67,27 @@ def test_onehot_stays_codegen(spark):
 def test_semi_join_is_semi(spark):
     plan = formatted_plan(em.semi_join_orders(spark, SF))
     assert "LeftSemi" in plan, plan
+
+
+def test_ngram_jaccard_no_cross_product(spark):
+    """Prefix-filtered jaccard must stay equi-join shaped: a cartesian /
+    broadcast-nested-loop pair step would be quadratic at scale."""
+    plan = formatted_plan(em.dedup_ngram_jaccard(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_embed_neardup_lsh_no_cross_product(spark):
+    plan = formatted_plan(em.embed_neardup_lsh(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_no_cross_product(spark):
+    plan = formatted_plan(em.dedup_minhash_pairs(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_multimodal_uses_arrow_batches(spark):
+    """mapInPandas plumbing must be Arrow-batched Python, not row-at-a-time."""
+    plan = formatted_plan(em.multimodal_image_features(spark, SF))
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
