@@ -69,6 +69,34 @@ def dedup_within_watermark(events: DataFrame, keys: list[str], watermark: str = 
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stateful_running_totals(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key running (count, sum(value)) maintained across micro-batches in
+    Arrow-batched pandas. The canonical shape for operators Spark's built-in
+    streaming aggregations can't express (arbitrary per-group state machines);
+    state is per-key and partitioned, so it scales with the key cardinality,
+    not the stream length.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def _update(key_tuple, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n], "sum_value": [s]})
+
+    return events.groupBy(key).applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_available_now(stream_df: DataFrame, table_name: str, output_mode: str = "append", timeout: int = 120):
     """Drain everything currently available into an in-memory table and stop.
     Returns after the trigger completes; read results with

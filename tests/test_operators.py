@@ -238,3 +238,56 @@ def test_streaming_dedup(spark, tmp_path):
     run_available_now(deduped, "stream_dedup")
     out = spark.table("stream_dedup").toPandas()
     assert sorted(out.event_id.tolist()) == [1, 2, 3]
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: streamed per-user
+    running totals must equal the batch groupBy after a full drain."""
+    from preprocessor_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        stateful_running_totals,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(10),
+            "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 10),
+            "user_id": [1, 1, 1, 2, 2, 3, 3, 3, 3, 4],
+            "event_type": ["click"] * 10,
+            "value": [float(i) for i in range(10)],
+            "props": ["{}"] * 10,
+        }
+    )
+    src = str(tmp_path / "state_events")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src)
+    run_available_now(stateful_running_totals(stream), "stream_state", output_mode="update")
+    out = spark.table("stream_state").toPandas()
+    # final state per user (last update wins)
+    final = out.groupby("user_id").last().reset_index()
+    expected = pdf.groupby("user_id").agg(n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
+    m = final.merge(expected, on="user_id", suffixes=("", "_exp"))
+    assert len(m) == 4
+    assert (m.n_events == m.n_events_exp).all()
+    assert (m.sum_value == m.sum_value_exp).all()
+
+
+def test_ivf_topk_matches_bruteforce(spark, sf_dir):
+    """IVF with n_probe == n_cells is exhaustive → must equal brute force."""
+    import __spark_entry__ as em
+    from preprocessor_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    e = em._t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(e, q, "embedding", "vec_id", k=3).toPandas()
+    ivf = ivf_cosine_topk(e, q, "embedding", "vec_id", k=3, n_cells=4, n_probe=4).toPandas()
+    key = ["query_id", "rank"]
+    a = exact.sort_values(key).reset_index(drop=True)
+    b = ivf.sort_values(key).reset_index(drop=True)
+    assert a.neighbor_id.tolist() == b.neighbor_id.tolist()
+    # partial probe recalls a subset, never invents neighbors
+    part = ivf_cosine_topk(e, q, "embedding", "vec_id", k=3, n_cells=4, n_probe=2).toPandas()
+    allowed = set(map(tuple, exact[["query_id", "neighbor_id"]].itertuples(index=False)))
+    got = set(map(tuple, part[["query_id", "neighbor_id"]].itertuples(index=False)))
+    assert got  # probes its own cell at minimum

@@ -208,3 +208,21 @@ def test_save_load(mixed_small, tmp_path):
     a = prep.transform(mixed_small).toPandas()
     b = prep2.transform(mixed_small).toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_unseen_labels_all_zero(spark):
+    """Labels absent at fit time one-hot to all-zero rows ("ignore" policy,
+    reference preprocessor.py:436-439 + categorical_transformer.py:53-68);
+    transform output schema is always the fitted dummy schema."""
+    import pandas as pd
+
+    fit_df = spark.createDataFrame(pd.DataFrame({"c": ["a", "b", "a", "b", "a"], "x": [1.0, 2.0, 3.0, 4.0, 5.0]}))
+    new_df = spark.createDataFrame(pd.DataFrame({"c": ["a", "z", "b"], "x": [1.0, 2.0, 3.0]}))
+    prep = Preprocessor(fit_df, cat_labels_threshold=0.0)
+    out = prep.transform(new_df).toPandas()
+    dummies = [c for c in out.columns if c.startswith("c_")]
+    assert sorted(dummies) == ["c_a", "c_b"]  # fitted schema, no c_z
+    z_row = out[[d for d in dummies]].iloc[1]
+    assert z_row.sum() == 0  # unseen label → all-zero
+    assert out[dummies].iloc[0]["c_a"] == 1
+    assert out[dummies].iloc[2]["c_b"] == 1
