@@ -500,6 +500,80 @@ def prep_inf_clamp(spark, sf_dir):
     )
 
 
+def agg_min_max_by(spark, sf_dir):
+    """argmin/argmax aggregates (min_by/max_by)."""
+    o = _t(spark, sf_dir, "orders")
+    # tie-break totalprice collisions on orderkey so argmin/argmax stay
+    # deterministic on both engines
+    return o.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("cheapest_order"),
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("priciest_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def agg_sum_distinct(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.sum_distinct(F.col("l_quantity").cast("bigint")).alias("sum_distinct_qty"),
+        F.count_distinct("l_suppkey").alias("n_supp"),
+    )
+
+
+def agg_collect_set(spark, sf_dir):
+    """Array-building aggregate: sorted distinct statuses per priority —
+    deterministic array values so the oracle can hash-match."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def null_safe_join_parts(spark, sf_dir):
+    """Null-safe equality (<=>) join: brand size 45 parts vs themselves on a
+    nullable derived key — null keys must pair, unlike plain equality."""
+    p = _t(spark, sf_dir, "part")
+    keyed = p.select(
+        "p_partkey",
+        F.when(F.col("p_size") > 45, F.col("p_brand")).alias("big_brand"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, F.col("a.big_brand").eqNullSafe(F.col("b.big_brand")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .groupBy(F.col("a.big_brand").alias("big_brand"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def pipeline_llm_corpus(spark, sf_dir):
+    """Flagship LLM training-data pipeline, end-to-end and fully
+    oracle-checked: language-ID filter (en) → quality gate (≥ 10 tokens) →
+    exact dedup keeping the smallest doc_id per content hash → per-source
+    corpus stats. Every stage is the real operator from
+    preprocessor_spark.operators; deterministic throughout."""
+    from preprocessor_spark.operators.text import lang_id_expr, token_count_expr
+
+    d = _t(spark, sf_dir, "documents")
+    filtered = (
+        d.select(
+            "doc_id",
+            "source",
+            "text",
+            token_count_expr(F.col("text")).cast("bigint").alias("n_tokens"),
+            lang_id_expr(F.col("text")).alias("lang_pred"),
+        )
+        .filter((F.col("lang_pred") == "en") & (F.col("n_tokens") >= 10))
+    )
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
+    deduped = filtered.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
 def prep_quantile_scale(spark, sf_dir):
     """Quantile scaling end-to-end (sklearn QuantileTransformer parity path,
     reference numerical_transformer.py:36-39,152-167): approxQuantile
@@ -820,6 +894,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_inf_clamp": prep_inf_clamp,
         "prep_quantile_scale": prep_quantile_scale,
         "sql_api_revenue": sql_api_revenue,
+        "agg_min_max_by": agg_min_max_by,
+        "agg_sum_distinct": agg_sum_distinct,
+        "agg_collect_set": agg_collect_set,
+        "null_safe_join_parts": null_safe_join_parts,
+        "pipeline_llm_corpus": pipeline_llm_corpus,
         "dedup_exact_documents": dedup_exact_documents,
         "ts_features_by_user": ts_features_by_user,
         "text_token_counts": text_token_counts,
@@ -1181,6 +1260,77 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1998-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "agg_min_max_by": """
+            WITH r AS (
+                SELECT o_orderpriority, o_orderkey,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max
+                FROM orders
+            )
+            SELECT o_orderpriority,
+                   MAX(CASE WHEN rn_min = 1 THEN o_orderkey END) AS cheapest_order,
+                   MAX(CASE WHEN rn_max = 1 THEN o_orderkey END) AS priciest_order,
+                   COUNT(*) AS n_orders
+            FROM r GROUP BY o_orderpriority
+        """,
+        "agg_sum_distinct": """
+            SELECT l_returnflag,
+                   SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS sum_distinct_qty,
+                   COUNT(DISTINCT l_suppkey) AS n_supp
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "agg_collect_set": """
+            SELECT o_orderpriority,
+                   array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "null_safe_join_parts": """
+            WITH keyed AS (
+                SELECT p_partkey,
+                       CASE WHEN p_size > 45 THEN p_brand END AS big_brand
+                FROM part
+            )
+            SELECT a.big_brand, COUNT(*) AS n_pairs
+            FROM keyed a JOIN keyed b
+              ON a.big_brand IS NOT DISTINCT FROM b.big_brand
+             AND a.p_partkey < b.p_partkey
+            GROUP BY a.big_brand
+        """,
+        "pipeline_llm_corpus": """
+            WITH scored AS (
+                SELECT doc_id, source, text,
+                       len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS n_tokens,
+                       list_transform(
+                           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''),
+                           t -> lower(t)) AS tk
+                FROM documents
+            ), langed AS (
+                SELECT doc_id, source, text, n_tokens,
+                       len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','a','that','it','for'], t))) AS s_en,
+                       len(list_filter(tk, t -> list_contains(['el','la','de','que','y','en','un','los','se','por'], t))) AS s_es,
+                       len(list_filter(tk, t -> list_contains(['le','la','de','et','les','des','en','un','du','que'], t))) AS s_fr,
+                       len(list_filter(tk, t -> list_contains(['der','die','und','das','von','zu','mit','den','ist','im'], t))) AS s_de
+                FROM scored
+            ), filtered AS (
+                SELECT doc_id, source, text, n_tokens
+                FROM langed
+                WHERE n_tokens >= 10
+                  AND greatest(s_en, s_es, s_fr, s_de) > 0
+                  AND NOT (s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de)
+                  AND NOT (s_es >= s_en AND s_es >= s_de)
+                  AND s_en >= s_de
+            ), deduped AS (
+                SELECT doc_id, source, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+                FROM filtered
+            )
+            SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+                   CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+            FROM deduped WHERE rn = 1 GROUP BY source
         """,
         "embed_neardup": """
             WITH n AS (

@@ -46,6 +46,7 @@ HEADLINE = [
     "knn_ivf",
     "multimodal_image_features",
     "sql_api_revenue",
+    "pipeline_llm_corpus",
 ]
 
 
