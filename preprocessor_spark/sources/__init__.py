@@ -76,6 +76,27 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = False) 
     return out
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table.
+
+    The 100 TB co-location tool: two fact tables bucketed by the same key
+    into the same bucket count join with NO shuffle (and no sort, if sorted)
+    — the scan itself provides the required distribution. This is how a
+    repeatedly-joined key (orderkey, user_id) amortizes its shuffle once at
+    write time instead of on every query.
+    """
+    w = df.write.format("parquet").mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
+
+
 def from_pandas(spark: SparkSession, pdf) -> DataFrame:
     """pandas ingest — reference `preprocessor.py:141-143` equivalent."""
     return spark.createDataFrame(pdf)

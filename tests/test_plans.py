@@ -86,6 +86,35 @@ def test_minhash_no_cross_product(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
+    """Co-located bucketed tables must join with zero Exchange — the
+    write-once-shuffle-never pattern for repeatedly-joined 100 TB facts."""
+    from preprocessor_spark.sources import write_bucketed
+
+    import shutil
+
+    # a stale warehouse dir from an interrupted run is invisible to a fresh
+    # session catalog yet blocks saveAsTable — clear both sides first
+    for t in ("li_bucketed", "od_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    li = em._t(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    od = em._t(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_bucketed", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(od, "od_bucketed", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    # force sort-merge (at test SF the small side would broadcast); the
+    # point is that SMJ needs NO shuffle exchange on either bucketed side
+    joined = spark.table("li_bucketed").join(
+        spark.table("od_bucketed").hint("merge"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    plan = formatted_plan(joined)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert joined.count() > 0
+
+
 def test_multimodal_uses_arrow_batches(spark):
     """mapInPandas plumbing must be Arrow-batched Python, not row-at-a-time."""
     plan = formatted_plan(em.multimodal_image_features(spark, SF))
