@@ -484,6 +484,10 @@ def prep_onehot_segment(spark, sf_dir):
 
 
 def prep_kbins_ntile(spark, sf_dir):
+    """Exact quantile binning via ntile — deliberately a GLOBAL-order window
+    so the DuckDB oracle can match exactly. The production kbins path
+    (Preprocessor scaling="kbins") uses approxQuantile splits + a narrow
+    Bucketizer projection instead: distributed, no global sort (§4.3)."""
     c = _t(spark, sf_dir, "customer")
     w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
     return c.select("c_custkey", F.ntile(4).over(w).alias("bin"))
@@ -587,6 +591,25 @@ def prep_quantile_scale(spark, sf_dir):
     out = prep.transform(c)
     num = [f for f in ("c_custkey", "c_nationkey", "c_acctbal") if f in out.columns]
     return out.select(*[F.round(F.col(f), 4).alias(f) for f in num])
+
+
+def prep_datetime_pipeline(spark, sf_dir):
+    """Full Preprocessor lifecycle over a table WITH a native datetime column
+    (events.ts): epoch-float conversion, whole-table time sort, interpolation
+    windows, min-max scaling, one-hot — the complete datetime path under a
+    value-exact SQL oracle (events has no nulls, so interpolate/fill are
+    identity and every step is closed-form)."""
+    from preprocessor_spark import Preprocessor
+
+    ev = _t(spark, sf_dir, "events")
+    prep = Preprocessor(
+        ev, scaling="normalize", num_fill_null="mean",
+        excluded_col=["props"], cat_labels_threshold=0.0,
+    )
+    out = prep.transform(ev)
+    num = ["event_id", "ts", "user_id", "value"]
+    dummies = sorted(c for c in out.columns if c.startswith("event_type_"))
+    return out.select(*[F.round(F.col(c), 6).alias(c) for c in num], *dummies)
 
 
 def sql_api_revenue(spark, sf_dir):
@@ -899,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_collect_set": agg_collect_set,
         "null_safe_join_parts": null_safe_join_parts,
         "pipeline_llm_corpus": pipeline_llm_corpus,
+        "prep_datetime_pipeline": prep_datetime_pipeline,
         "dedup_exact_documents": dedup_exact_documents,
         "ts_features_by_user": ts_features_by_user,
         "text_token_counts": text_token_counts,
@@ -1251,6 +1275,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "prep_datetime_pipeline": """
+            WITH e AS (
+                SELECT event_id, user_id, "value", event_type,
+                       CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS eps
+                FROM events
+            ), s AS (
+                SELECT MIN(eps) AS mn_ts, MAX(eps) AS mx_ts,
+                       MIN(event_id) AS mn_id, MAX(event_id) AS mx_id,
+                       MIN(user_id) AS mn_u, MAX(user_id) AS mx_u,
+                       MIN("value") AS mn_v, MAX("value") AS mx_v
+                FROM e
+            )
+            SELECT ROUND((event_id - mn_id) / (mx_id - mn_id), 6) AS event_id,
+                   ROUND((eps - mn_ts) / (mx_ts - mn_ts), 6) AS ts,
+                   ROUND((user_id - mn_u) / (mx_u - mn_u), 6) AS user_id,
+                   ROUND(("value" - mn_v) / (mx_v - mn_v), 6) AS "value",
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS event_type_click,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS event_type_error,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS event_type_purchase,
+                   CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS event_type_signup,
+                   CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS event_type_view
+            FROM e CROSS JOIN s
         """,
         "sql_api_revenue": """
             SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))

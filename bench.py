@@ -34,6 +34,7 @@ HEADLINE = [
     "prep_minmax_normalize",
     "prep_onehot_segment",
     "preprocessor_fit_transform",
+    "prep_datetime_pipeline",
     "dedup_exact_documents",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
