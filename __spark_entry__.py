@@ -593,6 +593,49 @@ def prep_quantile_scale(spark, sf_dir):
     return out.select(*[F.round(F.col(f), 4).alias(f) for f in num])
 
 
+def exists_subquery_sql(spark, sf_dir):
+    """Correlated EXISTS through the SQL entry point — Catalyst decorrelates
+    to a left-semi join (same plan the DataFrame API's left_semi produces)."""
+    from preprocessor_spark.sources import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000
+        )
+        """
+    )
+
+
+def scalar_subquery_sql(spark, sf_dir):
+    """Scalar subquery: orders above the global average price."""
+    from preprocessor_spark.sources import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+def window_percent_rank(spark, sf_dir):
+    w = Window.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def prep_datetime_pipeline(spark, sf_dir):
     """Full Preprocessor lifecycle over a table WITH a native datetime column
     (events.ts): epoch-float conversion, whole-table time sort, interpolation
@@ -923,6 +966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_safe_join_parts": null_safe_join_parts,
         "pipeline_llm_corpus": pipeline_llm_corpus,
         "prep_datetime_pipeline": prep_datetime_pipeline,
+        "exists_subquery_sql": exists_subquery_sql,
+        "scalar_subquery_sql": scalar_subquery_sql,
+        "window_percent_rank": window_percent_rank,
         "dedup_exact_documents": dedup_exact_documents,
         "ts_features_by_user": ts_features_by_user,
         "text_token_counts": text_token_counts,
@@ -1275,6 +1321,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        "exists_subquery_sql": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_totalprice > 300000
+            )
+        """,
+        "scalar_subquery_sql": """
+            SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders
+            WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        """,
+        "window_percent_rank": """
+            SELECT c_custkey, c_mktsegment,
+                   ROUND(percent_rank() OVER w, 6) AS pct_rank,
+                   ROUND(cume_dist() OVER w, 6) AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
         """,
         "prep_datetime_pipeline": """
             WITH e AS (
