@@ -115,6 +115,20 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path_factory):
     assert joined.count() > 0
 
 
+def test_partition_pruning(spark, tmp_path_factory):
+    """Hive-partitioned layout + a partition-column predicate must prune at
+    planning time: the scan's PartitionFilters carries the predicate and
+    only matching directories are read."""
+    out = str(tmp_path_factory.mktemp("part") / "events_by_type")
+    ev = em._t(spark, SF, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("event_type") == "click").select("event_id")
+    plan = formatted_plan(q)
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:120], plan
+    n_click = q.count()
+    assert 0 < n_click < ev.count()
+
+
 def test_multimodal_uses_arrow_batches(spark):
     """mapInPandas plumbing must be Arrow-batched Python, not row-at-a-time."""
     plan = formatted_plan(em.multimodal_image_features(spark, SF))
