@@ -125,37 +125,68 @@ def forward_fill_expr(col: Column, order_col: str, partition_by: list[str] | Non
     return F.last(col, ignorenulls=True).over(w)
 
 
-def backward_fill_expr(col: Column, order_col: str, partition_by: list[str] | None = None) -> Column:
+def backward_fill_expr(
+    col: Column,
+    order_col: str,
+    partition_by: list[str] | None = None,
+    tiebreak_col: str | None = None,
+) -> Column:
     """first non-null at-or-after the current row, expressed as ``last`` over
     a RUNNING frame in reverse order. Never use ``[0, unboundedFollowing]``:
     Spark executes running frames (`[unboundedPreceding, 0]`) with an O(n)
     accumulator but recomputes unbounded-following frames per row — O(n²)
-    per partition (measured 357 s vs 2 s on a 100k-row partition)."""
-    w = Window.orderBy(F.col(order_col).desc()).rowsBetween(Window.unboundedPreceding, 0)
-    if partition_by:
-        w = (
-            Window.partitionBy(*partition_by)
-            .orderBy(F.col(order_col).desc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
+    per partition (measured 357 s vs 2 s on a 100k-row partition).
+
+    ``order_col`` (optionally with ``tiebreak_col``) must be a TOTAL order
+    within each partition: the reverse scan must see the exact mirror of the
+    forward order, and with duplicate keys and no tiebreaker the two sorts
+    may lay ties out differently (nondeterministic fills at tied rows). The
+    Preprocessor's internal callers pass a unique synthetic row id.
+    """
+    order = [F.col(order_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = (
+        Window.partitionBy(*partition_by).orderBy(*order)
+        if partition_by
+        else Window.orderBy(*order)
+    ).rowsBetween(Window.unboundedPreceding, 0)
     return F.last(col, ignorenulls=True).over(w)
 
 
-def interpolate_expr(col: Column, order_col: str, partition_by: list[str] | None = None) -> Column:
+def interpolate_expr(
+    col: Column,
+    order_col: str,
+    partition_by: list[str] | None = None,
+    tiebreak_col: str | None = None,
+) -> Column:
     """Linear interpolation of nulls over an explicit order.
 
     Matches Polars ``interpolate()`` semantics: interior null runs are
     linearly interpolated between the surrounding non-null values; leading
     and trailing nulls stay null. Built from four window scans (prev/next
     value and row distance) — all JVM-side, no UDF.
+
+    ``order_col`` (+ optional ``tiebreak_col``) must totally order each
+    partition: prev comes from a forward running scan and next from a
+    reverse one, and duplicate keys without a tiebreaker let the two sorts
+    disagree on tie layout (inconsistent prev/next at tied rows). The
+    Preprocessor passes a unique (datetime, synthetic row id) struct.
     """
 
     def win(reverse: bool = False):
-        order = F.col(order_col).desc() if reverse else F.col(order_col).asc()
+        if reverse:
+            order = [F.col(order_col).desc()]
+            if tiebreak_col is not None:
+                order.append(F.col(tiebreak_col).desc())
+        else:
+            order = [F.col(order_col).asc()]
+            if tiebreak_col is not None:
+                order.append(F.col(tiebreak_col).asc())
         w = (
-            Window.partitionBy(*partition_by).orderBy(order)
+            Window.partitionBy(*partition_by).orderBy(*order)
             if partition_by
-            else Window.orderBy(order)
+            else Window.orderBy(*order)
         )
         return w.rowsBetween(Window.unboundedPreceding, 0)
 
@@ -165,10 +196,13 @@ def interpolate_expr(col: Column, order_col: str, partition_by: list[str] | None
     w_prev = win()
     w_next = win(reverse=True)
 
+    pos_order = [F.col(order_col).asc()]
+    if tiebreak_col is not None:
+        pos_order.append(F.col(tiebreak_col).asc())
     pos = F.row_number().over(
-        Window.partitionBy(*partition_by).orderBy(order_col)
+        Window.partitionBy(*partition_by).orderBy(*pos_order)
         if partition_by
-        else Window.orderBy(order_col)
+        else Window.orderBy(*pos_order)
     )
     pos_col = pos.cast("double")
     prev_val = F.last(col, ignorenulls=True).over(w_prev)

@@ -76,34 +76,6 @@ def shingles_expr(text_col, n: int = 5):
     )
 
 
-def shingles_udf(shingle_n: int = 5):
-    """Arrow-batched twin of ``shingles_expr`` for the hot path: same
-    semantics (regex ``\\s+`` split on lowercased text — including the empty
-    leading token Spark's split produces, so the DuckDB oracle twin stays
-    value-exact — full n-grams only, first-occurrence-distinct), measured
-    ~10× faster than the interpreted transform/slice/concat_ws expression
-    tree on long documents.
-    """
-    import re
-
-    from pyspark.sql.functions import pandas_udf
-
-    ws = re.compile(r"\s+")
-
-    def _grams(text: str):
-        if text is None:
-            return None
-        toks = ws.split(text.lower())
-        k = max(len(toks) - shingle_n + 1, 1)
-        return list(dict.fromkeys(" ".join(toks[i : i + shingle_n]) for i in range(k)))
-
-    @pandas_udf("array<string>")
-    def _udf(s: pd.Series) -> pd.Series:
-        return s.map(_grams)
-
-    return _udf
-
-
 def _minhash_sig_expr(shingle_col, num_hashes: int, seed: int = 42):
     """num_hashes-wide minhash signature as an array<bigint> expression.
 
@@ -331,6 +303,10 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql.functions import pandas_udf
 
+    # persisted because the shingle arrays feed the index build AND both
+    # verify joins; lifetime is the session's (Spark evicts LRU under
+    # pressure — callers doing many one-shot calls can unpersist via
+    # spark.catalog.clearCache())
     base = df.select(
         F.col(id_col).alias("__id"), hashed_shingles_udf(shingle_n)(F.col(text_col)).alias("__sh")
     ).persist()
@@ -342,7 +318,13 @@ def ngram_jaccard_pairs(
     prefix = (
         inv.join(freq, "shingle")
         .withColumn("__rank", F.row_number().over(w))
-        .filter(F.col("__rank") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1)
+        # round before ceil: fl(t)·n can land a hair ABOVE an exact integer
+        # product (e.g. 0.54·450 → 243.00000000000003), and an overshooting
+        # ceil shortens the prefix by one — a silent false negative
+        .filter(
+            F.col("__rank")
+            <= F.col("__n") - F.ceil(F.round(F.lit(threshold) * F.col("__n"), 9)) + 1
+        )
         .select("__id", "__n", "shingle")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -351,9 +333,10 @@ def ngram_jaccard_pairs(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.__id") < F.col("b.__id"))
-            # length filter: t·|A| ≤ |B| and t·|B| ≤ |A| (Jaccard ≥ t bound)
-            & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
-            & (F.col("a.__n") >= F.lit(threshold) * F.col("b.__n")),
+            # length filter: t·|A| ≤ |B| and t·|B| ≤ |A| (Jaccard ≥ t bound);
+            # same FP-boundary guard as the prefix length
+            & (F.col("b.__n") >= F.round(F.lit(threshold) * F.col("a.__n"), 9))
+            & (F.col("a.__n") >= F.round(F.lit(threshold) * F.col("b.__n"), 9)),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -494,6 +477,13 @@ def embedding_neardup_pairs(
     each of the n_planes aggregate subtrees per row with no CSE.
     engine="expr": pure JVM column expressions, zero Python.
     """
+    if not brute_force:
+        if n_planes < bands or n_planes % bands:
+            # r = n_planes//bands of 0 would key every row to bucket 0 —
+            # a silent quadratic cross product; fail fast instead
+            raise ValueError(
+                f"n_planes ({n_planes}) must be a positive multiple of bands ({bands})"
+            )
     if engine == "numpy":
         return _embedding_neardup_numpy(
             df, vec_col, id_col, threshold, n_planes, bands, seed, brute_force
@@ -550,16 +540,32 @@ def embedding_neardup_pairs(
         ).alias("bb"),
     ).select("__id", "__v", "bb.band", "bb.bkey")
     a, b = entries.alias("a"), entries.alias("b")
-    return (
+    # id-only candidates deduped BEFORE the cosine verify: true near-dups
+    # collide in most bands, so verifying pre-dedup evaluates the cosine
+    # (and ships the vectors) once per matching band for exactly the hot
+    # pairs (same ordering as the minhash/ngram candidate paths)
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    v_a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    v_b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    pair_cos = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(v_a, "id_a")
+        .join(v_b, "id_b")
+        .select("id_a", "id_b", pair_cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 
@@ -617,18 +623,25 @@ def _embedding_neardup_numpy(
             .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold)
         )
-    entries = base.select(
-        "__id", "__v", F.posexplode("__keys").alias("band", "bkey")
-    )
+    base = base.persist()  # referenced by the band explode + both verify joins
+    entries = base.select("__id", F.posexplode("__keys").alias("band", "bkey"))
     a, b = entries.alias("a"), entries.alias("b")
-    return (
+    # id-only candidate dedup BEFORE verification (see expr engine note)
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    v_a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    v_b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cand.join(v_a, "id_a")
+        .join(v_b, "id_b")
+        .select("id_a", "id_b", _pair_cosine_udf()(F.col("__va"), F.col("__vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )

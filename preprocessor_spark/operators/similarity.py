@@ -178,9 +178,10 @@ def ivf_cosine_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
     )
+    # no pair dedup needed: a corpus row lives in exactly one cell and the
+    # probe cells per query are distinct, so (query, neighbor) occurs once
     return (
         joined.select("query_id", "neighbor_id", _dot(F.col("__qv"), F.col("__cv")).alias("cosine"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")

@@ -81,7 +81,8 @@ def stateful_running_totals(events: DataFrame, key: str = "user_id") -> DataFram
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{key} bigint, n_events bigint, sum_value double"
+    key_type = events.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_type}, n_events bigint, sum_value double"
     state_schema = "n bigint, s double"
 
     def _update(key_tuple, pdfs, state: GroupState):
