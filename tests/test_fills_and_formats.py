@@ -125,3 +125,30 @@ def test_partitioned_order_fill(spark):
     by_series = out.groupby("series")["x"].apply(list).to_dict()
     assert by_series["a"] == [1.0, 1.0, 1.0]
     assert by_series["b"] == [7.0, 7.0]
+
+
+def test_backward_fill_tied_keys_with_tiebreak(spark):
+    """Duplicate order keys + tiebreak_col: the reverse scan mirrors the
+    forward order exactly, so fills at tied rows are deterministic."""
+    import pandas as pd
+
+    from preprocessor_spark.functions.numerical import backward_fill_expr, interpolate_expr
+
+    pdf = pd.DataFrame(
+        {
+            "rid": [0, 1, 2, 3],
+            "t": [1, 5, 5, 9],
+            "v": [1.0, None, 10.0, 20.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        df.withColumn("bf", backward_fill_expr(F.col("v"), "t", tiebreak_col="rid"))
+        .withColumn("interp", interpolate_expr(F.col("v"), "t", tiebreak_col="rid"))
+        .toPandas()
+        .sort_values("rid")
+    )
+    # row rid=1 (t=5, null): next non-null at-or-after in (t, rid) order is
+    # rid=2's 10.0; interpolation midpoint between 1.0 and 10.0 is 5.5
+    assert out.loc[out.rid == 1, "bf"].iloc[0] == 10.0
+    assert out.loc[out.rid == 1, "interp"].iloc[0] == pytest.approx(5.5)
