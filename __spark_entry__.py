@@ -1390,8 +1390,11 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY o_orderpriority
         """,
         "agg_sum_distinct": """
+            -- outer CAST: DuckDB returns SUM(DISTINCT BIGINT) as HUGEINT which
+            -- pandas materializes as float64 ('1275.0'); Spark emits bigint
+            -- ('1275') — identical values, different hash. BIGINT on both sides.
             SELECT l_returnflag,
-                   SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS sum_distinct_qty,
+                   CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_distinct_qty,
                    COUNT(DISTINCT l_suppkey) AS n_supp
             FROM lineitem GROUP BY l_returnflag
         """,

@@ -70,8 +70,14 @@ def asof_join(
         gap = F.abs(
             F.col("__ts").cast("double") - F.col("__match_ts").cast("double")
         )
-        out = out.withColumn(
-            "__match", F.when(gap <= F.lit(tolerance_seconds), F.col("__match"))
+        within = gap <= F.lit(tolerance_seconds)
+        # null payload AND timestamp together — an out-of-tolerance match must
+        # not leave a dangling r_<on> for a row whose payload was rejected
+        out = out.withColumns(
+            {
+                "__match": F.when(within, F.col("__match")),
+                "__match_ts": F.when(within, F.col("__match_ts")),
+            }
         )
     keep = [c for c in left.columns]
     proj = [F.col(c) for c in keep] + [

@@ -170,6 +170,8 @@ def test_asof_join_tolerance(spark):
     trades = spark.createDataFrame([("A", 100.0)], "sym string, t double")
     out = asof_join(trades, quotes, on="t", by=["sym"], tolerance_seconds=10).toPandas()
     assert pd.isna(out["r_price"].iloc[0])
+    # rejected match must not leave a dangling timestamp either
+    assert pd.isna(out["r_t"].iloc[0])
 
 
 def test_multimodal_plumbing(spark):
