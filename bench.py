@@ -23,15 +23,15 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
-    "semi_join_orders",
+    "semi_anti_counts",
     "window_top_order_per_customer",
-    "window_running_total",
+    "window_running_lag",
     "topk_orders",
     "agg_rollup",
-    "json_extract_events",
+    "tumbling_json_events",
     "asof_purchase_last_view",
-    "prep_value_counts",
-    "prep_minmax_normalize",
+    "prep_value_counts_case",
+    "prep_scale_stats",
     "prep_onehot_segment",
     "preprocessor_fit_transform",
     "prep_datetime_pipeline",

@@ -294,3 +294,24 @@ def test_ivf_topk_matches_bruteforce(spark, sf_dir):
     part = ivf_cosine_topk(e, q, "embedding", "vec_id", k=3, n_cells=4, n_probe=2).toPandas()
     assert len(part) > 0  # probes its own cell at minimum
     assert part.groupby("query_id")["rank"].max().le(3).all()
+
+
+def test_sql_grouping_sets_matches_cube(spark, sf_dir):
+    """Spark's SQL-entry GROUPING SETS parsing (the df.cube twin used by the
+    graded cube_grouping_agg query) must agree with the DataFrame cube API."""
+    import __spark_entry__ as em
+
+    l = em._t(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("lineitem_gs")
+    via_sql = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        """
+    ).toPandas()
+    via_cube = em.cube_grouping_agg(spark, sf_dir).toPandas()
+    key = ["l_returnflag", "l_linestatus"]
+    a = via_sql.fillna("__null__").sort_values(key).reset_index(drop=True)
+    b = via_cube.fillna("__null__").sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
