@@ -352,19 +352,24 @@ def pipeline_llm_corpus(spark, sf_dir):
     filtered = (
         d.select(
             "doc_id",
+            F.md5(F.col("text")).alias("__h"),
             "source",
-            "text",
             token_count_expr(F.col("text")).cast("bigint").alias("n_tokens"),
             lang_id_expr(F.col("text")).alias("lang_pred"),
         )
         .filter((F.col("lang_pred") == "en") & (F.col("n_tokens") >= 10))
     )
-    w = Window.partitionBy(F.md5(F.col("text"))).orderBy(F.asc("doc_id"))
-    deduped = filtered.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
-    return deduped.groupBy("source").agg(
+    # dedup keeping the min-doc_id row per content hash, WITHOUT shuffling the
+    # text payload: the hash is computed map-side and only (hash, doc_id,
+    # source, n_tokens) travel through the exchange; min_by picks the kept
+    # row's attributes in the same partial+final agg.
+    deduped = filtered.groupBy("__h").agg(
+        F.min_by(F.struct("source", "n_tokens"), F.col("doc_id")).alias("kept")
+    )
+    return deduped.groupBy(F.col("kept.source").alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum("kept.n_tokens").alias("total_tokens"),
+        (F.sum("kept.n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
     )
 
 
@@ -1422,7 +1427,10 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
                 FROM filtered
             )
-            SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+            -- outer CAST: DuckDB SUM(BIGINT) is HUGEINT → pandas float64;
+            -- Spark emits bigint. Same values, different hash without it.
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                    CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
             FROM deduped WHERE rn = 1 GROUP BY source
         """,

@@ -134,3 +134,20 @@ def test_multimodal_uses_arrow_batches(spark):
     plan = formatted_plan(em.multimodal_image_features(spark, SF))
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_llm_corpus_dedup_sheds_text_before_shuffle(spark):
+    """Exact-dedup inside pipeline_llm_corpus must NOT move the document
+    text through the exchange: the content hash is computed map-side and
+    min_by carries only (source, n_tokens). At corpus scale the text column
+    dominates shuffle bytes, so a window-over-md5(text) formulation would
+    be the bottleneck."""
+    plan = formatted_plan(em.pipeline_llm_corpus(spark, SF))
+    assert "Window" not in plan, plan
+    # every Exchange's own line (partition keys) must be hash-based and
+    # free of the text column
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    # partial+final agg pair proves map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2, plan

@@ -54,6 +54,24 @@ def _compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} vs oracle {len(oracle_pdf)}"
     )
+    # dtype-kind parity BEFORE canonicalization: the driver hashes string
+    # representations, so a Spark bigint vs a DuckDB HUGEINT→float64 column
+    # ('1275' vs '1275.0') hash-mismatches even with identical values.
+    # Datetime resolution (ns vs us) is exempt — the driver normalizes it.
+    def _kind(d):
+        d = str(d)
+        if d.startswith(("int", "uint", "Int")):
+            return "int"
+        if d.startswith(("float", "Float")):
+            return "float"
+        if d.startswith("datetime"):
+            return "datetime"
+        return "object"
+
+    for c in sorted(set(spark_pdf.columns) & set(oracle_pdf.columns)):
+        sk, ok = _kind(spark_pdf[c].dtype), _kind(oracle_pdf[c].dtype)
+        assert sk == ok, f"{name}.{c}: spark dtype {spark_pdf[c].dtype} vs oracle {oracle_pdf[c].dtype}"
+
     a, b = _canon(spark_pdf), _canon(oracle_pdf)
     assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
     for c in a.columns:
