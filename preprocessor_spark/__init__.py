@@ -8,7 +8,8 @@ similarity search, text analysis, multimodal plumbing) designed for
 100 TB-scale execution on a Spark cluster.
 """
 
+from .caching import persist_scope, register_persisted
 from .preprocessor import FittedState, Preprocessor
 from .session import get_spark
 
-__all__ = ["Preprocessor", "FittedState", "get_spark"]
+__all__ = ["Preprocessor", "FittedState", "get_spark", "persist_scope", "register_persisted"]

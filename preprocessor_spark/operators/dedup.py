@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from preprocessor_spark.caching import register_persisted
+
 # Mersenne prime for the minhash universal-hash family. 2^31−1 keeps
 # h*a + b < 2^62, safe under ANSI long arithmetic (no overflow).
 _MERSENNE = (1 << 31) - 1
@@ -179,8 +181,11 @@ def minhash_lsh_pairs(
     else:
         sig = _minhash_sig_expr(shingles_expr(F.col(text_col), shingle_n), num_hashes)
     # referenced by the band explode AND both verification joins — persist so
-    # the signature kernel runs once per row, not three times
-    with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig")).persist()
+    # the signature kernel runs once per row, not three times; lifetime is
+    # caller-managed via persist_scope (see preprocessor_spark.caching)
+    with_sig = register_persisted(
+        df.select(F.col(id_col).alias("__id"), sig.alias("__sig")).persist()
+    )
 
     band_entries = with_sig.select(
         "__id",
@@ -304,12 +309,14 @@ def ngram_jaccard_pairs(
     from pyspark.sql.functions import pandas_udf
 
     # persisted because the shingle arrays feed the index build AND both
-    # verify joins; lifetime is the session's (Spark evicts LRU under
-    # pressure — callers doing many one-shot calls can unpersist via
-    # spark.catalog.clearCache())
-    base = df.select(
-        F.col(id_col).alias("__id"), hashed_shingles_udf(shingle_n)(F.col(text_col)).alias("__sh")
-    ).persist()
+    # verify joins; lifetime is caller-managed via persist_scope (falls back
+    # to session-lifetime + LRU eviction when no scope is active)
+    base = register_persisted(
+        df.select(
+            F.col(id_col).alias("__id"),
+            hashed_shingles_udf(shingle_n)(F.col(text_col)).alias("__sh"),
+        ).persist()
+    )
     inv = base.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("shingle"))
     freq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
     # global total order: (frequency asc, hash asc); prefix length
@@ -623,7 +630,8 @@ def _embedding_neardup_numpy(
             .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), cos.alias("cosine"))
             .filter(F.col("cosine") >= threshold)
         )
-    base = base.persist()  # referenced by the band explode + both verify joins
+    # referenced by the band explode + both verify joins; scope-managed
+    base = register_persisted(base.persist())
     entries = base.select("__id", F.posexplode("__keys").alias("band", "bkey"))
     a, b = entries.alias("a"), entries.alias("b")
     # id-only candidate dedup BEFORE verification (see expr engine note)

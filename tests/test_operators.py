@@ -315,3 +315,51 @@ def test_sql_grouping_sets_matches_cube(spark, sf_dir):
     a = via_sql.fillna("__null__").sort_values(key).reset_index(drop=True)
     b = via_cube.fillna("__null__").sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_persist_scope_releases_operator_caches(spark, sf_dir):
+    """Operators persist internal frames (signatures/shingles/vectors) that
+    several joins re-reference; persist_scope must release ALL of them once
+    the caller has materialized the result — on a long-lived session the
+    alternative is monotonically-growing executor storage."""
+    from preprocessor_spark import persist_scope
+    from preprocessor_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    spark.catalog.clearCache()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with persist_scope() as frames:
+        minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8).count()
+        ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.8).count()
+        embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.95).count()
+        assert len(frames) == 3  # each operator registered its cache
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_persist_scope_nests_and_is_optional(spark, sf_dir):
+    """No active scope → unchanged session-lifetime behavior; nested scopes
+    release only their own frames."""
+    from preprocessor_spark import persist_scope
+    from preprocessor_spark.operators.dedup import minhash_lsh_pairs
+
+    spark.catalog.clearCache()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with persist_scope() as outer:
+        minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8).count()
+        # different num_hashes → distinct logical plan; an identical plan
+        # would share the outer call's cache entry (CacheManager dedupes)
+        with persist_scope() as inner:
+            minhash_lsh_pairs(d, "text", "doc_id", num_hashes=16, bands=4).count()
+            assert len(inner) == 1 and len(outer) == 1
+        # inner released, outer's cache still live
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 1
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    # scope-less call: persists stay (LRU-managed) — just clean up after
+    minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8).count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 1
+    spark.catalog.clearCache()
