@@ -44,6 +44,7 @@ from .functions import numerical as N
 ML_TASKS = {"classification", "regression", None}
 DOMINANCE_THRESHOLD = 0.98  # preprocessor.py:306 (hardcoded in reference too)
 MAX_COLLECT_LABELS = 10_000  # scale guard: never collect more labels than this per column
+MAX_UNSEEN_REPORT = 50  # scale guard: cap the unseen-label sample collected for the warning
 
 _NUMERIC_TYPES = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -90,6 +91,14 @@ class FittedState:
     target_labels: list[str] | None  # classification
     target_min_max: list[float] | None  # regression
     partition_by: list[str] | None
+    # discard provenance (reference preprocessor.py:151,311,325 + README
+    # get_discarded_info): WHY each column was dropped, and the content of
+    # single-valued ones. Tracked unconditionally — the values fall out of
+    # stats jobs 1/2 for free, unlike the reference where recording them
+    # "will considerably slow down the processing operation" (README:35).
+    discarded_reasons: dict = field(default_factory=dict)  # col -> reason
+    single_value_columns: dict = field(default_factory=dict)  # col -> its one value
+    get_discarded_info: bool = False
 
     def to_json(self) -> str:
         d = dict(self.__dict__)
@@ -132,6 +141,7 @@ class Preprocessor:
         ml_task: str | None = None,
         target_column: str | None = None,
         partition_by: list[str] | None = None,
+        get_discarded_info: bool = False,
     ):
         excluded_col = list(excluded_col or [])
         # -- validation (preprocessor.py:124-138) --
@@ -150,6 +160,8 @@ class Preprocessor:
             raise ValueError("Invalid value for scaling")
         if num_fill_null not in N.FILL_STRATEGIES and not isinstance(num_fill_null, (int, float)):
             raise ValueError("Invalid value for num_fill_null")
+        if unseen_labels not in ("ignore", "error"):
+            raise ValueError("Invalid value for unseen_labels")
         if scaling == "kbins" and n_bins <= 0:
             raise ValueError("Specify a number of bins (n_bins) greater than 0.")
 
@@ -172,6 +184,7 @@ class Preprocessor:
             ml_task=ml_task,
             target_column=target_column,
             partition_by=partition_by,
+            get_discarded_info=get_discarded_info,
         )
 
     # ------------------------------------------------------------------ fit
@@ -271,12 +284,17 @@ class Preprocessor:
             }
 
         discarded: list[str] = []
+        discarded_reasons: dict[str, str] = {}
+        single_value_columns: dict[str, object] = {}
         # numeric single-value discard (preprocessor.py:319-325): value_counts
         # has one row iff (distinct non-null + null-present) == 1.
         for c in numerical_features:
             n_values = int(row[f"nd__{c}"]) + int(row[f"hasnull__{c}"])
             if n_rows == 0 or n_values <= 1:
                 discarded.append(c)
+                discarded_reasons[c] = "contains a single value"
+                # the single value is the column min (None if all-null)
+                single_value_columns[c] = row[f"min__{c}"]
                 warnings.warn(f"\n{c} contains a single value and was discarded")
 
         # -- stats job 2: stacked categorical value counts — ONE shuffle for
@@ -313,6 +331,16 @@ class Preprocessor:
                 # single-value / 98% dominance discard (preprocessor.py:305-311)
                 if n_values <= 1 or max_cnt >= n_rows * DOMINANCE_THRESHOLD:
                     discarded.append(c)
+                    if n_values <= 1:
+                        discarded_reasons[c] = "contains a single value"
+                        single_value_columns[c] = pairs[0][0] if pairs else None
+                    else:
+                        discarded_reasons[c] = (
+                            f"one value covers >= {DOMINANCE_THRESHOLD:.0%} of rows"
+                        )
+                        # the dominant label: pairs are (value, count) sorted
+                        # by count desc from the ranked collect
+                        single_value_columns[c] = pairs[0][0] if pairs else None
                     warnings.warn(f"\n{c} contains a single value and was discarded")
                     continue
                 thr = p["cat_labels_threshold"] * n_rows
@@ -410,8 +438,13 @@ class Preprocessor:
             target_labels=target_labels,
             target_min_max=target_min_max,
             partition_by=p["partition_by"],
+            discarded_reasons=discarded_reasons,
+            single_value_columns=single_value_columns,
+            get_discarded_info=p["get_discarded_info"],
         )
         self.discarded = (list(discarded), dict(rare_labels))  # reference attribute parity
+        # reference attribute parity (preprocessor.py:97-98, README:147)
+        self.single_value_columns = dict(single_value_columns)
 
     # ------------------------------------------------------- helpers
 
@@ -458,6 +491,34 @@ class Preprocessor:
     def discarded_features(self):
         return list(self.state.discarded_features)
 
+    def get_discarded_features_reason(self) -> dict[str, str]:
+        """Why each column was discarded (reference preprocessor.py:151,
+        311,325 and README:146-151). Gated on ``get_discarded_info`` for
+        surface parity — though unlike the reference, recording the reasons
+        costs nothing here (they fall out of the fit stats jobs), so the
+        flag never slows fit down."""
+        if not self.state.get_discarded_info:
+            raise AttributeError(
+                "get_discarded_features_reason() requires the Preprocessor "
+                "to be constructed with get_discarded_info=True"
+            )
+        reasons = dict(self.state.discarded_reasons)
+        for col, reason in reasons.items():
+            line = f"{col} was discarded: {reason}"
+            if col in self.state.single_value_columns:
+                line += f" (value: {self.state.single_value_columns[col]!r})"
+            print(line)
+        return reasons
+
+    def get_single_valued_columns(self) -> dict:
+        """Values of the single-valued discarded columns (README:34,147)."""
+        if not self.state.get_discarded_info:
+            raise AttributeError(
+                "get_single_valued_columns() requires the Preprocessor "
+                "to be constructed with get_discarded_info=True"
+            )
+        return dict(self.state.single_value_columns)
+
     def get_numerical_features(self):
         return self.numerical_features
 
@@ -472,6 +533,47 @@ class Preprocessor:
 
     # -------------------------------------------------------- transform
 
+    def _warn_unseen_labels(self, data: DataFrame) -> None:
+        """One stacked scan that filters to out-of-fitted-set values
+        SQL-side and collects at most MAX_UNSEEN_REPORT of them — known
+        label sets are bounded driver state, the data never is. Columns in
+        kept_labels mode are skipped: their fit-time label population was
+        unbounded by design, and out-of-set values fold to 'other' anyway.
+        Mirrors reference preprocessor.py:434-437 (warns, does not raise)."""
+        st = self.state
+        placeholders = {C.NULL_LABEL, C.OTHER_LABEL}
+        checks: list[tuple[str, list[str]]] = []
+        for c in st.categorical_features:
+            if c in st.kept_labels or c not in data.columns:
+                continue
+            known = (set(st.categories.get(c, [])) - placeholders) | set(
+                st.rare_labels.get(c, [])
+            )
+            checks.append((c, sorted(known)))
+        if not checks:
+            return
+        kvs = F.array(
+            *[F.struct(F.lit(c).alias("c"), F.col(c).alias("v")) for c, _ in checks]
+        )
+        flat = data.select(F.explode(kvs).alias("kv")).select(
+            F.col("kv.c").alias("c"), F.col("kv.v").alias("v")
+        )
+        cond = F.lit(False)
+        for c, known in checks:
+            unseen_here = F.col("v").isNotNull() & ~F.col("v").isin("", " ")
+            if known:
+                unseen_here &= ~F.col("v").isin(*known)
+            cond = cond | ((F.col("c") == c) & unseen_here)
+        rows = flat.where(cond).distinct().limit(MAX_UNSEEN_REPORT).collect()
+        if rows:
+            by_col: dict[str, list[str]] = {}
+            for r in rows:
+                by_col.setdefault(r["c"], []).append(r["v"])
+            report = {k: sorted(v) for k, v in sorted(by_col.items())}
+            warnings.warn(
+                f"New data contains unseen categorical labels: {report}", UserWarning
+            )
+
     def transform(self, data: DataFrame) -> DataFrame:
         """Pipeline order preserved from preprocessor.py:341-461:
         shrink → drop discarded → datetime → numerical → boolean →
@@ -479,6 +581,12 @@ class Preprocessor:
         shuffle is the (parity-mandated) sort when datetime features exist
         or an order-dependent fill is requested."""
         st = self.state
+        # unseen_labels='error' policy (reference preprocessor.py:434-437):
+        # warn when the new data carries categorical content outside the
+        # fitted label set. Costs one eager bounded job, so it only runs
+        # when the caller opted into the policy.
+        if st.unseen_labels == "error" and st.categorical_features:
+            self._warn_unseen_labels(data)
         row_order = "__row_order"
         needs_order = bool(st.datetime_features) or st.num_fill_null in (
             "forward",

@@ -226,3 +226,89 @@ def test_unseen_labels_all_zero(spark):
     assert z_row.sum() == 0  # unseen label → all-zero
     assert out[dummies].iloc[0]["c_a"] == 1
     assert out[dummies].iloc[2]["c_b"] == 1
+
+
+def test_discarded_info_reasons_and_values(spark):
+    """Reference get_discarded_info parity (preprocessor.py:151,311,325,
+    README:146-151): reasons per discarded column + the single value of
+    single-valued ones."""
+    pdf = pd.DataFrame(
+        {
+            "con": [7.0] * 100,                      # numeric single value
+            "single_cat": ["only"] * 100,            # categorical single value
+            "dom": ["x"] * 99 + ["y"],               # 98% dominance
+            "num": np.arange(100.0),
+            "cat": (["a"] * 50 + ["b"] * 50),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.warns(UserWarning):
+        prep = Preprocessor(df, get_discarded_info=True)
+    assert sorted(prep.discarded_features) == ["con", "dom", "single_cat"]
+    reasons = prep.get_discarded_features_reason()
+    assert reasons["con"] == "contains a single value"
+    assert reasons["single_cat"] == "contains a single value"
+    assert "covers" in reasons["dom"]
+    sv = prep.get_single_valued_columns()
+    assert sv["con"] == 7.0
+    assert sv["single_cat"] == "only"
+    assert sv["dom"] == "x"  # the dominant label
+    # instance attribute parity (reference preprocessor.py:97-98)
+    assert prep.single_value_columns == sv
+
+
+def test_discarded_info_gated_without_flag(spark):
+    pdf = pd.DataFrame({"con": [1.0] * 10, "num": np.arange(10.0)})
+    df = spark.createDataFrame(pdf)
+    with pytest.warns(UserWarning):
+        prep = Preprocessor(df)
+    assert prep.discarded_features == ["con"]  # list always available
+    with pytest.raises(AttributeError):
+        prep.get_discarded_features_reason()
+    with pytest.raises(AttributeError):
+        prep.get_single_valued_columns()
+
+
+def test_discarded_info_survives_save_load(spark, tmp_path):
+    pdf = pd.DataFrame({"con": [3.0] * 10, "num": np.arange(10.0)})
+    df = spark.createDataFrame(pdf)
+    with pytest.warns(UserWarning):
+        prep = Preprocessor(df, get_discarded_info=True)
+    p = str(tmp_path / "state.json")
+    prep.save(p)
+    prep2 = Preprocessor.load(p)
+    assert prep2.get_single_valued_columns() == {"con": 3.0}
+    assert prep2.get_discarded_features_reason() == {"con": "contains a single value"}
+
+
+def test_unseen_labels_error_warns(spark):
+    """unseen_labels='error' warns (reference preprocessor.py:434-437 warns
+    rather than raises) listing the out-of-fitted-set content; 'ignore'
+    stays silent on the same input."""
+    import warnings as w
+
+    fit_df = spark.createDataFrame(
+        pd.DataFrame({"c": ["a", "b", "a", "b", "a"], "x": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    )
+    new_df = spark.createDataFrame(pd.DataFrame({"c": ["a", "zzz", "b"], "x": [1.0, 2.0, 3.0]}))
+
+    prep = Preprocessor(fit_df, cat_labels_threshold=0.0, unseen_labels="error")
+    with pytest.warns(UserWarning, match="unseen categorical labels.*zzz"):
+        prep.transform(new_df).collect()
+
+    # same fitted content is silent
+    with w.catch_warnings():
+        w.simplefilter("error")
+        prep.transform(fit_df).collect()
+
+    # 'ignore' (default) is silent even on unseen content
+    prep2 = Preprocessor(fit_df, cat_labels_threshold=0.0)
+    with w.catch_warnings():
+        w.simplefilter("error")
+        prep2.transform(new_df).collect()
+
+
+def test_unseen_labels_validation(spark):
+    fit_df = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0]}))
+    with pytest.raises(ValueError):
+        Preprocessor(fit_df, unseen_labels="explode")
