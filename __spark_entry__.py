@@ -361,10 +361,12 @@ def pipeline_llm_corpus(spark, sf_dir):
     )
     # dedup keeping the min-doc_id row per content hash, WITHOUT shuffling the
     # text payload: the hash is computed map-side and only (hash, doc_id,
-    # source, n_tokens) travel through the exchange; min_by picks the kept
-    # row's attributes in the same partial+final agg.
+    # source, n_tokens) travel through the exchange. min(struct) with doc_id
+    # leading is lexicographic min-by-doc_id and stays a declarative
+    # aggregate inside whole-stage codegen (min_by would plan the slower
+    # ObjectHashAggregate).
     deduped = filtered.groupBy("__h").agg(
-        F.min_by(F.struct("source", "n_tokens"), F.col("doc_id")).alias("kept")
+        F.min(F.struct("doc_id", "source", "n_tokens")).alias("kept")
     )
     return deduped.groupBy(F.col("kept.source").alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),

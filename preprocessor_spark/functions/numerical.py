@@ -217,6 +217,206 @@ def interpolate_expr(
     )
 
 
+def apply_order_dependent_fills(
+    df: DataFrame,
+    fills: dict[str, str],
+    order_col: str,
+    tiebreak_col: str | None = None,
+    partition_by: list[str] | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Apply forward/backward/interpolate fills over a total order, at scale.
+
+    ``fills`` maps column name → strategy (``forward`` | ``backward`` |
+    ``interpolate``). The total order is (``order_col``, ``tiebreak_col``)
+    ascending; ``tiebreak_col`` must make it unique for deterministic fills
+    at tied keys.
+
+    With ``partition_by`` the fills are per-key windows (scale with the key
+    cardinality) — the existing expression path.
+
+    Without it, a global ``Window.orderBy`` would plan EXCHANGE
+    SinglePartition: one task scans everything, the one formulation that
+    cannot survive a 100× scale-up. Instead this runs a range-partitioned
+    two-pass carry:
+
+    1. one ``approxQuantile`` pass fits ``num_buckets``−1 boundaries on
+       ``order_col``; each row gets a bucket id via a boundary comparison
+       (nulls → bucket 0, matching asc-nulls-first semantics; tied keys
+       never split across buckets);
+    2. the O(n) running-frame fills run PER BUCKET — a normal hash
+       exchange, every core busy;
+    3. a per-bucket aggregate (count, edge non-null values + positions —
+       map-side combined, P output rows) feeds a driver-side prefix scan
+       that computes each bucket's carry-in from earlier/later buckets,
+       re-joined via broadcast. Global row position = bucket offset +
+       local row_number, so interpolation is bit-identical to the global
+       window formulation.
+
+    Cost: one extra stats pass + one tiny broadcast join, in exchange for
+    the fill stage scaling linearly with cores. Bucket count defaults to
+    ``spark.sql.shuffle.partitions``.
+    """
+    bad = set(fills.values()) - {"forward", "backward", "interpolate"}
+    if bad:
+        raise ValueError(f"Unknown order-dependent fill strategies: {sorted(bad)}")
+    if not fills:
+        return df
+
+    if partition_by:
+        exprs = {}
+        for c, strat in fills.items():
+            col = F.col(c)
+            if strat == "forward":
+                exprs[c] = F.coalesce(col, forward_fill_expr(col, order_col, partition_by))
+            elif strat == "backward":
+                exprs[c] = F.coalesce(
+                    col, backward_fill_expr(col, order_col, partition_by, tiebreak_col)
+                )
+            else:
+                exprs[c] = interpolate_expr(col, order_col, partition_by, tiebreak_col)
+        return df.withColumns(exprs)
+
+    spark = df.sparkSession
+    p = int(num_buckets or spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    out_cols = df.columns
+
+    # -- pass 1: range boundaries on the order key (null-safe; approxQuantile
+    # ignores nulls). Duplicate boundaries (skewed/constant keys) collapse.
+    bounds: list[float] = []
+    if p > 1:
+        probs = [i / p for i in range(1, p)]
+        qs = df.stat.approxQuantile(order_col, probs, 0.01)
+        seen: set[float] = set()
+        for q in qs:
+            if q is not None and q not in seen:
+                seen.add(q)
+                bounds.append(q)
+        bounds.sort()
+
+    okey = F.col(order_col)
+    if bounds:
+        # bucket id = #boundaries strictly below the key; equal keys always
+        # share a bucket. O(len(bounds)) per row, no deep when-nesting.
+        bkt = F.when(okey.isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(F.array(*[F.lit(float(b)) for b in bounds]), lambda t: okey > t))
+        )
+    else:
+        bkt = F.lit(0)
+
+    order = [okey.asc(), F.col(tiebreak_col).asc()] if tiebreak_col else [okey.asc()]
+    rorder = [okey.desc(), F.col(tiebreak_col).desc()] if tiebreak_col else [okey.desc()]
+    wb = Window.partitionBy("__bkt").orderBy(*order)
+    w_run = wb.rowsBetween(Window.unboundedPreceding, 0)
+    w_rev = Window.partitionBy("__bkt").orderBy(*rorder).rowsBetween(Window.unboundedPreceding, 0)
+
+    dfb = df.withColumn("__bkt", bkt).withColumn("__lrn", F.row_number().over(wb))
+
+    # -- pass 2: within-bucket running fills (all O(n) frames; the reverse
+    # window stands in for [0, unboundedFollowing] which Spark runs O(n²))
+    win_exprs: dict[str, Column] = {}
+    aux_aggs = [F.count(F.lit(1)).alias("__cnt")]
+    for c, strat in fills.items():
+        col = F.col(c)
+        if strat in ("forward", "interpolate"):
+            win_exprs[f"__pv_{c}"] = F.last(col, ignorenulls=True).over(w_run)
+            aux_aggs.append(F.max_by(F.col(f"__pv_{c}"), F.col("__lrn")).alias(f"__last_{c}"))
+        if strat in ("backward", "interpolate"):
+            win_exprs[f"__nv_{c}"] = F.last(col, ignorenulls=True).over(w_rev)
+            aux_aggs.append(F.min_by(F.col(f"__nv_{c}"), F.col("__lrn")).alias(f"__first_{c}"))
+        if strat == "interpolate":
+            lpos = F.col("__lrn").cast("double")
+            win_exprs[f"__pp_{c}"] = F.last(
+                F.when(col.isNotNull(), lpos), ignorenulls=True
+            ).over(w_run)
+            win_exprs[f"__np_{c}"] = F.last(
+                F.when(col.isNotNull(), lpos), ignorenulls=True
+            ).over(w_rev)
+            aux_aggs.append(F.max_by(F.col(f"__pp_{c}"), F.col("__lrn")).alias(f"__lastp_{c}"))
+            aux_aggs.append(F.min_by(F.col(f"__np_{c}"), F.col("__lrn")).alias(f"__firstp_{c}"))
+    # persist the windowed frame: the aux aggregate (eager, below) and the
+    # final fix-up join both consume it — without the cache the whole
+    # upstream chain (parse/convert/clamp) recomputes per consumer. Scope
+    # the lifetime via preprocessor_spark.caching.persist_scope.
+    from preprocessor_spark.caching import register_persisted
+
+    dfw = register_persisted(dfb.withColumns(win_exprs).persist())
+
+    # -- pass 3: P-row edge table → driver prefix scan → broadcast fix-up
+    aux_rows = sorted(dfw.groupBy("__bkt").agg(*aux_aggs).collect(), key=lambda r: r["__bkt"])
+    offsets: dict[int, int] = {}
+    off = 0
+    for r in aux_rows:
+        offsets[r["__bkt"]] = off
+        off += r["__cnt"]
+    rows_by_bkt: dict[int, dict] = {}
+    carry_rows: list[dict] = []
+    fwd_state: dict[str, tuple] = {}  # col -> (value, global_pos)
+    for r in aux_rows:
+        row = {"__bkt": r["__bkt"], "__off": offsets[r["__bkt"]]}
+        for c, strat in fills.items():
+            if strat in ("forward", "interpolate"):
+                prev = fwd_state.get(c, (None, None))
+                row[f"__cpv_{c}"] = prev[0]
+                if strat == "interpolate":
+                    row[f"__cpp_{c}"] = prev[1]
+                if r[f"__last_{c}"] is not None:
+                    gpos = (
+                        float(offsets[r["__bkt"]] + r[f"__lastp_{c}"])
+                        if strat == "interpolate"
+                        else None
+                    )
+                    fwd_state[c] = (float(r[f"__last_{c}"]), gpos)
+        rows_by_bkt[r["__bkt"]] = row
+        carry_rows.append(row)
+    bwd_state: dict[str, tuple] = {}
+    for r in reversed(aux_rows):
+        row = rows_by_bkt[r["__bkt"]]
+        for c, strat in fills.items():
+            if strat in ("backward", "interpolate"):
+                nxt = bwd_state.get(c, (None, None))
+                row[f"__cnv_{c}"] = nxt[0]
+                if strat == "interpolate":
+                    row[f"__cnp_{c}"] = nxt[1]
+                if r[f"__first_{c}"] is not None:
+                    gpos = (
+                        float(offsets[r["__bkt"]] + r[f"__firstp_{c}"])
+                        if strat == "interpolate"
+                        else None
+                    )
+                    bwd_state[c] = (float(r[f"__first_{c}"]), gpos)
+
+    carry_fields = sorted({k for row in carry_rows for k in row})
+    carry_schema = ", ".join(
+        f"`{k}` {'int' if k == '__bkt' else ('bigint' if k == '__off' else 'double')}"
+        for k in carry_fields
+    )
+    carry_df = spark.createDataFrame(
+        [tuple(row.get(k) for k in carry_fields) for row in carry_rows], carry_schema
+    )
+    joined = dfw.join(F.broadcast(carry_df), "__bkt")
+
+    final: dict[str, Column] = {}
+    for c, strat in fills.items():
+        col = F.col(c)
+        if strat == "forward":
+            final[c] = F.coalesce(F.col(f"__pv_{c}"), F.col(f"__cpv_{c}"))
+        elif strat == "backward":
+            final[c] = F.coalesce(F.col(f"__nv_{c}"), F.col(f"__cnv_{c}"))
+        else:
+            gpos = (F.col("__off") + F.col("__lrn")).cast("double")
+            pv = F.coalesce(F.col(f"__pv_{c}"), F.col(f"__cpv_{c}"))
+            nv = F.coalesce(F.col(f"__nv_{c}"), F.col(f"__cnv_{c}"))
+            pp = F.coalesce(F.col("__off") + F.col(f"__pp_{c}"), F.col(f"__cpp_{c}"))
+            np_ = F.coalesce(F.col("__off") + F.col(f"__np_{c}"), F.col(f"__cnp_{c}"))
+            frac = (gpos - pp) / (np_ - pp)
+            interp = pv + (nv - pv) * frac
+            final[c] = F.when(col.isNotNull(), col).otherwise(
+                F.when(pv.isNull() | nv.isNull(), F.lit(None)).otherwise(interp)
+            )
+    return joined.withColumns(final).select(*out_cols)
+
+
 def normalize_expr(col: Column, stats: dict) -> Column:
     """(x − min) / (max − min) — numerical_transformer.py:140-145."""
     lo, hi = float(stats["min"]), float(stats["max"])

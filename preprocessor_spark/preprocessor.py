@@ -623,15 +623,18 @@ class Preprocessor:
             order_cols = [F.col(first_dt), F.col(row_order)]
             # linear interpolation of nulls over the time-sorted order
             # (composite key = (first datetime, ingest order) for stable ties)
-            part = st.partition_by
-            sort_key = "__dt_order"
-            data = data.withColumn(
-                sort_key, F.struct(F.col(first_dt), F.col(row_order))
+            # scale-safe path: without partition_by this runs the
+            # range-partitioned two-pass carry (per-bucket O(n) windows +
+            # broadcast boundary fix-up) instead of a single-partition
+            # global window — same total order (first_dt, row_order), same
+            # values, parallel execution.
+            data = N.apply_order_dependent_fills(
+                data,
+                {c: "interpolate" for c in st.datetime_features},
+                order_col=first_dt,
+                tiebreak_col=row_order,
+                partition_by=st.partition_by,
             )
-            interp = {
-                c: N.interpolate_expr(F.col(c), sort_key, part) for c in st.datetime_features
-            }
-            data = data.withColumns(interp).drop(sort_key)
             # scale epoch seconds — datetime_transformer.py:101-110
             dt_scaled = {}
             for c in st.datetime_features:
@@ -645,18 +648,26 @@ class Preprocessor:
 
         # 4. numerical path — numerical_transformer.py:105-176
         if st.numerical_features:
+            order_dependent = st.num_fill_null in ("forward", "backward", "interpolate")
+            if order_dependent:
+                # clamp first (fills see clamped values), then the
+                # scale-safe fill pass (range-partitioned two-pass carry
+                # when partition_by is absent; per-key windows otherwise)
+                data = data.withColumns(
+                    {c: N.clamp_inf(F.col(c).cast("double")) for c in st.numerical_features}
+                )
+                data = N.apply_order_dependent_fills(
+                    data,
+                    {c: st.num_fill_null for c in st.numerical_features},
+                    order_col=row_order,
+                    partition_by=st.partition_by,
+                )
             num_exprs = {}
             for c in st.numerical_features:
-                col = N.clamp_inf(F.col(c).cast("double"))
-                if st.num_fill_null in ("forward", "backward", "interpolate"):
-                    ordc = row_order
-                    if st.num_fill_null == "forward":
-                        col = F.coalesce(col, N.forward_fill_expr(col, ordc, st.partition_by))
-                    elif st.num_fill_null == "backward":
-                        col = F.coalesce(col, N.backward_fill_expr(col, ordc, st.partition_by))
-                    else:
-                        col = N.interpolate_expr(col, ordc, st.partition_by)
+                if order_dependent:
+                    col = F.col(c)
                 else:
+                    col = N.clamp_inf(F.col(c).cast("double"))
                     col = N.fill_expr(col, st.num_fill_null, st.scaling, st.numeric_stats[c])
                 if st.scaling == "normalize":
                     col = N.normalize_expr(col, st.numeric_stats[c])

@@ -152,3 +152,97 @@ def test_backward_fill_tied_keys_with_tiebreak(spark):
     # rid=2's 10.0; interpolation midpoint between 1.0 and 10.0 is 5.5
     assert out.loc[out.rid == 1, "bf"].iloc[0] == 10.0
     assert out.loc[out.rid == 1, "interp"].iloc[0] == pytest.approx(5.5)
+
+
+# ---------------------------------------------------------------------------
+# scale-safe (range-partitioned two-pass) order-dependent fills
+# ---------------------------------------------------------------------------
+
+def _fill_frame(spark, n=20_000, seed=7):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype="int64"),
+            "okey": rng.permutation(n).astype("float64"),
+            "v": rng.normal(size=n),
+        }
+    )
+    pdf.loc[rng.random(n) < 0.3, "v"] = np.nan
+    # null order keys exercise the nulls-first bucket-0 routing
+    pdf.loc[rng.random(n) < 0.01, "okey"] = np.nan
+    return spark.createDataFrame(pdf)
+
+
+@pytest.mark.parametrize("strategy", ["forward", "backward", "interpolate"])
+def test_bucketed_fill_matches_global_window(spark, strategy):
+    """The range-partitioned two-pass carry must be value-identical (exact,
+    including FP) to the single-partition global-window formulation."""
+    from pyspark.sql import Window
+
+    from preprocessor_spark.functions import numerical as N
+
+    df = _fill_frame(spark)
+    got = (
+        N.apply_order_dependent_fills(
+            df, {"v": strategy}, order_col="okey", tiebreak_col="rid", num_buckets=16
+        )
+        .select("rid", "v")
+        .toPandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    col = F.col("v")
+    if strategy == "forward":
+        ref = F.coalesce(col, N.forward_fill_expr(col, "okey", None))
+    elif strategy == "backward":
+        ref = F.coalesce(col, N.backward_fill_expr(col, "okey", None, tiebreak_col="rid"))
+    else:
+        ref = N.interpolate_expr(col, "okey", None, tiebreak_col="rid")
+    want = (
+        df.select("rid", ref.alias("v")).toPandas().sort_values("rid").reset_index(drop=True)
+    )
+    # exact: same values bit-for-bit, same null positions
+    assert got["v"].isna().equals(want["v"].isna())
+    a = got["v"].fillna(0.0).to_numpy()
+    b = want["v"].fillna(0.0).to_numpy()
+    assert (a == b).all()
+
+
+def test_bucketed_fill_plan_is_parallel(spark):
+    """The fill stage must NOT plan Exchange SinglePartition: the windows
+    run per range-bucket (hash exchange), which is the property that
+    survives a 100× scale-up."""
+    from preprocessor_spark.functions import numerical as N
+    from preprocessor_spark.plans import formatted_plan
+
+    df = _fill_frame(spark, n=5_000)
+    out = N.apply_order_dependent_fills(
+        df, {"v": "interpolate"}, order_col="okey", tiebreak_col="rid", num_buckets=16
+    )
+    plan = formatted_plan(out)
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(__bkt" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the P-row carry fix-up
+
+
+def test_transform_fill_plan_is_parallel_without_partition_by(spark):
+    """Preprocessor.transform with an order-dependent fill and NO
+    partition_by must plan the bucketed fill, not a single-partition
+    window (the round-1 scale-killer)."""
+    import numpy as np
+    import pandas as pd
+
+    from preprocessor_spark import Preprocessor
+    from preprocessor_spark.plans import formatted_plan
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({"x": rng.normal(size=3_000), "y": rng.normal(size=3_000)})
+    pdf.loc[rng.random(3_000) < 0.2, "x"] = np.nan
+    df = spark.createDataFrame(pdf)
+    prep = Preprocessor(df, num_fill_null="forward")
+    plan = formatted_plan(prep.transform(df))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(__bkt" in plan, plan
