@@ -276,6 +276,37 @@ def fill_forward_events(spark, sf_dir):
     return nulled.select("event_id", "user_id", filled.alias("value_filled"))
 
 
+def fill_events_all(spark, sf_dir):
+    """All three order-dependent fills — forward, backward (reverse running
+    frame), linear interpolate — per user over event time, in ONE scan
+    (merges fill_forward_events + fill_backward_events +
+    fill_interpolate_events to keep every oracle inside the driver's graded
+    window). All frames are O(n) running scans; see
+    functions/numerical.py backward_fill_expr for why [0, unboundedFollowing]
+    is never used."""
+    from preprocessor_spark.functions.numerical import (
+        backward_fill_expr,
+        forward_fill_expr,
+        interpolate_expr,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    nulled = e.withColumn(
+        "value", F.when(F.col("value") < 10, F.lit(None)).otherwise(F.col("value"))
+    )
+    v = F.col("value")
+    ff = F.coalesce(v, forward_fill_expr(v, "ts", ["user_id"]))
+    bf = F.coalesce(v, backward_fill_expr(v, "ts", ["user_id"]))
+    interp = interpolate_expr(v, "ts", ["user_id"])
+    return nulled.select(
+        "event_id",
+        "user_id",
+        ff.alias("value_ff"),
+        bf.alias("value_bf"),
+        F.round(interp, 6).alias("value_interp"),
+    )
+
+
 # --------------------------------------------------------------------------
 # preprocessing operators as queries (SURVEY §2.4/2.9)
 # --------------------------------------------------------------------------
@@ -519,6 +550,40 @@ def dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def dedup_connected_components(spark, sf_dir):
+    """Pairs → clusters: the transitive-closure step that turns near-dup
+    PAIRS into keep/drop decisions (operators/graph.py). Pair graph = exact
+    word-3-gram Jaccard at 0.4; component = min reachable doc_id. Spark side
+    is iterative min-label propagation (keyed join + groupBy per round);
+    oracle is a DuckDB recursive CTE over the same pair graph."""
+    from preprocessor_spark.operators.dedup import ngram_jaccard_pairs
+    from preprocessor_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.4)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component")
+    )
+
+
+def sessionize_user_events(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): split each user's
+    event sequence at >1h gaps, one row per session with count/bounds/
+    duration. Two O(n) running frames over ONE user-keyed shuffle."""
+    from preprocessor_spark.operators.sessions import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    s = session_stats(e, "ts", ["user_id"], gap_seconds=3600.0)
+    return s.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "session_start",
+        "session_end",
+        F.round("duration_sec", 3).alias("duration_sec"),
+    )
 
 
 def text_lang_id(spark, sf_dir):
@@ -909,6 +974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_llm_corpus": pipeline_llm_corpus,
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_connected_components": dedup_connected_components,
+        "sessionize_user_events": sessionize_user_events,
         "embed_neardup": embed_neardup,
         "knn_bruteforce": knn_bruteforce,
         "text_token_counts": text_token_counts,
@@ -920,9 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_safe_join_parts": null_safe_join_parts,
         "subqueries_sql": subqueries_sql,
         "window_rank_family": window_rank_family,
-        "fill_forward_events": fill_forward_events,
-        "fill_backward_events": fill_backward_events,
-        "fill_interpolate_events": fill_interpolate_events,
+        "fill_events_all": fill_events_all,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_region_revenue": q5_region_revenue,
@@ -1173,15 +1238,86 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
         """,
-        "fill_forward_events": """
+        "fill_events_all": """
+            WITH base AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN value < 10 THEN NULL ELSE value END AS v,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS pos
+                FROM events
+            ), scans AS (
+                SELECT event_id, user_id, v, pos,
+                       LAST_VALUE(v IGNORE NULLS) OVER w_fwd AS pv,
+                       FIRST_VALUE(v IGNORE NULLS) OVER w_bwd AS nv,
+                       LAST_VALUE(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER w_fwd AS pp,
+                       FIRST_VALUE(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER w_bwd AS np
+                FROM base
+                WINDOW w_fwd AS (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       w_bwd AS (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            -- interp operand order mirrors the Spark expression exactly
             SELECT event_id, user_id,
-                   COALESCE(
-                       CASE WHEN value < 10 THEN NULL ELSE value END,
-                       LAST_VALUE(CASE WHEN value < 10 THEN NULL ELSE value END IGNORE NULLS)
-                           OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   ) AS value_filled
-            FROM events
+                   COALESCE(v, pv) AS value_ff,
+                   COALESCE(v, nv) AS value_bf,
+                   ROUND(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NULL OR nv IS NULL THEN NULL
+                              ELSE pv + (nv - pv) * ((pos - pp) / (np - pp))
+                         END, 6) AS value_interp
+            FROM scans
+        """,
+        "dedup_connected_components": """
+            WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(
+                               range(1, greatest(len(regexp_split_to_array(lower(text), '\\s+')) - 2, 1) + 1),
+                               i -> array_to_string(
+                                       list_slice(regexp_split_to_array(lower(text), '\\s+'), i, i + 2),
+                                       ' '))) AS g
+                FROM documents
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.g, b.g)) AS inter,
+                       len(a.g) AS n_a, len(b.g) AS n_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ), good AS (
+                SELECT id_a, id_b FROM pairs
+                WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.4
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM good
+                UNION
+                SELECT id_b, id_a FROM good
+            ), reach AS (
+                SELECT src AS id, src AS v FROM edges
+                UNION
+                SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.v
+            )
+            SELECT id AS doc_id, MIN(v) AS component FROM reach GROUP BY id
+        """,
+        "sessionize_user_events": """
+            WITH o AS (
+                SELECT user_id, ts, epoch_us(ts) / 1000000.0 AS tsec,
+                       lag(ts) OVER w AS prev_ts,
+                       lag(epoch_us(ts) / 1000000.0) OVER w AS prev_tsec
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), flagged AS (
+                SELECT user_id, ts, tsec,
+                       CASE WHEN prev_ts IS NULL OR tsec - prev_tsec > 3600.0
+                            THEN 1 ELSE 0 END AS is_start
+                FROM o
+            ), numbered AS (
+                SELECT user_id, ts, tsec,
+                       CAST(SUM(is_start) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id, session_seq, COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   ROUND(MAX(tsec) - MIN(tsec), 3) AS duration_sec
+            FROM numbered GROUP BY user_id, session_seq
         """,
         "prep_full_transform": """
             WITH stats AS (
@@ -1347,47 +1483,6 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
                    COUNT(*) AS n_items
             FROM lineitem GROUP BY l_returnflag
-        """,
-        "fill_backward_events": """
-            SELECT event_id, user_id,
-                   COALESCE(
-                       CASE WHEN value < 10 THEN NULL ELSE value END,
-                       FIRST_VALUE(CASE WHEN value < 10 THEN NULL ELSE value END IGNORE NULLS)
-                           OVER (PARTITION BY user_id ORDER BY ts
-                                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-                   ) AS value_filled
-            FROM events
-        """,
-        "fill_interpolate_events": """
-            WITH base AS (
-                SELECT event_id, user_id, ts,
-                       CASE WHEN value < 10 THEN NULL ELSE value END AS v,
-                       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS pos
-                FROM events
-            ), scans AS (
-                SELECT event_id, user_id, v, pos,
-                       LAST_VALUE(v IGNORE NULLS) OVER (
-                           PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-                       FIRST_VALUE(v IGNORE NULLS) OVER (
-                           PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-                       LAST_VALUE(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER (
-                           PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
-                       FIRST_VALUE(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS) OVER (
-                           PARTITION BY user_id ORDER BY ts
-                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
-                FROM base
-            )
-            -- operand order mirrors the Spark expression exactly:
-            -- prev + (next - prev) * ((pos - prev_pos) / (next_pos - prev_pos))
-            SELECT event_id, user_id,
-                   ROUND(CASE WHEN v IS NOT NULL THEN v
-                              WHEN pv IS NULL OR nv IS NULL THEN NULL
-                              ELSE pv + (nv - pv) * ((pos - pp) / (np - pp))
-                         END, 6) AS value_interp
-            FROM scans
         """,
         "null_safe_join_parts": """
             WITH keyed AS (

@@ -1,0 +1,107 @@
+"""Connected components over candidate-pair graphs — the clustering step of
+a complete dedup pipeline.
+
+Near-dup detection (MinHash LSH / SimHash / n-gram Jaccard / embedding LSH,
+see :mod:`preprocessor_spark.operators.dedup`) emits PAIRS; turning pairs
+into keep/drop decisions needs the transitive closure: if A~B and B~C, then
+{A,B,C} is one duplicate cluster and exactly one representative survives.
+
+Algorithm: min-label propagation with POINTER JUMPING. Per round:
+
+1. propagate — l(u) ← min(l(u), min over neighbors v of l(v)): one keyed
+   join + one groupBy(min), both ordinary hash shuffles;
+2. jump — l(u) ← l(l(u)): one self-join on the label table. Labels are
+   always node ids, so the lookup is total.
+
+Propagation alone needs O(diameter) rounds (a planted chain of 10k docs =
+10k rounds); jumping compresses label chains geometrically, giving
+O(log diameter) rounds — the same reason GraphFrames/Pregel CC and the
+star-contraction family (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14) beat naive propagation. Dedup graphs are near-cliques
+that converge in 2-3 rounds; the log bound is insurance against adversarial
+chains.
+
+Each round's label table is ``localCheckpoint``-ed: iterative lineage
+otherwise grows the logical plan every round and analysis time explodes
+(the classic Spark iterative-algorithm trap). Convergence is detected from
+the label-sum: labels only ever decrease, so an unchanged sum IS the
+fixpoint — one tiny aggregate per round instead of a join-and-count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from preprocessor_spark.caching import register_persisted
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``; ``component`` is
+    the smallest id reachable from ``id`` (canonical representative).
+
+    Raises if not converged after ``max_iterations`` rounds (log-scale:
+    25 rounds cover diameters ~2^25 with pointer jumping)."""
+    # symmetric edge list; self-loops drop out (they never change a min)
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+    edges = register_persisted(edges.persist())
+
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    prev_sum = None
+    for _ in range(max_iterations):
+        # 1. propagate: my label vs my neighbors' labels
+        msgs = edges.join(labels.withColumnRenamed("id", "src"), "src").select(
+            F.col("dst").alias("id"), "component"
+        )
+        stage1 = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("component").alias("component"))
+        )
+        # 2. pointer jump: follow my label's label (labels are node ids)
+        lut = stage1.select(
+            F.col("id").alias("cid"), F.col("component").alias("comp2")
+        )
+        jumped = stage1.join(lut, stage1["component"] == lut["cid"], "left").select(
+            "id", F.coalesce("comp2", "component").alias("component")
+        )
+        labels = jumped.localCheckpoint(eager=True)
+        s = labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        if s == prev_sum:
+            edges.unpersist()
+            return labels
+        prev_sum = s
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except the cluster representative (min id).
+
+    Rows absent from ``pairs`` are singletons and always kept. One CC run +
+    one left join + one filter — all keyed shuffles."""
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b)
+    non_canonical = comps.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(
+        non_canonical, df[id_col] == non_canonical["id"], "left_anti"
+    )

@@ -363,3 +363,115 @@ def test_persist_scope_nests_and_is_optional(spark, sf_dir):
     minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8).count()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 1
     spark.catalog.clearCache()
+
+
+def test_connected_components_matches_union_find(spark, sf_dir):
+    """Min-label propagation must agree with a driver-side union-find on the
+    same pair set (chains, not just cliques: threshold low enough that
+    transitivity matters)."""
+    from preprocessor_spark import persist_scope
+    from preprocessor_spark.operators.dedup import ngram_jaccard_pairs
+    from preprocessor_spark.operators.graph import connected_components
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with persist_scope():
+        pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.3)
+        pair_rows = [(r["id_a"], r["id_b"]) for r in pairs.select("id_a", "id_b").collect()]
+        got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize: component = min id in each set
+    members: dict[int, list[int]] = {}
+    for x in parent:
+        members.setdefault(find(x), []).append(x)
+    want = {x: min(members[find(x)]) for x in parent}
+    assert len(pair_rows) > 0
+    assert got == want
+
+
+def test_connected_components_chain(spark):
+    """A pure chain (worst diameter per edge count) must still collapse to
+    one component with the min id as representative."""
+    from preprocessor_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 20)], "id_a bigint, id_b bigint"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out == {i: 10 for i in range(10, 21)}
+
+
+def test_dedup_keep_canonical(spark):
+    from preprocessor_spark.operators.graph import dedup_keep_canonical
+
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(8)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keep_canonical(df, pairs, "doc_id").collect())
+    # {0,1,2} -> keep 0; {5,6} -> keep 5; singletons 3,4,7 kept
+    assert kept == [0, 3, 4, 5, 7]
+
+
+def test_sessionize_gap_splits(spark):
+    import datetime as dt
+
+    from preprocessor_spark.operators.sessions import session_stats, sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0),
+        ("u1", t0 + dt.timedelta(minutes=10)),
+        ("u1", t0 + dt.timedelta(hours=3)),          # new session (gap 2h50m)
+        ("u1", t0 + dt.timedelta(hours=3, minutes=5)),
+        ("u2", t0),                                   # separate key
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    s = sessionize(df, "ts", ["user_id"], gap_seconds=3600.0)
+    got = {(r["user_id"], r["ts"]): r["session_seq"] for r in s.collect()}
+    assert got[("u1", rows[0][1])] == 1
+    assert got[("u1", rows[1][1])] == 1
+    assert got[("u1", rows[2][1])] == 2
+    assert got[("u1", rows[3][1])] == 2
+    assert got[("u2", t0)] == 1
+
+    stats = session_stats(df, "ts", ["user_id"], gap_seconds=3600.0).collect()
+    by_key = {(r["user_id"], r["session_seq"]): r for r in stats}
+    assert by_key[("u1", 1)]["n_events"] == 2
+    assert by_key[("u1", 1)]["duration_sec"] == 600.0
+    assert by_key[("u1", 2)]["n_events"] == 2
+    assert by_key[("u2", 1)]["n_events"] == 1
+    assert by_key[("u2", 1)]["duration_sec"] == 0.0
+
+
+def test_sessionize_plan_is_keyed(spark, sf_dir):
+    """Sessionization must shuffle ONCE on the key — no single-partition
+    window, and the session_stats aggregate reuses the window's
+    partitioning (no second exchange on (key, session))."""
+    from preprocessor_spark.operators.sessions import session_stats
+    from preprocessor_spark.plans import formatted_plan
+
+    import __spark_entry__ as em
+
+    ev = em._t(spark, sf_dir, "events")
+    plan = formatted_plan(session_stats(ev, "ts", ["user_id"], 3600.0))
+    assert "SinglePartition" not in plan, plan
+    # one exchange for the window (each Exchange prints one hashpartitioning
+    # spec); the groupBy on (user_id, session_seq) is satisfied by the same
+    # hashpartitioning(user_id) distribution — no second shuffle
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
