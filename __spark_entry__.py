@@ -558,14 +558,19 @@ def dedup_connected_components(spark, sf_dir):
     word-3-gram Jaccard at 0.4; component = min reachable doc_id. Spark side
     is iterative min-label propagation (keyed join + groupBy per round);
     oracle is a DuckDB recursive CTE over the same pair graph."""
+    from preprocessor_spark import persist_scope
     from preprocessor_spark.operators.dedup import ngram_jaccard_pairs
     from preprocessor_spark.operators.graph import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.4)
-    return connected_components(pairs).select(
-        F.col("id").alias("doc_id"), F.col("component")
-    )
+    # CC's result is localCheckpoint-ed (self-contained), so every
+    # operator-internal cache (shingle frame, edge list) can be released
+    # before returning — keeps executor storage flat across many queries
+    # in one session.
+    with persist_scope():
+        pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.4)
+        comps = connected_components(pairs)
+    return comps.select(F.col("id").alias("doc_id"), F.col("component"))
 
 
 def sessionize_user_events(spark, sf_dir):

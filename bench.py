@@ -38,6 +38,9 @@ HEADLINE = [
     "dedup_exact_documents",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "sessionize_user_events",
+    "fill_events_all",
     "embed_neardup_lsh",
     "text_token_counts",
     "text_quality_by_source",

@@ -47,10 +47,23 @@ def connected_components(
 
     Raises if not converged after ``max_iterations`` rounds (log-scale:
     25 rounds cover diameters ~2^25 with pointer jumping)."""
-    # symmetric edge list; self-loops drop out (they never change a min)
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+    # symmetric edge list via ONE explode — a union of two selects would
+    # scan (and recompute) the possibly-expensive pairs input twice before
+    # the persist below materializes. Self-loops drop out (never change a
+    # min).
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
     edges = register_persisted(edges.persist())
 
     labels = (
