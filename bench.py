@@ -42,7 +42,8 @@ HEADLINE = [
     "sessionize_user_events",
     "fill_events_all",
     "embed_neardup_lsh",
-    "text_token_counts",
+    "text_profile_docs",
+    "split_documents",
     "text_quality_by_source",
     "text_fingerprint",
     "ts_features_by_user",

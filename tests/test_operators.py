@@ -475,3 +475,44 @@ def test_sessionize_plan_is_keyed(spark, sf_dir):
     # hashpartitioning(user_id) distribution — no second shuffle
     assert plan.count("hashpartitioning") == 1, plan
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_hash_split_deterministic_and_proportional(spark, sf_dir):
+    from preprocessor_spark.operators.splits import hash_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s1 = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    a = {r["doc_id"]: r["split"] for r in s1.select("doc_id", "split").collect()}
+    # deterministic: identical assignment on recompute and after repartition
+    s2 = hash_split(d.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    b = {r["doc_id"]: r["split"] for r in s2.select("doc_id", "split").collect()}
+    assert a == b
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.7 < c["train"] / n < 0.9   # md5 is uniform; 500 docs → loose bounds
+    assert 0.04 < c["val"] / n < 0.17
+    assert 0.04 < c["test"] / n < 0.17
+    # salt re-deals the assignment
+    s3 = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="exp2")
+    c3 = {r["doc_id"]: r["split"] for r in s3.select("doc_id", "split").collect()}
+    assert c3 != a
+
+
+def test_hash_split_no_shuffle(spark, sf_dir):
+    from preprocessor_spark.operators.splits import hash_split
+    from preprocessor_spark.plans import formatted_plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(hash_split(d, "doc_id", {"train": 0.9, "test": 0.1}))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_hash_split_validates_fractions(spark, sf_dir):
+    from preprocessor_spark.operators.splits import hash_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        hash_split(d, "doc_id", {"train": 0.8, "test": 0.1})
