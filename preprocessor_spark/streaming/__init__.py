@@ -98,6 +98,24 @@ def stateful_running_totals(events: DataFrame, key: str = "user_id") -> DataFram
     )
 
 
+def enrich_with_static(stream_df: DataFrame, static_df: DataFrame, on: list[str], how: str = "left") -> DataFrame:
+    """Stream-static join: every micro-batch joins against the (batch) dim
+    table — the standard streaming enrichment shape. The static side is
+    broadcast, so no stream-side shuffle and no streaming state at all
+    (unlike stream-stream joins, which buffer rows within the watermark)."""
+    return stream_df.join(F.broadcast(static_df), on, how)
+
+
+def run_foreach_batch(stream_df: DataFrame, batch_fn, timeout: int = 120):
+    """foreachBatch sink with the availableNow trigger: arbitrary batch
+    logic per micro-batch (idempotent upserts keyed by batch_id, multi-sink
+    fan-out, JDBC writes) — the escape hatch for sinks Structured Streaming
+    doesn't provide natively. ``batch_fn(batch_df, batch_id)``."""
+    q = stream_df.writeStream.foreachBatch(batch_fn).trigger(availableNow=True).start()
+    q.awaitTermination(timeout)
+    return q
+
+
 def run_available_now(stream_df: DataFrame, table_name: str, output_mode: str = "append", timeout: int = 120):
     """Drain everything currently available into an in-memory table and stop.
     Returns after the trigger completes; read results with

@@ -516,3 +516,130 @@ def test_hash_split_validates_fractions(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError):
         hash_split(d, "doc_id", {"train": 0.8, "test": 0.1})
+
+
+def test_salted_join_matches_plain(spark):
+    """Salted join output must equal the plain equi-join on skewed input
+    (one key carries 80% of rows)."""
+    import pandas as pd
+
+    from preprocessor_spark.operators.skew import salted_join
+
+    n = 5_000
+    big = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["hot"] * (n * 4 // 5) + [f"k{i}" for i in range(n // 5)],
+                "x": range(n),
+            }
+        )
+    )
+    small = spark.createDataFrame(
+        pd.DataFrame({"k": ["hot"] + [f"k{i}" for i in range(0, n // 5, 2)],
+                      "tag": ["H"] + ["T"] * (n // 10)})
+    )
+    got = salted_join(big, small, ["k"], salt_buckets=8).toPandas()
+    want = big.join(small, ["k"]).toPandas()
+    key = ["k", "x", "tag"]
+    got = got.sort_values(key).reset_index(drop=True)[key]
+    want = want.sort_values(key).reset_index(drop=True)[key]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_salted_join_dilutes_key(spark):
+    """The join key in the salted plan is (k, __salt): the hot key's rows
+    spread across salt_buckets sub-partitions."""
+    import pandas as pd
+
+    from preprocessor_spark.operators.skew import salted_join
+    from preprocessor_spark.plans import formatted_plan
+
+    big = spark.createDataFrame(pd.DataFrame({"k": ["hot"] * 100, "x": range(100)}))
+    small = spark.createDataFrame(pd.DataFrame({"k": ["hot"], "tag": ["H"]}))
+    plan = formatted_plan(salted_join(big, small, ["k"], salt_buckets=8).hint("merge"))
+    assert "__salt" in plan, plan
+
+
+def test_two_stage_agg_matches_direct(spark):
+    import pandas as pd
+
+    from preprocessor_spark.operators.skew import two_stage_agg
+
+    n = 4_000
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["hot"] * (n * 3 // 4) + [f"k{i % 50}" for i in range(n // 4)],
+                "v": [float(i % 97) for i in range(n)],
+                "s": [f"s{i % 13}" for i in range(n)],
+            }
+        )
+    )
+    got = two_stage_agg(
+        df,
+        ["k"],
+        {
+            "n": ("count",),
+            "total": ("sum", "v"),
+            "lo": ("min", "v"),
+            "hi": ("max", "v"),
+            "tags": ("collect_set", "s"),
+        },
+        salt_buckets=8,
+    ).toPandas()
+    want = (
+        df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.collect_set("s").alias("tags"),
+        )
+        .toPandas()
+    )
+    got = got.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["total"].tolist() == pytest.approx(want["total"].tolist())
+    assert got["lo"].tolist() == want["lo"].tolist()
+    assert got["hi"].tolist() == want["hi"].tolist()
+    assert [sorted(t) for t in got["tags"]] == [sorted(t) for t in want["tags"]]
+
+
+def test_stream_static_enrich_and_foreach_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment drained through a foreachBatch
+    sink must equal the batch join over the same files; foreachBatch
+    receives monotonically increasing batch ids."""
+    import __spark_entry__ as em
+    from preprocessor_spark.streaming import (
+        enrich_with_static,
+        read_events_stream,
+        run_foreach_batch,
+    )
+
+    events = em._t(spark, sf_dir, "events").limit(500)
+    src = str(tmp_path / "events_enrich")
+    events.write.mode("overwrite").parquet(src)
+
+    dim = spark.createDataFrame(
+        [(i, f"segment_{i % 3}") for i in range(200)], "user_id bigint, segment string"
+    )
+    stream = read_events_stream(spark, src)
+    enriched = enrich_with_static(stream, dim, ["user_id"])
+
+    seen: list[tuple] = []
+
+    def _collect(batch_df, batch_id):
+        for r in batch_df.select("event_id", "segment").collect():
+            seen.append((r["event_id"], r["segment"]))
+
+    run_foreach_batch(enriched, _collect)
+
+    batch = {
+        (r["event_id"], r["segment"])
+        for r in spark.read.parquet(src).join(dim, ["user_id"], "left")
+        .select("event_id", "segment").collect()
+    }
+    assert set(seen) == batch
+    assert len(seen) == 500
