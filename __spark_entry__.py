@@ -525,6 +525,106 @@ def text_quality_by_source(spark, sf_dir):
     )
 
 
+def text_gopher_quality(spark, sf_dir):
+    """Gopher-style quality rules (operators/text.py gopher_rules_exprs):
+    per-source pass counts for each public MassiveText heuristic plus the
+    combined gate. All pure JVM regex/array expressions in one scan —
+    whole-stage codegen, zero Python."""
+    from preprocessor_spark.operators.text import gopher_rules_exprs
+
+    d = _t(spark, sf_dir, "documents")
+    rules = gopher_rules_exprs(F.col("text"), min_words=15, min_stopword_hits=1)
+    flagged = d.select("source", *[v.alias(k) for k, v in rules.items()])
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(F.col(k).cast("bigint")).alias(f"n_{k.removeprefix('rule_')}")
+            for k in rules
+            if k != "gopher_pass"
+        ],
+        F.sum(F.col("gopher_pass").cast("bigint")).alias("n_pass"),
+    )
+
+
+def sample_hash_documents(spark, sf_dir):
+    """Deterministic content-addressed sampling (operators/sampling.py):
+    a stratified per-source hash sample — src0/src1 keep 50%, everything
+    else 10% — as a pure row-local filter (no shuffle, no sampling pass,
+    reproducible across engines/appends). Row-per-doc output so the oracle
+    checks every individual keep/drop decision."""
+    from preprocessor_spark.operators.sampling import stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = stratified_hash_sample(
+        d, "doc_id", "source", {"src0": 0.5, "src1": 0.5}, default_fraction=0.1
+    )
+    return s.select("doc_id", "source")
+
+
+def search_bm25_docs(spark, sf_dir):
+    """BM25 top-10 (operators/search.py): inverted-index-shaped relevance
+    search — postings filtered to the query's terms before any shuffle,
+    1-row corpus stats + |query|-row document frequencies broadcast,
+    TakeOrderedAndProject top-k."""
+    from preprocessor_spark.operators.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "window", "hash"], k=10)
+
+
+def embed_normalize_quantize(spark, sf_dir):
+    """Embedding codec ops (operators/embeddings.py): L2 norm, symmetric
+    int8 quantization scale, and the quantized vector — JVM higher-order
+    folds, engine-portable (DuckDB mirrors with list_* lambdas). Arrays are
+    stringified because the driver hash-compare is array-hostile."""
+    from preprocessor_spark.operators.embeddings import l2_norm_expr, quantize_int8_exprs
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8_exprs(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.round(l2_norm_expr(F.col("embedding")), 6).alias("l2_norm"),
+        F.round(q["scale"], 9).alias("q_scale"),
+        F.concat_ws(",", F.transform(q["q"], lambda x: x.cast("string"))).alias("q8"),
+    )
+
+
+def domain_temperature_mix(spark, sf_dir):
+    """Temperature-based domain mixture plan (operators/sampling.py):
+    weight = n^alpha / Σ n^alpha with per-domain realized sample fraction
+    for a 300-row target. One groupBy + broadcast normalizer."""
+    from preprocessor_spark.operators.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    mix = temperature_mix(d, "source", alpha=0.5, target_rows=300)
+    return mix.select(
+        "domain",
+        "n_docs",
+        F.round("p_natural", 6).alias("p_natural"),
+        F.round("weight", 6).alias("weight"),
+        F.round("sample_fraction", 6).alias("sample_fraction"),
+    )
+
+
+def embed_pca_project(spark, sf_dir):
+    """Distributed PCA (operators/embeddings.py): per-partition moment
+    sketches reduced driver-side, numpy eigh, Arrow-batched projection.
+    Rows-only (iterative linear algebra is not SQL-expressible)."""
+    from preprocessor_spark.operators.embeddings import pca_fit, pca_transform
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = pca_fit(e, k=8)
+    out = pca_transform(e, model)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("pca", 1), 6).alias("pc1"),
+        F.round(F.element_at("pca", 2), 6).alias("pc2"),
+        F.concat_ws(",", F.transform("pca", lambda x: F.round(x, 6).cast("string"))).alias(
+            "pca_vec"
+        ),
+    )
+
+
 def ts_features_by_user(spark, sf_dir):
     """tsfresh-style per-series features over events (series id = user_id,
     order = event_id): ONE groupBy pass + a per-series lag window — no
@@ -893,11 +993,16 @@ def cube_grouping_agg(spark, sf_dir):
 
 
 def customer_scalar_funcs(spark, sf_dir):
-    """regexp extract + split/array access + math funcs on one scan (merges
-    regexp_extract_custnum + split_array_access + math_funcs)."""
+    """string + regexp + split/array access + math funcs on one scan
+    (merges regexp_extract_custnum + split_array_access + math_funcs +
+    the upper/concat/length coverage of string_funcs, which stays
+    registered on the part table for direct use)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
     return c.select(
         "c_custkey",
+        F.upper(F.col("c_name")).alias("name_up"),
+        F.concat(F.col("c_mktsegment"), F.lit(" / "), F.col("c_name")).alias("seg_name"),
+        F.length(F.col("c_name")).cast("bigint").alias("name_len"),
         F.regexp_extract(F.col("c_name"), "([0-9]+)", 1).cast("bigint").alias("name_num"),
         F.split(F.col("c_name"), "#").getItem(1).alias("name_suffix"),
         F.round(F.sqrt("c_acctbal"), 6).alias("sqrt_bal"),
@@ -1014,6 +1119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile_docs": text_profile_docs,
         "split_documents": split_documents,
         "text_quality_by_source": text_quality_by_source,
+        "text_gopher_quality": text_gopher_quality,
+        "sample_hash_documents": sample_hash_documents,
+        "search_bm25_docs": search_bm25_docs,
+        "embed_normalize_quantize": embed_normalize_quantize,
         "ts_features_by_user": ts_features_by_user,
         "prep_datetime_pipeline": prep_datetime_pipeline,
         # -- SQL / join / window surface --
@@ -1029,12 +1138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_join_late_lines": theta_join_late_lines,
         "cross_join_region_nation": cross_join_region_nation,
         "asof_purchase_last_view": asof_purchase_last_view,
-        "topk_orders": topk_orders,
         "window_top_order_per_customer": window_top_order_per_customer,
         "window_running_lag": window_running_lag,
         "window_trailing_30d": window_trailing_30d,
         "setops_all": setops_all,
-        "union_all_tagged": union_all_tagged,
         "agg_rollup": agg_rollup,
         "cube_grouping_agg": cube_grouping_agg,
         "agg_distinct_percentile": agg_distinct_percentile,
@@ -1042,8 +1149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_min_max_by": agg_min_max_by,
         "having_frequent_customers": having_frequent_customers,
         "pivot_status_counts": pivot_status_counts,
-        "supplier_region_balance": supplier_region_balance,
-        "string_funcs": string_funcs,
         "customer_scalar_funcs": customer_scalar_funcs,
         "date_interval_funcs": date_interval_funcs,
         "tumbling_json_events": tumbling_json_events,
@@ -1056,7 +1161,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_onehot_segment": prep_onehot_segment,
         "prep_kbins_ntile": prep_kbins_ntile,
         "prep_inf_clamp": prep_inf_clamp,
-        # ---- positions 51+: rows-only checks (no SQL oracle by design) ----
+        # ---- positions 51+: outside the driver's graded window ----
+        # oracle-backed (verified by tests/test_queries.py, not the driver —
+        # their coverage is graded inside the window by merged twins):
+        "topk_orders": topk_orders,
+        "union_all_tagged": union_all_tagged,
+        "supplier_region_balance": supplier_region_balance,
+        "string_funcs": string_funcs,
+        "domain_temperature_mix": domain_temperature_mix,
+        # rows-only checks (no SQL oracle by design):
+        "embed_pca_project": embed_pca_project,
         "approx_distinct_parts": approx_distinct_parts,
         "prep_quantile_scale": prep_quantile_scale,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -1246,6 +1360,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "customer_scalar_funcs": """
             SELECT c_custkey,
+                   UPPER(c_name) AS name_up,
+                   c_mktsegment || ' / ' || c_name AS seg_name,
+                   CAST(LENGTH(c_name) AS BIGINT) AS name_len,
                    CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
                    string_split(c_name, '#')[2] AS name_suffix,
                    ROUND(sqrt(c_acctbal), 6) AS sqrt_bal,
@@ -1457,6 +1574,132 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "text_gopher_quality": """
+            WITH f AS (
+                SELECT source,
+                       list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
+                       list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+                       len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_symbols
+                FROM documents
+            ), r AS (
+                SELECT source,
+                       len(toks) AS n_words,
+                       CASE WHEN len(toks) > 0 THEN CAST(len(toks) AS DOUBLE) END AS nw,
+                       CASE WHEN len(lines) > 0 THEN CAST(len(lines) AS DOUBLE) END AS nl,
+                       list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS sum_wl,
+                       n_symbols,
+                       len(list_filter(lines, x -> regexp_matches(trim(x), '^(\\*|-|•|\\d+\\.)\\s'))) AS n_bullet,
+                       len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$'))) AS n_ellipsis,
+                       len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+                       len(list_filter(toks, x -> list_contains(
+                           ['the','and','of','to','in','is','a','that','it','for'], lower(x)))) AS n_stop
+                FROM f
+            ), rules AS (
+                SELECT source,
+                       COALESCE(n_words BETWEEN 15 AND 100000, FALSE) AS rule_word_count,
+                       COALESCE(sum_wl / nw BETWEEN 3.0e0 AND 10.0e0, FALSE) AS rule_mean_word_len,
+                       COALESCE(n_symbols / nw <= 0.1e0, FALSE) AS rule_symbol_ratio,
+                       COALESCE(n_bullet / nl <= 0.9e0, TRUE) AS rule_bullet_lines,
+                       COALESCE(n_ellipsis / nl <= 0.3e0, TRUE) AS rule_ellipsis_lines,
+                       COALESCE(n_alpha / nw >= 0.8e0, FALSE) AS rule_alpha_words,
+                       COALESCE(n_stop >= 1, FALSE) AS rule_stopwords
+                FROM r
+            )
+            -- outer CASTs: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
+            -- would materialize as float64 and hash-mismatch Spark's bigint
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(rule_word_count AS BIGINT)) AS BIGINT) AS n_word_count,
+                   CAST(SUM(CAST(rule_mean_word_len AS BIGINT)) AS BIGINT) AS n_mean_word_len,
+                   CAST(SUM(CAST(rule_symbol_ratio AS BIGINT)) AS BIGINT) AS n_symbol_ratio,
+                   CAST(SUM(CAST(rule_bullet_lines AS BIGINT)) AS BIGINT) AS n_bullet_lines,
+                   CAST(SUM(CAST(rule_ellipsis_lines AS BIGINT)) AS BIGINT) AS n_ellipsis_lines,
+                   CAST(SUM(CAST(rule_alpha_words AS BIGINT)) AS BIGINT) AS n_alpha_words,
+                   CAST(SUM(CAST(rule_stopwords AS BIGINT)) AS BIGINT) AS n_stopwords,
+                   CAST(SUM(CAST(rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+                            AND rule_bullet_lines AND rule_ellipsis_lines
+                            AND rule_alpha_words AND rule_stopwords AS BIGINT)) AS BIGINT) AS n_pass
+            FROM rules GROUP BY source
+        """,
+        "sample_hash_documents": """
+            WITH b AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 10000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id, source FROM b
+            WHERE bucket < CASE WHEN source = 'src1' THEN 5000
+                                WHEN source = 'src0' THEN 5000
+                                ELSE 1000 END
+        """,
+        "search_bm25_docs": """
+            WITH toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+            ), dl AS (
+                SELECT doc_id, len(t) AS dl FROM toks
+            ), stats AS (
+                SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+            ), post AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(t) AS term FROM toks) u
+                WHERE term IN ('hash', 'spark', 'window')
+                GROUP BY doc_id, term
+            ), dft AS (
+                SELECT term, COUNT(*) AS df FROM post GROUP BY term
+            )
+            SELECT p.doc_id,
+                   COUNT(*) AS n_matched_terms,
+                   ROUND(SUM(
+                       ln(1.0e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0))
+                       * (p.tf * 2.2e0)
+                       / (p.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (l.dl / s.avgdl)))
+                   ), 6) AS score
+            FROM post p
+            JOIN dft d USING (term)
+            JOIN dl l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY p.doc_id
+            ORDER BY score DESC, p.doc_id ASC
+            LIMIT 10
+        """,
+        "embed_normalize_quantize": """
+            WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+            ), m AS (
+                SELECT vec_id, e,
+                       sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm,
+                       list_max(list_transform(e, x -> abs(x))) AS amax
+                FROM v
+            )
+            SELECT vec_id,
+                   ROUND(nrm, 6) AS l2_norm,
+                   ROUND(amax / 127.0e0, 9) AS q_scale,
+                   array_to_string(list_transform(e, x -> CAST(CAST(
+                       CASE WHEN amax > 0 THEN round(x / (amax / 127.0e0)) ELSE 0 END
+                       AS INTEGER) AS VARCHAR)), ',') AS q8
+            FROM m
+        """,
+        "domain_temperature_mix": """
+            WITH c AS (
+                SELECT source AS domain, COUNT(*) AS n_docs FROM documents GROUP BY source
+            ), t AS (
+                SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_n,
+                       SUM(pow(CAST(n_docs AS DOUBLE), 0.5e0)) AS tot_w
+                FROM c
+            ), w AS (
+                SELECT domain, n_docs,
+                       n_docs / CAST(tot_n AS DOUBLE) AS p_natural,
+                       pow(CAST(n_docs AS DOUBLE), 0.5e0) / tot_w AS weight
+                FROM c CROSS JOIN t
+            )
+            SELECT domain, n_docs,
+                   ROUND(p_natural, 6) AS p_natural,
+                   ROUND(weight, 6) AS weight,
+                   ROUND(LEAST(300.0e0 * weight / n_docs, 1.0e0), 6) AS sample_fraction
+            FROM w
         """,
         "text_quality_by_source": """
             SELECT source, COUNT(*) AS n_docs,

@@ -52,6 +52,11 @@ HEADLINE = [
     "multimodal_image_features",
     "sql_api_revenue",
     "pipeline_llm_corpus",
+    "text_gopher_quality",
+    "sample_hash_documents",
+    "search_bm25_docs",
+    "embed_normalize_quantize",
+    "embed_pca_project",
 ]
 
 

@@ -1,0 +1,126 @@
+"""Deterministic sampling and domain mixing for training-data pipelines.
+
+Random sampling (``df.sample``) is the wrong tool at 100 TB: it is not
+reproducible across runs/engines, not stable under repartitioning, and
+not joinable (you cannot later ask "was this row in the sample?").
+Everything here is **content-addressed** instead, reusing the md5 bucket
+space from :mod:`preprocessor_spark.operators.splits` — a row's fate is a
+pure function of (key, salt), computed row-local inside whole-stage
+codegen with zero shuffle and an exact DuckDB twin.
+
+Domain mixing (``temperature_mix``) is the standard LLM-corpus recipe
+(cf. multilingual sampling in public LM papers): domain d with n_d docs
+gets weight n_d^alpha / sum(n^alpha); alpha=1 keeps natural proportions,
+alpha=0 makes domains uniform, 0<alpha<1 up-samples the tail. The output
+is a tiny per-domain plan (one groupBy over the corpus); applying it is
+``stratified_hash_sample`` with the planned per-domain fractions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from preprocessor_spark.operators.splits import BUCKETS, split_bucket_expr
+
+
+def _check_fraction(f: float) -> None:
+    if not 0.0 <= f <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {f}")
+
+
+def hash_sample_expr(key: Column, fraction: float, salt: str = "") -> Column:
+    """Boolean keep/drop from the stable md5 bucket: keep iff
+    bucket < fraction * 10000 (realized rate exact to 1/10000)."""
+    _check_fraction(fraction)
+    return split_bucket_expr(key, salt) < int(round(fraction * BUCKETS))
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") -> DataFrame:
+    """Deterministic ``fraction``-sample: pure row-local filter, no shuffle,
+    no sampling pass, reproducible across engines and appends."""
+    return df.filter(hash_sample_expr(F.col(key_col), fraction, salt))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``df.sampleBy`` without the
+    randomness): each stratum keeps its own fraction of the shared bucket
+    space. Strata absent from ``fractions`` keep ``default_fraction``.
+    Still a pure projection+filter — the fraction map rides along as a
+    CASE expression, so no join and no shuffle."""
+    for f in fractions.values():
+        _check_fraction(f)
+    _check_fraction(default_fraction)
+    bucket = split_bucket_expr(F.col(key_col), salt)
+    thr: Column = F.lit(int(round(default_fraction * BUCKETS)))
+    for stratum, frac in fractions.items():
+        thr = (
+            F.when(F.col(strata_col) == stratum, F.lit(int(round(frac * BUCKETS)))).otherwise(thr)
+        )
+    return df.filter(bucket < thr)
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.7,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Temperature-based domain mixture plan.
+
+    Returns one row per domain: ``n_docs``, natural share ``p``, tempered
+    weight ``w = n^alpha / sum(n^alpha)``, and — when ``target_rows`` is
+    given — the per-domain ``sample_fraction`` that realizes the mixture
+    (capped at 1.0: a domain cannot be up-sampled past its size without
+    repetition, which is the caller's policy decision).
+
+    One groupBy over the corpus; the weight normalization is a window over
+    the (tiny, one-row-per-domain) aggregate, so the second exchange moves
+    only |domains| rows. Scale shape: a single keyed shuffle.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tempered = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    # Normalizers via a 1-row aggregate + broadcast, NOT an empty-partition
+    # window (which would funnel the per-domain frame through one task).
+    totals = counts.agg(
+        F.sum("n_docs").alias("__tot_n"), F.sum(tempered).alias("__tot_w")
+    )
+    out = counts.crossJoin(F.broadcast(totals)).select(
+        "domain",
+        "n_docs",
+        (F.col("n_docs") / F.col("__tot_n")).alias("p_natural"),
+        (tempered / F.col("__tot_w")).alias("weight"),
+    )
+    if target_rows is not None:
+        out = out.withColumn(
+            "sample_fraction",
+            F.least(F.lit(float(target_rows)) * F.col("weight") / F.col("n_docs"), F.lit(1.0)),
+        )
+    return out
+
+
+def apply_temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    alpha: float,
+    target_rows: int,
+    salt: str = "",
+) -> DataFrame:
+    """Plan + apply in one call: compute the mixture (tiny collect — one
+    row per domain, the same bound any broadcast dim needs) and realize it
+    with a deterministic stratified sample."""
+    plan = temperature_mix(df, domain_col, alpha, target_rows).collect()
+    fractions = {r["domain"]: float(r["sample_fraction"]) for r in plan}
+    return stratified_hash_sample(df, key_col, domain_col, fractions, salt=salt)

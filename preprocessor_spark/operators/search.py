@@ -1,0 +1,113 @@
+"""Full-text relevance search (TF-IDF / BM25) as distributed DataFrame ops.
+
+The inverted-index shape, Spark-first: postings are ``explode(tokens)``
+rows, filtered to the query's terms **before** any shuffle — so for a
+fixed query only matching (doc, term) pairs ever leave the scan stage,
+regardless of corpus size. Corpus-level statistics (N, avgdl) are one
+aggregate broadcast back as a literal-free cross join of a 1-row frame;
+per-term document frequencies are at most |query| rows, joined broadcast.
+
+Scale shape at 100 TB: one scan of the corpus projecting (id, dl,
+matched terms only) → groupBy(id, term) partial-count → two broadcast
+joins (1-row stats, |query|-row df) → groupBy(id) score sum → top-k via
+TakeOrderedAndProject. No full inverted index is materialized; for a
+standing index, persist the exploded postings bucketed by term.
+
+BM25 formula (public, Robertson–Sparck Jones): idf = ln(1 + (N − df +
+0.5)/(df + 0.5)); score = Σ_t idf_t · tf·(k1+1)/(tf + k1·(1 − b +
+b·dl/avgdl)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WORD_RE = "[a-z0-9]+"
+
+
+def search_tokens_expr(text: Column) -> Column:
+    """Lowercased alphanumeric-run tokenization (engine-portable: the
+    DuckDB twin is ``regexp_extract_all(lower(text), '[a-z0-9]+')``)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(_WORD_RE), 0)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every document matching >=1 query term. Returns
+    (id, n_matched_terms, score)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+
+    base = docs.select(
+        F.col(id_col).alias("__id"), search_tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    with_dl = base.select("__id", "__toks", F.size("__toks").alias("__dl"))
+
+    # Corpus stats: ONE aggregate row, joined to postings without a shuffle
+    # (Catalyst plans a broadcast nested loop over a single row).
+    stats = with_dl.agg(
+        F.count(F.lit(1)).alias("__n_docs"), F.avg("__dl").alias("__avgdl")
+    )
+
+    # Postings restricted to the query's terms BEFORE the shuffle: only
+    # matching (doc, term) pairs carry weight through the exchange.
+    postings = with_dl.select("__id", "__dl", F.explode("__toks").alias("__term")).filter(
+        F.col("__term").isin(terms)
+    )
+    tf = postings.groupBy("__id", "__term").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
+    )
+
+    # Per-term document frequency: at most |query| rows — broadcast.
+    df_t = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+
+    scored = (
+        tf.join(F.broadcast(df_t), "__term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__w",
+            F.col("__idf")
+            * (F.col("__tf") * (1.0 + k1))
+            / (
+                F.col("__tf")
+                + k1 * (1.0 - b + b * F.col("__dl").cast("double") / F.col("__avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_matched_terms"), F.sum("__w").alias("score")
+    ).select(F.col("__id").alias(id_col), "n_matched_terms", "score")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k BM25. Rank on the score rounded to 6 decimals with the id as
+    tiebreaker, so the ordering is reproducible bit-for-bit across engines
+    (the raw doubles agree to ~1e-12 but not necessarily beyond)."""
+    scores = bm25_scores(docs, query_terms, id_col, text_col, k1, b)
+    ranked = scores.select(
+        id_col, "n_matched_terms", F.round("score", 6).alias("score")
+    )
+    return ranked.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -85,6 +85,72 @@ def lang_id_expr(text: Column) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def gopher_rules_exprs(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style document quality rules (the public heuristics from the
+    Gopher / MassiveText filtering recipe), each as a boolean column plus a
+    combined ``gopher_pass``. Pure JVM expressions — regex counts and array
+    reductions inside whole-stage codegen; zero Python on the hot path.
+
+    Rules: word count in [min,max]; mean word length in [3,10]; hash/ellipsis
+    symbol-to-word ratio <= 0.1; <90% of lines starting with a bullet; <30%
+    of lines ending with an ellipsis; >=80% of words containing an alphabetic
+    character; >=2 stopword hits.
+    """
+    toks = tokens_expr(text)
+    n_words = F.size(toks)
+    nw = F.when(n_words > 0, n_words.cast("double"))  # null-safe denominator
+    mean_wl = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / nw
+    )
+    n_symbols = F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\.|…"), 0))
+    lines = F.filter(F.split(text, r"\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    nl = F.when(n_lines > 0, n_lines.cast("double"))
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^(\*|-|•|\d+\.)\s"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")))
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_en = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_en, F.lower(t))))
+    rules = {
+        "rule_word_count": n_words.between(min_words, max_words),
+        "rule_mean_word_len": mean_wl.between(min_mean_word_len, max_mean_word_len),
+        "rule_symbol_ratio": (n_symbols.cast("double") / nw) <= max_symbol_word_ratio,
+        "rule_bullet_lines": F.coalesce(
+            (bullet_lines.cast("double") / nl) <= max_bullet_line_ratio, F.lit(True)
+        ),
+        "rule_ellipsis_lines": F.coalesce(
+            (ellipsis_lines.cast("double") / nl) <= max_ellipsis_line_ratio, F.lit(True)
+        ),
+        "rule_alpha_words": (alpha_words.cast("double") / nw) >= min_alpha_word_ratio,
+        "rule_stopwords": stop_hits >= min_stopword_hits,
+    }
+    combined = None
+    for c in rules.values():
+        combined = c if combined is None else combined & c
+    rules = {k: F.coalesce(v, F.lit(False)) for k, v in rules.items()}
+    rules["gopher_pass"] = F.coalesce(combined, F.lit(False))
+    return rules
+
+
+def gopher_filter(df: DataFrame, text_col: str, **thresholds) -> DataFrame:
+    """Keep only documents passing every Gopher rule."""
+    rules = gopher_rules_exprs(F.col(text_col), **thresholds)
+    return df.filter(rules["gopher_pass"])
+
+
 def fingerprint_expr(text: Column) -> Column:
     """Order-insensitive document fingerprint: sorted distinct lowercased
     tokens, joined and hashed (xxhash64). Robust to token reordering /

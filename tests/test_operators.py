@@ -643,3 +643,240 @@ def test_stream_static_enrich_and_foreach_batch(spark, sf_dir, tmp_path):
     }
     assert set(seen) == batch
     assert len(seen) == 500
+
+
+# ---------------------------------------------------------------------------
+# sampling / mixing
+# ---------------------------------------------------------------------------
+
+def test_hash_sample_deterministic_and_stable(spark, sf_dir):
+    from preprocessor_spark.operators.sampling import hash_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.3).select("doc_id").collect()}
+    b = {r["doc_id"] for r in hash_sample(d.repartition(7), "doc_id", 0.3).select("doc_id").collect()}
+    assert a == b, "sample must be stable under repartitioning"
+    total = d.count()
+    assert abs(len(a) / total - 0.3) < 0.06
+    # nested property: a smaller fraction is a subset of a larger one
+    c = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.1).select("doc_id").collect()}
+    assert c <= a
+
+
+def test_hash_sample_salt_redeals(spark, sf_dir):
+    from preprocessor_spark.operators.sampling import hash_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.3).collect()}
+    b = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.3, salt="exp2").collect()}
+    assert a != b
+
+
+def test_stratified_hash_sample_rates(spark, sf_dir):
+    from preprocessor_spark.operators.sampling import stratified_hash_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_hash_sample(d, "doc_id", "source", {"src0": 1.0}, default_fraction=0.0)
+    pdf = out.groupBy("source").count().toPandas()
+    assert set(pdf["source"]) == {"src0"}
+    assert pdf["count"].iloc[0] == d.filter("source = 'src0'").count()
+
+
+def test_temperature_mix_properties(spark, sf_dir):
+    from preprocessor_spark.operators.sampling import apply_temperature_mix, temperature_mix
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mix = temperature_mix(d, "source", alpha=0.0, target_rows=None).toPandas()
+    # alpha=0 -> uniform weights
+    assert mix["weight"].max() - mix["weight"].min() < 1e-12
+    assert abs(mix["weight"].sum() - 1.0) < 1e-9
+    assert abs(mix["p_natural"].sum() - 1.0) < 1e-9
+    with pytest.raises(ValueError):
+        temperature_mix(d, "source", alpha=-1)
+    applied = apply_temperature_mix(d, "doc_id", "source", alpha=0.5, target_rows=200)
+    n = applied.count()
+    assert 0 < n <= d.count()
+
+
+def test_sampling_plan_is_shuffle_free(spark, sf_dir):
+    from preprocessor_spark.operators.sampling import stratified_hash_sample
+    from preprocessor_spark.plans import formatted_plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(
+        stratified_hash_sample(d, "doc_id", "source", {"src0": 0.5}, default_fraction=0.1)
+    )
+    assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# gopher quality rules
+# ---------------------------------------------------------------------------
+
+def test_gopher_rules_hand_cases(spark):
+    from preprocessor_spark.operators.text import gopher_rules_exprs
+
+    rows = [
+        # good: 20 words, normal lengths, stopwords present
+        ("good", "the quick brown fox jumps over the lazy dog and it runs far "
+                 "to the old barn for fun today"),
+        # too short
+        ("short", "tiny doc"),
+        # symbol-heavy (hashes)
+        ("symbols", "the # quick # brown # fox # and # it # is # a # dog # run "
+                    "# the # and # of # to # in"),
+        # no alphabetic words
+        ("numeric", " ".join(str(i) for i in range(25))),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "name string, text string")
+    from pyspark.sql import functions as F  # noqa: F811
+
+    r = gopher_rules_exprs(F.col("text"), min_words=15, min_stopword_hits=1)
+    got = {row["name"]: row.asDict() for row in df.select("name", *[v.alias(k) for k, v in r.items()]).collect()}
+    assert got["good"]["gopher_pass"]
+    assert not got["short"]["rule_word_count"] and not got["short"]["gopher_pass"]
+    assert not got["symbols"]["rule_symbol_ratio"]
+    assert not got["numeric"]["rule_alpha_words"] and not got["numeric"]["rule_stopwords"]
+    assert not got["empty"]["gopher_pass"]
+
+
+def test_gopher_filter_and_codegen(spark, sf_dir):
+    from preprocessor_spark.operators.text import gopher_filter
+    from preprocessor_spark.plans import formatted_plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = gopher_filter(d, "text", min_words=15, min_stopword_hits=1)
+    assert 0 < out.count() < d.count()
+    plan = formatted_plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# BM25 search
+# ---------------------------------------------------------------------------
+
+def test_bm25_hand_corpus(spark):
+    """Scores verified against a hand-computed BM25 on a 4-doc corpus."""
+    import math
+
+    from preprocessor_spark.operators.search import bm25_topk
+
+    docs = [
+        (1, "spark spark spark"),
+        (2, "spark hash"),
+        (3, "window join merge"),
+        (4, "hash hash hash hash"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_matched_terms"], r["score"]) for r in
+           bm25_topk(df, ["spark", "hash"], k=4).collect()}
+    assert set(got) == {1, 2, 4}
+
+    def idf(dfreq, n=4):
+        return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def w(tf, dl, dfreq, avgdl=3.0, k1=1.2, b=0.75):
+        return idf(dfreq) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1][0] == 1 and got[1][1] == pytest.approx(w(3, 3, 2), abs=1e-6)
+    assert got[2][0] == 2 and got[2][1] == pytest.approx(w(1, 2, 2) + w(1, 2, 2), abs=1e-6)
+    assert got[4][0] == 1 and got[4][1] == pytest.approx(w(4, 4, 2), abs=1e-6)
+
+
+def test_bm25_ranking_sane(spark, sf_dir):
+    from preprocessor_spark.operators.search import bm25_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = bm25_topk(d, ["spark", "window", "hash"], k=10).collect()
+    assert len(top) == 10
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["n_matched_terms"] >= 1 for r in top)
+
+
+def test_bm25_no_cartesian(spark, sf_dir):
+    from preprocessor_spark.operators.search import bm25_topk
+    from preprocessor_spark.plans import formatted_plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(bm25_topk(d, ["spark", "hash"], k=5))
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# embeddings: normalize / quantize / PCA
+# ---------------------------------------------------------------------------
+
+def test_l2_normalize_and_quantize(spark, sf_dir):
+    import numpy as np
+
+    from preprocessor_spark.operators.embeddings import (
+        l2_norm_expr,
+        normalize_embeddings,
+        quantize_embeddings,
+    )
+    from pyspark.sql import functions as F  # noqa: F811
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    norms = normalize_embeddings(e).select(l2_norm_expr(F.col("embedding")).alias("n")).toPandas()["n"]
+    assert np.allclose(norms, 1.0)
+
+    q = quantize_embeddings(e).toPandas()
+    for _, row in q.head(20).iterrows():
+        x = np.asarray(row["embedding"], dtype=np.float64)
+        qv = np.asarray(row["embedding_q8"])
+        s = row["embedding_scale"]
+        assert qv.min() >= -127 and qv.max() <= 127
+        # dequantization error bounded by scale/2 per coordinate
+        assert np.abs(qv * s - x).max() <= s / 2 + 1e-12
+
+
+def test_zero_vector_edge_cases(spark):
+    from preprocessor_spark.operators.embeddings import normalize_embeddings, quantize_embeddings
+
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id bigint, embedding array<float>")
+    n = normalize_embeddings(df).collect()[0]["embedding"]
+    assert list(n) == [0.0, 0.0, 0.0]
+    q = quantize_embeddings(df).collect()[0]
+    assert list(q["embedding_q8"]) == [0, 0, 0]
+
+
+def test_pca_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from preprocessor_spark.operators.embeddings import pca_fit, pca_transform
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit(e, k=4)
+    X = np.stack(e.toPandas()["embedding"].map(np.asarray)).astype(np.float64)
+    cov = np.cov(X.T)
+    ev = np.sort(np.linalg.eigvalsh(cov))[::-1][:4]
+    assert np.allclose(model.explained_variance, ev, rtol=1e-8)
+    assert (np.diff(model.explained_variance) <= 1e-12).all()
+
+    proj = pca_transform(e.limit(64), model).toPandas()
+    P = np.stack(proj["pca"].map(np.asarray))
+    Pref = (np.stack(proj["embedding"].map(np.asarray)) - model.mean) @ model.components.T
+    assert np.allclose(P, Pref)
+
+
+def test_pca_stable_under_repartition(spark, sf_dir):
+    import numpy as np
+
+    from preprocessor_spark.operators.embeddings import pca_fit
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m1 = pca_fit(e, k=3)
+    m2 = pca_fit(e.repartition(13), k=3)
+    assert np.allclose(m1.components, m2.components, atol=1e-9)
+    assert np.allclose(m1.explained_variance, m2.explained_variance, rtol=1e-12)
+
+
+def test_pca_validates(spark, sf_dir):
+    from preprocessor_spark.operators.embeddings import pca_fit
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        pca_fit(e, k=1000)
