@@ -606,6 +606,47 @@ def domain_temperature_mix(spark, sf_dir):
     )
 
 
+def chunk_documents_tokens(spark, sf_dir):
+    """Overlapping token-window chunking (operators/chunking.py): stride-12
+    windows of 16 tokens — the RAG/context-window preprocessing step. A
+    purely narrow plan (posexplode + slice): zero shuffle at any scale;
+    chunk boundaries engine-portable (oracle reproduces them exactly)."""
+    from preprocessor_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=16, overlap=4)
+
+
+def pack_documents_plan(spark, sf_dir):
+    """Concat-and-chop sequence-packing plan (operators/chunking.py):
+    documents laid end-to-end per md5 salt bucket in doc_id order, cut
+    every 256 tokens — pack id + offset from one exclusive running sum per
+    bucket (a single keyed shuffle; buckets pack independently)."""
+    from preprocessor_spark.operators.chunking import pack_concat_chop
+    from preprocessor_spark.operators.text import token_count_expr
+
+    d = _t(spark, sf_dir, "documents")
+    with_n = d.select("doc_id", token_count_expr(F.col("text")).alias("n_tokens"))
+    return pack_concat_chop(with_n, "doc_id", "n_tokens", ctx_len=256, buckets=8)
+
+
+def text_repetition_stats(spark, sf_dir):
+    """Within-document repetition signals (Gopher repetition-removal
+    family, operators/text.py): per-source average duplicate-line fraction
+    and top word-2-gram token coverage."""
+    from preprocessor_spark.operators.text import repetition_exprs
+
+    d = _t(spark, sf_dir, "documents")
+    r = repetition_exprs(F.col("text"), ngram=2)
+    per_doc = d.select("source", *[v.alias(k) for k, v in r.items()])
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dup_line_frac"), 6).alias("avg_dup_line_frac"),
+        F.round(F.avg("top_2gram_token_frac"), 6).alias("avg_top2gram_frac"),
+        F.round(F.max("top_2gram_token_frac"), 6).alias("max_top2gram_frac"),
+    )
+
+
 def embed_pca_project(spark, sf_dir):
     """Distributed PCA (operators/embeddings.py): per-partition moment
     sketches reduced driver-side, numpy eigh, Arrow-batched projection.
@@ -1123,6 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_documents": sample_hash_documents,
         "search_bm25_docs": search_bm25_docs,
         "embed_normalize_quantize": embed_normalize_quantize,
+        "chunk_documents_tokens": chunk_documents_tokens,
+        "pack_documents_plan": pack_documents_plan,
         "ts_features_by_user": ts_features_by_user,
         "prep_datetime_pipeline": prep_datetime_pipeline,
         # -- SQL / join / window surface --
@@ -1136,7 +1179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_counts": semi_anti_counts,
         "outer_join_order_counts": outer_join_order_counts,
         "theta_join_late_lines": theta_join_late_lines,
-        "cross_join_region_nation": cross_join_region_nation,
         "asof_purchase_last_view": asof_purchase_last_view,
         "window_top_order_per_customer": window_top_order_per_customer,
         "window_running_lag": window_running_lag,
@@ -1152,7 +1194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_scalar_funcs": customer_scalar_funcs,
         "date_interval_funcs": date_interval_funcs,
         "tumbling_json_events": tumbling_json_events,
-        "sql_api_revenue": sql_api_revenue,
         # -- preprocessor lifecycle --
         "prep_full_transform": prep_full_transform,
         "prep_roundtrip": prep_roundtrip,
@@ -1168,7 +1209,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all_tagged": union_all_tagged,
         "supplier_region_balance": supplier_region_balance,
         "string_funcs": string_funcs,
+        "cross_join_region_nation": cross_join_region_nation,
+        "sql_api_revenue": sql_api_revenue,
         "domain_temperature_mix": domain_temperature_mix,
+        "text_repetition_stats": text_repetition_stats,
         # rows-only checks (no SQL oracle by design):
         "embed_pca_project": embed_pca_project,
         "approx_distinct_parts": approx_distinct_parts,
@@ -1700,6 +1744,90 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(weight, 6) AS weight,
                    ROUND(LEAST(300.0e0 * weight / n_docs, 1.0e0), 6) AS sample_fraction
             FROM w
+        """,
+        "chunk_documents_tokens": """
+            -- stride = chunk_tokens - overlap = 16 - 4 = 12
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+                FROM documents
+            ), c AS (
+                SELECT doc_id, toks,
+                       CASE WHEN len(toks) > 0
+                            THEN CAST(floor((greatest(len(toks) - 4, 1) + 11) / 12.0e0) AS INT)
+                            ELSE 0 END AS n_chunks
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(toks, i * 12 + 1, i * 12 + 16)) AS BIGINT)
+                       AS n_chunk_tokens,
+                   array_to_string(list_slice(toks, i * 12 + 1, i * 12 + 16), ' ')
+                       AS chunk_text
+            FROM c, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+            WHERE n_chunks > 0
+        """,
+        "pack_documents_plan": """
+            WITH d AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                           AS n_tokens,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 10000 % 8 AS bucket
+                FROM documents
+            ), w AS (
+                SELECT doc_id, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY bucket ORDER BY doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                           AS cb
+                FROM d
+            )
+            SELECT doc_id, bucket, n_tokens,
+                   CAST(floor(cb / 256.0e0) AS BIGINT) AS pack_id,
+                   cb % 256 AS start_offset
+            FROM w
+        """,
+        "text_repetition_stats": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       list_transform(
+                           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+                           x -> lower(x)) AS toks,
+                       list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+                FROM documents
+            ), per_doc AS (
+                SELECT doc_id, source,
+                       len(toks) AS n_tok,
+                       len(lines) AS n_lines,
+                       len(list_distinct(lines)) AS n_dist_lines,
+                       greatest(len(toks) - 1, 0) AS n_grams,
+                       toks
+                FROM t
+            ), grams AS (
+                SELECT doc_id, array_to_string(list_slice(toks, i, i + 1), ' ') AS g
+                FROM per_doc, unnest(generate_series(1, n_grams)) AS u(i)
+                WHERE n_grams > 0
+            ), topg AS (
+                SELECT doc_id, MAX(cnt) AS top_count
+                FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g)
+                GROUP BY doc_id
+            ), signals AS (
+                SELECT p.source,
+                       CASE WHEN p.n_lines > 0
+                            THEN (p.n_lines - p.n_dist_lines) / CAST(p.n_lines AS DOUBLE)
+                            ELSE 0.0e0 END AS dup_line_frac,
+                       CASE WHEN p.n_tok > 0
+                            THEN COALESCE(tg.top_count, 0) * 2 / CAST(p.n_tok AS DOUBLE)
+                            ELSE 0.0e0 END AS top2
+                FROM per_doc p LEFT JOIN topg tg USING (doc_id)
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   ROUND(AVG(dup_line_frac), 6) AS avg_dup_line_frac,
+                   ROUND(AVG(top2), 6) AS avg_top2gram_frac,
+                   ROUND(MAX(top2), 6) AS max_top2gram_frac
+            FROM signals GROUP BY source
         """,
         "text_quality_by_source": """
             SELECT source, COUNT(*) AS n_docs,

@@ -57,6 +57,8 @@ HEADLINE = [
     "search_bm25_docs",
     "embed_normalize_quantize",
     "embed_pca_project",
+    "chunk_documents_tokens",
+    "pack_documents_plan",
 ]
 
 

@@ -151,6 +151,57 @@ def gopher_filter(df: DataFrame, text_col: str, **thresholds) -> DataFrame:
     return df.filter(rules["gopher_pass"])
 
 
+def repetition_exprs(text: Column, ngram: int = 2) -> dict[str, Column]:
+    """Within-document repetition signals (the Gopher repetition-removal
+    family): duplicate-line fraction, duplicate-line character fraction,
+    and the fraction of characters covered by the most frequent word
+    n-gram. Pure JVM array expressions.
+
+    The n-gram mode is O(distinct-grams × grams) per document — fine for
+    web-scale documents (cost is per-row, embarrassingly parallel, no
+    shuffle), but for megabyte-scale documents prefer a numpy pandas-UDF
+    twin (cf. rolling_hash_fingerprint_udf).
+    """
+    lines = F.filter(F.split(text, r"\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    nl = F.when(n_lines > 0, n_lines.cast("double"))
+    dist_lines = F.array_distinct(lines)
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    dist_chars = F.aggregate(dist_lines, F.lit(0), lambda a, x: a + F.length(x))
+    lc = F.when(line_chars > 0, line_chars.cast("double"))
+
+    toks = F.transform(tokens_expr(text), lambda t: F.lower(t))
+    n_tok = F.size(toks)
+    # word n-grams as joined strings: positions 1 .. n_tok-ngram+1
+    n_grams = F.greatest(n_tok - F.lit(ngram - 1), F.lit(0))
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = F.transform(
+        F.array_distinct(grams), lambda g: F.size(F.filter(grams, lambda x: x == g))
+    )
+    top_count = F.coalesce(F.array_max(counts), F.lit(0))
+    # chars covered by the top n-gram ≈ top_count · mean gram length; use
+    # token-count coverage (engine-portable, length-free): tokens inside
+    # repeated occurrences of the top gram / total tokens.
+    top_token_frac = F.when(
+        n_tok > 0, (top_count * ngram).cast("double") / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    return {
+        "dup_line_frac": F.coalesce(
+            (n_lines - F.size(dist_lines)).cast("double") / nl, F.lit(0.0)
+        ),
+        "dup_line_char_frac": F.coalesce(
+            (line_chars - dist_chars).cast("double") / lc, F.lit(0.0)
+        ),
+        f"top_{ngram}gram_token_frac": top_token_frac,
+    }
+
+
 def fingerprint_expr(text: Column) -> Column:
     """Order-insensitive document fingerprint: sorted distinct lowercased
     tokens, joined and hashed (xxhash64). Robust to token reordering /

@@ -98,6 +98,32 @@ def stateful_running_totals(events: DataFrame, key: str = "user_id") -> DataFram
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on a key within a time interval: a right
+    event matches a left event at most ``max_delay`` AFTER it (the
+    view→purchase attribution shape). Both sides carry watermarks and the
+    join condition bounds event-time distance, so Spark can expire buffered
+    state — without the interval bound a stream-stream join's state grows
+    forever. State per side ≈ watermark-horizon's worth of rows, sharded by
+    the equi-key (scales with key cardinality, not stream length)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
+
+
 def enrich_with_static(stream_df: DataFrame, static_df: DataFrame, on: list[str], how: str = "left") -> DataFrame:
     """Stream-static join: every micro-batch joins against the (batch) dim
     table — the standard streaming enrichment shape. The static side is

@@ -880,3 +880,178 @@ def test_pca_validates(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError):
         pca_fit(e, k=1000)
+
+
+# ---------------------------------------------------------------------------
+# chunking / packing
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_hand_case(spark):
+    from preprocessor_spark.operators.chunking import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text), (2, ""), (3, "only three words here")],
+                               "doc_id bigint, text string")
+    out = chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # stride 3, 10 tokens -> ceil((10-1)/3) = 3 chunks at 0,3,6; the last
+    # reaches the final token and no chunk is pure overlap
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w3 w4 w5 w6"
+    assert c1[2]["chunk_text"] == "w6 w7 w8 w9"
+    # empty doc -> no chunks
+    assert 2 not in by_doc
+    # short doc -> one chunk
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_chunk_tokens"] == 4
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_plan_is_narrow(spark, sf_dir):
+    from preprocessor_spark.operators.chunking import chunk_documents
+    from preprocessor_spark.plans import formatted_plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(chunk_documents(d))
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_concat_chop_invariants(spark, sf_dir):
+    import pandas as pd
+
+    from preprocessor_spark.operators.chunking import pack_concat_chop
+    from preprocessor_spark.operators.text import token_count_expr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_n = d.select("doc_id", token_count_expr(F.col("text")).alias("n_tokens"))
+    out = pack_concat_chop(with_n, ctx_len=256, buckets=8).toPandas()
+    assert len(out) == d.count()
+    assert (out["start_offset"] < 256).all() and (out["start_offset"] >= 0).all()
+    # recompute the running layout per bucket in pandas and compare exactly
+    for bucket, grp in out.groupby("bucket"):
+        grp = grp.sort_values("doc_id")
+        cum = grp["n_tokens"].cumsum().shift(fill_value=0)
+        assert (grp["pack_id"].to_numpy() == (cum // 256).to_numpy()).all()
+        assert (grp["start_offset"].to_numpy() == (cum % 256).to_numpy()).all()
+    # deterministic under repartition
+    out2 = pack_concat_chop(with_n.repartition(11), ctx_len=256, buckets=8).toPandas()
+    key = ["doc_id"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = out2.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_first_fit_invariants(spark, sf_dir):
+    from preprocessor_spark.operators.chunking import pack_first_fit
+    from preprocessor_spark.operators.text import token_count_expr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_n = d.select("doc_id", token_count_expr(F.col("text")).alias("n_tokens"))
+    out = pack_first_fit(with_n, ctx_len=64, buckets=8).toPandas()
+    assert len(out) == d.count()
+    # no pack exceeds ctx unless it is a single oversized doc
+    fill = out.groupby(["bucket", "pack_id"]).agg(total=("n_tokens", "sum"), n=("n_tokens", "size"))
+    over = fill[fill["total"] > 64]
+    assert (over["n"] == 1).all(), over
+    # pack_used is the running fill within the bin and ends at the bin total
+    ends = out.groupby(["bucket", "pack_id"])["pack_used"].max()
+    assert (ends == fill["total"]).all()
+
+
+def test_pack_first_fit_oversized_doc(spark):
+    from preprocessor_spark.operators.chunking import pack_first_fit
+
+    df = spark.createDataFrame(
+        [(1, 500), (2, 30), (3, 40), (4, 500)], "doc_id bigint, n_tokens bigint"
+    )
+    out = pack_first_fit(df, ctx_len=100, buckets=1).toPandas()
+    oversized = out[out["n_tokens"] == 500]
+    # each oversized doc is alone in its pack
+    for _, r in oversized.iterrows():
+        mates = out[(out["bucket"] == r["bucket"]) & (out["pack_id"] == r["pack_id"])]
+        assert len(mates) == 1
+    # the small docs share one pack (30+40 <= 100)
+    small = out[out["n_tokens"] < 100]
+    assert small["pack_id"].nunique() == 1
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+def test_repetition_hand_cases(spark):
+    from preprocessor_spark.operators.text import repetition_exprs
+
+    rows = [
+        ("dup_lines", "alpha one\nalpha one\nbeta two"),
+        ("rep_grams", "x y x y x"),
+        ("clean", "all words are fully distinct here"),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, "name string, text string")
+    r = repetition_exprs(F.col("text"), ngram=2)
+    got = {row["name"]: row.asDict()
+           for row in df.select("name", *[v.alias(k) for k, v in r.items()]).collect()}
+    d = got["dup_lines"]
+    assert d["dup_line_frac"] == pytest.approx(1 / 3)
+    assert d["dup_line_char_frac"] == pytest.approx(9 / 26)
+    g = got["rep_grams"]  # grams: "x y","y x","x y","y x" -> top=2; 2*2/5 tokens
+    assert g[f"top_2gram_token_frac"] == pytest.approx(0.8)
+    assert got["clean"]["dup_line_frac"] == 0.0
+    assert got["clean"]["top_2gram_token_frac"] == pytest.approx(2 / 6)
+    e = got["empty"]
+    assert e["dup_line_frac"] == 0.0 and e["top_2gram_token_frac"] == 0.0
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Stream-stream interval join drained with availableNow must equal the
+    batch interval join over the same files (views joined to purchases of
+    the same user within 1 hour after the view)."""
+    import __spark_entry__ as em
+    from preprocessor_spark.streaming import interval_join_streams, read_events_stream
+
+    events = em._t(spark, sf_dir, "events").limit(2000)
+    views = events.filter("event_type = 'view'").select("user_id", "ts", "event_id")
+    buys = (
+        events.filter("event_type = 'purchase'")
+        .select(F.col("user_id"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_event_id"))
+    )
+    lsrc, rsrc = str(tmp_path / "views"), str(tmp_path / "buys")
+    views.write.mode("overwrite").parquet(lsrc)
+    buys.write.mode("overwrite").parquet(rsrc)
+
+    ls = read_events_stream(spark, lsrc, schema="user_id bigint, ts timestamp, event_id bigint")
+    rs = read_events_stream(spark, rsrc, schema="user_id bigint, r_ts timestamp, r_event_id bigint")
+    joined = interval_join_streams(ls, rs, max_delay="1 hour")
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.table("ssjoin").select("event_id", "r_event_id").collect()
+    }
+
+    want = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.read.parquet(lsrc)
+        .alias("l")
+        .join(
+            spark.read.parquet(rsrc).alias("r"),
+            F.expr("l.user_id = r.user_id AND r.r_ts >= l.ts AND r.r_ts <= l.ts + INTERVAL 1 HOUR"),
+        )
+        .select("l.event_id", "r.r_event_id")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
