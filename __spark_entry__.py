@@ -647,6 +647,22 @@ def text_repetition_stats(spark, sf_dir):
     )
 
 
+def top_terms_skewed(spark, sf_dir):
+    """Corpus heavy hitters through the salted two-stage aggregation
+    (operators/skew.py): term frequencies are textbook power-law skew — the
+    hot terms' partial counts aggregate per (term, salt) sub-bucket, then a
+    cheap per-term merge. Top 20 by count with deterministic tie-break."""
+    from preprocessor_spark.operators.search import search_tokens_expr
+    from preprocessor_spark.operators.skew import two_stage_agg
+
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(F.explode(search_tokens_expr(F.col("text"))).alias("term"))
+    counts = two_stage_agg(terms, ["term"], {"n": ("count",)}, salt_buckets=8)
+    return counts.select("term", F.col("n").cast("bigint").alias("n")).orderBy(
+        F.desc("n"), F.asc("term")
+    ).limit(20)
+
+
 def embed_pca_project(spark, sf_dir):
     """Distributed PCA (operators/embeddings.py): per-partition moment
     sketches reduced driver-side, numpy eigh, Arrow-batched projection.
@@ -1213,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_api_revenue": sql_api_revenue,
         "domain_temperature_mix": domain_temperature_mix,
         "text_repetition_stats": text_repetition_stats,
+        "top_terms_skewed": top_terms_skewed,
         # rows-only checks (no SQL oracle by design):
         "embed_pca_project": embed_pca_project,
         "approx_distinct_parts": approx_distinct_parts,
@@ -1828,6 +1845,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(top2), 6) AS avg_top2gram_frac,
                    ROUND(MAX(top2), 6) AS max_top2gram_frac
             FROM signals GROUP BY source
+        """,
+        "top_terms_skewed": """
+            SELECT term, COUNT(*) AS n
+            FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                FROM documents
+            )
+            GROUP BY term
+            ORDER BY n DESC, term ASC
+            LIMIT 20
         """,
         "text_quality_by_source": """
             SELECT source, COUNT(*) AS n_docs,

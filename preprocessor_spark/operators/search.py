@@ -7,11 +7,14 @@ regardless of corpus size. Corpus-level statistics (N, avgdl) are one
 aggregate broadcast back as a literal-free cross join of a 1-row frame;
 per-term document frequencies are at most |query| rows, joined broadcast.
 
-Scale shape at 100 TB: one scan of the corpus projecting (id, dl,
-matched terms only) → groupBy(id, term) partial-count → two broadcast
-joins (1-row stats, |query|-row df) → groupBy(id) score sum → top-k via
-TakeOrderedAndProject. No full inverted index is materialized; for a
-standing index, persist the exploded postings bucketed by term.
+Scale shape at 100 TB: two corpus scans — one aggregate for (N, avgdl),
+one projecting (id, dl, matched terms only) → groupBy(id, term)
+partial-count into a persisted matched-postings frame (re-referenced by
+the df branch and the scoring join; without the cache each branch would
+re-scan the corpus) → two broadcast joins (1-row stats, |query|-row df)
+→ groupBy(id) score sum → top-k via TakeOrderedAndProject. No full
+inverted index is materialized; for a standing index, persist the
+exploded postings bucketed by term.
 
 BM25 formula (public, Robertson–Sparck Jones): idf = ln(1 + (N − df +
 0.5)/(df + 0.5)); score = Σ_t idf_t · tf·(k1+1)/(tf + k1·(1 − b +
@@ -22,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from preprocessor_spark.caching import register_persisted
 
 _WORD_RE = "[a-z0-9]+"
 
@@ -62,8 +67,15 @@ def bm25_scores(
     postings = with_dl.select("__id", "__dl", F.explode("__toks").alias("__term")).filter(
         F.col("__term").isin(terms)
     )
-    tf = postings.groupBy("__id", "__term").agg(
-        F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
+    # persisted: both the per-term document frequencies and the scoring join
+    # re-reference tf — without the cache each branch re-scans and re-explodes
+    # the whole corpus (lineage recompute). Lifetime is caller-managed via
+    # persist_scope (preprocessor_spark.caching); tf holds only matched
+    # postings, a tiny fraction of the corpus.
+    tf = register_persisted(
+        postings.groupBy("__id", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl"))
+        .persist()
     )
 
     # Per-term document frequency: at most |query| rows — broadcast.
