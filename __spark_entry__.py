@@ -647,6 +647,19 @@ def text_repetition_stats(spark, sf_dir):
     )
 
 
+def hll_user_rollup(spark, sf_dir):
+    """Mergeable-sketch distinct rollup (operators/sketches.py): per-
+    (event_type, day) HLL sketches unioned to per-type approx distinct
+    users — the 100 TB pattern where coarse rollups read the sketch table,
+    never the raw events. Rows-only: sketch estimates are approximate by
+    design (pytest asserts <5% error vs exact)."""
+    from preprocessor_spark.operators.sketches import distinct_rollup
+
+    e = _t(spark, sf_dir, "events")
+    fine = [F.col("event_type"), F.to_date("ts").alias("day")]
+    return distinct_rollup(e, fine, ["event_type"], "user_id")
+
+
 def top_terms_skewed(spark, sf_dir):
     """Corpus heavy hitters through the salted two-stage aggregation
     (operators/skew.py): term frequencies are textbook power-law skew — the
@@ -1232,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms_skewed": top_terms_skewed,
         # rows-only checks (no SQL oracle by design):
         "embed_pca_project": embed_pca_project,
+        "hll_user_rollup": hll_user_rollup,
         "approx_distinct_parts": approx_distinct_parts,
         "prep_quantile_scale": prep_quantile_scale,
         "dedup_minhash_pairs": dedup_minhash_pairs,

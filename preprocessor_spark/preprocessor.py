@@ -593,6 +593,18 @@ class Preprocessor:
             "backward",
             "interpolate",
         )
+        if needs_order and data.isStreaming:
+            # every other step is a pure fitted-state projection and streams
+            # as-is; order-dependent steps need a total order that a stream
+            # cannot provide — fail with the reason instead of an obscure
+            # sort-on-stream AnalysisException deep in the plan
+            raise ValueError(
+                "transform() on a streaming DataFrame is not supported when "
+                "datetime features exist or num_fill_null is forward/backward/"
+                "interpolate: these steps require a total row order. Fit "
+                "without order-dependent steps, or process the stream with "
+                "foreachBatch and transform each micro-batch."
+            )
         if needs_order:
             data = data.withColumn(row_order, F.monotonically_increasing_id())
 

@@ -1055,3 +1055,95 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch rollups
+# ---------------------------------------------------------------------------
+
+def test_hll_rollup_close_to_exact(spark, sf_dir):
+    from preprocessor_spark.operators.sketches import distinct_rollup
+
+    import __spark_entry__ as em
+
+    e = em._t(spark, sf_dir, "events")
+    fine = [F.col("event_type"), F.to_date("ts").alias("day")]
+    got = {
+        r["event_type"]: r["approx_distinct"]
+        for r in distinct_rollup(e, fine, ["event_type"], "user_id").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) / n < 0.05, (k, got[k], n)
+
+
+def test_hll_union_equals_direct_sketch(spark, sf_dir):
+    """Merging per-day sketches must estimate the same as sketching the
+    whole column directly — the mergeability contract that makes sketch
+    tables safe to roll up without rescanning raw data."""
+    from preprocessor_spark.operators.sketches import distinct_rollup, hll_sketches
+
+    import __spark_entry__ as em
+
+    e = em._t(spark, sf_dir, "events")
+    merged = distinct_rollup(
+        e, [F.to_date("ts").alias("day")], [], "user_id"
+    ).collect()[0]["approx_distinct"]
+    direct = (
+        hll_sketches(e, [F.lit(1).alias("g")], "user_id")
+        .select(F.hll_sketch_estimate("hll").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert merged == direct
+
+
+def test_streaming_transform_with_fitted_preprocessor(spark, sf_dir, tmp_path):
+    """The unified-API payoff: a Preprocessor fitted on a batch frame
+    transforms a STREAMING frame with the same code path (transform is a
+    pure fitted-state projection when no order-dependent step is
+    configured), and the drained result equals the batch transform."""
+    from preprocessor_spark import Preprocessor
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    prep = Preprocessor(c, scaling="standardize", num_fill_null="mean")
+    src = str(tmp_path / "cust_stream")
+    c.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "c_custkey bigint, c_acctbal double, c_mktsegment string"
+    ).parquet(src)
+    out = prep.transform(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("prep_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("prep_stream").toPandas()
+    want = prep.transform(c).toPandas()
+    assert sorted(got.columns) == sorted(want.columns)
+    key = "c_custkey"
+    got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_streaming_transform_rejects_order_dependent_config(spark, sf_dir, tmp_path):
+    from preprocessor_spark import Preprocessor
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_acctbal")
+    prep = Preprocessor(c, scaling="normalize", num_fill_null="forward")
+    src = str(tmp_path / "cust_ff")
+    c.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("c_custkey bigint, c_acctbal double").parquet(src)
+    with pytest.raises(ValueError, match="total row order"):
+        prep.transform(stream)
