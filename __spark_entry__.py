@@ -647,6 +647,65 @@ def text_repetition_stats(spark, sf_dir):
     )
 
 
+def pii_redaction_stats(spark, sf_dir):
+    """PII scrubbing (operators/text.py): deterministic synthetic PII is
+    injected (the corpus has none), counted per category, redacted, and the
+    residual count proves the scrub is total. Chained regexp_replace in one
+    projection; RE2-compatible patterns so the oracle redacts identically."""
+    from preprocessor_spark.operators.text import pii_count_exprs, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    salted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" ip 192.168."), (F.col("doc_id") % 250).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    counts = pii_count_exprs(F.col("text"))
+    both = salted.select(
+        "source",
+        counts["n_email"].alias("n_email"),
+        counts["n_ipv4"].alias("n_ipv4"),
+    )
+    red = redact_pii(salted, "text").select(
+        "source",
+        (pii_count_exprs(F.col("text"))["n_email"]
+         + pii_count_exprs(F.col("text"))["n_ipv4"]).alias("n_residual"),
+        F.when(F.col("text").contains("<PII>"), F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("was_redacted"),
+    )
+    a = both.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+    )
+    b = red.groupBy("source").agg(
+        F.sum("n_residual").alias("n_residual"),
+        F.sum("was_redacted").alias("n_redacted_docs"),
+    )
+    return a.join(b, "source")
+
+
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination (operators/contamination.py): docs sharing
+    >=1 distinct word-8-gram with the 'benchmark' (docs 0-19) — broadcast
+    benchmark grams, narrow corpus explode, one keyed count. md5_64 gram
+    hashing so the oracle reproduces the join bit-for-bit."""
+    from preprocessor_spark.operators.contamination import contamination_hits
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 20)
+    hits = contamination_hits(d, bench, ngram=8, hash_fn="md5_64")
+    return hits.select("doc_id", "n_contaminated_grams").orderBy("doc_id")
+
+
 def hll_user_rollup(spark, sf_dir):
     """Mergeable-sketch distinct rollup (operators/sketches.py): per-
     (event_type, day) HLL sketches unioned to per-type approx distinct
@@ -1243,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_temperature_mix": domain_temperature_mix,
         "text_repetition_stats": text_repetition_stats,
         "top_terms_skewed": top_terms_skewed,
+        "pii_redaction_stats": pii_redaction_stats,
+        "contamination_check": contamination_check,
         # rows-only checks (no SQL oracle by design):
         "embed_pca_project": embed_pca_project,
         "hll_user_rollup": hll_user_rollup,
@@ -1869,6 +1930,73 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY term
             ORDER BY n DESC, term ASC
             LIMIT 20
+        """,
+        "pii_redaction_stats": """
+            WITH salted AS (
+                SELECT doc_id, source,
+                       text
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' ip 192.168.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+                               ELSE '' END AS text
+                FROM documents
+            ), red AS (
+                SELECT source,
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(text,
+                                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<PII>', 'g'),
+                                   '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<PII>', 'g'),
+                               '\\+\\d[\\d().-]{7,}\\d', '<PII>', 'g'),
+                           '\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b', '<PII>', 'g') AS rtext
+                FROM salted
+            ), a AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email,
+                       CAST(SUM(len(regexp_extract_all(text,
+                           '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b'))) AS BIGINT) AS n_ipv4
+                FROM salted GROUP BY source
+            ), b AS (
+                SELECT source,
+                       CAST(SUM(len(regexp_extract_all(rtext,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                            + len(regexp_extract_all(rtext,
+                               '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b'))) AS BIGINT) AS n_residual,
+                       CAST(SUM(CASE WHEN contains(rtext, '<PII>') THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_redacted_docs
+                FROM red GROUP BY source
+            )
+            SELECT a.source, a.n_docs, a.n_email, a.n_ipv4, b.n_residual, b.n_redacted_docs
+            FROM a JOIN b ON a.source = b.source
+        """,
+        "contamination_check": """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+                           x -> lower(x)) AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 7, 0)),
+                           i -> CAST(('0x' || substr(md5(array_to_string(
+                               list_slice(toks, i, i + 7), ' ')), 1, 8)) AS BIGINT)
+                       )) AS grams
+                FROM tok
+            ), bench AS (
+                SELECT DISTINCT unnest(grams) AS gh FROM g WHERE doc_id < 20
+            ), corpus AS (
+                SELECT doc_id, unnest(grams) AS gh FROM g
+            )
+            SELECT c.doc_id, COUNT(*) AS n_contaminated_grams
+            FROM corpus c JOIN bench b USING (gh)
+            GROUP BY c.doc_id
+            ORDER BY c.doc_id
         """,
         "text_quality_by_source": """
             SELECT source, COUNT(*) AS n_docs,

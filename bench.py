@@ -59,6 +59,10 @@ HEADLINE = [
     "embed_pca_project",
     "chunk_documents_tokens",
     "pack_documents_plan",
+    "pii_redaction_stats",
+    "contamination_check",
+    "hll_user_rollup",
+    "top_terms_skewed",
 ]
 
 

@@ -151,6 +151,38 @@ def gopher_filter(df: DataFrame, text_col: str, **thresholds) -> DataFrame:
     return df.filter(rules["gopher_pass"])
 
 
+# PII patterns kept RE2-compatible (no backrefs / lookaround) so every
+# engine in the pipeline — Spark (Java regex), DuckDB (RE2), re2-based
+# scrubbers — applies the SAME redaction.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d[\d().-]{7,}\d",
+    "cc16": r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b",
+}
+
+
+def pii_count_exprs(text: Column) -> dict[str, Column]:
+    """Per-category PII match counts (regexp_count — JVM, codegen)."""
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, token: str = "<PII>", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Replace every PII match with ``token`` — chained regexp_replace,
+    one projection, no Python. Pattern order is deterministic (dict order);
+    email runs before phone so the digits inside an address aren't half
+    eaten by the phone pattern."""
+    out = F.col(text_col)
+    for pat in (patterns or PII_PATTERNS).values():
+        out = F.regexp_replace(out, pat, token)
+    return df.withColumn(text_col, out)
+
+
 def repetition_exprs(text: Column, ngram: int = 2) -> dict[str, Column]:
     """Within-document repetition signals (the Gopher repetition-removal
     family): duplicate-line fraction, duplicate-line character fraction,

@@ -1147,3 +1147,78 @@ def test_streaming_transform_rejects_order_dependent_config(spark, sf_dir, tmp_p
     stream = spark.readStream.schema("c_custkey bigint, c_acctbal double").parquet(src)
     with pytest.raises(ValueError, match="total row order"):
         prep.transform(stream)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / decontamination
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_hand_cases(spark):
+    from preprocessor_spark.operators.text import pii_count_exprs, redact_pii
+
+    rows = [
+        (1, "mail me at john.doe+spam@corp.example.org today"),
+        (2, "server 10.0.255.3 answered then 192.168.1.1 dropped"),
+        (3, "call +1 (555) 123-4567"),  # phone pattern needs digit bounds
+        (4, "card 4111 1111 1111 1111 expires soon"),
+        (5, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    red = {r["id"]: r["text"] for r in redact_pii(df, "text").collect()}
+    assert red[1] == "mail me at <PII> today"
+    assert red[2] == "server <PII> answered then <PII> dropped"
+    assert "<PII>" in red[4] and "4111" not in red[4]
+    assert red[5] == "nothing sensitive here at all"
+    counts = df.select("id", *pii_count_exprs(F.col("text")).values()).collect()
+    by_id = {r["id"]: r.asDict() for r in counts}
+    assert by_id[1]["n_email"] == 1 and by_id[2]["n_ipv4"] == 2
+    # redaction is total: zero residual matches
+    residual = redact_pii(df, "text")
+    res = residual.select(*pii_count_exprs(F.col("text")).values()).toPandas()
+    assert res.to_numpy().sum() == 0
+
+
+def test_contamination_finds_planted_overlap(spark):
+    from preprocessor_spark.operators.contamination import contamination_hits, decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    rows = [
+        (1, f"intro words then {bench_text} and a conclusion"),  # contains benchmark
+        (2, "completely unrelated content about query engines and storage"),
+        (3, bench_text),  # the benchmark itself
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id bigint, text string")
+    hits = {r["doc_id"]: r["n_contaminated_grams"]
+            for r in contamination_hits(docs, bench, ngram=8).collect()}
+    assert 1 in hits and 3 in hits and 2 not in hits
+    assert hits[3] == 4  # 11 tokens -> 4 distinct 8-grams, all shared
+    clean = decontaminate(docs, bench, ngram=8)
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+
+
+def test_contamination_hash_fns_agree(spark):
+    from preprocessor_spark.operators.contamination import contamination_hits
+
+    docs = spark.createDataFrame(
+        [(i, f"shared prefix tokens one two three four five six seven eight doc{i}") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    bench = docs.filter("doc_id = 0")
+    a = {(r["doc_id"], r["n_contaminated_grams"])
+         for r in contamination_hits(docs, bench, ngram=8, hash_fn="xxhash64").collect()}
+    b = {(r["doc_id"], r["n_contaminated_grams"])
+         for r in contamination_hits(docs, bench, ngram=8, hash_fn="md5_64").collect()}
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError):
+        contamination_hits(docs, bench, hash_fn="sha9000")
+
+
+def test_contamination_plan_broadcasts_benchmark(spark, sf_dir):
+    from preprocessor_spark.operators.contamination import contamination_hits
+    from preprocessor_spark.plans import formatted_plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = formatted_plan(contamination_hits(d, d.limit(20)))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
