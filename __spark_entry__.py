@@ -1012,6 +1012,91 @@ def semi_anti_counts(spark, sf_dir):
     return semi.unionByName(anti)
 
 
+def semi_anti_theta_counts(spark, sf_dir):
+    """Left-semi + left-anti + theta(range-predicate) joins in one tagged
+    output (merges semi_anti_counts + theta_join_late_lines so all three
+    non-equi/filtering join kinds share a single graded window slot)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    base = semi_anti_counts(spark, sf_dir)
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    )
+    theta = (
+        l.join(o, cond)
+        .groupBy(F.col("o_orderstatus").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("theta").alias("src"), "grp", "n")
+    )
+    return base.unionByName(theta)
+
+
+def window_orders_family(spark, sf_dir):
+    """Running total + lag diff + trailing-30d RANGE frame + row_number
+    top-per-group flag, all over windows partitioned by the SAME key
+    (merges window_running_lag + window_trailing_30d +
+    window_top_order_per_customer). One exchange on o_custkey feeds every
+    frame — Catalyst reuses the partitioning across the sorts, so the merge
+    is strictly cheaper than three separate scans at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    wb = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    w = wb.rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias("running_total"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(wb)).alias("price_diff"),
+        F.count(F.lit(1)).over(wr).alias("n_trailing_30d"),
+        (F.row_number().over(wp) == 1).cast("int").alias("is_top_order"),
+    )
+
+
+def rollup_cube_grouping(spark, sf_dir):
+    """ROLLUP and CUBE with grouping_id in one tagged union (merges
+    agg_rollup + cube_grouping_agg). grouping_id disambiguates a real NULL
+    group value from a subtotal row — both engines follow the SQL-standard
+    bit order (first grouping column = most significant bit)."""
+    l = _t(spark, sf_dir, "lineitem")
+    aggs = [
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.grouping_id().alias("gid"),
+    ]
+    r = (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("rollup").alias("op"), "l_returnflag", "l_linestatus", "n_items", "sum_qty", "gid")
+    )
+    c = (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(*aggs)
+        .select(F.lit("cube").alias("op"), "l_returnflag", "l_linestatus", "n_items", "sum_qty", "gid")
+    )
+    return r.unionByName(c)
+
+
+def agg_distinct_argminmax(spark, sf_dir):
+    """count-distinct + exact percentiles + argmin/argmax in one grouped
+    pass (merges agg_distinct_percentile + agg_min_max_by). min_by/max_by
+    tie-break on orderkey via the struct ordering so both engines pick the
+    same row deterministically."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.min_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("cheapest_order"),
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("priciest_order"),
+    )
+
+
 def window_running_lag(spark, sf_dir):
     """Running total + lag diff over the same window (merges
     window_running_total + window_lag_diff)."""
@@ -1082,17 +1167,23 @@ def tumbling_json_events(spark, sf_dir):
 
 
 def prep_value_counts_case(spark, sf_dir):
-    """value_counts + conditional (when/otherwise) bucketing (merges
-    prep_value_counts + case_bucket_customers)."""
+    """value_counts + conditional (when/otherwise) bucketing + HAVING
+    (merges prep_value_counts + case_bucket_customers; the post-agg count
+    filter also carries the HAVING coverage from having_frequent_customers,
+    which stays registered past the window)."""
     c = _t(spark, sf_dir, "customer")
     bucket = (
         F.when(F.col("c_acctbal") < 0, "negative")
         .when(F.col("c_acctbal") < 5000, "low")
         .otherwise("high")
     )
-    return c.groupBy(F.col("c_mktsegment").alias("label"), bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_acctbal"),
+    return (
+        c.groupBy(F.col("c_mktsegment").alias("label"), bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("total_acctbal"),
+        )
+        .filter(F.col("cnt") > 5)
     )
 
 
@@ -1256,6 +1347,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents_plan": pack_documents_plan,
         "ts_features_by_user": ts_features_by_user,
         "prep_datetime_pipeline": prep_datetime_pipeline,
+        # -- LLM-pipeline family, continued (pulled inside the window by the
+        # relational merges below — round-1 verdict task) --
+        "domain_temperature_mix": domain_temperature_mix,
+        "text_repetition_stats": text_repetition_stats,
+        "top_terms_skewed": top_terms_skewed,
+        "pii_redaction_stats": pii_redaction_stats,
+        "contamination_check": contamination_check,
         # -- SQL / join / window surface --
         "null_safe_join_parts": null_safe_join_parts,
         "subqueries_sql": subqueries_sql,
@@ -1264,20 +1362,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_orders": q3_top_orders,
         "q5_region_revenue": q5_region_revenue,
-        "semi_anti_counts": semi_anti_counts,
+        "semi_anti_theta_counts": semi_anti_theta_counts,
         "outer_join_order_counts": outer_join_order_counts,
-        "theta_join_late_lines": theta_join_late_lines,
+        "cross_join_region_nation": cross_join_region_nation,
         "asof_purchase_last_view": asof_purchase_last_view,
-        "window_top_order_per_customer": window_top_order_per_customer,
-        "window_running_lag": window_running_lag,
-        "window_trailing_30d": window_trailing_30d,
+        "window_orders_family": window_orders_family,
         "setops_all": setops_all,
-        "agg_rollup": agg_rollup,
-        "cube_grouping_agg": cube_grouping_agg,
-        "agg_distinct_percentile": agg_distinct_percentile,
+        "rollup_cube_grouping": rollup_cube_grouping,
+        "agg_distinct_argminmax": agg_distinct_argminmax,
         "agg_distinct_collect": agg_distinct_collect,
-        "agg_min_max_by": agg_min_max_by,
-        "having_frequent_customers": having_frequent_customers,
         "pivot_status_counts": pivot_status_counts,
         "customer_scalar_funcs": customer_scalar_funcs,
         "date_interval_funcs": date_interval_funcs,
@@ -1297,13 +1390,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_all_tagged": union_all_tagged,
         "supplier_region_balance": supplier_region_balance,
         "string_funcs": string_funcs,
-        "cross_join_region_nation": cross_join_region_nation,
         "sql_api_revenue": sql_api_revenue,
-        "domain_temperature_mix": domain_temperature_mix,
-        "text_repetition_stats": text_repetition_stats,
-        "top_terms_skewed": top_terms_skewed,
-        "pii_redaction_stats": pii_redaction_stats,
-        "contamination_check": contamination_check,
+        "semi_anti_counts": semi_anti_counts,
+        "theta_join_late_lines": theta_join_late_lines,
+        "window_top_order_per_customer": window_top_order_per_customer,
+        "window_running_lag": window_running_lag,
+        "window_trailing_30d": window_trailing_30d,
+        "agg_rollup": agg_rollup,
+        "cube_grouping_agg": cube_grouping_agg,
+        "agg_distinct_percentile": agg_distinct_percentile,
+        "agg_min_max_by": agg_min_max_by,
+        "having_frequent_customers": having_frequent_customers,
         # rows-only checks (no SQL oracle by design):
         "embed_pca_project": embed_pca_project,
         "hll_user_rollup": hll_user_rollup,
@@ -1369,6 +1466,66 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
             GROUP BY c_mktsegment
+        """,
+        "semi_anti_theta_counts": """
+            SELECT 'semi' AS src, o_orderstatus AS grp, COUNT(*) AS n
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 7000)
+            GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'anti' AS src, c_mktsegment AS grp, COUNT(*) AS n
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+            UNION ALL
+            SELECT 'theta' AS src, o_orderstatus AS grp, COUNT(*) AS n
+            FROM lineitem JOIN orders
+              ON l_orderkey = o_orderkey
+             AND l_shipdate > o_orderdate + INTERVAL 365 DAY
+            GROUP BY o_orderstatus
+        """,
+        "window_orders_family": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+                   o_totalprice - LAG(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS price_diff,
+                   COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_trailing_30d,
+                   CAST(CASE WHEN ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) = 1
+                       THEN 1 ELSE 0 END AS INTEGER) AS is_top_order
+            FROM orders
+        """,
+        "rollup_cube_grouping": """
+            SELECT 'rollup' AS op, l_returnflag, l_linestatus,
+                   COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            UNION ALL
+            SELECT 'cube' AS op, l_returnflag, l_linestatus,
+                   COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "agg_distinct_argminmax": """
+            WITH r AS (
+                SELECT o_orderstatus, o_orderkey, o_custkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max
+                FROM orders
+            )
+            SELECT o_orderstatus,
+                   COUNT(DISTINCT o_custkey) AS n_customers,
+                   COUNT(*) AS n_orders,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+                   MAX(CASE WHEN rn_min = 1 THEN o_orderkey END) AS cheapest_order,
+                   MAX(CASE WHEN rn_max = 1 THEN o_orderkey END) AS priciest_order
+            FROM r GROUP BY o_orderstatus
         """,
         "window_top_order_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (
@@ -1634,7 +1791,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'high' END AS bucket,
                    COUNT(*) AS cnt,
                    CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
-            FROM customer GROUP BY 1, 2
+            FROM customer GROUP BY 1, 2 HAVING COUNT(*) > 5
         """,
         "prep_scale_stats": """
             WITH s AS (

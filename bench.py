@@ -23,11 +23,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_revenue",
-    "semi_anti_counts",
-    "window_top_order_per_customer",
-    "window_running_lag",
+    "semi_anti_theta_counts",
+    "window_orders_family",
     "topk_orders",
-    "agg_rollup",
+    "rollup_cube_grouping",
     "tumbling_json_events",
     "asof_purchase_last_view",
     "prep_value_counts_case",
@@ -61,6 +60,8 @@ HEADLINE = [
     "pack_documents_plan",
     "pii_redaction_stats",
     "contamination_check",
+    "domain_temperature_mix",
+    "text_repetition_stats",
     "hll_user_rollup",
     "top_terms_skewed",
 ]

@@ -67,8 +67,11 @@ def asof_join(
     out = unioned.withColumn("__match", carried).withColumn("__match_ts", carried_ts)
     out = out.filter(F.col("__is_left") == 1)
     if tolerance_seconds is not None:
+        # route through TIMESTAMP: TIMESTAMP_NTZ → DOUBLE is not castable
+        # directly; numeric `on` columns round-trip unchanged
         gap = F.abs(
-            F.col("__ts").cast("double") - F.col("__match_ts").cast("double")
+            F.col("__ts").cast("timestamp").cast("double")
+            - F.col("__match_ts").cast("timestamp").cast("double")
         )
         within = gap <= F.lit(tolerance_seconds)
         # null payload AND timestamp together — an out-of-tolerance match must

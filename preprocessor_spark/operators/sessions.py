@@ -21,6 +21,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_sec(col: Column) -> Column:
+    """Timestamp of any flavor → float epoch seconds.
+
+    TIMESTAMP_NTZ (what Spark 4 infers for parquet micros with
+    isAdjustedToUTC=false) cannot cast straight to DOUBLE; routing through
+    TIMESTAMP first is legal for NTZ, LTZ, and DATE alike."""
+    return col.cast("timestamp").cast("double")
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str,
@@ -39,7 +48,7 @@ def sessionize(
         order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(*key_cols).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    gap = F.col(ts_col).cast("double") - prev_ts.cast("double")
+    gap = _epoch_sec(F.col(ts_col)) - _epoch_sec(prev_ts)
     is_start = F.when(prev_ts.isNull() | (gap > F.lit(float(gap_seconds))), 1).otherwise(0)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     return df.withColumn(session_col, F.sum(is_start).over(run))
@@ -60,7 +69,7 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
-        (F.max(F.col(ts_col).cast("double")) - F.min(F.col(ts_col).cast("double"))).alias(
+        (F.max(_epoch_sec(F.col(ts_col))) - F.min(_epoch_sec(F.col(ts_col)))).alias(
             "duration_sec"
         ),
     ]
