@@ -509,6 +509,82 @@ def split_documents(spark, sf_dir):
     return s.select("doc_id", "split")
 
 
+def text_normalize_docs(spark, sf_dir):
+    """Corpus text normalization (operators/text.py::normalize_text_expr):
+    HTML tags + URLs out, control chars out, unicode punctuation folded to
+    ASCII, whitespace collapsed, lowercased. Documents are deterministically
+    salted with markup/URL/curly-punctuation payloads so the chain provably
+    fires; the DuckDB oracle runs the byte-identical RE2 chain."""
+    from preprocessor_spark.operators.text import normalize_text_expr
+
+    d = _t(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(" <b>Bold</b>\tx  y")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.lit(" see https://ex.ample/p?id="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" “Curly–dash”")).otherwise(F.lit("")),
+    )
+    norm = normalize_text_expr(salted, lowercase=True)
+    return d.select(
+        "doc_id",
+        "source",
+        F.length(salted).cast("bigint").alias("n_chars_raw"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        norm.alias("norm_text"),
+    )
+
+
+def dedup_minhash_corpus(spark, sf_dir):
+    """End-to-end near-dedup user story (operators/dedup.py::
+    minhash_dedup_corpus): MinHash-LSH pairs → connected components → keep
+    cluster-min representative. Rows-only (hash-family specific); per-source
+    kept counts keep the output schema stable and tiny."""
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.dedup import minhash_dedup_corpus as _mdc
+
+    d = _t(spark, sf_dir, "documents")
+    with persist_scope():
+        kept = _mdc(d, "text", "doc_id", num_hashes=64, bands=16, threshold=0.6)
+        return kept.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_kept_doc"),
+        )
+
+
+def sample_stratified_topk(spark, sf_dir):
+    """Exact-k-per-stratum deterministic sampling (operators/sampling.py::
+    stratified_topk_sample): salted-md5 ordering per source, first 5 kept.
+    The DuckDB oracle replays the identical hash ordering."""
+    from preprocessor_spark.operators.sampling import stratified_topk_sample
+
+    d = _t(spark, sf_dir, "documents")
+    s = stratified_topk_sample(d, "doc_id", "source", k=5, salt="r3")
+    return s.select("doc_id", "source")
+
+
+def quantile_sketch_rollup(spark, sf_dir):
+    """Mergeable quantile-sketch rollup (operators/sketches.py): fine
+    (returnflag, linestatus) landmark sketches merged up to returnflag and
+    read at p50/p90. Rows-only (approximate by design); the error-vs-direct
+    bound is asserted in tests/test_operators.py."""
+    from preprocessor_spark.operators.sketches import quantile_distinct_rollup
+
+    l = _t(spark, sf_dir, "lineitem")
+    return quantile_distinct_rollup(
+        l,
+        [F.col("l_returnflag"), F.col("l_linestatus")],
+        ["l_returnflag"],
+        "l_extendedprice",
+        k=32,
+        probs=(0.5, 0.9),
+    )
+
+
 def text_quality_by_source(spark, sf_dir):
     from preprocessor_spark.operators.text import token_count_expr
 
@@ -1386,6 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- positions 51+: outside the driver's graded window ----
         # oracle-backed (verified by tests/test_queries.py, not the driver —
         # their coverage is graded inside the window by merged twins):
+        "text_normalize_docs": text_normalize_docs,
+        "sample_stratified_topk": sample_stratified_topk,
         "topk_orders": topk_orders,
         "union_all_tagged": union_all_tagged,
         "supplier_region_balance": supplier_region_balance,
@@ -1414,6 +1492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "multimodal_image_features": multimodal_image_features,
         "preprocessor_fit_transform": preprocessor_fit_transform,
+        "dedup_minhash_corpus": dedup_minhash_corpus,
+        "quantile_sketch_rollup": quantile_sketch_rollup,
     }
 
 
@@ -2154,6 +2234,49 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c JOIN bench b USING (gh)
             GROUP BY c.doc_id
             ORDER BY c.doc_id
+        """,
+        "sample_stratified_topk": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'r3'), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 5
+        """,
+        "text_normalize_docs": """
+            WITH salted AS (
+                SELECT doc_id, source,
+                       text
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' <b>Bold</b>' || chr(9) || 'x  y' ELSE '' END
+                       || CASE WHEN doc_id % 9 = 0
+                               THEN ' see https://ex.ample/p?id=' || CAST(doc_id AS VARCHAR)
+                               ELSE '' END
+                       || CASE WHEN doc_id % 4 = 0
+                               THEN ' ' || chr(8220) || 'Curly' || chr(8211) || 'dash' || chr(8221)
+                               ELSE '' END AS t
+                FROM documents
+            ), n AS (
+                SELECT doc_id, source, t,
+                       lower(trim(regexp_replace(
+                           translate(
+                               regexp_replace(
+                                   regexp_replace(
+                                       regexp_replace(t, '<[^>]{0,500}>', ' ', 'g'),
+                                       'https?://[^\\s<>"'']+', ' ', 'g'),
+                                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'),
+                               chr(8216)||chr(8217)||chr(8220)||chr(8221)||chr(8211)||chr(8212)||chr(160),
+                               '''''""-- '),
+                           '[ \\t\\r\\n\\f]+', ' ', 'g'))) AS norm_text
+                FROM salted
+            )
+            SELECT doc_id, source,
+                   CAST(length(t) AS BIGINT) AS n_chars_raw,
+                   CAST(length(norm_text) AS BIGINT) AS n_chars_norm,
+                   norm_text
+            FROM n
         """,
         "text_quality_by_source": """
             SELECT source, COUNT(*) AS n_docs,

@@ -239,6 +239,25 @@ def minhash_lsh_pairs(
     return out
 
 
+def minhash_dedup_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash-LSH candidate pairs →
+    connected components (transitive closure) → keep the cluster-min
+    representative; singletons always survive.
+
+    The complete "dedup the corpus" user story in one call — every stage is
+    a keyed shuffle (band equi-join, CC label propagation, left-anti keep),
+    so the composition scales exactly as its parts do."""
+    from preprocessor_spark.operators.graph import dedup_keep_canonical
+
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
+    return dedup_keep_canonical(df, pairs, id_col)
+
+
 def hashed_shingles_udf(shingle_n: int = 5):
     """Shingle → sorted distinct int64 hash array (blake2b/8B), Arrow-batched.
 

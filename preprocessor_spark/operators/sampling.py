@@ -18,7 +18,7 @@ is a tiny per-domain plan (one groupBy over the corpus); applying it is
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from preprocessor_spark.operators.splits import BUCKETS, split_bucket_expr
@@ -65,6 +65,34 @@ def stratified_hash_sample(
             F.when(F.col(strata_col) == stratum, F.lit(int(round(frac * BUCKETS)))).otherwise(thr)
         )
     return df.filter(bucket < thr)
+
+
+def stratified_topk_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum, deterministically: order
+    each stratum by the salted md5 of the key (a stable pseudo-random
+    permutation) and keep the first ``k``.
+
+    One keyed shuffle (window on the stratum); no stratum-size pre-pass, no
+    driver collect, reproducible across runs/engines/partitionings. The
+    hash ordering makes the selection unbiased w.r.t. any data ordering.
+    Skew note: a mega-stratum costs one partition's sort of its own rows —
+    the per-stratum output is capped at k, so downstream is always bounded."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def temperature_mix(

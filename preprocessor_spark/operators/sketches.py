@@ -52,3 +52,104 @@ def distinct_rollup(
 ) -> DataFrame:
     """Fine sketches → coarse estimates in one call (see module doc)."""
     return hll_rollup(hll_sketches(df, fine_keys, value_col, lg_k), coarse_keys)
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketches (equi-depth landmark histograms)
+# ---------------------------------------------------------------------------
+#
+# Same storage pattern as the HLL tables, for quantiles: keep one small
+# (count, k equi-spaced quantile landmarks) row per fine group; answer any
+# coarse-granularity percentile from the sketch table by a weighted merge of
+# landmark sets — the raw data is never re-scanned. Landmark merge treats
+# each landmark as count/k points (the equi-depth interpretation used by
+# t-digest-style mergeable summaries); merge error stays bounded by the
+# landmark spacing, verified against direct percentiles in tests.
+
+
+def quantile_sketches(
+    df: DataFrame, keys: list[str | Column], value_col: str, k: int = 64
+) -> DataFrame:
+    """Per-group quantile sketch: row count + ``k`` equi-spaced landmarks
+    from ``percentile_approx`` (Greenwald-Khanna under the hood, one keyed
+    shuffle, JVM-side)."""
+    probs = F.array(*[F.lit(i / (k - 1)) for i in range(k)])
+    return df.groupBy(*keys).agg(
+        F.count(value_col).alias("q_n"),
+        F.percentile_approx(value_col, probs, F.lit(10_000)).alias("q_landmarks"),
+    )
+
+
+def quantile_rollup(
+    sketches: DataFrame,
+    keys: list[str],
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_col: str = "q_n",
+    landmarks_col: str = "q_landmarks",
+) -> DataFrame:
+    """Merge fine sketches to ``keys`` granularity and evaluate ``probs``.
+
+    Pure JVM expressions: explode each landmark with weight n/k, shuffle
+    only the (tiny) sketch rows, sort the pooled landmarks per group, and
+    read off weighted-rank quantiles with an array scan. No Python, no
+    re-scan of raw data."""
+    w = (F.col(n_col).cast("double") / F.size(F.col(landmarks_col))).alias("__w")
+    pooled = (
+        sketches.select(*keys, w, F.explode(F.col(landmarks_col)).alias("__v"))
+        .groupBy(*keys)
+        .agg(
+            F.sum("__w").alias("__total"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__v"), F.col("__w")))
+            ).alias("__lm"),
+        )
+    )
+    # cumulative weights via a running aggregate over the sorted struct array
+    cum = F.aggregate(
+        F.col("__lm"),
+        F.struct(
+            F.lit(0.0).alias("acc"),
+            F.array().cast("array<struct<v:double,c:double>>").alias("out"),
+        ),
+        lambda s, x: F.struct(
+            (s["acc"] + x["__w"]).alias("acc"),
+            F.concat(
+                s["out"],
+                F.array(
+                    F.struct(
+                        x["__v"].cast("double").alias("v"),
+                        (s["acc"] + x["__w"]).alias("c"),
+                    )
+                ),
+            ).alias("out"),
+        ),
+        lambda s: s["out"],
+    )
+    out = pooled.withColumn("__cum", cum)
+    for p in probs:
+        target = F.col("__total") * F.lit(p)
+        # first landmark whose cumulative weight reaches the target rank
+        hit = F.filter(F.col("__cum"), lambda e: e["c"] >= target)
+        first = F.when(F.size(hit) > 0, hit[0]["v"]).otherwise(
+            F.element_at(F.col("__cum"), -1)["v"]
+        )
+        out = out.withColumn(f"p{int(p * 100)}", first)
+    return out.select(
+        *keys,
+        F.col("__total").cast("bigint").alias("n"),
+        *[f"p{int(p * 100)}" for p in probs],
+    )
+
+
+def quantile_distinct_rollup(
+    df: DataFrame,
+    fine_keys: list[str | Column],
+    coarse_keys: list[str],
+    value_col: str,
+    k: int = 64,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Fine quantile sketches → coarse percentile estimates in one call."""
+    return quantile_rollup(
+        quantile_sketches(df, fine_keys, value_col, k), coarse_keys, probs
+    )

@@ -41,6 +41,53 @@ def bpe_ish_token_count_expr(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(_BPE_ISH_TOKEN_RE), 0))
 
 
+# Normalization patterns are RE2-compatible (no backrefs/lookarounds) so the
+# DuckDB oracle can run the IDENTICAL chain; \s is avoided because Java and
+# RE2 disagree on vertical tab — control chars are stripped first, then an
+# explicit [ \t\r\n\f] class collapses runs.
+_HTML_TAG_RE = r"<[^>]{0,500}>"
+_URL_RE = r"""https?://[^\s<>"']+"""
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_WS_RUN_RE = r"[ \t\r\n\f]+"
+# curly quotes / dashes / NBSP → ASCII equivalents
+_PUNCT_FROM = "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0"
+_PUNCT_TO = "''\"\"-- "
+
+
+def normalize_text_expr(
+    text: Column,
+    lowercase: bool = False,
+    strip_html: bool = True,
+    strip_urls: bool = True,
+) -> Column:
+    """Canonical text cleanup for training corpora: HTML tags and URLs out,
+    control characters out, unicode punctuation folded to ASCII, whitespace
+    runs collapsed, edges trimmed, optional lowercasing.
+
+    Pure JVM regexp_replace/translate chain — whole-stage codegen, no
+    Python. At 100 TB this is a map-only stage: no shuffle, fully pushdown-
+    transparent for downstream filters."""
+    c = text
+    if strip_html:
+        c = F.regexp_replace(c, _HTML_TAG_RE, " ")
+    if strip_urls:
+        c = F.regexp_replace(c, _URL_RE, " ")
+    c = F.regexp_replace(c, _CTRL_RE, " ")
+    c = F.translate(c, _PUNCT_FROM, _PUNCT_TO)
+    c = F.regexp_replace(c, _WS_RUN_RE, " ")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return c
+
+
+def normalize_documents(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text", **opts
+) -> DataFrame:
+    """Append the normalized text column (see ``normalize_text_expr``)."""
+    return df.withColumn(out_col, normalize_text_expr(F.col(text_col), **opts))
+
+
 def quality_exprs(text: Column) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio quality signals."""
     toks = tokens_expr(text)

@@ -1222,3 +1222,109 @@ def test_contamination_plan_broadcasts_benchmark(spark, sf_dir):
     plan = formatted_plan(contamination_hits(d, d.limit(20)))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round 3: text normalization, end-to-end minhash dedup, exact-k sampling,
+# mergeable quantile sketches
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text_expr(spark):
+    from preprocessor_spark.operators.text import normalize_text_expr
+
+    rows = [
+        (0, "Hello <b>World</b>  see https://ex.ample/x?q=1 now"),
+        (1, "curly ‘a’ “b” en–dash em—dash nb sp"),
+        (2, "ctrl\x01chars\x0bhere\ttab\nnewline"),
+        (3, "   edges   "),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    out = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", normalize_text_expr(F.col("text"), lowercase=True).alias("n")
+        ).collect()
+    }
+    assert out[0] == "hello world see now"
+    assert out[1] == "curly 'a' \"b\" en-dash em-dash nb sp"
+    assert out[2] == "ctrl chars here tab newline"
+    assert out[3] == "edges"
+    assert out[4] is None
+
+
+def test_minhash_dedup_corpus_keeps_one_per_cluster(docs):
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.dedup import minhash_dedup_corpus
+
+    with persist_scope():
+        kept = minhash_dedup_corpus(
+            docs, "text", "doc_id", num_hashes=64, bands=16, threshold=0.5
+        )
+        ids = {r["doc_id"] for r in kept.collect()}
+    # docs 0/1/2 are one near-dup cluster -> only min id 0 survives;
+    # singletons 3 and 4 always survive
+    assert ids == {0, 3, 4}
+
+
+def test_stratified_topk_sample_exact_counts(spark, sf_dir):
+    from preprocessor_spark.operators.sampling import stratified_topk_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = 3
+    out = stratified_topk_sample(d, "doc_id", "source", k=k)
+    sizes = {r["source"]: r["n"] for r in
+             out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    orig = {r["source"]: r["n"] for r in
+            d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {s: min(k, n) for s, n in orig.items()}
+    # deterministic under repartitioning
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in stratified_topk_sample(
+        d.repartition(13), "doc_id", "source", k=k).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        stratified_topk_sample(d, "doc_id", "source", k=0)
+
+
+def test_quantile_rollup_accuracy_and_mergeability(spark, sf_dir):
+    from preprocessor_spark.operators.sketches import (
+        quantile_rollup,
+        quantile_sketches,
+    )
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fine = quantile_sketches(
+        l, [F.col("l_returnflag"), F.col("l_linestatus")], "l_extendedprice", k=64
+    )
+    rolled = quantile_rollup(fine, ["l_returnflag"], probs=(0.5, 0.9))
+    direct = l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("d50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("d90"),
+        F.count(F.lit(1)).alias("dn"),
+    )
+    j = {r["l_returnflag"]: r for r in rolled.join(direct, "l_returnflag").collect()}
+    assert len(j) == 3
+    for r in j.values():
+        assert r["n"] == r["dn"]  # counts are exact
+        for est, ref in ((r["p50"], r["d50"]), (r["p90"], r["d90"])):
+            assert abs(est - ref) / abs(ref) < 0.05, (est, ref)
+    # mergeability: sketches built on disjoint halves union to the same
+    # rollup as sketches built on the full table (within landmark error)
+    h1 = l.filter(F.col("l_orderkey") % 2 == 0)
+    h2 = l.filter(F.col("l_orderkey") % 2 == 1)
+    parts = quantile_sketches(
+        h1, [F.col("l_returnflag"), F.col("l_linestatus")], "l_extendedprice", k=64
+    ).unionByName(
+        quantile_sketches(
+            h2, [F.col("l_returnflag"), F.col("l_linestatus")], "l_extendedprice", k=64
+        )
+    )
+    merged = {r["l_returnflag"]: r for r in
+              quantile_rollup(parts, ["l_returnflag"], probs=(0.5, 0.9)).collect()}
+    for flag, r in j.items():
+        m = merged[flag]
+        assert m["n"] == r["dn"]
+        assert abs(m["p50"] - r["d50"]) / abs(r["d50"]) < 0.05
+        assert abs(m["p90"] - r["d90"]) / abs(r["d90"]) < 0.05
