@@ -36,6 +36,18 @@ def _dec(col, prec=12, scale=2):
     return col.cast(f"decimal({prec},{scale})")
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Spread CPU-dense per-row kernels across all cores when the scan can't:
+    the testdata parquet files are single-row-group (unsplittable), so a
+    30 MB documents file otherwise pins n-gram/signature work to ONE task.
+    The ~MBs-sized exchange buys full-width parallelism; on a many-file
+    cluster layout the scan already yields >= defaultParallelism splits and
+    this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    n = df.rdd.getNumPartitions()
+    return df.repartition(sc.defaultParallelism) if n < sc.defaultParallelism else df
+
+
 # --------------------------------------------------------------------------
 # relational suite (SURVEY §2.3-2.8 engine surface)
 # --------------------------------------------------------------------------
@@ -712,7 +724,7 @@ def text_repetition_stats(spark, sf_dir):
     and top word-2-gram token coverage."""
     from preprocessor_spark.operators.text import repetition_exprs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _par(_t(spark, sf_dir, "documents"))
     r = repetition_exprs(F.col("text"), ngram=2)
     per_doc = d.select("source", *[v.alias(k) for k, v in r.items()])
     return per_doc.groupBy("source").agg(
@@ -778,7 +790,7 @@ def contamination_check(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") < 20)
-    hits = contamination_hits(d, bench, ngram=8, hash_fn="md5_64")
+    hits = contamination_hits(_par(d), bench, ngram=8, hash_fn="md5_64")
     return hits.select("doc_id", "n_contaminated_grams").orderBy("doc_id")
 
 

@@ -46,6 +46,12 @@ def get_spark(
         # fact side.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Split small file sets to at least the core count: a 30 MB parquet
+        # under one 128 MB split would otherwise pin CPU-dense per-row
+        # kernels (n-gram stats, signatures) to ONE core. Scale-safe: it is
+        # a minimum — at 100 TB natural file splits dominate and this is a
+        # no-op; locally it is file-range splitting, not a shuffle.
+        .config("spark.sql.files.minPartitionNum", cpus)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

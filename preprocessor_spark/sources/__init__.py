@@ -108,6 +108,60 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout with write alignment.
+
+    Repartitioning on the partition columns (optionally salted into
+    ``files_per_partition`` shards for large partitions) aligns shuffle
+    output with the directory layout, so each task writes exactly one file
+    per directory. Unaligned writers emit up to tasks×partitions files —
+    the classic small-files explosion that kills 100 TB scan planning; this
+    writer emits exactly partitions×files_per_partition."""
+    if files_per_partition < 1:
+        raise ValueError(f"files_per_partition must be >= 1, got {files_per_partition}")
+    keys = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        shard = F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % files_per_partition
+        keys = keys + [shard]
+    (
+        df.repartition(*keys)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite ``src`` into ~``target_file_bytes``
+    files at ``dest``; returns the output file count. Long-running ingestion
+    (streaming sinks, frequent appends) accretes tiny files whose per-file
+    open/footer cost dominates scans — periodic compaction is standard
+    table maintenance at scale."""
+    import math
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(src)
+    total = 0
+    for f in df.inputFiles():
+        p = urlparse(f)
+        if p.scheme in ("file", ""):
+            total += os.path.getsize(p.path)
+    n = max(1, math.ceil(total / target_file_bytes)) if total else 1
+    df.repartition(n).write.mode("overwrite").parquet(dest)
+    return n
+
+
 def from_pandas(spark: SparkSession, pdf) -> DataFrame:
     """pandas ingest — reference `preprocessor.py:141-143` equivalent."""
     return spark.createDataFrame(pdf)

@@ -246,3 +246,38 @@ def test_transform_fill_plan_is_parallel_without_partition_by(spark):
     plan = formatted_plan(prep.transform(df))
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(__bkt" in plan, plan
+
+
+def test_write_partitioned_alignment(spark, sf_dir, tmp_path):
+    from preprocessor_spark.sources import write_partitioned
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "part_docs")
+    write_partitioned(d, out, ["source"])
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    # exactly one data file per partition directory
+    import glob
+    for p in glob.glob(f"{out}/source=*"):
+        files = [f for f in glob.glob(f"{p}/*.parquet")]
+        assert len(files) == 1, p
+    # sharded variant: at most files_per_partition files per directory
+    out2 = str(tmp_path / "part_docs_sharded")
+    write_partitioned(d, out2, ["source"], files_per_partition=3)
+    assert spark.read.parquet(out2).count() == d.count()
+    for p in glob.glob(f"{out2}/source=*"):
+        assert 1 <= len(glob.glob(f"{p}/*.parquet")) <= 3, p
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    from preprocessor_spark.sources import compact_parquet
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frag = str(tmp_path / "fragmented")
+    d.repartition(40).write.parquet(frag)
+    assert len(spark.read.parquet(frag).inputFiles()) == 40
+    dest = str(tmp_path / "compacted")
+    n = compact_parquet(spark, frag, dest)
+    assert n == 1  # tiny dataset fits one target file
+    assert len(spark.read.parquet(dest).inputFiles()) == 1
+    assert spark.read.parquet(dest).count() == d.count()
