@@ -1016,8 +1016,9 @@ def text_fingerprint(spark, sf_dir):
 def multimodal_image_features(spark, sf_dir):
     """Multimodal plumbing end-to-end: documents.text re-encoded as an opaque
     binary payload column, wrapped with typed media metadata, then decoded +
-    feature-extracted via Arrow-batched mapInPandas (decode kernel is the
-    deterministic stub — the imaging lib is absent by design)."""
+    feature-extracted via Arrow-batched mapInPandas. Payloads here are text,
+    so the deterministic fake decoder runs; REAL pure-numpy decode/resize for
+    PPM/PGM/BMP is exercised pixel-exactly in tests/test_operators.py."""
     from preprocessor_spark.operators.multimodal import attach_media_meta, image_features
 
     d = (
@@ -1025,7 +1026,7 @@ def multimodal_image_features(spark, sf_dir):
         .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     )
     d = attach_media_meta(d, "payload", "image", "raw")
-    feats = image_features(d, "doc_id", "payload")
+    feats = image_features(d, "doc_id", "payload", decoder="fake")
     return feats.select(
         F.col("id").alias("doc_id"),
         F.round("mean_intensity", 6).alias("mean_intensity"),

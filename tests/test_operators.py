@@ -181,12 +181,12 @@ def test_multimodal_plumbing(spark):
     meta = with_meta.select("img_meta.*").toPandas()
     assert (meta.n_bytes == 32).all()
     assert (meta.media_type == "image").all()
-    feats = image_features(df, "id", "img").toPandas()
+    feats = image_features(df, "id", "img", decoder="fake").toPandas()
     assert len(feats) == 5
     assert feats.width.tolist() == [8] * 5
     assert feats.mean_intensity.between(0, 1).all()
     # determinism: same payload → same features
-    f2 = image_features(df, "id", "img").toPandas()
+    f2 = image_features(df, "id", "img", decoder="fake").toPandas()
     pd.testing.assert_frame_equal(feats.sort_values("id").reset_index(drop=True),
                                   f2.sort_values("id").reset_index(drop=True))
 
@@ -1328,3 +1328,86 @@ def test_quantile_rollup_accuracy_and_mergeability(spark, sf_dir):
         assert m["n"] == r["dn"]
         assert abs(m["p50"] - r["d50"]) / abs(r["d50"]) < 0.05
         assert abs(m["p90"] - r["d90"]) / abs(r["d90"]) < 0.05
+
+
+def _make_ppm(w, h):
+    """Deterministic RGB gradient P6 image."""
+    import numpy as np
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[:, :, 0] = (np.arange(w)[None, :] * 255 // max(w - 1, 1)).astype(np.uint8)
+    rgb[:, :, 1] = (np.arange(h)[:, None] * 255 // max(h - 1, 1)).astype(np.uint8)
+    rgb[:, :, 2] = 7
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + rgb.tobytes(), rgb
+
+
+def _make_bmp(w, h):
+    """Deterministic 24-bit bottom-up BMP."""
+    import numpy as np
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[:, :, 0] = 50
+    rgb[:, :, 1] = (np.arange(w)[None, :] % 251).astype(np.uint8)
+    rgb[:, :, 2] = (np.arange(h)[:, None] % 251).astype(np.uint8)
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up rows, BGR order
+        row = rgb[y][:, ::-1].tobytes()
+        raster += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    header = (
+        b"BM" + (off + len(raster)).to_bytes(4, "little") + b"\x00" * 4 + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little") + b"\x00" * 16
+    )
+    return bytes(header) + bytes(raster), rgb
+
+
+def test_real_image_decode_pixel_exact(spark):
+    import numpy as np
+    from preprocessor_spark.operators.multimodal import decode_image, image_features
+
+    ppm, rgb_p = _make_ppm(16, 9)
+    bmp, rgb_b = _make_bmp(10, 6)
+    # local decode matches the numpy ground truth exactly
+    np.testing.assert_allclose(
+        decode_image(ppm), rgb_p.astype(np.float32).mean(axis=2) / 255.0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        decode_image(bmp), rgb_b.astype(np.float32).mean(axis=2) / 255.0, atol=1e-6
+    )
+    # distributed path: real decoder through mapInPandas
+    df = spark.createDataFrame([(0, ppm), (1, bmp)], "id bigint, img binary")
+    feats = image_features(df, "id", "img").toPandas().sort_values("id")
+    assert feats.width.tolist() == [16, 10]
+    assert feats.height.tolist() == [9, 6]
+    exp0 = float(rgb_p.astype(np.float32).mean() / 255.0)
+    assert abs(feats.mean_intensity.iloc[0] - exp0) < 1e-6
+
+
+def test_resize_images_real(spark):
+    import numpy as np
+    from preprocessor_spark.operators.multimodal import (
+        _resize_nearest,
+        decode_image,
+        resize_images,
+    )
+
+    ppm, rgb = _make_ppm(32, 20)
+    df = spark.createDataFrame([(7, ppm)], "id bigint, img binary")
+    out = resize_images(df, "id", "img", width=8, height=5).toPandas()
+    assert out.width.tolist() == [8] and out.height.tolist() == [5]
+    # round-trip: returned PGM decodes to the locally-resized image
+    # (within 1/255 quantization from the u8 re-encode)
+    got = decode_image(bytes(out.payload.iloc[0]))
+    ref = _resize_nearest(rgb.astype(np.float32).mean(axis=2) / 255.0, 8, 5)
+    assert got.shape == (5, 8)
+    np.testing.assert_allclose(got, ref, atol=1.0 / 255.0 + 1e-6)
+
+
+def test_video_stub_still_declared(spark):
+    from preprocessor_spark.operators.multimodal import sample_video_frames
+
+    df = spark.createDataFrame([(0, b"x")], "id bigint, v binary")
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(df, "id", "v", every_ms=1000)
