@@ -64,6 +64,10 @@ HEADLINE = [
     "text_repetition_stats",
     "hll_user_rollup",
     "top_terms_skewed",
+    "text_normalize_docs",
+    "sample_stratified_topk",
+    "dedup_minhash_corpus",
+    "quantile_sketch_rollup",
 ]
 
 

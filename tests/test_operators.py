@@ -1411,3 +1411,44 @@ def test_video_stub_still_declared(spark):
     df = spark.createDataFrame([(0, b"x")], "id bigint, v binary")
     with pytest.raises(NotImplementedError):
         sample_video_frames(df, "id", "v", every_ms=1000)
+
+
+def test_udtf_and_native_sentence_split_agree(spark):
+    from preprocessor_spark.functions.udx import (
+        split_sentences_native,
+        split_sentences_udtf,
+    )
+
+    rows = [
+        (0, "First sentence. Second one! Third? fourth trails"),
+        (1, "single"),
+        (2, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = split_sentences_udtf(df, "doc_id", "text").toPandas()
+    b = split_sentences_native(df, "doc_id", "text").toPandas()
+    key = ["doc_id", "pos"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == 5  # 4 + 1 + 0
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    assert a.loc[(a.doc_id == 0) & (a.pos == 0), "sentence"].iloc[0] == "First sentence."
+    assert a.loc[(a.doc_id == 0) & (a.pos == 3), "n_words"].iloc[0] == 2
+
+
+def test_weighted_mean_grouped_agg_udaf(spark):
+    from preprocessor_spark.functions.udx import weighted_mean_udaf
+
+    rows = [
+        ("a", 10.0, 1.0),
+        ("a", 20.0, 3.0),
+        ("b", 5.0, None),   # null weight ignored
+        ("b", 7.0, 2.0),
+        ("c", None, 1.0),   # null value ignored -> no mass -> null
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    out = {r["k"]: r["wm"] for r in
+           df.groupBy("k").agg(weighted_mean_udaf("v", "w").alias("wm")).collect()}
+    assert abs(out["a"] - 17.5) < 1e-9
+    assert abs(out["b"] - 7.0) < 1e-9
+    assert out["c"] is None
