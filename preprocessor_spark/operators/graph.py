@@ -66,10 +66,13 @@ def connected_components(
     )
     edges = register_persisted(edges.persist())
 
+    # round-1 propagate fused into init: with identity labels, the first
+    # round's message min is just min(neighbor id), so start every node at
+    # min(id, min neighbor) directly — one groupBy instead of a full
+    # join+groupBy+jump+checkpoint round
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
         .localCheckpoint(eager=True)
     )
 
