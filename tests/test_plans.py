@@ -151,3 +151,54 @@ def test_llm_corpus_dedup_sheds_text_before_shuffle(spark):
             assert "text" not in line, line
     # partial+final agg pair proves map-side combine before the shuffle
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_text_normalize_is_narrow(spark):
+    """Normalization is a pure map stage: no Exchange, no Python — the full
+    regexp_replace/translate chain stays inside one projection."""
+    plan = formatted_plan(em.text_normalize_docs(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_stratified_topk_single_exchange(spark):
+    """Exact-k stratified sampling costs exactly ONE shuffle (the stratum
+    window); the hash ordering adds no extra pass."""
+    plan = formatted_plan(em.sample_stratified_topk(spark, SF))
+    assert plan.count("+- Exchange") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_window_orders_family_single_partitioning(spark):
+    """All four window frames share the o_custkey partitioning: exactly one
+    hash exchange on o_custkey feeds the sorts."""
+    plan = formatted_plan(em.window_orders_family(spark, SF))
+    assert plan.count("+- Exchange") == 1, plan
+    assert "hashpartitioning(o_custkey" in plan, plan
+
+
+def test_join_strategy_hints_honored(spark):
+    """Catalyst honors explicit strategy hints — the cluster-tuning knob for
+    when stats mislead the optimizer at scale."""
+    o = em._t(spark, SF, "orders")
+    c = em._t(spark, SF, "customer")
+    shuffle_hash = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in formatted_plan(shuffle_hash)
+    merge = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in formatted_plan(merge)
+    bcast = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in formatted_plan(bcast)
+
+
+def test_quantile_rollup_shuffles_only_sketches(spark):
+    """The rollup's exchange carries sketch rows, not raw data: the plan has
+    the fine-agg exchange and the tiny rollup exchange, nothing more."""
+    from preprocessor_spark.operators.sketches import (
+        quantile_rollup,
+        quantile_sketches,
+    )
+
+    l = em._t(spark, SF, "lineitem")
+    fine = quantile_sketches(l, [F.col("l_returnflag"), F.col("l_linestatus")], "l_extendedprice", k=16)
+    plan = formatted_plan(quantile_rollup(fine, ["l_returnflag"]))
+    assert plan.count("+- Exchange") == 2, plan
