@@ -28,8 +28,16 @@ TABLES = (
 )
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False, **options
+) -> DataFrame:
+    """Parquet scan; ``merge_schema=True`` unions file footers for
+    schema-evolved datasets (columns added over time read as null where
+    absent — the standard append-only table evolution path)."""
+    r = spark.read
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
+    return r.options(**options).parquet(path)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -281,3 +281,17 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     assert n == 1  # tiny dataset fits one target file
     assert len(spark.read.parquet(dest).inputFiles()) == 1
     assert spark.read.parquet(dest).count() == d.count()
+
+
+def test_read_parquet_merge_schema(spark, tmp_path):
+    from preprocessor_spark.sources import read_parquet
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, s string").write.parquet(f"{base}/p=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, s string, score double"
+    ).write.parquet(f"{base}/p=2")
+    merged = read_parquet(spark, base, merge_schema=True)
+    assert set(merged.columns) == {"id", "s", "score", "p"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
