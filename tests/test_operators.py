@@ -1452,3 +1452,40 @@ def test_weighted_mean_grouped_agg_udaf(spark):
     assert abs(out["a"] - 17.5) < 1e-9
     assert abs(out["b"] - 7.0) < 1e-9
     assert out["c"] is None
+
+
+def test_cogrouped_asof_matches_union_merge(spark):
+    from preprocessor_spark.operators.asof import asof_join, asof_join_cogrouped
+
+    purchases = spark.createDataFrame(
+        [(1, 10.0), (1, 25.0), (2, 5.0), (3, 7.0)], "u bigint, ts double"
+    )
+    views = spark.createDataFrame(
+        [(1, 8.0, 100.0), (1, 20.0, 200.0), (2, 9.0, 300.0)],
+        "u bigint, ts double, value double",
+    )
+    a = asof_join(purchases, views, on="ts", by=["u"]).toPandas()
+    b = asof_join_cogrouped(purchases, views, on="ts", by=["u"]).toPandas()
+    key = ["u", "ts"]
+    cols = ["u", "ts", "r_value"]
+    a2 = a[cols].sort_values(key).reset_index(drop=True)
+    b2 = b[cols].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a2, b2)
+    # user 3 has no views at all -> null match via both paths
+    assert a2.loc[a2.u == 3, "r_value"].isna().all()
+
+
+def test_observed_stats_free_metrics(spark, sf_dir):
+    from preprocessor_spark.observe import null_count_metrics, with_observed_stats
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "maybe", F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))
+    )
+    observed, obs = with_observed_stats(d, null_count_metrics(d, ["maybe"]))
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    n = d.count()
+    n_null = d.filter(F.col("maybe").isNull()).count()
+    assert got["n_rows"] == n
+    assert got["n_null_maybe"] == n_null
