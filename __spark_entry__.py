@@ -521,6 +521,33 @@ def split_documents(spark, sf_dir):
     return s.select("doc_id", "split")
 
 
+# 40-token boilerplate appendix planted on every 50th doc so exact
+# substring-window dedup provably fires (same salting pattern as the PII
+# and normalization queries); shared verbatim span => shared window hashes
+_BP40 = " ".join(f"bp{i:02d}" for i in range(40))
+
+
+def dedup_substring_spans(spark, sf_dir):
+    """Exact cross-document substring duplication (operators/dedup.py::
+    substring_dup_stats — the fixed-window formulation of the public
+    train-data dedup recipe): per doc, how many 30-token sliding windows
+    appear verbatim in another doc. Inverted gram index, two keyed
+    shuffles, no pairwise join; DuckDB oracle replays the identical
+    md5-60bit window hashing."""
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.dedup import substring_dup_stats
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 50 == 0, F.concat(F.col("text"), F.lit(" " + _BP40))
+        ).otherwise(F.col("text")),
+    )
+    with persist_scope():
+        out = substring_dup_stats(d, "text", "doc_id", window_tokens=30)
+        return out.orderBy("doc_id")
+
+
 def text_normalize_docs(spark, sf_dir):
     """Corpus text normalization (operators/text.py::normalize_text_expr):
     HTML tags + URLs out, control chars out, unicode punctuation folded to
@@ -1478,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed (verified by tests/test_queries.py, not the driver —
         # their coverage is graded inside the window by merged twins):
         "text_normalize_docs": text_normalize_docs,
+        "dedup_substring_spans": dedup_substring_spans,
         "sample_stratified_topk": sample_stratified_topk,
         "topk_orders": topk_orders,
         "union_all_tagged": union_all_tagged,
@@ -2249,6 +2277,44 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c JOIN bench b USING (gh)
             GROUP BY c.doc_id
             ORDER BY c.doc_id
+        """,
+        "dedup_substring_spans": f"""
+            WITH salted AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 50 = 0
+                                    THEN ' {_BP40}' ELSE '' END AS text
+                FROM documents
+            ), tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM salted
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(toks) - 29, 0)),
+                           i -> CAST(('0x' || substr(md5(array_to_string(
+                               list_slice(toks, i, i + 29), ' ')), 1, 15)) AS BIGINT)
+                       )) AS grams
+                FROM tok
+            ), e AS (
+                SELECT doc_id, unnest(grams) AS gh FROM g WHERE len(grams) > 0
+            ), c AS (
+                SELECT gh, COUNT(*) AS n FROM e GROUP BY gh
+            ), dup AS (
+                SELECT gh FROM c WHERE n >= 2 AND n <= 1000
+            ), per AS (
+                SELECT doc_id, COUNT(*) AS n_windows FROM e GROUP BY doc_id
+            ), dd AS (
+                SELECT e.doc_id, COUNT(*) AS n_dup FROM e JOIN dup USING (gh)
+                GROUP BY e.doc_id
+            )
+            SELECT p.doc_id, p.n_windows,
+                   COALESCE(dd.n_dup, 0) AS n_dup_windows,
+                   ROUND(COALESCE(dd.n_dup, 0) / CAST(p.n_windows AS DOUBLE), 6)
+                       AS dup_window_frac
+            FROM per p LEFT JOIN dd ON p.doc_id = dd.doc_id
+            ORDER BY p.doc_id
         """,
         "sample_stratified_topk": """
             SELECT doc_id, source FROM (

@@ -239,6 +239,95 @@ def minhash_lsh_pairs(
     return out
 
 
+def _window_gram_hashes_expr(text_col, window_tokens: int):
+    """Distinct 60-bit md5 hashes of every ``window_tokens``-token sliding
+    window — engine-portable (DuckDB computes the identical value), all
+    JVM-side: split → sequence → concat_ws → md5 → conv(hex→dec)."""
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    k = F.size(toks) - F.lit(window_tokens - 1)
+    idx = F.when(k > 0, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, window_tokens)))
+    # 60 bits of md5 → fits signed BIGINT on both engines
+    return F.array_distinct(
+        F.transform(
+            grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint")
+        )
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 50,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Exact cross-document substring duplication (the fixed-window form of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for each doc, how many of its ``window_tokens``-token sliding
+    windows appear verbatim in ANY other document.
+
+    Inverted-index shape: explode per-doc distinct window hashes, count
+    docs per hash, mark hashes seen in >=2 docs, count marked hashes per
+    doc. Two keyed shuffles over (hash, id) pairs — never a pairwise join;
+    ``max_bucket`` drops degenerate boilerplate hashes (a window shared by
+    10^5 docs is boilerplate, not a dedup signal — same guard as LSH).
+
+    Returns (id, n_windows, n_dup_windows, dup_window_frac)."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_window_gram_hashes_expr(F.col(text_col), window_tokens)).alias("gh"),
+    )
+    grams = register_persisted(grams.persist())
+    counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__n"))
+    dup_hashes = counts.filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket)).select("gh")
+    per_doc = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_per_doc = (
+        grams.join(dup_hashes, "gh")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        per_doc.join(dup_per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0)) / F.col("n_windows").cast("double"), 6
+            ).alias("dup_window_frac"),
+        )
+    )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 50,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, n_shared_windows) for docs sharing verbatim
+    ``window_tokens``-token windows; equi-join on the window hash with the
+    same ``max_bucket`` boilerplate guard as ``substring_dup_stats``."""
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_window_gram_hashes_expr(F.col(text_col), window_tokens)).alias("gh"),
+    )
+    grams = register_persisted(grams.persist())
+    sizes = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("__n"))
+    keep = sizes.filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket)).select("gh")
+    g = grams.join(keep, "gh")
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(b, (F.col("a.gh") == F.col("b.gh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
 def minhash_dedup_corpus(
     df: DataFrame,
     text_col: str,

@@ -1489,3 +1489,27 @@ def test_observed_stats_free_metrics(spark, sf_dir):
     n_null = d.filter(F.col("maybe").isNull()).count()
     assert got["n_rows"] == n
     assert got["n_null_maybe"] == n_null
+
+
+def test_substring_dup_windows_planted(spark):
+    from preprocessor_spark.operators.dedup import (
+        substring_dup_pairs,
+        substring_dup_stats,
+    )
+
+    span = " ".join(f"s{i}" for i in range(12))  # 12-token shared span
+    rows = [
+        (0, "alpha beta " + span + " gamma delta"),
+        (1, "totally other prefix " + span + " epsilon"),
+        (2, "no shared content here at all whatsoever today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    stats = {r["doc_id"]: r for r in
+             substring_dup_stats(df, "text", "doc_id", window_tokens=8).collect()}
+    # 12-token span with 8-token windows -> 12-8+1 = 5 shared windows
+    assert stats[0]["n_dup_windows"] == 5
+    assert stats[1]["n_dup_windows"] == 5
+    assert stats[2]["n_dup_windows"] == 0
+    pairs = substring_dup_pairs(df, "text", "doc_id", window_tokens=8).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"], pairs[0]["n_shared_windows"]) == (0, 1, 5)
