@@ -68,6 +68,7 @@ HEADLINE = [
     "sample_stratified_topk",
     "dedup_minhash_corpus",
     "quantile_sketch_rollup",
+    "dedup_substring_spans",
 ]
 
 

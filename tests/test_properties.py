@@ -147,3 +147,26 @@ def test_hash_split_fractions_partition_the_space(spark, raw):
     for k, frac in splits.items():
         got = counts.get(k, 0) / 2000
         assert abs(got - frac) < 0.05
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_normalize_text_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) for arbitrary unicode input —
+    the cleanup chain is a projection onto its own fixed-point set."""
+    from preprocessor_spark.operators.text import normalize_text_expr
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id bigint, text string")
+    once = df.select("id", normalize_text_expr(F.col("text"), lowercase=True).alias("n1"))
+    twice = once.select("id", normalize_text_expr(F.col("n1"), lowercase=True).alias("n2"))
+    j = once.join(twice, "id")
+    assert j.filter(F.col("n1") != F.col("n2")).count() == 0
