@@ -1513,3 +1513,36 @@ def test_substring_dup_windows_planted(spark):
     pairs = substring_dup_pairs(df, "text", "doc_id", window_tokens=8).collect()
     assert len(pairs) == 1
     assert (pairs[0]["id_a"], pairs[0]["id_b"], pairs[0]["n_shared_windows"]) == (0, 1, 5)
+
+
+def test_batch_sessionize_equals_streaming_session_window(spark, sf_dir, tmp_path):
+    """The batch gap-sessionizer (lag-flag + running sum) and Structured
+    Streaming's session_window implement the SAME gap semantics: per-user
+    session count and per-session event counts must agree exactly."""
+    import __spark_entry__ as em
+    from preprocessor_spark.operators.sessions import session_stats
+    from preprocessor_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        session_counts,
+    )
+
+    events = em._t(spark, sf_dir, "events")
+    src = str(tmp_path / "events_sessions")
+    events.write.mode("overwrite").parquet(src)
+
+    streamed_q = session_counts(
+        read_events_stream(spark, src), gap="1 hour", watermark="100 days"
+    )
+    run_available_now(streamed_q, "stream_sessions", output_mode="complete")
+    streamed = spark.table("stream_sessions").toPandas()
+
+    batch = session_stats(events, "ts", ["user_id"], gap_seconds=3600.0).toPandas()
+
+    s_per_user = streamed.groupby("user_id").size().sort_index()
+    b_per_user = batch.groupby("user_id").size().sort_index()
+    assert s_per_user.equals(b_per_user)
+    # multiset of per-session event counts per user must match too
+    s_counts = streamed.groupby("user_id")["n_events"].apply(lambda x: sorted(x))
+    b_counts = batch.groupby("user_id")["n_events"].apply(lambda x: sorted(x))
+    assert s_counts.to_dict() == b_counts.to_dict()
