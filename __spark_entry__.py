@@ -537,7 +537,7 @@ def dedup_substring_spans(spark, sf_dir):
     from preprocessor_spark.caching import persist_scope
     from preprocessor_spark.operators.dedup import substring_dup_stats
 
-    d = _t(spark, sf_dir, "documents").withColumn(
+    d = _par(_t(spark, sf_dir, "documents")).withColumn(
         "text",
         F.when(
             F.col("doc_id") % 50 == 0, F.concat(F.col("text"), F.lit(" " + _BP40))
