@@ -548,6 +548,25 @@ def dedup_substring_spans(spark, sf_dir):
         return out.orderBy("doc_id")
 
 
+def text_line_dedup(spark, sf_dir):
+    """Corpus-level boilerplate-line removal (operators/text.py::
+    cross_doc_line_dedup, the C4/RefinedWeb recipe): lines appearing
+    verbatim in >=3 distinct docs are dropped, documents rebuilt from the
+    surviving lines in order. A newsletter banner is salted onto every 7th
+    doc so the removal provably fires."""
+    from preprocessor_spark.operators.text import cross_doc_line_dedup
+
+    d = _par(_t(spark, sf_dir, "documents")).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit("\nSubscribe to our newsletter today!")),
+        ).otherwise(F.col("text")),
+    )
+    out = cross_doc_line_dedup(d, "text", "doc_id", min_docs=3)
+    return out.select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+
+
 def text_normalize_docs(spark, sf_dir):
     """Corpus text normalization (operators/text.py::normalize_text_expr):
     HTML tags + URLs out, control chars out, unicode punctuation folded to
@@ -1505,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed (verified by tests/test_queries.py, not the driver —
         # their coverage is graded inside the window by merged twins):
         "text_normalize_docs": text_normalize_docs,
+        "text_line_dedup": text_line_dedup,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_stratified_topk": sample_stratified_topk,
         "topk_orders": topk_orders,
@@ -2277,6 +2297,43 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c JOIN bench b USING (gh)
             GROUP BY c.doc_id
             ORDER BY c.doc_id
+        """,
+        "text_line_dedup": """
+            WITH salted AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 7 = 0
+                                    THEN chr(10) || 'Subscribe to our newsletter today!'
+                                    ELSE '' END AS text
+                FROM documents
+            ), lx AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+                FROM salted
+            ), lines AS (
+                SELECT doc_id, unnest(ls) AS line,
+                       unnest(generate_series(1, len(ls))) AS pos
+                FROM lx
+            ), counts AS (
+                SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines GROUP BY line
+            ), boiler AS (
+                SELECT line FROM counts WHERE nd >= 3
+            ), kept AS (
+                SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+            ), droppedx AS (
+                SELECT doc_id, COUNT(*) AS n_dropped FROM lines
+                WHERE line IN (SELECT line FROM boiler) GROUP BY doc_id
+            ), rebuilt AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   COALESCE(r.text, '') AS text,
+                   COALESCE(r.n_kept, 0) AS n_lines_kept,
+                   COALESCE(d.n_dropped, 0) AS n_lines_dropped
+            FROM salted s
+            LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+            LEFT JOIN droppedx d ON s.doc_id = d.doc_id
         """,
         "dedup_substring_spans": f"""
             WITH salted AS (

@@ -69,6 +69,7 @@ HEADLINE = [
     "dedup_minhash_corpus",
     "quantile_sketch_rollup",
     "dedup_substring_spans",
+    "text_line_dedup",
 ]
 
 

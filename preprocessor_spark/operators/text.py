@@ -88,6 +88,61 @@ def normalize_documents(
     return df.withColumn(out_col, normalize_text_expr(F.col(text_col), **opts))
 
 
+def cross_doc_line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate-line removal (the C4/RefinedWeb recipe):
+    drop every non-empty line that appears verbatim in >= ``min_docs``
+    distinct documents (navigation chrome, cookie banners, legal footers),
+    then rebuild each document from its surviving lines in order.
+
+    Shape: posexplode lines → distinct-doc count per line → anti-join →
+    order-preserving reassembly. Three keyed shuffles over line-sized rows.
+    Scale note: the groupBy key is the line text here for engine-exact
+    parity with the DuckDB oracle; at 100 TB you would pre-hash the line
+    (xxhash64) so the count shuffle moves 8-byte keys — identical topology,
+    smaller exchange.
+
+    Returns (id, text, n_lines_kept, n_lines_dropped)."""
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), r"\n"), lambda ln: F.trim(ln) != "")
+        ).alias("__pos", "__line"),
+    )
+    counts = lines.groupBy("__line").agg(
+        F.count_distinct("__id").alias("__nd")
+    )
+    boiler = counts.filter(F.col("__nd") >= min_docs).select("__line")
+    kept = lines.join(boiler, "__line", "left_anti")
+    dropped = lines.join(boiler, "__line", "left_semi")
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    n_dropped = dropped.groupBy("__id").agg(F.count(F.lit(1)).alias("n_lines_dropped"))
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    return (
+        ids.join(rebuilt, "__id", "left")
+        .join(n_dropped, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            F.coalesce("n_lines_dropped", F.lit(0)).alias("n_lines_dropped"),
+        )
+    )
+
+
 def quality_exprs(text: Column) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio quality signals."""
     toks = tokens_expr(text)

@@ -1546,3 +1546,29 @@ def test_batch_sessionize_equals_streaming_session_window(spark, sf_dir, tmp_pat
     s_counts = streamed.groupby("user_id")["n_events"].apply(lambda x: sorted(x))
     b_counts = batch.groupby("user_id")["n_events"].apply(lambda x: sorted(x))
     assert s_counts.to_dict() == b_counts.to_dict()
+
+
+def test_cross_doc_line_dedup_planted(spark):
+    from preprocessor_spark.operators.text import cross_doc_line_dedup
+
+    banner = "subscribe now"
+    rows = [
+        (0, f"unique zero\n{banner}\nalso zero"),
+        (1, f"{banner}\nunique one"),
+        (2, f"unique two\n{banner}"),
+        (3, "nothing shared here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           cross_doc_line_dedup(df, "text", "doc_id", min_docs=3).collect()}
+    assert out[0]["text"] == "unique zero\nalso zero"
+    assert out[0]["n_lines_dropped"] == 1
+    assert out[1]["text"] == "unique one"
+    assert out[2]["text"] == "unique two"
+    assert out[3]["text"] == "nothing shared here"
+    assert out[3]["n_lines_dropped"] == 0
+    # a doc that was ALL boilerplate rebuilds to empty, not a missing row
+    df2 = spark.createDataFrame(rows + [(4, banner)], "doc_id bigint, text string")
+    out2 = {r["doc_id"]: r for r in
+            cross_doc_line_dedup(df2, "text", "doc_id", min_docs=3).collect()}
+    assert out2[4]["text"] == "" and out2[4]["n_lines_kept"] == 0
