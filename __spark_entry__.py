@@ -521,6 +521,34 @@ def split_documents(spark, sf_dir):
     return s.select("doc_id", "split")
 
 
+def unpivot_metrics(spark, sf_dir):
+    """Wide→long unpivot (melt): customer numeric metrics to (key, metric,
+    value) rows via DataFrame.unpivot — the Spark twin of Polars melt."""
+    c = _t(spark, sf_dir, "customer")
+    wide = c.select(
+        "c_custkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    )
+    return wide.unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+def window_value_family(spark, sf_dir):
+    """first_value / last_value / nth_value / ntile over one ordered frame
+    (completes the value-window function family)."""
+    o = _t(spark, sf_dir, "orders")
+    wb = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    w = wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_totalprice").over(w).alias("first_price"),
+        F.last_value("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.ntile(4).over(wb).alias("quartile"),
+    )
+
+
 # 40-token boilerplate appendix planted on every 50th doc so exact
 # substring-window dedup provably fires (same salting pattern as the PII
 # and normalization queries); shared verbatim span => shared window hashes
@@ -1525,6 +1553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their coverage is graded inside the window by merged twins):
         "text_normalize_docs": text_normalize_docs,
         "text_line_dedup": text_line_dedup,
+        "unpivot_metrics": unpivot_metrics,
+        "window_value_family": window_value_family,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_stratified_topk": sample_stratified_topk,
         "topk_orders": topk_orders,
@@ -2297,6 +2327,24 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c JOIN bench b USING (gh)
             GROUP BY c.doc_id
             ORDER BY c.doc_id
+        """,
+        "unpivot_metrics": """
+            SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+            FROM customer
+        """,
+        "window_value_family": """
+            SELECT o_custkey, o_orderkey,
+                   FIRST_VALUE(o_totalprice) OVER w2 AS first_price,
+                   LAST_VALUE(o_totalprice) OVER w2 AS last_price,
+                   NTH_VALUE(o_totalprice, 2) OVER w2 AS second_price,
+                   NTILE(4) OVER w1 AS quartile
+            FROM orders
+            WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+                   w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         """,
         "text_line_dedup": """
             WITH salted AS (
