@@ -521,6 +521,18 @@ def split_documents(spark, sf_dir):
     return s.select("doc_id", "split")
 
 
+def text_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm_score.py): corpus-
+    trained char-trigram unigram LM with add-1 smoothing; per-doc mean gram
+    log-probability. Outliers (junk/mojibake/wrong-language) score low."""
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.lm_score import char_ngram_lm_scores
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    with persist_scope():
+        return char_ngram_lm_scores(d, "text", "doc_id", n=3).orderBy("doc_id")
+
+
 def unpivot_metrics(spark, sf_dir):
     """Wide→long unpivot (melt): customer numeric metrics to (key, metric,
     value) rows via DataFrame.unpivot — the Spark twin of Polars melt."""
@@ -1555,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_line_dedup": text_line_dedup,
         "unpivot_metrics": unpivot_metrics,
         "window_value_family": window_value_family,
+        "text_lm_quality": text_lm_quality,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_stratified_topk": sample_stratified_topk,
         "topk_orders": topk_orders,
@@ -2327,6 +2340,25 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c JOIN bench b USING (gh)
             GROUP BY c.doc_id
             ORDER BY c.doc_id
+        """,
+        "text_lm_quality": """
+            WITH t AS (
+                SELECT doc_id, lower(text) AS s FROM documents
+            ), gr AS (
+                SELECT doc_id, substr(s, i, 3) AS gram
+                FROM t, unnest(generate_series(1, greatest(length(s) - 2, 0))) AS u(i)
+                WHERE length(s) >= 3
+            ), c AS (
+                SELECT gram, COUNT(*) AS cnt FROM gr GROUP BY gram
+            ), st AS (
+                SELECT CAST(SUM(cnt) AS DOUBLE) AS nn, CAST(COUNT(*) AS DOUBLE) AS vv
+                FROM c
+            )
+            SELECT gr.doc_id, COUNT(*) AS n_grams,
+                   ROUND(AVG(ln((c.cnt + 1.0) / (st.nn + 1.0 * st.vv))), 6) AS avg_logp
+            FROM gr JOIN c USING (gram) CROSS JOIN st
+            GROUP BY gr.doc_id
+            ORDER BY gr.doc_id
         """,
         "unpivot_metrics": """
             SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value

@@ -70,6 +70,7 @@ HEADLINE = [
     "quantile_sketch_rollup",
     "dedup_substring_spans",
     "text_line_dedup",
+    "text_lm_quality",
 ]
 
 

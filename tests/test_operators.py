@@ -1572,3 +1572,25 @@ def test_cross_doc_line_dedup_planted(spark):
     out2 = {r["doc_id"]: r for r in
             cross_doc_line_dedup(df2, "text", "doc_id", min_docs=3).collect()}
     assert out2[4]["text"] == "" and out2[4]["n_lines_kept"] == 0
+
+
+def test_char_ngram_lm_scores_outlier_detection(spark):
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.lm_score import char_ngram_lm_scores
+
+    normal = "the quick brown fox jumps over the lazy dog and runs away fast"
+    rows = [
+        (0, normal),
+        (1, normal + " while the dog sleeps under the tree"),
+        (2, "the cat and the dog play near the warm fire together"),
+        (3, "zzqxj vvkkw qqqzx jjxxz wwqqv kkjjz xxzzq"),  # junk outlier
+        (4, "ab"),  # shorter than n -> no grams -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with persist_scope():
+        out = {r["doc_id"]: r for r in
+               char_ngram_lm_scores(df, "text", "doc_id", n=3).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # the junk doc must score strictly worse than every normal doc
+    assert all(out[3]["avg_logp"] < out[i]["avg_logp"] for i in (0, 1, 2))
+    assert out[0]["n_grams"] == len(normal) - 2
