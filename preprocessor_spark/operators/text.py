@@ -88,6 +88,35 @@ def normalize_documents(
     return df.withColumn(out_col, normalize_text_expr(F.col(text_col), **opts))
 
 
+def corpus_report(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """One-call per-source corpus health report: doc/token/char volumes,
+    quality-score stats, language mix (top language + its share), Gopher
+    pass rate. Single scan → single keyed shuffle; the per-doc exprs reuse
+    the codegen building blocks above."""
+    q = quality_exprs(F.col(text_col))
+    g = gopher_rules_exprs(F.col(text_col))
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        q["n_tokens"].alias("n_tokens"),
+        q["n_chars"].alias("n_chars"),
+        quality_score_expr(F.col(text_col)).alias("quality"),
+        lang_id_expr(F.col(text_col)).alias("lang"),
+        g["gopher_pass"].cast("int").alias("gopher_ok"),
+    )
+    lang_mode = F.mode("lang").alias("top_lang")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+        lang_mode,
+        F.round(F.avg(F.col("gopher_ok").cast("double")), 6).alias("gopher_pass_rate"),
+    )
+
+
 def cross_doc_line_dedup(
     df: DataFrame,
     text_col: str,

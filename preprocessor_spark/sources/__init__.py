@@ -170,6 +170,21 @@ def compact_parquet(
     return n
 
 
+def write_jsonl(
+    df: DataFrame, path: str, num_shards: int | None = None, compression: str | None = "gzip"
+) -> None:
+    """Export as JSON-Lines shards — the lingua-franca handoff format for
+    LLM training corpora. ``num_shards`` controls file count (defaults to
+    the frame's partitioning); gzip by default since text JSONL compresses
+    ~5-10×."""
+    if num_shards is not None:
+        df = df.repartition(num_shards)
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def from_pandas(spark: SparkSession, pdf) -> DataFrame:
     """pandas ingest — reference `preprocessor.py:141-143` equivalent."""
     return spark.createDataFrame(pdf)

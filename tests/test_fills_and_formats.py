@@ -295,3 +295,18 @@ def test_read_parquet_merge_schema(spark, tmp_path):
     assert set(merged.columns) == {"id", "s", "score", "p"}
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_write_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    from preprocessor_spark.sources import write_jsonl
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source", "text")
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl(d, out, num_shards=4)
+    files = [f for f in spark.read.json(out).inputFiles()]
+    assert len(files) == 4
+    back = spark.read.json(out)
+    assert back.count() == d.count()
+    a = {r["doc_id"]: r["text"] for r in d.collect()}
+    b = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert a == b

@@ -1594,3 +1594,15 @@ def test_char_ngram_lm_scores_outlier_detection(spark):
     # the junk doc must score strictly worse than every normal doc
     assert all(out[3]["avg_logp"] < out[i]["avg_logp"] for i in (0, 1, 2))
     assert out[0]["n_grams"] == len(normal) - 2
+
+
+def test_corpus_report(spark, sf_dir):
+    from preprocessor_spark.operators.text import corpus_report
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = corpus_report(d).toPandas()
+    assert rep.n_docs.sum() == d.count()
+    assert (rep.avg_quality.between(0, 1)).all()
+    assert (rep.gopher_pass_rate.between(0, 1)).all()
+    assert rep.top_lang.notna().all()
+    assert (rep.total_tokens > 0).all()
