@@ -328,6 +328,34 @@ def substring_dup_pairs(
     )
 
 
+def evaluate_pair_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> dict:
+    """Precision / recall / F1 of a candidate pair set against a ground
+    truth pair set (both (id_a, id_b) with id_a < id_b) — the tuning loop
+    for LSH parameters (bands/rows/threshold) against exact Jaccard on a
+    sample. Three tiny keyed aggregates; intended for bounded samples."""
+    c = candidates.select(id_a, id_b).distinct()
+    t = truth.select(id_a, id_b).distinct()
+    n_c = c.count()
+    n_t = t.count()
+    n_hit = c.join(t, [id_a, id_b], "left_semi").count()
+    precision = n_hit / n_c if n_c else 1.0
+    recall = n_hit / n_t if n_t else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "n_candidates": n_c,
+        "n_truth": n_t,
+        "n_hit": n_hit,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
 def minhash_dedup_corpus(
     df: DataFrame,
     text_col: str,

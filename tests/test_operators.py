@@ -1606,3 +1606,26 @@ def test_corpus_report(spark, sf_dir):
     assert (rep.gopher_pass_rate.between(0, 1)).all()
     assert rep.top_lang.notna().all()
     assert (rep.total_tokens > 0).all()
+
+
+def test_evaluate_pair_quality(spark, sf_dir):
+    """LSH-vs-exact tuning loop: minhash candidates graded against exact
+    n-gram Jaccard ground truth on the documents sample."""
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.dedup import (
+        evaluate_pair_quality,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with persist_scope():
+        truth = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=5, threshold=0.5)
+        cand = minhash_lsh_pairs(
+            d, "text", "doc_id", num_hashes=128, bands=32, shingle_n=5, threshold=0.4
+        )
+        m = evaluate_pair_quality(cand, truth)
+    assert m["n_truth"] > 0
+    assert m["recall"] >= 0.9, m
+    assert 0.0 <= m["precision"] <= 1.0
+    assert 0.0 <= m["f1"] <= 1.0
