@@ -1629,3 +1629,32 @@ def test_evaluate_pair_quality(spark, sf_dir):
     assert m["recall"] >= 0.9, m
     assert 0.0 <= m["precision"] <= 1.0
     assert 0.0 <= m["f1"] <= 1.0
+
+
+def test_streaming_quality_filter_equals_batch(spark, sf_dir, tmp_path):
+    """The text-quality gate is a narrow projection, so it applies to a
+    readStream unchanged: streamed filter == batch filter on the same docs."""
+    from preprocessor_spark.operators.text import quality_score_expr
+    from preprocessor_spark.streaming import run_available_now
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema).parquet(src)
+        .withColumn("q", quality_score_expr(F.col("text")))
+        .filter(F.col("q") >= 0.5)
+        .select("doc_id", F.round("q", 6).alias("q"))
+    )
+    run_available_now(stream, "stream_quality", output_mode="append")
+    streamed = {r["doc_id"]: r["q"] for r in spark.table("stream_quality").collect()}
+
+    batch = {
+        r["doc_id"]: r["q"]
+        for r in docs.withColumn("q", quality_score_expr(F.col("text")))
+        .filter(F.col("q") >= 0.5)
+        .select("doc_id", F.round("q", 6).alias("q"))
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
