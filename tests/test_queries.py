@@ -115,3 +115,20 @@ def test_graded_window_is_all_oracle_backed():
     window = names[:50]
     missing = [n for n in window if n not in ORACLES]
     assert not missing, f"graded-window entries without oracle: {missing}"
+
+
+def test_graded_window_contract():
+    """Driver contract: every entry in the first-50 graded window must have
+    an oracle, every oracle must have a query, and the bench headline list
+    must reference real registry entries."""
+    names = list(QUERIES)
+    assert len(names) >= 50
+    missing = [n for n in names[:50] if n not in ORACLES]
+    assert not missing, f"graded-window entries without oracles: {missing}"
+    orphans = [k for k in ORACLES if k not in QUERIES]
+    assert not orphans, f"oracles without queries: {orphans}"
+
+    import bench
+
+    ghost = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not ghost, f"bench headline entries not in queries(): {ghost}"
