@@ -64,3 +64,15 @@ def hash_split(
 ) -> DataFrame:
     """Append a ``split`` column. Pure projection — no shuffle, no state."""
     return df.withColumn("split", split_assign_expr(F.col(key_col), splits, salt))
+
+
+def group_hash_split(
+    df: DataFrame, group_col: str, splits: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Leakage-safe split: hash the GROUP key (author, source domain,
+    conversation id) instead of the row key, so every row of a group lands
+    in the same split — near-duplicate rows within a group can never
+    straddle train/test. Still a pure projection (the group value is on
+    the row), zero shuffle; fractions are realized over groups, not rows,
+    so skewed group sizes skew row proportions — by design."""
+    return df.withColumn("split", split_assign_expr(F.col(group_col), splits, salt))

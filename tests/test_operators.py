@@ -1658,3 +1658,20 @@ def test_streaming_quality_filter_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_group_hash_split_no_leakage(spark, sf_dir):
+    from preprocessor_spark.operators.splits import group_hash_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = group_hash_split(d, "source", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # every group maps to exactly one split
+    per_group = out.groupBy("source").agg(F.count_distinct("split").alias("n")).collect()
+    assert all(r["n"] == 1 for r in per_group)
+    assert out.count() == d.count()
+    # deterministic across repartition
+    a = {(r["doc_id"], r["split"]) for r in out.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in
+         group_hash_split(d.repartition(7), "source", {"train": 0.8, "val": 0.1, "test": 0.1})
+         .select("doc_id", "split").collect()}
+    assert a == b
