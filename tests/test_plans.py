@@ -190,6 +190,16 @@ def test_join_strategy_hints_honored(spark):
     assert "BroadcastHashJoin" in formatted_plan(bcast)
 
 
+def test_kbins_buckets_no_single_partition(spark):
+    """Quantile binning must be a narrow projection with literal boundaries:
+    no Exchange SinglePartition (the old global-ntile plan funneled the whole
+    table into one partition), no Window, no shuffle at all."""
+    plan = formatted_plan(em.prep_kbins_buckets(spark, SF))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_quantile_rollup_shuffles_only_sketches(spark):
     """The rollup's exchange carries sketch rows, not raw data: the plan has
     the fine-agg exchange and the tiny rollup exchange, nothing more."""
