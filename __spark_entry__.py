@@ -2507,7 +2507,7 @@ def oracle_sql() -> dict[str, str]:
                                regexp_replace(
                                    regexp_replace(
                                        regexp_replace(t, '<[^>]{0,500}>', ' ', 'g'),
-                                       'https?://[^\\s<>"'']+', ' ', 'g'),
+                                       'https?://[^ \\t\\r\\n\\x0b\\f<>"'']+', ' ', 'g'),
                                    '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'),
                                chr(8216)||chr(8217)||chr(8220)||chr(8221)||chr(8211)||chr(8212)||chr(160),
                                '''''""-- '),

@@ -43,16 +43,26 @@ class SentenceSplitter:
 
 def split_sentences_udtf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Lateral-join the UDTF over a document frame → (id, pos, sentence,
-    n_words)."""
+    n_words). The input view name is unique per call (and dropped once the
+    returned frame is analyzed), so concurrent callers on one session can't
+    clobber each other's view between registration and spark.sql."""
+    import uuid
+
     spark = df.sparkSession
     spark.udtf.register("split_sentences", SentenceSplitter)
-    df.select(id_col, text_col).createOrReplaceTempView("__udtf_in")
-    return spark.sql(
-        f"""
-        SELECT i.{id_col}, s.pos, s.sentence, s.n_words
-        FROM __udtf_in i, LATERAL split_sentences(i.{text_col}) s
-        """
-    )
+    view = f"__udtf_in_{uuid.uuid4().hex}"
+    df.select(id_col, text_col).createOrReplaceTempView(view)
+    try:
+        # spark.sql analyzes eagerly, so the view reference is resolved
+        # before we drop it
+        return spark.sql(
+            f"""
+            SELECT i.{id_col}, s.pos, s.sentence, s.n_words
+            FROM {view} i, LATERAL split_sentences(i.{text_col}) s
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def sentences_expr(text: Column) -> Column:

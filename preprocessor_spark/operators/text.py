@@ -46,7 +46,7 @@ def bpe_ish_token_count_expr(text: Column) -> Column:
 # RE2 disagree on vertical tab — control chars are stripped first, then an
 # explicit [ \t\r\n\f] class collapses runs.
 _HTML_TAG_RE = r"<[^>]{0,500}>"
-_URL_RE = r"""https?://[^\s<>"']+"""
+_URL_RE = r"""https?://[^ \t\r\n\x0b\f<>"']+"""
 _CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
 _WS_RUN_RE = r"[ \t\r\n\f]+"
 # curly quotes / dashes / NBSP → ASCII equivalents

@@ -130,7 +130,9 @@ def write_partitioned(
     output with the directory layout, so each task writes exactly one file
     per directory. Unaligned writers emit up to tasks×partitions files —
     the classic small-files explosion that kills 100 TB scan planning; this
-    writer emits exactly partitions×files_per_partition."""
+    writer emits at most partitions×files_per_partition (hash repartitioning
+    can co-locate two shards in one task, which then writes one merged
+    file)."""
     if files_per_partition < 1:
         raise ValueError(f"files_per_partition must be >= 1, got {files_per_partition}")
     keys = [F.col(c) for c in partition_cols]
@@ -155,16 +157,19 @@ def compact_parquet(
     files at ``dest``; returns the output file count. Long-running ingestion
     (streaming sinks, frequent appends) accretes tiny files whose per-file
     open/footer cost dominates scans — periodic compaction is standard
-    table maintenance at scale."""
+    table maintenance at scale. File sizes come from the Hadoop FileSystem
+    API, so any scheme the cluster can read (file/hdfs/s3a/abfs) sizes
+    correctly — never the silent repartition(1) a local-only stat would
+    produce on remote paths."""
     import math
-    from urllib.parse import urlparse
 
     df = spark.read.parquet(src)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     total = 0
     for f in df.inputFiles():
-        p = urlparse(f)
-        if p.scheme in ("file", ""):
-            total += os.path.getsize(p.path)
+        jpath = jvm.org.apache.hadoop.fs.Path(f)
+        total += jpath.getFileSystem(hconf).getFileStatus(jpath).getLen()
     n = max(1, math.ceil(total / target_file_bytes)) if total else 1
     df.repartition(n).write.mode("overwrite").parquet(dest)
     return n
