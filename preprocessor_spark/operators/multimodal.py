@@ -6,11 +6,15 @@ as Arrow-batched pandas UDFs over ``mapInPandas`` so each batch amortizes
 Python transfer.
 
 Decode status:
-- **REAL, pure numpy** (no external libs): PPM/PGM (P5/P6) and uncompressed
-  24/32-bit BMP — full header parse, raster decode, nearest-neighbor
-  resize, PGM re-encode. Tested pixel-exact.
-- **Gated**: PNG/JPEG decode needs PIL (absent in this container) — tried
-  via import, raises a clear NotImplementedError otherwise.
+- **REAL, pure numpy** (no external libs): PPM/PGM (P5/P6), uncompressed
+  24/32-bit BMP, and **PNG** (stdlib zlib inflate → per-scanline unfilter →
+  raster; 8/16-bit gray / gray+alpha / RGB / RGBA / 8-bit palette,
+  non-interlaced) — full header parse, raster decode, nearest-neighbor
+  resize, PGM re-encode. Tested pixel-exact against planted rasters
+  exercising every PNG filter type.
+- **Gated**: JPEG decode and Adam7-interlaced PNG need PIL (absent in this
+  container) — tried via import, raises a clear NotImplementedError
+  otherwise.
 - **Stub**: video frame sampling needs ffmpeg — NotImplementedError.
 - A deterministic content-hash fake (``decoder="fake"``) remains for
   plumbing tests over arbitrary (non-image) payloads.
@@ -112,11 +116,110 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return img[:, :, :3].astype(np.float32).mean(axis=2) / 255.0
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per pixel by PNG color type: gray, RGB, palette, gray+A, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters → (h, stride) uint8 recon array.
+
+    Filter None/Up/Sub are fully vectorized (Sub is a prefix-sum mod 256
+    within each byte lane); Average and Paeth carry a true sequential
+    dependency along x and fall back to a per-byte loop — rare in encoder
+    output for the flat/synthetic images this path targets, and correctness
+    comes first for the others."""
+    arr = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(h, stride + 1)
+    filters, data = arr[:, 0], arr[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, cur = int(filters[y]), data[y]
+        if f == 0:
+            row = cur.copy()
+        elif f == 2:  # Up: uint8 addition wraps mod 256 by itself
+            row = cur + prev
+        elif f == 1:  # Sub: per-lane cumulative sum mod 256
+            row = cur.copy()
+            for lane in range(bpp):
+                row[lane::bpp] = np.cumsum(cur[lane::bpp], dtype=np.uint64) & 0xFF
+        else:  # Average (3) / Paeth (4): sequential along x
+            row = np.zeros(stride, dtype=np.uint8)
+            cur_i, prev_i, row_i = cur.astype(np.int32), prev.astype(np.int32), row
+            for x in range(stride):
+                a = int(row_i[x - bpp]) if x >= bpp else 0
+                b = int(prev_i[x])
+                if f == 3:
+                    row_i[x] = (cur_i[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev_i[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row_i[x] = (cur_i[x] + pred) & 0xFF
+        recon[y] = row
+        prev = recon[y]
+    return recon
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure-numpy PNG decode (stdlib zlib): chunk walk → inflate the IDAT
+    stream → unfilter scanlines → raster → float32 grayscale [0,1].
+
+    Supports 8/16-bit depth, color types 0/2/3/4/6, non-interlaced. Adam7
+    interlacing and sub-byte depths raise NotImplementedError (PIL path)."""
+    import struct
+    import zlib
+
+    i = len(_PNG_SIG)
+    idat = bytearray()
+    plte: np.ndarray | None = None
+    w = h = depth = ctype = interlace = None
+    while i + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[i : i + 4])
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        i += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR chunk")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG requires PIL")
+    if depth not in (8, 16) or (ctype == 3 and depth != 8):
+        raise NotImplementedError(f"PNG bit depth {depth} (color type {ctype}) requires PIL")
+    nch = _PNG_CHANNELS[ctype]
+    bpp = nch * (depth // 8)
+    recon = _png_unfilter(zlib.decompress(bytes(idat)), h, w * bpp, bpp)
+    if depth == 16:  # big-endian 16-bit samples
+        img = recon.reshape(h, w * nch, 2).astype(np.float32)
+        img = (img[:, :, 0] * 256.0 + img[:, :, 1]).reshape(h, w, nch) / 65535.0
+    else:
+        img = recon.reshape(h, w, nch).astype(np.float32) / 255.0
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        idx = np.clip(np.round(img[:, :, 0] * 255.0).astype(np.int64), 0, len(plte) - 1)
+        return plte[idx].astype(np.float32).mean(axis=2) / 255.0
+    if ctype == 0:
+        return img[:, :, 0]
+    if ctype == 4:  # gray + alpha: intensity channel only
+        return img[:, :, 0]
+    return img[:, :, :3].mean(axis=2)  # RGB / RGBA
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode to a float32 grayscale [0,1] 2-D array.
 
-    PPM/PGM and uncompressed BMP decode here with no external dependency;
-    PNG/JPEG fall through to PIL when available."""
+    PPM/PGM, uncompressed BMP, and non-interlaced 8/16-bit PNG decode here
+    with no external dependency; JPEG and exotic PNGs fall through to PIL
+    when available."""
     if not payload:
         raise ValueError("empty image payload")
     magic = payload[:2]
@@ -124,6 +227,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_pnm(payload)
     if magic == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        try:
+            return _decode_png(payload)
+        except NotImplementedError:
+            pass  # interlaced / sub-byte depth → PIL fallback below
     try:  # compressed formats need a real imaging lib
         import io
 

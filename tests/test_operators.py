@@ -1413,6 +1413,132 @@ def test_video_stub_still_declared(spark):
         sample_video_frames(df, "id", "v", every_ms=1000)
 
 
+def _encode_png(raster, ctype, depth=8, filters=None, palette=None):
+    """Independent PNG encoder for the decode tests: filters each scanline
+    with the REQUESTED filter type (exercising the decoder's unfilter paths,
+    not just whatever one encoder happens to emit), deflates, and emits
+    IHDR/PLTE/IDAT/IEND with real CRCs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = raster.shape[0], raster.shape[1]
+    nch = 1 if raster.ndim == 2 else raster.shape[2]
+    if depth == 16:
+        flat = raster.astype(">u2").reshape(h, -1).view(np.uint8).reshape(h, -1)
+    else:
+        flat = raster.astype(np.uint8).reshape(h, -1)
+    bpp = nch * (depth // 8)
+    filters = filters if filters is not None else [0] * h
+    prev = np.zeros(flat.shape[1], dtype=np.int32)
+    out = bytearray()
+    for y in range(h):
+        f = filters[y]
+        cur = flat[y].astype(np.int32)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - a) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            enc = (cur - ((a + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            c = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
+            enc = (cur - pred) & 0xFF
+        out += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(typ, data):
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    png += chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b"")
+    return png
+
+
+def test_png_decode_pixel_exact_all_filters(spark):
+    """Planted PNGs, one scanline per filter type (None/Sub/Up/Avg/Paeth),
+    decode bit-exactly for gray8, RGB8, RGBA8, palette, and gray16."""
+    import numpy as np
+
+    from preprocessor_spark.operators.multimodal import decode_image, image_features
+
+    rng = np.random.RandomState(11)
+    filters = [0, 1, 2, 3, 4]
+
+    gray = rng.randint(0, 256, (5, 7)).astype(np.uint8)
+    got = decode_image(_encode_png(gray, ctype=0, filters=filters))
+    np.testing.assert_array_equal(np.round(got * 255.0).astype(np.uint8), gray)
+
+    rgb = rng.randint(0, 256, (5, 6, 3)).astype(np.uint8)
+    got = decode_image(_encode_png(rgb, ctype=2, filters=filters))
+    np.testing.assert_allclose(got, rgb.astype(np.float32).mean(axis=2) / 255.0, atol=1e-6)
+
+    rgba = rng.randint(0, 256, (5, 4, 4)).astype(np.uint8)
+    got = decode_image(_encode_png(rgba, ctype=6, filters=filters))
+    np.testing.assert_allclose(got, rgba[:, :, :3].astype(np.float32).mean(axis=2) / 255.0, atol=1e-6)
+
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (5, 9)).astype(np.uint8)
+    got = decode_image(_encode_png(idx, ctype=3, filters=filters, palette=pal))
+    np.testing.assert_allclose(got, pal[idx].astype(np.float32).mean(axis=2) / 255.0, atol=1e-6)
+
+    g16 = rng.randint(0, 65536, (5, 5)).astype(np.uint16)
+    got = decode_image(_encode_png(g16, ctype=0, depth=16, filters=filters))
+    np.testing.assert_allclose(got, g16.astype(np.float32) / 65535.0, atol=1e-6)
+
+    # distributed path: PNG through the real mapInPandas feature extractor
+    png = _encode_png(rgb, ctype=2, filters=filters)
+    df = spark.createDataFrame([(0, png)], "id bigint, img binary")
+    feats = image_features(df, "id", "img").toPandas()
+    assert feats.width.tolist() == [6] and feats.height.tolist() == [5]
+    exp = float(rgb.astype(np.float32).mean(axis=2).mean() / 255.0)
+    assert abs(feats.mean_intensity.iloc[0] - exp) < 1e-6
+
+
+def test_png_interlaced_still_gated():
+    """Adam7 PNG must raise the declared NotImplementedError (no PIL here),
+    never decode garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    import pytest as _pytest
+
+    from preprocessor_spark.operators.multimodal import decode_image
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)  # interlace=1
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(np.zeros(20, np.uint8).tobytes()))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_image(payload)
+
+
 def test_udtf_and_native_sentence_split_agree(spark):
     from preprocessor_spark.functions.udx import (
         split_sentences_native,
