@@ -2695,23 +2695,112 @@ def oracle_sql() -> dict[str, str]:
         "ts_features_by_user": """
             WITH d AS (
                 SELECT user_id, CAST(value AS DOUBLE) AS v,
-                       CAST(value AS DOUBLE)
-                         - lag(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id ORDER BY event_id) AS diff
+                       CAST(value AS DOUBLE) - lag(CAST(value AS DOUBLE)) OVER w AS diff,
+                       lag(CAST(value AS DOUBLE), 1) OVER w AS lag1,
+                       lag(CAST(value AS DOUBLE), 2) OVER w AS lag2,
+                       lag(CAST(value AS DOUBLE), 5) OVER w AS lag5,
+                       lag(CAST(value AS DOUBLE), 10) OVER w AS lag10,
+                       CAST(row_number() OVER w - 1 AS DOUBLE) AS pos,
+                       MIN(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS lo,
+                       MAX(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS hi
                 FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ), bd AS (
+                SELECT *,
+                       CASE WHEN hi > lo
+                            THEN LEAST(CAST(FLOOR((v - lo) / (hi - lo) * 10) AS INTEGER), 9)
+                            WHEN v IS NOT NULL THEN 0 END AS bin
+                FROM d
+            ), a AS (
+                SELECT user_id,
+                       AVG(v) AS mu, quantile_cont(v, 0.5) AS med,
+                       stddev_pop(v) AS sd, var_pop(v) AS var,
+                       MIN(v) AS mn, MAX(v) AS mx, SUM(v) AS sx,
+                       CAST(COUNT(v) AS DOUBLE) AS n,
+                       SUM(v * v) AS s2, sqrt(AVG(v * v)) AS rms,
+                       AVG(diff) AS mc, AVG(ABS(diff)) AS mac, SUM(ABS(diff)) AS asoc,
+                       SUM(v * v * v) AS s3, SUM(v * v * v * v) AS s4,
+                       SUM(CASE WHEN v IS NOT NULL THEN pos END) AS st,
+                       SUM(CASE WHEN v IS NOT NULL THEN pos * pos END) AS stt,
+                       SUM(pos * v) AS stx,
+                       SUM(CASE WHEN bin = 0 THEN 1.0 ELSE 0.0 END) AS b0,
+                       SUM(CASE WHEN bin = 1 THEN 1.0 ELSE 0.0 END) AS b1,
+                       SUM(CASE WHEN bin = 2 THEN 1.0 ELSE 0.0 END) AS b2,
+                       SUM(CASE WHEN bin = 3 THEN 1.0 ELSE 0.0 END) AS b3,
+                       SUM(CASE WHEN bin = 4 THEN 1.0 ELSE 0.0 END) AS b4,
+                       SUM(CASE WHEN bin = 5 THEN 1.0 ELSE 0.0 END) AS b5,
+                       SUM(CASE WHEN bin = 6 THEN 1.0 ELSE 0.0 END) AS b6,
+                       SUM(CASE WHEN bin = 7 THEN 1.0 ELSE 0.0 END) AS b7,
+                       SUM(CASE WHEN bin = 8 THEN 1.0 ELSE 0.0 END) AS b8,
+                       SUM(CASE WHEN bin = 9 THEN 1.0 ELSE 0.0 END) AS b9,
+                       SUM(CASE WHEN v IS NOT NULL AND lag1 IS NOT NULL THEN v * lag1 END) AS a1_xy,
+                       SUM(CASE WHEN v IS NOT NULL AND lag1 IS NOT NULL THEN lag1 END) AS a1_x,
+                       SUM(CASE WHEN v IS NOT NULL AND lag1 IS NOT NULL THEN v END) AS a1_y,
+                       SUM(CASE WHEN v IS NOT NULL AND lag1 IS NOT NULL THEN 1.0 ELSE 0.0 END) AS a1_n,
+                       SUM(CASE WHEN v IS NOT NULL AND lag2 IS NOT NULL THEN v * lag2 END) AS a2_xy,
+                       SUM(CASE WHEN v IS NOT NULL AND lag2 IS NOT NULL THEN lag2 END) AS a2_x,
+                       SUM(CASE WHEN v IS NOT NULL AND lag2 IS NOT NULL THEN v END) AS a2_y,
+                       SUM(CASE WHEN v IS NOT NULL AND lag2 IS NOT NULL THEN 1.0 ELSE 0.0 END) AS a2_n,
+                       SUM(CASE WHEN v IS NOT NULL AND lag5 IS NOT NULL THEN v * lag5 END) AS a5_xy,
+                       SUM(CASE WHEN v IS NOT NULL AND lag5 IS NOT NULL THEN lag5 END) AS a5_x,
+                       SUM(CASE WHEN v IS NOT NULL AND lag5 IS NOT NULL THEN v END) AS a5_y,
+                       SUM(CASE WHEN v IS NOT NULL AND lag5 IS NOT NULL THEN 1.0 ELSE 0.0 END) AS a5_n,
+                       SUM(CASE WHEN v IS NOT NULL AND lag10 IS NOT NULL THEN v * lag10 END) AS a10_xy,
+                       SUM(CASE WHEN v IS NOT NULL AND lag10 IS NOT NULL THEN lag10 END) AS a10_x,
+                       SUM(CASE WHEN v IS NOT NULL AND lag10 IS NOT NULL THEN v END) AS a10_y,
+                       SUM(CASE WHEN v IS NOT NULL AND lag10 IS NOT NULL THEN 1.0 ELSE 0.0 END) AS a10_n
+                FROM bd GROUP BY user_id
             )
             SELECT user_id,
-                   ROUND(AVG(v), 6) AS "value__mean",
-                   ROUND(quantile_cont(v, 0.5), 6) AS "value__median",
-                   ROUND(stddev_pop(v), 6) AS "value__standard_deviation",
-                   ROUND(var_pop(v), 6) AS "value__variance",
-                   ROUND(MIN(v), 6) AS "value__minimum",
-                   ROUND(MAX(v), 6) AS "value__maximum",
-                   ROUND(SUM(v), 6) AS "value__sum_values",
-                   ROUND(CAST(COUNT(v) AS DOUBLE), 6) AS "value__length",
-                   ROUND(SUM(v * v), 6) AS "value__abs_energy",
-                   ROUND(sqrt(AVG(v * v)), 6) AS "value__root_mean_square",
-                   ROUND(AVG(diff), 6) AS "value__mean_change",
-                   ROUND(AVG(ABS(diff)), 6) AS "value__mean_abs_change"
-            FROM d GROUP BY user_id
+                   ROUND(mu, 6) AS "value__mean",
+                   ROUND(med, 6) AS "value__median",
+                   ROUND(sd, 6) AS "value__standard_deviation",
+                   ROUND(var, 6) AS "value__variance",
+                   ROUND(mn, 6) AS "value__minimum",
+                   ROUND(mx, 6) AS "value__maximum",
+                   ROUND(sx, 6) AS "value__sum_values",
+                   ROUND(n, 6) AS "value__length",
+                   ROUND(s2, 6) AS "value__abs_energy",
+                   ROUND(rms, 6) AS "value__root_mean_square",
+                   ROUND(mc, 6) AS "value__mean_change",
+                   ROUND(mac, 6) AS "value__mean_abs_change",
+                   ROUND(asoc, 6) AS "value__absolute_sum_of_changes",
+                   ROUND(CASE WHEN n > 2 AND (s2 / n - mu * mu) > 0
+                        THEN sqrt(n * (n - 1)) / (n - 2)
+                             * (s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu)
+                             / POW(s2 / n - mu * mu, 1.5) END, 6) AS "value__skewness",
+                   ROUND(CASE WHEN n > 3 AND (s2 / n - mu * mu) > 0
+                        THEN ((n + 1) * ((s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+                                          - 3 * mu * mu * mu * mu)
+                                         / ((s2 / n - mu * mu) * (s2 / n - mu * mu)) - 3) + 6)
+                             * (n - 1) / ((n - 2) * (n - 3)) END, 6) AS "value__kurtosis",
+                   ROUND(CASE WHEN n * stt - st * st <> 0
+                        THEN (n * stx - st * sx) / (n * stt - st * st) END, 6)
+                       AS "value__linear_trend_slope",
+                   ROUND(CASE WHEN n > 0 THEN
+                        (CASE WHEN b0 > 0 THEN -(b0 / n) * ln(b0 / n) ELSE 0.0 END)
+                      + (CASE WHEN b1 > 0 THEN -(b1 / n) * ln(b1 / n) ELSE 0.0 END)
+                      + (CASE WHEN b2 > 0 THEN -(b2 / n) * ln(b2 / n) ELSE 0.0 END)
+                      + (CASE WHEN b3 > 0 THEN -(b3 / n) * ln(b3 / n) ELSE 0.0 END)
+                      + (CASE WHEN b4 > 0 THEN -(b4 / n) * ln(b4 / n) ELSE 0.0 END)
+                      + (CASE WHEN b5 > 0 THEN -(b5 / n) * ln(b5 / n) ELSE 0.0 END)
+                      + (CASE WHEN b6 > 0 THEN -(b6 / n) * ln(b6 / n) ELSE 0.0 END)
+                      + (CASE WHEN b7 > 0 THEN -(b7 / n) * ln(b7 / n) ELSE 0.0 END)
+                      + (CASE WHEN b8 > 0 THEN -(b8 / n) * ln(b8 / n) ELSE 0.0 END)
+                      + (CASE WHEN b9 > 0 THEN -(b9 / n) * ln(b9 / n) ELSE 0.0 END)
+                        END, 6) AS "value__binned_entropy",
+                   ROUND(CASE WHEN a1_n > 0 AND var > 0
+                        THEN (a1_xy - mu * a1_x - mu * a1_y + a1_n * mu * mu) / (a1_n * var)
+                        END, 6) AS "value__autocorrelation_lag_1",
+                   ROUND(CASE WHEN a2_n > 0 AND var > 0
+                        THEN (a2_xy - mu * a2_x - mu * a2_y + a2_n * mu * mu) / (a2_n * var)
+                        END, 6) AS "value__autocorrelation_lag_2",
+                   ROUND(CASE WHEN a5_n > 0 AND var > 0
+                        THEN (a5_xy - mu * a5_x - mu * a5_y + a5_n * mu * mu) / (a5_n * var)
+                        END, 6) AS "value__autocorrelation_lag_5",
+                   ROUND(CASE WHEN a10_n > 0 AND var > 0
+                        THEN (a10_xy - mu * a10_x - mu * a10_y + a10_n * mu * mu) / (a10_n * var)
+                        END, 6) AS "value__autocorrelation_lag_10"
+            FROM a
         """,
     }

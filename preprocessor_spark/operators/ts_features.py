@@ -8,9 +8,14 @@ table to the driver. We re-express the common tsfresh feature set as ONE
 keyed by the series id, scaling to any number of series — with tsfresh's
 ``{column}__{feature}`` naming so downstream code ports over.
 
-Order-dependent features (mean_change, mean_abs_change) are computed from a
-``lag`` window partitioned by the series id — per-series windows, no global
-sort.
+Order-dependent features (mean_change, mean_abs_change, the
+autocorrelation-at-lag family, the OLS linear-trend slope) are computed from
+``lag`` / ``row_number`` windows partitioned by the series id — per-series
+windows, no global sort — and the whole-series frame (min/max for binned
+entropy) shares the same exchange. The moment features (bias-corrected
+skewness/kurtosis, pandas/tsfresh formulas) come from raw power sums folded
+in the same single aggregate, so the catalog's breadth never adds a second
+shuffle.
 
 Relevance filtering (`extract_relevant_features`, preprocessor.py:629):
 tsfresh runs per-feature hypothesis tests against the target on the driver.
@@ -33,6 +38,9 @@ _NUMERIC_TYPES = (
     T.FloatType, T.DoubleType, T.DecimalType,
 )
 
+AUTOCORR_LAGS = (1, 2, 5, 10)
+ENTROPY_BINS = 10
+
 FEATURES = (
     "mean",
     "median",
@@ -46,13 +54,24 @@ FEATURES = (
     "root_mean_square",
     "mean_change",
     "mean_abs_change",
+    "absolute_sum_of_changes",
+    "skewness",
+    "kurtosis",
+    "linear_trend_slope",
+    "binned_entropy",
+    *[f"autocorrelation_lag_{l}" for l in AUTOCORR_LAGS],
 )
 
 
 def _feature_aggs(col: str) -> list:
+    """One-pass aggregates: the public fixed-form features plus the raw sums
+    (``__raw_*``) that :func:`_finalize_exprs` composes into the moment- and
+    lag-based features. Everything here is a plain JVM aggregate, so the
+    whole catalog still costs the single series-id shuffle."""
     c = F.col(col).cast("double")
     d = F.col(f"__diff_{col}")
-    return [
+    pos = F.col("__pos").cast("double")
+    aggs = [
         F.mean(c).alias(f"{col}__mean"),
         F.expr(f"percentile(cast(`{col}` as double), 0.5)").alias(f"{col}__median"),
         F.stddev_pop(c).alias(f"{col}__standard_deviation"),
@@ -65,7 +84,83 @@ def _feature_aggs(col: str) -> list:
         F.sqrt(F.mean(c * c)).alias(f"{col}__root_mean_square"),
         F.mean(d).alias(f"{col}__mean_change"),
         F.mean(F.abs(d)).alias(f"{col}__mean_abs_change"),
+        F.sum(F.abs(d)).alias(f"{col}__absolute_sum_of_changes"),
+        # raw power sums for bias-corrected skewness / kurtosis
+        F.sum(c * c * c).alias(f"__raw_s3_{col}"),
+        F.sum(c * c * c * c).alias(f"__raw_s4_{col}"),
+        # least-squares pieces for the linear trend over the row index
+        F.sum(F.when(c.isNotNull(), pos)).alias(f"__raw_st_{col}"),
+        F.sum(F.when(c.isNotNull(), pos * pos)).alias(f"__raw_stt_{col}"),
+        F.sum(pos * c).alias(f"__raw_stx_{col}"),
+        # equal-width histogram counts for binned entropy
+        *[
+            F.sum(F.when(F.col(f"__bin_{col}") == k, F.lit(1.0)).otherwise(F.lit(0.0))).alias(
+                f"__raw_b{k}_{col}"
+            )
+            for k in range(ENTROPY_BINS)
+        ],
     ]
+    for l in AUTOCORR_LAGS:
+        lagc = F.col(f"__lag{l}_{col}")
+        both = c.isNotNull() & lagc.isNotNull()
+        aggs += [
+            F.sum(F.when(both, c * lagc)).alias(f"__raw_a{l}_xy_{col}"),
+            F.sum(F.when(both, lagc)).alias(f"__raw_a{l}_x_{col}"),
+            F.sum(F.when(both, c)).alias(f"__raw_a{l}_y_{col}"),
+            F.sum(F.when(both, F.lit(1.0)).otherwise(F.lit(0.0))).alias(f"__raw_a{l}_n_{col}"),
+        ]
+    return aggs
+
+
+def _finalize_exprs(col: str) -> list:
+    """Compose the moment/lag features from the raw one-pass sums. Formulas
+    mirror tsfresh: bias-corrected (pandas-style) skewness G1 and excess
+    kurtosis G2, OLS slope over the 0-based row index, Shannon entropy of a
+    10-bin equal-width histogram, and autocorrelation(lag) normalized by the
+    population variance. Degenerate cases (short series, zero variance)
+    yield NULL exactly as tsfresh yields NaN."""
+    n = F.col(f"{col}__length")
+    mu = F.col(f"{col}__mean")
+    var = F.col(f"{col}__variance")
+    s2 = F.col(f"{col}__abs_energy")
+    s3, s4 = F.col(f"__raw_s3_{col}"), F.col(f"__raw_s4_{col}")
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu
+    m4 = s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * mu * mu * mu * mu
+    skew = F.when(
+        (n > 2) & (m2 > 0),
+        F.sqrt(n * (n - 1)) / (n - 2) * m3 / F.pow(m2, 1.5),
+    ).alias(f"{col}__skewness")
+    kurt = F.when(
+        (n > 3) & (m2 > 0),
+        ((n + 1) * (m4 / (m2 * m2) - 3) + 6) * (n - 1) / ((n - 2) * (n - 3)),
+    ).alias(f"{col}__kurtosis")
+    st, stt, stx = (
+        F.col(f"__raw_st_{col}"),
+        F.col(f"__raw_stt_{col}"),
+        F.col(f"__raw_stx_{col}"),
+    )
+    sx = F.col(f"{col}__sum_values")
+    slope = F.when(
+        n * stt - st * st != 0,
+        (n * stx - st * sx) / (n * stt - st * st),
+    ).alias(f"{col}__linear_trend_slope")
+    probs = [F.col(f"__raw_b{k}_{col}") / n for k in range(ENTROPY_BINS)]
+    ent_terms = [F.when(p > 0, -p * F.log(p)).otherwise(F.lit(0.0)) for p in probs]
+    entropy = F.when(n > 0, sum(ent_terms[1:], ent_terms[0])).alias(f"{col}__binned_entropy")
+    out = [skew, kurt, slope, entropy]
+    for l in AUTOCORR_LAGS:
+        sxy = F.col(f"__raw_a{l}_xy_{col}")
+        sx_l = F.col(f"__raw_a{l}_x_{col}")
+        sy_l = F.col(f"__raw_a{l}_y_{col}")
+        nl = F.col(f"__raw_a{l}_n_{col}")
+        out.append(
+            F.when(
+                (nl > 0) & (var > 0),
+                (sxy - mu * sx_l - mu * sy_l + nl * mu * mu) / (nl * var),
+            ).alias(f"{col}__autocorrelation_lag_{l}")
+        )
+    return out
 
 
 def extract_ts_features(
@@ -94,16 +189,31 @@ def extract_ts_features(
         raise ValueError("No numeric value columns to extract features from.")
 
     w = Window.partitionBy(column_id).orderBy(time)
-    with_diffs = data.withColumns(
-        {
-            f"__diff_{c}": F.col(c).cast("double") - F.lag(F.col(c).cast("double")).over(w)
-            for c in value_cols
-        }
-    )
+    w_full = Window.partitionBy(column_id)  # whole-series frame, same exchange
+    helper_cols: dict = {"__pos": F.row_number().over(w) - F.lit(1)}
+    for c in value_cols:
+        cd = F.col(c).cast("double")
+        helper_cols[f"__diff_{c}"] = cd - F.lag(cd).over(w)
+        for l in AUTOCORR_LAGS:
+            helper_cols[f"__lag{l}_{c}"] = F.lag(cd, l).over(w)
+        lo, hi = F.min(cd).over(w_full), F.max(cd).over(w_full)
+        helper_cols[f"__bin_{c}"] = F.when(
+            hi > lo,
+            F.least(
+                F.floor((cd - lo) / (hi - lo) * ENTROPY_BINS).cast("int"),
+                F.lit(ENTROPY_BINS - 1),
+            ),
+        ).otherwise(F.when(cd.isNotNull(), F.lit(0)))
+    with_helpers = data.withColumns(helper_cols)
     aggs = []
     for c in value_cols:
         aggs.extend(_feature_aggs(c))
-    feats = with_diffs.groupBy(column_id).agg(*aggs)
+    raw = with_helpers.groupBy(column_id).agg(*aggs)
+    public = [c for c in raw.columns if not c.startswith("__raw_")]
+    finals = []
+    for c in value_cols:
+        finals.extend(_finalize_exprs(c))
+    feats = raw.select(*public, *finals)
 
     if y is None:
         return feats

@@ -190,6 +190,15 @@ def test_join_strategy_hints_honored(spark):
     assert "BroadcastHashJoin" in formatted_plan(bcast)
 
 
+def test_ts_features_single_shuffle(spark):
+    """The full feature catalog (moments, autocorr lags, entropy, trend)
+    costs exactly one hash exchange on the series id — the lag windows, the
+    whole-series frame, and the groupBy all share it."""
+    plan = formatted_plan(em.ts_features_by_user(spark, SF))
+    assert plan.count("+- Exchange") == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
 def test_kbins_buckets_no_single_partition(spark):
     """Quantile binning must be a narrow projection with literal boundaries:
     no Exchange SinglePartition (the old global-ntile plan funneled the whole

@@ -129,6 +129,61 @@ def test_ts_features(spark):
     assert feats.loc[2, "value1__mean"] == pytest.approx(7.0)
 
 
+def test_ts_features_moment_catalog_numpy_parity(spark):
+    """The broadened catalog (autocorrelation at lags, binned entropy, OLS
+    slope, bias-corrected skewness/kurtosis) must match the straightforward
+    numpy/tsfresh formulas computed per series on the driver."""
+    from preprocessor_spark.operators.ts_features import extract_ts_features
+
+    rng = np.random.RandomState(5)
+    series = {1: rng.uniform(0, 100, 40), 2: np.cumsum(rng.randn(25)) + 50.0}
+    pdf = pd.DataFrame(
+        {
+            "id": sum(([k] * len(v) for k, v in series.items()), []),
+            "time": sum(([*range(len(v))] for v in series.values()), []),
+            "value": np.concatenate(list(series.values())),
+        }
+    )
+    feats = (
+        extract_ts_features(spark.createDataFrame(pdf), time="time", column_id="id")
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    for sid, x in series.items():
+        n = len(x)
+        mu, var = x.mean(), x.var()
+        for lag in (1, 2, 5, 10):
+            ref = ((x[lag:] - mu) * (x[:-lag] - mu)).sum() / ((n - lag) * var)
+            assert feats.loc[sid, f"value__autocorrelation_lag_{lag}"] == pytest.approx(ref)
+        counts, _ = np.histogram(x, bins=10)
+        p = counts / n
+        ent = float(-(p[p > 0] * np.log(p[p > 0])).sum())
+        assert feats.loc[sid, "value__binned_entropy"] == pytest.approx(ent)
+        t = np.arange(n, dtype=float)
+        slope = np.polyfit(t, x, 1)[0]
+        assert feats.loc[sid, "value__linear_trend_slope"] == pytest.approx(slope)
+        m2 = ((x - mu) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        skew = np.sqrt(n * (n - 1)) / (n - 2) * m3 / m2 ** 1.5  # pandas G1
+        kurt = ((n + 1) * (m4 / m2**2 - 3) + 6) * (n - 1) / ((n - 2) * (n - 3))  # pandas G2
+        assert feats.loc[sid, "value__skewness"] == pytest.approx(skew)
+        assert feats.loc[sid, "value__kurtosis"] == pytest.approx(kurt)
+        assert feats.loc[sid, "value__absolute_sum_of_changes"] == pytest.approx(
+            np.abs(np.diff(x)).sum()
+        )
+    # constant series: entropy 0, autocorr/skew/kurt null — not a crash
+    const = pd.DataFrame({"id": [9] * 6, "time": range(6), "value": [3.0] * 6})
+    f9 = (
+        extract_ts_features(spark.createDataFrame(const), time="time", column_id="id")
+        .toPandas()
+        .iloc[0]
+    )
+    assert f9["value__binned_entropy"] == pytest.approx(0.0)
+    assert pd.isna(f9["value__autocorrelation_lag_1"]) and pd.isna(f9["value__skewness"])
+
+
 def test_datetime_string_inference(spark):
     pdf = pd.DataFrame(
         {
