@@ -132,3 +132,81 @@ def test_graded_window_contract():
 
     ghost = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not ghost, f"bench headline entries not in queries(): {ghost}"
+
+
+def test_minhash_corpus_dedup_invariants_duckdb(spark):
+    """Round-3 verdict task 7: the end-to-end minhash corpus dedup is
+    rows-only by necessity (hash-family specific), but its EXACT invariants
+    are SQL — so grade them in DuckDB over the emitted pair/component/kept
+    tables:
+
+      1. pair consistency — both ends of every candidate pair share a
+         component label;
+      2. canonical labeling — every component label is the min id of its
+         members;
+      3. survivor arithmetic — n_kept = n_docs - (n_component_members -
+         n_components), i.e. exactly the non-canonical members drop;
+      4. dropped mapping — every dropped id appears in the component table
+         with a SURVIVING canonical of smaller id.
+    """
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.dedup import minhash_dedup_corpus, minhash_lsh_pairs
+    from preprocessor_spark.operators.graph import connected_components
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    kw = dict(num_hashes=64, bands=16, threshold=0.6)
+    with persist_scope():
+        pairs_pdf = minhash_lsh_pairs(docs, "text", "doc_id", **kw).select("id_a", "id_b").toPandas()
+        comps_pdf = connected_components(
+            minhash_lsh_pairs(docs, "text", "doc_id", **kw)
+        ).toPandas()
+        kept_pdf = minhash_dedup_corpus(docs, "text", "doc_id", **kw).select("doc_id").toPandas()
+    docs_pdf = docs.select("doc_id").toPandas()
+
+    con = duckdb.connect()
+    con.register("pairs", pairs_pdf)
+    con.register("comps", comps_pdf)
+    con.register("kept", kept_pdf)
+    con.register("docs", docs_pdf)
+
+    bad_pairs = con.execute(
+        """SELECT COUNT(*) FROM pairs p
+           JOIN comps a ON p.id_a = a.id JOIN comps b ON p.id_b = b.id
+           WHERE a.component <> b.component"""
+    ).fetchone()[0]
+    assert bad_pairs == 0
+
+    unmatched_ends = con.execute(
+        """SELECT COUNT(*) FROM (
+               SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs
+           ) e LEFT JOIN comps c ON e.id = c.id WHERE c.id IS NULL"""
+    ).fetchone()[0]
+    assert unmatched_ends == 0
+
+    bad_labels = con.execute(
+        """SELECT COUNT(*) FROM (
+               SELECT component, MIN(id) AS m FROM comps GROUP BY component
+           ) WHERE component <> m"""
+    ).fetchone()[0]
+    assert bad_labels == 0
+
+    n_docs, n_kept, n_members, n_components = (
+        con.execute("SELECT COUNT(*) FROM docs").fetchone()[0],
+        con.execute("SELECT COUNT(*) FROM kept").fetchone()[0],
+        con.execute("SELECT COUNT(*) FROM comps").fetchone()[0],
+        con.execute("SELECT COUNT(DISTINCT component) FROM comps").fetchone()[0],
+    )
+    assert n_kept == n_docs - (n_members - n_components)
+
+    bad_dropped = con.execute(
+        """WITH dropped AS (
+               SELECT doc_id FROM docs EXCEPT SELECT doc_id FROM kept
+           )
+           SELECT COUNT(*) FROM dropped d
+           LEFT JOIN comps c ON d.doc_id = c.id
+           LEFT JOIN kept k ON c.component = k.doc_id
+           WHERE c.id IS NULL            -- dropped but in no cluster
+              OR c.component >= d.doc_id -- canonical not strictly smaller
+              OR k.doc_id IS NULL        -- canonical itself didn't survive"""
+    ).fetchone()[0]
+    assert bad_dropped == 0
