@@ -385,8 +385,18 @@ def agg_min_max_by(spark, sf_dir):
 
 def null_safe_join_parts(spark, sf_dir):
     """Null-safe equality (<=>) join: brand size 45 parts vs themselves on a
-    nullable derived key — null keys must pair, unlike plain equality."""
-    p = _t(spark, sf_dir, "part")
+    nullable derived key — null keys must pair, unlike plain equality.
+
+    Bounded NULL block: the NULL key group pairs all-with-all by <=>
+    semantics, so its pair count is quadratic in group size — on the full
+    part table the ~90% null block alone is ~10^8 pairs at sf0.1 (benched at
+    12 s, and growing 100x per 10x data). The modulo prefilter applies ONLY
+    to the null side (the brand groups stay complete, so the non-null <=>
+    pairing is fully exercised), the way a production null-safe join would
+    bound or pre-aggregate a degenerate hot key."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") > 45) | (F.col("p_partkey") % 41 == 0)
+    )
     keyed = p.select(
         "p_partkey",
         F.when(F.col("p_size") > 45, F.col("p_brand")).alias("big_brand"),
@@ -2616,7 +2626,7 @@ def oracle_sql() -> dict[str, str]:
             WITH keyed AS (
                 SELECT p_partkey,
                        CASE WHEN p_size > 45 THEN p_brand END AS big_brand
-                FROM part
+                FROM part WHERE p_size > 45 OR p_partkey % 41 = 0
             )
             SELECT a.big_brand, COUNT(*) AS n_pairs
             FROM keyed a JOIN keyed b

@@ -19,59 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from preprocessor_spark.session import get_spark
 
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "semi_anti_theta_counts",
-    "window_orders_family",
-    "topk_orders",
-    "rollup_cube_grouping",
-    "tumbling_json_events",
-    "asof_purchase_last_view",
-    "prep_value_counts_case",
-    "prep_scale_stats",
-    "prep_onehot_segment",
-    "preprocessor_fit_transform",
-    "prep_datetime_pipeline",
-    "dedup_exact_documents",
-    "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_connected_components",
-    "sessionize_user_events",
-    "fill_events_all",
-    "embed_neardup_lsh",
-    "text_profile_docs",
-    "split_documents",
-    "text_quality_by_source",
-    "text_fingerprint",
-    "ts_features_by_user",
-    "knn_bruteforce",
-    "knn_ivf",
-    "multimodal_image_features",
-    "sql_api_revenue",
-    "pipeline_llm_corpus",
-    "text_gopher_quality",
-    "sample_hash_documents",
-    "search_bm25_docs",
-    "embed_normalize_quantize",
-    "embed_pca_project",
-    "chunk_documents_tokens",
-    "pack_documents_plan",
-    "pii_redaction_stats",
-    "contamination_check",
-    "domain_temperature_mix",
-    "text_repetition_stats",
-    "hll_user_rollup",
-    "top_terms_skewed",
-    "text_normalize_docs",
-    "sample_stratified_topk",
-    "dedup_minhash_corpus",
-    "quantile_sketch_rollup",
-    "dedup_substring_spans",
-    "text_line_dedup",
-    "text_lm_quality",
-]
+# Every registry entry is benchmarked (round-3 verdict task 2: an
+# oracle-backed query outside the bench list has no perf-regression guard).
+# Built from the registry itself so a new queries() entry is benched by
+# construction; dict order (graded window first) is preserved.
+HEADLINE = list(entrymod.queries())
 
 
 def main() -> None:

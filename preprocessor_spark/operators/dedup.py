@@ -724,6 +724,77 @@ def _pair_cosine_udf():
     return _cos
 
 
+def _bruteforce_blocked_pairs(base: DataFrame, threshold: float, block_rows: int = 512) -> DataFrame:
+    """Exact all-pairs cosine via BLOCKED GEMM: rows group into ~block_rows
+    blocks (one keyed shuffle), the tiny block table theta-joins with itself
+    (upper triangle), and each block-pair row runs ONE matmul that emits only
+    the pairs clearing the threshold.
+
+    Why: a pair-level formulation ships every (vec_a, vec_b) duplicate pair
+    through Arrow — O(N² · d) transfer (2 GB for 2000×64 floats). Blocking
+    sends each block to √P partners instead: O(N · √P · d), with the N²·d
+    flops done as dense numpy GEMM inside the UDF. Exact pairwise stays
+    inherently quadratic in COMPUTE (use the LSH path at corpus scale), but
+    the transfer no longer is. ``base`` must carry ``__id`` and a normalized
+    ``__v``."""
+    n = base.count()
+    n_blocks = max(1, min(128, -(-n // block_rows)))
+    blocks = (
+        base.withColumn("__bid", F.abs(F.xxhash64(F.col("__id"))) % n_blocks)
+        .groupBy("__bid")
+        .agg(
+            F.collect_list("__id").alias("ids"),
+            F.collect_list("__v").alias("vecs"),
+        )
+    )
+    pairs = (
+        blocks.alias("a")
+        .join(F.broadcast(blocks.alias("b")), F.col("a.__bid") <= F.col("b.__bid"))
+        .select(
+            F.col("a.ids").alias("ids_a"),
+            F.col("a.vecs").alias("vecs_a"),
+            F.col("b.ids").alias("ids_b"),
+            F.col("b.vecs").alias("vecs_b"),
+            (F.col("a.__bid") == F.col("b.__bid")).alias("same_block"),
+        )
+    )
+
+    def _gemm(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for ids_a, vecs_a, ids_b, vecs_b, same in zip(
+                pdf["ids_a"], pdf["vecs_a"], pdf["ids_b"], pdf["vecs_b"], pdf["same_block"]
+            ):
+                ia = np.asarray(ids_a, dtype="int64")
+                ib = np.asarray(ids_b, dtype="int64")
+                sims = np.array(list(vecs_a), dtype="float64") @ np.array(
+                    list(vecs_b), dtype="float64"
+                ).T
+                hit = sims >= threshold
+                if same:
+                    hit &= ia[:, None] < ib[None, :]  # upper triangle, no self
+                else:
+                    pass  # distinct blocks: keep id_a < id_b orientation below
+                r, c = np.nonzero(hit)
+                if len(r) == 0:
+                    continue
+                lo = np.minimum(ia[r], ib[c])
+                hi = np.maximum(ia[r], ib[c])
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(sims[r, c])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    return pairs.mapInPandas(_gemm, "id_a bigint, id_b bigint, cosine double")
+
+
 def _embedding_neardup_numpy(
     df: DataFrame,
     vec_col: str,
@@ -758,14 +829,8 @@ def _embedding_neardup_numpy(
     base = df.select(F.col(id_col).alias("__id"), _prep(F.col(vec_col)).alias("__p")).select(
         "__id", F.col("__p.v").alias("__v"), F.col("__p.keys").alias("__keys")
     )
-    cos = _pair_cosine_udf()(F.col("a.__v"), F.col("b.__v"))
     if brute_force:
-        a, b = base.alias("a"), base.alias("b")
-        return (
-            a.join(b, F.col("a.__id") < F.col("b.__id"))
-            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), cos.alias("cosine"))
-            .filter(F.col("cosine") >= threshold)
-        )
+        return _bruteforce_blocked_pairs(base, threshold)
     # referenced by the band explode + both verify joins; scope-managed
     base = register_persisted(base.persist())
     entries = base.select("__id", F.posexplode("__keys").alias("band", "bkey"))

@@ -23,6 +23,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _normalized(df: DataFrame, vec_col: str, id_col: str, out_id: str, out_vec: str) -> DataFrame:
@@ -51,38 +52,62 @@ def cosine_topk(
     cannot flip ranks between runs/engines).
 
     engine="broadcast" (default): both sides are L2-normalized JVM-side,
-    the query set travels as a ``F.broadcast`` nested-loop join (never
-    through the driver — no ``collect`` anywhere in the plan), and each
-    Arrow batch of (corpus_vec, query_vec) pairs computes its dots with ONE
-    vectorized ``einsum`` — still BLAS-class, ~10× faster than the
-    interpreted expression fold. The corpus side streams: scales to any
-    corpus size as long as the query set broadcasts (the same bound every
-    broadcast join has).
+    corpus rows group into ~512-row blocks (one keyed shuffle) and the whole
+    query set rides along each block as ONE broadcast row (never through the
+    driver — no ``collect`` anywhere in the plan). Each block row runs a
+    single numpy GEMM (block×d @ d×Q) and emits only skinny
+    (query_id, neighbor_id, cosine) rows, so Arrow transfer is corpus-once
+    plus queries-per-block — not per-pair. The corpus side streams: scales
+    to any corpus size as long as the query set broadcasts (the same bound
+    every broadcast join has).
     engine="expr": pure zip_with/aggregate column expressions, no Python.
     """
+    if engine == "broadcast" and not isinstance(
+        corpus.schema[id_col].dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        engine = "expr"  # blocked GEMM emits bigint ids; exact fallback otherwise
     if engine == "broadcast":
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("double")
-        def _pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
-            ma = np.array(a.tolist(), dtype="float64")
-            mb = np.array(b.tolist(), dtype="float64")
-            return pd.Series(np.einsum("ij,ij->i", ma, mb))
-
         c = _normalized(corpus, vec_col, id_col, "neighbor_id", "__cv")
         q = _normalized(queries, vec_col, id_col, "query_id", "__qv")
-        cond = F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True)
-        pairs = c.join(F.broadcast(q), cond)
+        n_blocks = max(1, min(256, -(-c.count() // 512)))
+        cblocks = (
+            c.withColumn("__bid", F.abs(F.xxhash64("neighbor_id")) % n_blocks)
+            .groupBy("__bid")
+            .agg(F.collect_list("neighbor_id").alias("nids"), F.collect_list("__cv").alias("cvs"))
+        )
+        qagg = q.agg(F.collect_list("query_id").alias("qids"), F.collect_list("__qv").alias("qvs"))
+        joined = cblocks.crossJoin(F.broadcast(qagg))
+
+        def _gemm(batches):
+            for pdf in batches:
+                frames = []
+                for nids, cvs, qids, qvs in zip(
+                    pdf["nids"], pdf["cvs"], pdf["qids"], pdf["qvs"]
+                ):
+                    sims = np.array(list(cvs), dtype="float64") @ np.array(
+                        list(qvs), dtype="float64"
+                    ).T  # B×Q
+                    b, qn = sims.shape
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.tile(np.asarray(qids, dtype="int64"), b),
+                                "neighbor_id": np.repeat(np.asarray(nids, dtype="int64"), qn),
+                                "cosine": sims.ravel(),
+                            }
+                        )
+                    )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+        exploded = joined.mapInPandas(_gemm, "query_id bigint, neighbor_id bigint, cosine double")
+        if exclude_self:
+            exploded = exploded.filter(F.col("query_id") != F.col("neighbor_id"))
         w = Window.partitionBy("query_id").orderBy(
             F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
         )
         return (
-            pairs.select(
-                "query_id",
-                "neighbor_id",
-                _pair_dot(F.col("__cv"), F.col("__qv")).alias("cosine"),
-            )
-            .withColumn("rank", F.row_number().over(w))
+            exploded.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank")
         )

@@ -1,0 +1,117 @@
+"""sf1 scale smoke (round-3 verdict task 5).
+
+The driver ships parquet only up to sf0.1, so this script DERIVES a 10x
+dataset from the sf0.1 tables: each fact table is unioned 10 times with all
+entity keys shifted by copy_index * OFFSET (joins stay key-consistent within
+a copy and never collide across copies); the tiny dims (region, nation) and
+key-less columns are left untouched. Text/embedding payloads are replicated
+verbatim, which deliberately STRESSES the dedup family: every content hash
+gains 10 members, so LSH bucket skew guards and the connected-components
+fixpoint see real load.
+
+Usage:
+    python scripts/scale_smoke.py gen   [dest_dir]   # build derived sf1
+    python scripts/scale_smoke.py bench [dest_dir]   # bench.py against it
+    python scripts/scale_smoke.py check bench_sf01.json bench_sf1.json [max_ratio]
+
+`check` fails (rc 1) if any common query slowed by more than max_ratio
+(default 10 = linear-ish in the 10x data) or if either suite has errors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OFFSET = 100_000_000  # far above any sf0.1 key
+N_COPIES = 10
+DEFAULT_DEST = "/tmp/sf1-derived"
+
+# entity-key columns to shift, per table; every other column replicates
+KEYED = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation"]
+
+
+def gen(dest: str) -> None:
+    from pyspark.sql import functions as F
+
+    from preprocessor_spark.session import get_spark
+
+    spark = get_spark("scale-smoke-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    src = "/root/testdata/sf0.1"
+    os.makedirs(dest, exist_ok=True)
+    for t in DIMS:
+        spark.read.parquet(f"{src}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{dest}/{t}.parquet"
+        )
+    for t, keys in KEYED.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        copies = [
+            df.select(
+                *[
+                    (F.col(c) + F.lit(i * OFFSET)).alias(c) if c in keys else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            for i in range(N_COPIES)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
+        print(f"{t}: x{N_COPIES} -> {dest}/{t}.parquet")
+
+
+def bench(dest: str) -> None:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=dest)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run([sys.executable, os.path.join(repo, "bench.py")], env=env, check=True)
+
+
+def check(base_path: str, sf1_path: str, max_ratio: float = 10.0) -> int:
+    base = json.load(open(base_path))
+    sf1 = json.load(open(sf1_path))
+    bq, sq = base["queries"], sf1["queries"]
+    common = sorted(set(bq) & set(sq))
+    bad = []
+    for q in common:
+        # ratio on times clamped to 0.2s so sub-100ms jitter can't fail a query
+        ratio = max(sq[q], 0.2) / max(bq[q], 0.2)
+        if ratio > max_ratio:
+            bad.append((q, bq[q], sq[q], round(ratio, 1)))
+    print(
+        f"sf0.1 total {base['value']}s -> sf1 total {sf1['value']}s "
+        f"({round(sf1['value'] / base['value'], 2)}x) over {len(common)} queries"
+    )
+    for q, b, s, r in sorted(bad, key=lambda x: -x[3]):
+        print(f"  SLOW {q}: {b}s -> {s}s ({r}x)")
+    if bad:
+        return 1
+    print(f"no query regressed beyond {max_ratio}x at 10x data — linear-ish scaling")
+    return 0
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "gen"
+    if cmd == "gen":
+        gen(sys.argv[2] if len(sys.argv) > 2 else DEFAULT_DEST)
+    elif cmd == "bench":
+        bench(sys.argv[2] if len(sys.argv) > 2 else DEFAULT_DEST)
+    elif cmd == "check":
+        sys.exit(check(sys.argv[2], sys.argv[3], float(sys.argv[4]) if len(sys.argv) > 4 else 10.0))
+    else:
+        raise SystemExit(f"unknown command {cmd!r}")
