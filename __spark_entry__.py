@@ -387,15 +387,16 @@ def null_safe_join_parts(spark, sf_dir):
     """Null-safe equality (<=>) join: brand size 45 parts vs themselves on a
     nullable derived key — null keys must pair, unlike plain equality.
 
-    Bounded NULL block: the NULL key group pairs all-with-all by <=>
-    semantics, so its pair count is quadratic in group size — on the full
-    part table the ~90% null block alone is ~10^8 pairs at sf0.1 (benched at
-    12 s, and growing 100x per 10x data). The modulo prefilter applies ONLY
-    to the null side (the brand groups stay complete, so the non-null <=>
-    pairing is fully exercised), the way a production null-safe join would
-    bound or pre-aggregate a degenerate hot key."""
+    Bounded probe: pair ENUMERATION is quadratic per key group under <=>
+    (the ~90% NULL block alone is ~10^8 pairs at sf0.1 — benched at 12 s and
+    growing 100x per 10x data), so both sides carry a modulo bound — a light
+    one on the brand side (groups stay big enough to exercise non-null <=>
+    pairing at every sf) and a tight one on the degenerate null block, the
+    way a production null-safe join would bound or pre-aggregate a hot
+    key."""
     p = _t(spark, sf_dir, "part").filter(
-        (F.col("p_size") > 45) | (F.col("p_partkey") % 41 == 0)
+        ((F.col("p_size") > 45) & (F.col("p_partkey") % 7 == 0))
+        | (F.col("p_partkey") % 41 == 0)
     )
     keyed = p.select(
         "p_partkey",
@@ -2626,7 +2627,7 @@ def oracle_sql() -> dict[str, str]:
             WITH keyed AS (
                 SELECT p_partkey,
                        CASE WHEN p_size > 45 THEN p_brand END AS big_brand
-                FROM part WHERE p_size > 45 OR p_partkey % 41 = 0
+                FROM part WHERE (p_size > 45 AND p_partkey % 7 = 0) OR p_partkey % 41 = 0
             )
             SELECT a.big_brand, COUNT(*) AS n_pairs
             FROM keyed a JOIN keyed b

@@ -28,7 +28,11 @@ HEADLINE = list(entrymod.queries())
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    # robust to derived dirs like /tmp/sf1-derived: take the number after "sf"
+    import re
+
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", os.path.basename(sf_dir.rstrip("/")))
+    sf = m.group(1) if m else "0"
     spark = get_spark("preprocessor-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
