@@ -7,14 +7,14 @@ Python transfer.
 
 Decode status:
 - **REAL, pure numpy** (no external libs): PPM/PGM (P5/P6), uncompressed
-  24/32-bit BMP, and **PNG** (stdlib zlib inflate → per-scanline unfilter →
-  raster; 8/16-bit gray / gray+alpha / RGB / RGBA / 8-bit palette,
-  non-interlaced) — full header parse, raster decode, nearest-neighbor
-  resize, PGM re-encode. Tested pixel-exact against planted rasters
-  exercising every PNG filter type.
-- **Gated**: JPEG decode and Adam7-interlaced PNG need PIL (absent in this
-  container) — tried via import, raises a clear NotImplementedError
-  otherwise.
+  24/32-bit BMP, and **complete PNG** (stdlib zlib inflate → per-scanline
+  unfilter → raster; bit depths 1/2/4/8/16, gray / gray+alpha / RGB / RGBA /
+  palette, sequential AND Adam7-interlaced) — full header parse, raster
+  decode, nearest-neighbor resize, PGM re-encode. Tested pixel-exact against
+  planted rasters exercising every PNG filter type, depth, and interlace
+  mode.
+- **Gated**: JPEG decode needs PIL (absent in this container) — tried via
+  import, raises a clear NotImplementedError otherwise.
 - **Stub**: video frame sampling needs ffmpeg — NotImplementedError.
 - A deterministic content-hash fake (``decoder="fake"``) remains for
   plumbing tests over arbitrary (non-image) payloads.
@@ -162,12 +162,38 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return recon
 
 
+# Adam7 pass grid: (x_start, x_step, y_start, y_step) per pass
+_ADAM7 = [(0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4), (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2)]
+
+
+def _png_samples(raw: bytes, w: int, h: int, depth: int, nch: int) -> np.ndarray:
+    """Unfilter + unpack one (sub)image's filtered scanlines → (h, w, nch)
+    int32 samples in [0, 2^depth). Handles sub-byte depths (1/2/4, MSB-first
+    packing) and 16-bit big-endian."""
+    bits_pp = nch * depth
+    stride = (w * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)  # filter offset is 1 byte for sub-byte depths
+    recon = _png_unfilter(raw, h, stride, bpp)
+    if depth == 8:
+        return recon.reshape(h, w, nch).astype(np.int32)
+    if depth == 16:
+        r = recon.reshape(h, w * nch, 2).astype(np.int32)
+        return ((r[:, :, 0] << 8) | r[:, :, 1]).reshape(h, w, nch)
+    bits = np.unpackbits(recon, axis=1)[:, : w * nch * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
+    return (bits.reshape(h, w * nch, depth).astype(np.int32) * weights).sum(axis=2).reshape(
+        h, w, nch
+    )
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
     """Pure-numpy PNG decode (stdlib zlib): chunk walk → inflate the IDAT
     stream → unfilter scanlines → raster → float32 grayscale [0,1].
 
-    Supports 8/16-bit depth, color types 0/2/3/4/6, non-interlaced. Adam7
-    interlacing and sub-byte depths raise NotImplementedError (PIL path)."""
+    Full coverage of the PNG raster space: bit depths 1/2/4/8/16, color
+    types 0/2/3/4/6, interlace methods 0 (sequential) and 1 (Adam7 — seven
+    independently-filtered sub-images scattered back onto the pixel
+    grid)."""
     import struct
     import zlib
 
@@ -190,26 +216,31 @@ def _decode_png(payload: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG without IHDR chunk")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG requires PIL")
-    if depth not in (8, 16) or (ctype == 3 and depth != 8):
-        raise NotImplementedError(f"PNG bit depth {depth} (color type {ctype}) requires PIL")
+    if depth not in (1, 2, 4, 8, 16) or ctype not in _PNG_CHANNELS:
+        raise ValueError(f"invalid PNG bit depth {depth} / color type {ctype}")
     nch = _PNG_CHANNELS[ctype]
-    bpp = nch * (depth // 8)
-    recon = _png_unfilter(zlib.decompress(bytes(idat)), h, w * bpp, bpp)
-    if depth == 16:  # big-endian 16-bit samples
-        img = recon.reshape(h, w * nch, 2).astype(np.float32)
-        img = (img[:, :, 0] * 256.0 + img[:, :, 1]).reshape(h, w, nch) / 65535.0
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 1:
+        samples = np.zeros((h, w, nch), dtype=np.int32)
+        off = 0
+        for xs, xstep, ys, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            nbytes = ph * (1 + (pw * nch * depth + 7) // 8)
+            samples[ys::ystep, xs::xstep] = _png_samples(raw[off : off + nbytes], pw, ph, depth, nch)
+            off += nbytes
     else:
-        img = recon.reshape(h, w, nch).astype(np.float32) / 255.0
+        samples = _png_samples(raw, w, h, depth, nch)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
-        idx = np.clip(np.round(img[:, :, 0] * 255.0).astype(np.int64), 0, len(plte) - 1)
+        idx = np.clip(samples[:, :, 0], 0, len(plte) - 1)
         return plte[idx].astype(np.float32).mean(axis=2) / 255.0
-    if ctype == 0:
-        return img[:, :, 0]
-    if ctype == 4:  # gray + alpha: intensity channel only
+    maxval = float((1 << depth) - 1)
+    img = samples.astype(np.float32) / maxval
+    if ctype in (0, 4):  # gray / gray+alpha: intensity channel only
         return img[:, :, 0]
     return img[:, :, :3].mean(axis=2)  # RGB / RGBA
 
@@ -217,9 +248,9 @@ def _decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode to a float32 grayscale [0,1] 2-D array.
 
-    PPM/PGM, uncompressed BMP, and non-interlaced 8/16-bit PNG decode here
-    with no external dependency; JPEG and exotic PNGs fall through to PIL
-    when available."""
+    PPM/PGM, uncompressed BMP, and PNG (all depths, color types, and
+    interlace modes) decode here with no external dependency; JPEG falls
+    through to PIL when available."""
     if not payload:
         raise ValueError("empty image payload")
     magic = payload[:2]
@@ -228,10 +259,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     if magic == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
-        try:
-            return _decode_png(payload)
-        except NotImplementedError:
-            pass  # interlaced / sub-byte depth → PIL fallback below
+        return _decode_png(payload)
     try:  # compressed formats need a real imaging lib
         import io
 

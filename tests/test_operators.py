@@ -1413,28 +1413,16 @@ def test_video_stub_still_declared(spark):
         sample_video_frames(df, "id", "v", every_ms=1000)
 
 
-def _encode_png(raster, ctype, depth=8, filters=None, palette=None):
-    """Independent PNG encoder for the decode tests: filters each scanline
-    with the REQUESTED filter type (exercising the decoder's unfilter paths,
-    not just whatever one encoder happens to emit), deflates, and emits
-    IHDR/PLTE/IDAT/IEND with real CRCs."""
-    import struct
-    import zlib
-
+def _png_filter_scanlines(flat, bpp, filters):
+    """Filter a (h, stride) byte raster with the REQUESTED per-row filter
+    types (cycled), exercising the decoder's unfilter paths — not just
+    whatever one encoder happens to emit."""
     import numpy as np
 
-    h, w = raster.shape[0], raster.shape[1]
-    nch = 1 if raster.ndim == 2 else raster.shape[2]
-    if depth == 16:
-        flat = raster.astype(">u2").reshape(h, -1).view(np.uint8).reshape(h, -1)
-    else:
-        flat = raster.astype(np.uint8).reshape(h, -1)
-    bpp = nch * (depth // 8)
-    filters = filters if filters is not None else [0] * h
-    prev = np.zeros(flat.shape[1], dtype=np.int32)
     out = bytearray()
-    for y in range(h):
-        f = filters[y]
+    prev = np.zeros(flat.shape[1], dtype=np.int32)
+    for y in range(flat.shape[0]):
+        f = filters[y % len(filters)]
         cur = flat[y].astype(np.int32)
         if f == 0:
             enc = cur
@@ -1455,16 +1443,60 @@ def _encode_png(raster, ctype, depth=8, filters=None, palette=None):
             enc = (cur - pred) & 0xFF
         out += bytes([f]) + enc.astype(np.uint8).tobytes()
         prev = cur
+    return bytes(out)
+
+
+def _png_pack_rows(raster, depth):
+    """(h, w[, nch]) int samples → (h, stride) packed bytes at ``depth``."""
+    import numpy as np
+
+    h = raster.shape[0]
+    if depth == 16:
+        return raster.astype(">u2").reshape(h, -1).view(np.uint8).reshape(h, -1)
+    if depth == 8:
+        return raster.astype(np.uint8).reshape(h, -1)
+    samples = raster.astype(np.uint8).reshape(h, -1)  # one sample per entry
+    bits = np.unpackbits(samples[:, :, None], axis=2)[:, :, 8 - depth :]
+    flatbits = bits.reshape(h, -1)
+    pad = (-flatbits.shape[1]) % 8
+    if pad:
+        flatbits = np.concatenate([flatbits, np.zeros((h, pad), np.uint8)], axis=1)
+    return np.packbits(flatbits, axis=1)
+
+
+def _encode_png(raster, ctype, depth=8, filters=None, palette=None, interlace=0):
+    """Independent PNG encoder for the decode tests: per-row filter choice,
+    sub-byte bit packing, optional Adam7 interlacing, real CRCs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = raster.shape[0], raster.shape[1]
+    nch = 1 if raster.ndim == 2 else raster.shape[2]
+    bpp = max(1, nch * depth // 8)
+    filters = filters if filters is not None else [0]
+    if interlace:
+        adam7 = [(0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4), (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2)]
+        out = bytearray()
+        for xs, xstep, ys, ystep in adam7:
+            sub = raster[ys::ystep, xs::xstep]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            out += _png_filter_scanlines(_png_pack_rows(sub, depth), bpp, filters)
+        raw = bytes(out)
+    else:
+        raw = _png_filter_scanlines(_png_pack_rows(raster, depth), bpp, filters)
 
     def chunk(typ, data):
         crc = zlib.crc32(typ + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
     png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if palette is not None:
         png += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
-    png += chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b"")
+    png += chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
     return png
 
 
@@ -1508,35 +1540,53 @@ def test_png_decode_pixel_exact_all_filters(spark):
     assert abs(feats.mean_intensity.iloc[0] - exp) < 1e-6
 
 
-def test_png_interlaced_still_gated():
-    """Adam7 PNG must raise the declared NotImplementedError (no PIL here),
-    never decode garbage."""
-    import struct
-    import zlib
-
+def test_png_decode_subbyte_depths():
+    """1/2/4-bit gray and palette PNGs (MSB-first packed samples) decode
+    bit-exactly, including non-multiple-of-8 widths (row padding bits)."""
     import numpy as np
-
-    import pytest as _pytest
 
     from preprocessor_spark.operators.multimodal import decode_image
 
-    def chunk(typ, data):
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
+    rng = np.random.RandomState(7)
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        gray = rng.randint(0, maxv + 1, (6, 13))  # 13 → padded rows
+        got = decode_image(_encode_png(gray, ctype=0, depth=depth, filters=[0, 1, 2]))
+        np.testing.assert_allclose(got, gray.astype(np.float32) / maxv, atol=1e-6)
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)  # interlace=1
-    payload = (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(np.zeros(20, np.uint8).tobytes()))
-        + chunk(b"IEND", b"")
-    )
-    with _pytest.raises(NotImplementedError):
-        decode_image(payload)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (7, 11))
+    got = decode_image(_encode_png(idx, ctype=3, depth=4, filters=[0, 2], palette=pal))
+    np.testing.assert_allclose(got, pal[idx].astype(np.float32).mean(axis=2) / 255.0, atol=1e-6)
+
+
+def test_png_decode_adam7_interlaced():
+    """Adam7: seven independently-filtered sub-images must scatter back to
+    the exact raster — RGB8, gray16, palette4, and a tiny 3x3 (empty
+    passes) all pixel-exact."""
+    import numpy as np
+
+    from preprocessor_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(13)
+    filters = [0, 1, 2, 3, 4]
+
+    rgb = rng.randint(0, 256, (13, 11, 3)).astype(np.uint8)
+    got = decode_image(_encode_png(rgb, ctype=2, filters=filters, interlace=1))
+    np.testing.assert_allclose(got, rgb.astype(np.float32).mean(axis=2) / 255.0, atol=1e-6)
+
+    g16 = rng.randint(0, 65536, (9, 10)).astype(np.uint16)
+    got = decode_image(_encode_png(g16, ctype=0, depth=16, filters=filters, interlace=1))
+    np.testing.assert_allclose(got, g16.astype(np.float32) / 65535.0, atol=1e-6)
+
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (12, 9))
+    got = decode_image(_encode_png(idx, ctype=3, depth=4, filters=filters, palette=pal, interlace=1))
+    np.testing.assert_allclose(got, pal[idx].astype(np.float32).mean(axis=2) / 255.0, atol=1e-6)
+
+    tiny = rng.randint(0, 256, (3, 3)).astype(np.uint8)  # passes 1-only grids
+    got = decode_image(_encode_png(tiny, ctype=0, interlace=1))
+    np.testing.assert_array_equal(np.round(got * 255.0).astype(np.uint8), tiny)
 
 
 def test_udtf_and_native_sentence_split_agree(spark):
