@@ -1149,6 +1149,55 @@ def multimodal_image_features(spark, sf_dir):
     )
 
 
+def multimodal_audio_features(spark, sf_dir):
+    """Audio plumbing end-to-end with the REAL decoder: a deterministic
+    16-bit PCM WAV is synthesized per document (sine, frequency/length keyed
+    off doc_id) in one Arrow stage, then decoded + feature-extracted by
+    operators.multimodal.audio_features in the next — binary payloads, typed
+    features, all mapInPandas. Rows-only (no SQL engine can decode RIFF);
+    byte-exact decode parity is graded in tests/test_operators.py."""
+    import numpy as np
+    import pandas as pd
+
+    from preprocessor_spark.operators.multimodal import audio_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+
+    def _synth(batches):
+        for pdf in batches:
+            clips = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 8000
+                n = 800 + (did % 5) * 80
+                t = np.arange(n) / rate
+                sig = np.sin(2 * np.pi * (200 + (did % 20) * 25) * t)
+                body = np.clip(np.round(sig * 32767.0), -32768, 32767).astype("<i2").tobytes()
+                fmt = (
+                    (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+                    + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+                    + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+                )
+                chunks = (
+                    b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                    + b"data" + len(body).to_bytes(4, "little") + body
+                )
+                clips.append(b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "clip": clips})
+
+    clips = d.mapInPandas(_synth, "doc_id bigint, clip binary")
+    feats = audio_features(clips, "doc_id", "clip")
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        "sample_rate",
+        "n_channels",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        F.round("zero_crossing_rate", 6).alias("zero_crossing_rate"),
+    )
+
+
 def preprocessor_fit_transform(spark, sf_dir):
     """Full Preprocessor lifecycle on customer as a single queryable op."""
     from preprocessor_spark import Preprocessor
@@ -1624,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": knn_ivf,
         "text_fingerprint": text_fingerprint,
         "multimodal_image_features": multimodal_image_features,
+        "multimodal_audio_features": multimodal_audio_features,
         "preprocessor_fit_transform": preprocessor_fit_transform,
         "dedup_minhash_corpus": dedup_minhash_corpus,
         "quantile_sketch_rollup": quantile_sketch_rollup,

@@ -13,8 +13,12 @@ Decode status:
   decode, nearest-neighbor resize, PGM re-encode. Tested pixel-exact against
   planted rasters exercising every PNG filter type, depth, and interlace
   mode.
-- **Gated**: JPEG decode needs PIL (absent in this container) — tried via
-  import, raises a clear NotImplementedError otherwise.
+- **REAL, pure numpy audio**: RIFF/WAVE decode (integer PCM 8/16/24/32-bit
+  + IEEE float, any channel count, chunk-walking parser) with per-clip
+  features (duration, RMS, peak, zero-crossing rate) over ``mapInPandas``.
+- **Gated**: JPEG decode needs PIL, compressed audio (MP3/AAC) needs a codec
+  lib (both absent in this container) — tried via import where sensible,
+  clear NotImplementedError otherwise.
 - **Stub**: video frame sampling needs ffmpeg — NotImplementedError.
 - A deterministic content-hash fake (``decoder="fake"``) remains for
   plumbing tests over arbitrary (non-image) payloads.
@@ -352,6 +356,95 @@ def resize_images(
             )
 
     return df.select(id_col, binary_col).mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM decode, pure numpy → (samples float32 in [-1, 1] of
+    shape (n_frames, n_channels), sample_rate).
+
+    Supports integer PCM at 8 (unsigned) / 16 / 24 / 32 bits and IEEE
+    float32/float64 (format tags 1 and 3), any channel count; walks chunks
+    so extra metadata (LIST, fact, cue) is skipped correctly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        ln = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + ln]
+        i += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag == 3:  # IEEE float
+        dtype = {32: "<f4", 64: "<f8"}.get(bits)
+        if dtype is None:
+            raise ValueError(f"float WAV with {bits} bits")
+        samples = np.frombuffer(data, dtype=dtype).astype(np.float32)
+    elif tag == 1:  # integer PCM
+        if bits == 8:  # unsigned, midpoint 128
+            samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 16:
+            samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 24:  # 3-byte little-endian, sign-extend via high-byte trick
+            raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            vals = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int8).astype(np.int32) << 16)
+            )
+            samples = vals.astype(np.float32) / 8388608.0
+        elif bits == 32:
+            samples = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"PCM WAV with {bits} bits")
+    else:
+        raise NotImplementedError(f"WAV format tag {tag} (compressed) requires an audio codec lib")
+    n = len(samples) - len(samples) % n_channels
+    return samples[:n].reshape(-1, n_channels), sample_rate
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "id bigint, sample_rate int, n_channels int, duration_ms double, "
+    "rms double, peak double, zero_crossing_rate double"
+)
+
+
+def audio_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """Decode WAV payloads + extract per-clip features via mapInPandas
+    (Arrow-batched, same plumbing contract as ``image_features``): duration,
+    RMS energy, absolute peak, and mean zero-crossing rate over the
+    channel-averaged signal."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("id", "sample_rate", "n_channels", "duration_ms", "rms", "peak", "zero_crossing_rate")}
+            for rid, payload in zip(pdf[id_col], pdf[binary_col]):
+                samples, rate = decode_wav(bytes(payload))
+                mono = samples.mean(axis=1)
+                rows["id"].append(rid)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(samples.shape[1])
+                rows["duration_ms"].append(samples.shape[0] * 1000.0 / rate)
+                rows["rms"].append(float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0)
+                rows["peak"].append(float(np.abs(samples).max()) if samples.size else 0.0)
+                rows["zero_crossing_rate"].append(
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if len(mono) > 1
+                    else 0.0
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(df: DataFrame, id_col: str, binary_col: str, every_ms: int) -> DataFrame:

@@ -1540,6 +1540,81 @@ def test_png_decode_pixel_exact_all_filters(spark):
     assert abs(feats.mean_intensity.iloc[0] - exp) < 1e-6
 
 
+def _encode_wav(samples, rate, bits=16, tag=1):
+    """(n, ch) float [-1,1] → RIFF/WAVE bytes at the requested PCM width,
+    with a LIST metadata chunk planted before data to exercise chunk
+    walking."""
+    import numpy as np
+
+    ch = samples.shape[1]
+    if tag == 3:
+        body = samples.astype("<f4").tobytes()
+    elif bits == 8:
+        body = (np.clip(np.round(samples * 128.0 + 128.0), 0, 255)).astype(np.uint8).tobytes()
+    elif bits == 16:
+        body = np.clip(np.round(samples * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    elif bits == 24:
+        v = np.clip(np.round(samples * 8388608.0), -8388608, 8388607).astype("<i4")
+        b = v.reshape(-1)[:, None].view(np.uint8).reshape(-1, 4)[:, :3]
+        body = b.tobytes()
+    else:
+        body = np.clip(np.round(samples * 2147483648.0), -(2**31), 2**31 - 1).astype("<i4").tobytes()
+    block = ch * (32 if tag == 3 else bits) // 8
+    fmt = (
+        (tag).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little")
+        + (32 if tag == 3 else bits).to_bytes(2, "little")
+    )
+    meta = b"INFOIART" + (5).to_bytes(4, "little") + b"test\x00\x00"  # odd len → word pad
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"LIST" + len(meta).to_bytes(4, "little") + meta
+        + b"data" + len(body).to_bytes(4, "little") + body
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_decode_and_audio_features(spark):
+    """PCM 8/16/24/32-bit + float32, mono and stereo, decode to the planted
+    signal; distributed audio_features matches driver-side numpy."""
+    import numpy as np
+
+    from preprocessor_spark.operators.multimodal import audio_features, decode_wav
+
+    rate = 8000
+    t = np.arange(rate // 2) / rate  # 0.5 s
+    mono = np.sin(2 * np.pi * 440 * t)[:, None]
+    stereo = np.stack([np.sin(2 * np.pi * 220 * t), np.cos(2 * np.pi * 330 * t)], axis=1)
+
+    for sig, bits, tag, atol in [
+        (mono, 16, 1, 1 / 32768 + 1e-7),
+        (stereo, 16, 1, 1 / 32768 + 1e-7),
+        (mono, 8, 1, 1 / 128 + 1e-7),
+        (mono, 24, 1, 1 / 8388608 + 1e-7),
+        (stereo, 32, 1, 1e-6),
+        (stereo, 32, 3, 1e-7),
+    ]:
+        got, got_rate = decode_wav(_encode_wav(sig, rate, bits=bits, tag=tag))
+        assert got_rate == rate and got.shape == sig.shape
+        np.testing.assert_allclose(got, sig, atol=atol)
+
+    wav = _encode_wav(stereo, rate, bits=16)
+    df = spark.createDataFrame([(1, wav)], "id bigint, clip binary")
+    feats = audio_features(df, "id", "clip").toPandas().iloc[0]
+    dec, _ = decode_wav(wav)
+    m = dec.mean(axis=1)
+    assert feats.sample_rate == rate and feats.n_channels == 2
+    assert feats.duration_ms == pytest.approx(500.0)
+    assert feats.rms == pytest.approx(float(np.sqrt(np.mean(m**2))), abs=1e-9)
+    assert feats.peak == pytest.approx(float(np.abs(dec).max()), abs=1e-9)
+    assert feats.zero_crossing_rate == pytest.approx(
+        float(np.mean(np.signbit(m[1:]) != np.signbit(m[:-1]))), abs=1e-9
+    )
+
+
 def test_png_decode_subbyte_depths():
     """1/2/4-bit gray and palette PNGs (MSB-first packed samples) decode
     bit-exactly, including non-multiple-of-8 widths (row padding bits)."""
