@@ -1,0 +1,257 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT, Huffman) decode — pure numpy +
+stdlib, no PIL.
+
+Completes the multimodal decode matrix: PNG/PPM/PGM/BMP/WAV already decode
+dependency-free; this closes JPEG, the dominant photographic web format.
+Scope: baseline + extended-sequential scans (SOF0/SOF1), 8-bit samples,
+grayscale or YCbCr with any sampling factors in {1,2} (4:4:4, 4:2:2, 4:2:0),
+restart intervals. Progressive (SOF2) raises NotImplementedError → PIL path.
+
+Design notes:
+- Huffman + bit unpacking is a per-symbol Python loop (entropy decode is
+  inherently sequential); everything after — dezigzag, dequantize, the 8x8
+  IDCT (one C.T @ blocks @ C einsum over ALL blocks at once), upsample and
+  color transform — is vectorized numpy. For corpus-scale feature
+  extraction the surrounding mapInPandas batches amortize per-image cost.
+- The IDCT uses the orthonormal DCT-II basis matrix, the float reference
+  form of Annex A — not a fast integer approximation — so output matches
+  the mathematical inverse to rounding.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index i of the stream → (row, col) in the 8x8 block
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = (np.sqrt(1 / 8) if _k == 0 else 0.5) * np.cos((2 * _n + 1) * _k * np.pi / 16)
+
+
+def build_huffman(bits, vals):
+    """Canonical JPEG Huffman table: (length, code) → symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table) -> int:
+        length, code = 0, 0
+        while True:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+            if length > 16:
+                raise ValueError("invalid JPEG Huffman stream")
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map n-bit magnitude to signed value."""
+    return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
+
+
+def _scan_segments(payload: bytes, start: int):
+    """Entropy-coded data from ``start``: unstuff FF00, split at RSTn.
+    Returns (segments, next_marker_pos)."""
+    segs, cur = [], bytearray()
+    i = start
+    while i < len(payload):
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = payload[i + 1]
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker: end of scan
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode baseline JPEG → float32 grayscale [0,1] (mean of RGB for
+    color images, matching the other decoders' convention)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = None  # list of (cid, h, v, tq)
+    w = h = None
+    restart_interval = 0
+    scan = None  # (components in scan order, segments)
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"marker expected at {i}")
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        seg = payload[i + 4 : i + 2 + ln]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 0xF
+                j += 1
+                if prec:
+                    tbl = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.int32)
+                    j += 128
+                else:
+                    tbl = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int32)
+                    j += 64
+                qt[tid] = tbl
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1
+            _prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG requires PIL")
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            j = 0
+            while j < len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + n])
+                (huff_ac if cls else huff_dc)[tid] = build_huffman(bits, vals)
+                j += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            order = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                order.append((cs, tables >> 4, tables & 0xF))
+            segs, i = _scan_segments(payload, i + 2 + ln)
+            scan = (order, segs)
+            continue  # i already advanced to the marker after the scan
+        i += 2 + ln
+    if comps is None or scan is None:
+        raise ValueError("JPEG without SOF/SOS")
+
+    order, segs = scan
+    comp_by_id = {cid: (hh, vv, tq) for cid, hh, vv, tq in comps}
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+
+    # per-component quantized-coefficient block grids
+    planes = {}
+    for cid, hh, vv, _tq in comps:
+        planes[cid] = np.zeros((mcus_y * vv, mcus_x * hh, 64), dtype=np.int32)
+
+    mcu_index = 0
+    seg_iter = iter(segs)
+    reader = _BitReader(next(seg_iter))
+    preds = {cid: 0 for cid, *_ in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader = _BitReader(next(seg_iter))
+                preds = {cid: 0 for cid, *_ in comps}
+            for cs, dc_id, ac_id in order:
+                hh, vv, _tq = comp_by_id[cs]
+                for by in range(vv):
+                    for bx in range(hh):
+                        coeffs = np.zeros(64, dtype=np.int32)
+                        t = reader.decode(huff_dc[dc_id])
+                        diff = _extend(reader.receive(t), t)
+                        preds[cs] += diff
+                        coeffs[0] = preds[cs]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode(huff_ac[ac_id])
+                            r, s = rs >> 4, rs & 0xF
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            coeffs[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        planes[cs][my * vv + by, mx * hh + bx] = coeffs
+            mcu_index += 1
+
+    # vectorized: dequantize → dezigzag → IDCT over every block at once
+    out_planes = {}
+    for cid, hh, vv, tq in comps:
+        grid = planes[cid]
+        by, bx = grid.shape[0], grid.shape[1]
+        deq = grid.reshape(-1, 64) * qt[tq][None, :]
+        blocks = np.zeros((deq.shape[0], 64), dtype=np.float64)
+        blocks[:, ZIGZAG] = deq
+        blocks = blocks.reshape(-1, 8, 8)
+        spatial = np.einsum("kn,bkl,lm->bnm", _C, blocks, _C) + 128.0
+        plane = (
+            spatial.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        plane = np.repeat(np.repeat(plane, max_v // vv, axis=0), max_h // hh, axis=1)
+        out_planes[cid] = plane[:h, :w]
+
+    if len(comps) == 1:
+        gray = out_planes[comps[0][0]]
+        return np.clip(gray, 0, 255).astype(np.float32) / 255.0
+    y, cb, cr = (out_planes[c[0]] for c in comps[:3])
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.stack([r, g, b], axis=2), 0, 255)
+    return rgb.astype(np.float32).mean(axis=2) / 255.0

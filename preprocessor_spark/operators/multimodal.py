@@ -16,9 +16,12 @@ Decode status:
 - **REAL, pure numpy audio**: RIFF/WAVE decode (integer PCM 8/16/24/32-bit
   + IEEE float, any channel count, chunk-walking parser) with per-clip
   features (duration, RMS, peak, zero-crossing rate) over ``mapInPandas``.
-- **Gated**: JPEG decode needs PIL, compressed audio (MP3/AAC) needs a codec
-  lib (both absent in this container) — tried via import where sensible,
-  clear NotImplementedError otherwise.
+- **REAL, pure numpy JPEG**: baseline sequential DCT decode
+  (:mod:`preprocessor_spark.operators.jpeg` — Huffman entropy decode,
+  4:4:4/4:2:2/4:2:0 sampling, restart intervals, vectorized IDCT).
+- **Gated**: progressive JPEG needs PIL, compressed audio (MP3/AAC) needs a
+  codec lib (both absent in this container) — tried via import where
+  sensible, clear NotImplementedError otherwise.
 - **Stub**: video frame sampling needs ffmpeg — NotImplementedError.
 - A deterministic content-hash fake (``decoder="fake"``) remains for
   plumbing tests over arbitrary (non-image) payloads.
@@ -252,9 +255,9 @@ def _decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode to a float32 grayscale [0,1] 2-D array.
 
-    PPM/PGM, uncompressed BMP, and PNG (all depths, color types, and
-    interlace modes) decode here with no external dependency; JPEG falls
-    through to PIL when available."""
+    PPM/PGM, uncompressed BMP, PNG (all depths, color types, and interlace
+    modes), and baseline JPEG decode here with no external dependency;
+    progressive JPEG falls through to PIL when available."""
     if not payload:
         raise ValueError("empty image payload")
     magic = payload[:2]
@@ -264,6 +267,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        try:
+            from preprocessor_spark.operators.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            pass  # progressive JPEG → PIL fallback below
     try:  # compressed formats need a real imaging lib
         import io
 
