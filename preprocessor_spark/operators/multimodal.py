@@ -19,10 +19,11 @@ Decode status:
 - **REAL, pure numpy JPEG**: baseline sequential DCT decode
   (:mod:`preprocessor_spark.operators.jpeg` — Huffman entropy decode,
   4:4:4/4:2:2/4:2:0 sampling, restart intervals, vectorized IDCT).
-- **Gated**: progressive JPEG needs PIL, compressed audio (MP3/AAC) needs a
-  codec lib (both absent in this container) — tried via import where
-  sensible, clear NotImplementedError otherwise.
-- **Stub**: video frame sampling needs ffmpeg — NotImplementedError.
+- **REAL, pure numpy video**: MJPEG-in-AVI frame sampling (RIFF container
+  walk + the JPEG decoder per sampled frame) with per-frame features.
+- **Gated**: progressive JPEG needs PIL; compressed audio (MP3/AAC) and
+  non-MJPEG video codecs (H.264/VP9/...) need ffmpeg-class libs (absent in
+  this container) — clear NotImplementedError in each case.
 - A deterministic content-hash fake (``decoder="fake"``) remains for
   plumbing tests over arbitrary (non-image) payloads.
 """
@@ -457,8 +458,78 @@ def audio_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     return df.select(id_col, binary_col).mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)
 
 
+def decode_avi_mjpeg(payload: bytes) -> tuple[list[bytes], float]:
+    """RIFF/AVI container walk for Motion-JPEG streams, pure stdlib →
+    (jpeg_frame_payloads, fps).
+
+    AVI is RIFF like WAV: the ``hdrl`` LIST's ``avih`` chunk carries the
+    microseconds-per-frame; the ``movi`` LIST carries one ``##dc`` chunk per
+    compressed frame — for MJPEG each is a complete baseline JPEG, which
+    :mod:`preprocessor_spark.operators.jpeg` decodes dependency-free.
+    Codecs that need ffmpeg (H.264/VP9/...) raise NotImplementedError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    us_per_frame = None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal us_per_frame
+        i = start
+        while i + 8 <= end:
+            cid = payload[i : i + 4]
+            ln = int.from_bytes(payload[i + 4 : i + 8], "little")
+            body_start = i + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + ln)  # skip the list type tag
+            elif cid == b"avih":
+                us_per_frame = int.from_bytes(payload[body_start : body_start + 4], "little")
+            elif cid[2:4] == b"dc":  # compressed video frame
+                frame = payload[body_start : body_start + ln]
+                if frame[:2] != b"\xff\xd8":
+                    raise NotImplementedError(
+                        "non-MJPEG AVI video stream requires ffmpeg, not present here"
+                    )
+                frames.append(frame)
+            i = body_start + ln + (ln & 1)  # chunks are word-aligned
+
+    walk(12, len(payload))
+    if us_per_frame is None or not frames:
+        raise ValueError("AVI without avih header or video frames")
+    return frames, 1_000_000.0 / us_per_frame
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "id bigint, frame_index int, t_ms double, mean_intensity double, width int, height int"
+)
+
+
 def sample_video_frames(df: DataFrame, id_col: str, binary_col: str, every_ms: int) -> DataFrame:
-    """STUB: frame sampling requires ffmpeg bindings."""
-    raise NotImplementedError(
-        "Video frame sampling requires ffmpeg, not present in this container."
-    )
+    """REAL frame sampling for MJPEG-AVI payloads: walk the RIFF container,
+    pick one frame per ``every_ms`` window of video time, decode each picked
+    frame with the pure-numpy JPEG decoder, and emit per-frame features —
+    all inside Arrow-batched mapInPandas. Non-MJPEG codecs raise the
+    declared NotImplementedError (ffmpeg is not in this container)."""
+    from preprocessor_spark.operators.jpeg import decode_jpeg
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("id", "frame_index", "t_ms", "mean_intensity", "width", "height")}
+            for rid, payload in zip(pdf[id_col], pdf[binary_col]):
+                frames, fps = decode_avi_mjpeg(bytes(payload))
+                step_ms = 1000.0 / fps
+                next_t = 0.0
+                for idx, frame in enumerate(frames):
+                    t = idx * step_ms
+                    if t + 1e-9 < next_t:
+                        continue
+                    next_t = t + every_ms
+                    img = decode_jpeg(frame)
+                    rows["id"].append(rid)
+                    rows["frame_index"].append(idx)
+                    rows["t_ms"].append(round(t, 6))
+                    rows["mean_intensity"].append(float(img.mean()))
+                    rows["width"].append(img.shape[1])
+                    rows["height"].append(img.shape[0])
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, binary_col).mapInPandas(_sample, VIDEO_FRAMES_SCHEMA)

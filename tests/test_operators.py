@@ -1405,12 +1405,52 @@ def test_resize_images_real(spark):
     np.testing.assert_allclose(got, ref, atol=1.0 / 255.0 + 1e-6)
 
 
-def test_video_stub_still_declared(spark):
-    from preprocessor_spark.operators.multimodal import sample_video_frames
+def _encode_avi_mjpeg(frames, fps):
+    """Minimal RIFF/AVI wrapper: hdrl LIST with avih (us/frame), movi LIST
+    with one 00dc chunk per JPEG frame (word-aligned)."""
 
-    df = spark.createDataFrame([(0, b"x")], "id bigint, v binary")
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(df, "id", "v", every_ms=1000)
+    def chunk(cid, body):
+        return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(tag, body):
+        return chunk(b"LIST", tag + body)
+
+    avih = int(1_000_000 / fps).to_bytes(4, "little") + b"\x00" * 52
+    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_video_mjpeg_avi_frame_sampling(spark):
+    """REAL video path: a planted 10-frame MJPEG AVI at 20 fps sampled every
+    100 ms yields exactly every 2nd frame with correct timestamps and
+    per-frame intensities; non-MJPEG codecs still raise."""
+    import numpy as np
+
+    from test_jpeg import encode_jpeg
+
+    from preprocessor_spark.operators.multimodal import decode_avi_mjpeg, sample_video_frames
+
+    rng = np.random.RandomState(21)
+    rasters = [np.full((16, 16), 20 * i, dtype=np.uint8) for i in range(10)]
+    avi = _encode_avi_mjpeg([encode_jpeg(r, qval=1) for r in rasters], fps=20)
+
+    frames, fps = decode_avi_mjpeg(avi)
+    assert len(frames) == 10 and fps == pytest.approx(20.0)
+
+    df = spark.createDataFrame([(7, avi)], "id bigint, v binary")
+    out = sample_video_frames(df, "id", "v", every_ms=100).toPandas().sort_values("frame_index")
+    assert out.frame_index.tolist() == [0, 2, 4, 6, 8]
+    assert out.t_ms.tolist() == [0.0, 100.0, 200.0, 300.0, 400.0]
+    assert out.width.tolist() == [16] * 5 and out.height.tolist() == [16] * 5
+    for fi, mi in zip(out.frame_index, out.mean_intensity):
+        assert mi == pytest.approx(20 * fi / 255.0, abs=2 / 255)
+
+    h264ish = _encode_avi_mjpeg([b"\x00\x00\x00\x01garbage"], fps=20)
+    df2 = spark.createDataFrame([(0, h264ish)], "id bigint, v binary")
+    with pytest.raises(Exception, match="(?i)mjpeg|ffmpeg"):
+        sample_video_frames(df2, "id", "v", every_ms=100).collect()
 
 
 def _png_filter_scanlines(flat, bpp, filters):
