@@ -190,6 +190,24 @@ def test_join_strategy_hints_honored(spark):
     assert "BroadcastHashJoin" in formatted_plan(bcast)
 
 
+def test_knn_bruteforce_blocked_no_pair_join(spark):
+    """Blocked-GEMM top-k: the plan must aggregate the corpus into blocks
+    (ObjectHashAggregate w/ collect_list) and run the GEMM in mapInPandas —
+    with NO per-pair join producing N x Q vector rows (the pair-level
+    formulation ships O(N*Q*d) through Arrow)."""
+    plan = formatted_plan(em.knn_bruteforce(spark, SF))
+    assert "MapInPandas" in plan, plan
+    assert "collect_list" in plan, plan
+    # the only nested-loop join allowed is the tiny block-table cross join
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan, plan
+
+
+def test_embed_neardup_bruteforce_blocked(spark):
+    plan = formatted_plan(em.embed_neardup(spark, SF))
+    assert "MapInPandas" in plan, plan
+    assert "collect_list" in plan, plan
+
+
 def test_ts_features_single_shuffle(spark):
     """The full feature catalog (moments, autocorr lags, entropy, trend)
     costs exactly one hash exchange on the series id — the lag windows, the
