@@ -117,6 +117,193 @@ def _scan_segments(payload: bytes, start: int):
     return segs, i
 
 
+# ---------------------------------------------------------------------------
+# Encoder (baseline, 4:4:4 or 4:2:0) — the write path for image re-encode /
+# thumbnail export. Uses flat custom canonical Huffman tables (all DC
+# categories at 4 bits, all 162 AC symbols at 8 bits — both leave the
+# all-ones code unused as T.81 requires); decoders read tables from DHT, so
+# interop holds with any compliant reader.
+# ---------------------------------------------------------------------------
+
+DC_BITS = [0, 0, 0, 12] + [0] * 12
+DC_VALS = list(range(12))
+AC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+AC_BITS = [0] * 7 + [len(AC_VALS)] + [0] * 8
+
+
+def _encode_codes(bits, vals):
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+_DC_CODE = _encode_codes(DC_BITS, DC_VALS)
+_AC_CODE = _encode_codes(AC_BITS, AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.put(1, 1)
+
+
+def _category(v: int) -> int:
+    n = 0
+    a = abs(v)
+    while a:
+        a >>= 1
+        n += 1
+    return n
+
+
+def _put(bw: _BitWriter, table, sym: int, v: int, n: int) -> None:
+    length, code = table[sym]
+    bw.put(code, length)
+    if n:
+        bw.put(v if v >= 0 else v + (1 << n) - 1, n)
+
+
+def _encode_block(bw: _BitWriter, b, pred: int) -> int:
+    diff = int(b[0]) - pred
+    n = _category(diff)
+    _put(bw, _DC_CODE, n, diff, n)
+    run = 0
+    last = 63
+    while last > 0 and b[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(b[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            _put(bw, _AC_CODE, 0xF0, 0, 0)
+            run -= 16
+        n = _category(v)
+        _put(bw, _AC_CODE, (run << 4) | n, v, n)
+        run = 0
+    if last < 63:
+        _put(bw, _AC_CODE, 0x00, 0, 0)
+    return int(b[0])
+
+
+def _plane_to_zigzag_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Pad to 8-multiples (edge replicate), forward DCT, quantize →
+    (by, bx, 64) int64 coefficients in zigzag stream order."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64) - 128.0
+    by, bx = ph // 8, pw // 8
+    blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("kn,bcnm,ml->bckl", _C, blocks, _C.T)
+    return np.round(coefs.reshape(by, bx, 64)[:, :, ZIGZAG] / q).astype(np.int64)
+
+
+def encode_jpeg(img: np.ndarray, qval: int = 2, subsample: bool = False, restart: int = 0) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF bytes.
+
+    ``qval`` is a uniform quantizer step (1 ≈ visually lossless, 8 coarse);
+    ``subsample=True`` writes 4:2:0 (2x2-mean chroma); ``restart`` inserts a
+    restart marker every N MCUs. Round-trips with :func:`decode_jpeg` and
+    any T.81 reader."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qtab = np.full(64, qval, dtype=np.int64)
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        f = img.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    max_h = max(s[0] for s in samp)
+    max_v = max(s[1] for s in samp)
+    mcus_x, mcus_y = -(-w // (8 * max_h)), -(-h // (8 * max_v))
+    grids = []
+    for p, (sh, sv) in zip(planes, samp):
+        gh, gw = mcus_y * sv * 8, mcus_x * sh * 8
+        pp = np.pad(p, ((0, gh - p.shape[0]), (0, gw - p.shape[1])), mode="edge")
+        grids.append(_plane_to_zigzag_blocks(pp, qtab))
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    data = bytearray()
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu and mcu % restart == 0:
+                bw.flush()
+                data += bw.out
+                data += b"\xff" + bytes([0xD0 + ((mcu // restart - 1) % 8)])
+                bw = _BitWriter()
+                preds = [0] * len(planes)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        preds[ci] = _encode_block(bw, grids[ci][my * sv + by, mx * sh + bx], preds[ci])
+            mcu += 1
+    bw.flush()
+    data += bw.out
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(qtab.astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(planes)])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bytes(data)
+    out += b"\xff\xd9"
+    return out
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode baseline JPEG → float32 grayscale [0,1] (mean of RGB for
     color images, matching the other decoders' convention)."""

@@ -345,16 +345,35 @@ RESIZED_SCHEMA = "id bigint, payload binary, width int, height int"
 
 
 def resize_images(
-    df: DataFrame, id_col: str, binary_col: str, width: int, height: int
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    width: int,
+    height: int,
+    out_format: str = "pgm",
+    jpeg_quality_step: int = 2,
 ) -> DataFrame:
-    """REAL resize for decodable formats: decode (PPM/PGM/BMP pure-numpy,
-    PIL when present), nearest-neighbor resample, re-encode as binary PGM.
-    Arrow-batched mapInPandas; per-row work is pure numpy indexing."""
+    """REAL resize for decodable formats: decode (PNG/JPEG/PPM/PGM/BMP
+    pure-numpy, PIL for progressive JPEG when present), nearest-neighbor
+    resample, re-encode as binary PGM (lossless gray) or baseline JPEG
+    (``out_format="jpeg"`` — the thumbnail-export path). Arrow-batched
+    mapInPandas; per-row work is pure numpy."""
+    if out_format not in ("pgm", "jpeg"):
+        raise ValueError(f"out_format must be 'pgm' or 'jpeg', got {out_format!r}")
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if out_format == "jpeg":
+            from preprocessor_spark.operators.jpeg import encode_jpeg
+
+            def enc(img):
+                u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+                return encode_jpeg(u8, qval=jpeg_quality_step)
+
+        else:
+            enc = _encode_pgm
         for pdf in batches:
             out = [
-                _encode_pgm(_resize_nearest(decode_image(b), width, height))
+                enc(_resize_nearest(decode_image(b), width, height))
                 for b in pdf[binary_col]
             ]
             yield pd.DataFrame(

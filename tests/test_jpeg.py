@@ -1,11 +1,10 @@
-"""Pure-numpy baseline JPEG decoder tests.
+"""Pure-numpy baseline JPEG codec tests.
 
-The planted encoder here is an independent baseline JPEG writer (forward
-DCT, quantize, zigzag, Huffman, byte stuffing, markers) so the decoder is
-exercised against real T.81 bitstreams it did not produce itself — including
-4:2:0 interleave and restart markers. Custom-but-valid canonical Huffman
-tables are written into DHT (the decoder must read tables from the stream,
-not assume Annex K)."""
+``encode_jpeg`` lives in the product (write path for re-encode/thumbnail
+export); correctness of the DECODER does not rest on it alone — the
+bit-exact test below compares decoder output against an INDEPENDENT
+dequant+IDCT reference implemented here from the T.81 math, so a symmetric
+encoder/decoder bug cannot hide."""
 
 from __future__ import annotations
 
@@ -14,198 +13,21 @@ import struct
 import numpy as np
 import pytest
 
-from preprocessor_spark.operators.jpeg import _C, ZIGZAG, decode_jpeg
-
-# canonical tables: all 12 DC categories at code length 4; all 162 AC
-# symbols at code length 8 (both leave the all-ones code unused, as T.81
-# requires)
-DC_BITS = [0, 0, 0, 12] + [0] * 12
-DC_VALS = list(range(12))
-AC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
-AC_BITS = [0] * 7 + [len(AC_VALS)] + [0] * 8
-
-
-def _codes(bits, vals):
-    out = {}
-    code = 0
-    k = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[vals[k]] = (length, code)
-            k += 1
-            code += 1
-        code <<= 1
-    return out
-
-
-DC_CODE = _codes(DC_BITS, DC_VALS)
-AC_CODE = _codes(AC_BITS, AC_VALS)
-
-
-class _BitWriter:
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
-
-    def put(self, value, length):
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc = 0
-                self.n = 0
-
-    def flush(self):
-        while self.n:
-            self.put(1, 1)
-
-
-def _category(v):
-    n = 0
-    a = abs(v)
-    while a:
-        a >>= 1
-        n += 1
-    return n
-
-
-def _put_coeff(bw, code_table, sym, v, n):
-    length, code = code_table[sym]
-    bw.put(code, length)
-    if n:
-        bw.put(v if v >= 0 else v + (1 << n) - 1, n)
-
-
-def _encode_blocks(bw, blocks, pred):
-    """blocks: (N, 64) quantized zigzag coefficients for one component run."""
-    for b in blocks:
-        diff = int(b[0]) - pred
-        pred = int(b[0])
-        n = _category(diff)
-        _put_coeff(bw, DC_CODE, n, diff, n)
-        run = 0
-        last = 63
-        while last > 0 and b[last] == 0:
-            last -= 1
-        for k in range(1, last + 1):
-            v = int(b[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                _put_coeff(bw, AC_CODE, 0xF0, 0, 0)
-                run -= 16
-            n = _category(v)
-            _put_coeff(bw, AC_CODE, (run << 4) | n, v, n)
-            run = 0
-        if last < 63:
-            _put_coeff(bw, AC_CODE, 0x00, 0, 0)
-    return pred
-
-
-def _plane_blocks(plane, q):
-    """Pad to 8-multiples (edge replicate), DCT+quantize → (by, bx, 64)."""
-    h, w = plane.shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64) - 128.0
-    by, bx = ph // 8, pw // 8
-    blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-    coefs = np.einsum("kn,bcnm,ml->bckl", _C, blocks, _C.T)
-    # stream (zigzag) order: position i carries linear coefficient ZIGZAG[i]
-    zz = np.round(coefs.reshape(by, bx, 64)[:, :, ZIGZAG] / q)
-    return zz.astype(np.int64)
-
-
-def encode_jpeg(img, qval=1, subsample=False, restart=0):
-    """img: (h, w) gray or (h, w, 3) RGB uint8 → baseline JFIF bytes."""
-    gray = img.ndim == 2
-    h, w = img.shape[:2]
-    qtab = np.full(64, qval, dtype=np.int64)
-    if gray:
-        planes = [img.astype(np.float64)]
-        samp = [(1, 1)]
-    else:
-        f = img.astype(np.float64)
-        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
-        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-        if subsample:
-            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
-            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
-            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
-            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            samp = [(1, 1), (1, 1), (1, 1)]
-        planes = [y, cb, cr]
-
-    max_h = max(s[0] for s in samp)
-    max_v = max(s[1] for s in samp)
-    mcus_x, mcus_y = -(-w // (8 * max_h)), -(-h // (8 * max_v))
-    grids = []
-    for p, (sh, sv) in zip(planes, samp):
-        gh, gw = mcus_y * sv * 8, mcus_x * sh * 8
-        pp = np.pad(p, ((0, gh - p.shape[0]), (0, gw - p.shape[1])), mode="edge")
-        grids.append(_plane_blocks(pp, qtab))
-
-    bw = _BitWriter()
-    preds = [0] * len(planes)
-    data = bytearray()
-    mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart and mcu and mcu % restart == 0:
-                bw.flush()
-                data += bw.out
-                data += b"\xff" + bytes([0xD0 + ((mcu // restart - 1) % 8)])
-                bw = _BitWriter()
-                preds = [0] * len(planes)
-            for ci, (sh, sv) in enumerate(samp):
-                for by in range(sv):
-                    for bx in range(sh):
-                        blk = grids[ci][my * sv + by, mx * sh + bx][None, :]
-                        preds[ci] = _encode_blocks(bw, blk, preds[ci])
-            mcu += 1
-    bw.flush()
-    data += bw.out
-
-    def seg(marker, body):
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    out = b"\xff\xd8"
-    out += seg(0xDB, bytes([0x00]) + bytes(qtab.astype(np.uint8)))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(planes)])
-    for ci, (sh, sv) in enumerate(samp):
-        sof += bytes([ci + 1, (sh << 4) | sv, 0])
-    out += seg(0xC0, sof)
-    out += seg(0xC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
-    out += seg(0xC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
-    if restart:
-        out += seg(0xDD, struct.pack(">H", restart))
-    sos = bytes([len(planes)])
-    for ci in range(len(planes)):
-        sos += bytes([ci + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += bytes(data)
-    out += b"\xff\xd9"
-    return out
+from preprocessor_spark.operators.jpeg import _C, ZIGZAG, decode_jpeg, encode_jpeg
 
 
 def _ref_decode_gray(img, qval):
-    """Independent pipeline reference: what a correct decoder must output for
-    a q=qval gray encode — IDCT of the quantized coefficients."""
+    """Independent reference: forward DCT + quantize (own implementation),
+    then dequant + IDCT — what a correct decoder must output for a gray
+    encode at uniform step qval."""
     h, w = img.shape
-    blocks = _plane_blocks(img.astype(np.float64), np.full(64, qval, dtype=np.int64))
-    deq = blocks.astype(np.float64) * qval
-    by, bx = deq.shape[0], deq.shape[1]
-    spatial = np.zeros((by, bx, 8, 8))
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(img.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+    by, bx = ph // 8, pw // 8
+    blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("kn,bcnm,ml->bckl", _C, blocks, _C.T)
+    quant = np.round(coefs.reshape(by, bx, 64)[:, :, ZIGZAG] / qval)
+    deq = quant * qval
     lin = np.zeros((by, bx, 64))
     lin[:, :, ZIGZAG] = deq
     spatial = np.einsum("kn,bckl,lm->bcnm", _C, lin.reshape(by, bx, 8, 8), _C) + 128.0

@@ -1404,6 +1404,14 @@ def test_resize_images_real(spark):
     assert got.shape == (5, 8)
     np.testing.assert_allclose(got, ref, atol=1.0 / 255.0 + 1e-6)
 
+    # jpeg export path: payload is a real baseline JPEG that round-trips
+    outj = resize_images(df, "id", "img", width=8, height=5, out_format="jpeg").toPandas()
+    pj = bytes(outj.payload.iloc[0])
+    assert pj[:2] == b"\xff\xd8"
+    gotj = decode_image(pj)
+    assert gotj.shape == (5, 8)
+    np.testing.assert_allclose(gotj, ref, atol=12 / 255.0)
+
 
 def _encode_avi_mjpeg(frames, fps):
     """Minimal RIFF/AVI wrapper: hdrl LIST with avih (us/frame), movi LIST
