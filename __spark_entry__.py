@@ -246,6 +246,309 @@ def having_frequent_customers(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# TPC-H breadth (round 4): the classic decision-support shapes adapted to the
+# available star-schema columns (no partsupp/commitdate/shipmode in the
+# driver's tables — q2/q11/q12/q16/q20/q21 are not expressible; every other
+# canonical shape below). All decimal-exact money math, all dims broadcast,
+# fact-fact joins keyed — each plan survives a 1000-executor scale-up because
+# only lineitem⋈orders shuffles and that shuffle is on the join key.
+# --------------------------------------------------------------------------
+
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): orders in a quarter with at
+    least one line shipped >60 days after the order date — EXISTS rewritten
+    as a left-semi join (Spark plans the same decorrelation)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): pure scan+filter+agg — the
+    predicate reaches the parquet scan (PushedFilters) and the single-row
+    aggregate never shuffles more than one partial per task."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (_dec(F.col("l_discount"), 4, 2) >= F.lit("0.02").cast("decimal(4,2)"))
+        & (_dec(F.col("l_discount"), 4, 2) <= F.lit("0.06").cast("decimal(4,2)"))
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"), 4, 2))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by ship year. Both nation sides resolve through broadcast dims;
+    the only shuffle is lineitem⋈orders on the order key."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _dec(F.col("l_discount"), 4, 2)
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
+        F.col("supp_nation") == "NATION_2"
+    ) & (F.col("cust_nation") == "NATION_1")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): NATION_3's share of PROMO-part
+    revenue inside region AMERICA-equivalent (region of NATION_3), by order
+    year. Conditional-sum / total-sum per group — both sums exact decimal,
+    one shuffle on the order key, single IEEE division at the end."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    # region containing NATION_3 via broadcast dims
+    target_region = (
+        n.filter(F.col("n_name") == "NATION_3")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_regionkey")
+    )
+    cust_in_region = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(target_region), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("c_custkey")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _dec(F.col("l_discount"), 4, 2)
+    )
+    vol = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            disc_price.alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))).alias("nat"),
+            F.sum("volume").alias("tot"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.coalesce(F.col("nat"), F.lit(0).cast("decimal(4,2)")).cast("double")
+                / F.col("tot").cast("double"),
+                6,
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): top 20 customers by revenue lost
+    to returns in a quarter. TakeOrderedAndProject caps the sort at k=20."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _dec(F.col("l_discount"), 4, 2)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): outer join + two-level
+    aggregation (per-customer count, then histogram of counts)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): PROMO-part revenue share in one month.
+    Conditional decimal sum / total decimal sum, one broadcast dim join."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _dec(F.col("l_discount"), 4, 2)
+    )
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0).cast("decimal(4,2)"))).cast("double")
+            / F.sum(disc_price).cast("double"),
+            6,
+        ).alias("promo_share_pct")
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): suppliers achieving the maximum quarterly
+    revenue — the classic agg-then-join-with-its-own-max shape. The revenue
+    table is |supplier|-sized, so the max lookup is a broadcast join, not a
+    global window."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _dec(F.col("l_discount"), 4, 2)
+    )
+    rev = l.groupBy("l_suppkey").agg(F.sum(disc_price).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx, "left_semi")
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): lines of one brand below
+    half the part's average quantity. The per-part average is a correlated
+    scalar subquery decorrelated into a broadcast aggregate join; the
+    threshold compare is exact-integer decimal math (2·qty·cnt < sum), so
+    both engines agree bit-for-bit on the boundary."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem")
+    lb = l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+    stats = lb.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        lb.join(F.broadcast(stats), lb.l_partkey == stats.pk)
+        .filter(
+            _dec(F.col("l_quantity")) * 2 * F.col("cnt") < F.col("sum_qty")
+        )
+        .agg(
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0, 6).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds 140 — groupBy-HAVING on the fact table, then broadcast joins to
+    the order/customer detail."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 140)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue): OR-of-ANDs across brand/size/quantity
+    bands. Catalyst extracts the common l_partkey=p_partkey conjunct so this
+    is a broadcast hash join, not a nested-loop filter."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _dec(F.col("l_discount"), 4, 2)
+    )
+    band = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def pivot_status_counts(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -1661,6 +1964,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct_percentile": agg_distinct_percentile,
         "agg_min_max_by": agg_min_max_by,
         "having_frequent_customers": having_frequent_customers,
+        # TPC-H breadth (round 4): the canonical decision-support shapes
+        # expressible over the available columns
+        "q4_priority_exists": q4_priority_exists,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q14_promo_revenue_share": q14_promo_revenue_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
         # rows-only checks (no SQL oracle by design):
         "embed_pca_project": embed_pca_project,
         "hll_user_rollup": hll_user_rollup,
@@ -2863,5 +3179,155 @@ def oracle_sql() -> dict[str, str]:
                         THEN (a10_xy - mu * a10_x - mu * a10_y + a10_n * mu * mu) / (a10_n * var)
                         END, 6) AS "value__autocorrelation_lag_10"
             FROM a
+        """,
+        # ---- TPC-H breadth (round 4) ----
+        "q4_priority_exists": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                    SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN CAST(0.02 AS DECIMAL(4,2))
+                                                       AND CAST(0.06 AS DECIMAL(4,2))
+              AND l_quantity < 24
+        """,
+        "q7_nation_volume": f"""
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                   CAST(SUM({dp}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+               OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+            GROUP BY ns.n_name, nc.n_name, YEAR(l_shipdate)
+        """,
+        "q8_market_share": f"""
+            WITH vol AS (
+                SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                       {dp} AS volume,
+                       ns.n_name AS supp_nation
+                FROM lineitem
+                JOIN part     ON l_partkey = p_partkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation nc ON c_nationkey = nc.n_nationkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ns ON s_nationkey = ns.n_nationkey
+                WHERE p_type = 'PROMO'
+                  AND nc.n_regionkey = (
+                        SELECT n_regionkey FROM nation WHERE n_name = 'NATION_3')
+            )
+            SELECT o_year,
+                   ROUND(CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                                THEN volume END),
+                                       CAST(0 AS DECIMAL(4,2))) AS DOUBLE)
+                         / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+            FROM vol GROUP BY o_year
+        """,
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, n_name, c_acctbal,
+                   CAST(SUM({dp}) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, n_name, c_acctbal
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN (SELECT * FROM orders
+                           WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+                       ON c_custkey = o.o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q14_promo_revenue_share": f"""
+            SELECT ROUND(100.0
+                         * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {dp}
+                                         ELSE CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE)
+                         / CAST(SUM({dp}) AS DOUBLE), 6) AS promo_share_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey, SUM({dp}) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """,
+        "q17_small_quantity_revenue": """
+            WITH lb AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_brand = 'Brand#13')
+            ), stats AS (
+                SELECT l_partkey AS pk,
+                       SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+                       COUNT(*) AS cnt
+                FROM lb GROUP BY l_partkey
+            )
+            SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                         / 7.0, 6) AS avg_yearly,
+                   COUNT(*) AS n_lines
+            FROM lb JOIN stats ON l_partkey = pk
+            WHERE CAST(l_quantity AS DECIMAL(12,2)) * 2 * cnt < sum_qty
+        """,
+        "q18_large_volume_customers": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(sum_qty AS DOUBLE) AS sum_qty
+            FROM (
+                SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 140
+            ) big
+            JOIN orders   ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "q19_disjunctive_revenue": f"""
+            SELECT CAST(SUM({dp}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 21)
+               OR (p_brand = 'Brand#20' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 40)
         """,
     }
