@@ -984,6 +984,99 @@ def dedup_minhash_corpus(spark, sf_dir):
         )
 
 
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental batch-vs-corpus dedup (operators/dedup.py::
+    incremental_dedup_stats — the screen-the-new-crawl shape): the corpus is
+    the documents table; the batch is salted with (a) verbatim copies of
+    every 5th doc (exact dups — must drop) and (b) every 7th doc truncated
+    to its first 35 words plus a fresh unique tail (partial overlap — ~6/17
+    windows seen, kept under the 0.5 containment rule). Two hash equi-joins
+    against corpus-side DISTINCT indexes; the DuckDB oracle replays the
+    identical md5-60bit window hashing."""
+    from preprocessor_spark.operators.dedup import incremental_dedup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    copies = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), F.col("text")
+    )
+    variants = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(toks, 1, 35)),
+            F.lit(" tail"),
+            F.col("doc_id").cast("string"),
+            F.lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ).alias("text"),
+    )
+    batch = copies.unionByName(variants)
+    out = incremental_dedup_stats(d, batch, "text", "doc_id", window_tokens=30)
+    return out.orderBy("doc_id")
+
+
+def bpe_token_stats_docs(spark, sf_dir):
+    """Distributed BPE (operators/bpe.py): train a merge sequence from the
+    corpus word-frequency table (one Spark shuffle + bounded driver merge
+    loop — the standard Sennrich/HF-tokenizers split), then tokenize every
+    doc with the fitted Arrow-batched encoder and account tokens per source.
+    Rows-only: the merge loop is not SQL-expressible; determinism and
+    roundtrip invariants are pytest-asserted (tests/test_operators.py)."""
+    from preprocessor_spark.operators.bpe import bpe_token_stats, train_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    # 60 merges against this corpus's vocabulary: frequent words collapse to
+    # single tokens, rarer ones stay subword-split — both regimes exercised
+    model = train_bpe(d, "text", num_merges=60, min_freq=2)
+    return bpe_token_stats(_par(d), "text", "doc_id", model, group_col="source").orderBy(
+        "source"
+    )
+
+
+def text_quality_classifier(spark, sf_dir):
+    """Fasttext-style hashed-n-gram logistic-regression quality filter
+    (operators/classifier.py), weakly supervised by the Gopher rule gate
+    (the CCNet recipe: heuristic labels → smooth learned score). Training is
+    full-batch GD with per-partition gradient sketches — per iteration the
+    only data movement is |partitions| (dim+2)-vectors. Rows-only (iterative
+    training is not SQL); separability is pytest-asserted on planted
+    junk/clean corpora."""
+    from preprocessor_spark.operators.classifier import (
+        fit_quality_classifier,
+        score_quality_udf,
+    )
+    from preprocessor_spark.operators.text import gopher_rules_exprs
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    # salt every 6th doc with symbol-spam junk so the weak labels carry both
+    # classes (the raw synthetic corpus passes the gate uniformly)
+    d = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat_ws(
+                " ", F.array_repeat(F.lit("$$$ ###!! ??%% @@@@ ^^^"), 8)
+            ),
+        ).otherwise(F.col("text")),
+    )
+    rules = gopher_rules_exprs(F.col("text"), min_words=15, min_stopword_hits=1)
+    labeled = d.select(
+        "doc_id", "source", "text", rules["gopher_pass"].cast("int").alias("label")
+    )
+    model = fit_quality_classifier(
+        labeled, "text", "label", dim=256, iterations=6, lr=2.0
+    )
+    scored = labeled.withColumn("score", score_quality_udf(model)(F.col("text")))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.sum((F.col("score") >= 0.5).cast("int")).alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
 def sample_stratified_topk(spark, sf_dir):
     """Exact-k-per-stratum deterministic sampling (operators/sampling.py::
     stratified_topk_sample): salted-md5 ordering per source, first 5 kept.
@@ -1977,7 +2070,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        # incremental batch-vs-corpus dedup (round 4, oracle-backed)
+        "dedup_incremental_batch": dedup_incremental_batch,
         # rows-only checks (no SQL oracle by design):
+        "bpe_token_stats": bpe_token_stats_docs,
+        "text_quality_classifier": text_quality_classifier,
         "embed_pca_project": embed_pca_project,
         "hll_user_rollup": hll_user_rollup,
         "approx_distinct_parts": approx_distinct_parts,
@@ -3179,6 +3276,67 @@ def oracle_sql() -> dict[str, str]:
                         THEN (a10_xy - mu * a10_x - mu * a10_y + a10_n * mu * mu) / (a10_n * var)
                         END, 6) AS "value__autocorrelation_lag_10"
             FROM a
+        """,
+        "dedup_incremental_batch": """
+            WITH batch AS (
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 2000000 AS doc_id,
+                       array_to_string(
+                           list_slice(
+                               list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                           x -> x <> ''), 1, 35), ' ')
+                       || ' tail' || CAST(doc_id AS VARCHAR)
+                       || ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
+                           AS text
+                FROM documents WHERE doc_id % 7 = 0
+            ), c_hash AS (
+                SELECT DISTINCT md5(text) AS h FROM documents
+            ), c_gram AS (
+                SELECT DISTINCT unnest(list_distinct(list_transform(
+                    generate_series(1, greatest(len(list_filter(
+                        regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) - 29, 0)),
+                    i -> CAST(('0x' || substr(md5(array_to_string(
+                        list_slice(list_filter(
+                            regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+                            i, i + 29), ' ')), 1, 15)) AS BIGINT)
+                ))) AS gh
+                FROM documents
+            ), bg AS (
+                SELECT doc_id,
+                       md5(text) AS h,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(list_filter(
+                               regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) - 29, 0)),
+                           i -> CAST(('0x' || substr(md5(array_to_string(
+                               list_slice(list_filter(
+                                   regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''),
+                                   i, i + 29), ' ')), 1, 15)) AS BIGINT)
+                       )) AS grams
+                FROM batch
+            ), seen AS (
+                SELECT e.doc_id, COUNT(*) AS n_seen
+                FROM (SELECT doc_id, unnest(grams) AS gh FROM bg) e
+                JOIN c_gram USING (gh)
+                GROUP BY e.doc_id
+            )
+            SELECT bg.doc_id,
+                   CASE WHEN c_hash.h IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+                   len(grams) AS n_windows,
+                   COALESCE(seen.n_seen, 0) AS n_seen_windows,
+                   ROUND(CASE WHEN len(grams) > 0
+                              THEN COALESCE(seen.n_seen, 0) / CAST(len(grams) AS DOUBLE)
+                              ELSE 0.0 END, 6) AS seen_window_frac,
+                   CASE WHEN c_hash.h IS NULL
+                         AND (CASE WHEN len(grams) > 0
+                                   THEN COALESCE(seen.n_seen, 0) / CAST(len(grams) AS DOUBLE)
+                                   ELSE 0.0 END) < 0.5
+                        THEN 1 ELSE 0 END AS keep
+            FROM bg
+            LEFT JOIN c_hash ON bg.h = c_hash.h
+            LEFT JOIN seen ON bg.doc_id = seen.doc_id
+            ORDER BY bg.doc_id
         """,
         # ---- TPC-H breadth (round 4) ----
         "q4_priority_exists": """

@@ -854,3 +854,68 @@ def _embedding_neardup_numpy(
         .select("id_a", "id_b", _pair_cosine_udf()(F.col("__va"), F.col("__vb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def incremental_dedup_stats(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 30,
+    keep_below_frac: float = 0.5,
+) -> DataFrame:
+    """Incremental (new-batch vs existing-corpus) dedup — the shape every
+    continuously-crawled training pipeline runs: the corpus is already
+    deduplicated and indexed; only the NEW batch is screened against it.
+
+    Two containment checks per batch doc, both equi-joins against
+    corpus-side indexes:
+
+    1. **exact** — content md5 seen in the corpus (anti-join semantics,
+       surfaced as a flag);
+    2. **verbatim-window containment** — fraction of the doc's
+       ``window_tokens``-token sliding windows (same 60-bit md5 hashing as
+       :func:`substring_dup_stats`) that appear anywhere in the corpus.
+
+    ``keep`` = not exact AND seen fraction < ``keep_below_frac``.
+
+    100 TB shape: the corpus side reduces to two DISTINCT hash indexes
+    (content hashes + window-gram hashes) that a production pipeline
+    precomputes once and appends to per batch — here they are derived
+    inline, still as keyed shuffles. The batch side is screened with two
+    hash equi-joins; nothing is ever compared pairwise, and the batch
+    (typically ≪ corpus) is the only side carrying text."""
+    c_hash = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    c_grams = (
+        corpus.select(
+            F.explode(_window_gram_hashes_expr(F.col(text_col), window_tokens)).alias("gh")
+        ).distinct()
+    )
+    b = batch.select(
+        F.col(id_col).alias("__id"),
+        F.md5(F.col(text_col)).alias("__h"),
+        _window_gram_hashes_expr(F.col(text_col), window_tokens).alias("__g"),
+    )
+    flagged = b.join(c_hash.withColumn("__e", F.lit(1)), "__h", "left").select(
+        "__id", F.coalesce("__e", F.lit(0)).alias("exact_dup"), "__g"
+    )
+    exploded = flagged.select(
+        "__id", "exact_dup", F.explode_outer("__g").alias("gh")
+    )
+    seen = exploded.join(c_grams.withColumn("__s", F.lit(1)), "gh", "left")
+    per = seen.groupBy("__id", "exact_dup").agg(
+        F.count("gh").alias("n_windows"),
+        F.sum(F.coalesce(F.col("__s"), F.lit(0))).alias("n_seen_windows"),
+    )
+    frac = F.when(
+        F.col("n_windows") > 0,
+        F.col("n_seen_windows").cast("double") / F.col("n_windows").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        F.col("__id").alias(id_col),
+        "exact_dup",
+        "n_windows",
+        "n_seen_windows",
+        F.round(frac, 6).alias("seen_window_frac"),
+        ((F.col("exact_dup") == 0) & (frac < keep_below_frac)).cast("int").alias("keep"),
+    )
