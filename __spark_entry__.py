@@ -1919,13 +1919,23 @@ def prep_scale_stats(spark, sf_dir):
 
 def agg_distinct_collect(spark, sf_dir):
     """sum distinct + count distinct + collect_set on one pass (merges
-    agg_sum_distinct + agg_collect_set)."""
+    agg_sum_distinct + agg_collect_set).
+
+    Plan note: three distinct aggregates over different columns force an
+    Expand (one replica of every input row per distinct clause) — so we
+    pre-aggregate to the (flag, qty, supp, status) grain first. The map-side
+    partial agg collapses the fact table to the combo cardinality (~20×
+    smaller here, rows/combos-bounded at any scale) BEFORE the Expand
+    triples it; measured 2.3 s → ~1 s at sf0.1."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    pre = l.groupBy("l_returnflag", "l_quantity", "l_suppkey", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return pre.groupBy("l_returnflag").agg(
         F.sum_distinct(F.col("l_quantity").cast("bigint")).alias("sum_distinct_qty"),
         F.count_distinct("l_suppkey").alias("n_supp"),
         F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses"),
-        F.count(F.lit(1)).alias("n_items"),
+        F.sum("__n").alias("n_items"),
     )
 
 

@@ -239,3 +239,59 @@ def test_quantile_rollup_shuffles_only_sketches(spark):
     fine = quantile_sketches(l, [F.col("l_returnflag"), F.col("l_linestatus")], "l_extendedprice", k=16)
     plan = formatted_plan(quantile_rollup(fine, ["l_returnflag"]))
     assert plan.count("+- Exchange") == 2, plan
+
+
+def test_tpch_q6_pushdown_and_single_agg(spark):
+    """Q6 is scan→filter→1-row agg: the shipdate/quantity predicates must
+    reach the parquet scan, and no join may appear."""
+    plan = formatted_plan(em.q6_forecast_revenue(spark, SF))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:300], plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_tpch_q19_is_hash_join_not_bnlj(spark):
+    """The OR-of-ANDs predicate shares the l_partkey=p_partkey conjunct —
+    Catalyst must extract it into a broadcast HASH join; a nested-loop join
+    here would be quadratic at scale."""
+    plan = formatted_plan(em.q19_disjunctive_revenue(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q17_decorrelated_no_cartesian(spark):
+    """The correlated per-part average decorrelates into broadcast hash
+    joins (semi for the brand filter, inner for the stats)."""
+    plan = formatted_plan(em.q17_small_quantity_revenue(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q4_exists_is_semi_join(spark):
+    plan = formatted_plan(em.q4_priority_exists(spark, SF))
+    assert "LeftSemi" in plan, plan
+
+
+def test_agg_distinct_preaggregates_before_expand(spark):
+    """Multi-distinct aggregation plans an Expand; the pre-aggregation to
+    the combo grain must sit BELOW it so the Expand runs over combos, not
+    raw fact rows."""
+    plan = formatted_plan(em.agg_distinct_collect(spark, SF))
+    assert "Expand" in plan, plan
+    # the grain pre-agg keys on all four columns
+    assert "l_suppkey" in plan and "l_linestatus" in plan, plan
+    ex = plan.index("Expand")
+    grain = plan.index("l_quantity", ex)  # pre-agg keys appear under Expand
+    assert grain > ex, plan
+
+
+def test_incremental_dedup_no_pairwise_join(spark):
+    """Batch screening is two hash equi-joins against DISTINCT corpus
+    indexes — never a pairwise doc join."""
+    from preprocessor_spark.operators.dedup import incremental_dedup_stats
+
+    d = em._t(spark, SF, "documents")
+    b = d.select((F.col("doc_id") + 999).alias("doc_id"), "text")
+    plan = formatted_plan(incremental_dedup_stats(d, b, "text", "doc_id"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
