@@ -995,7 +995,9 @@ def dedup_incremental_batch(spark, sf_dir):
     identical md5-60bit window hashing."""
     from preprocessor_spark.operators.dedup import incremental_dedup_stats
 
-    d = _t(spark, sf_dir, "documents")
+    # _par: the gram hashing is CPU-dense and the testdata parquet is a
+    # single row group — spread corpus and batch across all cores
+    d = _par(_t(spark, sf_dir, "documents"))
     toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     copies = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), F.col("text")
@@ -1075,6 +1077,39 @@ def text_quality_classifier(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def dq_orders_report(spark, sf_dir):
+    """Declarative data-quality gate (operators/expectations.py — the
+    deequ/Great-Expectations shape): seven column-level constraints compiled
+    into ONE aggregation pass over orders plus a single keyed anti-join for
+    the customer referential check. The in_range ceiling is set below the
+    price maximum so the violation path provably fires. Exact SQL oracle."""
+    from preprocessor_spark.operators.expectations import (
+        accepted_values,
+        in_range,
+        matches_regex,
+        non_negative,
+        not_null,
+        referential_check,
+        run_checks,
+        unique,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    checks = [
+        not_null("o_orderkey"),
+        unique("o_orderkey"),
+        not_null("o_custkey"),
+        accepted_values("o_orderstatus", ["F", "O", "P"]),
+        in_range("o_totalprice", 0.0, 400000.0),
+        matches_regex("o_orderpriority", "^[1-5]-"),
+        non_negative("o_totalprice"),
+    ]
+    report = run_checks(o, checks)
+    fk = referential_check(o, "o_custkey", F.broadcast(c), "c_custkey")
+    return report.unionByName(fk).orderBy("check")
 
 
 def sample_stratified_topk(spark, sf_dir):
@@ -2082,6 +2117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         # incremental batch-vs-corpus dedup (round 4, oracle-backed)
         "dedup_incremental_batch": dedup_incremental_batch,
+        # declarative data-quality gate (round 4, oracle-backed)
+        "dq_orders_report": dq_orders_report,
         # rows-only checks (no SQL oracle by design):
         "bpe_token_stats": bpe_token_stats_docs,
         "text_quality_classifier": text_quality_classifier,
@@ -3347,6 +3384,53 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN c_hash ON bg.h = c_hash.h
             LEFT JOIN seen ON bg.doc_id = seen.doc_id
             ORDER BY bg.doc_id
+        """,
+        "dq_orders_report": """
+            WITH agg AS (
+                SELECT
+                    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn_key,
+                    CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+                    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn_cust,
+                    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                   AND o_orderstatus NOT IN ('F','O','P')
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS v_vals,
+                    CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                                   AND NOT (o_totalprice BETWEEN 0.0 AND 400000.0)
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+                    CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                                   AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS v_re,
+                    CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_neg
+                FROM orders
+            ), fk AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders
+                WHERE o_custkey IS NOT NULL
+                  AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+            ), rep AS (
+                SELECT 'not_null(o_orderkey)' AS "check", 'o_orderkey' AS "column",
+                       'value IS NOT NULL' AS rule, v_nn_key AS n_violations FROM agg
+                UNION ALL
+                SELECT 'unique(o_orderkey)', 'o_orderkey', 'no duplicate values', v_uniq FROM agg
+                UNION ALL
+                SELECT 'not_null(o_custkey)', 'o_custkey', 'value IS NOT NULL', v_nn_cust FROM agg
+                UNION ALL
+                SELECT 'accepted_values(o_orderstatus)', 'o_orderstatus',
+                       'value in [''F'', ''O'', ''P'']', v_vals FROM agg
+                UNION ALL
+                SELECT 'in_range(o_totalprice)', 'o_totalprice',
+                       '0.0 <= value <= 400000.0', v_range FROM agg
+                UNION ALL
+                SELECT 'matches_regex(o_orderpriority)', 'o_orderpriority',
+                       'value ~ /^[1-5]-/', v_re FROM agg
+                UNION ALL
+                SELECT 'non_negative(o_totalprice)', 'o_totalprice', 'value >= 0', v_neg FROM agg
+                UNION ALL
+                SELECT 'referential(o_custkey->c_custkey)', 'o_custkey',
+                       'every o_custkey exists in parent.c_custkey', v FROM fk
+            )
+            SELECT "check", "column", rule, n_violations,
+                   CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+            FROM rep ORDER BY "check"
         """,
         # ---- TPC-H breadth (round 4) ----
         "q4_priority_exists": """

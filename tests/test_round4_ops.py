@@ -210,3 +210,84 @@ def test_classifier_deterministic(spark, planted_quality):
         planted_quality, "text", "label", dim=128, iterations=5, lr=2.0
     )
     assert np.array_equal(m1.weights, m2.weights) and m1.bias == m2.bias
+
+
+# --------------------------------------------------------------------------
+# data-quality expectations
+# --------------------------------------------------------------------------
+
+def test_expectations_counts_each_violation_kind(spark):
+    from preprocessor_spark.operators.expectations import (
+        accepted_values,
+        in_range,
+        matches_regex,
+        non_negative,
+        not_null,
+        referential_check,
+        run_checks,
+        unique,
+    )
+
+    rows = [
+        (1, 10.0, "A", "ok-1"),
+        (1, -5.0, "A", "ok-2"),      # dup id, negative
+        (2, None, "B", "bad"),        # null price, regex violation
+        (None, 999.0, "Z", "ok-3"),   # null id, out-of-range, bad value
+    ]
+    df = spark.createDataFrame(rows, ["id", "price", "status", "tag"])
+    rep = {
+        r["check"]: r
+        for r in run_checks(
+            df,
+            [
+                not_null("id"),
+                unique("id"),
+                not_null("price"),
+                accepted_values("status", ["A", "B"]),
+                in_range("price", 0.0, 100.0),
+                matches_regex("tag", "^ok-"),
+                non_negative("price"),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(id)"]["n_violations"] == 1
+    assert rep["unique(id)"]["n_violations"] == 1  # one surplus duplicate
+    assert rep["not_null(price)"]["n_violations"] == 1
+    assert rep["accepted_values(status)"]["n_violations"] == 1
+    assert rep["in_range(price)"]["n_violations"] == 2  # -5 and 999
+    assert rep["matches_regex(tag)"]["n_violations"] == 1
+    assert rep["non_negative(price)"]["n_violations"] == 1
+    assert all(r["passed"] == 0 for r in rep.values())
+
+    parent = spark.createDataFrame([(1,)], ["pk"])
+    fk = referential_check(df, "id", parent, "pk").collect()[0]
+    assert fk["n_violations"] == 1 and fk["passed"] == 0  # id=2 orphaned
+
+
+def test_expectations_single_pass_plan(spark):
+    """All column checks must compile into ONE aggregation job — a single
+    scan, no joins, no extra exchanges beyond the 1-row final agg."""
+    from preprocessor_spark.plans import formatted_plan
+    from preprocessor_spark.operators.expectations import (
+        in_range,
+        not_null,
+        run_checks,
+        unique,
+    )
+
+    docs = spark.read.parquet(f"/root/testdata/sf0.001/orders.parquet")
+    plan = formatted_plan(
+        run_checks(docs, [not_null("o_orderkey"), unique("o_orderkey"), in_range("o_totalprice", 0, 1e6)])
+    )
+    assert "Join" not in plan, plan
+    # formatted plans print the scan once in the tree and once in the node
+    # detail — one PHYSICAL scan = at most 2 mentions
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_expectations_all_pass_on_clean_data(spark):
+    from preprocessor_spark.operators.expectations import not_null, run_checks, unique
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    rep = run_checks(df, [not_null("id"), unique("id"), not_null("v")]).collect()
+    assert all(r["passed"] == 1 and r["n_violations"] == 0 for r in rep)
