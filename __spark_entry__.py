@@ -1079,6 +1079,36 @@ def text_quality_classifier(spark, sf_dir):
     )
 
 
+def prep_winsorize_robust(spark, sf_dir):
+    """Percentile-based outlier treatment (functions/numerical.py round-4
+    additions): winsorize c_acctbal into its exact [p05, p95] and robust-
+    scale it by (x − median)/IQR — the sklearn RobustScaler formula with
+    engine-portable exact percentiles (Spark SQL `percentile` ≡ DuckDB
+    `quantile_cont`, both linear interpolation). Fit is one aggregation
+    job; transform is a pure projection (zero shuffle)."""
+    from preprocessor_spark.functions.numerical import (
+        fit_exact_percentiles,
+        robust_scale_expr,
+        winsorize_expr,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    q = fit_exact_percentiles(c, "c_acctbal", [0.05, 0.25, 0.5, 0.75, 0.95])
+    iqr = q[0.75] - q[0.25]
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(winsorize_expr(F.col("c_acctbal"), q[0.05], q[0.95]), 6).alias(
+            "acctbal_winsor"
+        ),
+        F.round(robust_scale_expr(F.col("c_acctbal"), q[0.5], iqr), 6).alias(
+            "acctbal_robust"
+        ),
+        (F.col("c_acctbal") < q[0.05]).cast("int").alias("capped_low"),
+        (F.col("c_acctbal") > q[0.95]).cast("int").alias("capped_high"),
+    )
+
+
 def dq_orders_report(spark, sf_dir):
     """Declarative data-quality gate (operators/expectations.py — the
     deequ/Great-Expectations shape): seven column-level constraints compiled
@@ -2119,6 +2149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_batch": dedup_incremental_batch,
         # declarative data-quality gate (round 4, oracle-backed)
         "dq_orders_report": dq_orders_report,
+        # percentile outlier treatment (round 4, oracle-backed)
+        "prep_winsorize_robust": prep_winsorize_robust,
         # rows-only checks (no SQL oracle by design):
         "bpe_token_stats": bpe_token_stats_docs,
         "text_quality_classifier": text_quality_classifier,
@@ -3431,6 +3463,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT "check", "column", rule, n_violations,
                    CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
             FROM rep ORDER BY "check"
+        """,
+        "prep_winsorize_robust": """
+            WITH q AS (
+                SELECT quantile_cont(c_acctbal, [0.05, 0.25, 0.5, 0.75, 0.95]) AS qs
+                FROM customer
+            )
+            SELECT c_custkey, c_mktsegment,
+                   ROUND(LEAST(GREATEST(c_acctbal, qs[1]), qs[5]), 6) AS acctbal_winsor,
+                   ROUND((c_acctbal - qs[3]) / (qs[4] - qs[2]), 6) AS acctbal_robust,
+                   CASE WHEN c_acctbal < qs[1] THEN 1 ELSE 0 END AS capped_low,
+                   CASE WHEN c_acctbal > qs[5] THEN 1 ELSE 0 END AS capped_high
+            FROM customer, q
         """,
         # ---- TPC-H breadth (round 4) ----
         "q4_priority_exists": """

@@ -575,3 +575,32 @@ def make_quantile_transform_udf(landmarks: list[float], inverse: bool = False):
         return pd.Series(out)
 
     return _inv_udf
+
+
+def fit_exact_percentiles(
+    df: DataFrame, col: str, probs: list[float]
+) -> dict[float, float]:
+    """Exact interpolated percentiles in ONE aggregation job (SQL
+    ``percentile`` — same linear-interpolation definition as DuckDB's
+    ``quantile_cont``, so fitted bounds are engine-portable bit-for-bit).
+
+    Scale note: exact percentile shuffles the column's values per group
+    (here: one global group). At 100 TB swap in ``approxQuantile`` /
+    ``percentile_approx`` (the preprocessor's kbins path already does);
+    exact mode exists for oracle-parity fitting."""
+    arr = ", ".join(repr(float(p)) for p in probs)
+    row = df.agg(F.expr(f"percentile({col}, array({arr}))").alias("q")).collect()[0]["q"]
+    return {p: float(v) for p, v in zip(probs, row)}
+
+
+def winsorize_expr(col: Column, lo_val: float, hi_val: float) -> Column:
+    """Clamp into the fitted [lo, hi] percentile bounds (outlier capping)."""
+    return F.least(F.greatest(col, F.lit(lo_val)), F.lit(hi_val))
+
+
+def robust_scale_expr(col: Column, median: float, iqr: float) -> Column:
+    """(x − median) / IQR — the sklearn RobustScaler formula; degenerate
+    IQR=0 falls back to an unscaled centered value."""
+    if iqr == 0:
+        return col - F.lit(median)
+    return (col - F.lit(median)) / F.lit(iqr)

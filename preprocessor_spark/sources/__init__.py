@@ -78,6 +78,28 @@ def read_json(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan — same vectorized columnar reader + predicate pushdown
+    story as parquet (ORC carries min/max/bloom indexes per stripe)."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    df.write.mode(mode).options(**options).orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_file: bool = False, **options
+) -> DataFrame:
+    """Line-per-row text scan (``value: string``); ``whole_file=True`` reads
+    one row per file (wholetext) — the raw-document ingest shape. Note the
+    100 TB caveat: wholetext files are unsplittable, so shard the corpus
+    into many files upstream (see write_jsonl's aligned sharding)."""
+    # NB: wholetext must go through the .text() keyword — PySpark's reader
+    # re-sets it from the signature default, clobbering a pre-set option
+    return spark.read.options(**options).text(path, wholetext=whole_file)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = False) -> dict[str, DataFrame]:
     """Load every star-schema table present under ``sf_dir``.
 

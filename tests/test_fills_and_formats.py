@@ -310,3 +310,32 @@ def test_write_jsonl_roundtrip(spark, sf_dir, tmp_path):
     a = {r["doc_id"]: r["text"] for r in d.collect()}
     b = {r["doc_id"]: r["text"] for r in back.collect()}
     assert a == b
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from preprocessor_spark.plans import formatted_plan
+    from preprocessor_spark.sources import read_orc, write_orc
+
+    sdf = spark.range(100).selectExpr("id", "id * 2 AS v", "CAST(id % 3 AS STRING) AS g")
+    orc_dir = str(tmp_path / "orc")
+    write_orc(sdf, orc_dir)
+    back = read_orc(spark, orc_dir)
+    assert back.count() == 100
+    assert sorted(back.columns) == ["g", "id", "v"]
+    assert back.agg(F.sum("v")).collect()[0][0] == sdf.agg(F.sum("v")).collect()[0][0]
+    # predicate reaches the ORC scan (same pushdown story as parquet)
+    plan = formatted_plan(back.filter(F.col("id") > 50))
+    assert "PushedFilters" in plan and "GreaterThan(id,50)" in plan, plan
+
+
+def test_text_source_line_and_wholefile(spark, tmp_path):
+    from preprocessor_spark.sources import read_text
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    (d / "b.txt").write_text("solo\n")
+    lines = read_text(spark, str(d)).toPandas()["value"].sort_values().tolist()
+    assert lines == ["line one", "line two", "solo"]
+    whole = read_text(spark, str(d), whole_file=True).toPandas()["value"].tolist()
+    assert sorted(whole) == ["line one\nline two\n", "solo\n"]
