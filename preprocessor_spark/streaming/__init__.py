@@ -155,3 +155,25 @@ def run_available_now(stream_df: DataFrame, table_name: str, output_mode: str = 
     )
     q.awaitTermination(timeout)
     return q
+
+
+def screen_stream_against_corpus(
+    stream_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming incremental dedup: drop arriving documents whose content
+    hash already exists in the (static, deduplicated) corpus — the
+    continuous-crawl form of
+    :func:`preprocessor_spark.operators.dedup.incremental_dedup_stats`.
+
+    Stream-static LEFT ANTI join on the content hash: the corpus side
+    reduces to a DISTINCT hash index, broadcast per micro-batch, so the
+    stream never shuffles and carries zero streaming state (in production
+    the index is a pre-built table that each trigger re-reads — new corpus
+    appends are picked up between batches). Exact-equivalence to the batch
+    screen is asserted in tests."""
+    index = corpus.select(F.md5(F.col(text_col)).alias("__h")).distinct()
+    return stream_docs.withColumn("__h", F.md5(F.col(text_col))).join(
+        F.broadcast(index), "__h", "left_anti"
+    ).drop("__h")

@@ -291,3 +291,42 @@ def test_expectations_all_pass_on_clean_data(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
     rep = run_checks(df, [not_null("id"), unique("id"), not_null("v")]).collect()
     assert all(r["passed"] == 1 and r["n_violations"] == 0 for r in rep)
+
+
+# --------------------------------------------------------------------------
+# streaming incremental dedup
+# --------------------------------------------------------------------------
+
+def test_streaming_corpus_screen_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static anti-join screen: streamed survivors == batch anti-join
+    survivors on the same arriving docs (half are verbatim corpus copies)."""
+    from preprocessor_spark.streaming import run_available_now, screen_stream_against_corpus
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arriving = (
+        corpus.filter(F.col("doc_id") % 2 == 0)  # copies -> dropped
+        .select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 2 == 1)  # fresh tails -> kept
+            .select(
+                (F.col("doc_id") + 20_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" fresh-"), F.col("doc_id")).alias("text"),
+            )
+        )
+    )
+    src = str(tmp_path / "arriving")
+    arriving.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(arriving.schema).parquet(src)
+    screened = screen_stream_against_corpus(stream, corpus, "text")
+    run_available_now(screened, "stream_screen", output_mode="append")
+    streamed = {r["doc_id"] for r in spark.table("stream_screen").collect()}
+
+    batch = {
+        r["doc_id"]
+        for r in screen_stream_against_corpus(
+            spark.read.parquet(src), corpus, "text"
+        ).collect()
+    }
+    assert streamed == batch
+    assert streamed and all(d >= 20_000 for d in streamed)  # only fresh docs survive
