@@ -1109,6 +1109,22 @@ def prep_winsorize_robust(spark, sf_dir):
     )
 
 
+def drift_orders_psi(spark, sf_dir):
+    """Distribution-drift report (operators/drift.py): PSI of o_totalprice
+    between the pre-1998 reference snapshot and the 1998+ current snapshot,
+    over decile bins fitted on the reference with engine-portable exact
+    percentiles. One groupBy per snapshot (map-side combine to ≤10 rows);
+    the fraction/log arithmetic runs on the 10-row joined frame. Exact
+    DuckDB oracle replays the identical CASE binning and smoothing."""
+    from preprocessor_spark.operators.drift import psi_report
+
+    o = _t(spark, sf_dir, "orders")
+    split = F.lit("1998-01-01").cast("timestamp")
+    ref = o.filter(F.col("o_orderdate") < split)
+    cur = o.filter(F.col("o_orderdate") >= split)
+    return psi_report(ref, cur, "o_totalprice", n_bins=10).orderBy("bin")
+
+
 def dq_orders_report(spark, sf_dir):
     """Declarative data-quality gate (operators/expectations.py — the
     deequ/Great-Expectations shape): seven column-level constraints compiled
@@ -2151,6 +2167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_orders_report": dq_orders_report,
         # percentile outlier treatment (round 4, oracle-backed)
         "prep_winsorize_robust": prep_winsorize_robust,
+        # PSI distribution drift (round 4, oracle-backed)
+        "drift_orders_psi": drift_orders_psi,
         # rows-only checks (no SQL oracle by design):
         "bpe_token_stats": bpe_token_stats_docs,
         "text_quality_classifier": text_quality_classifier,
@@ -3475,6 +3493,52 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_acctbal < qs[1] THEN 1 ELSE 0 END AS capped_low,
                    CASE WHEN c_acctbal > qs[5] THEN 1 ELSE 0 END AS capped_high
             FROM customer, q
+        """,
+        "drift_orders_psi": """
+            WITH ref AS (
+                SELECT o_totalprice AS v FROM orders
+                WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+            ), cur AS (
+                SELECT o_totalprice AS v FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_totalprice IS NOT NULL
+            ), e AS (
+                SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+                FROM ref
+            ), binned AS (
+                SELECT 'ref' AS side,
+                       CASE WHEN v <= qs[1] THEN 0 WHEN v <= qs[2] THEN 1
+                            WHEN v <= qs[3] THEN 2 WHEN v <= qs[4] THEN 3
+                            WHEN v <= qs[5] THEN 4 WHEN v <= qs[6] THEN 5
+                            WHEN v <= qs[7] THEN 6 WHEN v <= qs[8] THEN 7
+                            WHEN v <= qs[9] THEN 8 ELSE 9 END AS bin
+                FROM ref, e
+                UNION ALL
+                SELECT 'cur',
+                       CASE WHEN v <= qs[1] THEN 0 WHEN v <= qs[2] THEN 1
+                            WHEN v <= qs[3] THEN 2 WHEN v <= qs[4] THEN 3
+                            WHEN v <= qs[5] THEN 4 WHEN v <= qs[6] THEN 5
+                            WHEN v <= qs[7] THEN 6 WHEN v <= qs[8] THEN 7
+                            WHEN v <= qs[9] THEN 8 ELSE 9 END
+                FROM cur, e
+            ), counts AS (
+                SELECT bin,
+                       CAST(SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+                       CAST(SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+                FROM binned GROUP BY bin
+            ), tot AS (
+                SELECT CAST(SUM(ref_n) AS BIGINT) AS rt, CAST(SUM(cur_n) AS BIGINT) AS ct
+                FROM counts
+            )
+            SELECT bin, ref_n, cur_n,
+                   ROUND(ref_n / CAST(rt AS DOUBLE), 6) AS ref_frac,
+                   ROUND(cur_n / CAST(ct AS DOUBLE), 6) AS cur_frac,
+                   ROUND((GREATEST(ref_n / CAST(rt AS DOUBLE), 1e-6)
+                          - GREATEST(cur_n / CAST(ct AS DOUBLE), 1e-6))
+                         * ln(GREATEST(ref_n / CAST(rt AS DOUBLE), 1e-6)
+                              / GREATEST(cur_n / CAST(ct AS DOUBLE), 1e-6)), 6)
+                       AS psi_contrib
+            FROM counts, tot
+            ORDER BY bin
         """,
         # ---- TPC-H breadth (round 4) ----
         "q4_priority_exists": """

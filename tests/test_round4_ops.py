@@ -330,3 +330,55 @@ def test_streaming_corpus_screen_equals_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert streamed and all(d >= 20_000 for d in streamed)  # only fresh docs survive
+
+
+# --------------------------------------------------------------------------
+# PSI drift
+# --------------------------------------------------------------------------
+
+def test_psi_detects_planted_shift(spark):
+    from preprocessor_spark.operators.drift import classify_psi, psi_report, psi_total
+
+    rng = np.random.RandomState(3)
+    ref = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(100, 10, 4000)], ["x"]
+    )
+    same = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(100, 10, 4000)], ["x"]
+    )
+    shifted = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(130, 10, 4000)], ["x"]
+    )
+    stable = psi_total(psi_report(ref, same, "x").collect())
+    drifted = psi_total(psi_report(ref, shifted, "x").collect())
+    assert classify_psi(stable) == "stable", stable
+    assert classify_psi(drifted) == "drifted", drifted
+    assert drifted > 1.0 > 0.1 > stable
+
+
+def test_psi_fractions_sum_to_one(spark):
+    from preprocessor_spark.operators.drift import psi_report
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    rows = psi_report(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        "o_totalprice",
+    ).collect()
+    assert abs(sum(r["ref_frac"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["cur_frac"] for r in rows) - 1.0) < 1e-4
+    assert len(rows) == 10
+    # decile binning on the reference: every ref bin holds ~10%
+    assert all(0.05 < r["ref_frac"] < 0.15 for r in rows)
+
+
+def test_categorical_psi_detects_new_level(spark):
+    from preprocessor_spark.operators.drift import categorical_drift_report, psi_total
+
+    ref = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, ["g"])
+    cur = spark.createDataFrame([("a",)] * 20 + [("b",)] * 20 + [("c",)] * 60, ["g"])
+    rows = categorical_drift_report(ref, cur, "g").collect()
+    total = float(sum(r["psi_contrib"] for r in rows))
+    assert total > 0.25  # new dominant level = drift
+    c_row = [r for r in rows if r["g"] == "c"][0]
+    assert c_row["ref_n"] == 0 and c_row["cur_n"] == 60
