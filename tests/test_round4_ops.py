@@ -382,3 +382,25 @@ def test_categorical_psi_detects_new_level(spark):
     assert total > 0.25  # new dominant level = drift
     c_row = [r for r in rows if r["g"] == "c"][0]
     assert c_row["ref_n"] == 0 and c_row["cur_n"] == 60
+
+
+def test_bpe_and_classifier_save_load(spark, planted_quality, tmp_path):
+    """Fitted-state persistence: saved+loaded models reproduce the original
+    encodings/scores exactly."""
+    from preprocessor_spark.operators.bpe import load_bpe, save_bpe
+    from preprocessor_spark.operators.classifier import load_classifier, save_classifier
+
+    df = _corpus(spark, ["low lower newest"] * 4)
+    m = train_bpe(df, "text", num_merges=10)
+    p = str(tmp_path / "bpe.json")
+    save_bpe(m, p)
+    m2 = load_bpe(p)
+    assert m2.merges == m.merges and m2.ranks == m.ranks
+
+    clf = fit_quality_classifier(planted_quality, "text", "label", dim=64, iterations=3)
+    cp = str(tmp_path / "clf.json")
+    save_classifier(clf, cp)
+    clf2 = load_classifier(cp)
+    a = planted_quality.select(score_quality_udf(clf)(F.col("text")).alias("p")).collect()
+    b = planted_quality.select(score_quality_udf(clf2)(F.col("text")).alias("p")).collect()
+    assert [r["p"] for r in a] == [r["p"] for r in b]
