@@ -549,6 +549,258 @@ def q19_disjunctive_revenue(spark, sf_dir):
     )
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN subquery
+    decorrelated into an aggregate + broadcast join. The testdata has no
+    partsupp table, so the part↔supplier bridge and the supply cost are
+    derived from lineitem (min observed unit price per part/supplier) — the
+    plan shape (agg, per-group min, equality join back, three broadcast dim
+    joins, top-k) is the canonical one. Unit cost is a single IEEE division
+    per row, so MIN and the equality join agree bit-for-bit with DuckDB."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "SMALL") & (F.col("p_size") < 20))
+        .select("p_partkey", "p_name")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    ps = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "p_name", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    mn = ps.groupBy(F.col("l_partkey").alias("pk")).agg(F.min("unit_cost").alias("min_cost"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        ps.join(F.broadcast(mn), (ps.l_partkey == mn.pk) & (ps.unit_cost == mn.min_cost))
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left_semi")
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year): multi-way
+    fact join + expression aggregate. Supply cost (no partsupp table) is
+    stood in by 10% of the part's retail price — the profit expression stays
+    all-decimal (exact, order-independent sum) like the reference query."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _dec(F.col("l_discount"), 4, 2)
+    )
+    supply_cost = (
+        _dec(F.col("p_retailprice")) * _dec(F.col("l_quantity")) * F.lit(0.10).cast("decimal(4,2)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(disc_price - supply_cost).cast("double").alias("sum_profit"))
+    )
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): group aggregate
+    filtered by a global scalar subquery (HAVING value > 1.5·avg). TPC-H
+    scales Q11's fraction by 1/SF; a mean-relative threshold is the
+    scale-invariant equivalent. Inventory value (no partsupp) is the revenue
+    booked per part through a four-nation supplier group; the 1-row average
+    is a broadcast, so the threshold compare is a map-side filter, not a
+    second shuffle."""
+    nats = ["NATION_7", "NATION_13", "NATION_21", "NATION_24"]
+    sups = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name").isin(nats))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(4,2)") - _dec(F.col("l_discount"), 4, 2)
+    )
+    value = (
+        l.join(F.broadcast(sups), l.l_suppkey == sups.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(disc_price).alias("value_dec"))
+    )
+    avg = value.agg(
+        (F.sum("value_dec").cast("double") / F.count(F.lit(1))).alias("avg_value")
+    )
+    return (
+        value.join(F.broadcast(avg))
+        .filter(F.col("value_dec").cast("double") > F.lit(1.5) * F.col("avg_value"))
+        .select(F.col("l_partkey").alias("p_partkey"), F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipping modes and order priority): fact-fact join +
+    conditional counts per category. The testdata has no l_shipmode or
+    receipt/commit dates, so 'late' is shipped >90 days after the order date
+    and the category axis is l_linestatus — the high/low-priority CASE sums
+    are the canonical Q12 aggregate."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(late)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): NOT-IN anti join on an
+    excluded supplier set + COUNT(DISTINCT supplier) per part attribute
+    group. The part↔supplier bridge is lineitem (no partsupp); 'complaint'
+    suppliers are stood in by negative account balance."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & ~F.col("p_type").like("ECONOMY%")
+            & F.col("p_size").isin(2, 5, 11, 17, 23, 29, 37, 41)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_availability(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): nested semi-join chain —
+    suppliers who moved more than half of a qualifying part's 1996 volume.
+    Availability (no partsupp) is the per-part/supplier shipped quantity; the
+    0.5·total threshold is exact decimal math (2·q_ps > q_total), so the
+    boundary agrees bit-for-bit with the oracle."""
+    sp = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lq = l.join(F.broadcast(sp), l.l_partkey == sp.p_partkey, "left_semi")
+    per_ps = lq.groupBy("l_partkey", "l_suppkey").agg(F.sum(_dec(F.col("l_quantity"))).alias("q_ps"))
+    per_p = lq.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("q_total")
+    )
+    winners = (
+        per_ps.join(F.broadcast(per_p), per_ps.l_partkey == per_p.pk)
+        .filter(F.col("q_ps") * 2 > F.col("q_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(winners), s.s_suppkey == winners.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the EXISTS /
+    NOT-EXISTS double self-join, decorrelated into two keyed aggregates —
+    per-(order,supplier) latest ship date and per-order latest date +
+    supplier count — then 'sole latest shipper on a multi-supplier finished
+    order' is a count filter instead of a correlated probe. Two shuffles on
+    the order key; the supplier detail is a broadcast."""
+    fo = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lf = l.join(fo, l.l_orderkey == fo.o_orderkey, "left_semi")
+    per_os = lf.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("s_max"))
+    # per-order stats derive from per_os (one row per supplier), so the
+    # fact table is scanned/aggregated once and the identical per_os subtree
+    # is a ReusedExchange, not a second lineitem pass
+    per_o = per_os.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("s_max").alias("o_max"), F.count(F.lit(1)).alias("nsup")
+    )
+    last = per_os.join(per_o, (per_os.l_orderkey == per_o.ok)).filter(
+        (F.col("nsup") >= 2) & (F.col("s_max") == F.col("o_max"))
+    )
+    sole = (
+        last.withColumn("nlast", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")))
+        .filter(F.col("nlast") == 1)
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): substring-derived country
+    code + scalar AVG subquery + NOT EXISTS anti join (no order since 1999 —
+    every customer has SOME order in this dataset, so the dormancy window
+    carries the anti-join semantics). Country code (no c_phone) is the last
+    two digits of c_name; the average is exact-decimal sum / count so the
+    strict '>' boundary matches the oracle exactly."""
+    codes = ["00", "11", "22", "33", "44", "55"]
+    c = (
+        _t(spark, sf_dir, "customer")
+        .withColumn("cntrycode", F.substring(F.col("c_name"), -2, 2))
+        .filter(F.col("cntrycode").isin(codes))
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+    )
+
+
 def pivot_status_counts(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -2161,6 +2413,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        # TPC-H completion (round 4): the remaining 8 shapes, adapted to the
+        # reduced schema (no partsupp/shipmode/phone columns in testdata)
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q12_shipmode_priority": q12_shipmode_priority,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q20_excess_availability": q20_excess_availability,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         # incremental batch-vs-corpus dedup (round 4, oracle-backed)
         "dedup_incremental_batch": dedup_incremental_batch,
         # declarative data-quality gate (round 4, oracle-backed)
@@ -3689,5 +3951,146 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 30)
                OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
                    AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "q2_min_cost_supplier": """
+            WITH ps AS (
+                SELECT l_partkey, p_name, l_suppkey,
+                       MIN(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'SMALL' AND p_size < 20
+                GROUP BY l_partkey, p_name, l_suppkey
+            ), mn AS (
+                SELECT l_partkey AS pk, MIN(unit_cost) AS min_cost
+                FROM ps GROUP BY l_partkey
+            )
+            SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, p_name,
+                   ROUND(unit_cost, 6) AS unit_cost
+            FROM ps
+            JOIN mn ON l_partkey = pk AND unit_cost = min_cost
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+            LIMIT 100
+        """,
+        "q9_product_profit": f"""
+            SELECT n_name AS nation, YEAR(o_orderdate) AS o_year,
+                   CAST(SUM({dp}
+                            - CAST(p_retailprice AS DECIMAL(12,2))
+                              * CAST(l_quantity AS DECIMAL(12,2))
+                              * CAST(0.10 AS DECIMAL(4,2))) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY n_name, YEAR(o_orderdate)
+        """,
+        "q11_important_stock": f"""
+            WITH value AS (
+                SELECT l_partkey, SUM({dp}) AS value_dec
+                FROM lineitem
+                WHERE l_suppkey IN (
+                    SELECT s_suppkey FROM supplier JOIN nation
+                        ON s_nationkey = n_nationkey
+                    WHERE n_name IN ('NATION_7','NATION_13','NATION_21','NATION_24'))
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+            FROM value
+            WHERE CAST(value_dec AS DOUBLE)
+                  > 1.5 * (SELECT CAST(SUM(value_dec) AS DOUBLE) / COUNT(*) FROM value)
+        """,
+        "q12_shipmode_priority": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+            GROUP BY l_linestatus
+        """,
+        "q16_supplier_part_counts": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13'
+              AND p_type NOT LIKE 'ECONOMY%'
+              AND p_size IN (2, 5, 11, 17, 23, 29, 37, 41)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q20_excess_availability": """
+            WITH lq AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(l_quantity AS DECIMAL(12,2)) AS qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01'
+                  AND l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'small%')
+            ), per_ps AS (
+                SELECT l_partkey, l_suppkey, SUM(qty) AS q_ps
+                FROM lq GROUP BY l_partkey, l_suppkey
+            ), per_p AS (
+                SELECT l_partkey AS pk, SUM(qty) AS q_total
+                FROM lq GROUP BY l_partkey
+            )
+            SELECT s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+                SELECT DISTINCT l_suppkey
+                FROM per_ps JOIN per_p ON l_partkey = pk
+                WHERE q_ps * 2 > q_total)
+        """,
+        "q21_waiting_suppliers": """
+            WITH lf AS (
+                SELECT l_orderkey, l_suppkey, l_shipdate
+                FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                     WHERE o_orderstatus = 'F')
+            ), per_os AS (
+                SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max
+                FROM lf GROUP BY l_orderkey, l_suppkey
+            ), per_o AS (
+                SELECT l_orderkey AS ok, MAX(s_max) AS o_max,
+                       COUNT(*) AS nsup
+                FROM per_os GROUP BY l_orderkey
+            ), last AS (
+                SELECT l_orderkey, l_suppkey,
+                       COUNT(*) OVER (PARTITION BY l_orderkey) AS nlast
+                FROM per_os JOIN per_o ON l_orderkey = ok
+                WHERE nsup >= 2 AND s_max = o_max
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM last JOIN supplier ON l_suppkey = s_suppkey
+            WHERE nlast = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 20
+        """,
+        "q22_global_sales_opportunity": """
+            WITH c AS (
+                SELECT c_custkey, c_acctbal,
+                       SUBSTR(c_name, LENGTH(c_name) - 1, 2) AS cntrycode
+                FROM customer
+                WHERE SUBSTR(c_name, LENGTH(c_name) - 1, 2)
+                      IN ('00', '11', '22', '33', '44', '55')
+            )
+            SELECT cntrycode, COUNT(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+            FROM c
+            WHERE c_acctbal > (
+                    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                           / COUNT(*)
+                    FROM c WHERE c_acctbal > 0)
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY cntrycode
         """,
     }
