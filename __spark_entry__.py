@@ -1268,6 +1268,38 @@ def dedup_incremental_batch(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def row_ids_documents(spark, sf_dir):
+    """Scale-safe contiguous 0-based row ids (operators/ids.py::
+    assign_row_ids): range-partition on the order key, per-partition
+    counts → driver prefix sum, keyed window + broadcast offset — bit-equal
+    to ROW_NUMBER() OVER (ORDER BY doc_id) with every exchange parallel
+    (plan-asserted no SinglePartition in tests/test_round4_ops.py)."""
+    from preprocessor_spark.operators.ids import assign_row_ids
+
+    d = _t(spark, sf_dir, "documents")
+    return assign_row_ids(d, ["doc_id"], num_partitions=8).select(
+        "doc_id", "source", "row_id"
+    )
+
+
+def semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/semdedup.py): spherical
+    k-means clusters (bounded driver sample), within-cluster GEMM pair
+    search, connected components, keep-min-id. Rows-only: centroid training
+    is sample-path-dependent; within-cluster recall vs brute force is
+    pytest-asserted exactly (tests/test_round4_ops.py)."""
+    from preprocessor_spark.operators.semdedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(
+            e, "embedding", "vec_id", threshold=0.9, n_clusters=8, sample_rows=1024, seed=11
+        )
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
 def bpe_token_stats_docs(spark, sf_dir):
     """Distributed BPE (operators/bpe.py): train a merge sequence from the
     corpus word-frequency table (one Spark shuffle + bounded driver merge
@@ -2431,6 +2463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_winsorize_robust": prep_winsorize_robust,
         # PSI distribution drift (round 4, oracle-backed)
         "drift_orders_psi": drift_orders_psi,
+        # scale-safe global row numbering (round 4, oracle-backed)
+        "row_ids_documents": row_ids_documents,
         # rows-only checks (no SQL oracle by design):
         "bpe_token_stats": bpe_token_stats_docs,
         "text_quality_classifier": text_quality_classifier,
@@ -2449,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preprocessor_fit_transform": preprocessor_fit_transform,
         "dedup_minhash_corpus": dedup_minhash_corpus,
         "quantile_sketch_rollup": quantile_sketch_rollup,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
     }
 
 
@@ -4073,6 +4108,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name ASC
             LIMIT 20
+        """,
+        "row_ids_documents": """
+            SELECT doc_id, source,
+                   CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+            FROM documents
         """,
         "q22_global_sales_opportunity": """
             WITH c AS (

@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from preprocessor_spark.operators.bpe import (
@@ -404,3 +405,125 @@ def test_bpe_and_classifier_save_load(spark, planted_quality, tmp_path):
     a = planted_quality.select(score_quality_udf(clf)(F.col("text")).alias("p")).collect()
     b = planted_quality.select(score_quality_udf(clf2)(F.col("text")).alias("p")).collect()
     assert [r["p"] for r in a] == [r["p"] for r in b]
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style) and scale-safe row ids
+# ---------------------------------------------------------------------------
+
+def _planted_embedding_corpus(spark):
+    """3 well-separated clusters; within each, ids (10k, 10k+1) are exact
+    near-dups (tiny perturbation) and 10k+2 is distinct."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    base = np.eye(3, 8, dtype="float64") * 10  # 3 orthogonal anchors in R^8
+    rows = []
+    for c in range(3):
+        a = base[c] + rng.normal(0, 0.01, 8)
+        rows.append((10 * c, [float(v) for v in a]))
+        rows.append((10 * c + 1, [float(v) for v in a + rng.normal(0, 0.001, 8)]))
+        far = base[c] + rng.normal(0, 3.0, 8)
+        rows.append((10 * c + 2, [float(v) for v in far]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_semantic_dedup_drops_planted_neardups(spark):
+    from preprocessor_spark.operators.semdedup import semantic_dedup, semantic_dedup_pairs
+
+    df = _planted_embedding_corpus(spark)
+    pairs = semantic_dedup_pairs(
+        df, "embedding", "vec_id", threshold=0.99, n_clusters=3, sample_rows=64, seed=1
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(0, 1), (10, 11), (20, 21)} <= found, found
+    # verified cosines are genuinely high and pairs stay within a cluster
+    assert all(r["cosine"] >= 0.99 for r in pairs)
+
+    kept = semantic_dedup(
+        df, "embedding", "vec_id", threshold=0.99, n_clusters=3, sample_rows=64, seed=1
+    )
+    ids = {r["vec_id"] for r in kept.collect()}
+    # min-id canonical survives, its twin is dropped, the distinct row stays
+    for c in (0, 10, 20):
+        assert c in ids and (c + 1) not in ids and (c + 2) in ids
+
+
+def test_semantic_dedup_pairs_match_bruteforce_within_cluster(spark):
+    """Within-cluster recall is exact: every brute-force pair above the
+    threshold whose members share a cluster must be emitted."""
+    import numpy as np
+
+    from preprocessor_spark.operators.semdedup import (
+        assign_clusters,
+        semantic_dedup_pairs,
+        train_spherical_centroids,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    thr = 0.85
+    cents = train_spherical_centroids(df, "embedding", 4, sample_rows=512, seed=3)
+    assigned = assign_clusters(df, "embedding", cents, "cl").select("vec_id", "cl").toPandas()
+    cl = dict(zip(assigned["vec_id"], assigned["cl"]))
+
+    pdf = df.toPandas()
+    m = np.array(pdf["embedding"].tolist(), dtype="float64")
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    sims = m @ m.T
+    ia, ib = np.triu_indices(len(ids), k=1)
+    want = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(ia[sims[ia, ib] >= thr], ib[sims[ia, ib] >= thr])
+        if cl[ids[i]] == cl[ids[j]]
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            df, "embedding", "vec_id", threshold=thr, n_clusters=4, sample_rows=512, seed=3
+        ).collect()
+    }
+    assert got == want, f"missing={want - got} extra={got - want}"
+
+
+def test_semantic_dedup_cluster_guard(spark):
+    from preprocessor_spark.operators.semdedup import semantic_dedup_pairs
+
+    df = _planted_embedding_corpus(spark)
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup_pairs(
+            df, "embedding", "vec_id", n_clusters=1, sample_rows=64, max_cluster_rows=3
+        ).collect()
+
+
+def test_assign_row_ids_matches_global_window(spark):
+    from preprocessor_spark.operators.ids import assign_row_ids
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = assign_row_ids(docs, ["doc_id"], num_partitions=8).select("doc_id", "row_id")
+    want = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1).cast("long").alias("row_id"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_assign_row_ids_plan_has_no_single_partition(spark):
+    from preprocessor_spark.operators.ids import assign_row_ids
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        assign_row_ids(docs, ["doc_id"], num_partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan, plan
+
+
+def test_monotonic_ids_unique_zero_shuffle(spark):
+    from preprocessor_spark.operators.ids import monotonic_ids
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = monotonic_ids(docs, "rid")
+    assert out.select("rid").distinct().count() == docs.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
