@@ -1282,6 +1282,72 @@ def row_ids_documents(spark, sf_dir):
     )
 
 
+def merge_upsert_orders(spark, sf_dir):
+    """CDC MERGE (operators/merge.py::merge_upsert): a deterministic batch
+    derived from orders — updates (key%10==0, +100 price), deletes
+    (key%97==0), inserts (key%50==0 re-keyed +10M at half price) — applied
+    with the broadcast decomposition (left-broadcast update/delete ∪ anti
+    insert; zero target-side shuffles, plan-asserted in
+    tests/test_round4_ops.py). Returns the full merged table."""
+    from preprocessor_spark.operators.merge import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    upd = o.filter((k % 10 == 0) & (k % 97 != 0)).select(
+        k.alias("o_orderkey"),
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        F.lit(False).alias("deleted"),
+    )
+    dels = o.filter(k % 97 == 0).select(
+        k.alias("o_orderkey"), F.col("o_totalprice"), F.lit(True).alias("deleted")
+    )
+    ins = o.filter(k % 50 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"),
+        (F.col("o_totalprice") / 2).alias("o_totalprice"),
+        F.lit(False).alias("deleted"),
+    )
+    batch = upd.unionByName(dels).unionByName(ins)
+    return merge_upsert(o, batch, ["o_orderkey"], update_cols=["o_totalprice"], delete_col="deleted")
+
+
+def scd2_customers_dim(spark, sf_dir):
+    """SCD2 apply (operators/merge.py::scd2_apply): customer tier dimension
+    seeded 2020-01-01; one update wave at 2021 (key%7==0, +50 balance) and a
+    second at 2022 (key%21==0, +100) exercise intra-batch version chaining
+    (lead over effective time). Returns the full history table."""
+    from preprocessor_spark.operators.merge import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    t0 = F.lit("2020-01-01").cast("timestamp")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        c.filter(k % 7 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") + 50).alias("c_acctbal"),
+            F.lit("2021-01-01").cast("timestamp").alias("effective_ts"),
+        )
+        .unionByName(
+            c.filter(k % 21 == 0).select(
+                "c_custkey",
+                "c_mktsegment",
+                (F.col("c_acctbal") + 100).alias("c_acctbal"),
+                F.lit("2022-01-01").cast("timestamp").alias("effective_ts"),
+            )
+        )
+    )
+    return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment", "c_acctbal"])
+
+
 def semantic_dedup_embeddings(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/semdedup.py): spherical
     k-means clusters (bounded driver sample), within-cluster GEMM pair
@@ -2465,6 +2531,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_orders_psi": drift_orders_psi,
         # scale-safe global row numbering (round 4, oracle-backed)
         "row_ids_documents": row_ids_documents,
+        # CDC merge + SCD2 history (round 4, oracle-backed)
+        "merge_upsert_orders": merge_upsert_orders,
+        "scd2_customers_dim": scd2_customers_dim,
         # rows-only checks (no SQL oracle by design):
         "bpe_token_stats": bpe_token_stats_docs,
         "text_quality_classifier": text_quality_classifier,
@@ -4113,6 +4182,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source,
                    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
             FROM documents
+        """,
+        "merge_upsert_orders": """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100
+                        ELSE o_totalprice END AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders
+            WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT o_orderkey + 10000000, NULL, NULL, o_totalprice / 2,
+                   NULL, NULL
+            FROM orders
+            WHERE o_orderkey % 50 = 0
+        """,
+        "scd2_customers_dim": """
+            WITH upd AS (
+                SELECT c_custkey, c_mktsegment, c_acctbal + 50 AS c_acctbal,
+                       TIMESTAMP '2021-01-01' AS eff
+                FROM customer WHERE c_custkey % 7 = 0
+                UNION ALL
+                SELECT c_custkey, c_mktsegment, c_acctbal + 100,
+                       TIMESTAMP '2022-01-01'
+                FROM customer WHERE c_custkey % 21 = 0
+            ), chained AS (
+                SELECT c_custkey, c_mktsegment, c_acctbal,
+                       eff AS valid_from,
+                       LEAD(eff) OVER (PARTITION BY c_custkey ORDER BY eff)
+                           AS valid_to
+                FROM upd
+            )
+            SELECT c_custkey, c_mktsegment, c_acctbal,
+                   TIMESTAMP '2020-01-01' AS valid_from,
+                   CASE WHEN c_custkey % 7 = 0 THEN TIMESTAMP '2021-01-01'
+                        END AS valid_to,
+                   c_custkey % 7 <> 0 AS is_current
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to,
+                   valid_to IS NULL AS is_current
+            FROM chained
         """,
         "q22_global_sales_opportunity": """
             WITH c AS (

@@ -527,3 +527,77 @@ def test_monotonic_ids_unique_zero_shuffle(spark):
     assert out.select("rid").distinct().count() == docs.count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# CDC merge/upsert + SCD2
+# ---------------------------------------------------------------------------
+
+def test_merge_upsert_semantics(spark):
+    from preprocessor_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "val"]
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 200.0, False), (3, None, 0.0, True), (4, "d", 40.0, False), (9, "x", 0.0, True)],
+        ["id", "name", "val", "deleted"],
+    )
+    out = {r["id"]: (r["name"], r["val"]) for r in
+           merge_upsert(target, source, ["id"], delete_col="deleted").collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 200.0), 4: ("d", 40.0)}  # 3 deleted, 9 no-op
+
+
+def test_merge_upsert_rejects_dup_source_keys(spark):
+    from preprocessor_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame([(1, 1.0)], ["id", "v"])
+    s = spark.createDataFrame([(1, 2.0), (1, 3.0)], ["id", "v"])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(t, s, ["id"])
+
+
+def test_merge_upsert_broadcast_plan(spark):
+    """With broadcast_source the target side must not shuffle: the join is
+    a BroadcastHashJoin outer, no Exchange hashpartitioning on the target."""
+    from preprocessor_spark.operators.merge import merge_upsert
+
+    t = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    s = t.limit(10).withColumn("o_totalprice", F.col("o_totalprice") + 1)
+    plan = (
+        merge_upsert(t, s, ["o_orderkey"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_scd2_apply_chains_versions(spark):
+    import datetime as dt
+
+    from preprocessor_spark.operators.merge import scd2_apply
+
+    t0 = dt.datetime(2020, 1, 1)
+    dim = spark.createDataFrame(
+        [(1, "bronze", t0, None, True), (2, "silver", t0, None, True)],
+        "id int, tier string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    t1, t2 = dt.datetime(2021, 1, 1), dt.datetime(2022, 6, 1)
+    updates = spark.createDataFrame(
+        [(1, "silver", t1), (1, "gold", t2), (3, "bronze", t1)],
+        "id int, tier string, effective_ts timestamp",
+    )
+    rows = scd2_apply(dim, updates, "id", ["tier"]).collect()
+    hist = sorted(
+        [(r["id"], r["tier"], r["valid_from"], r["valid_to"], r["is_current"]) for r in rows]
+    )
+    assert hist == sorted([
+        (1, "bronze", t0, t1, False),   # closed at first update
+        (1, "silver", t1, t2, False),   # intra-batch chain
+        (1, "gold", t2, None, True),
+        (2, "silver", t0, None, True),  # untouched key passes through
+        (3, "bronze", t1, None, True),  # brand-new key
+    ])
+    # exactly one current row per key, ranges don't overlap
+    cur = [h for h in hist if h[4]]
+    assert len(cur) == 3
