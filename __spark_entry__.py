@@ -1348,6 +1348,25 @@ def scd2_customers_dim(spark, sf_dir):
     return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment", "c_acctbal"])
 
 
+def corr_matrix_lineitem(spark, sf_dir):
+    """One-pass correlation/covariance matrix (operators/stats.py): all
+    pairwise Pearson r + sample covariance over four lineitem measures from
+    a SINGLE aggregate of exact decimal power sums — one table scan
+    regardless of pair count, map-side combined. The oracle replays the
+    identical sums and final double arithmetic."""
+    from preprocessor_spark.operators.stats import corr_matrix
+
+    l = _t(spark, sf_dir, "lineitem")
+    out = corr_matrix(l, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return out.select(
+        "col_a",
+        "col_b",
+        "n",
+        F.round("corr", 6).alias("corr"),
+        F.round("cov_samp", 6).alias("cov_samp"),
+    )
+
+
 def semantic_dedup_embeddings(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/semdedup.py): spherical
     k-means clusters (bounded driver sample), within-cluster GEMM pair
@@ -2534,6 +2553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDC merge + SCD2 history (round 4, oracle-backed)
         "merge_upsert_orders": merge_upsert_orders,
         "scd2_customers_dim": scd2_customers_dim,
+        # one-pass correlation matrix (round 4, oracle-backed)
+        "corr_matrix_lineitem": corr_matrix_lineitem,
         # rows-only checks (no SQL oracle by design):
         "bpe_token_stats": bpe_token_stats_docs,
         "text_quality_classifier": text_quality_classifier,
@@ -2554,6 +2575,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_rollup": quantile_sketch_rollup,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
     }
+
+
+def _corr_oracle(cols: list[str]) -> str:
+    """DuckDB twin of operators/stats.py::corr_matrix — identical decimal
+    power sums and final double op order, generated from the same pair
+    list so the two can't drift."""
+    from itertools import combinations
+
+    sums, selects = [], []
+    for a, b in combinations(sorted(cols), 2):
+        t = f"{a}__{b}"
+        both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        # DECIMAL(19,4): same values as Spark's (18,4) cast, but the product
+        # type lands at DuckDB's (38,8) int128 path instead of overflowing
+        # the int64 DECIMAL(18) multiply
+        xa = f"CASE WHEN {both} THEN CAST({a} AS DECIMAL(19,4)) END"
+        xb = f"CASE WHEN {both} THEN CAST({b} AS DECIMAL(19,4)) END"
+        sums += [
+            f"COUNT(CASE WHEN {both} THEN 1 END) AS n_{t}",
+            f"SUM({xa}) AS sx_{t}",
+            f"SUM({xb}) AS sy_{t}",
+            f"SUM(({xa}) * ({xa})) AS sxx_{t}",
+            f"SUM(({xb}) * ({xb})) AS syy_{t}",
+            f"SUM(({xa}) * ({xb})) AS sxy_{t}",
+        ]
+        n, sx, sy = f"CAST(n_{t} AS DOUBLE)", f"CAST(sx_{t} AS DOUBLE)", f"CAST(sy_{t} AS DOUBLE)"
+        sxx, syy, sxy = (
+            f"CAST(sxx_{t} AS DOUBLE)",
+            f"CAST(syy_{t} AS DOUBLE)",
+            f"CAST(sxy_{t} AS DOUBLE)",
+        )
+        cov_n = f"({sxy} - {sx} * {sy} / {n})"
+        var_x = f"({sxx} - {sx} * {sx} / {n})"
+        var_y = f"({syy} - {sy} * {sy} / {n})"
+        selects.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n_{t} AS n, "
+            f"ROUND(CASE WHEN {var_x} > 0 AND {var_y} > 0 "
+            f"THEN {cov_n} / SQRT({var_x}) / SQRT({var_y}) END, 6) AS corr, "
+            f"ROUND(CASE WHEN {n} > 1 THEN {cov_n} / ({n} - 1) END, 6) AS cov_samp "
+            f"FROM sums"
+        )
+    return (
+        "WITH sums AS (SELECT "
+        + ", ".join(sums)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(selects)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4183,6 +4251,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
             FROM documents
         """,
+        "corr_matrix_lineitem": _corr_oracle(
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
         "merge_upsert_orders": """
             SELECT o_orderkey, o_custkey, o_orderstatus,
                    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100

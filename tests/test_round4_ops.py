@@ -569,7 +569,10 @@ def test_merge_upsert_broadcast_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
-    assert "Exchange hashpartitioning" not in plan, plan
+    # the full target table must never shuffle: no sort-merge join anywhere,
+    # and the only permitted hash exchange is the tiny matched-keys distinct
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
 def test_scd2_apply_chains_versions(spark):
@@ -601,3 +604,40 @@ def test_scd2_apply_chains_versions(spark):
     # exactly one current row per key, ranges don't overlap
     cur = [h for h in hist if h[4]]
     assert len(cur) == 3
+
+
+def test_corr_matrix_matches_numpy_with_nulls(spark):
+    from preprocessor_spark.operators.stats import corr_matrix
+
+    rows = [
+        (1.0, 2.0, 3.0),
+        (2.0, 4.5, None),
+        (3.0, 5.5, 1.0),
+        (4.0, 9.0, 4.0),
+        (None, 1.0, 5.0),
+        (6.0, 13.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r["col_a"], r["col_b"]): r for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+
+    for (a, b), r in got.items():
+        pairs = [(p[{"x": 0, "y": 1, "z": 2}[a]], p[{"x": 0, "y": 1, "z": 2}[b]]) for p in rows]
+        pairs = [(u, v) for u, v in pairs if u is not None and v is not None]
+        xs = np.array([u for u, _ in pairs])
+        ys = np.array([v for _, v in pairs])
+        assert r["n"] == len(pairs)
+        assert abs(r["corr"] - np.corrcoef(xs, ys)[0, 1]) < 1e-9, (a, b)
+        assert abs(r["cov_samp"] - np.cov(xs, ys, ddof=1)[0, 1]) < 1e-9, (a, b)
+
+
+def test_corr_matrix_single_scan_plan(spark):
+    """p pairs must NOT mean p scans: the plan reads lineitem exactly once."""
+    from preprocessor_spark.operators.stats import corr_matrix
+
+    l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = (
+        corr_matrix(l, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
