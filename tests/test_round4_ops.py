@@ -641,3 +641,101 @@ def test_corr_matrix_single_scan_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_streaming_cdc_apply_equals_batch_merge(spark, tmp_path):
+    """CDC-over-streams: micro-batches of upserts/deletes drained through
+    foreachBatch + merge_upsert must land on the same final state as one
+    batch merge of the concatenated (latest-per-key) changes."""
+    import json
+    import os
+
+    from preprocessor_spark.operators.merge import merge_upsert
+    from preprocessor_spark.streaming import run_foreach_batch
+
+    target0 = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(20)], ["id", "name", "val"]
+    )
+    # three CDC files -> three micro-batches (maxFilesPerTrigger=1)
+    batches = [
+        [{"id": 1, "name": "b1", "val": 100.0, "deleted": False, "seq": 1},
+         {"id": 2, "name": "x", "val": 0.0, "deleted": True, "seq": 1}],
+        [{"id": 1, "name": "b2", "val": 200.0, "deleted": False, "seq": 2},
+         {"id": 30, "name": "new", "val": 30.0, "deleted": False, "seq": 2}],
+        [{"id": 30, "name": "x", "val": 0.0, "deleted": True, "seq": 3},
+         {"id": 3, "name": "b3", "val": 300.0, "deleted": False, "seq": 3}],
+    ]
+    src = tmp_path / "cdc"
+    os.makedirs(src)
+    import time
+
+    now = time.time()
+    for i, b in enumerate(batches):
+        p = src / f"{i:03d}.json"
+        with open(p, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in b))
+        # FileStreamSource orders micro-batches by modification time; equal
+        # mtimes would make batch order (and thus CDC replay) arbitrary
+        os.utime(p, (now + i * 10, now + i * 10))
+
+    state = {"df": target0}
+
+    def _apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        # within a micro-batch, reduce to final state per key (max seq)
+        from pyspark.sql import Window as W
+
+        latest = (
+            batch_df.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("id").orderBy(F.desc("seq"))
+                ),
+            )
+            .filter("rn = 1")
+            .drop("rn", "seq")
+        )
+        merged = merge_upsert(
+            state["df"], latest, ["id"], delete_col="deleted"
+        ).localCheckpoint(eager=True)
+        state["df"] = merged
+
+    stream = (
+        spark.readStream.schema("id long, name string, val double, deleted boolean, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    run_foreach_batch(stream, _apply)
+
+    got = {r["id"]: (r["name"], r["val"]) for r in state["df"].collect()}
+    # batch twin: latest change per key across ALL batches, one merge
+    allc = [r for b in batches for r in b]
+    latest = {}
+    for r in sorted(allc, key=lambda r: r["seq"]):
+        latest[r["id"]] = r
+    batch_df = spark.createDataFrame(
+        [(r["id"], r["name"], r["val"], r["deleted"]) for r in latest.values()],
+        ["id", "name", "val", "deleted"],
+    )
+    want = {
+        r["id"]: (r["name"], r["val"])
+        for r in merge_upsert(target0, batch_df, ["id"], delete_col="deleted").collect()
+    }
+    assert got == want
+    assert got[1] == ("b2", 200.0) and 2 not in got and 30 not in got
+    assert got[3] == ("b3", 300.0)
+
+
+def test_corr_matrix_no_nulls_fast_path_equal(spark):
+    from preprocessor_spark.operators.stats import corr_matrix
+
+    l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    a = corr_matrix(l, cols).toPandas().sort_values(["col_a", "col_b"]).reset_index(drop=True)
+    b = (
+        corr_matrix(l, cols, assume_no_nulls=True)
+        .toPandas().sort_values(["col_a", "col_b"]).reset_index(drop=True)
+    )
+    assert (a["corr"] == b["corr"]).all() and (a["cov_samp"] == b["cov_samp"]).all()
+    assert (a["n"] == b["n"]).all()
