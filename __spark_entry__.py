@@ -1386,6 +1386,29 @@ def corr_matrix_lineitem(spark, sf_dir):
     )
 
 
+def fuzzy_join_docs(spark, sf_dir):
+    """Cross-table similarity join (operators/fuzzy.py::fuzzy_join —
+    entity resolution): every 10th document is truncated to 40 words plus
+    noise and re-keyed; the fuzzy join must link each variant back to its
+    source (and any other sufficiently-overlapping doc) at word-3-gram
+    Jaccard ≥ 0.5. PPJoin machinery underneath — prefix-filtered inverted
+    index, keyed shuffles only; the DuckDB oracle brute-forces the exact
+    same shingle-set Jaccard."""
+    from preprocessor_spark.operators.fuzzy import fuzzy_join
+
+    d = _par(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = F.split(F.col("text"), r"\s+")
+    corrupted = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("alt_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(toks, 1, 40)),
+            F.lit(" zqa zqb zqc zqd zqe zqf zqg zqh"),
+        ).alias("text"),
+    )
+    out = fuzzy_join(d, corrupted, "text", "doc_id", "alt_id", threshold=0.5, shingle_n=3)
+    return out.select("doc_id", "alt_id", F.round("jaccard", 6).alias("jaccard"))
+
+
 def semantic_dedup_embeddings(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/semdedup.py): spherical
     k-means clusters (bounded driver sample), within-cluster GEMM pair
@@ -2576,6 +2599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix_lineitem": corr_matrix_lineitem,
         # quality-weighted deterministic sampling (round 4, oracle-backed)
         "sample_weighted_docs": sample_weighted_docs,
+        # cross-table fuzzy similarity join (round 4, oracle-backed)
+        "fuzzy_join_docs": fuzzy_join_docs,
         # rows-only checks (no SQL oracle by design):
         "bpe_token_stats": bpe_token_stats_docs,
         "text_quality_classifier": text_quality_classifier,
@@ -4290,6 +4315,36 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) % 10000 AS DOUBLE)
                   < LEAST(GREATEST(CAST(n_chars AS DOUBLE) / 5000.0, 0.0), 1.0)
                     * 10000.0
+        """,
+        "fuzzy_join_docs": """
+            WITH corrupted AS (
+                SELECT doc_id AS alt_id,
+                       array_to_string(regexp_split_to_array(text, '\\s+')[1:40], ' ')
+                           || ' zqa zqb zqc zqd zqe zqf zqg zqh' AS text
+                FROM documents WHERE doc_id % 10 = 0
+            ), g_l AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(regexp_split_to_array(lower(text), '\\s+')) - 2, 1)),
+                           i -> array_to_string(regexp_split_to_array(lower(text), '\\s+')[i:i+2], ' ')
+                       )) AS grams
+                FROM documents
+            ), g_r AS (
+                SELECT alt_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(regexp_split_to_array(lower(text), '\\s+')) - 2, 1)),
+                           i -> array_to_string(regexp_split_to_array(lower(text), '\\s+')[i:i+2], ' ')
+                       )) AS grams
+                FROM corrupted
+            )
+            SELECT doc_id, alt_id,
+                   ROUND(CAST(len(list_intersect(g_l.grams, g_r.grams)) AS DOUBLE)
+                         / (len(g_l.grams) + len(g_r.grams)
+                            - len(list_intersect(g_l.grams, g_r.grams))), 6) AS jaccard
+            FROM g_l CROSS JOIN g_r
+            WHERE CAST(len(list_intersect(g_l.grams, g_r.grams)) AS DOUBLE)
+                  / (len(g_l.grams) + len(g_r.grams)
+                     - len(list_intersect(g_l.grams, g_r.grams))) >= 0.5
         """,
         "merge_upsert_orders": """
             SELECT o_orderkey, o_custkey, o_orderstatus,

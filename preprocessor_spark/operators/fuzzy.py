@@ -1,0 +1,56 @@
+"""Cross-table fuzzy (similarity) join — entity resolution over text keys.
+
+Joining two tables on approximately-equal text (crawl records ↔ canonical
+registry, near-duplicate titles across sources) is a similarity JOIN, not a
+self-dedup. Rather than duplicating the prefix-filter machinery, the join
+reuses :func:`preprocessor_spark.operators.dedup.ngram_jaccard_pairs`
+(AllPairs/PPJoin: global-frequency-ordered prefix index + length filter +
+vectorized verify — every shuffle keyed, no cross product) via SIDE
+TAGGING: left ids map to 2·id, right ids to 2·id+1, the union runs through
+the self-join pair generator, and only cross-parity pairs survive. The
+remap is a pure projection, so the scale shape is exactly the dedup
+operator's; the extra cost over a native two-table PPJoin is generating
+(then discarding) same-side pairs, which the caller can avoid for
+disjoint-content sides by raising ``threshold``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from preprocessor_spark.operators.dedup import ngram_jaccard_pairs
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    left_id: str,
+    right_id: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(left_id, right_id, jaccard) for every cross-table pair whose word
+    ``shingle_n``-gram Jaccard ≥ threshold. Exact (no false negatives —
+    prefix filtering is lossless). Ids must be non-negative integers below
+    2⁶² (the parity remap doubles them)."""
+    lu = left.select(
+        (F.col(left_id).cast("long") * 2).alias("__fid"),
+        F.col(text_col).alias("__ft"),
+    )
+    ru = right.select(
+        (F.col(right_id).cast("long") * 2 + 1).alias("__fid"),
+        F.col(text_col).alias("__ft"),
+    )
+    pairs = ngram_jaccard_pairs(
+        lu.unionByName(ru), "__ft", "__fid", shingle_n=shingle_n, threshold=threshold
+    )
+    cross = pairs.filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
+    left_key = F.when(F.col("id_a") % 2 == 0, F.col("id_a")).otherwise(F.col("id_b"))
+    right_key = F.when(F.col("id_a") % 2 == 1, F.col("id_a")).otherwise(F.col("id_b"))
+    return cross.select(
+        (left_key / 2).cast("long").alias(left_id),
+        ((right_key - 1) / 2).cast("long").alias(right_id),
+        "jaccard",
+    )

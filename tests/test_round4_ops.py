@@ -739,3 +739,29 @@ def test_corr_matrix_no_nulls_fast_path_equal(spark):
     )
     assert (a["corr"] == b["corr"]).all() and (a["cov_samp"] == b["cov_samp"]).all()
     assert (a["n"] == b["n"]).all()
+
+
+def test_fuzzy_join_links_planted_variants(spark):
+    from preprocessor_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight"),
+            (3, "completely different words entirely here now"),
+        ],
+        ["lid", "text"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta iota"),   # near-copy of 1
+            (20, "unrelated tokens that match nothing at all ok"),
+        ],
+        ["rid", "text"],
+    )
+    rows = fuzzy_join(left, right, "text", "lid", "rid", threshold=0.4, shingle_n=3).collect()
+    got = {(r["lid"], r["rid"]) for r in rows}
+    assert got == {(1, 10)}, got
+    assert all(0.4 <= r["jaccard"] <= 1.0 for r in rows)
+    # no same-side pairs ever leak through the parity filter
+    assert all(r["lid"] in (1, 2, 3) and r["rid"] in (10, 20) for r in rows)
