@@ -1409,6 +1409,19 @@ def fuzzy_join_docs(spark, sf_dir):
     return out.select("doc_id", "alt_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+def heavy_hitters_terms(spark, sf_dir):
+    """Approximate top-k frequent items via merged per-partition Misra–Gries
+    summaries (operators/sketches.py::heavy_hitters): the raw table never
+    shuffles — only |partitions|·capacity summary rows move. Rows-only: the
+    answer carries an (est, est+err) bound, not an exact count; the MG
+    guarantees are pytest-asserted (tests/test_round4_ops.py)."""
+    from preprocessor_spark.operators.sketches import heavy_hitters
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    words = d.select(F.explode(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")).alias("w"))
+    return heavy_hitters(words, "w", k=15, capacity=300)
+
+
 def semantic_dedup_embeddings(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/semdedup.py): spherical
     k-means clusters (bounded driver sample), within-cluster GEMM pair
@@ -2620,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_corpus": dedup_minhash_corpus,
         "quantile_sketch_rollup": quantile_sketch_rollup,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "heavy_hitters_terms": heavy_hitters_terms,
     }
 
 

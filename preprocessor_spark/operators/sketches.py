@@ -153,3 +153,93 @@ def quantile_distinct_rollup(
     return quantile_rollup(
         quantile_sketches(df, fine_keys, value_col, k), coarse_keys, probs
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 20,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Approximate top-k frequent items via per-partition Misra–Gries
+    summaries (SpaceSaving family) merged on the driver.
+
+    Each partition keeps at most ``capacity`` (default 10·k) counters in an
+    Arrow-batched pass — the classic streaming guarantee transfers to the
+    merged summary: for every item, ``est ≤ true ≤ est + err`` where the
+    per-item ``err`` column bounds the undercount (sum of decrement rounds
+    it was exposed to). Any item with true frequency > N/capacity is
+    GUARANTEED present. One `mapInPandas` scan, |partitions|·capacity rows
+    collected — the raw table never shuffles at all.
+
+    Exact top-k is a groupBy away; this exists for the 100 TB regime where
+    the groupBy's shuffle (|distinct values| rows) is the cost being
+    avoided and a bounded-error answer suffices (trending queries,
+    skew-key discovery before a salted join).
+    """
+    import pandas as pd
+
+    cap = capacity or 10 * k
+    if cap < k:
+        raise ValueError("capacity must be >= k")
+
+    def _partials(batches):
+        counters: dict = {}
+        decrements = 0
+        pid = -1
+        for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["__pid"].iloc[0])
+            for v in pdf[value_col]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < cap:
+                    counters[v] = 1
+                else:
+                    # decrement-all round: every tracked count drops by 1
+                    decrements += 1
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {
+                "pid": [pid] * len(counters),
+                "item": list(counters),
+                "est": list(counters.values()),
+                "err": [decrements] * len(counters),
+            }
+        )
+
+    item_type = dict(df.dtypes)[value_col]
+    partials = df.select(
+        F.col(value_col), F.spark_partition_id().alias("__pid")
+    ).mapInPandas(_partials, f"pid int, item {item_type}, est long, err long")
+    from preprocessor_spark.caching import register_persisted
+
+    # persisted: the summary feeds both the merge and the error total;
+    # lifetime is caller-managed via persist_scope (LRU fallback otherwise)
+    partials = register_persisted(partials.persist())
+    # merge: estimates add. Error bound per item: in a partition where the
+    # item IS tracked, true − est ≤ that partition's decrement count; where
+    # it is ABSENT its true count there is ≤ that partition's decrement
+    # count too — so est ≤ true ≤ est + Σ_all partition errs. One scalar
+    # bound, broadcast onto every row.
+    merged = partials.groupBy("item").agg(F.sum("est").alias("est"))
+    total_err = (
+        partials.select("pid", "err")
+        .distinct()
+        .agg(F.sum("err").alias("err"))
+    )
+    out = (
+        merged.join(F.broadcast(total_err))
+        .orderBy(F.desc("est"), F.asc("item"))
+        .limit(k)
+        .select("item", "est", "err")
+    )
+    return out

@@ -765,3 +765,79 @@ def test_fuzzy_join_links_planted_variants(spark):
     assert all(0.4 <= r["jaccard"] <= 1.0 for r in rows)
     # no same-side pairs ever leak through the parity filter
     assert all(r["lid"] in (1, 2, 3) and r["rid"] in (10, 20) for r in rows)
+
+
+def test_heavy_hitters_misra_gries_guarantees(spark):
+    """MG guarantees: every item with true count > N/capacity is present;
+    est <= true <= est + err for every reported item."""
+    from preprocessor_spark.operators.sketches import heavy_hitters
+
+    rng = np.random.RandomState(3)
+    # zipf-ish: item i appears ~ 4000/i times
+    vals = [f"item{i}" for i in range(1, 60) for _ in range(4000 // i)]
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], ["term"]).repartition(8)
+    true = {}
+    for v in vals:
+        true[v] = true.get(v, 0) + 1
+    n = len(vals)
+
+    out = heavy_hitters(df, "term", k=10, capacity=40).collect()
+    assert len(out) == 10
+    got = {r["item"]: (r["est"], r["err"]) for r in out}
+    for item, (est, err) in got.items():
+        assert est <= true[item] <= est + err, (item, est, err, true[item])
+    # guaranteed-present items (true > N/capacity across the merged view:
+    # conservative per-partition bound is N/cap overall)
+    for item, cnt in true.items():
+        if cnt > n / 40:
+            # a guaranteed-heavy item must rank into the top-10 estimates
+            # when k covers the heavy set (top-10 true counts here)
+            if sorted(true.values(), reverse=True)[9] < cnt:
+                assert item in got, item
+
+
+def test_heavy_hitters_no_shuffle_of_raw_rows(spark):
+    """The raw table must not shuffle: only the |partitions|*capacity
+    summary rows pass through an exchange."""
+    from preprocessor_spark.operators.sketches import heavy_hitters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        heavy_hitters(docs, "source", k=5, capacity=50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    scan_idx = plan.find("Scan parquet")
+    mip_idx = plan.find("MapInPandas")
+    assert mip_idx != -1 and scan_idx != -1
+    # no Exchange between the scan and the mapInPandas summary stage
+    between = plan[mip_idx:scan_idx] if mip_idx < scan_idx else plan[scan_idx:mip_idx]
+    assert "Exchange" not in between, plan
+
+
+def test_ngram_jaccard_collapse_equals_uncollapsed(spark):
+    """Exact-dup collapse must be invisible in the output: pairs and
+    jaccard values identical to the uncollapsed run on a corpus salted
+    with verbatim duplicates."""
+    from preprocessor_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dup1 = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    dup2 = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup1).unionByName(dup2)
+
+    def canon(df):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in df.collect()
+        )
+
+    a = canon(ngram_jaccard_pairs(corpus, "text", "doc_id", 3, 0.5, collapse_exact=False))
+    b = canon(ngram_jaccard_pairs(corpus, "text", "doc_id", 3, 0.5, collapse_exact=True))
+    assert a == b
+    assert len(a) > 0  # the salted duplicates guarantee pairs exist
