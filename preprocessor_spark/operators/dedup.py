@@ -422,9 +422,19 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     collapse_exact: bool = True,
+    candidate_predicate=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via a PREFIX-FILTERED inverted
     shingle index (AllPairs/PPJoin), with EXACT-DUPLICATE COLLAPSE first.
+
+    ``candidate_predicate`` (optional ``(id_a_col, id_b_col) → Column``)
+    prunes candidate pairs BEFORE the verification join — e.g. the fuzzy
+    cross-table join's parity filter, which would otherwise pay to verify
+    same-side pairs it immediately discards. With ``collapse_exact`` the
+    predicate applies to the final expanded ids (representative-level
+    pruning would be unsound when a hash group mixes predicate classes),
+    so pass ``collapse_exact=False`` to get candidate-stage pruning when
+    the input is known exact-duplicate-free.
 
     ``collapse_exact`` (default): verbatim-identical texts group on a
     content hash; the similarity join runs on one representative per group
@@ -466,7 +476,8 @@ def ngram_jaccard_pairs(
             reps.select(F.col("__rid").alias(id_col)), id_col, "left_semi"
         ).select(id_col, text_col)
         rep_pairs = ngram_jaccard_pairs(
-            rep_rows, text_col, id_col, shingle_n, threshold, collapse_exact=False
+            rep_rows, text_col, id_col, shingle_n, threshold, collapse_exact=False,
+            candidate_predicate=None,  # groups may mix predicate classes
         )
         ga = reps.select(F.col("__rid").alias("id_a"), F.col("__g").alias("__ga"))
         gb = reps.select(F.col("__rid").alias("id_b"), F.col("__g").alias("__gb"))
@@ -492,7 +503,10 @@ def ngram_jaccard_pairs(
             F.col("y.__mid").alias("id_b"),
             F.lit(1.0).alias("jaccard"),
         )
-        return within.unionByName(cross)
+        out = within.unionByName(cross)
+        if candidate_predicate is not None:
+            out = out.filter(candidate_predicate(F.col("id_a"), F.col("id_b")))
+        return out
 
     # persisted because the shingle arrays feed the index build AND both
     # verify joins; lifetime is caller-managed via persist_scope (falls back
@@ -521,16 +535,18 @@ def ngram_jaccard_pairs(
         .select("__id", "__n", "shingle")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    cand_cond = (
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.__id") < F.col("b.__id"))
+        # length filter: t·|A| ≤ |B| and t·|B| ≤ |A| (Jaccard ≥ t bound);
+        # same FP-boundary guard as the prefix length
+        & (F.col("b.__n") >= F.round(F.lit(threshold) * F.col("a.__n"), 9))
+        & (F.col("a.__n") >= F.round(F.lit(threshold) * F.col("b.__n"), 9))
+    )
+    if candidate_predicate is not None:
+        cand_cond = cand_cond & candidate_predicate(F.col("a.__id"), F.col("b.__id"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.__id") < F.col("b.__id"))
-            # length filter: t·|A| ≤ |B| and t·|B| ≤ |A| (Jaccard ≥ t bound);
-            # same FP-boundary guard as the prefix length
-            & (F.col("b.__n") >= F.round(F.lit(threshold) * F.col("a.__n"), 9))
-            & (F.col("a.__n") >= F.round(F.lit(threshold) * F.col("b.__n"), 9)),
-        )
+        a.join(b, cand_cond)
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

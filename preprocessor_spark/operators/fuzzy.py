@@ -44,7 +44,21 @@ def fuzzy_join(
         F.col(text_col).alias("__ft"),
     )
     pairs = ngram_jaccard_pairs(
-        lu.unionByName(ru), "__ft", "__fid", shingle_n=shingle_n, threshold=threshold
+        lu.unionByName(ru),
+        "__ft",
+        "__fid",
+        shingle_n=shingle_n,
+        threshold=threshold,
+        # candidate-stage parity pruning: same-side pairs never reach the
+        # dedup/verification joins (measured 11 s → 9 s on the registry
+        # query — the prefix-index candidate join itself, inherent to a
+        # θ=0.5 similarity join, keeps the rest).
+        # This requires collapse_exact=False (a content-hash group could
+        # mix sides); if either input is heavily exact-duplicated,
+        # pre-dedupe it first — cross-side exact matches still surface
+        # here as Jaccard-1.0 pairs.
+        collapse_exact=False,
+        candidate_predicate=lambda ia, ib: (ia % 2) != (ib % 2),
     )
     cross = pairs.filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
     left_key = F.when(F.col("id_a") % 2 == 0, F.col("id_a")).otherwise(F.col("id_b"))
