@@ -1422,6 +1422,25 @@ def heavy_hitters_terms(spark, sf_dir):
     return heavy_hitters(words, "w", k=15, capacity=300)
 
 
+def edit_join_parts(spark, sf_dir):
+    """Exact edit-distance join (operators/fuzzy.py::edit_distance_join,
+    PassJoin signatures): every 7th part name gets its first character
+    replaced and re-keyed; the join links each typo to every part within
+    Levenshtein 1 (its sources and any genuinely-1-edit-away names).
+    Segment-signature equi-join + JVM levenshtein verify; distinct strings
+    drive the join. The DuckDB oracle brute-forces levenshtein over the
+    cross product."""
+    from preprocessor_spark.operators.fuzzy import edit_distance_join
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    typos = p.filter(F.col("p_partkey") % 7 == 0).select(
+        (F.col("p_partkey") + 100000).alias("typo_id"),
+        F.concat(F.lit("x"), F.expr("substr(p_name, 2)")).alias("p_name"),
+    )
+    out = edit_distance_join(p, typos, "p_name", "p_partkey", "typo_id", max_dist=1)
+    return out.select("p_partkey", "typo_id", F.col("dist").cast("int").alias("dist"))
+
+
 def semantic_dedup_embeddings(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/semdedup.py): spherical
     k-means clusters (bounded driver sample), within-cluster GEMM pair
@@ -2614,6 +2633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_docs": sample_weighted_docs,
         # cross-table fuzzy similarity join (round 4, oracle-backed)
         "fuzzy_join_docs": fuzzy_join_docs,
+        # exact edit-distance join (round 4, oracle-backed)
+        "edit_join_parts": edit_join_parts,
         # rows-only checks (no SQL oracle by design):
         "bpe_token_stats": bpe_token_stats_docs,
         "text_quality_classifier": text_quality_classifier,
@@ -4359,6 +4380,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(g_l.grams, g_r.grams)) AS DOUBLE)
                   / (len(g_l.grams) + len(g_r.grams)
                      - len(list_intersect(g_l.grams, g_r.grams))) >= 0.5
+        """,
+        "edit_join_parts": """
+            WITH typos AS (
+                SELECT p_partkey + 100000 AS typo_id,
+                       'x' || substr(p_name, 2) AS t_name
+                FROM part WHERE p_partkey % 7 = 0
+            )
+            SELECT p_partkey, typo_id,
+                   CAST(levenshtein(p_name, t_name) AS INT) AS dist
+            FROM part CROSS JOIN typos
+            WHERE levenshtein(p_name, t_name) <= 1
         """,
         "merge_upsert_orders": """
             SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -16,6 +16,7 @@ disjoint-content sides by raising ``threshold``.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -67,4 +68,118 @@ def fuzzy_join(
         (left_key / 2).cast("long").alias(left_id),
         ((right_key - 1) / 2).cast("long").alias(right_id),
         "jaccard",
+    )
+
+
+def _segments(s: str, k: int) -> list[tuple[int, int, str]]:
+    """PassJoin even partition of ``s`` into k+1 segments: (i, start, seg),
+    0-based start. Shorter segments first (any fixed scheme works as long
+    as both sides derive it identically from the string length)."""
+    m = len(s)
+    parts = k + 1
+    base, rem = divmod(m, parts)
+    out = []
+    pos = 0
+    for i in range(parts):
+        ln = base + (1 if i >= parts - rem else 0)
+        out.append((i, pos, s[pos : pos + ln]))
+        pos += ln
+    return out
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    left_id: str,
+    right_id: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """(left_id, right_id, dist) for every cross-table pair with
+    Levenshtein distance ≤ ``max_dist``. EXACT — PassJoin segment
+    signatures (Li et al., PVLDB 2011): if ed(s,t) ≤ k, then t must contain
+    one of s's k+1 segments verbatim at a start position within ±k of its
+    nominal position, so an equi-join on (|s|, segment-index, segment,
+    ~position) loses no true pair; survivors verify with the JVM
+    ``levenshtein``.
+
+    Exact-duplicate strings collapse first (distinct strings drive the
+    join; pairs expand back through keyed joins) — catalogs/logs repeat
+    values massively and candidate count is quadratic in that duplication.
+
+    Caveat for ID-like corpora: strings sharing one long constant prefix
+    (e.g. "Customer#000…") put a shared segment in every row and the
+    candidate join degenerates toward all-pairs between same-length
+    strings. Strip constant prefixes before joining. Strings shorter than
+    k+1 chars use an explicit length-bucket fallback key (their pigeonhole
+    slot can be an empty segment), which is dense by nature — as is the
+    true result set at that length."""
+    from pyspark.sql.functions import pandas_udf
+
+    k = max_dist
+    if k < 0:
+        raise ValueError("max_dist must be >= 0")
+
+    @pandas_udf("array<struct<i: int, seg: string>>")
+    def _seg_keys(s: pd.Series) -> pd.Series:
+        # strings shorter than k+1 would carry empty segments whose
+        # pigeonhole slot can be the untouched one — they get an explicit
+        # length-bucket fallback key instead (candidates = every left
+        # string within ±k length; the output is inherently dense there)
+        return s.map(
+            lambda t: None
+            if t is None
+            else [{"i": -1, "seg": ""}]
+            if len(t) <= k
+            else [{"i": i, "seg": seg} for i, _, seg in _segments(t, k)]
+        )
+
+    @pandas_udf("array<struct<l: int, i: int, seg: string>>")
+    def _sub_keys(s: pd.Series) -> pd.Series:
+        def keys(t):
+            if t is None:
+                return None
+            out = set()
+            n = len(t)
+            for l in range(max(0, n - k), n + k + 1):
+                if l <= k:
+                    out.add((l, -1, ""))
+                    continue
+                for i, start, seg in _segments("x" * l, k):
+                    ln = len(seg)
+                    for p in range(max(0, start - k), min(n - ln, start + k) + 1):
+                        out.add((l, i, t[p : p + ln]))
+            return [{"l": l, "i": i, "seg": g} for l, i, g in sorted(out)]
+
+        return s.map(keys)
+
+    lm = left.filter(F.col(text_col).isNotNull()).select(
+        F.col(left_id).alias("__lid"), F.col(text_col).alias("__lt")
+    )
+    rm = right.filter(F.col(text_col).isNotNull()).select(
+        F.col(right_id).alias("__rid"), F.col(text_col).alias("__rt")
+    )
+    ld = lm.select("__lt").distinct()
+    rd = rm.select("__rt").distinct()
+
+    rseg = rd.select(
+        "__rt", F.length("__rt").alias("__rl"), F.explode(_seg_keys(F.col("__rt"))).alias("sk")
+    ).select("__rt", "__rl", F.col("sk.i").alias("i"), F.col("sk.seg").alias("seg"))
+    lsub = ld.select(
+        "__lt", F.explode(_sub_keys(F.col("__lt"))).alias("sk")
+    ).select("__lt", F.col("sk.l").alias("__rl"), F.col("sk.i").alias("i"), F.col("sk.seg").alias("seg"))
+
+    cand = (
+        lsub.join(rseg, ["__rl", "i", "seg"])
+        .select("__lt", "__rt")
+        .dropDuplicates(["__lt", "__rt"])
+    )
+    verified = (
+        cand.withColumn("dist", F.levenshtein("__lt", "__rt"))
+        .filter(F.col("dist") <= k)
+    )
+    return (
+        verified.join(lm, "__lt")
+        .join(rm, "__rt")
+        .select(F.col("__lid").alias(left_id), F.col("__rid").alias(right_id), "dist")
     )

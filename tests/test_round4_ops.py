@@ -841,3 +841,42 @@ def test_ngram_jaccard_collapse_equals_uncollapsed(spark):
     b = canon(ngram_jaccard_pairs(corpus, "text", "doc_id", 3, 0.5, collapse_exact=True))
     assert a == b
     assert len(a) > 0  # the salted duplicates guarantee pairs exist
+
+
+def test_edit_distance_join_exact_vs_bruteforce(spark):
+    """PassJoin candidates must lose NO true pair: compare against a full
+    cross-product DP Levenshtein over random short strings, k=1 and k=2,
+    including duplicates, near-misses, and sub-k-length strings."""
+    from preprocessor_spark.operators.fuzzy import edit_distance_join
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    rng = np.random.RandomState(11)
+    alpha = "abcd"
+    lefts = ["".join(rng.choice(list(alpha), rng.randint(1, 9))) for _ in range(40)]
+    lefts += ["ab", "a", "abcd", "abcd"]  # short + exact dups
+    rights = ["".join(rng.choice(list(alpha), rng.randint(1, 9))) for _ in range(40)]
+    rights += ["ab", "b", "abcd"]
+    ldf = spark.createDataFrame(list(enumerate(lefts)), ["lid", "s"])
+    rdf = spark.createDataFrame(list(enumerate(rights)), ["rid", "s"])
+
+    for k in (1, 2):
+        got = {
+            (r["lid"], r["rid"]): r["dist"]
+            for r in edit_distance_join(ldf, rdf, "s", "lid", "rid", max_dist=k).collect()
+        }
+        want = {
+            (i, j): lev(a, b)
+            for i, a in enumerate(lefts)
+            for j, b in enumerate(rights)
+            if lev(a, b) <= k
+        }
+        assert got == want, f"k={k}: missing={set(want)-set(got)} extra={set(got)-set(want)}"
