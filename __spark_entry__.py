@@ -1348,6 +1348,38 @@ def scd2_customers_dim(spark, sf_dir):
     return scd2_apply(dim, updates, "c_custkey", ["c_mktsegment", "c_acctbal"])
 
 
+def corr_by_returnflag(spark, sf_dir):
+    """Per-group correlation matrices (operators/stats.py::
+    corr_matrix_grouped): pairwise Pearson/covariance of three lineitem
+    measures per return flag — one scan, one keyed shuffle for all
+    groups × pairs; exact decimal sums, oracle replays identical math."""
+    from preprocessor_spark.operators.stats import corr_matrix_grouped
+
+    l = _t(spark, sf_dir, "lineitem")
+    out = corr_matrix_grouped(
+        l, ["l_quantity", "l_extendedprice", "l_discount"], ["l_returnflag"]
+    )
+    return out.select(
+        "l_returnflag",
+        "col_a",
+        "col_b",
+        "n",
+        F.round("corr", 6).alias("corr"),
+        F.round("cov_samp", 6).alias("cov_samp"),
+    )
+
+
+def profile_orders(spark, sf_dir):
+    """One-pass table profile (operators/stats.py::profile_table): per
+    column — rows, nulls, exact distinct, min/max (native-type order, cast
+    to string), exact-decimal mean for numerics. ONE scan for all columns;
+    the exact multi-distinct costs a documented Expand (the operator's
+    approx mode drops it at 100 TB)."""
+    from preprocessor_spark.operators.stats import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
 def sample_weighted_docs(spark, sf_dir):
     """Quality-weighted deterministic sampling (operators/sampling.py::
     weighted_hash_sample): acceptance probability = n_chars/5000 clamped to
@@ -2629,6 +2661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customers_dim": scd2_customers_dim,
         # one-pass correlation matrix (round 4, oracle-backed)
         "corr_matrix_lineitem": corr_matrix_lineitem,
+        "corr_by_returnflag": corr_by_returnflag,
+        # one-pass table profile (round 4, oracle-backed)
+        "profile_orders": profile_orders,
         # quality-weighted deterministic sampling (round 4, oracle-backed)
         "sample_weighted_docs": sample_weighted_docs,
         # cross-table fuzzy similarity join (round 4, oracle-backed)
@@ -2709,6 +2744,51 @@ def _corr_oracle_bigint(cols: list[str]) -> str:
         "WITH sums AS (SELECT "
         + ", ".join(sums)
         + " FROM lineitem) "
+        + " UNION ALL ".join(selects)
+    )
+
+
+def _corr_grouped_oracle(cols: list[str], group_col: str) -> str:
+    """DuckDB twin of operators/stats.py::corr_matrix_grouped — identical
+    per-group decimal power sums (DECIMAL(19,4) casts keep DuckDB's
+    products on the int128 path; values match Spark's (18,4)) and final
+    double op order, generated from the same pair list."""
+    from itertools import combinations
+
+    sums, selects = [], []
+    for a, b in combinations(sorted(cols), 2):
+        t = f"{a}__{b}"
+        both = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+        xa = f"CASE WHEN {both} THEN CAST({a} AS DECIMAL(19,4)) END"
+        xb = f"CASE WHEN {both} THEN CAST({b} AS DECIMAL(19,4)) END"
+        sums += [
+            f"COUNT(CASE WHEN {both} THEN 1 END) AS n_{t}",
+            f"SUM({xa}) AS sx_{t}",
+            f"SUM({xb}) AS sy_{t}",
+            f"SUM(({xa}) * ({xa})) AS sxx_{t}",
+            f"SUM(({xb}) * ({xb})) AS syy_{t}",
+            f"SUM(({xa}) * ({xb})) AS sxy_{t}",
+        ]
+        n, sx, sy = f"CAST(n_{t} AS DOUBLE)", f"CAST(sx_{t} AS DOUBLE)", f"CAST(sy_{t} AS DOUBLE)"
+        sxx, syy, sxy = (
+            f"CAST(sxx_{t} AS DOUBLE)",
+            f"CAST(syy_{t} AS DOUBLE)",
+            f"CAST(sxy_{t} AS DOUBLE)",
+        )
+        cov_n = f"({sxy} - {sx} * {sy} / {n})"
+        var_x = f"({sxx} - {sx} * {sx} / {n})"
+        var_y = f"({syy} - {sy} * {sy} / {n})"
+        selects.append(
+            f"SELECT {group_col}, '{a}' AS col_a, '{b}' AS col_b, n_{t} AS n, "
+            f"ROUND(CASE WHEN {var_x} > 0 AND {var_y} > 0 "
+            f"THEN {cov_n} / SQRT({var_x}) / SQRT({var_y}) END, 6) AS corr, "
+            f"ROUND(CASE WHEN {n} > 1 THEN {cov_n} / ({n} - 1) END, 6) AS cov_samp "
+            f"FROM sums"
+        )
+    return (
+        f"WITH sums AS (SELECT {group_col}, "
+        + ", ".join(sums)
+        + f" FROM lineitem GROUP BY {group_col}) "
         + " UNION ALL ".join(selects)
     )
 
@@ -4343,6 +4423,9 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_oracle_bigint(
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         ),
+        "corr_by_returnflag": _corr_grouped_oracle(
+            ["l_quantity", "l_extendedprice", "l_discount"], "l_returnflag"
+        ),
         "sample_weighted_docs": """
             SELECT doc_id, source, n_chars
             FROM documents
@@ -4392,6 +4475,23 @@ def oracle_sql() -> dict[str, str]:
             FROM part CROSS JOIN typos
             WHERE levenshtein(p_name, t_name) <= 1
         """,
+        "profile_orders": " UNION ALL ".join(
+            f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
+                       COUNT(*) - COUNT({c}) AS n_nulls,
+                       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                       CAST(MIN({c}) AS VARCHAR) AS min_value,
+                       CAST(MAX({c}) AS VARCHAR) AS max_value,
+                       {m} AS mean
+                FROM orders"""
+            for c, m in [
+                ("o_orderkey", "CAST(SUM(CAST(o_orderkey AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_orderkey)"),
+                ("o_custkey", "CAST(SUM(CAST(o_custkey AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_custkey)"),
+                ("o_orderstatus", "CAST(NULL AS DOUBLE)"),
+                ("o_totalprice", "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_totalprice)"),
+                ("o_orderdate", "CAST(NULL AS DOUBLE)"),
+                ("o_orderpriority", "CAST(NULL AS DOUBLE)"),
+            ]
+        ),
         "merge_upsert_orders": """
             SELECT o_orderkey, o_custkey, o_orderstatus,
                    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100

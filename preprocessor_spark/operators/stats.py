@@ -159,6 +159,62 @@ def _corr_matrix_bigint(df: DataFrame, cols: list[str]) -> DataFrame:
     return sums.select(F.explode(F.array(*pair_rows)).alias("p")).select("p.*")
 
 
+def corr_matrix_grouped(
+    df: DataFrame, cols: list[str], group_cols: list[str]
+) -> DataFrame:
+    """Per-group pairwise Pearson r + sample covariance: same exact-decimal
+    power sums as :func:`corr_matrix` but under a ``groupBy`` — still ONE
+    scan and one keyed shuffle for every pair × group. Output long-form:
+    (*group_cols, col_a, col_b, n, corr, cov_samp)."""
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column; use corr_matrix")
+    if len(cols) < 2:
+        raise ValueError("corr_matrix_grouped needs at least two columns")
+
+    aggs = []
+    for a, b in combinations(sorted(cols), 2):
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        xa = F.when(both, _dec(a)).otherwise(F.lit(None))
+        xb = F.when(both, _dec(b)).otherwise(F.lit(None))
+        tag = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"n_{tag}"),
+            F.sum(xa).alias(f"sx_{tag}"),
+            F.sum(xb).alias(f"sy_{tag}"),
+            F.sum(xa * xa).alias(f"sxx_{tag}"),
+            F.sum(xb * xb).alias(f"syy_{tag}"),
+            F.sum(xa * xb).alias(f"sxy_{tag}"),
+        ]
+    sums = df.groupBy(*group_cols).agg(*aggs)
+
+    pair_rows = []
+    for a, b in combinations(sorted(cols), 2):
+        tag = f"{a}__{b}"
+        n = F.col(f"n_{tag}").cast("double")
+        sx = F.col(f"sx_{tag}").cast("double")
+        sy = F.col(f"sy_{tag}").cast("double")
+        sxx = F.col(f"sxx_{tag}").cast("double")
+        syy = F.col(f"syy_{tag}").cast("double")
+        sxy = F.col(f"sxy_{tag}").cast("double")
+        cov_n = sxy - sx * sy / n
+        var_x = sxx - sx * sx / n
+        var_y = syy - sy * sy / n
+        pair_rows.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"n_{tag}").alias("n"),
+                F.when((var_x > 0) & (var_y > 0), cov_n / F.sqrt(var_x) / F.sqrt(var_y))
+                .otherwise(F.lit(None))
+                .alias("corr"),
+                F.when(n > 1, cov_n / (n - 1)).otherwise(F.lit(None)).alias("cov_samp"),
+            )
+        )
+    return sums.select(
+        *group_cols, F.explode(F.array(*pair_rows)).alias("p")
+    ).select(*group_cols, "p.*")
+
+
 def corr_matrix(
     df: DataFrame, cols: list[str], assume_no_nulls: bool = False, engine: str = "decimal"
 ) -> DataFrame:
@@ -252,3 +308,61 @@ def corr_matrix(
             )
         )
     return sums.select(F.explode(F.array(*pair_rows)).alias("p")).select("p.*")
+
+
+_NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal")
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, exact_distinct: bool = True
+) -> DataFrame:
+    """One-pass per-column profile: (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value, mean) — the describe/summarize surface, computed
+    as a SINGLE aggregate so the table is scanned once however many columns
+    are profiled.
+
+    ``exact_distinct=True`` uses COUNT(DISTINCT) — Spark plans the
+    multi-distinct aggregate with an Expand (input replicated once per
+    distinct column), which is exact and oracle-matched but multiplies map
+    work by |cols|. At 100 TB pass ``exact_distinct=False`` for
+    ``approx_count_distinct`` (HLL, one pass, ~2% error) — the profile
+    stays one scan with NO Expand.
+
+    min/max are computed on the native type (so numeric/timestamp ordering
+    is correct) and cast to string for the uniform long-form output; mean
+    is exact-decimal sum / count for numeric columns, NULL otherwise."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    types = dict(df.dtypes)
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"mn_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"mx_{c}"))
+        if types[c].startswith(_NUMERIC_PREFIXES):
+            aggs.append(
+                F.sum(F.col(c).cast("decimal(28,6)")).alias(f"s_{c}")
+            )
+    sums = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        mean = (
+            (F.col(f"s_{c}").cast("double") / F.col(f"nn_{c}"))
+            if types[c].startswith(_NUMERIC_PREFIXES)
+            else F.lit(None).cast("double")
+        )
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"nn_{c}")).alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_value"),
+                F.col(f"mx_{c}").alias("max_value"),
+                mean.alias("mean"),
+            )
+        )
+    return sums.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

@@ -880,3 +880,22 @@ def test_edit_distance_join_exact_vs_bruteforce(spark):
             if lev(a, b) <= k
         }
         assert got == want, f"k={k}: missing={set(want)-set(got)} extra={set(got)-set(want)}"
+
+
+def test_profile_table_single_scan_and_values(spark):
+    from preprocessor_spark.operators.stats import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (2, None, 3.5)], "id int, s string, v double"
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["id"]["n_rows"] == 3 and rows["id"]["n_nulls"] == 0
+    assert rows["id"]["n_distinct"] == 2 and rows["id"]["mean"] == (1 + 2 + 2) / 3
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_value"] == "a" and rows["s"]["mean"] is None
+    assert rows["v"]["n_nulls"] == 1 and rows["v"]["mean"] == (1.5 + 3.5) / 2
+
+    l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    plan = profile_table(l, exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" not in plan  # approx mode must not multiply the input
