@@ -1380,6 +1380,26 @@ def profile_orders(spark, sf_dir):
     return profile_table(_t(spark, sf_dir, "orders"))
 
 
+def variant_props_events(spark, sf_dir):
+    """Semi-structured VARIANT path (Spark 4): the events.props JSON column
+    parses once into a VARIANT and fields extract with variant_get — the
+    open-schema pattern that replaces schema-on-write for ragged payloads.
+    Aggregates per event type; the DuckDB oracle extracts the same paths
+    with its JSON functions."""
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).cast("long").alias("n_high"),
+        )
+    )
+
+
 def sample_weighted_docs(spark, sf_dir):
     """Quality-weighted deterministic sampling (operators/sampling.py::
     weighted_hash_sample): acceptance probability = n_chars/5000 clamped to
@@ -2664,6 +2684,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_by_returnflag": corr_by_returnflag,
         # one-pass table profile (round 4, oracle-backed)
         "profile_orders": profile_orders,
+        # VARIANT semi-structured extraction (round 4, oracle-backed)
+        "variant_props_events": variant_props_events,
         # quality-weighted deterministic sampling (round 4, oracle-backed)
         "sample_weighted_docs": sample_weighted_docs,
         # cross-table fuzzy similarity join (round 4, oracle-backed)
@@ -4492,6 +4514,15 @@ def oracle_sql() -> dict[str, str]:
                 ("o_orderpriority", "CAST(NULL AS DOUBLE)"),
             ]
         ),
+        "variant_props_events": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+                   CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+            FROM events
+            GROUP BY event_type
+        """,
         "merge_upsert_orders": """
             SELECT o_orderkey, o_custkey, o_orderstatus,
                    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100

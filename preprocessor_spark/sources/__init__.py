@@ -88,6 +88,20 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **options) -> N
     df.write.mode(mode).options(**options).orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str = "row", **options) -> DataFrame:
+    """XML scan (built into Spark 4 — the former spark-xml package): one
+    DataFrame row per ``row_tag`` element, schema inferred unless given.
+    XML parsing cannot push predicates or prune columns at the reader, so
+    at scale: land XML once, convert to parquet, query the parquet."""
+    return spark.read.format("xml").option("rowTag", row_tag).options(**options).load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite", **options
+) -> None:
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).options(**options).save(path)
+
+
 def read_text(
     spark: SparkSession, path: str, whole_file: bool = False, **options
 ) -> DataFrame:

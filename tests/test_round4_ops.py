@@ -899,3 +899,15 @@ def test_profile_table_single_scan_and_values(spark):
     plan = profile_table(l, exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
     assert "Expand" not in plan  # approx mode must not multiply the input
+
+
+def test_xml_source_roundtrip(spark, tmp_path):
+    from preprocessor_spark.sources import read_xml, write_xml
+
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    p = str(tmp_path / "nation_xml")
+    write_xml(df, p, row_tag="nation")
+    back = read_xml(spark, p, row_tag="nation")
+    a = sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+    b = sorted(tuple(r) for r in back.select(*sorted(df.columns)).collect())
+    assert a == b
