@@ -2557,11 +2557,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is a driver contract: the driver grades the FIRST 50
-    entries against their DuckDB oracles. Every entry in positions 1-50 has
-    an oracle_sql() twin (LLM-pipeline family first). Oracle-backed entries
-    at 51+ are strict operator-subsets of an in-window merged twin (or new
-    this round) — all graded locally by tests/test_queries.py at sf0.001
-    and sf0.01; rows-only entries close the list."""
+    entries against their DuckDB oracles. ``_GRADED_WINDOW`` names those 50
+    explicitly (every one has an oracle_sql() twin — contract-tested);
+    round 4 swaps ten basic-op demos out for the round's marquee operators
+    (TPC-H q2/q21, CDC merge + SCD2, scale-safe row ids, correlation
+    matrix, fuzzy + edit-distance joins, table profile, VARIANT). Entries
+    at 51+ — including everything swapped out — remain fully graded locally
+    by tests/test_queries.py at sf0.001 and sf0.01; rows-only entries close
+    the list."""
+    base = _registry()
+    ordered = {n: base[n] for n in _GRADED_WINDOW}
+    ordered.update({n: f for n, f in base.items() if n not in ordered})
+    return ordered
+
+
+_GRADED_WINDOW = [
+    "pipeline_llm_corpus",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "sessionize_user_events",
+    "embed_neardup",
+    "knn_bruteforce",
+    "text_profile_docs",
+    "split_documents",
+    "text_quality_by_source",
+    "text_gopher_quality",
+    "sample_hash_documents",
+    "search_bm25_docs",
+    "embed_normalize_quantize",
+    "chunk_documents_tokens",
+    "pack_documents_plan",
+    "ts_features_by_user",
+    "prep_datetime_pipeline",
+    "domain_temperature_mix",
+    "text_repetition_stats",
+    "top_terms_skewed",
+    "pii_redaction_stats",
+    "contamination_check",
+    "subqueries_sql",
+    "window_rank_family",
+    "fill_events_all",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "semi_anti_theta_counts",
+    "asof_purchase_last_view",
+    "window_orders_family",
+    "tumbling_json_events",
+    "prep_full_transform",
+    "prep_roundtrip",
+    "prep_value_counts_case",
+    "prep_scale_stats",
+    "prep_onehot_segment",
+    "prep_kbins_buckets",
+    "prep_inf_clamp",
+    # round-4 marquee operators promoted into the graded window
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    "merge_upsert_orders",
+    "scd2_customers_dim",
+    "row_ids_documents",
+    "corr_matrix_lineitem",
+    "fuzzy_join_docs",
+    "edit_join_parts",
+    "profile_orders",
+    "variant_props_events",
+]
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- LLM-data-pipeline family (dedup / text / similarity / ts) --
         "pipeline_llm_corpus": pipeline_llm_corpus,

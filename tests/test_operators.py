@@ -336,7 +336,9 @@ def test_persist_scope_releases_operator_caches(spark, sf_dir):
         minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8).count()
         ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.8).count()
         embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.95).count()
-        assert len(frames) == 3  # each operator registered its cache
+        # minhash: 1 (signatures), ngram: 2 (content-hash collapse map +
+        # shingle base of the representative run), embedding: 1 (vectors)
+        assert len(frames) == 4
         assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
 
