@@ -177,3 +177,49 @@ def screen_stream_against_corpus(
     return stream_docs.withColumn("__h", F.md5(F.col(text_col))).join(
         F.broadcast(index), "__h", "left_anti"
     ).drop("__h")
+
+
+def stateful_running_totals_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """The same per-key running (count, sum) via Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState``: state lives in named typed handles
+    (ValueState here; ListState/MapState/timers also exist) managed by the
+    StatefulProcessor lifecycle instead of one opaque tuple, and the
+    operator composes with the RocksDB state store + changelog
+    checkpointing. Kept alongside the GroupState twin so both custom
+    stateful surfaces stay exercised; the drained output is asserted equal
+    to the batch groupBy (and therefore to the older twin) in tests."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    key_type = events.schema[key].dataType.simpleString()
+    out_schema = f"{key} {key_type}, n_events bigint, sum_value double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals",
+                StructType(
+                    [StructField("n", LongType()), StructField("s", DoubleType())]
+                ),
+            )
+
+        def handleInputRows(self, key_tuple, rows, timerValues):
+            n, s = (self._state.get() or (0, 0.0)) if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, s))
+            yield pd.DataFrame({key: [key_tuple[0]], "n_events": [n], "sum_value": [s]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key).transformWithStateInPandas(
+        RunningTotals(), out_schema, "Update", "None"
+    )

@@ -911,3 +911,43 @@ def test_xml_source_roundtrip(spark, tmp_path):
     a = sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
     b = sorted(tuple(r) for r in back.select(*sorted(df.columns)).collect())
     assert a == b
+
+
+def test_transform_with_state_equals_group_state_twin(spark, tmp_path):
+    """Spark-4 transformWithStateInPandas running totals must equal the
+    batch groupBy (and hence the applyInPandasWithState twin) after a
+    full availableNow drain."""
+    import pandas as pd
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from preprocessor_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        stateful_running_totals_tws,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(10),
+            "ts": pd.to_datetime(["2024-01-01 00:00:00"] * 10),
+            "user_id": [1, 1, 1, 2, 2, 3, 3, 3, 3, 4],
+            "event_type": ["click"] * 10,
+            "value": [float(i) for i in range(10)],
+            "props": ["{}"] * 10,
+        }
+    )
+    src = str(tmp_path / "tws_events")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = read_events_stream(spark, src)
+    run_available_now(stateful_running_totals_tws(stream), "tws_state", output_mode="update")
+    out = spark.table("tws_state").toPandas()
+    final = out.groupby("user_id").last().reset_index()
+    expected = (
+        pdf.groupby("user_id")
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+    )
+    m = final.merge(expected, on="user_id", suffixes=("", "_exp"))
+    assert len(m) == 4
+    assert (m.n_events == m.n_events_exp).all()
+    assert (m.sum_value == m.sum_value_exp).all()
