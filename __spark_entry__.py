@@ -1950,7 +1950,12 @@ def knn_bruteforce(spark, sf_dir):
     from preprocessor_spark.operators.similarity import cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    out = cosine_topk(e, e.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5)
+    # engine="arrow": query matrix via explicit sc.broadcast (bounded, the
+    # same movement a BroadcastExchange does) + one mapInPandas corpus scan
+    # with tie-break-faithful per-batch top-k pruning — zero shuffles
+    out = cosine_topk(
+        e, e.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5, engine="arrow"
+    )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     )

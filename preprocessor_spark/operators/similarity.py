@@ -60,12 +60,74 @@ def cosine_topk(
     plus queries-per-block — not per-pair. The corpus side streams: scales
     to any corpus size as long as the query set broadcasts (the same bound
     every broadcast join has).
+    engine="arrow" : the query matrix ships to executors as an explicit
+    ``sc.broadcast`` — the IDENTICAL driver→executor movement a
+    BroadcastExchange performs for a broadcast join, bounded here by a
+    fail-fast guard on the query count — and the corpus streams through
+    ONE ``mapInPandas`` pass with per-batch top-k pruning. Zero shuffles,
+    zero extra jobs (no block count, no collect_list); only
+    batches × Q × k candidate rows reach the final ranking window.
     engine="expr": pure zip_with/aggregate column expressions, no Python.
     """
-    if engine == "broadcast" and not isinstance(
+    if engine in ("broadcast", "arrow") and not isinstance(
         corpus.schema[id_col].dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     ):
-        engine = "expr"  # blocked GEMM emits bigint ids; exact fallback otherwise
+        engine = "expr"  # GEMM paths emit bigint ids; exact fallback otherwise
+    if engine == "arrow":
+        c = _normalized(corpus, vec_col, id_col, "neighbor_id", "__cv")
+        q = _normalized(queries, vec_col, id_col, "query_id", "__qv")
+        qrows = q.limit(1_000_001).collect()
+        if len(qrows) > 1_000_000:
+            raise ValueError(
+                "cosine_topk engine='arrow': query side exceeds the 1M-row "
+                "broadcast guard — swap sides or use the blocked engine"
+            )
+        qids = np.array([r["query_id"] for r in qrows], dtype="int64")
+        qmat = np.array([r["__qv"] for r in qrows], dtype="float64").T  # d×Q
+        bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
+
+        def _scan(batches):
+            bqids, bqmat = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(pdf["__cv"].tolist(), dtype="float64")
+                sims = m @ bqmat  # B×Q
+                nids = pdf["neighbor_id"].to_numpy()
+                if exclude_self:
+                    sims = sims.copy()
+                    sims[nids[:, None] == bqids[None, :]] = -np.inf
+                # per-batch prune with the SAME tie-break the final window
+                # uses (rounded cosine desc, neighbor id asc) — an
+                # argpartition on raw sims could drop the global tie-winner
+                # at the boundary when cosines collide exactly
+                kk = min(k, sims.shape[0])
+                rs = np.round(sims, 6)
+                qcols, ncols, scols = [], [], []
+                for j in range(len(bqids)):
+                    order = np.lexsort((nids, -rs[:, j]))[:kk]
+                    sel = sims[order, j]
+                    fin = np.isfinite(sel)
+                    qcols.append(np.full(int(fin.sum()), bqids[j], dtype="int64"))
+                    ncols.append(nids[order][fin])
+                    scols.append(sel[fin])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(qcols),
+                        "neighbor_id": np.concatenate(ncols),
+                        "cosine": np.concatenate(scols),
+                    }
+                )
+
+        pruned = c.mapInPandas(_scan, "query_id bigint, neighbor_id bigint, cosine double")
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            pruned.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
     if engine == "broadcast":
         c = _normalized(corpus, vec_col, id_col, "neighbor_id", "__cv")
         q = _normalized(queries, vec_col, id_col, "query_id", "__qv")

@@ -951,3 +951,41 @@ def test_transform_with_state_equals_group_state_twin(spark, tmp_path):
     assert len(m) == 4
     assert (m.n_events == m.n_events_exp).all()
     assert (m.sum_value == m.sum_value_exp).all()
+
+
+def test_cosine_topk_engines_agree(spark):
+    """All three exact engines (blocked-GEMM broadcast, sc.broadcast arrow
+    scan, pure-expr) must produce identical top-k — including the per-batch
+    prune's tie-break at the boundary."""
+    from preprocessor_spark.operators.similarity import cosine_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 8)
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], round(r["cosine"], 6))
+            for r in df.collect()
+        )
+
+    a = canon(cosine_topk(e, q, "embedding", "vec_id", k=5, engine="broadcast"))
+    b = canon(cosine_topk(e, q, "embedding", "vec_id", k=5, engine="arrow"))
+    assert a == b
+    # tie stress: duplicated embeddings force exact cosine collisions
+    dup = e.limit(20).select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    e2 = e.select("vec_id", "embedding").unionByName(dup)
+    a2 = canon(cosine_topk(e2, q, "embedding", "vec_id", k=5, engine="broadcast"))
+    b2 = canon(cosine_topk(e2, q, "embedding", "vec_id", k=5, engine="arrow"))
+    assert a2 == b2
+
+
+def test_cosine_topk_arrow_guard(spark):
+    from preprocessor_spark.operators.similarity import cosine_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        cosine_topk(e, e.limit(5), "embedding", "vec_id", k=3, engine="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one scan, no shuffle before the ranking window's own exchange
+    assert plan.count("Scan parquet") == 1
