@@ -16,14 +16,16 @@ Decode status:
 - **REAL, pure numpy audio**: RIFF/WAVE decode (integer PCM 8/16/24/32-bit
   + IEEE float, any channel count, chunk-walking parser) with per-clip
   features (duration, RMS, peak, zero-crossing rate) over ``mapInPandas``.
-- **REAL, pure numpy JPEG**: baseline sequential DCT decode
-  (:mod:`preprocessor_spark.operators.jpeg` — Huffman entropy decode,
-  4:4:4/4:2:2/4:2:0 sampling, restart intervals, vectorized IDCT).
+- **REAL, pure numpy JPEG**: baseline sequential AND progressive (SOF2)
+  DCT decode (:mod:`preprocessor_spark.operators.jpeg` — Huffman entropy
+  decode, full Annex G progressive scan family incl. successive
+  approximation and AC refinement, 4:4:4/4:2:2/4:2:0 sampling, restart
+  intervals, vectorized IDCT).
 - **REAL, pure numpy video**: MJPEG-in-AVI frame sampling (RIFF container
   walk + the JPEG decoder per sampled frame) with per-frame features.
-- **Gated**: progressive JPEG needs PIL; compressed audio (MP3/AAC) and
-  non-MJPEG video codecs (H.264/VP9/...) need ffmpeg-class libs (absent in
-  this container) — clear NotImplementedError in each case.
+- **Gated**: compressed audio (MP3/AAC) and non-MJPEG video codecs
+  (H.264/VP9/...) need ffmpeg-class libs (absent in this container) —
+  clear NotImplementedError in each case.
 - A deterministic content-hash fake (``decoder="fake"``) remains for
   plumbing tests over arbitrary (non-image) payloads.
 """
@@ -257,8 +259,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode to a float32 grayscale [0,1] 2-D array.
 
     PPM/PGM, uncompressed BMP, PNG (all depths, color types, and interlace
-    modes), and baseline JPEG decode here with no external dependency;
-    progressive JPEG falls through to PIL when available."""
+    modes), and JPEG (baseline AND progressive) decode here with no
+    external dependency; anything else falls through to PIL when
+    available."""
     if not payload:
         raise ValueError("empty image payload")
     magic = payload[:2]
@@ -268,13 +271,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
-    if payload[:2] == b"\xff\xd8":  # JPEG SOI
-        try:
-            from preprocessor_spark.operators.jpeg import decode_jpeg
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI (baseline or progressive)
+        from preprocessor_spark.operators.jpeg import decode_jpeg
 
-            return decode_jpeg(payload)
-        except NotImplementedError:
-            pass  # progressive JPEG → PIL fallback below
+        return decode_jpeg(payload)
     try:  # compressed formats need a real imaging lib
         import io
 
@@ -354,7 +354,7 @@ def resize_images(
     jpeg_quality_step: int = 2,
 ) -> DataFrame:
     """REAL resize for decodable formats: decode (PNG/JPEG/PPM/PGM/BMP
-    pure-numpy, PIL for progressive JPEG when present), nearest-neighbor
+    pure-numpy, incl. progressive JPEG), nearest-neighbor
     resample, re-encode as binary PGM (lossless gray) or baseline JPEG
     (``out_format="jpeg"`` — the thumbnail-export path). Arrow-batched
     mapInPandas; per-row work is pure numpy."""

@@ -71,7 +71,9 @@ def test_color_444_and_420_with_restarts():
     assert np.abs(got420 - ref).mean() < 0.02
 
 
-def test_progressive_raises():
+def test_progressive_without_scan_raises():
+    """SOF2 alone (no SOS) is malformed, not a PIL fallback case — the
+    decoder owns progressive now and reports the real problem."""
     body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     payload = (
         b"\xff\xd8"
@@ -80,7 +82,7 @@ def test_progressive_raises():
         + body
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="without SOF/SOS"):
         decode_jpeg(payload)
 
 
@@ -96,3 +98,64 @@ def test_decode_image_dispatches_jpeg(spark):
     feats = image_features(df, "id", "img").toPandas()
     assert feats.width.tolist() == [16] and feats.height.tolist() == [16]
     assert abs(feats.mean_intensity.iloc[0] - got.mean()) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+def test_progressive_bitexact_vs_baseline_matrix():
+    """Every Annex G scan type in play: DC/AC first + refinement passes,
+    4:4:4 and 4:2:0, gray and RGB, non-multiple-of-8 dims, one and two
+    successive-approximation levels, and spectral-selection-only (al=0).
+    The progressive stream carries the same quantized coefficients, so the
+    decode must be BIT-identical to decoding the baseline encoding."""
+    from preprocessor_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = [
+        ((16, 16), False, 1),
+        ((23, 17), False, 1),
+        ((23, 17, 3), False, 1),
+        ((23, 17, 3), True, 1),
+        ((8, 8), False, 0),
+        ((40, 33, 3), True, 2),
+        ((5, 5), False, 1),
+    ]
+    for shape, sub, al in cases:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, qval=2, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, qval=2, subsample=sub, al=al))
+        assert np.array_equal(base, prog), (shape, sub, al)
+
+
+def test_progressive_smooth_image_eob_runs():
+    """A flat image maximizes EOB/zero-run paths; a gradient exercises
+    small-magnitude refinement bits."""
+    from preprocessor_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    flat = np.full((24, 24), 130, dtype=np.uint8)
+    grad = np.tile(np.arange(32, dtype=np.uint8) * 8, (32, 1))
+    for img in (flat, grad):
+        base = decode_jpeg(encode_jpeg(img, qval=2))
+        prog = decode_jpeg(encode_jpeg_progressive(img, qval=2, al=1))
+        assert np.array_equal(base, prog)
+
+
+def test_decode_image_handles_progressive_without_pil():
+    from preprocessor_spark.operators.jpeg import encode_jpeg_progressive
+    from preprocessor_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (20, 14, 3)).astype(np.uint8)
+    out = decode_image(encode_jpeg_progressive(img, qval=2, subsample=True))
+    assert out.shape == (20, 14)
+    assert 0.0 <= out.min() and out.max() <= 1.0
