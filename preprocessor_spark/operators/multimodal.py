@@ -259,8 +259,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode to a float32 grayscale [0,1] 2-D array.
 
     PPM/PGM, uncompressed BMP, PNG (all depths, color types, and interlace
-    modes), and JPEG (baseline AND progressive) decode here with no
-    external dependency; anything else falls through to PIL when
+    modes), JPEG (baseline AND progressive), and GIF (first frame; use
+    :mod:`preprocessor_spark.operators.gif` for animations) decode here
+    with no external dependency; anything else falls through to PIL when
     available."""
     if not payload:
         raise ValueError("empty image payload")
@@ -271,6 +272,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from preprocessor_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
     if payload[:2] == b"\xff\xd8":  # JPEG SOI (baseline or progressive)
         from preprocessor_spark.operators.jpeg import decode_jpeg
 

@@ -989,3 +989,77 @@ def test_cosine_topk_arrow_guard(spark):
     )
     # one scan, no shuffle before the ranking window's own exchange
     assert plan.count("Scan parquet") == 1
+
+
+# ---------------------------------------------------------------------------
+# GIF decode (pure numpy LZW)
+# ---------------------------------------------------------------------------
+
+def _pal_gray(pal, idx):
+    return (pal[idx].astype(np.float64).mean(axis=2) / 255.0).astype(np.float32)
+
+
+def test_gif_roundtrip_pixel_exact():
+    from preprocessor_spark.operators.gif import decode_gif, decode_gif_frames, encode_gif
+
+    rng = np.random.RandomState(3)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    img = rng.randint(0, 16, (11, 7)).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img, pal)), _pal_gray(pal, img))
+
+    # 64x64 forces LZW code-width overflow -> mid-stream clear codes
+    big = rng.randint(0, 16, (64, 64)).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(big, pal)), _pal_gray(pal, big))
+
+    # full 8-bit palette (9-bit LZW codes)
+    pal256 = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    img256 = rng.randint(0, 256, (33, 29)).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img256, pal256)), _pal_gray(pal256, img256))
+
+    # animation: every frame composites and is returned
+    frames = [rng.randint(0, 16, (11, 7)).astype(np.uint8) for _ in range(3)]
+    outs = decode_gif_frames(encode_gif(frames, pal))
+    assert len(outs) == 3
+    for o, f in zip(outs, frames):
+        assert np.array_equal(o, _pal_gray(pal, f))
+
+
+def test_gif_transparency_composites_over_background():
+    """A spliced Graphic Control Extension with a transparent index must
+    leave the background color showing through those pixels."""
+    from preprocessor_spark.operators.gif import decode_gif, encode_gif
+
+    pal = np.array([[10, 10, 10], [250, 250, 250], [0, 200, 0], [5, 5, 5]], dtype=np.uint8)
+    img = np.array([[1, 2], [2, 1]], dtype=np.uint8)
+    raw = bytearray(encode_gif(img, pal))
+    desc = raw.index(0x2C, 13)  # image descriptor (after header+GCT)
+    gce = bytes([0x21, 0xF9, 0x04, 0x01, 0, 0, 2, 0x00])  # transparent idx 2
+    payload = bytes(raw[:desc]) + gce + bytes(raw[desc:])
+    out = decode_gif(payload)
+    bg = pal[0].astype(np.float64).mean() / 255.0  # bg_index 0
+    want = _pal_gray(pal, img).astype(np.float64)
+    want[img == 2] = bg
+    assert np.allclose(out, want.astype(np.float32))
+
+
+def test_gif_deinterlace_passes():
+    from preprocessor_spark.operators.gif import _deinterlace
+
+    h = 13
+    rows = (
+        list(range(0, h, 8)) + list(range(4, h, 8)) + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    src = np.arange(h)[:, None] * np.ones((1, 3), dtype=np.int64)
+    shuffled = src[rows]
+    assert np.array_equal(_deinterlace(shuffled), src)
+
+
+def test_decode_image_dispatches_gif():
+    from preprocessor_spark.operators.gif import encode_gif
+    from preprocessor_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    img = rng.randint(0, 4, (9, 9)).astype(np.uint8)
+    out = decode_image(encode_gif(img, pal))
+    assert out.shape == (9, 9) and out.dtype == np.float32
