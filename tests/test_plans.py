@@ -190,16 +190,21 @@ def test_join_strategy_hints_honored(spark):
     assert "BroadcastHashJoin" in formatted_plan(bcast)
 
 
-def test_knn_bruteforce_blocked_no_pair_join(spark):
-    """Blocked-GEMM top-k: the plan must aggregate the corpus into blocks
-    (ObjectHashAggregate w/ collect_list) and run the GEMM in mapInPandas —
-    with NO per-pair join producing N x Q vector rows (the pair-level
-    formulation ships O(N*Q*d) through Arrow)."""
+def test_knn_bruteforce_arrow_scan_no_pair_join(spark):
+    """Arrow-engine top-k: ONE corpus scan streamed through mapInPandas
+    (query matrix rides an explicit sc.broadcast) — no join of any kind, no
+    per-pair vector rows, and the only exchange is the final ranking
+    window's (over the pre-pruned batches x Q x k candidates)."""
     plan = formatted_plan(em.knn_bruteforce(spark, SF))
     assert "MapInPandas" in plan, plan
-    assert "collect_list" in plan, plan
-    # the only nested-loop join allowed is the tiny block-table cross join
-    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan, plan
+    # one scan streams the corpus; the bounded query side was collected
+    # into the broadcast variable before planning, so it contributes no
+    # scan here at all (tree section only — the formatted details repeat
+    # each node's name once more)
+    tree = plan.split("(1)")[0]
+    assert tree.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_embed_neardup_bruteforce_blocked(spark):
