@@ -1377,7 +1377,9 @@ def profile_orders(spark, sf_dir):
     approx mode drops it at 100 TB)."""
     from preprocessor_spark.operators.stats import profile_table
 
-    return profile_table(_t(spark, sf_dir, "orders"))
+    # _par: the exact multi-distinct Expand multiplies rows by |cols|; the
+    # single-row-group testdata file would otherwise run it in ONE task
+    return profile_table(_par(_t(spark, sf_dir, "orders")))
 
 
 def variant_props_events(spark, sf_dir):
@@ -1480,8 +1482,12 @@ def edit_join_parts(spark, sf_dir):
     replaced and re-keyed; the join links each typo to every part within
     Levenshtein 1 (its sources and any genuinely-1-edit-away names).
     Segment-signature equi-join + JVM levenshtein verify; distinct strings
-    drive the join. The DuckDB oracle brute-forces levenshtein over the
-    cross product."""
+    drive the join. Output is aggregated per typo (match count + best
+    distance + canonical best match): id-pair output would be quadratic in
+    name duplication — correct but unbounded on replicated catalogs — while
+    the per-typo rollup stays linear (scale-smoke-proven at derived sf1).
+    The DuckDB oracle brute-forces levenshtein over the cross product and
+    aggregates identically."""
     from preprocessor_spark.operators.fuzzy import edit_distance_join
 
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
@@ -1489,8 +1495,38 @@ def edit_join_parts(spark, sf_dir):
         (F.col("p_partkey") + 100000).alias("typo_id"),
         F.concat(F.lit("x"), F.expr("substr(p_name, 2)")).alias("p_name"),
     )
-    out = edit_distance_join(p, typos, "p_name", "p_partkey", "typo_id", max_dist=1)
-    return out.select("p_partkey", "typo_id", F.col("dist").cast("int").alias("dist"))
+    # collapse each side to DISTINCT names before the join and aggregate at
+    # name level: id-level pair expansion is quadratic in name duplication
+    # (catalogs repeat names massively); the name-level rollup multiplied
+    # by group sizes gives the identical per-typo stats, linearly.
+    pl = p.groupBy("p_name").agg(
+        F.min("p_partkey").alias("rep_l"), F.count(F.lit(1)).alias("n_l")
+    )
+    tl = typos.groupBy("p_name").agg(F.min("typo_id").alias("rep_t"))
+    name_pairs = edit_distance_join(
+        pl.select(F.col("rep_l").alias("lid"), "p_name"),
+        tl.select(F.col("rep_t").alias("rid"), "p_name"),
+        "p_name",
+        "lid",
+        "rid",
+        max_dist=1,
+    )
+    per_tname = (
+        name_pairs.join(F.broadcast(pl.select(F.col("rep_l").alias("lid"), "n_l")), "lid")
+        .groupBy("rid")
+        .agg(
+            F.sum("n_l").alias("n_matches"),
+            F.min("dist").cast("int").alias("best_dist"),
+            F.min("lid").alias("best_match"),
+        )
+    )
+    return (
+        typos.join(
+            F.broadcast(tl.select("p_name", F.col("rep_t").alias("rid"))), "p_name"
+        )
+        .join(F.broadcast(per_tname), "rid")
+        .select("typo_id", "n_matches", "best_dist", "best_match")
+    )
 
 
 def semantic_dedup_embeddings(spark, sf_dir):
@@ -4562,10 +4598,12 @@ def oracle_sql() -> dict[str, str]:
                        'x' || substr(p_name, 2) AS t_name
                 FROM part WHERE p_partkey % 7 = 0
             )
-            SELECT p_partkey, typo_id,
-                   CAST(levenshtein(p_name, t_name) AS INT) AS dist
+            SELECT typo_id, COUNT(*) AS n_matches,
+                   CAST(MIN(levenshtein(p_name, t_name)) AS INT) AS best_dist,
+                   MIN(p_partkey) AS best_match
             FROM part CROSS JOIN typos
             WHERE levenshtein(p_name, t_name) <= 1
+            GROUP BY typo_id
         """,
         "profile_orders": " UNION ALL ".join(
             f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,

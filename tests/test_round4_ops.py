@@ -1063,3 +1063,23 @@ def test_decode_image_dispatches_gif():
     img = rng.randint(0, 4, (9, 9)).astype(np.uint8)
     out = decode_image(encode_gif(img, pal))
     assert out.shape == (9, 9) and out.dtype == np.float32
+
+
+def test_semantic_dedup_collapse_equals_uncollapsed(spark):
+    """Exact-vector collapse must be invisible: same kept set on a corpus
+    salted with verbatim embedding duplicates."""
+    from preprocessor_spark.operators.semdedup import semantic_dedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dups = e.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(dups)
+    kw = dict(threshold=0.9, n_clusters=4, sample_rows=256, seed=2)
+    a = {r["vec_id"] for r in semantic_dedup(corpus, "embedding", "vec_id", collapse_exact=False, **kw).collect()}
+    b = {r["vec_id"] for r in semantic_dedup(corpus, "embedding", "vec_id", collapse_exact=True, **kw).collect()}
+    assert a == b
+    # every salted duplicate must be dropped in favor of its original
+    assert all(v + 100000 not in b for v in range(0, 50, 4) if v in b)
