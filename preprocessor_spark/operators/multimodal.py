@@ -259,7 +259,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode to a float32 grayscale [0,1] 2-D array.
 
     PPM/PGM, uncompressed BMP, PNG (all depths, color types, and interlace
-    modes), JPEG (baseline AND progressive), and GIF (first frame; use
+    modes), JPEG (baseline AND progressive), TIFF (8-bit strip layout, none/PackBits), and GIF (first frame; use
     :mod:`preprocessor_spark.operators.gif` for animations) decode here
     with no external dependency; anything else falls through to PIL when
     available."""
@@ -276,6 +276,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from preprocessor_spark.operators.gif import decode_gif
 
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from preprocessor_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     if payload[:2] == b"\xff\xd8":  # JPEG SOI (baseline or progressive)
         from preprocessor_spark.operators.jpeg import decode_jpeg
 

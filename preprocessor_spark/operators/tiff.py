@@ -1,0 +1,203 @@
+"""Baseline TIFF 6.0 decode — pure numpy + stdlib, no PIL.
+
+Rounds out the dependency-free raster matrix (PNG/JPEG incl. progressive/
+GIF/PPM/PGM/BMP). Scope: both byte orders (II/MM), IFD tag walk, 8-bit
+grayscale (both photometric polarities) / RGB / RGBA, multiple strips,
+Compression 1 (none) and 32773 (PackBits RLE), PlanarConfiguration 1
+(chunky). Tiled, LZW/deflate/JPEG-in-TIFF, and 16-bit variants raise a
+clear ``NotImplementedError`` naming the missing piece — scientific TIFF
+zoos are endless; this covers the scanner/export profile actually seen in
+web corpora.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _read_ifd_value(data: bytes, endian: str, ttype: int, count: int, raw: bytes):
+    size = _TYPE_SIZE.get(ttype, 1) * count
+    if size > 4:
+        (off,) = struct.unpack(endian + "I", raw)
+        buf = data[off : off + size]
+    else:
+        buf = raw[:size]
+    if ttype in (3,):
+        return list(struct.unpack(endian + "H" * count, buf))
+    if ttype in (4,):
+        return list(struct.unpack(endian + "I" * count, buf))
+    if ttype in (1, 6, 7):
+        return list(buf)
+    return list(buf)
+
+
+def _unpackbits(src: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(src) and len(out) < expected:
+        n = src[i]
+        i += 1
+        if n < 128:
+            out += src[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += bytes([src[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expected])
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode → float32 grayscale [0,1] (RGB averaged), matching the other
+    decoders' convention."""
+    if payload[:4] == b"II*\x00":
+        endian = "<"
+    elif payload[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack(endian + "I", payload[4:8])
+    (n_tags,) = struct.unpack(endian + "H", payload[ifd_off : ifd_off + 2])
+    tags = {}
+    for t in range(n_tags):
+        e = ifd_off + 2 + 12 * t
+        tag, ttype, count = struct.unpack(endian + "HHI", payload[e : e + 8])
+        tags[tag] = _read_ifd_value(payload, endian, ttype, count, payload[e + 8 : e + 12])
+
+    w = tags[256][0]
+    h = tags[257][0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8] * spp)
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    planar = tags.get(284, [1])[0]
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(f"TIFF BitsPerSample {bps} unsupported (8-bit only)")
+    if planar != 1:
+        raise NotImplementedError("TIFF PlanarConfiguration 2 (planar) unsupported")
+    if compression not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {compression} unsupported (none/PackBits only)"
+        )
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF unsupported (strip layout only)")
+
+    offsets = tags[273]
+    counts = tags[279]
+    rows_per_strip = tags.get(278, [h])[0]
+    row_bytes = w * spp
+    raster = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = payload[off : off + cnt]
+        rows = min(rows_per_strip, h - si * rows_per_strip)
+        if compression == 32773:
+            strip = _unpackbits(strip, rows * row_bytes)
+        raster += strip[: rows * row_bytes]
+    arr = np.frombuffer(bytes(raster), dtype=np.uint8, count=h * row_bytes).reshape(
+        h, w, spp
+    )
+    img = arr.astype(np.float32) / 255.0
+    if spp == 1:
+        gray = img[:, :, 0]
+        if photometric == 0:  # WhiteIsZero
+            gray = 1.0 - gray
+        return gray
+    return img[:, :, :3].mean(axis=2)
+
+
+def encode_tiff(
+    img: np.ndarray, endian: str = "<", packbits: bool = False, rows_per_strip: int | None = None
+) -> bytes:
+    """Planted-test TIFF writer: (h, w) gray or (h, w, 3) RGB uint8 →
+    baseline TIFF (chunky, 8-bit, optional PackBits, multi-strip)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    rps = rows_per_strip or h
+    data = img.reshape(h, w * spp).astype(np.uint8)
+
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = data[y0 : y0 + rps].tobytes()
+        if packbits:
+            out = bytearray()
+            i = 0
+            n = len(raw)
+            while i < n:
+                # find run
+                j = i
+                while j + 1 < n and raw[j + 1] == raw[j] and j - i < 127:
+                    j += 1
+                if j > i:  # run of j-i+1 identical bytes
+                    out.append(257 - (j - i + 1))
+                    out.append(raw[i])
+                    i = j + 1
+                else:  # literal stretch
+                    j = i
+                    while (
+                        j + 1 < n
+                        and not (j + 2 < n and raw[j + 1] == raw[j + 2])
+                        and j - i < 127
+                    ):
+                        j += 1
+                    out.append(j - i)
+                    out += raw[i : j + 1]
+                    i = j + 1
+            strips.append(bytes(out))
+        else:
+            strips.append(raw)
+
+    n_tags = 9
+    header = struct.pack(endian + "2sHI", b"II" if endian == "<" else b"MM", 42, 8)
+    ifd_size = 2 + 12 * n_tags + 4
+    bps_off = 8 + ifd_size
+    extra = b""
+    if spp == 3:
+        extra = struct.pack(endian + "HHH", 8, 8, 8)
+    arrays_off = bps_off + len(extra)
+    n_strips = len(strips)
+    off_table_off = arrays_off
+    cnt_table_off = off_table_off + 4 * n_strips
+    data_off = cnt_table_off + 4 * n_strips
+    offs = []
+    pos = data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+
+    def tag(tid, ttype, count, value):
+        if ttype == 3 and count == 1:
+            return struct.pack(endian + "HHIHH", tid, ttype, count, value, 0)
+        return struct.pack(endian + "HHII", tid, ttype, count, value)
+
+    tags_b = b""
+    tags_b += tag(256, 4, 1, w)
+    tags_b += tag(257, 4, 1, h)
+    if spp == 3:
+        tags_b += tag(258, 3, 3, bps_off)
+    else:
+        tags_b += tag(258, 3, 1, 8)
+    tags_b += tag(259, 3, 1, 32773 if packbits else 1)
+    tags_b += tag(262, 3, 1, 2 if spp == 3 else 1)
+    if n_strips == 1:
+        tags_b += tag(273, 4, 1, offs[0])
+    else:
+        tags_b += tag(273, 4, n_strips, off_table_off)
+    tags_b += tag(277, 3, 1, spp)
+    tags_b += tag(278, 4, 1, rps)
+    if n_strips == 1:
+        tags_b += tag(279, 4, 1, len(strips[0]))
+    else:
+        tags_b += tag(279, 4, n_strips, cnt_table_off)
+    ifd = struct.pack(endian + "H", n_tags) + tags_b + struct.pack(endian + "I", 0)
+
+    out = bytearray(header + ifd + extra)
+    out += b"".join(struct.pack(endian + "I", o) for o in offs)
+    out += b"".join(struct.pack(endian + "I", len(s)) for s in strips)
+    for s in strips:
+        out += s
+    return bytes(out)

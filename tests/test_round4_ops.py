@@ -1083,3 +1083,39 @@ def test_semantic_dedup_collapse_equals_uncollapsed(spark):
     assert a == b
     # every salted duplicate must be dropped in favor of its original
     assert all(v + 100000 not in b for v in range(0, 50, 4) if v in b)
+
+
+def test_tiff_roundtrip_matrix():
+    from preprocessor_spark.operators.multimodal import decode_image
+    from preprocessor_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(0)
+    g = rng.randint(0, 256, (13, 9)).astype(np.uint8)
+    c = rng.randint(0, 256, (13, 9, 3)).astype(np.uint8)
+    runs = np.repeat(rng.randint(0, 256, (5, 4)), 4, axis=1).astype(np.uint8)
+    cases = [
+        (encode_tiff(g), g.astype(np.float32) / 255.0),
+        (encode_tiff(g, endian=">"), g.astype(np.float32) / 255.0),          # big-endian
+        (encode_tiff(c), (c.astype(np.float32) / 255.0).mean(axis=2)),
+        (encode_tiff(c, rows_per_strip=5), (c.astype(np.float32) / 255.0).mean(axis=2)),
+        (encode_tiff(runs, packbits=True), runs.astype(np.float32) / 255.0),  # RLE
+        (encode_tiff(c, packbits=True, rows_per_strip=4), (c.astype(np.float32) / 255.0).mean(axis=2)),
+    ]
+    for payload, want in cases:
+        assert np.allclose(decode_tiff(payload), want, atol=1e-7)
+    # dispatch through the generic entry point
+    out = decode_image(encode_tiff(g, endian=">"))
+    assert out.shape == g.shape and out.dtype == np.float32
+
+
+def test_tiff_unsupported_raises_clearly():
+    import struct as st
+
+    from preprocessor_spark.operators.tiff import decode_tiff, encode_tiff
+
+    payload = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
+    # flip the Compression tag value (259) to 5 (LZW)
+    i = payload.index(st.pack("<HH", 259, 3))
+    payload[i + 8 : i + 10] = st.pack("<H", 5)
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        decode_tiff(bytes(payload))
