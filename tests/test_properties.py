@@ -170,3 +170,57 @@ def test_normalize_text_idempotent(spark, texts):
     twice = once.select("id", normalize_text_expr(F.col("n1"), lowercase=True).alias("n2"))
     j = once.join(twice, "id")
     assert j.filter(F.col("n1") != F.col("n2")).count() == 0
+
+
+@st.composite
+def merge_scenario(draw):
+    """Target rows + CDC batch with updates/inserts/deletes over a small
+    key space (forces key collisions, source-only deletes, null values)."""
+    tkeys = draw(st.lists(st.integers(0, 8), min_size=0, max_size=8, unique=True))
+    skeys = draw(st.lists(st.integers(0, 12), min_size=0, max_size=8, unique=True))
+    target = [(k, draw(st.integers(-5, 5)), float(draw(st.integers(0, 9)))) for k in tkeys]
+    source = [
+        (
+            k,
+            draw(st.one_of(st.none(), st.integers(-5, 5))),
+            float(draw(st.integers(0, 9))),
+            draw(st.booleans()),
+        )
+        for k in skeys
+    ]
+    return target, source
+
+
+@given(merge_scenario())
+@settings(**_SETTINGS)
+def test_merge_upsert_matches_dict_model(spark, scenario):
+    """merge_upsert (broadcast decomposition AND full-outer fallback) must
+    equal the obvious dict model: delete wins, matched updates, unmatched
+    non-deletes insert, untouched rows persist."""
+    from preprocessor_spark.operators.merge import merge_upsert
+
+    target_rows, source_rows = scenario
+    model = {k: (v, p) for k, v, p in target_rows}
+    for k, v, p, dele in source_rows:
+        if dele:
+            model.pop(k, None)
+        else:
+            model[k] = (v, p)
+
+    t = spark.createDataFrame(target_rows or [(None, None, None)], "id int, v int, p double")
+    if not target_rows:
+        t = t.filter("id IS NOT NULL")
+    s = spark.createDataFrame(
+        source_rows or [(None, None, None, None)], "id int, v int, p double, deleted boolean"
+    )
+    if not source_rows:
+        s = s.filter("id IS NOT NULL")
+
+    for bcast in (True, False):
+        got = {
+            r["id"]: (r["v"], r["p"])
+            for r in merge_upsert(
+                t, s, ["id"], delete_col="deleted", broadcast_source=bcast
+            ).collect()
+        }
+        assert got == model, f"broadcast={bcast}"
