@@ -1119,3 +1119,33 @@ def test_tiff_unsupported_raises_clearly():
     payload[i + 8 : i + 10] = st.pack("<H", 5)
     with pytest.raises(NotImplementedError, match="compression 5"):
         decode_tiff(bytes(payload))
+
+
+def test_mixed_format_corpus_through_thumbnail_pipeline(spark):
+    """One binary column holding FOUR formats (PPM, progressive JPEG,
+    animated GIF, big-endian PackBits TIFF) flows through decode + resize +
+    JPEG re-encode in a single mapInPandas pass — the real mixed-crawl
+    shape. Every thumbnail must decode back at the target size."""
+    from preprocessor_spark.operators.gif import encode_gif
+    from preprocessor_spark.operators.jpeg import decode_jpeg, encode_jpeg_progressive
+    from preprocessor_spark.operators.multimodal import resize_images
+    from preprocessor_spark.operators.tiff import encode_tiff
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (19, 13, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, (19, 13)).astype(np.uint8)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    gif_frames = [rng.randint(0, 16, (19, 13)).astype(np.uint8) for _ in range(2)]
+    ppm = (b"P6\n13 19\n255\n" + img.tobytes())
+    rows = [
+        (0, ppm),
+        (1, bytes(encode_jpeg_progressive(img, qval=2, subsample=True))),
+        (2, bytes(encode_gif(gif_frames, pal))),
+        (3, bytes(encode_tiff(gray, endian=">", packbits=True))),
+    ]
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+    thumbs = resize_images(df, "img_id", "payload", 8, 6, out_format="jpeg").collect()
+    assert len(thumbs) == 4
+    for r in thumbs:
+        out = decode_jpeg(bytes(r["payload"]))
+        assert out.shape == (6, 8), r["id"]
