@@ -3,8 +3,9 @@
 Rounds out the dependency-free raster matrix (PNG/JPEG incl. progressive/
 GIF/PPM/PGM/BMP). Scope: both byte orders (II/MM), IFD tag walk, 8-bit
 grayscale (both photometric polarities) / RGB / RGBA, multiple strips,
-Compression 1 (none) and 32773 (PackBits RLE), PlanarConfiguration 1
-(chunky). Tiled, LZW/deflate/JPEG-in-TIFF, and 16-bit variants raise a
+Compression 1 (none), 5 (LZW with early-change, incl. the horizontal-
+differencing predictor), and 32773 (PackBits RLE), PlanarConfiguration 1
+(chunky). Tiled, deflate/JPEG-in-TIFF, and 16-bit variants raise a
 clear ``NotImplementedError`` naming the missing piece — scientific TIFF
 zoos are endless; this covers the scanner/export profile actually seen in
 web corpora.
@@ -33,6 +34,60 @@ def _read_ifd_value(data: bytes, endian: str, ttype: int, count: int, raw: bytes
     if ttype in (1, 6, 7):
         return list(buf)
     return list(buf)
+
+
+def _lzw_decode_tiff(src: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (spec §13): MSB-first bit order, 8-bit roots,
+    Clear=256 / EOI=257, and the EARLY-CHANGE width bump (the code width
+    grows one code sooner than in GIF)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    width = 9
+    next_code = EOI + 1
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, next_code, prev
+        table = {i: bytes([i]) for i in range(256)}
+        width = 9
+        next_code = EOI + 1
+        prev = None
+
+    reset()
+    acc = 0
+    nbits = 0
+    for byte in src:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                continue
+            if code == EOI:
+                return bytes(out[:expected])
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                if next_code < 4094:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+            else:
+                entry = prev + prev[:1]
+                if next_code < 4094:
+                    table[next_code] = entry
+                    next_code += 1
+            out += entry
+            prev = entry
+            # early change: bump when the NEXT code would not fit
+            if next_code + 1 >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    return bytes(out[:expected])
 
 
 def _unpackbits(src: bytes, expected: int) -> bytes:
@@ -79,10 +134,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"TIFF BitsPerSample {bps} unsupported (8-bit only)")
     if planar != 1:
         raise NotImplementedError("TIFF PlanarConfiguration 2 (planar) unsupported")
-    if compression not in (1, 32773):
+    predictor = tags.get(317, [1])[0]
+    if compression not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression} unsupported (none/PackBits only)"
+            f"TIFF compression {compression} unsupported (none/LZW/PackBits only)"
         )
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF unsupported (strip layout only)")
 
@@ -96,10 +154,14 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         rows = min(rows_per_strip, h - si * rows_per_strip)
         if compression == 32773:
             strip = _unpackbits(strip, rows * row_bytes)
+        elif compression == 5:
+            strip = _lzw_decode_tiff(strip, rows * row_bytes)
         raster += strip[: rows * row_bytes]
     arr = np.frombuffer(bytes(raster), dtype=np.uint8, count=h * row_bytes).reshape(
         h, w, spp
     )
+    if predictor == 2:  # horizontal differencing: undo with a row cumsum
+        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
     img = arr.astype(np.float32) / 255.0
     if spp == 1:
         gray = img[:, :, 0]
@@ -109,21 +171,67 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     return img[:, :, :3].mean(axis=2)
 
 
+def _lzw_encode_literal(raw: bytes) -> bytes:
+    """Literal-code TIFF LZW: every byte as its root code, a Clear before
+    each early-change width bump. Valid per spec, uncompressed."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    put(CLEAR, 9)
+    next_code = EOI + 1
+    for b in raw:
+        put(b, 9)
+        next_code += 1
+        if next_code + 1 >= 512 - 1:  # stay below the early-change bump
+            put(CLEAR, 9)
+            next_code = EOI + 1
+    put(EOI, 9)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def encode_tiff(
-    img: np.ndarray, endian: str = "<", packbits: bool = False, rows_per_strip: int | None = None
+    img: np.ndarray,
+    endian: str = "<",
+    packbits: bool = False,
+    rows_per_strip: int | None = None,
+    lzw: bool = False,
+    predictor: bool = False,
 ) -> bytes:
     """Planted-test TIFF writer: (h, w) gray or (h, w, 3) RGB uint8 →
-    baseline TIFF (chunky, 8-bit, optional PackBits, multi-strip)."""
+    baseline TIFF (chunky, 8-bit, optional PackBits or literal-code LZW
+    with optional horizontal-differencing predictor, multi-strip)."""
+    if packbits and lzw:
+        raise ValueError("choose one of packbits/lzw")
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else 3
     rps = rows_per_strip or h
-    data = img.reshape(h, w * spp).astype(np.uint8)
+    if predictor:
+        arr3 = img.reshape(h, w, spp).astype(np.int32)
+        diff = arr3.copy()
+        diff[:, 1:, :] = arr3[:, 1:, :] - arr3[:, :-1, :]
+        data = (diff % 256).astype(np.uint8).reshape(h, w * spp)
+    else:
+        data = img.reshape(h, w * spp).astype(np.uint8)
 
     strips = []
     for y0 in range(0, h, rps):
         raw = data[y0 : y0 + rps].tobytes()
-        if packbits:
+        if lzw:
+            strips.append(_lzw_encode_literal(raw))
+        elif packbits:
             out = bytearray()
             i = 0
             n = len(raw)
@@ -151,7 +259,7 @@ def encode_tiff(
         else:
             strips.append(raw)
 
-    n_tags = 9
+    n_tags = 9 + (1 if predictor else 0)
     header = struct.pack(endian + "2sHI", b"II" if endian == "<" else b"MM", 42, 8)
     ifd_size = 2 + 12 * n_tags + 4
     bps_off = 8 + ifd_size
@@ -181,7 +289,7 @@ def encode_tiff(
         tags_b += tag(258, 3, 3, bps_off)
     else:
         tags_b += tag(258, 3, 1, 8)
-    tags_b += tag(259, 3, 1, 32773 if packbits else 1)
+    tags_b += tag(259, 3, 1, 32773 if packbits else (5 if lzw else 1))
     tags_b += tag(262, 3, 1, 2 if spp == 3 else 1)
     if n_strips == 1:
         tags_b += tag(273, 4, 1, offs[0])
@@ -189,6 +297,8 @@ def encode_tiff(
         tags_b += tag(273, 4, n_strips, off_table_off)
     tags_b += tag(277, 3, 1, spp)
     tags_b += tag(278, 4, 1, rps)
+    if predictor:
+        tags_b += tag(317, 3, 1, 2)
     if n_strips == 1:
         tags_b += tag(279, 4, 1, len(strips[0]))
     else:

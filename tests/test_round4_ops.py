@@ -1114,10 +1114,10 @@ def test_tiff_unsupported_raises_clearly():
     from preprocessor_spark.operators.tiff import decode_tiff, encode_tiff
 
     payload = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
-    # flip the Compression tag value (259) to 5 (LZW)
+    # flip the Compression tag value (259) to 8 (deflate — unsupported)
     i = payload.index(st.pack("<HH", 259, 3))
-    payload[i + 8 : i + 10] = st.pack("<H", 5)
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    payload[i + 8 : i + 10] = st.pack("<H", 8)
+    with pytest.raises(NotImplementedError, match="compression 8"):
         decode_tiff(bytes(payload))
 
 
@@ -1149,3 +1149,20 @@ def test_mixed_format_corpus_through_thumbnail_pipeline(spark):
     for r in thumbs:
         out = decode_jpeg(bytes(r["payload"]))
         assert out.shape == (6, 8), r["id"]
+
+
+def test_tiff_lzw_and_predictor_variants():
+    from preprocessor_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(1)
+    g = rng.randint(0, 256, (21, 14)).astype(np.uint8)
+    c = rng.randint(0, 256, (21, 14, 3)).astype(np.uint8)
+    cases = [
+        (encode_tiff(g, lzw=True), g.astype(np.float32) / 255.0),
+        (encode_tiff(c, lzw=True, rows_per_strip=6), (c.astype(np.float32) / 255.0).mean(axis=2)),
+        (encode_tiff(g, lzw=True, predictor=True), g.astype(np.float32) / 255.0),
+        (encode_tiff(c, endian=">", lzw=True, predictor=True), (c.astype(np.float32) / 255.0).mean(axis=2)),
+        (encode_tiff(c, predictor=True), (c.astype(np.float32) / 255.0).mean(axis=2)),
+    ]
+    for payload, want in cases:
+        assert np.allclose(decode_tiff(payload), want, atol=1e-7)
