@@ -1,11 +1,11 @@
 """Baseline TIFF 6.0 decode — pure numpy + stdlib, no PIL.
 
 Rounds out the dependency-free raster matrix (PNG/JPEG incl. progressive/
-GIF/PPM/PGM/BMP). Scope: both byte orders (II/MM), IFD tag walk, 8-bit
-grayscale (both photometric polarities) / RGB / RGBA, multiple strips,
+GIF/PPM/PGM/BMP). Scope: both byte orders (II/MM), IFD tag walk, 8-
+and 16-bit grayscale (both photometric polarities) / RGB / RGBA, multiple strips,
 Compression 1 (none), 5 (LZW with early-change, incl. the horizontal-
 differencing predictor), and 32773 (PackBits RLE), PlanarConfiguration 1
-(chunky). Tiled, deflate/JPEG-in-TIFF, and 16-bit variants raise a
+(chunky). Tiled, deflate/JPEG-in-TIFF variants raise a
 clear ``NotImplementedError`` naming the missing piece — scientific TIFF
 zoos are endless; this covers the scanner/export profile actually seen in
 web corpora.
@@ -130,8 +130,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     compression = tags.get(259, [1])[0]
     photometric = tags.get(262, [1])[0]
     planar = tags.get(284, [1])[0]
-    if any(b != 8 for b in bps):
-        raise NotImplementedError(f"TIFF BitsPerSample {bps} unsupported (8-bit only)")
+    if not (all(b == 8 for b in bps) or all(b == 16 for b in bps)):
+        raise NotImplementedError(f"TIFF BitsPerSample {bps} unsupported (8/16-bit only)")
+    wide = bps[0] == 16
     if planar != 1:
         raise NotImplementedError("TIFF PlanarConfiguration 2 (planar) unsupported")
     predictor = tags.get(317, [1])[0]
@@ -147,7 +148,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     offsets = tags[273]
     counts = tags[279]
     rows_per_strip = tags.get(278, [h])[0]
-    row_bytes = w * spp
+    row_bytes = w * spp * (2 if wide else 1)
     raster = bytearray()
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         strip = payload[off : off + cnt]
@@ -157,12 +158,20 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         elif compression == 5:
             strip = _lzw_decode_tiff(strip, rows * row_bytes)
         raster += strip[: rows * row_bytes]
-    arr = np.frombuffer(bytes(raster), dtype=np.uint8, count=h * row_bytes).reshape(
-        h, w, spp
-    )
-    if predictor == 2:  # horizontal differencing: undo with a row cumsum
-        arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
-    img = arr.astype(np.float32) / 255.0
+    if wide:
+        arr = np.frombuffer(
+            bytes(raster), dtype=np.dtype(endian + "u2"), count=h * w * spp
+        ).reshape(h, w, spp)
+        if predictor == 2:
+            arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint16)
+        img = arr.astype(np.float32) / 65535.0
+    else:
+        arr = np.frombuffer(bytes(raster), dtype=np.uint8, count=h * row_bytes).reshape(
+            h, w, spp
+        )
+        if predictor == 2:  # horizontal differencing: undo with a row cumsum
+            arr = np.cumsum(arr.astype(np.uint32), axis=1).astype(np.uint8)
+        img = arr.astype(np.float32) / 255.0
     if spp == 1:
         gray = img[:, :, 0]
         if photometric == 0:  # WhiteIsZero
@@ -218,13 +227,21 @@ def encode_tiff(
     h, w = img.shape[:2]
     spp = 1 if gray else 3
     rps = rows_per_strip or h
+    wide = img.dtype == np.uint16
     if predictor:
-        arr3 = img.reshape(h, w, spp).astype(np.int32)
+        arr3 = img.reshape(h, w, spp).astype(np.int64)
         diff = arr3.copy()
         diff[:, 1:, :] = arr3[:, 1:, :] - arr3[:, :-1, :]
-        data = (diff % 256).astype(np.uint8).reshape(h, w * spp)
+        mod = 65536 if wide else 256
+        qd = (diff % mod).astype(np.uint16 if wide else np.uint8)
+        data = qd.reshape(h, w, spp)
     else:
-        data = img.reshape(h, w * spp).astype(np.uint8)
+        data = img.reshape(h, w, spp)
+    if wide:
+        rows_bytes = data.astype(np.dtype(endian + "u2")).tobytes()
+        data = np.frombuffer(rows_bytes, dtype=np.uint8).reshape(h, w * spp * 2)
+    else:
+        data = data.astype(np.uint8).reshape(h, w * spp)
 
     strips = []
     for y0 in range(0, h, rps):
@@ -264,8 +281,9 @@ def encode_tiff(
     ifd_size = 2 + 12 * n_tags + 4
     bps_off = 8 + ifd_size
     extra = b""
+    bits = 16 if wide else 8
     if spp == 3:
-        extra = struct.pack(endian + "HHH", 8, 8, 8)
+        extra = struct.pack(endian + "HHH", bits, bits, bits)
     arrays_off = bps_off + len(extra)
     n_strips = len(strips)
     off_table_off = arrays_off
@@ -288,7 +306,7 @@ def encode_tiff(
     if spp == 3:
         tags_b += tag(258, 3, 3, bps_off)
     else:
-        tags_b += tag(258, 3, 1, 8)
+        tags_b += tag(258, 3, 1, bits)
     tags_b += tag(259, 3, 1, 32773 if packbits else (5 if lzw else 1))
     tags_b += tag(262, 3, 1, 2 if spp == 3 else 1)
     if n_strips == 1:

@@ -1166,3 +1166,19 @@ def test_tiff_lzw_and_predictor_variants():
     ]
     for payload, want in cases:
         assert np.allclose(decode_tiff(payload), want, atol=1e-7)
+
+
+def test_tiff_16bit_variants():
+    from preprocessor_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(2)
+    g16 = rng.randint(0, 65536, (9, 7)).astype(np.uint16)
+    c16 = rng.randint(0, 65536, (9, 7, 3)).astype(np.uint16)
+    cases = [
+        (encode_tiff(g16), g16.astype(np.float32) / 65535.0),
+        (encode_tiff(g16, endian=">"), g16.astype(np.float32) / 65535.0),
+        (encode_tiff(c16, lzw=True), (c16.astype(np.float32) / 65535.0).mean(axis=2)),
+        (encode_tiff(g16, predictor=True, lzw=True), g16.astype(np.float32) / 65535.0),
+    ]
+    for payload, want in cases:
+        assert np.allclose(decode_tiff(payload), want, atol=1e-7)
