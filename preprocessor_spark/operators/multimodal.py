@@ -13,7 +13,9 @@ Decode status:
   decode, nearest-neighbor resize, PGM re-encode. Tested pixel-exact against
   planted rasters exercising every PNG filter type, depth, and interlace
   mode.
-- **REAL, pure numpy audio**: RIFF/WAVE decode (integer PCM 8/16/24/32-bit
+- **REAL, pure numpy audio**: FLAC (full mandatory subset — Rice/LPC/
+  fixed predictors, stereo decorrelation — :mod:`.flac`) and RIFF/WAVE
+  decode (integer PCM 8/16/24/32-bit
   + IEEE float, any channel count, chunk-walking parser) with per-clip
   features (duration, RMS, peak, zero-crossing rate) over ``mapInPandas``.
 - **REAL, pure numpy JPEG**: baseline sequential AND progressive (SOF2)
@@ -458,8 +460,17 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV or FLAC → (samples float32 (n, ch) in [-1, 1], rate)."""
+    if payload[:4] == b"fLaC":
+        from preprocessor_spark.operators.flac import decode_flac
+
+        return decode_flac(payload)
+    return decode_wav(payload)
+
+
 def audio_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
-    """Decode WAV payloads + extract per-clip features via mapInPandas
+    """Decode WAV/FLAC payloads + extract per-clip features via mapInPandas
     (Arrow-batched, same plumbing contract as ``image_features``): duration,
     RMS energy, absolute peak, and mean zero-crossing rate over the
     channel-averaged signal."""
@@ -468,7 +479,7 @@ def audio_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
         for pdf in batches:
             rows = {k: [] for k in ("id", "sample_rate", "n_channels", "duration_ms", "rms", "peak", "zero_crossing_rate")}
             for rid, payload in zip(pdf[id_col], pdf[binary_col]):
-                samples, rate = decode_wav(bytes(payload))
+                samples, rate = decode_audio(bytes(payload))
                 mono = samples.mean(axis=1)
                 rows["id"].append(rid)
                 rows["sample_rate"].append(rate)

@@ -1182,3 +1182,93 @@ def test_tiff_16bit_variants():
     ]
     for payload, want in cases:
         assert np.allclose(decode_tiff(payload), want, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# FLAC decode
+# ---------------------------------------------------------------------------
+
+def _flac_fixed_frame_bits(samples, bps=16, order=1, rice_param=6):
+    """Hand-encode ONE FLAC frame with a FIXED-order subframe and Rice
+    residuals (partition order 0) — exercises the predictor + Rice paths
+    the verbatim planted encoder doesn't touch."""
+    out = bytearray()
+    acc = [0, 0]  # acc, nbits
+
+    def put(v, bits):
+        v &= (1 << bits) - 1
+        for k in range(bits - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((v >> k) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                out.append(acc[0]); acc[0] = 0; acc[1] = 0
+
+    n = len(samples)
+    put(0x3FFE, 14); put(0, 1); put(0, 1)
+    put(7, 4)   # 16-bit blocksize follows
+    put(0, 4)   # rate from streaminfo
+    put(0, 4)   # 1 channel
+    put(4, 3)   # 16 bps
+    put(0, 1); put(0, 8)      # frame number 0
+    put(n - 1, 16); put(0, 8)  # blocksize-1, header crc
+
+    put(0, 1); put(8 + order, 6); put(0, 1)  # FIXED subframe, no wasted bits
+    for w in samples[:order]:
+        put(int(w), bps)
+    # residuals: method 0 (rice), partition order 0
+    put(0, 2); put(0, 4); put(rice_param, 4)
+    coefs = {1: [1], 2: [2, -1]}[order]
+    hist = list(samples[:order])
+    for v in samples[order:]:
+        pred = sum(c * hist[-i - 1] for i, c in enumerate(coefs))
+        r = int(v) - pred
+        hist.append(int(v))
+        zz = (r << 1) ^ (r >> 63) if r >= 0 else ((-r) << 1) - 1
+        zz = (abs(r) << 1) - (1 if r < 0 else 0)
+        q, rem = zz >> rice_param, zz & ((1 << rice_param) - 1)
+        for _ in range(q):
+            put(0, 1)
+        put(1, 1)
+        put(rem, rice_param)
+    while acc[1]:
+        put(0, 1)
+    put(0, 16)  # frame crc
+    return bytes(out)
+
+
+def test_flac_verbatim_roundtrip_and_dispatch(spark):
+    from preprocessor_spark.operators.flac import decode_flac, encode_flac_verbatim
+    from preprocessor_spark.operators.multimodal import audio_features
+
+    rng = np.random.RandomState(0)
+    mono = rng.randint(-32768, 32768, 5000).astype(np.int64)
+    pcm, rate = decode_flac(encode_flac_verbatim(mono, rate=22050))
+    assert rate == 22050 and np.array_equal(pcm[:, 0], (mono / 32768.0).astype(np.float32))
+    st = rng.randint(-32768, 32768, (9000, 2)).astype(np.int64)
+    pcm2, _ = decode_flac(encode_flac_verbatim(st, rate=44100))
+    assert np.array_equal(pcm2, (st / 32768.0).astype(np.float32))
+
+    rows = [(0, bytes(encode_flac_verbatim(mono, rate=8000)))]
+    df = spark.createDataFrame(rows, "clip_id long, payload binary")
+    f = audio_features(df, "clip_id", "payload").collect()[0]
+    assert f["sample_rate"] == 8000 and f["n_channels"] == 1
+    assert abs(f["duration_ms"] - 5000 / 8.0) < 1e-6
+
+
+def test_flac_fixed_predictor_rice_residuals():
+    from preprocessor_spark.operators.flac import decode_flac, encode_flac_verbatim
+
+    rng = np.random.RandomState(1)
+    # smooth ramp + noise: small order-1 residuals, rice-friendly
+    base = np.cumsum(rng.randint(-40, 41, 600)).astype(np.int64)
+    base = np.clip(base, -30000, 30000)
+    # container = magic + STREAMINFO from the verbatim encoder (its frame
+    # dropped), followed by our hand-built FIXED frame
+    info_end = 4 + 4 + 34  # fLaC + block header + STREAMINFO(34)
+    full = encode_flac_verbatim(base, rate=16000)
+    container = bytearray(full[:info_end])
+    for order in (1, 2):
+        payload = bytes(container) + _flac_fixed_frame_bits(base, order=order)
+        pcm, rate = decode_flac(payload)
+        assert rate == 16000
+        assert np.array_equal(pcm[: len(base), 0], (base / 32768.0).astype(np.float32)), order
