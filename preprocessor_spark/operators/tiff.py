@@ -3,8 +3,9 @@
 Rounds out the dependency-free raster matrix (PNG/JPEG incl. progressive/
 GIF/PPM/PGM/BMP). Scope: both byte orders (II/MM), IFD tag walk, 8-
 and 16-bit grayscale (both photometric polarities) / RGB / RGBA, multiple strips,
-Compression 1 (none), 5 (LZW with early-change, incl. the horizontal-
-differencing predictor), and 32773 (PackBits RLE), PlanarConfiguration 1
+Compression 1 (none), 5 (LZW with early-change), 8/32946 (deflate via
+stdlib zlib), and 32773 (PackBits RLE) — all composable with the
+horizontal-differencing predictor — PlanarConfiguration 1
 (chunky). Tiled, deflate/JPEG-in-TIFF variants raise a
 clear ``NotImplementedError`` naming the missing piece — scientific TIFF
 zoos are endless; this covers the scanner/export profile actually seen in
@@ -14,6 +15,7 @@ web corpora.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -136,9 +138,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if planar != 1:
         raise NotImplementedError("TIFF PlanarConfiguration 2 (planar) unsupported")
     predictor = tags.get(317, [1])[0]
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {compression} unsupported (none/LZW/PackBits only)"
+            f"TIFF compression {compression} unsupported (none/LZW/deflate/PackBits only)"
         )
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
@@ -157,6 +159,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             strip = _unpackbits(strip, rows * row_bytes)
         elif compression == 5:
             strip = _lzw_decode_tiff(strip, rows * row_bytes)
+        elif compression in (8, 32946):  # (Adobe) deflate: stdlib zlib
+            strip = zlib.decompress(strip)
         raster += strip[: rows * row_bytes]
     if wide:
         arr = np.frombuffer(
@@ -216,13 +220,14 @@ def encode_tiff(
     packbits: bool = False,
     rows_per_strip: int | None = None,
     lzw: bool = False,
+    deflate: bool = False,
     predictor: bool = False,
 ) -> bytes:
     """Planted-test TIFF writer: (h, w) gray or (h, w, 3) RGB uint8 →
     baseline TIFF (chunky, 8-bit, optional PackBits or literal-code LZW
     with optional horizontal-differencing predictor, multi-strip)."""
-    if packbits and lzw:
-        raise ValueError("choose one of packbits/lzw")
+    if sum([packbits, lzw, deflate]) > 1:
+        raise ValueError("choose one of packbits/lzw/deflate")
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else 3
@@ -246,7 +251,9 @@ def encode_tiff(
     strips = []
     for y0 in range(0, h, rps):
         raw = data[y0 : y0 + rps].tobytes()
-        if lzw:
+        if deflate:
+            strips.append(zlib.compress(raw))
+        elif lzw:
             strips.append(_lzw_encode_literal(raw))
         elif packbits:
             out = bytearray()
@@ -307,7 +314,7 @@ def encode_tiff(
         tags_b += tag(258, 3, 3, bps_off)
     else:
         tags_b += tag(258, 3, 1, bits)
-    tags_b += tag(259, 3, 1, 32773 if packbits else (5 if lzw else 1))
+    tags_b += tag(259, 3, 1, 32773 if packbits else (5 if lzw else (8 if deflate else 1)))
     tags_b += tag(262, 3, 1, 2 if spp == 3 else 1)
     if n_strips == 1:
         tags_b += tag(273, 4, 1, offs[0])

@@ -1114,10 +1114,10 @@ def test_tiff_unsupported_raises_clearly():
     from preprocessor_spark.operators.tiff import decode_tiff, encode_tiff
 
     payload = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
-    # flip the Compression tag value (259) to 8 (deflate — unsupported)
+    # flip the Compression tag value (259) to 7 (JPEG-in-TIFF — unsupported)
     i = payload.index(st.pack("<HH", 259, 3))
-    payload[i + 8 : i + 10] = st.pack("<H", 8)
-    with pytest.raises(NotImplementedError, match="compression 8"):
+    payload[i + 8 : i + 10] = st.pack("<H", 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
         decode_tiff(bytes(payload))
 
 
@@ -1272,3 +1272,19 @@ def test_flac_fixed_predictor_rice_residuals():
         pcm, rate = decode_flac(payload)
         assert rate == 16000
         assert np.array_equal(pcm[: len(base), 0], (base / 32768.0).astype(np.float32)), order
+
+
+def test_tiff_deflate_variants():
+    from preprocessor_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(3)
+    c16 = rng.randint(0, 65536, (12, 10, 3)).astype(np.uint16)
+    g8 = rng.randint(0, 256, (12, 10)).astype(np.uint8)
+    assert np.allclose(
+        decode_tiff(encode_tiff(g8, deflate=True)), g8.astype(np.float32) / 255.0, atol=1e-7
+    )
+    assert np.allclose(
+        decode_tiff(encode_tiff(c16, endian=">", deflate=True, predictor=True, rows_per_strip=4)),
+        (c16.astype(np.float32) / 65535.0).mean(axis=2),
+        atol=1e-7,
+    )
