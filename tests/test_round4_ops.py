@@ -1288,3 +1288,43 @@ def test_tiff_deflate_variants():
         (c16.astype(np.float32) / 65535.0).mean(axis=2),
         atol=1e-7,
     )
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Checkpointed availableNow drains must resume, not reprocess: run 1
+    sees files A, run 2 (same checkpoint) sees A+B but must only process B
+    — per-key totals end exactly once per event."""
+    import json
+    import os
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+
+    def drain(table):
+        stream = spark.readStream.schema("k long, v long").json(str(src))
+        agg = stream.groupBy("k").sum("v").withColumnRenamed("sum(v)", "total")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write("a.json", [{"k": 1, "v": 10}, {"k": 2, "v": 20}])
+    drain("ck_run1")
+    got1 = {r["k"]: r["total"] for r in spark.table("ck_run1").collect()}
+    assert got1 == {1: 10, 2: 20}
+
+    write("b.json", [{"k": 1, "v": 5}, {"k": 3, "v": 7}])
+    drain("ck_run2")
+    got2 = {r["k"]: r["total"] for r in spark.table("ck_run2").collect()}
+    # resumed state: file A NOT reprocessed, new file folded in exactly once
+    assert got2 == {1: 15, 2: 20, 3: 7}
