@@ -1328,3 +1328,43 @@ def test_streaming_checkpoint_restart_exactly_once(spark, tmp_path):
     got2 = {r["k"]: r["total"] for r in spark.table("ck_run2").collect()}
     # resumed state: file A NOT reprocessed, new file folded in exactly once
     assert got2 == {1: 15, 2: 20, 3: 7}
+
+
+def test_image_meta_sniffs_all_formats(spark):
+    """Header-only dimension sniffing across decodable formats PLUS
+    WebP (VP8L/VP8X) and AVIF, whose decode needs codec libs but whose
+    dims are plain header fields."""
+    import struct as st
+
+    from preprocessor_spark.operators.gif import encode_gif
+    from preprocessor_spark.operators.jpeg import encode_jpeg_progressive
+    from preprocessor_spark.operators.multimodal import image_meta
+    from preprocessor_spark.operators.tiff import encode_tiff
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (19, 13, 3)).astype(np.uint8)
+    bits = 99 | (49 << 14)
+    vp8l = (
+        b"RIFF" + st.pack("<I", 12) + b"WEBPVP8L" + st.pack("<I", 5)
+        + bytes([0x2F]) + st.pack("<I", bits)
+    )
+    ispe = st.pack(">I", 20) + b"ispe" + bytes(4) + st.pack(">II", 800, 600)
+    avif = st.pack(">I", 24) + b"ftypavif" + b"\x00" * 8 + ispe
+    rows = [
+        (0, bytes(encode_jpeg_progressive(img))),
+        (1, bytes(encode_tiff(img, endian=">", lzw=True))),
+        (2, bytes(encode_gif(rng.randint(0, 4, (19, 13)).astype(np.uint8),
+                             rng.randint(0, 256, (4, 3)).astype(np.uint8)))),
+        (3, vp8l),
+        (4, avif),
+        (5, b"garbage-not-an-image-format-at-all"),
+    ]
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+    got = {r["id"]: (r["format"], r["width"], r["height"]) for r in
+           image_meta(df, "img_id", "payload").collect()}
+    assert got[0] == ("jpeg", 13, 19)
+    assert got[1] == ("tiff", 13, 19)
+    assert got[2] == ("gif", 13, 19)
+    assert got[3] == ("webp", 100, 50)
+    assert got[4] == ("avif", 800, 600)
+    assert got[5] == (None, None, None)
