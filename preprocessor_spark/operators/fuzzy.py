@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from preprocessor_spark.caching import register_persisted
 from preprocessor_spark.operators.dedup import ngram_jaccard_pairs
 
 
@@ -31,11 +32,26 @@ def fuzzy_join(
     right_id: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """(left_id, right_id, jaccard) for every cross-table pair whose word
     ``shingle_n``-gram Jaccard ≥ threshold. Exact (no false negatives —
     prefix filtering is lossless). Ids must be non-negative integers below
-    2⁶² (the parity remap doubles them)."""
+    2⁶² (the parity remap doubles them).
+
+    ``collapse_exact`` (default): SIDE-AWARE exact-duplicate collapse —
+    rows group on (side, content hash), so every group is side-pure; the
+    PPJoin runs on one representative per group with candidate-stage parity
+    pruning (sound because a representative's parity IS its group's side),
+    and cross-parity representative pairs expand back to member pairs
+    through keyed joins on the group hash. Cross-side verbatim matches need
+    no special case: the two side-pure groups hold distinct representatives
+    whose texts are identical, so the PPJoin itself emits their pair at
+    Jaccard 1.0. This makes the operator duplication-invariant — candidate
+    count depends on DISTINCT texts per side, not the replication factor
+    (previously 12.6× cost for 10× 10-way-duplicated data; the collapsed
+    plan adds only a hash groupBy + two expansion joins). Output is
+    bit-identical to ``collapse_exact=False`` (equivalence-tested)."""
     lu = left.select(
         (F.col(left_id).cast("long") * 2).alias("__fid"),
         F.col(text_col).alias("__ft"),
@@ -44,29 +60,69 @@ def fuzzy_join(
         (F.col(right_id).cast("long") * 2 + 1).alias("__fid"),
         F.col(text_col).alias("__ft"),
     )
-    pairs = ngram_jaccard_pairs(
-        lu.unionByName(ru),
-        "__ft",
-        "__fid",
-        shingle_n=shingle_n,
-        threshold=threshold,
-        # candidate-stage parity pruning: same-side pairs never reach the
-        # dedup/verification joins (measured 11 s → 9 s on the registry
-        # query — the prefix-index candidate join itself, inherent to a
-        # θ=0.5 similarity join, keeps the rest).
-        # This requires collapse_exact=False (a content-hash group could
-        # mix sides); if either input is heavily exact-duplicated,
-        # pre-dedupe it first — cross-side exact matches still surface
-        # here as Jaccard-1.0 pairs.
-        collapse_exact=False,
-        candidate_predicate=lambda ia, ib: (ia % 2) != (ib % 2),
-    )
-    cross = pairs.filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
+    u = lu.unionByName(ru)
+    parity_pred = lambda ia, ib: (ia % 2) != (ib % 2)  # noqa: E731
+
+    if collapse_exact:
+        # group key = side ⊕ content hash → side-pure groups; min id is the
+        # representative and carries the group's parity
+        m = register_persisted(
+            u.filter(F.col("__ft").isNotNull())
+            .select(
+                "__fid",
+                F.concat(
+                    (F.col("__fid") % 2).cast("string"), F.lit("|"), F.md5("__ft")
+                ).alias("__g"),
+            )
+            .persist()
+        )
+        reps = m.groupBy("__g").agg(F.min("__fid").alias("__rid"))
+        rep_rows = u.join(
+            reps.select(F.col("__rid").alias("__fid")), "__fid", "left_semi"
+        )
+        rep_pairs = ngram_jaccard_pairs(
+            rep_rows,
+            "__ft",
+            "__fid",
+            shingle_n=shingle_n,
+            threshold=threshold,
+            collapse_exact=False,  # reps are distinct per (side, content)
+            candidate_predicate=parity_pred,
+        )
+        ga = reps.select(F.col("__rid").alias("id_a"), F.col("__g").alias("__ga"))
+        gb = reps.select(F.col("__rid").alias("id_b"), F.col("__g").alias("__gb"))
+        ma = m.select(F.col("__fid").alias("__a"), F.col("__g").alias("__ga"))
+        mb = m.select(F.col("__fid").alias("__b"), F.col("__g").alias("__gb"))
+        cross = (
+            rep_pairs.join(ga, "id_a")
+            .join(gb, "id_b")
+            .select("__ga", "__gb", "jaccard")
+            .join(ma, "__ga")
+            .join(mb, "__gb")
+            .select(F.col("__a").alias("id_a"), F.col("__b").alias("id_b"), "jaccard")
+        )
+    else:
+        pairs = ngram_jaccard_pairs(
+            u,
+            "__ft",
+            "__fid",
+            shingle_n=shingle_n,
+            threshold=threshold,
+            # candidate-stage parity pruning: same-side pairs never reach
+            # the verification joins
+            collapse_exact=False,
+            candidate_predicate=parity_pred,
+        )
+        cross = pairs.filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
+
     left_key = F.when(F.col("id_a") % 2 == 0, F.col("id_a")).otherwise(F.col("id_b"))
     right_key = F.when(F.col("id_a") % 2 == 1, F.col("id_a")).otherwise(F.col("id_b"))
+    # shiftright, not /2: long division yields DOUBLE, which corrupts ids
+    # ≥ 2^53; the arithmetic shift is exact for the full doubled-id range
+    # (right_key is odd, so >>1 equals (right_key − 1) / 2)
     return cross.select(
-        (left_key / 2).cast("long").alias(left_id),
-        ((right_key - 1) / 2).cast("long").alias(right_id),
+        F.shiftright(left_key, 1).alias(left_id),
+        F.shiftright(right_key, 1).alias(right_id),
         "jaccard",
     )
 
@@ -87,6 +143,14 @@ def _segments(s: str, k: int) -> list[tuple[int, int, str]]:
     return out
 
 
+def _common_prefix(a: str, b: str) -> int:
+    n = min(len(a), len(b))
+    i = 0
+    while i < n and a[i] == b[i]:
+        i += 1
+    return i
+
+
 def edit_distance_join(
     left: DataFrame,
     right: DataFrame,
@@ -94,6 +158,8 @@ def edit_distance_join(
     left_id: str,
     right_id: str,
     max_dist: int = 1,
+    strip_common_prefix: bool = True,
+    max_candidates: int | None = 50_000_000,
 ) -> DataFrame:
     """(left_id, right_id, dist) for every cross-table pair with
     Levenshtein distance ≤ ``max_dist``. EXACT — PassJoin segment
@@ -107,13 +173,27 @@ def edit_distance_join(
     join; pairs expand back through keyed joins) — catalogs/logs repeat
     values massively and candidate count is quadratic in that duplication.
 
-    Caveat for ID-like corpora: strings sharing one long constant prefix
-    (e.g. "Customer#000…") put a shared segment in every row and the
-    candidate join degenerates toward all-pairs between same-length
-    strings. Strip constant prefixes before joining. Strings shorter than
-    k+1 chars use an explicit length-bucket fallback key (their pigeonhole
-    slot can be an empty segment), which is dense by nature — as is the
-    true result set at that length."""
+    Two guards cover the degenerate regime (ID-like corpora whose strings
+    share one long constant prefix, e.g. "Customer#000…", which would put a
+    shared segment in every row and push the candidate join toward
+    all-pairs-per-length):
+
+    - ``strip_common_prefix`` (default): the corpus-wide longest common
+      prefix — LCP(lexicographic min, lexicographic max), one tiny agg;
+      every string in the lexicographic range shares it — is stripped
+      before segmenting AND verifying. Sound because Levenshtein distance
+      is invariant under removal of a prefix shared by BOTH strings, and
+      the corpus LCP is shared by every pair. This turns the docstring's
+      own worst case into a well-spread join.
+    - ``max_candidates``: a pre-join candidate-count probe — per-key counts
+      on both sides of the (l, i, seg) equi-join, summed products — that
+      fails fast with a diagnostic instead of launching a quadratic join
+      (a residual shared-prefix *cluster* can still degenerate after the
+      global strip). ``None`` disables the probe (skips its extra pass).
+
+    Strings shorter than k+1 chars use an explicit length-bucket fallback
+    key (their pigeonhole slot can be an empty segment), which is dense by
+    nature — as is the true result set at that length."""
     from pyspark.sql.functions import pandas_udf
 
     k = max_dist
@@ -162,20 +242,65 @@ def edit_distance_join(
     ld = lm.select("__lt").distinct()
     rd = rm.select("__rt").distinct()
 
+    # ld/rd keyed by the ORIGINAL string (the expansion-join key); __ls/__rs
+    # are the prefix-stripped twins the PassJoin machinery runs on
+    lcp = 0
+    if strip_common_prefix:
+        bounds = (
+            ld.select(F.col("__lt").alias("__t"))
+            .unionByName(rd.select(F.col("__rt").alias("__t")))
+            .agg(F.min("__t").alias("lo"), F.max("__t").alias("hi"))
+            .first()
+        )
+        if bounds["lo"] is not None:
+            lcp = _common_prefix(bounds["lo"], bounds["hi"])
+    def _stripped(col_name: str):
+        return F.substring(F.col(col_name), lcp + 1, 1 << 30) if lcp else F.col(col_name)
+
     rseg = rd.select(
-        "__rt", F.length("__rt").alias("__rl"), F.explode(_seg_keys(F.col("__rt"))).alias("sk")
-    ).select("__rt", "__rl", F.col("sk.i").alias("i"), F.col("sk.seg").alias("seg"))
+        "__rt", _stripped("__rt").alias("__rs")
+    ).select(
+        "__rt", "__rs", F.length("__rs").alias("__rl"), F.explode(_seg_keys(F.col("__rs"))).alias("sk")
+    ).select("__rt", "__rs", "__rl", F.col("sk.i").alias("i"), F.col("sk.seg").alias("seg"))
     lsub = ld.select(
-        "__lt", F.explode(_sub_keys(F.col("__lt"))).alias("sk")
-    ).select("__lt", F.col("sk.l").alias("__rl"), F.col("sk.i").alias("i"), F.col("sk.seg").alias("seg"))
+        "__lt", _stripped("__lt").alias("__ls")
+    ).select(
+        "__lt", "__ls", F.explode(_sub_keys(F.col("__ls"))).alias("sk")
+    ).select("__lt", "__ls", F.col("sk.l").alias("__rl"), F.col("sk.i").alias("i"), F.col("sk.seg").alias("seg"))
+
+    if max_candidates is not None:
+        # probe the join's output size before paying for it: per-key row
+        # counts on each side, summed products — a few small aggs over the
+        # (persisted) key tables, never the candidate rows themselves
+        lsub = register_persisted(lsub.persist())
+        rseg = register_persisted(rseg.persist())
+        keys = ["__rl", "i", "seg"]
+        est_row = (
+            lsub.groupBy(*keys).agg(F.count(F.lit(1)).alias("__lc"))
+            .join(rseg.groupBy(*keys).agg(F.count(F.lit(1)).alias("__rc")), keys)
+            .agg(F.sum(F.col("__lc") * F.col("__rc")).alias("est"))
+            .first()
+        )
+        est = est_row["est"] or 0
+        if est > max_candidates:
+            raise RuntimeError(
+                f"edit_distance_join candidate estimate {est:,} exceeds "
+                f"max_candidates={max_candidates:,} — the corpus has a "
+                "degenerate shared-segment cluster (ID-like strings with a "
+                "long common prefix that global stripping cannot remove, or "
+                "a huge near-uniform-length block). Strip the per-cluster "
+                "constant prefix, raise max_candidates, or tighten max_dist."
+            )
 
     cand = (
         lsub.join(rseg, ["__rl", "i", "seg"])
-        .select("__lt", "__rt")
+        .select("__lt", "__ls", "__rt", "__rs")
         .dropDuplicates(["__lt", "__rt"])
     )
+    # verify on the stripped pair: ed(P+u, P+v) == ed(u, v) when P is
+    # shared, and the corpus LCP is shared by every surviving pair
     verified = (
-        cand.withColumn("dist", F.levenshtein("__lt", "__rt"))
+        cand.withColumn("dist", F.levenshtein("__ls", "__rs"))
         .filter(F.col("dist") <= k)
     )
     return (

@@ -90,7 +90,8 @@ def _deinterlace(idx: np.ndarray) -> np.ndarray:
 
 def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     """All composited frames as float32 grayscale [0,1] arrays (palette RGB
-    averaged), honoring disposal 0/1 (leave) and 2 (restore background)."""
+    averaged), honoring disposal 0/1 (leave), 2 (restore background), and
+    3 (restore to previous — region snapshot taken before drawing)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h, flags, bg_index, _ar = struct.unpack("<HHBBB", payload[6:13])
@@ -149,6 +150,9 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
         ).reshape(fh, fw)
         if lflags & 0x40:
             idx = _deinterlace(idx)
+        # disposal 3 (restore-to-previous): the region reverts to its
+        # pre-draw contents once this frame has been displayed
+        prev_region = canvas[fy : fy + fh, fx : fx + fw].copy() if disposal == 3 else None
         region = canvas[fy : fy + fh, fx : fx + fw]
         rgb = ct[np.clip(idx, 0, len(ct) - 1)].astype(np.float64)
         if transparent is not None:
@@ -161,6 +165,8 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
             canvas[fy : fy + fh, fx : fx + fw] = (
                 gct[bg_index] if gct is not None and bg_index < len(gct) else 0
             )
+        elif disposal == 3:
+            canvas[fy : fy + fh, fx : fx + fw] = prev_region
         transparent = None
         disposal = 0
     if not frames:

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from preprocessor_spark.caching import register_persisted
+
 
 def assign_row_ids(
     df: DataFrame,
@@ -47,7 +49,15 @@ def assign_row_ids(
         raise ValueError("order_by must name at least one column")
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n, *[F.col(c) for c in order_by])
-    part = ranged.withColumn("__pid", F.spark_partition_id())
+    # persisted because pass 1 (counts collect) and pass 2 (window) are two
+    # separate jobs over the same range exchange: without the pin, each job
+    # re-executes the exchange, and AQE / boundary re-sampling / input
+    # re-listing could hand pass 2 a DIFFERENT partitioning than the one the
+    # offsets were computed from — silently wrong ids. Lifetime is
+    # caller-managed via persist_scope (see preprocessor_spark.caching).
+    part = register_persisted(
+        ranged.withColumn("__pid", F.spark_partition_id()).persist()
+    )
 
     # pass 1: per-partition counts -> driver prefix sum (|partitions| rows)
     counts = (

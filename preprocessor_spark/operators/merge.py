@@ -118,10 +118,14 @@ def merge_upsert(
     # 2. insert: batch keys absent from the target. The semi join reads a
     # key-only projection of the target (column-pruned scan, no shuffle);
     # its result is ≤ |batch| rows, so the final anti join is tiny.
+    # null-safe like every other key comparison in this operator: a NULL
+    # source key matching a NULL target key must count as MATCHED here, or
+    # the row is applied as an update by join 1 AND re-inserted by join 3 —
+    # a duplicate the full-outer path would never produce
     tkeys = target.select(*keys)
     matched_keys = tkeys.join(
-        F.broadcast(s.select(*[F.col(f"__k_{k}").alias(k) for k in keys])),
-        keys,
+        F.broadcast(s.select(*[F.col(f"__k_{k}") for k in keys])),
+        [F.col(k).eqNullSafe(F.col(f"__k_{k}")) for k in keys],
         "left_semi",
     ).distinct()
     ins = (

@@ -131,9 +131,12 @@ def semantic_dedup_pairs(
     otherwise square the per-cluster GEMM cost — measured 16 s → ~2 s on a
     10-way-duplicated derived-sf1 embedding table, output identical."""
     if collapse_exact:
+        # to_json is null-preserving — concat_ws would silently DROP null
+        # array elements, hashing [1.0, NULL, 2.0] and [1.0, 2.0] to the
+        # same group and mislabeling them cosine-1.0 exact duplicates
         m = df.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("__mid"),
-            F.md5(F.concat_ws(",", F.col(vec_col).cast("array<string>"))).alias("__g"),
+            F.md5(F.to_json(F.struct(F.col(vec_col).alias("v")))).alias("__g"),
         )
         reps = m.groupBy("__g").agg(F.min("__mid").alias("__rid"))
         rep_rows = df.join(
