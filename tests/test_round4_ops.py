@@ -1114,10 +1114,11 @@ def test_tiff_unsupported_raises_clearly():
     from preprocessor_spark.operators.tiff import decode_tiff, encode_tiff
 
     payload = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
-    # flip the Compression tag value (259) to 7 (JPEG-in-TIFF — unsupported)
+    # flip the Compression tag value (259) to 4 (CCITT G4 — unsupported;
+    # JPEG-in-TIFF 6/7 is supported as of round 5, see test_round5_ops)
     i = payload.index(st.pack("<HH", 259, 3))
-    payload[i + 8 : i + 10] = st.pack("<H", 7)
-    with pytest.raises(NotImplementedError, match="compression 7"):
+    payload[i + 8 : i + 10] = st.pack("<H", 4)
+    with pytest.raises(NotImplementedError, match="compression 4"):
         decode_tiff(bytes(payload))
 
 

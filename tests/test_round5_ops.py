@@ -295,6 +295,72 @@ def test_semdedup_collapse_distinguishes_null_elements(spark):
     assert pairs.get((3, 4)) == 1.0  # true duplicates still collapse
 
 
+# ------------------------------------------------------- JPEG-in-TIFF
+
+
+def test_jpeg_in_tiff_roundtrip_variants():
+    """Compression-7 strips must decode bit-identically to the bare JPEG
+    streams they wrap, across: self-contained strips, abbreviated strips +
+    shared JPEGTables (tag 347), multi-strip, big-endian, RGB, and
+    old-style compression 6 via the 513/514 interchange pointer."""
+    from preprocessor_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from preprocessor_spark.operators.tiff import decode_tiff, encode_tiff_jpeg
+
+    rng = np.random.RandomState(23)
+    g = rng.randint(0, 256, (21, 17)).astype(np.uint8)
+    c = rng.randint(0, 256, (16, 11, 3)).astype(np.uint8)
+
+    # single strip, self-contained: TIFF == bare JPEG decode
+    want_g = decode_jpeg(encode_jpeg(g, qval=2))
+    got = decode_tiff(encode_tiff_jpeg(g, abbreviated=False))
+    assert np.array_equal(got, want_g)
+
+    # abbreviated + JPEGTables merge
+    got = decode_tiff(encode_tiff_jpeg(g, abbreviated=True))
+    assert np.array_equal(got, want_g)
+
+    # multi-strip abbreviated (strip height 8 → separate JPEG per strip)
+    got = decode_tiff(encode_tiff_jpeg(g, rows_per_strip=8, abbreviated=True))
+    want_strips = np.vstack(
+        [decode_jpeg(encode_jpeg(g[y0 : y0 + 8], qval=2)) for y0 in range(0, 21, 8)]
+    )
+    assert np.array_equal(got, want_strips)
+
+    # RGB (photometric YCbCr carried inside the JPEG stream), big-endian IFD
+    want_c = decode_jpeg(encode_jpeg(c, qval=2))
+    got = decode_tiff(encode_tiff_jpeg(c, abbreviated=True, endian=">"))
+    assert np.array_equal(got, want_c)
+
+    # old-style compression 6 interchange form
+    got = decode_tiff(encode_tiff_jpeg(g, old_style=True))
+    assert np.array_equal(got, want_g)
+
+
+def test_jpeg_in_tiff_through_decode_image():
+    """The generic dispatch must route JPEG-in-TIFF payloads too."""
+    from preprocessor_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from preprocessor_spark.operators.multimodal import decode_image
+    from preprocessor_spark.operators.tiff import encode_tiff_jpeg
+
+    rng = np.random.RandomState(29)
+    g = rng.randint(0, 256, (12, 9)).astype(np.uint8)
+    out = decode_image(encode_tiff_jpeg(g, abbreviated=True))
+    assert out.dtype == np.float32
+    assert np.array_equal(out, decode_jpeg(encode_jpeg(g, qval=2)))
+
+
+def test_tiff_old_style_jpeg_without_pointer_raises():
+    import struct as st
+
+    from preprocessor_spark.operators.tiff import decode_tiff, encode_tiff
+
+    payload = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
+    i = payload.index(st.pack("<HH", 259, 3))
+    payload[i + 8 : i + 10] = st.pack("<H", 6)
+    with pytest.raises(NotImplementedError, match="JPEGInterchangeFormat"):
+        decode_tiff(bytes(payload))
+
+
 # ------------------------------------------------------- GIF disposal 3
 
 
