@@ -58,10 +58,16 @@ def main() -> None:
 
     spark.range(1000).select(_warm(col("id"))).count()
 
+    # optional subset (comma-separated names) for quiet-session profiling —
+    # e.g. re-running only the round-3 common set to separate plan
+    # regressions from long-suite contention
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = [n for n in only.split(",") if n in queries] if only else HEADLINE
+
     # two runs per query, report the min: steady-state compute, not
     # first-touch codegen/page-cache noise
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         fn = queries[name]
         best = float("inf")
         for _ in range(2):

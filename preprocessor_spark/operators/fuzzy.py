@@ -76,6 +76,18 @@ def fuzzy_join(
             )
             .persist()
         )
+        # thin-duplication bypass mirroring ngram_jaccard_pairs: when ≥98%
+        # of (side, content) groups are singletons, skip the collapse —
+        # identical output, and the uncollapsed plan avoids the expansion
+        # joins the near-duplicate-free case never needs
+        st = m.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct("__g").alias("g")
+        ).first()
+        if st["g"] >= 0.98 * st["n"]:
+            m.unpersist()
+            collapse_exact = False
+
+    if collapse_exact:
         reps = m.groupBy("__g").agg(F.min("__fid").alias("__rid"))
         rep_rows = u.join(
             reps.select(F.col("__rid").alias("__fid")), "__fid", "left_semi"

@@ -23,9 +23,12 @@ Decode status:
   decode, full Annex G progressive scan family incl. successive
   approximation and AC refinement, 4:4:4/4:2:2/4:2:0 sampling, restart
   intervals, vectorized IDCT).
-- **REAL, pure numpy video**: MJPEG-in-AVI frame sampling (RIFF container
-  walk + the JPEG decoder per sampled frame) with per-frame features.
-- **Gated**: compressed audio (MP3/AAC) and non-MJPEG video codecs
+- **REAL, pure numpy video**: frame sampling with per-frame features over
+  MJPEG-in-AVI (RIFF walk + the JPEG decoder per sampled frame),
+  uncompressed BI_RGB AVI (``##db`` DIB frames via the stream's ``strf``
+  geometry), and photo-JPEG QuickTime/MOV (ISO-BMFF sample-table walk:
+  stsd/stsz/stsc/stco/stts).
+- **Gated**: compressed audio (MP3/AAC) and true inter-frame video codecs
   (H.264/VP9/...) need ffmpeg-class libs (absent in this container) —
   clear NotImplementedError in each case.
 - A deterministic content-hash fake (``decoder="fake"``) remains for
@@ -497,19 +500,37 @@ def audio_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
     return df.select(id_col, binary_col).mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)
 
 
-def decode_avi_mjpeg(payload: bytes) -> tuple[list[bytes], float]:
-    """RIFF/AVI container walk for Motion-JPEG streams, pure stdlib →
-    (jpeg_frame_payloads, fps).
+def _dib_to_gray(frame: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Uncompressed DIB (BI_RGB) → float32 grayscale [0,1]. Rows are
+    4-byte-aligned, bottom-up when h > 0 (the DIB convention), pixel order
+    BGR(A)."""
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"BI_RGB bit depth {bpp} unsupported (24/32 only)")
+    bottom_up = h > 0
+    h = abs(h)
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    rows = np.frombuffer(frame, dtype=np.uint8, count=stride * h).reshape(h, stride)
+    px = rows[:, : w * nb].reshape(h, w, nb)[:, :, :3]
+    if bottom_up:
+        px = px[::-1]
+    return (px.astype(np.float32).mean(axis=2) / 255.0).astype(np.float32)
+
+
+def decode_avi_frames(payload: bytes) -> tuple[list, float]:
+    """RIFF/AVI container walk, pure stdlib → (frames, fps) where each
+    frame is either JPEG bytes (``##dc`` Motion-JPEG chunks) or an already
+    decoded float32 grayscale array (``##db`` uncompressed BI_RGB DIB
+    chunks, geometry from the stream's ``strf`` BITMAPINFOHEADER).
 
     AVI is RIFF like WAV: the ``hdrl`` LIST's ``avih`` chunk carries the
-    microseconds-per-frame; the ``movi`` LIST carries one ``##dc`` chunk per
-    compressed frame — for MJPEG each is a complete baseline JPEG, which
-    :mod:`preprocessor_spark.operators.jpeg` decodes dependency-free.
+    microseconds-per-frame; the ``movi`` LIST carries one chunk per frame.
     Codecs that need ffmpeg (H.264/VP9/...) raise NotImplementedError."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     us_per_frame = None
-    frames: list[bytes] = []
+    frames: list = []
+    strf: list[tuple[int, int, int, int]] = []  # (w, h, bpp, compression) per strl
 
     def walk(start: int, end: int) -> None:
         nonlocal us_per_frame
@@ -522,6 +543,18 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list[bytes], float]:
                 walk(body_start + 4, body_start + ln)  # skip the list type tag
             elif cid == b"avih":
                 us_per_frame = int.from_bytes(payload[body_start : body_start + 4], "little")
+            elif cid == b"strf" and ln >= 20:
+                # BITMAPINFOHEADER: biWidth@4, biHeight@8, biBitCount@14,
+                # biCompression@16 (0 = BI_RGB)
+                b = payload[body_start : body_start + ln]
+                strf.append(
+                    (
+                        int.from_bytes(b[4:8], "little", signed=True),
+                        int.from_bytes(b[8:12], "little", signed=True),
+                        int.from_bytes(b[14:16], "little"),
+                        int.from_bytes(b[16:20], "little"),
+                    )
+                )
             elif cid[2:4] == b"dc":  # compressed video frame
                 frame = payload[body_start : body_start + ln]
                 if frame[:2] != b"\xff\xd8":
@@ -529,6 +562,21 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list[bytes], float]:
                         "non-MJPEG AVI video stream requires ffmpeg, not present here"
                     )
                 frames.append(frame)
+            elif cid[2:4] == b"db":  # uncompressed DIB frame
+                try:
+                    sn = int(cid[:2])
+                except ValueError:
+                    sn = 0
+                if sn >= len(strf):
+                    raise ValueError("AVI ##db frame without a strf header")
+                w, h, bpp, comp = strf[sn]
+                if comp != 0:
+                    raise NotImplementedError(
+                        f"AVI ##db with biCompression {comp} unsupported (BI_RGB only)"
+                    )
+                frames.append(
+                    _dib_to_gray(payload[body_start : body_start + ln], w, h, bpp)
+                )
             i = body_start + ln + (ln & 1)  # chunks are word-aligned
 
     walk(12, len(payload))
@@ -537,24 +585,171 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[list[bytes], float]:
     return frames, 1_000_000.0 / us_per_frame
 
 
+def decode_avi_mjpeg(payload: bytes) -> tuple[list[bytes], float]:
+    """Backward-compatible MJPEG view of :func:`decode_avi_frames` (every
+    frame as JPEG bytes; raises if the stream holds uncompressed frames)."""
+    frames, fps = decode_avi_frames(payload)
+    if any(not isinstance(f, bytes) for f in frames):
+        raise ValueError("AVI holds uncompressed frames — use decode_avi_frames")
+    return frames, fps
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """ISO-BMFF box iterator → (type, body_start, box_end)."""
+    i = start
+    while i + 8 <= end:
+        ln = int.from_bytes(buf[i : i + 4], "big")
+        typ = buf[i + 4 : i + 8]
+        if ln == 1:
+            body, nxt = i + 16, i + int.from_bytes(buf[i + 8 : i + 16], "big")
+        elif ln == 0:
+            body, nxt = i + 8, end
+        else:
+            body, nxt = i + 8, i + ln
+        if nxt <= i:
+            raise ValueError("malformed ISO-BMFF box")
+        yield typ, body, min(nxt, end)
+        i = nxt
+
+
+def _find_box(buf: bytes, start: int, end: int, typ: bytes):
+    for t, b, e in _iter_boxes(buf, start, end):
+        if t == typ:
+            return b, e
+    return None
+
+
+def decode_mov_mjpeg(payload: bytes) -> tuple[list[bytes], float]:
+    """QuickTime/MOV (ISO-BMFF) walk for Motion-JPEG ('jpeg' / 'mjpa'
+    photo-JPEG) video tracks, pure stdlib → (jpeg_frame_payloads, fps).
+
+    Reads the first video trak's sample tables: ``stsd`` (codec fourcc),
+    ``stsz`` (sample sizes), ``stsc`` (sample-to-chunk runs), ``stco`` /
+    ``co64`` (absolute chunk offsets), ``stts`` + ``mdhd`` timescale (frame
+    rate). Every sample is a complete JPEG stream for these codecs; true
+    inter-frame codecs raise the named NotImplementedError."""
+    if payload[4:8] not in (b"ftyp", b"moov", b"mdat", b"wide", b"free", b"skip"):
+        raise ValueError("not an ISO-BMFF/MOV payload")
+    moov = _find_box(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MOV without moov box")
+
+    for typ, tb, te in _iter_boxes(payload, *moov):
+        if typ != b"trak":
+            continue
+        mdia = _find_box(payload, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _find_box(payload, *mdia, b"mdhd")
+        timescale = int.from_bytes(payload[mdhd[0] + 12 : mdhd[0] + 16], "big")
+        minf = _find_box(payload, *mdia, b"minf")
+        stbl = _find_box(payload, *minf, b"stbl")
+
+        tables: dict[bytes, tuple[int, int]] = {}
+        for t, b, e in _iter_boxes(payload, *stbl):
+            tables[t] = (b, e)
+
+        sb, _ = tables[b"stsd"]
+        fourcc = payload[sb + 12 : sb + 16]
+        if fourcc not in (b"jpeg", b"mjpa", b"MJPG"):
+            raise NotImplementedError(
+                f"MOV video codec {fourcc!r} requires ffmpeg, not present here"
+            )
+
+        tb_, _ = tables[b"stts"]
+        delta = int.from_bytes(payload[tb_ + 12 : tb_ + 16], "big")
+        fps = timescale / delta if delta else 0.0
+
+        zb, _ = tables[b"stsz"]
+        fixed = int.from_bytes(payload[zb + 4 : zb + 8], "big")
+        n_samples = int.from_bytes(payload[zb + 8 : zb + 12], "big")
+        sizes = (
+            [fixed] * n_samples
+            if fixed
+            else [
+                int.from_bytes(payload[zb + 12 + 4 * i : zb + 16 + 4 * i], "big")
+                for i in range(n_samples)
+            ]
+        )
+
+        if b"stco" in tables:
+            cb, _ = tables[b"stco"]
+            n_chunks = int.from_bytes(payload[cb + 4 : cb + 8], "big")
+            offsets = [
+                int.from_bytes(payload[cb + 8 + 4 * i : cb + 12 + 4 * i], "big")
+                for i in range(n_chunks)
+            ]
+        else:
+            cb, _ = tables[b"co64"]
+            n_chunks = int.from_bytes(payload[cb + 4 : cb + 8], "big")
+            offsets = [
+                int.from_bytes(payload[cb + 8 + 8 * i : cb + 16 + 8 * i], "big")
+                for i in range(n_chunks)
+            ]
+
+        scb, _ = tables[b"stsc"]
+        n_runs = int.from_bytes(payload[scb + 4 : scb + 8], "big")
+        runs = [
+            (
+                int.from_bytes(payload[scb + 8 + 12 * i : scb + 12 + 12 * i], "big"),
+                int.from_bytes(payload[scb + 12 + 12 * i : scb + 16 + 12 * i], "big"),
+            )
+            for i in range(n_runs)
+        ]
+
+        frames: list[bytes] = []
+        si = 0
+        for ri, (first_chunk, per_chunk) in enumerate(runs):
+            last_chunk = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+            for ci in range(first_chunk - 1, last_chunk):
+                pos = offsets[ci]
+                for _ in range(per_chunk):
+                    if si >= n_samples:
+                        break
+                    frames.append(payload[pos : pos + sizes[si]])
+                    pos += sizes[si]
+                    si += 1
+        if not frames:
+            raise ValueError("MOV video trak without samples")
+        for f in frames:
+            if f[:2] != b"\xff\xd8":
+                raise ValueError("MOV jpeg sample without SOI — corrupt sample tables")
+        return frames, fps
+    raise ValueError("MOV without a video trak")
+
+
+def decode_video_frames(payload: bytes) -> tuple[list, float]:
+    """Container dispatch: RIFF/AVI (MJPEG ``##dc`` or BI_RGB ``##db``) and
+    QuickTime/MOV (photo-JPEG) → (frames, fps); each frame is JPEG bytes or
+    a decoded float32 grayscale array."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return decode_avi_frames(payload)
+    return decode_mov_mjpeg(payload)
+
+
 VIDEO_FRAMES_SCHEMA = (
     "id bigint, frame_index int, t_ms double, mean_intensity double, width int, height int"
 )
 
 
 def sample_video_frames(df: DataFrame, id_col: str, binary_col: str, every_ms: int) -> DataFrame:
-    """REAL frame sampling for MJPEG-AVI payloads: walk the RIFF container,
-    pick one frame per ``every_ms`` window of video time, decode each picked
-    frame with the pure-numpy JPEG decoder, and emit per-frame features —
-    all inside Arrow-batched mapInPandas. Non-MJPEG codecs raise the
-    declared NotImplementedError (ffmpeg is not in this container)."""
+    """REAL frame sampling for MJPEG-AVI, BI_RGB-AVI, and photo-JPEG MOV
+    payloads: walk the container, pick one frame per ``every_ms`` window of
+    video time, decode each picked frame with the pure-numpy JPEG decoder
+    (JPEG samples decode lazily — skipped frames cost nothing), and emit
+    per-frame features — all inside Arrow-batched mapInPandas. True
+    inter-frame codecs raise the declared NotImplementedError (ffmpeg is
+    not in this container)."""
     from preprocessor_spark.operators.jpeg import decode_jpeg
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in ("id", "frame_index", "t_ms", "mean_intensity", "width", "height")}
             for rid, payload in zip(pdf[id_col], pdf[binary_col]):
-                frames, fps = decode_avi_mjpeg(bytes(payload))
+                frames, fps = decode_video_frames(bytes(payload))
                 step_ms = 1000.0 / fps
                 next_t = 0.0
                 for idx, frame in enumerate(frames):
@@ -562,7 +757,7 @@ def sample_video_frames(df: DataFrame, id_col: str, binary_col: str, every_ms: i
                     if t + 1e-9 < next_t:
                         continue
                     next_t = t + every_ms
-                    img = decode_jpeg(frame)
+                    img = decode_jpeg(frame) if isinstance(frame, bytes) else frame
                     rows["id"].append(rid)
                     rows["frame_index"].append(idx)
                     rows["t_ms"].append(round(t, 6))

@@ -210,3 +210,146 @@ def test_minhash_corpus_dedup_invariants_duckdb(spark):
               OR k.doc_id IS NULL        -- canonical itself didn't survive"""
     ).fetchone()[0]
     assert bad_dropped == 0
+
+
+def test_knn_lsh_ivf_invariants_duckdb(spark, ddb):
+    """Round-4 verdict task 6: knn_lsh / knn_ivf are rows-only by design
+    (hash-family / centroid-sample specific), but their invariants ARE SQL —
+    grade them in DuckDB:
+
+      1. no fabricated neighbors — every returned cosine equals the
+         DuckDB-recomputed cosine of the two embedding vectors;
+      2. result structure — per query at most k rows, ranks contiguous
+         from 1, cosine non-increasing with rank;
+      3. optimality bound — no approximate engine can beat the (already
+         oracle-backed) brute-force rank-1 cosine for its query;
+      4. recall floor vs brute-force top-k for IVF (probes real cells).
+         LSH gets no top-k recall floor on THIS corpus by design: the
+         embeddings are near-orthogonal (bf top-k cosines ~0.3, see
+         DuckDB below), and sign-LSH only surfaces high-cosine pairs —
+         its planted-near-duplicate recall is tested at the operator
+         level (test_operators.test_lsh_topk_recalls_neardup).
+    """
+    from preprocessor_spark.caching import persist_scope
+
+    bf = ddb.execute(ORACLES["knn_bruteforce"]).df()
+    bf_pairs = set(zip(bf["query_id"], bf["neighbor_id"]))
+    bf_top1 = bf[bf["rank"] == 1].set_index("query_id")["cosine"].to_dict()
+    # corpus sanity for the LSH carve-out: brute-force neighbors really are
+    # low-cosine here, so top-k recall is not an LSH invariant on this data
+    assert float(bf["cosine"].max()) < 0.6
+
+    for name, recall_floor in (("knn_lsh", None), ("knn_ivf", 0.5)):
+        with persist_scope():
+            pdf = QUERIES[name](spark, SF_DIR).toPandas()
+        ddb.register("knn_res", pdf)
+
+        fabricated = ddb.execute(
+            """SELECT COUNT(*) FROM knn_res r
+               JOIN embeddings q ON r.query_id = q.vec_id
+               JOIN embeddings n ON r.neighbor_id = n.vec_id
+               WHERE abs(r.cosine - list_cosine_similarity(
+                   q.embedding::DOUBLE[], n.embedding::DOUBLE[])) > 5e-5"""
+        ).fetchone()[0]
+        assert fabricated == 0, name
+
+        missing_vec = ddb.execute(
+            """SELECT COUNT(*) FROM knn_res r
+               LEFT JOIN embeddings n ON r.neighbor_id = n.vec_id
+               WHERE n.vec_id IS NULL"""
+        ).fetchone()[0]
+        assert missing_vec == 0, name
+
+        bad_structure = ddb.execute(
+            """SELECT COUNT(*) FROM (
+                   SELECT query_id, COUNT(*) c, MIN(rank) mn, MAX(rank) mx,
+                          COUNT(DISTINCT rank) dr
+                   FROM knn_res GROUP BY query_id
+               ) WHERE c > 5 OR mn <> 1 OR mx <> c OR dr <> c"""
+        ).fetchone()[0]
+        assert bad_structure == 0, name
+
+        non_monotone = ddb.execute(
+            """SELECT COUNT(*) FROM knn_res a
+               JOIN knn_res b ON a.query_id = b.query_id AND b.rank = a.rank + 1
+               WHERE b.cosine > a.cosine + 1e-9"""
+        ).fetchone()[0]
+        assert non_monotone == 0, name
+
+        for _, r in pdf.iterrows():
+            assert r["cosine"] <= bf_top1[r["query_id"]] + 1e-6, (name, r["query_id"])
+
+        if recall_floor is not None:
+            got = set(zip(pdf["query_id"], pdf["neighbor_id"]))
+            recall = len(got & bf_pairs) / len(bf_pairs)
+            assert recall >= recall_floor, (name, recall)
+        ddb.unregister("knn_res")
+
+
+def test_embed_pca_invariants_duckdb(spark, ddb):
+    """Round-4 verdict task 6: embed_pca_project is rows-only (iterative
+    eigendecomposition), but the fitted model's contract is SQL over emitted
+    tables: the component matrix is orthonormal, each projected coordinate
+    equals the centered-input dot product with its axis, and per-component
+    projected variance is non-increasing and matches the model's
+    explained_variance."""
+    import numpy as np
+
+    from preprocessor_spark.operators.embeddings import pca_fit, pca_transform
+
+    e = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    model = pca_fit(e, k=8)
+    proj = pca_transform(e, model).select("vec_id", "pca").toPandas()
+
+    comp = pd.DataFrame(
+        [
+            {"ci": ci + 1, "di": di + 1, "v": float(model.components[ci, di])}
+            for ci in range(model.k)
+            for di in range(model.components.shape[1])
+        ]
+    )
+    meanv = pd.DataFrame(
+        {"di": range(1, len(model.mean) + 1), "m": model.mean.astype(float)}
+    )
+    projlong = pd.DataFrame(
+        [
+            {"vec_id": int(r["vec_id"]), "ci": ci + 1, "val": float(v)}
+            for _, r in proj.iterrows()
+            for ci, v in enumerate(r["pca"])
+        ]
+    )
+    ddb.register("pca_comp", comp)
+    ddb.register("pca_mean", meanv)
+    ddb.register("pca_proj", projlong)
+
+    max_ortho_err = ddb.execute(
+        """SELECT MAX(ABS(s - CASE WHEN ci_a = ci_b THEN 1 ELSE 0 END)) FROM (
+               SELECT a.ci ci_a, b.ci ci_b, SUM(a.v * b.v) s
+               FROM pca_comp a JOIN pca_comp b USING (di)
+               GROUP BY a.ci, b.ci)"""
+    ).fetchone()[0]
+    assert max_ortho_err < 1e-9
+
+    max_proj_err = ddb.execute(
+        """WITH ev AS (
+               SELECT vec_id,
+                      generate_subscripts(embedding, 1) AS di,
+                      unnest(embedding)::DOUBLE AS x
+               FROM embeddings
+           ), calc AS (
+               SELECT ev.vec_id, c.ci, SUM((ev.x - m.m) * c.v) AS val
+               FROM ev JOIN pca_mean m USING (di) JOIN pca_comp c USING (di)
+               GROUP BY ev.vec_id, c.ci
+           )
+           SELECT MAX(ABS(calc.val - p.val))
+           FROM calc JOIN pca_proj p USING (vec_id, ci)"""
+    ).fetchone()[0]
+    assert max_proj_err < 1e-6
+
+    vars_sql = ddb.execute(
+        "SELECT ci, var_samp(val) FROM pca_proj GROUP BY ci ORDER BY ci"
+    ).df()["var_samp(val)"].to_numpy()
+    assert all(vars_sql[i] >= vars_sql[i + 1] - 1e-9 for i in range(len(vars_sql) - 1))
+    assert np.allclose(vars_sql, model.explained_variance, rtol=1e-6)
+    for t in ("pca_comp", "pca_mean", "pca_proj"):
+        ddb.unregister(t)

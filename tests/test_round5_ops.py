@@ -361,6 +361,134 @@ def test_tiff_old_style_jpeg_without_pointer_raises():
         decode_tiff(bytes(payload))
 
 
+# ------------------------------------------------------- video containers
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+
+def _encode_mov_mjpeg(frames: list[bytes], fps: float) -> bytes:
+    """Planted QuickTime/MOV writer: one video trak, 'jpeg' sample
+    description, all samples in one chunk (absolute stco offset)."""
+    ftyp = _box(b"ftyp", b"qt  " + (0).to_bytes(4, "big") + b"qt  ")
+    mdat = _box(b"mdat", b"".join(frames))
+    data_start = len(ftyp) + 8
+    timescale, delta = 1000, int(round(1000 / fps))
+    n = len(frames)
+    i4 = lambda v: int(v).to_bytes(4, "big")  # noqa: E731
+    stsd = _box(b"stsd", b"\x00" * 4 + i4(1) + _box(b"jpeg", b"\x00" * 78))
+    stts = _box(b"stts", b"\x00" * 4 + i4(1) + i4(n) + i4(delta))
+    stsc = _box(b"stsc", b"\x00" * 4 + i4(1) + i4(1) + i4(n) + i4(1))
+    stsz = _box(b"stsz", b"\x00" * 4 + i4(0) + i4(n) + b"".join(i4(len(f)) for f in frames))
+    stco = _box(b"stco", b"\x00" * 4 + i4(1) + i4(data_start))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    hdlr = _box(b"hdlr", b"\x00" * 4 + b"mhlr" + b"vide" + b"\x00" * 12)
+    mdhd = _box(b"mdhd", b"\x00" * 4 + i4(0) + i4(0) + i4(timescale) + i4(n * delta) + b"\x00" * 4)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+    return ftyp + mdat + moov
+
+
+def _encode_avi_rgb(rasters: list[np.ndarray], fps: float) -> bytes:
+    """Planted uncompressed AVI writer: strl/strf BITMAPINFOHEADER (BI_RGB
+    24-bit) + one 00db bottom-up BGR DIB chunk per frame."""
+
+    def chunk(cid, body):
+        return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(tag, body):
+        return chunk(b"LIST", tag + body)
+
+    h, w = rasters[0].shape[:2]
+    avih = int(1_000_000 / fps).to_bytes(4, "little") + b"\x00" * 52
+    bih = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + b"\x00" * 20
+    )
+    strl = lst(b"strl", chunk(b"strh", b"vids" + b"\x00" * 52) + chunk(b"strf", bih))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    stride = (w * 3 + 3) & ~3
+    dibs = []
+    for r in rasters:
+        rgb = r if r.ndim == 3 else np.stack([r] * 3, axis=2)
+        bgr = rgb[:, :, ::-1]
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        dibs.append(rows[::-1].tobytes())  # bottom-up
+    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_video_rgb_avi_frame_sampling(spark):
+    """Uncompressed BI_RGB AVI decodes without any JPEG step: sampled
+    frames carry EXACT pixel means (no lossy codec in the path)."""
+    from preprocessor_spark.operators.multimodal import decode_avi_frames, sample_video_frames
+
+    rasters = [np.full((12, 10), 25 * i, dtype=np.uint8) for i in range(8)]
+    avi = _encode_avi_rgb(rasters, fps=10)
+
+    frames, fps = decode_avi_frames(avi)
+    assert len(frames) == 8 and fps == pytest.approx(10.0)
+    for i, f in enumerate(frames):
+        assert isinstance(f, np.ndarray) and f.shape == (12, 10)
+        assert f.mean() == pytest.approx(25 * i / 255.0, abs=1e-6)
+
+    df = spark.createDataFrame([(3, avi)], "id bigint, v binary")
+    out = sample_video_frames(df, "id", "v", every_ms=200).toPandas().sort_values("frame_index")
+    assert out.frame_index.tolist() == [0, 2, 4, 6]
+    assert out.width.tolist() == [10] * 4 and out.height.tolist() == [12] * 4
+    for fi, mi in zip(out.frame_index, out.mean_intensity):
+        assert mi == pytest.approx(25 * fi / 255.0, abs=1e-6)  # float32 mean
+
+
+def test_video_mjpeg_mov_frame_sampling(spark):
+    """Photo-JPEG MOV: the ISO-BMFF sample-table walk must recover exactly
+    the planted JPEG frames (byte-identical) and the stts/mdhd frame rate;
+    sampling through Spark matches the AVI path's behavior."""
+    from preprocessor_spark.operators.jpeg import encode_jpeg
+    from preprocessor_spark.operators.multimodal import decode_mov_mjpeg, sample_video_frames
+
+    rasters = [np.full((16, 16), 20 * i, dtype=np.uint8) for i in range(10)]
+    jpegs = [encode_jpeg(r, qval=1) for r in rasters]
+    mov = _encode_mov_mjpeg(jpegs, fps=20)
+
+    frames, fps = decode_mov_mjpeg(mov)
+    assert fps == pytest.approx(20.0)
+    assert frames == jpegs  # byte-identical sample extraction
+
+    df = spark.createDataFrame([(9, mov)], "id bigint, v binary")
+    out = sample_video_frames(df, "id", "v", every_ms=100).toPandas().sort_values("frame_index")
+    assert out.frame_index.tolist() == [0, 2, 4, 6, 8]
+    assert out.t_ms.tolist() == [0.0, 100.0, 200.0, 300.0, 400.0]
+    for fi, mi in zip(out.frame_index, out.mean_intensity):
+        assert mi == pytest.approx(20 * fi / 255.0, abs=2 / 255)
+
+
+def test_video_intra_frame_codecs_still_gated():
+    """True inter-frame codecs keep their named gates in both containers."""
+    from preprocessor_spark.operators.multimodal import decode_mov_mjpeg, decode_video_frames
+
+    rasters = [np.zeros((4, 4), dtype=np.uint8)]
+    mov = _encode_mov_mjpeg([b"\x00\x00\x00\x01fakeh264"], fps=10)
+    mov = mov.replace(b"jpeg", b"avc1", 1)  # flip the stsd fourcc
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_mov_mjpeg(mov)
+
+    avi = _encode_avi_rgb(rasters, fps=10)
+    avi = avi.replace(b"00db", b"00dc", 1)  # claim compressed, non-JPEG body
+    with pytest.raises(NotImplementedError, match="(?i)mjpeg|ffmpeg"):
+        decode_video_frames(avi)
+
+
 # ------------------------------------------------------- GIF disposal 3
 
 
