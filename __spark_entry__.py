@@ -2211,6 +2211,70 @@ def multimodal_audio_features(spark, sf_dir):
     )
 
 
+def multimodal_video_frames(spark, sf_dir):
+    """Video plumbing end-to-end with the REAL decoders — and, unusually
+    for a codec path, a FULL DuckDB value oracle: per document a short
+    video is synthesized from flat-gray 16×16 frames (intensity
+    (37·doc_id + 11·idx) mod 256, 20 fps, 4–8 frames) in one of THREE
+    container/codec combos keyed off doc_id (MJPEG-AVI, uncompressed
+    BI_RGB AVI, photo-JPEG MOV), then frame-sampled every 100 ms by
+    operators.multimodal.sample_video_frames. Flat blocks survive the
+    qval=1 JPEG path bit-exactly and all three decode paths emit exactly
+    float32(v/255) (tested over all 256 values), so the oracle reproduces
+    mean_intensity with DuckDB's FLOAT cast — the codec walk itself is
+    value-graded, not just structure-checked."""
+    import pandas as pd
+
+    from preprocessor_spark.operators.jpeg import encode_jpeg
+    from preprocessor_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+        encode_avi_rgb,
+        encode_mov_mjpeg,
+        sample_video_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 120)
+
+    def _synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            clips = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 4 + did % 5
+                rasters = [
+                    np.full((16, 16), (37 * did + 11 * i) % 256, dtype=np.uint8)
+                    for i in range(n)
+                ]
+                kind = did % 3
+                if kind == 1:
+                    clips.append(encode_avi_rgb(rasters, fps=20))
+                else:
+                    jpegs = [encode_jpeg(r, qval=1) for r in rasters]
+                    clips.append(
+                        encode_avi_mjpeg(jpegs, fps=20)
+                        if kind == 0
+                        else encode_mov_mjpeg(jpegs, fps=20)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "clip": clips})
+
+    clips = d.mapInPandas(_synth, "doc_id bigint, clip binary")
+    frames = sample_video_frames(clips, "doc_id", "clip", every_ms=100)
+    return frames.select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "avi-mjpeg")
+        .when(F.col("id") % 3 == 1, "avi-rgb")
+        .otherwise("mov-jpeg")
+        .alias("container"),
+        "frame_index",
+        "t_ms",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        "width",
+        "height",
+    )
+
+
 def preprocessor_fit_transform(spark, sf_dir):
     """Full Preprocessor lifecycle on customer as a single queryable op."""
     from preprocessor_spark import Preprocessor
@@ -2813,6 +2877,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,
+        # oracle-backed despite the codec path — see its docstring
+        "multimodal_video_frames": multimodal_video_frames,
         "preprocessor_fit_transform": preprocessor_fit_transform,
         "dedup_minhash_corpus": dedup_minhash_corpus,
         "quantile_sketch_rollup": quantile_sketch_rollup,
@@ -4000,7 +4066,10 @@ def oracle_sql() -> dict[str, str]:
                        CAST(value AS DOUBLE) - lag(CAST(value AS DOUBLE)) OVER w AS diff,
                        lag(CAST(value AS DOUBLE), 1) OVER w AS lag1,
                        lag(CAST(value AS DOUBLE), 2) OVER w AS lag2,
+                       lag(CAST(value AS DOUBLE), 3) OVER w AS lag3,
+                       lag(CAST(value AS DOUBLE), 4) OVER w AS lag4,
                        lag(CAST(value AS DOUBLE), 5) OVER w AS lag5,
+                       lag(CAST(value AS DOUBLE), 6) OVER w AS lag6,
                        lag(CAST(value AS DOUBLE), 10) OVER w AS lag10,
                        CAST(row_number() OVER w - 1 AS DOUBLE) AS pos,
                        MIN(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS lo,
@@ -4021,6 +4090,19 @@ def oracle_sql() -> dict[str, str]:
                        CAST(COUNT(v) AS DOUBLE) AS n,
                        SUM(v * v) AS s2, sqrt(AVG(v * v)) AS rms,
                        AVG(diff) AS mc, AVG(ABS(diff)) AS mac, SUM(ABS(diff)) AS asoc,
+                       SUM(diff * diff) AS d2,
+                       SUM(CASE WHEN v IS NOT NULL AND lag1 IS NOT NULL AND lag2 IS NOT NULL
+                                THEN v * lag1 * lag2 END) AS c1_s,
+                       SUM(CASE WHEN v IS NOT NULL AND lag1 IS NOT NULL AND lag2 IS NOT NULL
+                                THEN 1.0 ELSE 0.0 END) AS c1_n,
+                       SUM(CASE WHEN v IS NOT NULL AND lag2 IS NOT NULL AND lag4 IS NOT NULL
+                                THEN v * lag2 * lag4 END) AS c2_s,
+                       SUM(CASE WHEN v IS NOT NULL AND lag2 IS NOT NULL AND lag4 IS NOT NULL
+                                THEN 1.0 ELSE 0.0 END) AS c2_n,
+                       SUM(CASE WHEN v IS NOT NULL AND lag3 IS NOT NULL AND lag6 IS NOT NULL
+                                THEN v * lag3 * lag6 END) AS c3_s,
+                       SUM(CASE WHEN v IS NOT NULL AND lag3 IS NOT NULL AND lag6 IS NOT NULL
+                                THEN 1.0 ELSE 0.0 END) AS c3_n,
                        SUM(v * v * v) AS s3, SUM(v * v * v * v) AS s4,
                        SUM(CASE WHEN v IS NOT NULL THEN pos END) AS st,
                        SUM(CASE WHEN v IS NOT NULL THEN pos * pos END) AS stt,
@@ -4102,7 +4184,13 @@ def oracle_sql() -> dict[str, str]:
                         END, 6) AS "value__autocorrelation_lag_5",
                    ROUND(CASE WHEN a10_n > 0 AND var > 0
                         THEN (a10_xy - mu * a10_x - mu * a10_y + a10_n * mu * mu) / (a10_n * var)
-                        END, 6) AS "value__autocorrelation_lag_10"
+                        END, 6) AS "value__autocorrelation_lag_10",
+                   ROUND(sqrt(d2), 6) AS "value__cid_ce",
+                   ROUND(CASE WHEN sd > 0 THEN sqrt(d2) / sd END, 6)
+                       AS "value__cid_ce_normalized",
+                   ROUND(CASE WHEN c1_n > 0 THEN c1_s / c1_n END, 6) AS "value__c3_lag_1",
+                   ROUND(CASE WHEN c2_n > 0 THEN c2_s / c2_n END, 6) AS "value__c3_lag_2",
+                   ROUND(CASE WHEN c3_n > 0 THEN c3_s / c3_n END, 6) AS "value__c3_lag_3"
             FROM a
         """,
         "dedup_incremental_batch": """
@@ -4561,6 +4649,29 @@ def oracle_sql() -> dict[str, str]:
                             AS BIGINT) % 10000 AS DOUBLE)
                   < LEAST(GREATEST(CAST(n_chars AS DOUBLE) / 5000.0, 0.0), 1.0)
                     * 10000.0
+        """,
+        # values, not just structure: flat-gray frames decode to exactly
+        # float32(v/255) in every container path (see the query docstring),
+        # and DuckDB's FLOAT cast reproduces that float32 before rounding
+        "multimodal_video_frames": """
+            WITH f AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, 3 + doc_id % 5)) AS frame_index
+                FROM documents WHERE doc_id < 120
+            )
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 'avi-mjpeg'
+                        WHEN 1 THEN 'avi-rgb'
+                        ELSE 'mov-jpeg' END AS container,
+                   CAST(frame_index AS INT) AS frame_index,
+                   frame_index * 50.0 AS t_ms,
+                   round(CAST(CAST(((37 * doc_id + 11 * frame_index) % 256) / 255.0
+                                   AS FLOAT) AS DOUBLE), 6) AS mean_intensity,
+                   CAST(16 AS INT) AS width,
+                   CAST(16 AS INT) AS height
+            FROM f
+            WHERE frame_index % 2 = 0
         """,
         "fuzzy_join_docs": """
             WITH corrupted AS (

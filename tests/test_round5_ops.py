@@ -361,71 +361,60 @@ def test_tiff_old_style_jpeg_without_pointer_raises():
         decode_tiff(bytes(payload))
 
 
+# ------------------------------------------------------ ts feature breadth
+
+
+def test_ts_features_c3_cid_fft_vs_numpy(spark):
+    """The round-5 tsfresh catalog additions against their literal numpy
+    definitions on a planted series: c3(lag) = mean(x_i·x_{i+l}·x_{i+2l}),
+    cid_ce = sqrt(Σ diff²) (raw and z-normalized), and the opt-in DFT
+    coefficient magnitudes against np.fft.fft."""
+    from preprocessor_spark.operators.ts_features import extract_ts_features
+
+    rng = np.random.RandomState(41)
+    xs = rng.randn(64) * 3 + 1.5
+    rows = [(1, i, float(v)) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "sid int, t int, value double")
+    feats = extract_ts_features(
+        df, time="t", column_id="sid", fft_coefficients=(1, 2, 3)
+    ).collect()[0]
+
+    for lag in (1, 2, 3):
+        want = float(np.mean(xs[2 * lag :] * xs[lag : -lag] * xs[: -2 * lag]))
+        assert feats[f"value__c3_lag_{lag}"] == pytest.approx(want, rel=1e-9), lag
+
+    d = np.diff(xs)
+    assert feats["value__cid_ce"] == pytest.approx(float(np.sqrt((d * d).sum())), rel=1e-12)
+    z = (xs - xs.mean()) / xs.std()
+    dz = np.diff(z)
+    assert feats["value__cid_ce_normalized"] == pytest.approx(
+        float(np.sqrt((dz * dz).sum())), rel=1e-9
+    )
+
+    spec = np.abs(np.fft.fft(xs))
+    for k in (1, 2, 3):
+        assert feats[f"value__fft_abs_{k}"] == pytest.approx(float(spec[k]), rel=1e-9), k
+
+    # constant series: normalized cid is NULL (tsfresh NaN), raw cid is 0
+    const = spark.createDataFrame([(1, i, 5.0) for i in range(10)], "sid int, t int, value double")
+    f2 = extract_ts_features(const, time="t", column_id="sid").collect()[0]
+    assert f2["value__cid_ce"] == 0.0
+    assert f2["value__cid_ce_normalized"] is None
+
+
 # ------------------------------------------------------- video containers
 
 
-def _box(typ: bytes, body: bytes) -> bytes:
-    return (len(body) + 8).to_bytes(4, "big") + typ + body
+def _encode_mov_mjpeg(frames, fps):
+    from preprocessor_spark.operators.multimodal import encode_mov_mjpeg
+
+    return encode_mov_mjpeg(frames, fps)
 
 
-def _encode_mov_mjpeg(frames: list[bytes], fps: float) -> bytes:
-    """Planted QuickTime/MOV writer: one video trak, 'jpeg' sample
-    description, all samples in one chunk (absolute stco offset)."""
-    ftyp = _box(b"ftyp", b"qt  " + (0).to_bytes(4, "big") + b"qt  ")
-    mdat = _box(b"mdat", b"".join(frames))
-    data_start = len(ftyp) + 8
-    timescale, delta = 1000, int(round(1000 / fps))
-    n = len(frames)
-    i4 = lambda v: int(v).to_bytes(4, "big")  # noqa: E731
-    stsd = _box(b"stsd", b"\x00" * 4 + i4(1) + _box(b"jpeg", b"\x00" * 78))
-    stts = _box(b"stts", b"\x00" * 4 + i4(1) + i4(n) + i4(delta))
-    stsc = _box(b"stsc", b"\x00" * 4 + i4(1) + i4(1) + i4(n) + i4(1))
-    stsz = _box(b"stsz", b"\x00" * 4 + i4(0) + i4(n) + b"".join(i4(len(f)) for f in frames))
-    stco = _box(b"stco", b"\x00" * 4 + i4(1) + i4(data_start))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
-    minf = _box(b"minf", stbl)
-    hdlr = _box(b"hdlr", b"\x00" * 4 + b"mhlr" + b"vide" + b"\x00" * 12)
-    mdhd = _box(b"mdhd", b"\x00" * 4 + i4(0) + i4(0) + i4(timescale) + i4(n * delta) + b"\x00" * 4)
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    trak = _box(b"trak", mdia)
-    moov = _box(b"moov", trak)
-    return ftyp + mdat + moov
+def _encode_avi_rgb(rasters, fps):
+    from preprocessor_spark.operators.multimodal import encode_avi_rgb
 
-
-def _encode_avi_rgb(rasters: list[np.ndarray], fps: float) -> bytes:
-    """Planted uncompressed AVI writer: strl/strf BITMAPINFOHEADER (BI_RGB
-    24-bit) + one 00db bottom-up BGR DIB chunk per frame."""
-
-    def chunk(cid, body):
-        return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
-
-    def lst(tag, body):
-        return chunk(b"LIST", tag + body)
-
-    h, w = rasters[0].shape[:2]
-    avih = int(1_000_000 / fps).to_bytes(4, "little") + b"\x00" * 52
-    bih = (
-        (40).to_bytes(4, "little")
-        + w.to_bytes(4, "little", signed=True)
-        + h.to_bytes(4, "little", signed=True)
-        + (1).to_bytes(2, "little")
-        + (24).to_bytes(2, "little")
-        + (0).to_bytes(4, "little")  # BI_RGB
-        + b"\x00" * 20
-    )
-    strl = lst(b"strl", chunk(b"strh", b"vids" + b"\x00" * 52) + chunk(b"strf", bih))
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
-    stride = (w * 3 + 3) & ~3
-    dibs = []
-    for r in rasters:
-        rgb = r if r.ndim == 3 else np.stack([r] * 3, axis=2)
-        bgr = rgb[:, :, ::-1]
-        rows = np.zeros((h, stride), dtype=np.uint8)
-        rows[:, : w * 3] = bgr.reshape(h, w * 3)
-        dibs.append(rows[::-1].tobytes())  # bottom-up
-    movi = lst(b"movi", b"".join(chunk(b"00db", d) for d in dibs))
-    body = b"AVI " + hdrl + movi
-    return b"RIFF" + len(body).to_bytes(4, "little") + body
+    return encode_avi_rgb(rasters, fps)
 
 
 def test_video_rgb_avi_frame_sampling(spark):
