@@ -730,6 +730,88 @@ def decode_video_frames(payload: bytes) -> tuple[list, float]:
     return decode_mov_mjpeg(payload)
 
 
+# ---- planted-test video writers (same role as encode_gif / encode_tiff) ----
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + len(body).to_bytes(4, "little") + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _riff_list(tag: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", tag + body)
+
+
+def encode_avi_mjpeg(frames: list[bytes], fps: float) -> bytes:
+    """Minimal RIFF/AVI wrapper: hdrl LIST with avih (us/frame), movi LIST
+    with one 00dc chunk per JPEG frame (word-aligned)."""
+    avih = int(1_000_000 / fps).to_bytes(4, "little") + b"\x00" * 52
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih))
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def encode_avi_rgb(rasters: list[np.ndarray], fps: float) -> bytes:
+    """Uncompressed AVI writer: strl/strf BITMAPINFOHEADER (BI_RGB 24-bit)
+    + one 00db bottom-up BGR DIB chunk per (h, w[, 3]) uint8 frame."""
+    h, w = rasters[0].shape[:2]
+    avih = int(1_000_000 / fps).to_bytes(4, "little") + b"\x00" * 52
+    bih = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + b"\x00" * 20
+    )
+    strl = _riff_list(
+        b"strl", _riff_chunk(b"strh", b"vids" + b"\x00" * 52) + _riff_chunk(b"strf", bih)
+    )
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + strl)
+    stride = (w * 3 + 3) & ~3
+    dibs = []
+    for r in rasters:
+        rgb = r if r.ndim == 3 else np.stack([r] * 3, axis=2)
+        bgr = rgb[:, :, ::-1]
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        dibs.append(rows[::-1].tobytes())  # bottom-up
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00db", d) for d in dibs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def encode_mov_mjpeg(frames: list[bytes], fps: float) -> bytes:
+    """QuickTime/MOV writer: one video trak, 'jpeg' sample description,
+    all samples in one chunk (absolute stco offset)."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    def i4(v: int) -> bytes:
+        return int(v).to_bytes(4, "big")
+
+    ftyp = box(b"ftyp", b"qt  " + i4(0) + b"qt  ")
+    mdat = box(b"mdat", b"".join(frames))
+    data_start = len(ftyp) + 8
+    timescale, delta = 1000, int(round(1000 / fps))
+    n = len(frames)
+    stsd = box(b"stsd", b"\x00" * 4 + i4(1) + box(b"jpeg", b"\x00" * 78))
+    stts = box(b"stts", b"\x00" * 4 + i4(1) + i4(n) + i4(delta))
+    stsc = box(b"stsc", b"\x00" * 4 + i4(1) + i4(1) + i4(n) + i4(1))
+    stsz = box(b"stsz", b"\x00" * 4 + i4(0) + i4(n) + b"".join(i4(len(f)) for f in frames))
+    stco = box(b"stco", b"\x00" * 4 + i4(1) + i4(data_start))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", stbl)
+    hdlr = box(b"hdlr", b"\x00" * 4 + b"mhlr" + b"vide" + b"\x00" * 12)
+    mdhd = box(b"mdhd", b"\x00" * 4 + i4(0) + i4(0) + i4(timescale) + i4(n * delta) + b"\x00" * 4)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", trak)
+    return ftyp + mdat + moov
+
+
 VIDEO_FRAMES_SCHEMA = (
     "id bigint, frame_index int, t_ms double, mean_intensity double, width int, height int"
 )
@@ -761,7 +843,10 @@ def sample_video_frames(df: DataFrame, id_col: str, binary_col: str, every_ms: i
                     rows["id"].append(rid)
                     rows["frame_index"].append(idx)
                     rows["t_ms"].append(round(t, 6))
-                    rows["mean_intensity"].append(float(img.mean()))
+                    # float64 accumulator: numpy keeps float32 for float32
+                    # input, and 256+ summands of f32 error shift the 6th
+                    # decimal — enough to break value-exact oracles
+                    rows["mean_intensity"].append(float(img.mean(dtype=np.float64)))
                     rows["width"].append(img.shape[1])
                     rows["height"].append(img.shape[0])
             yield pd.DataFrame(rows)
