@@ -2651,6 +2651,125 @@ def fill_interpolate_events(spark, sf_dir):
     return nulled.select("event_id", "user_id", F.round(interp, 6).alias("value_interp"))
 
 
+def bloom_join_revenue(spark, sf_dir):
+    """Bloom-filter pre-filtered fact⋈dim join (operators/bloomjoin.py):
+    the 128 KiB bitmap built from the filtered supplier side prunes
+    lineitem rows map-side (5 BroadcastHashJoins against the <=16k-row
+    bitmap table) BEFORE the exact join's shuffle. Composite result is
+    exactly the plain inner join — which is the DuckDB oracle."""
+    from preprocessor_spark.operators.bloomjoin import bloom_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .select("s_suppkey", "s_name")
+    )
+    j = bloom_join(li, supp, "l_suppkey", "s_suppkey")
+    return j.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def _synth_url() -> "F.Column":
+    """Deterministic messy URL per document — exercises every
+    normalization rule (case, www, multi-part suffix, default/explicit
+    port, duplicate slashes, trailing slash, tracking + unsorted params,
+    fragment). The DuckDB oracle synthesizes the identical string."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    host = F.concat(
+        F.lit("WWW."),
+        F.col("source"),
+        F.when(d % 3 == 0, F.lit(".Example.CO.UK")).otherwise(F.lit(".Example.com")),
+    )
+    port = (
+        F.when(d % 4 == 0, F.lit(":443"))
+        .when(d % 4 == 1, F.lit(":80"))
+        .when(d % 4 == 2, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/A//b/"),
+        (d % 7).cast("string"),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    return F.concat(
+        scheme, F.lit("://"), host, port, path,
+        F.lit("?b=2&utm_source=x&a=1&gclid=g&a=0#frag"),
+    )
+
+
+def url_normalize_docs(spark, sf_dir):
+    """URL canonicalization (operators/urls.py): scheme/host lowercase,
+    default-port strip, slash-run collapse, trailing-slash strip, tracking
+    params removed + survivors sorted, fragment dropped, eTLD+1 with
+    multi-part-suffix table. Narrow projection, zero shuffle."""
+    from preprocessor_spark.operators.urls import parse_urls
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    with_url = docs.withColumn("url", _synth_url())
+    return parse_urls(with_url, "url").select(
+        "doc_id",
+        "url_canonical",
+        "url_domain",
+        "url_host",
+        "url_path",
+        "url_query",
+    )
+
+
+def url_domain_cap(spark, sf_dir):
+    """Per-registered-domain corpus cap (operators/urls.py): keep a
+    deterministic md5-ranked sample of <=5 docs per domain, then report
+    per-domain kept counts. One window shuffle on the domain key."""
+    from preprocessor_spark.operators.urls import domain_cap_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    domained = docs.withColumn(
+        "domain",
+        F.concat(F.col("source"), (F.col("doc_id") % 3).cast("string"), F.lit(".example.com")),
+    )
+    kept = domain_cap_sample(domained, "domain", "doc_id", cap=5)
+    return kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
+def recursive_cte_tree(spark, sf_dir):
+    """Spark 4.1 recursive CTE (WITH RECURSIVE): walk the implicit binary
+    tree over supplier keys (parent = k >> 1) from root 0, computing each
+    node's depth iteratively — the classic hierarchy traversal the
+    DataFrame API can't express in one declarative statement. DuckDB runs
+    the byte-identical SQL as the oracle."""
+    from preprocessor_spark.sources import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(_RECURSIVE_TREE_SQL)
+
+
+_RECURSIVE_TREE_SQL = """
+    WITH RECURSIVE tree(node, depth) AS (
+        SELECT s_suppkey AS node, 0 AS depth FROM supplier WHERE s_suppkey = 0
+        UNION ALL
+        SELECT s.s_suppkey AS node, t.depth + 1 AS depth
+        FROM supplier s JOIN tree t ON (s.s_suppkey >> 1) = t.node
+        WHERE s.s_suppkey > t.node
+    )
+    SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS sum_node,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM tree GROUP BY depth
+"""
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2862,6 +2981,13 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_docs": fuzzy_join_docs,
         # exact edit-distance join (round 4, oracle-backed)
         "edit_join_parts": edit_join_parts,
+        # Bloom-filter pre-filtered join (round 5, oracle-backed)
+        "bloom_join_revenue": bloom_join_revenue,
+        # URL canonicalization + domain caps (round 5, oracle-backed)
+        "url_normalize_docs": url_normalize_docs,
+        "url_domain_cap": url_domain_cap,
+        # recursive CTE hierarchy walk (round 5, oracle-backed)
+        "recursive_cte_tree": recursive_cte_tree,
         # rows-only checks (no SQL oracle by design):
         "bpe_token_stats": bpe_token_stats_docs,
         "text_quality_classifier": text_quality_classifier,
@@ -4801,4 +4927,97 @@ def oracle_sql() -> dict[str, str]:
                                     WHERE o_orderdate >= TIMESTAMP '1999-01-01')
             GROUP BY cntrycode
         """,
+        # Bloom prefilter + exact join == plain join (round 5)
+        "bloom_join_revenue": """
+            SELECT s_name, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_acctbal > 5000
+            GROUP BY s_name
+        """,
+        # byte-identical normalization rules, DuckDB dialect (round 5)
+        "url_normalize_docs": """
+            WITH synth AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+                       || '://WWW.' || source
+                       || (CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK' ELSE '.Example.com' END)
+                       || (CASE WHEN doc_id % 4 = 0 THEN ':443'
+                                WHEN doc_id % 4 = 1 THEN ':80'
+                                WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+                       || '/A//b/' || CAST(doc_id % 7 AS VARCHAR)
+                       || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                       || '?b=2&utm_source=x&a=1&gclid=g&a=0#frag' AS url
+                FROM documents
+            ),
+            parts AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                       regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+                FROM synth
+            ),
+            cols AS (
+                SELECT doc_id, url, scheme,
+                       lower(regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1), '^([^:]*)', 1)) AS host,
+                       regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1), ':(\\d+)$', 1) AS port,
+                       regexp_replace(regexp_extract(rest, '^[^/?#]*(/[^?#]*)', 1), '/{2,}', '/', 'g') AS p1,
+                       regexp_extract(url, '\\?([^#]*)', 1) AS raw_query
+                FROM parts
+            ),
+            norm AS (
+                SELECT doc_id, scheme, host, port,
+                       CASE WHEN p2 = '' THEN '/' ELSE p2 END AS path,
+                       array_to_string(list_sort(list_filter(string_split(raw_query, '&'),
+                           x -> x <> ''
+                                AND NOT starts_with(string_split(x, '=')[1], 'utm_')
+                                AND string_split(x, '=')[1] NOT IN
+                                    ('gclid','fbclid','msclkid','igshid','mc_cid','mc_eid','ref','ref_src'))), '&') AS query,
+                       regexp_replace(host, '^www\\.', '') AS h2
+                FROM (SELECT *, CASE WHEN length(p1) > 1
+                                     THEN regexp_replace(p1, '/$', '') ELSE p1 END AS p2
+                      FROM cols)
+            )
+            SELECT doc_id,
+                   (CASE WHEN scheme = '' THEN 'http' ELSE scheme END) || '://' || host
+                   || (CASE WHEN (scheme = 'http' AND port = '80')
+                              OR (scheme = 'https' AND port = '443')
+                              OR port = '' THEN '' ELSE ':' || port END)
+                   || path
+                   || (CASE WHEN query = '' THEN '' ELSE '?' || query END) AS url_canonical,
+                   CASE WHEN len(string_split(h2, '.')) >= 3
+                             AND (string_split(h2, '.')[-2] || '.' || string_split(h2, '.')[-1]) IN
+                                 ('co.uk','org.uk','ac.uk','gov.uk','me.uk',
+                                  'co.jp','ne.jp','or.jp','ac.jp',
+                                  'com.au','net.au','org.au','edu.au',
+                                  'co.nz','org.nz','net.nz',
+                                  'com.br','com.mx','com.ar','com.tr',
+                                  'co.in','co.za','co.kr','co.id','co.th',
+                                  'com.cn','com.tw','com.sg','com.hk','com.my')
+                        THEN string_split(h2, '.')[-3] || '.' || string_split(h2, '.')[-2] || '.' || string_split(h2, '.')[-1]
+                        WHEN len(string_split(h2, '.')) >= 2
+                        THEN string_split(h2, '.')[-2] || '.' || string_split(h2, '.')[-1]
+                        ELSE h2 END AS url_domain,
+                   host AS url_host, path AS url_path, query AS url_query
+            FROM norm
+        """,
+        # md5-ranked deterministic cap, same ordering both engines (round 5)
+        "url_domain_cap": """
+            WITH domained AS (
+                SELECT doc_id,
+                       source || CAST(doc_id % 3 AS VARCHAR) || '.example.com' AS domain
+                FROM documents
+            ),
+            kept AS (
+                SELECT * FROM domained
+                QUALIFY row_number() OVER (
+                    PARTITION BY domain
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+            )
+            SELECT domain, COUNT(*) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+                   MIN(doc_id) AS min_id
+            FROM kept GROUP BY domain
+        """,
+        # the Spark query runs this exact string; DuckDB speaks it too
+        "recursive_cte_tree": _RECURSIVE_TREE_SQL,
     }
