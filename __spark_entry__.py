@@ -2770,6 +2770,58 @@ _RECURSIVE_TREE_SQL = """
 """
 
 
+def negatives_ring_docs(spark, sf_dir):
+    """Contrastive negative sampling (operators/sampling.py
+    ring_negatives): k=3 deterministic pseudo-random negatives per anchor
+    via the md5 ring — scale-safe global ranking (no SinglePartition),
+    one dense-key equi-join, no cross join, no RNG state. DuckDB oracle
+    reproduces the identical ring."""
+    from preprocessor_spark.operators.sampling import ring_negatives
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return ring_negatives(docs, "doc_id", k=3).select(
+        "anchor_id", F.col("offset").cast("int").alias("offset"), "negative_id"
+    )
+
+
+def zorder_orders(spark, sf_dir):
+    """Morton (Z-order) clustering key (operators/layout.py): exact bit
+    interleave of the masked order/customer keys — the value
+    ``zorder_cluster`` range-partitions and sorts on so BOTH dimensions
+    get per-file min/max pruning. Engine-portable arithmetic: the DuckDB
+    oracle runs ``zorder_sql`` over the same masks."""
+    from preprocessor_spark.operators.layout import zorder_value
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    z = zorder_value(
+        [
+            F.col("o_custkey").bitwiseAND(F.lit(65535)),
+            F.col("o_orderkey").bitwiseAND(F.lit(65535)),
+        ],
+        bits=16,
+    )
+    return orders.select("o_orderkey", z.alias("zval"))
+
+
+def cms_word_counts(spark, sf_dir):
+    """Count-min sketch term frequencies (operators/sketches.py): build
+    the (row, col, cnt) sketch over exploded document words (<= width*depth
+    rows shuffle regardless of corpus size), then point-estimate every
+    distinct word. Rows-only by design (xxhash64 has no DuckDB twin);
+    tests/test_queries.py checks the est>=true / bounded-overcount
+    invariants against DuckDB-exact counts."""
+    from preprocessor_spark.operators.sketches import cms_build, cms_estimate
+
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    sketch = cms_build(words, "word", width=2048, depth=4)
+    vocab = words.distinct()
+    return cms_estimate(sketch, vocab, "word", width=2048, depth=4)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -2988,7 +3040,13 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_cap": url_domain_cap,
         # recursive CTE hierarchy walk (round 5, oracle-backed)
         "recursive_cte_tree": recursive_cte_tree,
+        # contrastive ring negatives (round 5, oracle-backed)
+        "negatives_ring_docs": negatives_ring_docs,
+        # Z-order clustering key (round 5, oracle-backed)
+        "zorder_orders": zorder_orders,
         # rows-only checks (no SQL oracle by design):
+        # count-min sketch estimates (xxhash64 — invariant-tested vs DuckDB)
+        "cms_word_counts": cms_word_counts,
         "bpe_token_stats": bpe_token_stats_docs,
         "text_quality_classifier": text_quality_classifier,
         "embed_pca_project": embed_pca_project,
@@ -5020,4 +5078,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the Spark query runs this exact string; DuckDB speaks it too
         "recursive_cte_tree": _RECURSIVE_TREE_SQL,
+        # identical md5 ring, row_number twin of assign_row_ids (round 5)
+        "negatives_ring_docs": """
+            WITH ranked AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rid
+                FROM documents
+            ),
+            tot AS (SELECT COUNT(*) AS n FROM documents),
+            anchors AS (
+                SELECT r.doc_id AS anchor_id,
+                       CAST(o.off AS INT) AS "offset",
+                       (r.rid + o.off) % t.n AS nrid
+                FROM ranked r
+                CROSS JOIN tot t
+                CROSS JOIN (SELECT unnest(range(1, 4)) AS off) o
+            )
+            SELECT a.anchor_id, a."offset", r2.doc_id AS negative_id
+            FROM anchors a JOIN ranked r2 ON r2.rid = a.nrid
+        """,
+        # zorder_sql twin of operators/layout.py::zorder_value (round 5)
+        "zorder_orders": (
+            "SELECT o_orderkey, "
+            + _zorder_oracle_expr()
+            + " AS zval FROM orders"
+        ),
     }
+
+
+def _zorder_oracle_expr() -> str:
+    from preprocessor_spark.operators.layout import zorder_sql
+
+    return zorder_sql(["(o_custkey & 65535)", "(o_orderkey & 65535)"], bits=16)

@@ -172,3 +172,47 @@ def apply_temperature_mix(
     plan = temperature_mix(df, domain_col, alpha, target_rows).collect()
     fractions = {r["domain"]: float(r["sample_fraction"]) for r in plan}
     return stratified_hash_sample(df, key_col, domain_col, fractions, salt=salt)
+
+
+def ring_negatives(df: DataFrame, id_col: str, k: int = 3) -> DataFrame:
+    """Contrastive-training negative sampling: k deterministic pseudo-random
+    negatives per anchor, with NO cross join and NO per-anchor RNG state.
+
+    Rows are ranked on ``md5(id)`` into a ring — hash order is a fixed,
+    uniform pseudo-permutation of the corpus — and each anchor's negatives
+    are its next ``k`` ring neighbors (wrapping). Every row appears exactly
+    k times as an anchor partner and k times as a negative, so the sample
+    is balanced by construction; determinism makes the pairing reproducible
+    across engines (DuckDB oracle: same row_number over md5 order) and
+    across reruns for training-data lineage.
+
+    Scale shape: one scale-safe global ranking (assign_row_ids — range
+    exchange, no Exchange SinglePartition), a k-way explode of the
+    2-column (rank, id) projection, and ONE equi-join on the dense rank
+    key (uniform by construction — no skew). The text/embedding payload is
+    never replicated; join back on id afterwards if needed.
+
+    Cluster-exclusion (don't pair near-dups) composes downstream: anti-join
+    the emitted pairs against a dup-pair table (operators/graph.py) —
+    cheaper than baking exclusion into generation.
+    """
+    from preprocessor_spark.operators.ids import assign_row_ids
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    hashed = df.select(
+        F.col(id_col), F.md5(F.col(id_col).cast("string")).alias("__h")
+    )
+    ranked = assign_row_ids(hashed, ["__h", id_col], id_col="__rid").select(
+        id_col, "__rid"
+    )
+    n = ranked.count()  # scalar; the ranked frame is persisted by assign_row_ids
+    if n <= k:
+        raise ValueError(f"need more than k={k} rows, got {n}")
+    anchors = ranked.select(
+        F.col(id_col).alias("anchor_id"),
+        F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])).alias("offset"),
+        F.col("__rid"),
+    ).withColumn("__nrid", (F.col("__rid") + F.col("offset")) % F.lit(n))
+    negs = ranked.select(F.col(id_col).alias("negative_id"), F.col("__rid").alias("__nrid"))
+    return anchors.join(negs, on="__nrid").select("anchor_id", "offset", "negative_id")

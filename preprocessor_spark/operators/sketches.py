@@ -243,3 +243,80 @@ def heavy_hitters(
         .select("item", "est", "err")
     )
     return out
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch as a ``(row, col, cnt)`` table — the mergeable
+    frequency twin of the HLL distinct sketch above.
+
+    Each value lands in ``depth`` cells, one per hash row, at
+    ``xxhash64(value, seed=row) % width``. The groupBy combines map-side,
+    so no matter the input size at most ``width * depth`` rows shuffle
+    (8k cells at the defaults). Merging two sketches = union + re-sum on
+    (row, col); estimates NEVER undercount (est >= true always), and
+    overcount by <= e*N/width with probability 1 - e^-depth — store tiny
+    per-(shard, day) sketch tables and answer "how often did this term
+    appear all-time" without re-scanning raw text.
+
+    ``count_col`` weights rows (pre-aggregated (value, count) input).
+    """
+    weight = (
+        F.lit(1).cast("long") if count_col is None else F.col(count_col).cast("long")
+    )
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.pmod(F.xxhash64(F.col(value_col), F.lit(j)), F.lit(width)).alias("col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rc"),
+        weight.alias("__w"),
+    )
+    return (
+        stacked.select("rc.row", "rc.col", "__w")
+        .groupBy("row", "col")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-estimate frequencies for every row of ``queries``: join each
+    of the ``depth`` cell positions against the broadcast sketch (at most
+    width*depth rows) and take the min. An absent cell means nothing ever
+    hashed there -> that row's count is 0. Map-side only."""
+    out = queries.select(
+        value_col,
+        *[
+            F.pmod(F.xxhash64(F.col(value_col), F.lit(j)), F.lit(width)).alias(f"__c{j}")
+            for j in range(depth)
+        ],
+    )
+    for j in range(depth):
+        out = out.join(
+            F.broadcast(
+                sketch.where(F.col("row") == j).select(
+                    F.col("col").alias(f"__c{j}"), F.col("cnt").alias(f"__n{j}")
+                )
+            ),
+            on=f"__c{j}",
+            how="left",
+        )
+    est = F.least(*[F.coalesce(F.col(f"__n{j}"), F.lit(0)) for j in range(depth)])
+    return out.select(value_col, est.alias("est"))

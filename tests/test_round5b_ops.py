@@ -205,3 +205,187 @@ def test_recursive_cte_depths_match_binary_tree(spark):
         want[depth(k)][0] += 1
         want[depth(k)][1] += k
     assert out == {d: tuple(v) for d, v in want.items()}
+
+
+# ----------------------------------------------------------- ring negatives
+
+
+def test_ring_negatives_balanced_and_deterministic(spark):
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.sampling import ring_negatives
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id")
+    with persist_scope():
+        out1 = ring_negatives(docs, "doc_id", k=3).collect()
+    with persist_scope():
+        out2 = ring_negatives(docs, "doc_id", k=3).collect()
+    assert sorted(out1) == sorted(out2)
+    n = docs.count()
+    assert len(out1) == 3 * n
+    from collections import Counter
+    anchor_counts = Counter(r["anchor_id"] for r in out1)
+    neg_counts = Counter(r["negative_id"] for r in out1)
+    # ring bijectivity: every row is an anchor 3x AND a negative 3x
+    assert set(anchor_counts.values()) == {3}
+    assert set(neg_counts.values()) == {3}
+    # no self pairs, k distinct negatives per anchor
+    assert all(r["anchor_id"] != r["negative_id"] for r in out1)
+    per_anchor = Counter((r["anchor_id"], r["negative_id"]) for r in out1)
+    assert set(per_anchor.values()) == {1}
+
+
+def test_ring_negatives_rejects_tiny_corpus(spark):
+    from preprocessor_spark.operators.sampling import ring_negatives
+
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    with pytest.raises(ValueError, match="need more than"):
+        ring_negatives(df, "id", k=3).collect()
+
+
+# ----------------------------------------------------------------- z-order
+
+
+def _morton_py(vals, bits):
+    out = 0
+    n = len(vals)
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            out |= ((v >> i) & 1) << (i * n + j)
+    return out
+
+
+def test_zorder_value_matches_python_reference(spark):
+    from preprocessor_spark.operators.layout import zorder_value
+
+    rows = [(3, 5), (0, 0), (65535, 65535), (12345, 54321), (1, 65534)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", zorder_value(["a", "b"]).alias("z")).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _morton_py([a, b], 16)
+
+
+def test_zorder_value_three_cols_and_guards(spark):
+    from preprocessor_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    z = df.select(zorder_value(["a", "b", "c"], bits=8).alias("z")).collect()[0]["z"]
+    assert z == _morton_py([1, 2, 3], 8)
+    with pytest.raises(ValueError):
+        zorder_value(["a"], 16)
+    with pytest.raises(ValueError):
+        zorder_value(["a", "b", "c", "d"], 16)
+
+
+def test_quantize_minmax_bounds(spark):
+    from preprocessor_spark.operators.layout import quantize_minmax
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    q = quantize_minmax(df, "o_totalprice", bits=10)
+    stats = q.agg(
+        F.min("o_totalprice__q"), F.max("o_totalprice__q"),
+        F.count_distinct("o_totalprice__q"),
+    ).collect()[0]
+    assert stats[0] == 0 and stats[1] == 1023 and stats[2] > 500
+
+
+def test_zorder_cluster_prunes_both_dimensions(tmp_path, spark):
+    """Layout evidence: write the same table (a) sorted linearly on
+    o_custkey and (b) Z-order clustered on (custkey, orderkey); a box
+    predicate on the NON-leading dimension must touch fewer files under
+    the Z layout (per-file min/max = exactly what parquet row-group
+    pruning uses)."""
+    from preprocessor_spark.operators.layout import zorder_cluster
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    linear_dir, z_dir = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    orders.repartitionByRange(8, "o_custkey").sortWithinPartitions(
+        "o_custkey"
+    ).write.mode("overwrite").parquet(linear_dir)
+    zorder_cluster(orders, ["o_custkey", "o_orderkey"], num_partitions=8).write.mode(
+        "overwrite"
+    ).parquet(z_dir)
+
+    def files_overlapping(path, col, lo, hi):
+        df = spark.read.parquet(path).select(
+            F.input_file_name().alias("f"), F.col(col)
+        )
+        mm = df.groupBy("f").agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+        return mm.where((F.col("mx") >= lo) & (F.col("mn") <= hi)).count()
+
+    # box on o_orderkey (the non-leading dim for the linear layout)
+    lo, hi = 100, 180
+    n_linear = files_overlapping(linear_dir, "o_orderkey", lo, hi)
+    n_z = files_overlapping(z_dir, "o_orderkey", lo, hi)
+    assert n_z < n_linear, (n_z, n_linear)
+    # correctness: same rows either way
+    a = spark.read.parquet(linear_dir).where(F.col("o_orderkey").between(lo, hi)).count()
+    b = spark.read.parquet(z_dir).where(F.col("o_orderkey").between(lo, hi)).count()
+    assert a == b
+
+
+# --------------------------------------------------------- count-min sketch
+
+
+def test_cms_never_undercounts_and_is_tight_on_skew(spark):
+    from preprocessor_spark.operators.sketches import cms_build, cms_estimate
+
+    import duckdb
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    sketch = cms_build(words, "word", width=2048, depth=4)
+    est_pdf = cms_estimate(sketch, words.distinct(), "word").toPandas()
+    true_pdf = words.groupBy("word").count().toPandas()
+
+    con = duckdb.connect()
+    con.register("est", est_pdf)
+    con.register("tru", true_pdf)
+    under = con.execute(
+        "SELECT COUNT(*) FROM est JOIN tru USING (word) WHERE est < count"
+    ).fetchone()[0]
+    assert under == 0
+    n_total, max_over = con.execute(
+        "SELECT (SELECT SUM(count) FROM tru), MAX(est - count) FROM est JOIN tru USING (word)"
+    ).fetchone()
+    # CMS bound: overcount <= e*N/width whp; generous 4x slack
+    assert max_over <= 4 * 2.72 * n_total / 2048
+
+
+def test_cms_merge_equals_whole(spark):
+    """Mergeability: sketch(part1) + sketch(part2) re-summed on (row, col)
+    is cell-identical to sketching the whole corpus."""
+    from preprocessor_spark.operators.sketches import cms_build
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    half1, half2 = words.where("doc_id % 2 = 0"), words.where("doc_id % 2 = 1")
+    merged = (
+        cms_build(half1, "word").unionByName(cms_build(half2, "word"))
+        .groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(words, "word")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_cms_weighted_input_matches_raw(spark):
+    from preprocessor_spark.operators.sketches import cms_build
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).where(F.col("word") != "")
+    pre = words.groupBy("word").count()
+    from_raw = cms_build(words, "word")
+    from_weighted = cms_build(pre, "word", count_col="count")
+    assert from_raw.exceptAll(from_weighted).count() == 0
+    assert from_weighted.exceptAll(from_raw).count() == 0
