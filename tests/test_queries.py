@@ -353,3 +353,112 @@ def test_embed_pca_invariants_duckdb(spark, ddb):
     assert np.allclose(vars_sql, model.explained_variance, rtol=1e-6)
     for t in ("pca_comp", "pca_mean", "pca_proj"):
         ddb.unregister(t)
+
+
+def test_simhash_pairs_invariants_duckdb(spark):
+    """simhash pairs are rows-only (hash-family specific), but given the
+    SIGNATURES the exactness is SQL: soundness — every emitted pair's
+    hamming equals bit_count(xor(sig_a, sig_b)) and respects the
+    threshold; completeness — every signature pair within Hamming 3 (the
+    4-chunk pigeonhole guarantee) is emitted."""
+    from preprocessor_spark.operators.dedup import simhash_pairs, simhash_udf
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    pairs = simhash_pairs(docs, "text", "doc_id", max_hamming=8).toPandas()
+    sigs = docs.select(
+        F.col("doc_id"), simhash_udf(2)(F.col("text")).alias("sig")
+    ).toPandas()
+
+    con = duckdb.connect()
+    con.register("pairs", pairs)
+    con.register("sigs", sigs)
+    bad_sound = con.execute(
+        """SELECT COUNT(*) FROM pairs p
+           JOIN sigs a ON p.id_a = a.doc_id JOIN sigs b ON p.id_b = b.doc_id
+           WHERE p.hamming <> bit_count(xor(a.sig, b.sig)) OR p.hamming > 8"""
+    ).fetchone()[0]
+    assert bad_sound == 0
+    missed = con.execute(
+        """SELECT COUNT(*) FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+           LEFT JOIN pairs p ON p.id_a = a.doc_id AND p.id_b = b.doc_id
+           WHERE bit_count(xor(a.sig, b.sig)) <= 3 AND p.id_a IS NULL"""
+    ).fetchone()[0]
+    assert missed == 0
+    # and the corpus actually exercises the check
+    n_close = con.execute(
+        """SELECT COUNT(*) FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.sig, b.sig)) <= 8"""
+    ).fetchone()[0]
+    assert n_close > 0
+
+
+def test_hll_rollup_error_vs_exact_duckdb(spark, ddb):
+    """HLL rollup estimates (rows-only) vs DuckDB-exact distincts: lg_k=12
+    ⇒ relative error ≈1.04/√4096 ≈1.6%; assert <5% on every group."""
+    got = QUERIES["hll_user_rollup"](spark, SF_DIR).toPandas()
+    exact = ddb.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS c FROM events GROUP BY event_type"
+    ).df()
+    m = got.merge(exact, on="event_type")
+    assert len(m) == len(exact) > 0
+    rel = (m.iloc[:, 1].astype(float) - m.c) / m.c
+    assert rel.abs().max() < 0.05
+
+
+def test_approx_distinct_error_vs_exact_duckdb(spark, ddb):
+    got = QUERIES["approx_distinct_parts"](spark, SF_DIR).toPandas()
+    exact = ddb.execute(
+        "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS c FROM lineitem GROUP BY l_returnflag"
+    ).df()
+    m = got.merge(exact, on="l_returnflag")
+    assert (m.exact_parts == m.c).all()
+    assert ((m.approx_parts - m.c).abs() / m.c).max() < 0.05
+
+
+def test_quantile_sketch_rollup_rank_error_duckdb(spark, ddb):
+    """Landmark-sketch p50/p90 (rows-only): the estimate must sit between
+    the exact (p±0.15) quantiles of its group — a rank-error bound the
+    k=32 landmark pooling comfortably meets, checked per group in SQL."""
+    got = QUERIES["quantile_sketch_rollup"](spark, SF_DIR).toPandas()
+    assert len(got) > 0
+    for _, row in got.iterrows():
+        for p, col in ((0.5, "p50"), (0.9, "p90")):
+            lo, hi = ddb.execute(
+                f"""SELECT quantile_cont(l_extendedprice, {max(p - 0.15, 0.0)}),
+                           quantile_cont(l_extendedprice, {min(p + 0.15, 1.0)})
+                    FROM lineitem WHERE l_returnflag = ?""",
+                [row["l_returnflag"]],
+            ).fetchone()
+            assert lo <= row[col] <= hi, (row["l_returnflag"], col, row[col], lo, hi)
+
+
+def test_heavy_hitters_guarantees_duckdb(spark, ddb):
+    """Misra–Gries output (rows-only): est ≤ true ≤ est + err for every
+    emitted term, and every term with true count > N/capacity appears."""
+    got = QUERIES["heavy_hitters_terms"](spark, SF_DIR).toPandas()
+    truth = ddb.execute(
+        """SELECT word, COUNT(*) AS c FROM (
+               SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+               FROM documents) WHERE word <> '' GROUP BY word"""
+    ).df()
+    n_total = int(truth.c.sum())
+    con = duckdb.connect()
+    con.register("got", got)
+    con.register("truth", truth)
+    bad_bounds = con.execute(
+        """SELECT COUNT(*) FROM got JOIN truth ON got.item = truth.word
+           WHERE NOT (got.est <= truth.c AND truth.c <= got.est + got.err)"""
+    ).fetchone()[0]
+    assert bad_bounds == 0
+    # the query truncates the summary to top-k, so absolute presence applies
+    # pre-truncation; post-truncation the boundary invariant holds: no
+    # omitted term can truly outrank the weakest emitted one beyond its
+    # error allowance (true_omitted <= min emitted est + max err)
+    boundary_violations = con.execute(
+        """SELECT COUNT(*) FROM truth LEFT JOIN got ON got.item = truth.word
+           WHERE got.item IS NULL
+             AND truth.c > (SELECT MIN(est) FROM got) + (SELECT MAX(err) FROM got)"""
+    ).fetchone()[0]
+    assert boundary_violations == 0
+    assert n_total > 0 and len(got) == 15
