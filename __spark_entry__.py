@@ -2756,6 +2756,54 @@ def recursive_cte_tree(spark, sf_dir):
     return spark.sql(_RECURSIVE_TREE_SQL)
 
 
+def pagerank_custsupp(spark, sf_dir):
+    """PageRank (operators/graph.py) over the customer→supplier trade
+    graph (distinct pairs from orders⋈lineitem; node ids prefixed so the
+    two key spaces can't collide). Rows-only: float summation order makes
+    exact cross-engine hashes meaningless; tests grade it against an
+    independent numpy power iteration (1e-9) plus the sum-to-1 and
+    rank-floor invariants."""
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return pagerank(edges, iterations=5).select(
+        "node", F.round(F.col("rank"), 9).alias("rank")
+    )
+
+
+def lateral_topn_orders(spark, sf_dir):
+    """LATERAL correlated subquery (Spark 4 comma-LATERAL): per-customer
+    top-2 orders by price — the per-group-top-N shape expressed directly
+    in SQL; Catalyst decorrelates to a ranked window under the hood.
+    DuckDB runs the byte-identical statement as the oracle."""
+    from preprocessor_spark.sources import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
+_LATERAL_TOPN_SQL = """
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer,
+    LATERAL (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2
+    ) t
+"""
+
+
 _RECURSIVE_TREE_SQL = """
     WITH RECURSIVE tree(node, depth) AS (
         SELECT s_suppkey AS node, 0 AS depth FROM supplier WHERE s_suppkey = 0
@@ -3040,6 +3088,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_cap": url_domain_cap,
         # recursive CTE hierarchy walk (round 5, oracle-backed)
         "recursive_cte_tree": recursive_cte_tree,
+        # LATERAL correlated top-N (round 5, oracle-backed)
+        "lateral_topn_orders": lateral_topn_orders,
         # contrastive ring negatives (round 5, oracle-backed)
         "negatives_ring_docs": negatives_ring_docs,
         # Z-order clustering key (round 5, oracle-backed)
@@ -3047,6 +3097,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only checks (no SQL oracle by design):
         # count-min sketch estimates (xxhash64 — invariant-tested vs DuckDB)
         "cms_word_counts": cms_word_counts,
+        # PageRank link-graph signal (float-order nondeterminism — graded
+        # vs an independent numpy power iteration in tests)
+        "pagerank_custsupp": pagerank_custsupp,
         "bpe_token_stats": bpe_token_stats_docs,
         "text_quality_classifier": text_quality_classifier,
         "embed_pca_project": embed_pca_project,
@@ -5078,6 +5131,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the Spark query runs this exact string; DuckDB speaks it too
         "recursive_cte_tree": _RECURSIVE_TREE_SQL,
+        "lateral_topn_orders": _LATERAL_TOPN_SQL,
         # identical md5 ring, row_number twin of assign_row_ids (round 5)
         "negatives_ring_docs": """
             WITH ranked AS (

@@ -114,6 +114,35 @@ def read_text(
     return spark.read.options(**options).text(path, wholetext=whole_file)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-file ingest via the built-in ``binaryFile`` source: one row per
+    file with ``(path, modificationTime, length, content: binary)`` — the
+    ingestion half of the multimodal pipeline (feed ``content`` to
+    operators/multimodal.py decoders).
+
+    ``glob`` maps to pathGlobFilter (filename pattern pushdown — pruning
+    happens at listing time, before any read). ``max_bytes`` filters on
+    the LENGTH column, which the source populates from file metadata, so
+    oversized blobs are skipped without reading their bytes.
+
+    100 TB shape: files are unsplittable rows — fine for media corpora
+    (many small-to-medium objects); pack giant archives upstream. The
+    binary payload stays columnar (Arrow) all the way into mapInPandas.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = False) -> dict[str, DataFrame]:
     """Load every star-schema table present under ``sf_dir``.
 

@@ -389,3 +389,134 @@ def test_cms_weighted_input_matches_raw(spark):
     from_weighted = cms_build(pre, "word", count_col="count")
     assert from_raw.exceptAll(from_weighted).count() == 0
     assert from_weighted.exceptAll(from_raw).count() == 0
+
+
+# ------------------------------------------------------- binaryFile source
+
+
+def _gradient_ppm(w, h):
+    import numpy as np
+    rgb = np.zeros((h, w, 3), dtype=np.uint8)
+    rgb[:, :, 0] = (np.arange(w)[None, :] * 255 // max(w - 1, 1)).astype(np.uint8)
+    rgb[:, :, 1] = (np.arange(h)[:, None] * 255 // max(h - 1, 1)).astype(np.uint8)
+    rgb[:, :, 2] = 7
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes(), rgb
+
+
+def test_read_binary_files_to_image_features(tmp_path, spark):
+    """Raw-file ingestion end to end: plant PPM files on disk, read them
+    with the binaryFile source (glob filter + metadata-level size filter),
+    decode through the multimodal pipeline, and check pixel-exact means."""
+    from preprocessor_spark.operators.multimodal import image_features
+    from preprocessor_spark.sources import read_binary_files
+
+    import numpy as np
+
+    truth = {}
+    for i, (w, h) in enumerate([(8, 6), (5, 9), (16, 4)]):
+        payload, rgb = _gradient_ppm(w, h)
+        (tmp_path / f"img_{i}.ppm").write_bytes(payload)
+        truth[i] = (w, h, float(rgb.astype(np.float64).mean() / 255.0))
+    (tmp_path / "notes.txt").write_bytes(b"not an image")
+    big, _ = _gradient_ppm(200, 200)
+    (tmp_path / "img_999.ppm").write_bytes(big)
+
+    files = read_binary_files(
+        spark, str(tmp_path), glob="*.ppm", max_bytes=len(big) - 1
+    )
+    assert files.count() == 3  # txt excluded by glob, big by size
+    named = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.ppm", 1)
+        .cast("long")
+        .alias("img_id"),
+        "content",
+    )
+    feats = {
+        r["id"]: r
+        for r in image_features(named, "img_id", "content").collect()
+    }
+    assert set(feats) == set(truth)
+    for name, (w, h, mean) in truth.items():
+        r = feats[name]
+        assert (r["width"], r["height"]) == (w, h)
+        assert abs(r["mean_intensity"] - mean) < 1e-6
+
+
+def test_read_binary_files_length_matches_metadata(tmp_path, spark):
+    from preprocessor_spark.sources import read_binary_files
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"\x00" * 1234)
+    row = read_binary_files(spark, str(tmp_path)).collect()[0]
+    assert row["length"] == 1234 and len(row["content"]) == 1234
+
+
+# -------------------------------------------------------------- pagerank
+
+
+def _pagerank_numpy(edge_list, iterations, damping):
+    import numpy as np
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _ in edge_list:
+        deg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        share = np.where(deg > 0, r / np.maximum(deg, 1), 0.0)
+        for u, v in edge_list:
+            contrib[idx[v]] += share[idx[u]]
+        dangling = r[deg == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {nd: r[i] for nd, i in idx.items()}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.graph import pagerank
+
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+        ("e", "d"), ("e", "c"), ("f", "a"),  # g only appears as a dst
+        ("a", "g"),
+    ]
+    df = spark.createDataFrame(edge_list, "src string, dst string")
+    with persist_scope():
+        got = {r["node"]: r["rank"] for r in pagerank(df, iterations=12).collect()}
+    want = _pagerank_numpy(edge_list, 12, 0.85)
+    assert set(got) == set(want)
+    for nd in want:
+        assert abs(got[nd] - want[nd]) < 1e-9, (nd, got[nd], want[nd])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_invariants_on_trade_graph(spark):
+    from preprocessor_spark.caching import persist_scope
+    import __spark_entry__ as em
+
+    with persist_scope():
+        rows = em.pagerank_custsupp(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    n = len(rows)
+    floor = (1 - 0.85) / n
+    assert all(r["rank"] >= floor - 1e-12 for r in rows)
+    # suppliers receive trade-volume rank: some supplier must outrank the floor
+    assert any(r["node"].startswith("s") and r["rank"] > 2 * floor for r in rows)
+
+
+def test_pagerank_duplicate_edges_ignored(spark):
+    """Edge multiplicity must not change the result (distinct inside)."""
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.graph import pagerank
+
+    base = [("a", "b"), ("b", "a"), ("a", "c")]
+    df1 = spark.createDataFrame(base, "src string, dst string")
+    df2 = spark.createDataFrame(base * 5, "src string, dst string")
+    with persist_scope():
+        r1 = sorted((r["node"], round(r["rank"], 12)) for r in pagerank(df1, iterations=6).collect())
+    with persist_scope():
+        r2 = sorted((r["node"], round(r["rank"], 12)) for r in pagerank(df2, iterations=6).collect())
+    assert r1 == r2
