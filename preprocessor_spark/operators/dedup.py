@@ -360,6 +360,7 @@ def minhash_dedup_corpus(
     df: DataFrame,
     text_col: str,
     id_col: str,
+    collapse_exact: bool = True,
     **lsh_kwargs,
 ) -> DataFrame:
     """End-to-end near-duplicate removal: MinHash-LSH candidate pairs →
@@ -368,8 +369,48 @@ def minhash_dedup_corpus(
 
     The complete "dedup the corpus" user story in one call — every stage is
     a keyed shuffle (band equi-join, CC label propagation, left-anti keep),
-    so the composition scales exactly as its parts do."""
+    so the composition scales exactly as its parts do.
+
+    ``collapse_exact`` (the pattern proven on PPJoin/SemDeDup/fuzzy_join):
+    verbatim copies share the exact signature, so a d-way-duplicated corpus
+    makes every LSH bucket d× fatter and the candidate join quadratic in d.
+    Instead: hash-group by content, run LSH on one representative per
+    group, and connect each member to its representative with an explicit
+    exact-dup edge (members ARE Jaccard-1 near-dups of their rep, so the
+    clusters — and therefore the kept set — are identical; additionally a
+    group larger than ``max_bucket`` survives collapse intact where the
+    uncollapsed run's skew guard would have dropped its buckets). The
+    thin-duplication probe (one hash-only agg) bypasses the collapse when
+    ≥98% of texts are distinct, keeping duplicate-free corpora on the
+    direct plan."""
     from preprocessor_spark.operators.graph import dedup_keep_canonical
+
+    if collapse_exact:
+        m = register_persisted(
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__g"))
+            .persist()
+        )
+        stats = m.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct("__g").alias("g")
+        ).first()
+        if stats["g"] >= 0.98 * stats["n"]:
+            m.unpersist()
+            return minhash_dedup_corpus(
+                df, text_col, id_col, collapse_exact=False, **lsh_kwargs
+            )
+        reps = m.groupBy("__g").agg(F.min("__mid").alias("__rid"))
+        rep_rows = df.join(
+            reps.select(F.col("__rid").alias(id_col)), id_col, "left_semi"
+        )
+        rep_pairs = minhash_lsh_pairs(rep_rows, text_col, id_col, **lsh_kwargs)
+        exact_edges = (
+            m.join(reps, "__g")
+            .where(F.col("__mid") != F.col("__rid"))
+            .select(F.col("__rid").alias("id_a"), F.col("__mid").alias("id_b"))
+        )
+        edges = rep_pairs.select("id_a", "id_b").unionByName(exact_edges)
+        return dedup_keep_canonical(df, edges, id_col)
 
     pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
     return dedup_keep_canonical(df, pairs, id_col)

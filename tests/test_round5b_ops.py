@@ -520,3 +520,62 @@ def test_pagerank_duplicate_edges_ignored(spark):
     with persist_scope():
         r2 = sorted((r["node"], round(r["rank"], 12)) for r in pagerank(df2, iterations=6).collect())
     assert r1 == r2
+
+
+# --------------------------------------- minhash corpus dedup exact collapse
+
+
+def test_minhash_corpus_collapse_equals_uncollapsed(spark):
+    """On a heavily exact-duplicated corpus the collapsed plan must keep a
+    bit-identical document set to the uncollapsed plan."""
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.dedup import minhash_dedup_corpus
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(60)
+    dup = base.filter(F.col("doc_id") % 2 == 0)
+    corpus = base
+    for off in (10_000, 20_000, 30_000):
+        corpus = corpus.unionByName(
+            dup.select((F.col("doc_id") + off).alias("doc_id"), "text")
+        )
+    kw = dict(num_hashes=64, bands=16, threshold=0.6)
+    with persist_scope():
+        kept_c = sorted(
+            r["doc_id"]
+            for r in minhash_dedup_corpus(corpus, "text", "doc_id", **kw)
+            .select("doc_id").collect()
+        )
+    with persist_scope():
+        kept_u = sorted(
+            r["doc_id"]
+            for r in minhash_dedup_corpus(
+                corpus, "text", "doc_id", collapse_exact=False, **kw
+            ).select("doc_id").collect()
+        )
+    assert kept_c == kept_u and len(kept_c) > 0
+
+
+def test_minhash_corpus_collapse_survives_mega_groups(spark):
+    """A content group BIGGER than max_bucket: the uncollapsed run's skew
+    guard drops its buckets, but the collapsed run must still deduplicate
+    it to one survivor (the explicit exact-dup edges don't go through
+    LSH buckets)."""
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.dedup import minhash_dedup_corpus
+
+    one = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(1)
+    copies = one
+    for off in range(1, 30):
+        copies = copies.unionByName(
+            one.select((F.col("doc_id") + 1000 * off).alias("doc_id"), "text")
+        )
+    with persist_scope():
+        kept = minhash_dedup_corpus(
+            copies, "text", "doc_id",
+            num_hashes=64, bands=16, threshold=0.6, max_bucket=10,
+        ).count()
+    assert kept == 1
