@@ -2756,6 +2756,51 @@ def recursive_cte_tree(spark, sf_dir):
     return spark.sql(_RECURSIVE_TREE_SQL)
 
 
+def warc_ingest_stats(spark, sf_dir):
+    """End-to-end WARC ingestion (sources/warc.py, Spark 4 Python Data
+    Source API): parse web-archive shards — partition per shard — and
+    aggregate per-host record counts and payload octets through
+    parse_urls. The shard FILES are a deterministic fixture synthesized
+    from the documents table (standing in for the crawl archive the
+    driver can't ship); the DuckDB oracle recomputes the same stats from
+    the documents table directly, so the whole parse → decode → aggregate
+    path is value-graded."""
+    import os
+
+    from preprocessor_spark.operators.urls import parse_urls
+    from preprocessor_spark.sources.warc import register_warc_source
+
+    dest = f"/tmp/warc_fixture_{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(dest, exist_ok=True)
+    # fixture synthesis (driver-side by necessity: WARC shards are files);
+    # 4 shards so the read exercises multiple partitions
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text").collect()
+    )
+    shards: dict[int, list] = {i: [] for i in range(4)}
+    for r in docs:
+        body = r["text"].encode("utf-8")
+        uri = f"https://{r['source']}.example.com/doc/{r['doc_id']}".encode()
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:" + str(r["doc_id"]).encode() + b">\r\n"
+            b"WARC-Target-URI: " + uri + b"\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        )
+        shards[r["doc_id"] % 4].append(hdr + body + b"\r\n\r\n")
+    for i, recs in shards.items():
+        with open(os.path.join(dest, f"shard{i}.warc"), "wb") as f:
+            f.write(b"".join(recs))
+
+    register_warc_source(spark)
+    df = spark.read.format("warc").load(dest)
+    parsed = parse_urls(df.where(F.col("warc_type") == "response"), "target_uri")
+    return parsed.groupBy(F.col("url_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.octet_length("payload")).alias("payload_bytes"),
+    )
+
+
 def pagerank_custsupp(spark, sf_dir):
     """PageRank (operators/graph.py) over the customer→supplier trade
     graph (distinct pairs from orders⋈lineitem; node ids prefixed so the
@@ -3090,6 +3135,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recursive_cte_tree": recursive_cte_tree,
         # LATERAL correlated top-N (round 5, oracle-backed)
         "lateral_topn_orders": lateral_topn_orders,
+        # WARC python-data-source ingestion (round 5, oracle-backed)
+        "warc_ingest_stats": warc_ingest_stats,
         # contrastive ring negatives (round 5, oracle-backed)
         "negatives_ring_docs": negatives_ring_docs,
         # Z-order clustering key (round 5, oracle-backed)
@@ -5132,6 +5179,15 @@ def oracle_sql() -> dict[str, str]:
         # the Spark query runs this exact string; DuckDB speaks it too
         "recursive_cte_tree": _RECURSIVE_TREE_SQL,
         "lateral_topn_orders": _LATERAL_TOPN_SQL,
+        # the WARC fixture is synthesized 1:1 from documents, so the
+        # parse→aggregate path must reproduce these table-level stats
+        "warc_ingest_stats": """
+            SELECT source || '.example.com' AS host,
+                   COUNT(*) AS n_records,
+                   CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS payload_bytes
+            FROM documents
+            GROUP BY source
+        """,
         # identical md5 ring, row_number twin of assign_row_ids (round 5)
         "negatives_ring_docs": """
             WITH ranked AS (

@@ -1,0 +1,179 @@
+"""WARC (Web ARChive) ingestion as a Spark 4 Python Data Source.
+
+Web-scale pretraining corpora start life as WARC shards (the CommonCrawl
+distribution format — ISO 28500); Spark has no built-in reader for them.
+Spark 4's Python Data Source API (`pyspark.sql.datasource`) lets a pure-
+Python parser plug into the normal reader pipeline: registration gives
+``spark.read.format("warc").load(path)`` with one input partition per
+shard file, so a 90k-shard crawl fans out across the cluster exactly like
+a parquet scan (each WARC shard is independently parseable; per-record
+gzip members keep .warc.gz shards streamable without whole-file
+decompression).
+
+Parser scope (the stable core of ISO 28500):
+- WARC/1.0 and 1.1 record framing: header block (CRLF lines) +
+  ``Content-Length`` octets of payload + CRLF CRLF separator;
+- plain ``.warc`` and multi-member ``.warc.gz`` (one gzip member per
+  record — the CommonCrawl layout) via stdlib zlib;
+- for ``response`` records the HTTP header block is split off the payload
+  (body = octets after the first CRLF CRLF), exposed as ``http_headers``.
+
+Rows: (path, record_id, warc_type, target_uri, content_type, http_headers,
+payload). Downstream: ``payload`` → text extraction / language id;
+``target_uri`` → operators/urls.py canonicalization + domain caps.
+
+Driver-side work is just the file listing (os.scandir on the glob) — the
+same bounded listing any file source performs; record parsing runs inside
+executors' Python workers, Arrow-batched back to the JVM.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import zlib
+from typing import Iterator
+
+try:  # Spark 4 Python Data Source API
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    _HAS_DSAPI = True
+except ImportError:  # pragma: no cover - pyspark < 4
+    _HAS_DSAPI = False
+
+    class DataSource:  # type: ignore[no-redef]
+        def __init__(self, options):
+            self.options = options
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class InputPartition:  # type: ignore[no-redef]
+        def __init__(self, value):
+            self.value = value
+
+
+WARC_SCHEMA = (
+    "path string, record_id string, warc_type string, target_uri string, "
+    "content_type string, http_headers string, payload binary"
+)
+
+
+def _split_headers(block: bytes) -> dict:
+    headers = {}
+    for line in block.split(b"\r\n")[1:]:  # first line is WARC/1.x
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower().decode("ascii", "replace")] = v.strip().decode(
+                "utf-8", "replace"
+            )
+    return headers
+
+
+def parse_warc_records(raw: bytes) -> Iterator[tuple]:
+    """Yield (record_id, warc_type, target_uri, content_type, http_headers,
+    payload) tuples from decompressed WARC bytes. Strict on framing: a
+    malformed Content-Length or missing version line raises (corrupt
+    shards should fail loudly, not truncate silently)."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and raw[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not raw.startswith(b"WARC/", pos):
+            raise ValueError(f"expected WARC version line at offset {pos}")
+        hdr_end = raw.index(b"\r\n\r\n", pos)
+        headers = _split_headers(raw[pos:hdr_end])
+        length = int(headers["content-length"])
+        body_start = hdr_end + 4
+        payload = raw[body_start : body_start + length]
+        if len(payload) != length:
+            raise ValueError("truncated WARC record payload")
+        wtype = headers.get("warc-type", "")
+        http_headers = ""
+        if wtype == "response" and payload.startswith(b"HTTP/"):
+            sep = payload.find(b"\r\n\r\n")
+            if sep >= 0:
+                http_headers = payload[:sep].decode("utf-8", "replace")
+                payload = payload[sep + 4 :]
+        yield (
+            headers.get("warc-record-id", ""),
+            wtype,
+            headers.get("warc-target-uri", ""),
+            headers.get("content-type", ""),
+            http_headers,
+            payload,
+        )
+        pos = body_start + length
+
+
+def _read_shard(path: str) -> bytes:
+    data = open(path, "rb").read()
+    if path.endswith(".gz"):
+        # multi-member gzip: decompress members until input is exhausted
+        out = []
+        while data:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            out.append(d.decompress(data))
+            data = d.unused_data
+        return b"".join(out)
+    return data
+
+
+class _WarcPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source requires a path")
+
+    def partitions(self):
+        p = self.path
+        if os.path.isdir(p):
+            files = sorted(
+                e.path
+                for e in os.scandir(p)
+                if e.is_file() and (".warc" in e.name)
+            )
+        else:
+            files = sorted(_glob.glob(p))
+        if not files:
+            raise FileNotFoundError(f"no WARC shards under {p}")
+        return [_WarcPartition(f) for f in files]
+
+    def read(self, partition):
+        raw = _read_shard(partition.path)
+        for rec in parse_warc_records(raw):
+            yield (partition.path, *rec)
+
+
+class WarcDataSource(DataSource):
+    """``spark.dataSource.register(WarcDataSource)`` then
+    ``spark.read.format("warc").load(path_or_glob)``."""
+
+    @classmethod
+    def name(cls):
+        return "warc"
+
+    def schema(self):
+        return WARC_SCHEMA
+
+    def reader(self, schema):
+        return WarcReader(self.options)
+
+
+def register_warc_source(spark) -> None:
+    """Idempotent registration of the WARC reader on a session."""
+    if not _HAS_DSAPI:
+        raise ImportError(
+            "the Python Data Source API (pyspark.sql.datasource) requires "
+            "Spark >= 4.0"
+        )
+    spark.dataSource.register(WarcDataSource)

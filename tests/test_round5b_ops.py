@@ -579,3 +579,86 @@ def test_minhash_corpus_collapse_survives_mega_groups(spark):
             num_hashes=64, bands=16, threshold=0.6, max_bucket=10,
         ).count()
     assert kept == 1
+
+
+# ------------------------------------------------------ WARC python source
+
+
+def _warc_record(rid, uri, body, wtype=b"response", http=True):
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body if http else body
+    )
+    hdr = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: " + wtype + b"\r\n"
+        b"WARC-Record-ID: <urn:uuid:" + rid + b">\r\n"
+        b"WARC-Target-URI: " + uri + b"\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+        b"\r\n"
+    )
+    return hdr + payload + b"\r\n\r\n"
+
+
+def test_warc_source_plain_and_gzip(tmp_path, spark):
+    import gzip
+
+    from preprocessor_spark.sources.warc import register_warc_source
+
+    recs = [
+        _warc_record(b"r1", b"https://example.com/a", b"<html>alpha</html>"),
+        _warc_record(b"r2", b"https://example.org/b", b"<html>beta</html>"),
+        _warc_record(b"r3", b"", b"warcinfo body", wtype=b"warcinfo", http=False),
+    ]
+    (tmp_path / "shard0.warc").write_bytes(b"".join(recs[:2]))
+    # CommonCrawl layout: one gzip member per record
+    gz = b"".join(gzip.compress(r) for r in recs)
+    (tmp_path / "shard1.warc.gz").write_bytes(gz)
+
+    register_warc_source(spark)
+    df = spark.read.format("warc").load(str(tmp_path))
+    rows = df.collect()
+    # shard0 has 2 records; shard1 has all 3
+    assert len(rows) == 5
+    by_uri = {}
+    for r in rows:
+        by_uri.setdefault(r["target_uri"], []).append(r)
+    assert len(by_uri["https://example.com/a"]) == 2
+    r = by_uri["https://example.com/a"][0]
+    assert r["warc_type"] == "response"
+    assert bytes(r["payload"]) == b"<html>alpha</html>"
+    assert "HTTP/1.1 200 OK" in r["http_headers"]
+    info = [x for x in rows if x["warc_type"] == "warcinfo"]
+    assert len(info) == 1 and bytes(info[0]["payload"]) == b"warcinfo body"
+    # partition-per-file: as many input partitions as shards
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_warc_source_feeds_url_pipeline(tmp_path, spark):
+    from preprocessor_spark.operators.urls import parse_urls
+    from preprocessor_spark.sources.warc import register_warc_source
+
+    recs = b"".join(
+        _warc_record(
+            b"r%d" % i,
+            b"HTTP://Example.COM:80/p%d//x?utm_source=s&a=1" % i,
+            b"body%d" % i,
+        )
+        for i in range(4)
+    )
+    (tmp_path / "c.warc").write_bytes(recs)
+    register_warc_source(spark)
+    df = spark.read.format("warc").load(str(tmp_path / "c.warc"))
+    out = parse_urls(df.where("warc_type = 'response'"), "target_uri")
+    got = sorted(r["url_canonical"] for r in out.collect())
+    assert got == [f"http://example.com/p{i}/x?a=1" for i in range(4)]
+
+
+def test_warc_corrupt_shard_fails_loudly(tmp_path, spark):
+    from preprocessor_spark.sources.warc import parse_warc_records
+
+    with pytest.raises(ValueError, match="WARC version"):
+        list(parse_warc_records(b"not a warc\r\n\r\n"))
+    good = _warc_record(b"r1", b"u", b"body")
+    with pytest.raises(ValueError, match="truncated"):
+        list(parse_warc_records(good[:-8]))
