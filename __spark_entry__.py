@@ -2756,6 +2756,33 @@ def recursive_cte_tree(spark, sf_dir):
     return spark.sql(_RECURSIVE_TREE_SQL)
 
 
+def sql_udf_pricing(spark, sf_dir):
+    """Declarative SQL UDF (Spark 4 CREATE FUNCTION ... RETURN expr):
+    the reusable-business-logic surface — the function body is an
+    EXPRESSION, so Catalyst inlines it and the plan is identical to
+    writing the arithmetic in place (no Python, no serialization). The
+    DuckDB oracle inlines the same expression textually."""
+    from preprocessor_spark.sources import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(14,4)
+        RETURN CAST(p AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(d AS DECIMAL(4,2)))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(disc_price(l_extendedprice, l_discount)) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
 def warc_ingest_stats(spark, sf_dir):
     """End-to-end WARC ingestion (sources/warc.py, Spark 4 Python Data
     Source API): parse web-archive shards — partition per shard — and
@@ -3137,6 +3164,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_topn_orders": lateral_topn_orders,
         # WARC python-data-source ingestion (round 5, oracle-backed)
         "warc_ingest_stats": warc_ingest_stats,
+        # declarative SQL UDF (round 5, oracle-backed)
+        "sql_udf_pricing": sql_udf_pricing,
         # contrastive ring negatives (round 5, oracle-backed)
         "negatives_ring_docs": negatives_ring_docs,
         # Z-order clustering key (round 5, oracle-backed)
@@ -5179,6 +5208,15 @@ def oracle_sql() -> dict[str, str]:
         # the Spark query runs this exact string; DuckDB speaks it too
         "recursive_cte_tree": _RECURSIVE_TREE_SQL,
         "lateral_topn_orders": _LATERAL_TOPN_SQL,
+        # the SQL-UDF body inlined textually (Catalyst does the same)
+        "sql_udf_pricing": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
         # the WARC fixture is synthesized 1:1 from documents, so the
         # parse→aggregate path must reproduce these table-level stats
         "warc_ingest_stats": """

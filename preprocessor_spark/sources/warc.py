@@ -35,11 +35,19 @@ import zlib
 from typing import Iterator
 
 try:  # Spark 4 Python Data Source API
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     _HAS_DSAPI = True
 except ImportError:  # pragma: no cover - pyspark < 4
     _HAS_DSAPI = False
+
+    class SimpleDataSourceStreamReader:  # type: ignore[no-redef]
+        pass
 
     class DataSource:  # type: ignore[no-redef]
         def __init__(self, options):
@@ -154,9 +162,60 @@ class WarcReader(DataSourceReader):
             yield (partition.path, *rec)
 
 
+class WarcStreamReader(SimpleDataSourceStreamReader):
+    """Tail a crawl directory as a Structured Stream: each micro-batch
+    ingests the shard files that appeared since the last offset.
+
+    The offset is the sorted list of already-ingested file names — exact
+    and replayable (``readBetweenOffsets`` re-parses exactly the files in
+    ``end - start``, giving failure recovery the same rows), at the cost
+    of an offset that grows with file count; a production deployment
+    whose shard names are monotonic (the CommonCrawl convention) can
+    switch to a high-watermark name. New files are assumed closed (the
+    writer-renames-into-place convention all file streams rely on).
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source requires a path")
+
+    def _list(self):
+        p = self.path
+        if os.path.isdir(p):
+            return sorted(
+                e.path for e in os.scandir(p) if e.is_file() and ".warc" in e.name
+            )
+        return sorted(_glob.glob(p))
+
+    def initialOffset(self):
+        return {"files": []}
+
+    def read(self, start):
+        seen = set(start["files"])
+        new = [f for f in self._list() if f not in seen]
+        end = {"files": sorted(seen | set(new))}
+        # the simple stream API pickles the prefetched rows to the JVM, so
+        # this must be a materialized list — one micro-batch of new shards
+        # is the memory bound (the simple-reader contract; use the full
+        # partition-planning streamReader when batches outgrow one worker)
+        return list(self._rows(new)), end
+
+    def readBetweenOffsets(self, start, end):
+        delta = sorted(set(end["files"]) - set(start["files"]))
+        return list(self._rows(delta))
+
+    def _rows(self, files):
+        for path in files:
+            raw = _read_shard(path)
+            for rec in parse_warc_records(raw):
+                yield (path, *rec)
+
+
 class WarcDataSource(DataSource):
     """``spark.dataSource.register(WarcDataSource)`` then
-    ``spark.read.format("warc").load(path_or_glob)``."""
+    ``spark.read.format("warc").load(path_or_glob)`` (batch) or
+    ``spark.readStream.format("warc").load(dir)`` (tail the directory)."""
 
     @classmethod
     def name(cls):
@@ -167,6 +226,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema):
         return WarcReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return WarcStreamReader(self.options)
 
 
 def register_warc_source(spark) -> None:

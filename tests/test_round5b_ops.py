@@ -662,3 +662,50 @@ def test_warc_corrupt_shard_fails_loudly(tmp_path, spark):
     good = _warc_record(b"r1", b"u", b"body")
     with pytest.raises(ValueError, match="truncated"):
         list(parse_warc_records(good[:-8]))
+
+
+def test_warc_stream_tails_directory(tmp_path, spark):
+    """Streaming WARC ingest: batch 1 sees the initial shard, batch 2 sees
+    only the shard that arrived afterwards; offsets replay exactly."""
+    import time
+
+    from preprocessor_spark.sources.warc import register_warc_source
+
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    (crawl / "s0.warc").write_bytes(
+        _warc_record(b"a", b"https://ex.com/1", b"one")
+        + _warc_record(b"b", b"https://ex.com/2", b"two")
+    )
+    register_warc_source(spark)
+    stream = spark.readStream.format("warc").load(str(crawl))
+    assert stream.isStreaming
+
+    seen = []
+
+    def sink(batch_df, batch_id):
+        seen.append(sorted(r["target_uri"] for r in batch_df.collect()))
+
+    chk = str(tmp_path / "chk")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    (crawl / "s1.warc").write_bytes(_warc_record(b"c", b"https://ex.com/3", b"three"))
+    q2 = (
+        spark.readStream.format("warc").load(str(crawl))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    flat = [u for batch in seen for u in batch]
+    assert sorted(flat) == [
+        "https://ex.com/1", "https://ex.com/2", "https://ex.com/3"
+    ]
+    # the restarted query must NOT have re-ingested the first shard
+    assert ["https://ex.com/3"] in seen
