@@ -2756,6 +2756,60 @@ def recursive_cte_tree(spark, sf_dir):
     return spark.sql(_RECURSIVE_TREE_SQL)
 
 
+def html_extract_docs(spark, sf_dir):
+    """HTML → visible-text extraction (operators/text.py html_text_expr):
+    the step between WARC ingestion and every text operator. Pure JVM
+    regexp chain (script/style/comment removal, block tags → newlines,
+    entity decode, whitespace normalization); the DuckDB oracle runs the
+    byte-identical chain generated from the SAME step table."""
+    from preprocessor_spark.operators.text import extract_html_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    html = docs.withColumn(
+        "html",
+        F.concat(
+            F.lit("<html><head><title>"), F.col("source"),
+            F.lit("</title><style>p {color: red}</style></head>"),
+            F.lit('<body><!-- crawl comment --><h1>Doc '),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"), F.col("text"), F.lit(" &amp; more</p>"),
+            F.lit('<script type="text/javascript">var x = 1 < 2;</script>'),
+            F.lit("</body></html>"),
+        ),
+    )
+    return extract_html_text(html, "html", "extracted").select("doc_id", "extracted")
+
+
+def _html_extract_oracle() -> str:
+    """DuckDB twin generated from operators/text.py's step tables so the
+    two engines can never drift apart."""
+    from preprocessor_spark.operators.text import _HTML_ENTITIES, HTML_TEXT_STEPS
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = (
+        "'<html><head><title>' || source || "
+        "'</title><style>p {color: red}</style></head>' || "
+        "'<body><!-- crawl comment --><h1>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</h1><p>' || text || ' &amp; more</p>' || "
+        "'<script type=\"text/javascript\">var x = 1 < 2;</script>' || "
+        "'</body></html>'"
+    )
+    for pat, rep in HTML_TEXT_STEPS:
+        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        expr = f"replace({expr}, '{q(ent)}', '{q(ch)}')"
+    for pat, rep in (
+        (r"[ \t\r\f]+", " "),
+        (r" ?\n ?", "\n"),
+        (r"\n{2,}", "\n"),
+        (r"^\n+|\n+$", ""),
+    ):
+        expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
+    return f"SELECT doc_id, trim({expr}) AS extracted FROM documents"
+
+
 def sql_udf_pricing(spark, sf_dir):
     """Declarative SQL UDF (Spark 4 CREATE FUNCTION ... RETURN expr):
     the reusable-business-logic surface — the function body is an
@@ -3166,6 +3220,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_stats": warc_ingest_stats,
         # declarative SQL UDF (round 5, oracle-backed)
         "sql_udf_pricing": sql_udf_pricing,
+        # HTML -> text extraction (round 5, oracle-backed)
+        "html_extract_docs": html_extract_docs,
         # contrastive ring negatives (round 5, oracle-backed)
         "negatives_ring_docs": negatives_ring_docs,
         # Z-order clustering key (round 5, oracle-backed)
@@ -5208,6 +5264,8 @@ def oracle_sql() -> dict[str, str]:
         # the Spark query runs this exact string; DuckDB speaks it too
         "recursive_cte_tree": _RECURSIVE_TREE_SQL,
         "lateral_topn_orders": _LATERAL_TOPN_SQL,
+        # chain generated from the SAME step table as the Spark expression
+        "html_extract_docs": _html_extract_oracle(),
         # the SQL-UDF body inlined textually (Catalyst does the same)
         "sql_udf_pricing": """
             SELECT l_returnflag,

@@ -445,3 +445,60 @@ def text_profile(df: DataFrame, text_col: str) -> DataFrame:
             "fingerprint": fingerprint_expr(t),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the step after WARC ingestion)
+# ---------------------------------------------------------------------------
+#
+# Crawled payloads are HTML; the training corpus wants visible text. This is
+# the regex core of boilerplate strippers (script/style/comment removal,
+# block-level tags → line breaks, remaining tags dropped, common entities
+# decoded, whitespace normalized) as a chain of JVM regexp_replace calls —
+# whole-stage codegen, no Python — with every pattern chosen from the
+# RE2-compatible subset so the DuckDB oracle can run the byte-identical
+# chain (inline (?is) flags work in both engines; no backreferences).
+# Numeric character references need chr() and are out of regex reach — they
+# pass through untouched (documented; a pandas-UDF pass can finish the job
+# where full fidelity matters).
+
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+)
+
+# ordered (pattern, replacement) regex chain — identical in DuckDB
+HTML_TEXT_STEPS = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|blockquote|section|article|header|footer)[^>]*>", "\n"),
+    (r"<[^>]+>", " "),
+]
+
+
+def html_text_expr(html: Column) -> Column:
+    """Visible text of an HTML column: tags/script/style/comments removed,
+    block boundaries become newlines, common named entities decoded,
+    horizontal whitespace squeezed, blank-line runs collapsed, trimmed."""
+    out = html
+    for pat, rep in HTML_TEXT_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, r"[ \t\r\f]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n{2,}", "\n")
+    # trim() strips only spaces in both engines; newlines need the regex
+    out = F.regexp_replace(out, r"^\n+|\n+$", "")
+    return F.trim(out)
+
+
+def extract_html_text(df: DataFrame, html_col: str, out_col: str = "text") -> DataFrame:
+    """Narrow projection adding ``out_col`` = visible text of ``html_col``."""
+    return df.withColumn(out_col, html_text_expr(F.col(html_col)))

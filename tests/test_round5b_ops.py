@@ -709,3 +709,55 @@ def test_warc_stream_tails_directory(tmp_path, spark):
     ]
     # the restarted query must NOT have re-ingested the first shard
     assert ["https://ex.com/3"] in seen
+
+
+# ------------------------------------------------------------- html extract
+
+
+def test_html_text_expr_cases(spark):
+    from preprocessor_spark.operators.text import html_text_expr
+
+    cases = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("<script>var x = '<p>';</script>after", "after"),
+        ("<style>p{}</style>text", "text"),
+        ("<!-- c -->keep", "keep"),
+        ("<h1>Title</h1><p>Body one</p><p>Body two</p>", "Title\nBody one\nBody two"),
+        ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end", "a & b <tag> \"q\" 's' end"),
+        ("  <div> spaced   out </div>  ", "spaced out"),
+        ("<ul><li>one</li><li>two</li></ul>", "one\ntwo"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)], "i int, html string")
+    got = {r["i"]: r["t"] for r in df.select("i", html_text_expr(F.col("html")).alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, repr(got[i]), repr(want))
+
+
+def test_html_extract_idempotent_and_no_shuffle(spark):
+    """Extracting from already-extracted text is a no-op (no tags left),
+    and the whole extraction is a narrow projection."""
+    from preprocessor_spark.operators.text import extract_html_text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).alias("html")
+    )
+    once = extract_html_text(docs, "html", "t1")
+    twice = extract_html_text(once, "t1", "t2")
+    assert twice.where(F.col("t1") != F.col("t2")).count() == 0
+    plan = once._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_parse_urls_canonical_idempotent_property(spark):
+    """Property: canonicalization is idempotent — canon(canon(u)) ==
+    canon(u) over the synthesized messy-URL corpus."""
+    from preprocessor_spark.operators.urls import parse_urls
+
+    import __spark_entry__ as em
+
+    urls = em.url_normalize_docs(spark, "/root/testdata/sf0.001").select(
+        "doc_id", F.col("url_canonical").alias("url")
+    )
+    again = parse_urls(urls, "url")
+    diff = again.where(F.col("url_canonical") != F.col("url")).count()
+    assert diff == 0
