@@ -2121,7 +2121,9 @@ def knn_ivf(spark, sf_dir):
     from preprocessor_spark.operators.similarity import ivf_cosine_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    out = ivf_cosine_topk(e, e.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5)
+    out = ivf_cosine_topk(
+        e, e.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5, n_probe=6
+    )
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 

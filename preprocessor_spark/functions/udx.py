@@ -91,3 +91,38 @@ def weighted_mean_udaf(v: pd.Series, w: pd.Series) -> float:
     if denom == 0 or not mask.any():
         return None
     return float((v[mask] * w[mask]).sum() / denom)
+
+
+def grouped_stats_arrow(
+    df: DataFrame, group_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """Per-group weighted mean via ``applyInArrow`` (Spark 4): the grouped
+    batch arrives as a ``pyarrow.Table`` and leaves as one — no
+    pandas materialization on either side, so the Python hop costs one
+    Arrow buffer view instead of a Series copy per column. Asserted
+    equivalent to the grouped-agg pandas UDAF twin above (tests), which
+    remains the reference; this is the lower-overhead form for wide or
+    binary-heavy groups.
+    """
+    import pyarrow as pa
+
+    def _agg(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v, w = table.column(value_col), table.column(weight_col)
+        mask = pc.and_(pc.is_valid(v), pc.is_valid(w))
+        vv, ww = pc.filter(v, mask), pc.filter(w, mask)
+        denom = pc.sum(ww).as_py()
+        num = pc.sum(pc.multiply(vv, ww)).as_py()
+        mean = None if (denom is None or denom == 0) else num / denom
+        return pa.table(
+            {
+                group_col: [table.column(group_col)[0].as_py()],
+                "weighted_mean": pa.array([mean], type=pa.float64()),
+                "n": pa.array([len(table)], type=pa.int64()),
+            }
+        )
+
+    return df.groupBy(group_col).applyInArrow(
+        _agg, schema=f"{group_col} string, weighted_mean double, n long"
+    )

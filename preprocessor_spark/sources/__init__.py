@@ -88,6 +88,36 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **options) -> N
     df.write.mode(mode).options(**options).orc(path)
 
 
+_AVRO_GATE = (
+    "the Avro DataSource needs the external spark-avro module "
+    "(org.apache.spark:spark-avro) on the classpath — not bundled with "
+    "pyspark and not installable in this container; deploy with "
+    "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+)
+
+
+def read_avro(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Avro read, gated: pyspark ships avro-core jars but NOT the
+    spark-avro DataSource module, so ``format("avro")`` fails at lookup —
+    surface that as a clear ImportError instead of an AnalysisException."""
+    try:
+        return spark.read.options(**options).format("avro").load(path)
+    except Exception as e:  # AnalysisException: Failed to find data source
+        if "Failed to find data source: avro" in str(e):
+            raise ImportError(_AVRO_GATE) from e
+        raise
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    """Avro write twin of :func:`read_avro` (same classpath gate)."""
+    try:
+        df.write.mode(mode).options(**options).format("avro").save(path)
+    except Exception as e:
+        if "Failed to find data source: avro" in str(e):
+            raise ImportError(_AVRO_GATE) from e
+        raise
+
+
 def read_xml(spark: SparkSession, path: str, row_tag: str = "row", **options) -> DataFrame:
     """XML scan (built into Spark 4 — the former spark-xml package): one
     DataFrame row per ``row_tag`` element, schema inferred unless given.

@@ -141,6 +141,7 @@ class WarcReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc source requires a path")
+        self._type_filter: str | None = None
 
     def partitions(self):
         p = self.path
@@ -159,7 +160,39 @@ class WarcReader(DataSourceReader):
     def read(self, partition):
         raw = _read_shard(partition.path)
         for rec in parse_warc_records(raw):
+            if self._type_filter is not None and rec[1] != self._type_filter:
+                continue
             yield (partition.path, *rec)
+
+
+class WarcReaderPushdown(WarcReader):
+    """Pushdown-capable variant, selected via ``.option("pushdown",
+    "true")``. A separate class because merely IMPLEMENTING pushFilters
+    makes the Python worker require
+    ``spark.sql.python.filterPushdown.enabled`` (it asserts otherwise) —
+    the plain reader must stay usable in sessions that haven't opted in.
+    ``register_warc_source`` enables the conf, so the option is safe on
+    any session created through it."""
+
+    def pushFilters(self, filters):
+        """Filter pushdown (Spark asks the source to evaluate what it can):
+        an ``EqualTo(warc_type, v)`` prunes records during the parse — the
+        dominant real case, since pipelines read only ``response`` records
+        and a crawl is ~half request/metadata records that now never cross
+        into the JVM. Everything else is yielded back as unsupported and
+        Spark re-applies it above the scan."""
+        from pyspark.sql.datasource import EqualTo
+
+        for f in filters:
+            if (
+                isinstance(f, EqualTo)
+                and tuple(f.attribute) == ("warc_type",)
+                and isinstance(f.value, str)
+                and self._type_filter is None
+            ):
+                self._type_filter = f.value
+            else:
+                yield f
 
 
 class WarcStreamReader(SimpleDataSourceStreamReader):
@@ -225,6 +258,8 @@ class WarcDataSource(DataSource):
         return WARC_SCHEMA
 
     def reader(self, schema):
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return WarcReaderPushdown(self.options)
         return WarcReader(self.options)
 
     def simpleStreamReader(self, schema):
@@ -232,10 +267,13 @@ class WarcDataSource(DataSource):
 
 
 def register_warc_source(spark) -> None:
-    """Idempotent registration of the WARC reader on a session."""
+    """Idempotent registration of the WARC reader on a session; also
+    enables Python-source filter pushdown so ``.option("pushdown",
+    "true")`` reads can prune records at parse time."""
     if not _HAS_DSAPI:
         raise ImportError(
             "the Python Data Source API (pyspark.sql.datasource) requires "
             "Spark >= 4.0"
         )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(WarcDataSource)
