@@ -2758,6 +2758,28 @@ def recursive_cte_tree(spark, sf_dir):
     return spark.sql(_RECURSIVE_TREE_SQL)
 
 
+def token_budget_mix_docs(spark, sf_dir):
+    """Token-budget domain mixture (operators/sampling.py
+    token_budget_mix): tempered shares over TOKEN mass with realized
+    per-domain sample fractions for a 20k-token budget. One groupBy +
+    broadcast normalizer; alpha=0.5 keeps pow == sqrt for exact IEEE
+    parity with the DuckDB oracle."""
+    from preprocessor_spark.operators.sampling import token_budget_mix
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split(F.col("text"), " "))
+    )
+    mix = token_budget_mix(d, "source", "n_tok", alpha=0.5, target_tokens=20_000)
+    return mix.select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round("token_share", 6).alias("token_share"),
+        F.round("weight", 6).alias("weight"),
+        F.round("sample_fraction", 6).alias("sample_fraction"),
+    )
+
+
 def html_extract_docs(spark, sf_dir):
     """HTML → visible-text extraction (operators/text.py html_text_expr):
     the step between WARC ingestion and every text operator. Pure JVM
@@ -3224,6 +3246,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_udf_pricing": sql_udf_pricing,
         # HTML -> text extraction (round 5, oracle-backed)
         "html_extract_docs": html_extract_docs,
+        # token-budget domain mixture (round 5, oracle-backed)
+        "token_budget_mix_docs": token_budget_mix_docs,
         # contrastive ring negatives (round 5, oracle-backed)
         "negatives_ring_docs": negatives_ring_docs,
         # Z-order clustering key (round 5, oracle-backed)
@@ -5268,6 +5292,24 @@ def oracle_sql() -> dict[str, str]:
         "lateral_topn_orders": _LATERAL_TOPN_SQL,
         # chain generated from the SAME step table as the Spark expression
         "html_extract_docs": _html_extract_oracle(),
+        # token-mass temperature mixture, alpha=0.5 => pow is sqrt (exact)
+        "token_budget_mix_docs": """
+            WITH c AS (
+                SELECT source AS domain, COUNT(*) AS n_docs,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+            ), t AS (
+                SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_t,
+                       SUM(pow(CAST(n_tokens AS DOUBLE), 0.5e0)) AS tot_w
+                FROM c
+            )
+            SELECT domain, n_docs, n_tokens,
+                   round(n_tokens / CAST(tot_t AS DOUBLE), 6) AS token_share,
+                   round(pow(CAST(n_tokens AS DOUBLE), 0.5e0) / tot_w, 6) AS weight,
+                   round(least(20000.0e0 * (pow(CAST(n_tokens AS DOUBLE), 0.5e0) / tot_w)
+                               / n_tokens, 1.0e0), 6) AS sample_fraction
+            FROM c CROSS JOIN t
+        """,
         # the SQL-UDF body inlined textually (Catalyst does the same)
         "sql_udf_pricing": """
             SELECT l_returnflag,

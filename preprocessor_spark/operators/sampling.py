@@ -216,3 +216,42 @@ def ring_negatives(df: DataFrame, id_col: str, k: int = 3) -> DataFrame:
     ).withColumn("__nrid", (F.col("__rid") + F.col("offset")) % F.lit(n))
     negs = ranked.select(F.col(id_col).alias("negative_id"), F.col("__rid").alias("__nrid"))
     return anchors.join(negs, on="__nrid").select("anchor_id", "offset", "negative_id")
+
+
+def token_budget_mix(
+    df: DataFrame,
+    domain_col: str,
+    token_count_col: Column | str,
+    alpha: float,
+    target_tokens: int,
+) -> DataFrame:
+    """Temperature mixture planned over TOKEN mass, not document count.
+
+    Training budgets are token budgets: two domains with equal doc counts
+    but 10× different document lengths should not get equal shares. Same
+    shape as :func:`temperature_mix` (one groupBy + broadcast normalizer),
+    but the tempered weight is ``tokens_d^alpha / Σ tokens^alpha`` and the
+    realized per-domain ``sample_fraction`` targets
+    ``target_tokens * weight`` tokens, assuming uniform sampling within a
+    domain (fraction of docs ≈ fraction of tokens). Apply with
+    ``stratified_hash_sample`` exactly like the row-count planner.
+    """
+    tok = F.col(token_count_col) if isinstance(token_count_col, str) else token_count_col
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(tok).alias("n_tokens"), F.count(F.lit(1)).alias("n_docs")
+    )
+    tempered = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    totals = counts.agg(
+        F.sum("n_tokens").alias("__tot_t"), F.sum(tempered).alias("__tot_w")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("__tot_t")).alias("token_share"),
+        (tempered / F.col("__tot_w")).alias("weight"),
+        F.least(
+            F.lit(float(target_tokens)) * (tempered / F.col("__tot_w")) / F.col("n_tokens"),
+            F.lit(1.0),
+        ).alias("sample_fraction"),
+    )

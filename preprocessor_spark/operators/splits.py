@@ -76,3 +76,39 @@ def group_hash_split(
     the row), zero shuffle; fractions are realized over groups, not rows,
     so skewed group sizes skew row proportions — by design."""
     return df.withColumn("split", split_assign_expr(F.col(group_col), splits, salt))
+
+
+def neardup_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    splits: dict[str, float],
+    salt: str = "",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Leakage-safe split against DISCOVERED near-duplicates: rows whose
+    ids are connected through the candidate-pair graph (MinHash LSH,
+    SimHash, embedding near-dup — any pair table) are assigned by the hash
+    of their CLUSTER representative, so a near-dup cluster can never
+    straddle train/test; rows in no pair keep their own-id assignment.
+
+    This is `group_hash_split` where the group is computed, not given:
+    contamination between splits via paraphrase/verbatim copies is the
+    classic eval-leakage bug, and hashing the connected-component label
+    closes it by construction (invariant-tested: zero cross-split pairs).
+
+    Cost: the CC run on the PAIR graph (pairs ≪ rows) + one left join of
+    the corpus against the |paired-ids| label table — the corpus itself is
+    never shuffled beyond that keyed join.
+    """
+    from preprocessor_spark.operators.graph import connected_components
+
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("id").alias(id_col), F.col("component")
+    )
+    joined = df.join(comps, on=id_col, how="left")
+    effective = F.coalesce(F.col("component"), F.col(id_col))
+    return joined.withColumn(
+        "split", split_assign_expr(effective, splits, salt)
+    ).drop("component")

@@ -853,3 +853,50 @@ def test_avro_gate_names_missing_module(spark):
             read_avro(spark, "/tmp/avro_gate_probe")
     else:  # pragma: no cover - environment with spark-avro deployed
         assert read_avro(spark, "/tmp/avro_gate_probe").count() == 3
+
+
+# ------------------------------------------------- leakage-safe split
+
+
+def test_neardup_safe_split_no_cross_split_pairs(spark):
+    """Invariant: after splitting with the pair graph, NO near-dup pair
+    straddles splits; unpaired rows match the plain hash split."""
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.dedup import minhash_lsh_pairs
+    from preprocessor_spark.operators.splits import hash_split, neardup_safe_split
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant verbatim duplicates so the pair graph is non-trivial
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 50_000).alias("doc_id"), "text"
+        )
+    )
+    fractions = {"train": 0.8, "test": 0.2}
+    with persist_scope():
+        pairs = minhash_lsh_pairs(
+            corpus, "text", "doc_id", num_hashes=64, bands=16, threshold=0.6
+        ).select("id_a", "id_b")
+        out = neardup_safe_split(corpus, pairs, "doc_id", fractions)
+        rows = {r["doc_id"]: r["split"] for r in out.collect()}
+        pair_rows = pairs.collect()
+    assert len(pair_rows) > 0
+    crossing = [
+        (p["id_a"], p["id_b"])
+        for p in pair_rows
+        if rows[p["id_a"]] != rows[p["id_b"]]
+    ]
+    assert crossing == []
+    # unpaired rows: identical to the plain hash split
+    paired_ids = {x for p in pair_rows for x in (p["id_a"], p["id_b"])}
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(corpus, "doc_id", fractions).collect()
+    }
+    for did, sp in rows.items():
+        if did not in paired_ids:
+            assert sp == plain[did]
+    # both splits are populated
+    assert set(rows.values()) == {"train", "test"}
