@@ -3055,12 +3055,9 @@ _GRADED_WINDOW = [
     "knn_bruteforce",
     "text_profile_docs",
     "split_documents",
-    "text_quality_by_source",
     "text_gopher_quality",
-    "sample_hash_documents",
     "search_bm25_docs",
     "embed_normalize_quantize",
-    "chunk_documents_tokens",
     "pack_documents_plan",
     "ts_features_by_user",
     "prep_datetime_pipeline",
@@ -3069,11 +3066,8 @@ _GRADED_WINDOW = [
     "top_terms_skewed",
     "pii_redaction_stats",
     "contamination_check",
-    "subqueries_sql",
-    "window_rank_family",
     "fill_events_all",
     "q1_pricing_summary",
-    "q3_top_orders",
     "q5_region_revenue",
     "semi_anti_theta_counts",
     "asof_purchase_last_view",
@@ -3081,11 +3075,7 @@ _GRADED_WINDOW = [
     "tumbling_json_events",
     "prep_full_transform",
     "prep_roundtrip",
-    "prep_value_counts_case",
-    "prep_scale_stats",
-    "prep_onehot_segment",
     "prep_kbins_buckets",
-    "prep_inf_clamp",
     # round-4 marquee operators promoted into the graded window
     "q2_min_cost_supplier",
     "q21_waiting_suppliers",
@@ -3097,6 +3087,18 @@ _GRADED_WINDOW = [
     "edit_join_parts",
     "profile_orders",
     "variant_props_events",
+    # round-5 marquee operators promoted into the graded window (displaced
+    # basics remain oracle-graded locally at 51+, same policy as round 4)
+    "bloom_join_revenue",
+    "warc_ingest_stats",
+    "url_normalize_docs",
+    "url_domain_cap",
+    "recursive_cte_tree",
+    "lateral_topn_orders",
+    "html_extract_docs",
+    "negatives_ring_docs",
+    "sql_udf_pricing",
+    "token_budget_mix_docs",
 ]
 
 
