@@ -900,3 +900,74 @@ def test_neardup_safe_split_no_cross_split_pairs(spark):
             assert sp == plain[did]
     # both splits are populated
     assert set(rows.values()) == {"train", "test"}
+
+
+# -------------------------------------------------- hypothesis properties
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.sampled_from([b"response", b"request", b"metadata", b"warcinfo"]),
+            st.binary(min_size=0, max_size=300),
+            st.text(
+                alphabet=st.characters(
+                    codec="ascii", exclude_characters="\r\n", min_codepoint=33
+                ),
+                max_size=60,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_warc_parser_roundtrip_property(recs):
+    """Property: encode arbitrary records (binary bodies included) →
+    parse → identical (type, uri, payload) triples in order. Bodies may
+    embed CRLF-CRLF and even 'WARC/1.0' — Content-Length framing must not
+    care."""
+    from preprocessor_spark.sources.warc import parse_warc_records
+
+    blob = b""
+    for wtype, body, uri in recs:
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: " + wtype + b"\r\n"
+            b"WARC-Target-URI: " + uri.encode("ascii") + b"\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        )
+        blob += hdr + body + b"\r\n\r\n"
+    parsed = list(parse_warc_records(blob))
+    assert [(p[1], p[5], p[2]) for p in parsed] == [
+        (t.decode(), b, u) for t, b, u in recs
+    ]
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    host=st.from_regex(r"[a-z]{1,8}(\.[a-z]{2,6}){1,3}", fullmatch=True),
+    path=st.from_regex(r"(/[A-Za-z0-9._~-]{0,6}){0,4}/?", fullmatch=True),
+    params=st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z]{1,6}", fullmatch=True),
+            st.from_regex(r"[A-Za-z0-9]{0,4}", fullmatch=True),
+        ),
+        max_size=4,
+    ),
+    scheme=st.sampled_from(["http", "https", "HTTP", "Https"]),
+)
+def test_url_canonical_idempotent_property(spark, scheme, host, path, params):
+    """Property: canon(canon(u)) == canon(u) for randomized URLs."""
+    from preprocessor_spark.operators.urls import parse_urls
+
+    q = "&".join(f"{k}={v}" for k, v in params)
+    url = f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+    df = spark.createDataFrame([(url,)], "url string")
+    once = parse_urls(df, "url").select(F.col("url_canonical").alias("url"))
+    c1 = once.collect()[0]["url"]
+    c2 = parse_urls(once, "url").collect()[0]["url_canonical"]
+    assert c1 == c2
