@@ -90,6 +90,19 @@ EXPECTED_SUPRALINEAR = {
         "10x replication turns ~2% duplicated windows into 100%: the "
         "dup-hash join output (the operator's workload) grows ~50x, not 10x"
     ),
+    # PAIR-emitting dedup queries are output-bound: a 10-member exact-dup
+    # group must emit all 45 intra-group pairs to be correct, so the
+    # result set (the workload) grows ~45x under 10x replication. The
+    # CORPUS-level ops (dedup_minhash_corpus, semantic_dedup_embeddings)
+    # collapse because their output is linear; these cannot.
+    "dedup_minhash_pairs": (
+        "pair output is quadratic in the duplication factor by contract "
+        "(every intra-group pair must be emitted)"
+    ),
+    "embed_neardup_lsh": (
+        "pair output is quadratic in the duplication factor by contract "
+        "(every intra-group pair must be emitted)"
+    ),
 }
 
 
