@@ -2758,6 +2758,34 @@ def recursive_cte_tree(spark, sf_dir):
     return spark.sql(_RECURSIVE_TREE_SQL)
 
 
+def resample_events_hourly(spark, sf_dir):
+    """Per-type time-series resampling (downsample to fixed wall-clock
+    buckets): Spark's `window(ts, '1 hour')` tumbling bucketing in BATCH,
+    aggregating count / exact sum / min/max per (event_type, bucket). The
+    DuckDB oracle uses time_bucket — same aligned-epoch bucket semantics.
+    One keyed shuffle; buckets are processed wherever their rows live."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type", F.window("ts", "1 hour").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket"),
+            "n",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 def token_budget_mix_docs(spark, sf_dir):
     """Token-budget domain mixture (operators/sampling.py
     token_budget_mix): tempered shares over TOKEN mass with realized
@@ -3250,6 +3278,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_docs": html_extract_docs,
         # token-budget domain mixture (round 5, oracle-backed)
         "token_budget_mix_docs": token_budget_mix_docs,
+        # batch time-series resampling (round 5, oracle-backed)
+        "resample_events_hourly": resample_events_hourly,
         # contrastive ring negatives (round 5, oracle-backed)
         "negatives_ring_docs": negatives_ring_docs,
         # Z-order clustering key (round 5, oracle-backed)
@@ -5294,6 +5324,17 @@ def oracle_sql() -> dict[str, str]:
         "lateral_topn_orders": _LATERAL_TOPN_SQL,
         # chain generated from the SAME step table as the Spark expression
         "html_extract_docs": _html_extract_oracle(),
+        # tumbling window == time_bucket for epoch-aligned buckets
+        "resample_events_hourly": """
+            SELECT event_type,
+                   time_bucket(INTERVAL '1 hour', ts) AS bucket,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   MIN(value) AS min_value,
+                   MAX(value) AS max_value
+            FROM events
+            GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+        """,
         # token-mass temperature mixture, alpha=0.5 => pow is sqrt (exact)
         "token_budget_mix_docs": """
             WITH c AS (

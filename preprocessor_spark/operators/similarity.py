@@ -191,6 +191,120 @@ def cosine_topk(
     )
 
 
+def ivf_train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int = 16,
+    sample_rows: int = 2048,
+    kmeans_iters: int = 5,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means on a driver-side sample → unit centroids
+    (n_cells × dim float64). The centroid set is tiny — the classic IVF
+    shape — and fully determined by (sample, seed), so a saved copy
+    reproduces the index exactly."""
+    rng = np.random.RandomState(seed)
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()], dtype="float64"
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sample = sample / norms
+    n_cells = min(n_cells, len(sample))
+    cents = sample[rng.choice(len(sample), n_cells, replace=False)]
+    for _ in range(kmeans_iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def _nearest_cells_udf(cents: np.ndarray):
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = cents.T  # d×C
+
+    @pandas_udf("array<int>")
+    def _nearest_cells(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype="float64")
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (m / n) @ cmat  # B×C
+        order = np.argsort(-sims, axis=1)
+        return pd.Series(list(order.astype("int32")))
+
+    return _nearest_cells
+
+
+def ivf_assign(
+    corpus: DataFrame, cents: np.ndarray, vec_col: str, id_col: str
+) -> DataFrame:
+    """Index rows under trained centroids: ``(neighbor_id, __cv, __cell)``
+    — each corpus row normalized and placed in its nearest cell via one
+    vectorized argmax. Appendable: index new batches with the SAME
+    centroids and union/append — cell ids stay comparable."""
+    return _normalized(corpus, vec_col, id_col, "neighbor_id", "__cv").withColumn(
+        "__cell", F.element_at(_nearest_cells_udf(cents)(F.col("__cv")), 1)
+    )
+
+
+def ivf_save_index(index: DataFrame, cents: np.ndarray, path: str) -> None:
+    """Persist the IVF index: centroids (tiny) + cell assignments, both as
+    parquet — float64 round-trips exactly, so a reloaded index searches
+    bit-identically. At 100 TB the assignments table is the corpus's
+    (id, vec, cell) projection, written partitioned by cell so a probe
+    reads only its cells' files."""
+    spark = index.sparkSession
+    cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    index.write.mode("overwrite").partitionBy("__cell").parquet(f"{path}/assignments")
+
+
+def ivf_load_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """Load a saved IVF index → (centroids, assignments). No retraining,
+    no corpus scan."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = np.array([r["centroid"] for r in cent_rows], dtype="float64")
+    idx = spark.read.parquet(f"{path}/assignments")
+    return cents, idx
+
+
+def ivf_search(
+    index: DataFrame,
+    cents: np.ndarray,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_probe: int = 3,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Search a built/loaded IVF index: queries explode to their n_probe
+    nearest cells and equi-join the assignments on cell id."""
+    q = _normalized(queries, vec_col, id_col, "query_id", "__qv").withColumn(
+        "__cell", F.explode(F.slice(_nearest_cells_udf(cents)(F.col("__qv")), 1, n_probe))
+    )
+    joined = index.join(q, "__cell")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select("query_id", "neighbor_id", _dot(F.col("__qv"), F.col("__cv")).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -213,43 +327,15 @@ def ivf_cosine_topk(
     nearest cells. Search: equi-join on cell id — shuffle-partitionable by
     cell, no cross product, so the corpus side scales arbitrarily. Same
     recall/cost dial as FAISS IVF-Flat, expressed as Spark relational ops.
+
+    Composition of the index-lifecycle pieces: ``ivf_train_centroids`` →
+    ``ivf_assign`` → ``ivf_search`` (use those + ``ivf_save_index`` /
+    ``ivf_load_index`` to reuse or append to an index without retraining).
     """
-    rng = np.random.RandomState(seed)
-    sample = np.array(
-        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()], dtype="float64"
-    )
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    sample = sample / norms
-    n_cells = min(n_cells, len(sample))
-    cents = sample[rng.choice(len(sample), n_cells, replace=False)]
-    for _ in range(kmeans_iters):
-        assign = (sample @ cents.T).argmax(axis=1)
-        for c in range(n_cells):
-            members = sample[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cents[c] = v / n
-    cmat = cents.T  # d×C
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<int>")
-    def _nearest_cells(vecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype="float64")
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        sims = (m / n) @ cmat  # B×C
-        order = np.argsort(-sims, axis=1)
-        return pd.Series(list(order.astype("int32")))
-
-    c = _normalized(corpus, vec_col, id_col, "neighbor_id", "__cv").withColumn(
-        "__cell", F.element_at(_nearest_cells(F.col("__cv")), 1)
-    )
+    cents = ivf_train_centroids(corpus, vec_col, n_cells, sample_rows, kmeans_iters, seed)
+    c = ivf_assign(corpus, cents, vec_col, id_col)
     q = _normalized(queries, vec_col, id_col, "query_id", "__qv").withColumn(
-        "__cell", F.explode(F.slice(_nearest_cells(F.col("__qv")), 1, n_probe))
+        "__cell", F.explode(F.slice(_nearest_cells_udf(cents)(F.col("__qv")), 1, n_probe))
     )
     joined = c.join(q, "__cell")
     if exclude_self:
