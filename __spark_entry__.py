@@ -2758,6 +2758,33 @@ def recursive_cte_tree(spark, sf_dir):
     return spark.sql(_RECURSIVE_TREE_SQL)
 
 
+def collated_source_counts(spark, sf_dir):
+    """Spark 4 collations: GROUP BY a UTF8_LCASE-collated expression folds
+    case variants into one group JVM-side (no lower() rewrite needed at
+    the call site, and range/equality predicates stay sargable under the
+    collation). The DuckDB oracle expresses the same grouping as
+    lower(v); MIN over the binary-ordered originals keeps the output
+    deterministic in both engines."""
+    from preprocessor_spark.sources import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        """
+        WITH m AS (
+            SELECT CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN upper(source)
+                     WHEN 1 THEN source
+                     ELSE concat(upper(substring(source, 1, 1)), substring(source, 2))
+                   END AS v
+            FROM documents
+        )
+        SELECT MIN(v) AS rep, COUNT(*) AS n
+        FROM m
+        GROUP BY v COLLATE UTF8_LCASE
+        """
+    )
+
+
 def resample_events_hourly(spark, sf_dir):
     """Per-type time-series resampling (downsample to fixed wall-clock
     buckets): Spark's `window(ts, '1 hour')` tumbling bucketing in BATCH,
@@ -3280,6 +3307,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix_docs": token_budget_mix_docs,
         # batch time-series resampling (round 5, oracle-backed)
         "resample_events_hourly": resample_events_hourly,
+        # collated case-insensitive grouping (round 5, oracle-backed)
+        "collated_source_counts": collated_source_counts,
         # contrastive ring negatives (round 5, oracle-backed)
         "negatives_ring_docs": negatives_ring_docs,
         # Z-order clustering key (round 5, oracle-backed)
@@ -5324,6 +5353,20 @@ def oracle_sql() -> dict[str, str]:
         "lateral_topn_orders": _LATERAL_TOPN_SQL,
         # chain generated from the SAME step table as the Spark expression
         "html_extract_docs": _html_extract_oracle(),
+        # UTF8_LCASE grouping == grouping by lower() for ASCII data
+        "collated_source_counts": """
+            WITH m AS (
+                SELECT CASE CAST(doc_id % 3 AS INT)
+                         WHEN 0 THEN upper(source)
+                         WHEN 1 THEN source
+                         ELSE concat(upper(substring(source, 1, 1)), substring(source, 2))
+                       END AS v
+                FROM documents
+            )
+            SELECT MIN(v) AS rep, COUNT(*) AS n
+            FROM m
+            GROUP BY lower(v)
+        """,
         # tumbling window == time_bucket for epoch-aligned buckets
         "resample_events_hourly": """
             SELECT event_type,
