@@ -2758,6 +2758,80 @@ def recursive_cte_tree(spark, sf_dir):
     return spark.sql(_RECURSIVE_TREE_SQL)
 
 
+def pipeline_web_corpus(spark, sf_dir):
+    """Round-5 capstone: the WEB ingestion pipeline end to end, fully
+    value-oracled — WARC shards (Python Data Source, response records with
+    HTML payloads) → HTML visible-text extraction (JVM regex chain) → URL
+    canonicalization + host extraction → deterministic per-domain cap
+    (md5-ranked, 5 docs/host) → per-host corpus stats. The shard files are
+    a deterministic fixture synthesized from the documents table; DuckDB
+    recomputes every stage (generated HTML chain + QUALIFY cap) from the
+    table directly, so the whole parse→extract→canonicalize→cap→aggregate
+    path is graded on values."""
+    import os
+
+    from preprocessor_spark.operators.text import html_text_expr
+    from preprocessor_spark.operators.urls import domain_cap_sample, parse_urls
+    from preprocessor_spark.sources.warc import register_warc_source
+
+    dest = f"/tmp/warc_web_fixture_{os.path.basename(os.path.normpath(sf_dir))}"
+    os.makedirs(dest, exist_ok=True)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", _synth_html_col().alias("html"))
+        .collect()
+    )
+    shards: dict[int, list] = {i: [] for i in range(4)}
+    for r in docs:
+        body = r["html"].encode("utf-8")
+        uri = f"https://{r['source']}.example.com/doc/{r['doc_id']}".encode()
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Record-ID: <urn:uuid:" + str(r["doc_id"]).encode() + b">\r\n"
+            b"WARC-Target-URI: " + uri + b"\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        )
+        shards[r["doc_id"] % 4].append(hdr + body + b"\r\n\r\n")
+    for i, recs in shards.items():
+        with open(os.path.join(dest, f"shard{i}.warc"), "wb") as f:
+            f.write(b"".join(recs))
+
+    register_warc_source(spark)
+    raw = spark.read.format("warc").load(dest).where(F.col("warc_type") == "response")
+    extracted = raw.withColumn(
+        "extracted", html_text_expr(F.col("payload").cast("string"))
+    )
+    parsed = parse_urls(extracted, "target_uri").withColumn(
+        "doc_id", F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+    )
+    capped = domain_cap_sample(parsed, "url_host", "doc_id", cap=5)
+    return capped.groupBy(F.col("url_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.length("extracted")).alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
+def session_window_events(spark, sf_dir):
+    """Built-in `session_window(ts, gap)` in BATCH — the declarative twin
+    of the lag-based sessionizer (`sessionize_user_events`), letting
+    Catalyst own the island detection. Boundary semantics differ from the
+    lag twin by design: session_window starts a NEW session at
+    diff >= gap (the lag twin splits at diff > gap); the DuckDB oracle
+    reproduces the >= rule and the gap-padded session end."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_padded"),
+            "n_events",
+        )
+    )
+
+
 def collated_source_counts(spark, sf_dir):
     """Spark 4 collations: GROUP BY a UTF8_LCASE-collated expression folds
     case variants into one group JVM-side (no lower() rewrite needed at
@@ -2844,37 +2918,44 @@ def html_extract_docs(spark, sf_dir):
     from preprocessor_spark.operators.text import extract_html_text
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    html = docs.withColumn(
-        "html",
-        F.concat(
-            F.lit("<html><head><title>"), F.col("source"),
-            F.lit("</title><style>p {color: red}</style></head>"),
-            F.lit('<body><!-- crawl comment --><h1>Doc '),
-            F.col("doc_id").cast("string"),
-            F.lit("</h1><p>"), F.col("text"), F.lit(" &amp; more</p>"),
-            F.lit('<script type="text/javascript">var x = 1 < 2;</script>'),
-            F.lit("</body></html>"),
-        ),
-    )
+    html = docs.withColumn("html", _synth_html_col())
     return extract_html_text(html, "html", "extracted").select("doc_id", "extracted")
 
 
-def _html_extract_oracle() -> str:
-    """DuckDB twin generated from operators/text.py's step tables so the
-    two engines can never drift apart."""
+def _synth_html_col() -> "F.Column":
+    """Deterministic messy-HTML wrapper per document — the Spark twin of
+    ``_SYNTH_HTML_SQL`` (title keeps the source, style/script/comment are
+    noise the extractor must drop)."""
+    return F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title><style>p {color: red}</style></head>"),
+        F.lit('<body><!-- crawl comment --><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"), F.lit(" &amp; more</p>"),
+        F.lit('<script type="text/javascript">var x = 1 < 2;</script>'),
+        F.lit("</body></html>"),
+    )
+
+
+_SYNTH_HTML_SQL = (
+    "'<html><head><title>' || source || "
+    "'</title><style>p {color: red}</style></head>' || "
+    "'<body><!-- crawl comment --><h1>Doc ' || CAST(doc_id AS VARCHAR) || "
+    "'</h1><p>' || text || ' &amp; more</p>' || "
+    "'<script type=\"text/javascript\">var x = 1 < 2;</script>' || "
+    "'</body></html>'"
+)
+
+
+def _html_chain_sql(expr: str) -> str:
+    """Wrap a DuckDB string expression in the byte-identical twin of
+    operators/text.py::html_text_expr, generated from the SAME step
+    tables so the two engines can never drift apart."""
     from preprocessor_spark.operators.text import _HTML_ENTITIES, HTML_TEXT_STEPS
 
     def q(s: str) -> str:
         return s.replace("'", "''")
 
-    expr = (
-        "'<html><head><title>' || source || "
-        "'</title><style>p {color: red}</style></head>' || "
-        "'<body><!-- crawl comment --><h1>Doc ' || CAST(doc_id AS VARCHAR) || "
-        "'</h1><p>' || text || ' &amp; more</p>' || "
-        "'<script type=\"text/javascript\">var x = 1 < 2;</script>' || "
-        "'</body></html>'"
-    )
     for pat, rep in HTML_TEXT_STEPS:
         expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
     for ent, ch in _HTML_ENTITIES:
@@ -2886,7 +2967,13 @@ def _html_extract_oracle() -> str:
         (r"^\n+|\n+$", ""),
     ):
         expr = f"regexp_replace({expr}, '{q(pat)}', '{q(rep)}', 'g')"
-    return f"SELECT doc_id, trim({expr}) AS extracted FROM documents"
+    return f"trim({expr})"
+
+
+def _html_extract_oracle() -> str:
+    return (
+        f"SELECT doc_id, {_html_chain_sql(_SYNTH_HTML_SQL)} AS extracted FROM documents"
+    )
 
 
 def sql_udf_pricing(spark, sf_dir):
@@ -3147,7 +3234,8 @@ _GRADED_WINDOW = [
     "bloom_join_revenue",
     "warc_ingest_stats",
     "url_normalize_docs",
-    "url_domain_cap",
+    # pipeline_web_corpus subsumes the domain-cap query (cap stage inside)
+    "pipeline_web_corpus",
     "recursive_cte_tree",
     "lateral_topn_orders",
     "html_extract_docs",
@@ -3309,6 +3397,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_events_hourly": resample_events_hourly,
         # collated case-insensitive grouping (round 5, oracle-backed)
         "collated_source_counts": collated_source_counts,
+        # built-in batch session_window (round 5, oracle-backed)
+        "session_window_events": session_window_events,
+        # WARC -> HTML -> URL -> cap capstone (round 5, oracle-backed)
+        "pipeline_web_corpus": pipeline_web_corpus,
         # contrastive ring negatives (round 5, oracle-backed)
         "negatives_ring_docs": negatives_ring_docs,
         # Z-order clustering key (round 5, oracle-backed)
@@ -5353,6 +5445,52 @@ def oracle_sql() -> dict[str, str]:
         "lateral_topn_orders": _LATERAL_TOPN_SQL,
         # chain generated from the SAME step table as the Spark expression
         "html_extract_docs": _html_extract_oracle(),
+        # every stage recomputed from documents: generated HTML chain +
+        # md5-ranked QUALIFY cap + per-host aggregate
+        "pipeline_web_corpus": f"""
+            WITH e AS (
+                SELECT doc_id, source,
+                       {_html_chain_sql(_SYNTH_HTML_SQL)} AS extracted
+                FROM documents
+            ),
+            kept AS (
+                SELECT * FROM e
+                QUALIFY row_number() OVER (
+                    PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+            )
+            SELECT source || '.example.com' AS host,
+                   COUNT(*) AS n_kept,
+                   CAST(SUM(length(extracted)) AS BIGINT) AS sum_chars,
+                   MIN(doc_id) AS min_id
+            FROM kept GROUP BY source
+        """,
+        # islands with the >= gap boundary and last_ts + gap padded end
+        "session_window_events": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       epoch_us(ts) AS tus,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_tus
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev_tus IS NULL OR tus - prev_tus >= 3600000000
+                            THEN 1 ELSE 0 END AS is_start
+                FROM o
+            ), numbered AS (
+                SELECT user_id, ts,
+                       SUM(is_start) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+                FROM flagged
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL '1 hour' AS session_end_padded,
+                   COUNT(*) AS n_events
+            FROM numbered
+            GROUP BY user_id, seq
+        """,
         # UTF8_LCASE grouping == grouping by lower() for ASCII data
         "collated_source_counts": """
             WITH m AS (
