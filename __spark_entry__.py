@@ -2812,6 +2812,30 @@ def pipeline_web_corpus(spark, sf_dir):
     )
 
 
+def hopping_window_events(spark, sf_dir):
+    """Sliding (hopping) windows in BATCH: `window(ts, '1 hour',
+    '30 minutes')` — each event lands in exactly slide⁻¹·length = 2
+    overlapping buckets. The DuckDB oracle unnests the two qualifying
+    window starts per event (time_bucket and time_bucket − slide) and
+    aggregates identically."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type", F.window("ts", "1 hour", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def session_window_events(spark, sf_dir):
     """Built-in `session_window(ts, gap)` in BATCH — the declarative twin
     of the lag-based sessionizer (`sessionize_user_events`), letting
@@ -3399,6 +3423,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collated_source_counts": collated_source_counts,
         # built-in batch session_window (round 5, oracle-backed)
         "session_window_events": session_window_events,
+        # sliding/hopping windows in batch (round 5, oracle-backed)
+        "hopping_window_events": hopping_window_events,
         # WARC -> HTML -> URL -> cap capstone (round 5, oracle-backed)
         "pipeline_web_corpus": pipeline_web_corpus,
         # contrastive ring negatives (round 5, oracle-backed)
@@ -5464,6 +5490,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(extracted)) AS BIGINT) AS sum_chars,
                    MIN(doc_id) AS min_id
             FROM kept GROUP BY source
+        """,
+        # each event belongs to exactly two hop windows: tb and tb - slide
+        "hopping_window_events": """
+            WITH hops AS (
+                SELECT event_type, value,
+                       unnest([time_bucket(INTERVAL '30 minutes', ts),
+                               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS bucket
+                FROM events
+            )
+            SELECT event_type, bucket, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM hops
+            GROUP BY event_type, bucket
         """,
         # islands with the >= gap boundary and last_ts + gap padded end
         "session_window_events": """
