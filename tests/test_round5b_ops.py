@@ -1033,3 +1033,37 @@ def test_ivf_index_append_without_retraining(tmp_path, spark):
     for r in hits:
         assert r["neighbor_id"] == r["query_id"] + 1_000_000
         assert abs(r["cosine"] - 1.0) < 1e-9
+
+
+# ------------------------------------------------------- polymorphic UDTF
+
+
+def test_polymorphic_udtf_matches_from_csv(spark):
+    """The analyze()-schema'd UDTF must parse identically to the JVM
+    from_csv twin, for two different literal schemas through the SAME
+    registered function."""
+    from preprocessor_spark.functions.udtf_poly import make_delimited_parse_udtf
+
+    spark.udtf.register("delimited_parse", make_delimited_parse_udtf())
+    spark.createDataFrame(
+        [("1|x|2.5",), ("2|y|",), (None,)], "line string"
+    ).createOrReplaceTempView("lines")
+    got = spark.sql(
+        """SELECT t.* FROM lines, LATERAL delimited_parse(
+               line, 'a int, b string, c double', '|') t"""
+    )
+    assert [f.simpleString() for f in got.schema.fields] == [
+        "a:int", "b:string", "c:double"
+    ]
+    twin = (
+        spark.table("lines")
+        .where("line IS NOT NULL")
+        .select(F.from_csv("line", "a int, b string, c double", {"sep": "|"}).alias("r"))
+        .select("r.*")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, twin.collect()))
+    # same function, different layout: schema follows the literal argument
+    got2 = spark.sql(
+        "SELECT t.* FROM lines, LATERAL delimited_parse(line, 'x string', ';') t"
+    )
+    assert [f.simpleString() for f in got2.schema.fields] == ["x:string"]
