@@ -2767,35 +2767,19 @@ def pipeline_web_corpus(spark, sf_dir):
     a deterministic fixture synthesized from the documents table; DuckDB
     recomputes every stage (generated HTML chain + QUALIFY cap) from the
     table directly, so the whole parse→extract→canonicalize→cap→aggregate
-    path is graded on values."""
-    import os
-
+    path is graded on values. Shard synthesis runs on the executors
+    (_synth_warc_shards) — no driver-side corpus collect."""
     from preprocessor_spark.operators.text import html_text_expr
     from preprocessor_spark.operators.urls import domain_cap_sample, parse_urls
     from preprocessor_spark.sources.warc import register_warc_source
 
-    dest = f"/tmp/warc_web_fixture_{os.path.basename(os.path.normpath(sf_dir))}"
-    os.makedirs(dest, exist_ok=True)
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "source", _synth_html_col().alias("html"))
-        .collect()
+    dest = _synth_warc_shards(
+        spark,
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", _synth_html_col().alias("body")
+        ),
+        "web",
     )
-    shards: dict[int, list] = {i: [] for i in range(4)}
-    for r in docs:
-        body = r["html"].encode("utf-8")
-        uri = f"https://{r['source']}.example.com/doc/{r['doc_id']}".encode()
-        hdr = (
-            b"WARC/1.0\r\nWARC-Type: response\r\n"
-            b"WARC-Record-ID: <urn:uuid:" + str(r["doc_id"]).encode() + b">\r\n"
-            b"WARC-Target-URI: " + uri + b"\r\n"
-            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
-        )
-        shards[r["doc_id"] % 4].append(hdr + body + b"\r\n\r\n")
-    for i, recs in shards.items():
-        with open(os.path.join(dest, f"shard{i}.warc"), "wb") as f:
-            f.write(b"".join(recs))
-
     register_warc_source(spark)
     raw = spark.read.format("warc").load(dest).where(F.col("warc_type") == "response")
     extracted = raw.withColumn(
@@ -3027,42 +3011,77 @@ def sql_udf_pricing(spark, sf_dir):
     )
 
 
+def _synth_warc_shards(spark, docs, dest_kind: str) -> str:
+    """Synthesize deterministic WARC shard files FROM THE EXECUTORS.
+
+    ``docs`` must carry (doc_id, source, body) string columns. Each of the
+    4 output shards is written by the task that owns that partition
+    (``foreachPartition`` → temp file → atomic rename, so task retries
+    can't interleave), i.e. the corpus never passes through the driver —
+    at 100 TB each executor streams its partition straight to (shared)
+    storage. The destination directory is namespaced by the Spark
+    applicationId and recreated from scratch each call, so concurrent or
+    stale runs can never contaminate the listing (ADVICE r5: fixed shared
+    /tmp path). Shard membership/order is irrelevant downstream: the
+    graded oracles recompute from the documents table, and the reader's
+    aggregates are order-insensitive."""
+    import os
+    import shutil
+
+    dest = os.path.join(
+        "/tmp", f"warc_synth_{spark.sparkContext.applicationId}", dest_kind
+    )
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+
+    def write_partition(rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        chunks = []
+        for r in rows:
+            body = r["body"].encode("utf-8")
+            uri = f"https://{r['source']}.example.com/doc/{r['doc_id']}".encode()
+            hdr = (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Record-ID: <urn:uuid:" + str(r["doc_id"]).encode() + b">\r\n"
+                b"WARC-Target-URI: " + uri + b"\r\n"
+                b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            )
+            chunks.append(hdr + body + b"\r\n\r\n")
+        if not chunks:
+            return
+        tmp = os.path.join(dest, f".shard{pid}.warc.tmp")
+        with open(tmp, "wb") as f:
+            f.write(b"".join(chunks))
+        os.replace(tmp, os.path.join(dest, f"shard{pid}.warc"))
+
+    # 4 shards so the downstream read exercises multiple partitions
+    docs.repartition(4, F.pmod(F.col("doc_id"), F.lit(4))).foreachPartition(
+        write_partition
+    )
+    return dest
+
+
 def warc_ingest_stats(spark, sf_dir):
     """End-to-end WARC ingestion (sources/warc.py, Spark 4 Python Data
     Source API): parse web-archive shards — partition per shard — and
     aggregate per-host record counts and payload octets through
     parse_urls. The shard FILES are a deterministic fixture synthesized
-    from the documents table (standing in for the crawl archive the
-    driver can't ship); the DuckDB oracle recomputes the same stats from
-    the documents table directly, so the whole parse → decode → aggregate
-    path is value-graded."""
-    import os
-
+    from the documents table on the EXECUTORS (standing in for the crawl
+    archive the driver can't ship; see _synth_warc_shards); the DuckDB
+    oracle recomputes the same stats from the documents table directly,
+    so the whole parse → decode → aggregate path is value-graded."""
     from preprocessor_spark.operators.urls import parse_urls
     from preprocessor_spark.sources.warc import register_warc_source
 
-    dest = f"/tmp/warc_fixture_{os.path.basename(os.path.normpath(sf_dir))}"
-    os.makedirs(dest, exist_ok=True)
-    # fixture synthesis (driver-side by necessity: WARC shards are files);
-    # 4 shards so the read exercises multiple partitions
-    docs = (
-        _t(spark, sf_dir, "documents").select("doc_id", "source", "text").collect()
+    dest = _synth_warc_shards(
+        spark,
+        _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.col("text").alias("body")
+        ),
+        "ingest",
     )
-    shards: dict[int, list] = {i: [] for i in range(4)}
-    for r in docs:
-        body = r["text"].encode("utf-8")
-        uri = f"https://{r['source']}.example.com/doc/{r['doc_id']}".encode()
-        hdr = (
-            b"WARC/1.0\r\nWARC-Type: response\r\n"
-            b"WARC-Record-ID: <urn:uuid:" + str(r["doc_id"]).encode() + b">\r\n"
-            b"WARC-Target-URI: " + uri + b"\r\n"
-            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
-        )
-        shards[r["doc_id"] % 4].append(hdr + body + b"\r\n\r\n")
-    for i, recs in shards.items():
-        with open(os.path.join(dest, f"shard{i}.warc"), "wb") as f:
-            f.write(b"".join(recs))
-
     register_warc_source(spark)
     df = spark.read.format("warc").load(dest)
     parsed = parse_urls(df.where(F.col("warc_type") == "response"), "target_uri")
