@@ -86,6 +86,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                # embedded so the regression guard can pick the newest
+                # committed recording content-wise (file mtime is just
+                # checkout order after a fresh clone)
+                "recorded_unix": int(time.time()),
             }
         )
     )

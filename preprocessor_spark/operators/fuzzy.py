@@ -171,7 +171,7 @@ def edit_distance_join(
     right_id: str,
     max_dist: int = 1,
     strip_common_prefix: bool = True,
-    max_candidates: int | None = 50_000_000,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """(left_id, right_id, dist) for every cross-table pair with
     Levenshtein distance ≤ ``max_dist``. EXACT — PassJoin segment
@@ -197,11 +197,15 @@ def edit_distance_join(
       is invariant under removal of a prefix shared by BOTH strings, and
       the corpus LCP is shared by every pair. This turns the docstring's
       own worst case into a well-spread join.
-    - ``max_candidates``: a pre-join candidate-count probe — per-key counts
-      on both sides of the (l, i, seg) equi-join, summed products — that
-      fails fast with a diagnostic instead of launching a quadratic join
-      (a residual shared-prefix *cluster* can still degenerate after the
-      global strip). ``None`` disables the probe (skips its extra pass).
+    - ``max_candidates``: an OPT-IN pre-join candidate-count probe —
+      per-key counts on both sides of the (l, i, seg) equi-join, summed
+      products — that fails fast with a diagnostic instead of launching a
+      quadratic join (a residual shared-prefix *cluster* can still
+      degenerate after the global strip). Default ``None`` runs without the
+      probe (no behavior change for legitimate large joins, and no extra
+      pass); note the estimate counts candidate rows BEFORE the
+      (left,right) pair dedup, so pairs sharing several segments are
+      counted once per shared segment — size the bound accordingly.
 
     Strings shorter than k+1 chars use an explicit length-bucket fallback
     key (their pigeonhole slot can be an empty segment), which is dense by
@@ -301,7 +305,10 @@ def edit_distance_join(
                 "degenerate shared-segment cluster (ID-like strings with a "
                 "long common prefix that global stripping cannot remove, or "
                 "a huge near-uniform-length block). Strip the per-cluster "
-                "constant prefix, raise max_candidates, or tighten max_dist."
+                "constant prefix, raise max_candidates (the estimate counts "
+                "pre-dedup candidate rows, so it overcounts pairs sharing "
+                "several segments), tighten max_dist, or pass "
+                "max_candidates=None to run unguarded."
             )
 
     cand = (

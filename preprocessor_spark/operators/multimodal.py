@@ -644,7 +644,13 @@ def decode_mov_mjpeg(payload: bytes) -> tuple[list[bytes], float]:
         if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
             continue
         mdhd = _find_box(payload, *mdia, b"mdhd")
-        timescale = int.from_bytes(payload[mdhd[0] + 12 : mdhd[0] + 16], "big")
+        mdhd_version = payload[mdhd[0]]
+        if mdhd_version == 0:  # 32-bit ctime/mtime
+            timescale = int.from_bytes(payload[mdhd[0] + 12 : mdhd[0] + 16], "big")
+        elif mdhd_version == 1:  # 64-bit ctime/mtime shift timescale by 8
+            timescale = int.from_bytes(payload[mdhd[0] + 20 : mdhd[0] + 24], "big")
+        else:
+            raise NotImplementedError(f"mdhd version {mdhd_version} unsupported")
         minf = _find_box(payload, *mdia, b"minf")
         stbl = _find_box(payload, *minf, b"stbl")
 
@@ -658,6 +664,12 @@ def decode_mov_mjpeg(payload: bytes) -> tuple[list[bytes], float]:
             raise NotImplementedError(
                 f"MOV video codec {fourcc!r} requires ffmpeg, not present here"
             )
+
+        for t in (b"stts", b"stsz", b"stsc"):
+            if payload[tables[t][0]] != 0:  # spec defines only version 0
+                raise NotImplementedError(
+                    f"{t.decode()} version {payload[tables[t][0]]} unsupported"
+                )
 
         tb_, _ = tables[b"stts"]
         delta = int.from_bytes(payload[tb_ + 12 : tb_ + 16], "big")

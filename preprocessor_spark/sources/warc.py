@@ -78,28 +78,58 @@ def _split_headers(block: bytes) -> dict:
     return headers
 
 
-def parse_warc_records(raw: bytes) -> Iterator[tuple]:
+def parse_warc_stream(chunks) -> Iterator[tuple]:
     """Yield (record_id, warc_type, target_uri, content_type, http_headers,
-    payload) tuples from decompressed WARC bytes. Strict on framing: a
-    malformed Content-Length or missing version line raises (corrupt
-    shards should fail loudly, not truncate silently)."""
-    pos = 0
-    n = len(raw)
-    while pos < n:
+    payload) tuples from an ITERATOR of decompressed byte chunks, holding
+    at most one record (plus one input chunk) in memory — a multi-GB
+    CommonCrawl shard streams through a bounded buffer instead of being
+    materialized. Strict on framing: a malformed Content-Length, missing
+    version line, or truncated tail raises (corrupt shards should fail
+    loudly, not truncate silently)."""
+    it = iter(chunks)
+    buf = b""
+    exhausted = False
+    offset = 0  # consumed bytes, for error messages
+
+    def pull() -> bool:
+        nonlocal buf, exhausted
+        if exhausted:
+            return False
+        try:
+            buf += next(it)
+            return True
+        except StopIteration:
+            exhausted = True
+            return False
+
+    while True:
         # skip inter-record CRLFs
-        while pos < n and raw[pos : pos + 2] == b"\r\n":
-            pos += 2
-        if pos >= n:
-            break
-        if not raw.startswith(b"WARC/", pos):
-            raise ValueError(f"expected WARC version line at offset {pos}")
-        hdr_end = raw.index(b"\r\n\r\n", pos)
-        headers = _split_headers(raw[pos:hdr_end])
+        while True:
+            while len(buf) < 2 and pull():
+                pass
+            if buf[:2] == b"\r\n":
+                buf = buf[2:]
+                offset += 2
+            else:
+                break
+        while len(buf) < 5 and pull():
+            pass
+        if not buf:
+            return
+        if not buf.startswith(b"WARC/"):
+            raise ValueError(f"expected WARC version line at offset {offset}")
+        while (hdr_end := buf.find(b"\r\n\r\n")) < 0:
+            if not pull():
+                raise ValueError("truncated WARC record header")
+        headers = _split_headers(buf[:hdr_end])
         length = int(headers["content-length"])
         body_start = hdr_end + 4
-        payload = raw[body_start : body_start + length]
-        if len(payload) != length:
-            raise ValueError("truncated WARC record payload")
+        while len(buf) < body_start + length:
+            if not pull():
+                raise ValueError("truncated WARC record payload")
+        payload = buf[body_start : body_start + length]
+        buf = buf[body_start + length :]
+        offset += body_start + length
         wtype = headers.get("warc-type", "")
         http_headers = ""
         if wtype == "response" and payload.startswith(b"HTTP/"):
@@ -115,20 +145,50 @@ def parse_warc_records(raw: bytes) -> Iterator[tuple]:
             http_headers,
             payload,
         )
-        pos = body_start + length
 
 
-def _read_shard(path: str) -> bytes:
-    data = open(path, "rb").read()
-    if path.endswith(".gz"):
-        # multi-member gzip: decompress members until input is exhausted
-        out = []
-        while data:
-            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-            out.append(d.decompress(data))
-            data = d.unused_data
-        return b"".join(out)
-    return data
+def parse_warc_records(raw: bytes) -> Iterator[tuple]:
+    """One-buffer convenience wrapper over :func:`parse_warc_stream`."""
+    yield from parse_warc_stream((raw,))
+
+
+_CHUNK = 1 << 20  # 1 MiB compressed-read granularity
+
+
+def _shard_chunks(path: str) -> Iterator[bytes]:
+    """Stream decompressed chunks from a shard file without ever holding
+    the whole (de)compressed shard: plain ``.warc`` reads fixed blocks;
+    ``.warc.gz`` inflates one gzip member at a time (the CommonCrawl
+    record-per-member layout), rolling over to the next member on EOF.
+    The file handle lives in a context manager and closes when the
+    generator is exhausted or dropped."""
+    with open(path, "rb") as f:
+        if not path.endswith(".gz"):
+            while block := f.read(_CHUNK):
+                yield block
+            return
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        while True:
+            comp = f.read(_CHUNK)
+            if not comp:
+                tail = d.flush()
+                if tail:
+                    yield tail
+                return
+            while comp:
+                out = d.decompress(comp)
+                if out:
+                    yield out
+                if d.eof:  # member boundary: restart on the leftover bytes
+                    comp = d.unused_data
+                    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                else:
+                    comp = b""
+
+
+def iter_warc_records(path: str) -> Iterator[tuple]:
+    """Stream-parse one shard file: bounded memory end to end."""
+    yield from parse_warc_stream(_shard_chunks(path))
 
 
 class _WarcPartition(InputPartition):
@@ -158,8 +218,7 @@ class WarcReader(DataSourceReader):
         return [_WarcPartition(f) for f in files]
 
     def read(self, partition):
-        raw = _read_shard(partition.path)
-        for rec in parse_warc_records(raw):
+        for rec in iter_warc_records(partition.path):
             if self._type_filter is not None and rec[1] != self._type_filter:
                 continue
             yield (partition.path, *rec)
@@ -240,8 +299,7 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
 
     def _rows(self, files):
         for path in files:
-            raw = _read_shard(path)
-            for rec in parse_warc_records(raw):
+            for rec in iter_warc_records(path):
                 yield (path, *rec)
 
 

@@ -39,6 +39,18 @@ def _full_sf01_artifacts():
     return out
 
 
+def _recency_key(path: str, rec: dict) -> tuple:
+    """Newest-recording order that survives a fresh clone (ADVICE r5: file
+    mtime is just checkout order): recordings carry an embedded
+    ``recorded_unix`` since round 6; older artifacts order by the round id
+    in their filename (r4 < r4b < ... < r5d), numerically on the round."""
+    import re
+
+    m = re.search(r"_r(\d+)([a-z]*)", os.path.basename(path))
+    round_key = (int(m.group(1)), m.group(2)) if m else (0, "")
+    return (rec.get("recorded_unix", 0), round_key)
+
+
 def test_latest_sf01_recording_within_ceiling():
     base = json.load(open(BASELINE))
     arts = _full_sf01_artifacts()
@@ -48,7 +60,7 @@ def test_latest_sf01_recording_within_ceiling():
     newer = [(p, d) for p, d in arts if os.path.abspath(p) != os.path.abspath(BASELINE)]
     if not newer:
         pytest.skip("only the baseline recording exists")
-    path, rec = max(newer, key=lambda t: os.path.getmtime(t[0]))
+    path, rec = max(newer, key=lambda t: _recency_key(t[0], t[1]))
     over = []
     for q, t in rec["queries"].items():
         b = base["queries"].get(q)
@@ -71,5 +83,11 @@ def test_sf1_derived_recordings_scale_linearly():
     sf1s = sorted(glob.glob(os.path.join(REPO, "bench_results", "bench_sf1_derived_*.json")))
     if not sf1s:
         pytest.skip("no sf1-derived recordings committed")
-    newest = max(sf1s, key=os.path.getmtime)
+    def _key(p):
+        try:
+            return _recency_key(p, json.load(open(p)))
+        except Exception:
+            return (0, (0, ""))
+
+    newest = max(sf1s, key=_key)
     assert check(BASELINE, newest, 10.0) == 0, f"{os.path.basename(newest)} failed scale check"
