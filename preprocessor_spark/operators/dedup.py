@@ -724,6 +724,7 @@ def embedding_neardup_pairs(
     seed: int = 7,
     brute_force: bool = False,
     engine: str = "numpy",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an array<float> embedding column.
 
@@ -741,6 +742,16 @@ def embedding_neardup_pairs(
     faster than the interpreted higher-order-function folds, which evaluate
     each of the n_planes aggregate subtrees per row with no CSE.
     engine="expr": pure JVM column expressions, zero Python.
+
+    ``collapse_exact`` (default): byte-identical vectors group on a content
+    hash first; LSH banding + both verify joins run on one representative
+    per distinct vector, and pairs expand back through keyed group joins
+    (within-group pairs are cosine-1.0 by identity, and identical vectors
+    share band keys, so rep-level candidates are EXACTLY the member-level
+    candidates — the expansion is an equivalence, not an approximation).
+    Replicated corpora otherwise square the candidate join: the output pair
+    count is inherently quadratic in duplication (by contract), but with
+    the collapse the JOIN work is quadratic only in distinct vectors.
     """
     if not brute_force:
         if n_planes < bands or n_planes % bands:
@@ -749,6 +760,54 @@ def embedding_neardup_pairs(
             raise ValueError(
                 f"n_planes ({n_planes}) must be a positive multiple of bands ({bands})"
             )
+    if collapse_exact and not brute_force:
+        # same null-preserving content hash as semdedup.py:139 (to_json —
+        # concat_ws would drop null elements and conflate groups)
+        m = df.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("__mid"),
+            F.md5(F.to_json(F.struct(F.col(vec_col).alias("v")))).alias("__g"),
+        )
+        m = register_persisted(m.persist())
+        reps = m.groupBy("__g").agg(F.min("__mid").alias("__rid"))
+        rep_rows = df.join(
+            reps.select(F.col("__rid").alias(id_col)), id_col, "left_semi"
+        ).select(id_col, vec_col)
+        rep_pairs = embedding_neardup_pairs(
+            rep_rows, vec_col, id_col, threshold, n_planes, bands, seed,
+            brute_force=False, engine=engine, collapse_exact=False,
+        )
+        ga = reps.select(F.col("__rid").alias("id_a"), F.col("__g").alias("__ga"))
+        gb = reps.select(F.col("__rid").alias("id_b"), F.col("__g").alias("__gb"))
+        ma = m.select(F.col("__mid").alias("__a"), F.col("__g").alias("__ga"))
+        mb = m.select(F.col("__mid").alias("__b"), F.col("__g").alias("__gb"))
+        cross = (
+            rep_pairs.join(ga, "id_a")
+            .join(gb, "id_b")
+            .select("__ga", "__gb", "cosine")
+            .join(ma, "__ga")
+            .join(mb, "__gb")
+            .select(
+                F.least("__a", "__b").alias("id_a"),
+                F.greatest("__a", "__b").alias("id_b"),
+                "cosine",
+            )
+        )
+        # identical vectors collide in every band and verify at exactly 1.0
+        x, y = m.alias("x"), m.alias("y")
+        within = (
+            x.join(
+                y,
+                (F.col("x.__g") == F.col("y.__g"))
+                & (F.col("x.__mid") < F.col("y.__mid")),
+            )
+            .select(
+                F.col("x.__mid").alias("id_a"),
+                F.col("y.__mid").alias("id_b"),
+                F.lit(1.0).alias("cosine"),
+            )
+            .filter(F.lit(threshold <= 1.0))
+        )
+        return within.unionByName(cross)
     if engine == "numpy":
         return _embedding_neardup_numpy(
             df, vec_col, id_col, threshold, n_planes, bands, seed, brute_force

@@ -21,6 +21,52 @@ def _warc_record(rid: bytes, uri: bytes, body: bytes) -> bytes:
     return hdr + payload + b"\r\n\r\n"
 
 
+class TestEmbedNeardupCollapse:
+    def test_collapsed_equals_uncollapsed_on_duplicated_corpus(self, spark):
+        """collapse_exact is an equivalence, not an approximation:
+        identical vectors share band keys, so rep-level LSH + group
+        expansion emits EXACTLY the member-level pair set, for both
+        engines, on a corpus with 4-way exact duplication plus near-dups."""
+        import numpy as np
+
+        from preprocessor_spark.operators.dedup import embedding_neardup_pairs
+
+        rng = np.random.RandomState(3)
+        base_vecs = rng.randn(12, 16)
+        rows = []
+        vid = 0
+        for i, v in enumerate(base_vecs):
+            copies = 4 if i % 3 == 0 else 1
+            for _ in range(copies):
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+            if i % 4 == 0:  # a near (not exact) duplicate
+                w = v.copy()
+                w[0] *= 1.02
+                rows.append((vid, [float(x) for x in w]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        for engine in ("numpy", "expr"):
+            got = sorted(
+                (r["id_a"], r["id_b"], round(r["cosine"], 9))
+                for r in embedding_neardup_pairs(
+                    df, "embedding", "vec_id", threshold=0.9,
+                    n_planes=16, bands=4, engine=engine, collapse_exact=True,
+                ).collect()
+            )
+            want = sorted(
+                (r["id_a"], r["id_b"], round(r["cosine"], 9))
+                for r in embedding_neardup_pairs(
+                    df, "embedding", "vec_id", threshold=0.9,
+                    n_planes=16, bands=4, engine=engine, collapse_exact=False,
+                ).collect()
+            )
+            assert got == want and len(got) > 0, engine
+            # duplication actually exercised: within-group 1.0 pairs exist
+            assert any(c == 1.0 for _, _, c in got)
+
+
 class TestWarcStreamingParse:
     def test_chunked_equals_oneshot(self):
         """Framing is chunk-boundary-invariant: 1-byte chunks produce the
