@@ -18,11 +18,13 @@ in the same single aggregate, so the catalog's breadth never adds a second
 shuffle.
 
 Relevance filtering (`extract_relevant_features`, preprocessor.py:629):
-tsfresh runs per-feature hypothesis tests against the target on the driver.
-The feature matrix is one row per series — inherently small — so we collect
-it and keep features whose |Pearson correlation| with the target clears a
-threshold; if nothing is relevant we return all features, matching the
-reference's fallback (`preprocessor.py:632-636`).
+tsfresh runs per-feature hypothesis tests against the target with
+Benjamini-Yekutieli FDR control. We implement the same semantics in
+``operators/relevance.py`` (Mann-Whitney U / Fisher exact for binary
+targets, Kendall tau-b / two-sample KS for real ones, BY step-up across
+all features) driver-side over the per-series feature matrix — one row per
+series, small by construction. If nothing is relevant we return all
+features, matching the reference's fallback (`preprocessor.py:632-636`).
 """
 
 from __future__ import annotations
@@ -197,13 +199,14 @@ def extract_ts_features(
     y=None,
     time: str | None = None,
     column_id: str | None = None,
-    relevance_threshold: float = 0.3,
+    fdr_level: float = 0.05,
     fft_coefficients: tuple[int, ...] = (),
 ) -> DataFrame:
     """Per-series features over every numeric value column.
 
     ``y``: optional mapping/dict/list of (id, label) or a dict {id: label}
-    used for relevance filtering.
+    used for relevance filtering (tsfresh-parity hypothesis tests with
+    Benjamini-Yekutieli FDR at ``fdr_level`` — see operators/relevance.py).
 
     ``fft_coefficients``: optional DFT coefficient indices — emits tsfresh's
     ``fft_coefficient__attr_"abs"__coeff_k`` as ``{col}__fft_abs_{k}`` via
@@ -272,7 +275,12 @@ def extract_ts_features(
     if y is None:
         return feats
 
-    # relevance filter, driver-side over the (small) per-series matrix
+    # relevance filter, driver-side over the (small) per-series matrix:
+    # tsfresh-parity hypothesis tests + Benjamini-Yekutieli FDR
+    import numpy as np
+
+    from preprocessor_spark.operators.relevance import relevance_table
+
     y_map = dict(y) if not isinstance(y, dict) else y
     rows = feats.collect()
     if not rows:
@@ -288,25 +296,14 @@ def extract_ts_features(
         for fname in feat_names:
             v = r[fname]
             matrix[fname].append(float(v) if v is not None else float("nan"))
-
-    def _pearson(xs: list[float], ys: list[float]) -> float:
-        n = len(xs)
-        if n < 2:
-            return 0.0
-        pairs = [(a, b) for a, b in zip(xs, ys) if not math.isnan(a)]
-        if len(pairs) < 2:
-            return 0.0
-        xs2 = [a for a, _ in pairs]
-        ys2 = [b for _, b in pairs]
-        mx = sum(xs2) / len(xs2)
-        my = sum(ys2) / len(ys2)
-        sx = math.sqrt(sum((a - mx) ** 2 for a in xs2))
-        sy = math.sqrt(sum((b - my) ** 2 for b in ys2))
-        if sx == 0 or sy == 0:
-            return 0.0
-        return sum((a - mx) * (b - my) for a, b in pairs) / (sx * sy)
-
-    relevant = [f for f in feat_names if abs(_pearson(matrix[f], labels)) >= relevance_threshold]
+    if len(labels) < 2:
+        return feats
+    table = relevance_table(
+        {f: np.asarray(v) for f, v in matrix.items()},
+        np.asarray(labels),
+        fdr_level=fdr_level,
+    )
+    relevant = [f for f in feat_names if table[f][1]]
     if not relevant:  # fallback: all features (preprocessor.py:632-636)
         return feats
     return feats.select(column_id, *relevant)

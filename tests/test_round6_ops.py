@@ -21,6 +21,139 @@ def _warc_record(rid: bytes, uri: bytes, body: bytes) -> bytes:
     return hdr + payload + b"\r\n\r\n"
 
 
+class TestRelevanceFilter:
+    """tsfresh-parity relevance semantics (operators/relevance.py): the
+    reference runs hypothesis tests + Benjamini-Yekutieli FDR, not a
+    Pearson threshold — and the two disagree exactly where it matters."""
+
+    def test_planted_mw_vs_pearson_divergence(self):
+        """Feature A: groups with (near-)equal MEANS but separated RANKS —
+        Mann-Whitney keeps it, the old |Pearson| >= 0.3 rule drops it.
+        Feature B: outlier-driven correlation — Pearson keeps it, the rank
+        test correctly drops it."""
+        import numpy as np
+
+        from preprocessor_spark.operators.relevance import relevance_table
+
+        labels = np.array([0.0] * 10 + [1.0] * 10)
+        # A: g0 = nine zeros + one 100 (mean 10); g1 = ten values ~10.0x
+        feat_a = np.array([0.0] * 9 + [100.0] + [10.0 + 0.01 * i for i in range(10)])
+        # B: tiny interleaved noise both groups + two huge outliers in g1
+        rng = np.random.RandomState(11)
+        noise = rng.randn(20) * 1e-3
+        feat_b = 5.0 + noise
+        feat_b[18:] = 1e6
+
+        def pearson(f):
+            return float(np.corrcoef(f, labels)[0, 1])
+
+        assert abs(pearson(feat_a)) < 0.3  # old rule drops A
+        assert abs(pearson(feat_b)) >= 0.3  # old rule keeps B
+
+        table = relevance_table({"a": feat_a, "b": feat_b}, labels, fdr_level=0.05)
+        p_a, rel_a = table["a"]
+        p_b, rel_b = table["b"]
+        assert rel_a and p_a < 0.02
+        assert not rel_b and p_b > 0.05
+
+    def test_mann_whitney_against_exact_enumeration(self):
+        """Asymptotic MW p within loose tolerance of the exact permutation
+        null for small distinct samples, and behaviorally sound at size."""
+        import itertools
+
+        import numpy as np
+
+        from preprocessor_spark.operators.relevance import mann_whitney_u_p
+
+        x0 = np.array([1.0, 3.0, 5.0, 7.0])
+        x1 = np.array([2.0, 4.0, 9.0, 11.0])
+        pooled = np.concatenate([x0, x1])
+
+        def u_stat(idx1):
+            s1 = pooled[list(idx1)]
+            s0 = np.delete(pooled, list(idx1))
+            return sum((a > b) + 0.5 * (a == b) for a in s1 for b in s0)
+
+        u_obs = u_stat(range(4, 8))
+        mu = 8.0
+        us = [u_stat(c) for c in itertools.combinations(range(8), 4)]
+        exact = sum(abs(u - mu) >= abs(u_obs - mu) - 1e-9 for u in us) / len(us)
+        approx = mann_whitney_u_p(x0, x1)
+        assert approx == pytest.approx(exact, abs=0.06)
+        # symmetry + separation behavior
+        assert mann_whitney_u_p(x1, x0) == pytest.approx(approx)
+        big0, big1 = np.arange(30.0), np.arange(100.0, 130.0)
+        assert mann_whitney_u_p(big0, big1) < 1e-6
+        same = np.tile(np.arange(5.0), 6)
+        assert mann_whitney_u_p(same, same) > 0.9
+
+    def test_kendall_monotonic_vs_noise(self):
+        import numpy as np
+
+        from preprocessor_spark.operators.relevance import kendall_tau_p
+
+        y = np.arange(30.0)
+        assert kendall_tau_p(y**3, y) < 1e-9  # non-linear but monotonic
+        rng = np.random.RandomState(4)
+        assert kendall_tau_p(rng.randn(30), y) > 0.05
+        # blocked pairwise path == small-block path (same S, same p)
+        x = rng.randn(50)
+        assert kendall_tau_p(x, np.arange(50.0), block=7) == pytest.approx(
+            kendall_tau_p(x, np.arange(50.0)), rel=1e-12
+        )
+
+    def test_fisher_exact_tea_tasting(self):
+        """[[3,1],[1,3]]: hypergeometric by hand gives 34/70."""
+        from preprocessor_spark.operators.relevance import fisher_exact_p
+
+        assert fisher_exact_p(3, 1, 1, 3) == pytest.approx(34 / 70, rel=1e-9)
+        assert fisher_exact_p(5, 0, 0, 5) == pytest.approx(2 / 252, rel=1e-9)
+        assert fisher_exact_p(2, 2, 2, 2) == pytest.approx(1.0)
+
+    def test_benjamini_yekutieli_step_up(self):
+        """Step-up: a later passing rank rescues earlier-failing smaller
+        p-values. m=4, q=0.05, c(4)=25/12 -> thresholds 0.006k."""
+        from preprocessor_spark.operators.relevance import benjamini_yekutieli
+
+        assert benjamini_yekutieli([0.005, 0.013, 0.02, 0.8], 0.05) == [
+            True, False, False, False,
+        ]
+        assert benjamini_yekutieli([0.005, 0.011, 0.017, 0.9], 0.05) == [
+            True, True, True, False,
+        ]
+        assert benjamini_yekutieli([float("nan"), 0.001], 0.05) == [False, True]
+
+    def test_extract_ts_features_filters_with_tests(self, spark):
+        """End-to-end: a label-separated value column's features survive the
+        FDR filter; a pure-noise column's features are dropped (none of its
+        features should clear BY at q=0.05 with this seed)."""
+        import numpy as np
+
+        from preprocessor_spark.operators.ts_features import extract_ts_features
+
+        rng = np.random.RandomState(8)
+        rows = []
+        y = {}
+        for sid in range(30):
+            label = sid % 2
+            y[sid] = label
+            for t in range(10):
+                rows.append(
+                    (
+                        sid,
+                        t,
+                        float(rng.randn() + 10.0 * label),
+                        float(rng.randn()),
+                    )
+                )
+        df = spark.createDataFrame(rows, "id int, t int, signal double, noise double")
+        out = extract_ts_features(df, y=y, time="t", column_id="id")
+        cols = set(out.columns)
+        assert "signal__mean" in cols
+        assert "noise__mean" not in cols
+        assert out.count() == 30
+
+
 class TestEmbedNeardupCollapse:
     def test_collapsed_equals_uncollapsed_on_duplicated_corpus(self, spark):
         """collapse_exact is an equivalence, not an approximation:
