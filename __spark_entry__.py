@@ -3091,6 +3091,38 @@ def warc_ingest_stats(spark, sf_dir):
     )
 
 
+def avro_roundtrip_orders(spark, sf_dir):
+    """Avro container round trip (sources/avro_py.py, Spark 4 Python Data
+    Source API): orders → pure-Python Avro write (one container file per
+    partition, deflate codec, executors only) → avro_py read (partition
+    per file) → per-status aggregate. The DuckDB oracle computes the same
+    aggregate from the parquet table directly, so the whole
+    encode → decode → aggregate path is value-graded. On a cluster with
+    the spark-avro jar, read_avro/write_avro take the JVM fast path and
+    this query's plan is a plain scan+agg."""
+    import os
+
+    from preprocessor_spark.sources.avro_py import (
+        register_avro_source,
+        write_avro_py,
+    )
+
+    dest = os.path.join(
+        "/tmp", f"avro_synth_{spark.sparkContext.applicationId}", "orders"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    write_avro_py(o.repartition(4, "o_orderkey"), dest)
+    register_avro_source(spark)
+    back = spark.read.format("avro_py").load(dest)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.min("o_orderdate").alias("first_date"),
+    )
+
+
 def pagerank_custsupp(spark, sf_dir):
     """PageRank (operators/graph.py) over the customer→supplier trade
     graph (distinct pairs from orders⋈lineitem; node ids prefixed so the
@@ -3444,6 +3476,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_events": session_window_events,
         # sliding/hopping windows in batch (round 5, oracle-backed)
         "hopping_window_events": hopping_window_events,
+        "avro_roundtrip_orders": avro_roundtrip_orders,
         # WARC -> HTML -> URL -> cap capstone (round 5, oracle-backed)
         "pipeline_web_corpus": pipeline_web_corpus,
         # contrastive ring negatives (round 5, oracle-backed)
@@ -5509,6 +5542,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(length(extracted)) AS BIGINT) AS sum_chars,
                    MIN(doc_id) AS min_id
             FROM kept GROUP BY source
+        """,
+        # the avro write/read is an identity over orders, so the oracle
+        # aggregates the parquet table directly — any codec bug breaks it
+        "avro_roundtrip_orders": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                   MIN(o_orderdate) AS first_date
+            FROM orders GROUP BY o_orderstatus
         """,
         # each event belongs to exactly two hop windows: tb and tb - slide
         "hopping_window_events": """

@@ -88,34 +88,36 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite", **options) -> N
     df.write.mode(mode).options(**options).orc(path)
 
 
-_AVRO_GATE = (
-    "the Avro DataSource needs the external spark-avro module "
-    "(org.apache.spark:spark-avro) on the classpath — not bundled with "
-    "pyspark and not installable in this container; deploy with "
-    "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
-)
-
-
 def read_avro(spark: SparkSession, path: str, **options) -> DataFrame:
-    """Avro read, gated: pyspark ships avro-core jars but NOT the
-    spark-avro DataSource module, so ``format("avro")`` fails at lookup —
-    surface that as a clear ImportError instead of an AnalysisException."""
+    """Avro read with a runnable fallback: the JVM spark-avro module
+    (``--packages org.apache.spark:spark-avro_2.13:<spark-version>``) is
+    the fast path when its jar is on the classpath; when the lookup fails
+    (this container can't add jars) the pure-Python container reader
+    (:mod:`preprocessor_spark.sources.avro_py`, Spark 4 Python Data Source
+    API — one input partition per .avro file) serves the same files."""
     try:
         return spark.read.options(**options).format("avro").load(path)
     except Exception as e:  # AnalysisException: Failed to find data source
-        if "Failed to find data source: avro" in str(e):
-            raise ImportError(_AVRO_GATE) from e
-        raise
+        if "Failed to find data source: avro" not in str(e):
+            raise
+        from preprocessor_spark.sources.avro_py import register_avro_source
+
+        register_avro_source(spark)
+        return spark.read.options(**options).format("avro_py").load(path)
 
 
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
-    """Avro write twin of :func:`read_avro` (same classpath gate)."""
+    """Avro write twin of :func:`read_avro`: JVM module when present,
+    else the distributed pure-Python container writer (one part file per
+    partition, deflate codec)."""
     try:
         df.write.mode(mode).options(**options).format("avro").save(path)
     except Exception as e:
-        if "Failed to find data source: avro" in str(e):
-            raise ImportError(_AVRO_GATE) from e
-        raise
+        if "Failed to find data source: avro" not in str(e):
+            raise
+        from preprocessor_spark.sources.avro_py import write_avro_py
+
+        write_avro_py(df, path, mode=mode)
 
 
 def read_xml(spark: SparkSession, path: str, row_tag: str = "row", **options) -> DataFrame:

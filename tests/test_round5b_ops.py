@@ -839,20 +839,20 @@ def test_warc_push_filters_prunes_at_parse(tmp_path, spark):
     assert got == want == ["https://ex.com/1", "https://ex.com/2"]
 
 
-def test_avro_gate_names_missing_module(spark):
-    """In this container the spark-avro module is absent; the wrappers must
-    gate with a clear ImportError naming it (or work if deployed with it)."""
+def test_avro_roundtrip_via_fallback(spark, tmp_path):
+    """The spark-avro jar is absent in this container; read_avro/write_avro
+    must transparently fall back to the pure-Python container source
+    (sources/avro_py.py) and round-trip real data — see
+    tests/test_round6_ops.py for the format-level coverage."""
     from preprocessor_spark.sources import read_avro, write_avro
 
-    df = spark.range(3)
-    try:
-        write_avro(df, "/tmp/avro_gate_probe")
-    except ImportError as e:
-        assert "spark-avro" in str(e)
-        with pytest.raises(ImportError, match="spark-avro"):
-            read_avro(spark, "/tmp/avro_gate_probe")
-    else:  # pragma: no cover - environment with spark-avro deployed
-        assert read_avro(spark, "/tmp/avro_gate_probe").count() == 3
+    df = spark.range(3).selectExpr("id", "cast(id * 1.5 as double) as x")
+    dest = str(tmp_path / "avro_probe")
+    write_avro(df, dest)
+    back = read_avro(spark, dest)
+    assert sorted((r["id"], r["x"]) for r in back.collect()) == [
+        (0, 0.0), (1, 1.5), (2, 3.0),
+    ]
 
 
 # ------------------------------------------------- leakage-safe split

@@ -21,6 +21,125 @@ def _warc_record(rid: bytes, uri: bytes, body: bytes) -> bytes:
     return hdr + payload + b"\r\n\r\n"
 
 
+class TestAvroPySource:
+    """Pure-Python Avro container source/sink (sources/avro_py.py) — the
+    runnable fallback for the jar-gated spark-avro module."""
+
+    def test_roundtrip_rich_types(self, spark, tmp_path):
+        import datetime as dt
+
+        from preprocessor_spark.sources.avro_py import (
+            register_avro_source,
+            write_avro_py,
+        )
+
+        rows = [
+            (
+                1,
+                "alpha",
+                1.5,
+                True,
+                bytearray(b"\x00\x01"),
+                dt.date(2024, 2, 29),
+                dt.datetime(2024, 2, 29, 12, 34, 56, 789012),
+                [1, 2, 3],
+                {"k": 2.5},
+                (7, "nested"),
+            ),
+            (
+                2,
+                None,
+                None,
+                None,
+                None,
+                None,
+                None,
+                None,
+                None,
+                None,
+            ),
+        ]
+        schema = (
+            "id bigint, s string, x double, b boolean, raw binary, d date, "
+            "ts timestamp, arr array<int>, m map<string,double>, "
+            "rec struct<a:int, b:string>"
+        )
+        df = spark.createDataFrame(rows, schema)
+        dest = str(tmp_path / "rich")
+        write_avro_py(df, dest, codec="deflate")
+        register_avro_source(spark)
+        back = spark.read.format("avro_py").load(dest)
+        got = sorted(back.collect(), key=lambda r: r["id"])
+        assert got[0]["s"] == "alpha" and got[0]["x"] == 1.5 and got[0]["b"] is True
+        assert bytes(got[0]["raw"]) == b"\x00\x01"
+        assert got[0]["d"] == dt.date(2024, 2, 29)
+        assert got[0]["ts"] == dt.datetime(2024, 2, 29, 12, 34, 56, 789012)
+        assert got[0]["arr"] == [1, 2, 3]
+        assert got[0]["m"] == {"k": 2.5}
+        assert got[0]["rec"]["a"] == 7 and got[0]["rec"]["b"] == "nested"
+        assert all(got[1][c] is None for c in back.columns if c != "id")
+
+    def test_partition_per_file_and_null_codec(self, spark, tmp_path):
+        import glob as g
+
+        from preprocessor_spark.sources.avro_py import (
+            register_avro_source,
+            write_avro_py,
+        )
+
+        df = spark.range(100).repartition(4)
+        dest = str(tmp_path / "parts")
+        write_avro_py(df, dest, codec="null")
+        files = g.glob(f"{dest}/part-*.avro")
+        assert len(files) == 4
+        register_avro_source(spark)
+        back = spark.read.format("avro_py").load(dest)
+        # one input partition per container file — parallel read preserved
+        assert back.rdd.getNumPartitions() == 4
+        assert back.count() == 100
+        assert sorted(r["id"] for r in back.collect()) == list(range(100))
+
+    def test_negative_varints_and_large_values(self, spark, tmp_path):
+        """Zigzag encoding exercised on negative and >2^31 longs."""
+        from preprocessor_spark.sources.avro_py import (
+            register_avro_source,
+            write_avro_py,
+        )
+
+        vals = [-1, -(2**40), 2**40, 0, 2**62, -(2**62)]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        dest = str(tmp_path / "zz")
+        write_avro_py(df, dest)
+        register_avro_source(spark)
+        got = sorted(
+            r["v"] for r in spark.read.format("avro_py").load(dest).collect()
+        )
+        assert got == sorted(vals)
+
+    def test_corrupt_sync_marker_fails_loudly(self, spark, tmp_path):
+        from preprocessor_spark.sources.avro_py import _iter_file_rows, write_avro_py
+
+        df = spark.range(10).coalesce(1)
+        dest = tmp_path / "c"
+        write_avro_py(df, str(dest), codec="null")
+        f = next(dest.glob("part-*.avro"))
+        blob = bytearray(f.read_bytes())
+        blob[-1] ^= 0xFF  # flip a byte of the trailing sync marker
+        f.write_bytes(bytes(blob))
+        with pytest.raises(ValueError, match="sync marker"):
+            list(_iter_file_rows(str(f)))
+
+    def test_schema_from_header_no_data_read(self, spark, tmp_path):
+        from preprocessor_spark.sources.avro_py import read_avro_schema, write_avro_py
+
+        df = spark.createDataFrame([(1, "x")], "id int, name string")
+        dest = tmp_path / "s"
+        write_avro_py(df, str(dest))
+        _, struct = read_avro_schema(str(next(dest.glob("part-*.avro"))))
+        assert [f.name for f in struct.fields] == ["id", "name"]
+        assert struct["id"].dataType.simpleString() == "int"
+
+
 class TestRelevanceFilter:
     """tsfresh-parity relevance semantics (operators/relevance.py): the
     reference runs hypothesis tests + Benjamini-Yekutieli FDR, not a
