@@ -188,7 +188,16 @@ def stateful_running_totals_tws(events: DataFrame, key: str = "user_id") -> Data
     operator composes with the RocksDB state store + changelog
     checkpointing. Kept alongside the GroupState twin so both custom
     stateful surfaces stay exercised; the drained output is asserted equal
-    to the batch groupBy (and therefore to the older twin) in tests."""
+    to the batch groupBy (and therefore to the older twin) in tests.
+
+    Runtime requirements (both satisfied in-repo): the worker<->JVM state
+    protocol is protobuf — served by the real google.protobuf when
+    installed, else by preprocessor_spark.protoshim (pure wire-format
+    shim, installed by get_spark) — and the state store must support
+    multiple column families, i.e. set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``...state.RocksDBStateStoreProvider`` (bundled in the Spark JVM)
+    before starting the query."""
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (

@@ -919,7 +919,9 @@ def test_transform_with_state_equals_group_state_twin(spark, tmp_path):
     full availableNow drain."""
     import pandas as pd
 
-    pytest.importorskip("google.protobuf.descriptor")
+    # protobuf comes from the real runtime or preprocessor_spark.protoshim
+    # (installed by get_spark); either way this import must work now
+    import google.protobuf.descriptor  # noqa: F401
     from preprocessor_spark.streaming import (
         read_events_stream,
         run_available_now,
@@ -939,7 +941,22 @@ def test_transform_with_state_equals_group_state_twin(spark, tmp_path):
     src = str(tmp_path / "tws_events")
     spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
     stream = read_events_stream(spark, src)
-    run_available_now(stateful_running_totals_tws(stream), "tws_state", output_mode="update")
+    # transformWithState needs a multi-column-family store: RocksDB (the
+    # production provider, bundled in the Spark JVM), not the HDFS default
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        run_available_now(
+            stateful_running_totals_tws(stream), "tws_state", output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     out = spark.table("tws_state").toPandas()
     final = out.groupby("user_id").last().reset_index()
     expected = (

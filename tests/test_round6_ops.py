@@ -21,6 +21,70 @@ def _warc_record(rid: bytes, uri: bytes, body: bytes) -> bytes:
     return hdr + payload + b"\r\n\r\n"
 
 
+class TestProtoShim:
+    """Wire-format shim (preprocessor_spark.protoshim) that lets Spark's
+    transformWithStateInPandas protocol run without a protobuf install.
+    The real end-to-end proof is test_round4_ops'
+    test_transform_with_state_equals_group_state_twin, which now executes
+    the full worker<->JVM state protocol through the shim."""
+
+    @pytest.fixture(autouse=True)
+    def _shim(self):
+        from preprocessor_spark.protoshim import install
+
+        install()
+
+    def test_generated_module_roundtrip(self):
+        from pyspark.sql.streaming.proto import StateMessage_pb2 as sm
+
+        cmd = sm.StateCallCommand(stateName="totals", schema="n BIGINT")
+        req = sm.StateRequest(
+            version=2, statefulProcessorCall=sm.StatefulProcessorCall(getValueState=cmd)
+        )
+        back = sm.StateRequest()
+        back.ParseFromString(req.SerializeToString())
+        assert back.version == 2
+        assert back.WhichOneof("method") == "statefulProcessorCall"
+        assert back.statefulProcessorCall.getValueState.stateName == "totals"
+        assert back.statefulProcessorCall.getValueState.schema == "n BIGINT"
+
+    def test_defaults_negative_and_repeated(self):
+        from pyspark.sql.streaming.proto import StateMessage_pb2 as sm
+
+        # proto3 defaults on a parse of empty bytes
+        r = sm.StateResponseWithListGet()
+        r.ParseFromString(b"")
+        assert r.statusCode == 0 and r.errorMessage == "" and r.value == []
+        assert r.requireNextFetch is False
+        # negative int64 (10-byte varint) round trip
+        t = sm.RegisterTimer(expiryTimestampMs=-5)
+        back = sm.RegisterTimer()
+        back.ParseFromString(t.SerializeToString())
+        assert back.expiryTimestampMs == -5
+        # repeated message field
+        it = sm.StateResponseWithMapIterator(
+            kvPair=[sm.KeyAndValuePair(key=b"a", value=b"1")]
+        )
+        b2 = sm.StateResponseWithMapIterator()
+        b2.ParseFromString(it.SerializeToString())
+        assert [(p.key, p.value) for p in b2.kvPair] == [(b"a", b"1")]
+
+    def test_unknown_fields_skipped(self):
+        from pyspark.sql.streaming.proto import StateMessage_pb2 as sm
+
+        # field 12 varint + field 13 length-delimited, then field 1 varint
+        blob = bytes([12 << 3 | 0, 7, 13 << 3 | 2, 2, 0xAB, 0xCD, 1 << 3 | 0, 5])
+        r = sm.StateResponse()
+        r.ParseFromString(blob)
+        assert r.statusCode == 5
+
+    def test_enum_constants_match_proto(self):
+        from pyspark.sql.streaming.proto import StateMessage_pb2 as sm
+
+        assert (sm.PRE_INIT, sm.CREATED, sm.INITIALIZED) == (0, 1, 2)
+        assert (sm.DATA_PROCESSED, sm.TIMER_PROCESSED, sm.CLOSED) == (3, 4, 5)
+
+
 class TestAvroPySource:
     """Pure-Python Avro container source/sink (sources/avro_py.py) — the
     runnable fallback for the jar-gated spark-avro module."""
