@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from preprocessor_spark.caching import register_persisted
+
 
 def _normalized(df: DataFrame, vec_col: str, id_col: str, out_id: str, out_vec: str) -> DataFrame:
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -285,12 +287,26 @@ def ivf_search(
     k: int = 5,
     n_probe: int = 3,
     exclude_self: bool = True,
+    prune_cells: bool = True,
 ) -> DataFrame:
     """Search a built/loaded IVF index: queries explode to their n_probe
-    nearest cells and equi-join the assignments on cell id."""
+    nearest cells and equi-join the assignments on cell id.
+
+    ``prune_cells`` (default): the distinct probed cell ids (bounded by
+    the number of cells, never by query count) are collected and pushed as
+    an ``isin`` filter on the index side BEFORE the join — on an index
+    loaded from the ``partitionBy("__cell")`` parquet layout this becomes
+    static partition pruning, so the scan touches ONLY the probed cells'
+    directories (file-list-asserted in tests). Results are identical with
+    it off (the equi-join already drops other cells); the flag exists so
+    the plan-shape claim stays testable."""
     q = _normalized(queries, vec_col, id_col, "query_id", "__qv").withColumn(
         "__cell", F.explode(F.slice(_nearest_cells_udf(cents)(F.col("__qv")), 1, n_probe))
     )
+    if prune_cells:
+        q = register_persisted(q.persist())
+        probed = sorted(r["__cell"] for r in q.select("__cell").distinct().collect())
+        index = index.filter(F.col("__cell").isin(probed))
     joined = index.join(q, "__cell")
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))

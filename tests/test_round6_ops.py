@@ -7,6 +7,7 @@ from __future__ import annotations
 import gzip
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _warc_record(rid: bytes, uri: bytes, body: bytes) -> bytes:
@@ -19,6 +20,161 @@ def _warc_record(rid: bytes, uri: bytes, body: bytes) -> bytes:
         b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
     )
     return hdr + payload + b"\r\n\r\n"
+
+
+class TestPageRankSkew:
+    def test_salted_pagerank_spreads_hot_dst_and_matches_oracle(self, spark):
+        """Planted power-law graph: one dst holds ~30% of edges. Measured
+        facts, not timing: (a) the dst-keyed layout pins >=30% of edges in
+        one partition while the salted (dst, salt) layout bounds the max
+        partition near the hot key's share / salt; (b) salted ranks match
+        the unsalted ranks AND the numpy power iteration at 1e-9."""
+        import numpy as np
+
+        from preprocessor_spark.caching import persist_scope
+        from preprocessor_spark.operators.graph import pagerank
+        from tests.test_round5b_ops import _pagerank_numpy
+
+        rng = np.random.RandomState(9)
+        hot = "HUB"
+        edge_list = []
+        for i in range(900):
+            edge_list.append((f"u{i}", hot))  # ~30% of edges hit one dst
+        for i in range(2100):
+            edge_list.append((f"u{rng.randint(1200)}", f"v{rng.randint(400)}"))
+        edge_list.append((hot, "v0"))  # hub links out: not dangling
+        edge_list = list(dict.fromkeys(edge_list))  # the op dedups anyway
+        df = spark.createDataFrame(edge_list, "src string, dst string")
+        n_part = spark.sparkContext.defaultParallelism
+        n_edges = len(edge_list)
+
+        # (a) layout measurement — same transforms the operator applies
+        base = df.distinct()
+        plain_sizes = (
+            base.repartition(n_part, "dst")
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        salt = 8
+        salted_sizes = (
+            base.withColumn("__salt", F.pmod(F.hash("src"), F.lit(salt)))
+            .repartition(n_part, "dst", "__salt")
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        hot_edges = sum(1 for s, d in edge_list if d == hot)
+        max_plain = max(r["count"] for r in plain_sizes)
+        max_salted = max(r["count"] for r in salted_sizes)
+        assert hot_edges >= 0.28 * n_edges
+        assert max_plain >= hot_edges  # hot dst pinned into one partition
+        assert max_salted < max_plain  # overall skew strictly reduced
+        # the direct claim: the hot key itself is no longer pinned — its
+        # edges land across salt buckets, max per partition a fraction of
+        # the key's total
+        hot_spread = (
+            base.withColumn("__salt", F.pmod(F.hash("src"), F.lit(salt)))
+            .repartition(n_part, "dst", "__salt")
+            .where(F.col("dst") == hot)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        assert len(hot_spread) >= 4  # spread over several partitions
+        assert max(r["count"] for r in hot_spread) <= 0.5 * hot_edges
+
+        # (b) equivalence: salted == unsalted == numpy oracle
+        with persist_scope():
+            plain = {
+                r["node"]: r["rank"] for r in pagerank(df, iterations=8).collect()
+            }
+        with persist_scope():
+            salted = {
+                r["node"]: r["rank"]
+                for r in pagerank(df, iterations=8, skew_salt=salt).collect()
+            }
+        want = _pagerank_numpy(edge_list, 8, 0.85)
+        assert set(plain) == set(salted) == set(want)
+        for nd in want:
+            assert abs(salted[nd] - want[nd]) < 1e-9
+            assert abs(salted[nd] - plain[nd]) < 1e-9
+        assert abs(sum(salted.values()) - 1.0) < 1e-9
+
+
+class TestIvfPartitionPruning:
+    def test_probe_reads_only_probed_cell_files(self, spark, tmp_path):
+        """The saved-index claim made measurable: a 2-probe search of a
+        LOADED index must (a) return exactly the unpruned results and
+        (b) scan only the probed cells' partition directories — asserted
+        at the file level via input_file_name on the pruned scan."""
+        import numpy as np
+
+        from preprocessor_spark.operators.similarity import (
+            ivf_assign,
+            ivf_load_index,
+            ivf_save_index,
+            ivf_search,
+            ivf_train_centroids,
+        )
+
+        rng = np.random.RandomState(2)
+        rows = [
+            (i, [float(x) for x in rng.randn(8)]) for i in range(200)
+        ]
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = ivf_train_centroids(corpus, "embedding", n_cells=8, seed=2)
+        idx = ivf_assign(corpus, cents, "embedding", "vec_id")
+        path = str(tmp_path / "ivf")
+        ivf_save_index(idx, cents, path)
+        cents2, loaded = ivf_load_index(spark, path)
+
+        q = corpus.filter(F.col("vec_id") < 3)
+        got = ivf_search(loaded, cents2, q, "embedding", "vec_id", k=4, n_probe=2)
+        want = ivf_search(
+            loaded, cents2, q, "embedding", "vec_id", k=4, n_probe=2,
+            prune_cells=False,
+        )
+        canon = lambda df: sorted(  # noqa: E731
+            (r["query_id"], r["rank"], r["neighbor_id"], round(r["cosine"], 9))
+            for r in df.collect()
+        )
+        assert canon(got) == canon(want) and len(canon(got)) == 12
+
+        # file-level pruning proof: the probed-cells filter over the
+        # partitioned layout must touch only those cells' directories
+        from preprocessor_spark.operators.similarity import _nearest_cells_udf
+
+        probe_rows = (
+            q.select(
+                F.explode(
+                    F.slice(_nearest_cells_udf(cents2)(F.col("embedding")), 1, 2)
+                ).alias("__cell")
+            )
+            .distinct()
+            .collect()
+        )
+        probed = sorted(r["__cell"] for r in probe_rows)
+        all_cells = sorted(
+            r["__cell"] for r in loaded.select("__cell").distinct().collect()
+        )
+        assert len(probed) < len(all_cells), "fixture must leave unprobed cells"
+        files = [
+            r["f"]
+            for r in loaded.filter(F.col("__cell").isin(probed))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+        assert files, "pruned scan read no files"
+        for f in files:
+            assert any(f"__cell={c}/" in f for c in probed), f
+        # and the full scan does touch more directories
+        all_files = [
+            r["f"]
+            for r in loaded.select(F.input_file_name().alias("f")).distinct().collect()
+        ]
+        assert len(set(all_files)) > len(set(files))
 
 
 class TestProtoShim:
