@@ -22,6 +22,107 @@ def _warc_record(rid: bytes, uri: bytes, body: bytes) -> bytes:
     return hdr + payload + b"\r\n\r\n"
 
 
+class TestStreamingWebPipeline:
+    def test_streaming_web_capstone_checkpoint_restart(self, spark, tmp_path):
+        """The round-5 batch web capstone's STREAMING twin: tail a crawl
+        directory with the WARC stream source, extract HTML visible text
+        (JVM regexp chain), canonicalize URLs + host, and foreachBatch-merge
+        per-host stats into an accumulating sink. Run 2 reuses the
+        checkpoint: only the shard that arrived afterwards is folded in —
+        final stats equal a batch recompute over all shards, and the
+        second run's delta contains only the new shard's host."""
+        from preprocessor_spark.operators.text import html_text_expr
+        from preprocessor_spark.operators.urls import parse_urls
+        from preprocessor_spark.sources.warc import register_warc_source
+
+        def page(rid, host, body_text):
+            html = (
+                f"<html><head><title>t</title><style>x{{}}</style></head>"
+                f"<body><h1>H</h1><p>{body_text}</p>"
+                f"<script>var a=1;</script></body></html>"
+            ).encode()
+            return _warc_record(rid, f"https://{host}/doc/{rid.decode()}".encode(), html)
+
+        crawl = tmp_path / "crawl"
+        crawl.mkdir()
+        (crawl / "s0.warc").write_bytes(
+            page(b"1", "alpha.example.com", "first doc")
+            + page(b"2", "alpha.example.com", "second doc here")
+            + page(b"3", "beta.example.com", "other host")
+        )
+        register_warc_source(spark)
+
+        stats: dict[str, list] = {}
+        batches: list[dict] = []
+
+        def merge(batch_df, _batch_id):
+            agg = (
+                parse_urls(
+                    batch_df.where(F.col("warc_type") == "response").withColumn(
+                        "extracted", html_text_expr(F.col("payload").cast("string"))
+                    ),
+                    "target_uri",
+                )
+                .groupBy(F.col("url_host").alias("host"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.length("extracted")).alias("chars"),
+                )
+            )
+            delta = {}
+            for r in agg.collect():
+                delta[r["host"]] = [r["n"], r["chars"]]
+                cur = stats.setdefault(r["host"], [0, 0])
+                cur[0] += r["n"]
+                cur[1] += r["chars"]
+            if delta:
+                batches.append(delta)
+
+        ckpt = str(tmp_path / "ckpt")
+
+        def drain():
+            q = (
+                spark.readStream.format("warc")
+                .load(str(crawl))
+                .writeStream.foreachBatch(merge)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain()
+        assert stats["alpha.example.com"][0] == 2
+        assert stats["beta.example.com"][0] == 1
+
+        (crawl / "s1.warc").write_bytes(
+            page(b"4", "gamma.example.com", "late arrival")
+        )
+        drain()
+        # run 2 folded ONLY the new shard
+        assert batches[-1] == {"gamma.example.com": stats["gamma.example.com"]}
+        assert stats["alpha.example.com"][0] == 2  # not re-ingested
+
+        # final stats == batch recompute over the whole directory
+        batch_df = spark.read.format("warc").load(str(crawl))
+        want = {
+            r["host"]: [r["n"], r["chars"]]
+            for r in parse_urls(
+                batch_df.where(F.col("warc_type") == "response").withColumn(
+                    "extracted", html_text_expr(F.col("payload").cast("string"))
+                ),
+                "target_uri",
+            )
+            .groupBy(F.col("url_host").alias("host"))
+            .agg(
+                F.count(F.lit(1)).alias("n"), F.sum(F.length("extracted")).alias("chars")
+            )
+            .collect()
+        }
+        assert stats == want
+        assert all(chars > 0 for _, chars in stats.values())
+
+
 class TestPageRankSkew:
     def test_salted_pagerank_spreads_hot_dst_and_matches_oracle(self, spark):
         """Planted power-law graph: one dst holds ~30% of edges. Measured
