@@ -462,3 +462,176 @@ def test_heavy_hitters_guarantees_duckdb(spark, ddb):
     ).fetchone()[0]
     assert boundary_violations == 0
     assert n_total > 0 and len(got) == 15
+
+
+def test_embed_neardup_lsh_invariants_duckdb(spark, ddb):
+    """Round-5 verdict task 9 sweep: embed_neardup_lsh is rows-only (sign-
+    LSH family), but its invariants ARE SQL:
+
+      1. no fabricated pairs — every output cosine matches DuckDB's exact
+         cosine over the SAME synthesized corpus (base embeddings plus the
+         query's perturbed copies of every 10th vector);
+      2. threshold — all cosines >= 0.95 (minus the 1e-6 rounding);
+      3. recall — >= 99% of the planted (v, v+1_000_000) pairs appear;
+      4. determinism — two runs produce identical rows.
+    """
+    from preprocessor_spark.caching import persist_scope
+
+    with persist_scope():
+        got = QUERIES["embed_neardup_lsh"](spark, SF_DIR).toPandas()
+    with persist_scope():
+        again = QUERIES["embed_neardup_lsh"](spark, SF_DIR).toPandas()
+    key = ["id_a", "id_b", "cosine"]
+    assert sorted(map(tuple, got[key].values.tolist())) == sorted(
+        map(tuple, again[key].values.tolist())
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF_DIR}/embeddings.parquet'"
+    )
+    con.register("pairs", got)
+    con.execute(
+        """CREATE VIEW corpus AS
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id,
+                  list_prepend(embedding[1] * 1.05, embedding[2:])::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id % 10 = 0"""
+    )
+    fabricated = con.execute(
+        """SELECT COUNT(*) FROM pairs p
+           JOIN corpus a ON p.id_a = a.vec_id
+           JOIN corpus b ON p.id_b = b.vec_id
+           WHERE abs(p.cosine - list_cosine_similarity(a.v, b.v)) > 5e-5"""
+    ).fetchone()[0]
+    assert fabricated == 0
+    assert (got["cosine"] >= 0.95 - 1e-6).all()
+
+    planted = con.execute(
+        "SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 = 0"
+    ).fetchone()[0]
+    found = con.execute(
+        """SELECT COUNT(*) FROM pairs
+           WHERE id_b = id_a + 1000000 AND id_a % 10 = 0"""
+    ).fetchone()[0]
+    assert planted > 0 and found >= 0.99 * planted
+
+
+def test_text_fingerprint_invariants_duckdb(spark, ddb):
+    """text_fingerprint is rows-only (hash values have no DuckDB twin), but
+    fingerprint SEMANTICS are SQL-checkable: identical texts must map to
+    identical (fingerprint, rolling_fp); distinct texts must stay almost
+    perfectly discriminated; one row per document; deterministic."""
+    got = QUERIES["text_fingerprint"](spark, SF_DIR).toPandas()
+    again = QUERIES["text_fingerprint"](spark, SF_DIR).toPandas()
+    assert sorted(map(tuple, got.values.tolist())) == sorted(
+        map(tuple, again.values.tolist())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    con.register("fp", got)
+    n_docs, n_rows = con.execute(
+        "SELECT (SELECT COUNT(*) FROM documents), (SELECT COUNT(*) FROM fp)"
+    ).fetchone()
+    assert n_rows == n_docs
+    inconsistent = con.execute(
+        """SELECT COUNT(*) FROM (
+             SELECT d.text
+             FROM fp JOIN documents d ON fp.doc_id = d.doc_id
+             GROUP BY d.text
+             HAVING COUNT(DISTINCT fp.fingerprint) > 1
+                 OR COUNT(DISTINCT fp.rolling_fp) > 1)"""
+    ).fetchone()[0]
+    assert inconsistent == 0
+    # the fingerprint is defined on the sorted distinct lowercased token
+    # SET; DuckDB recomputes that canonical form and the equivalence must
+    # be exact both ways: same set <=> same fingerprint (64-bit xxhash —
+    # collisions at this corpus size would be a real bug)
+    canonical = (
+        "array_to_string(list_sort(list_distinct(list_transform("
+        "  list_filter(string_split_regex(d.text, '\\s+'), x -> x <> ''),"
+        "  x -> lower(x)))), ' ')"
+    )
+    split_sets = con.execute(
+        f"""SELECT COUNT(*) FROM (
+             SELECT {canonical} AS canon
+             FROM fp JOIN documents d ON fp.doc_id = d.doc_id
+             GROUP BY canon HAVING COUNT(DISTINCT fp.fingerprint) > 1)"""
+    ).fetchone()[0]
+    assert split_sets == 0
+    n_sets, n_fps = con.execute(
+        f"""SELECT COUNT(DISTINCT {canonical}), COUNT(DISTINCT fp.fingerprint)
+           FROM fp JOIN documents d ON fp.doc_id = d.doc_id"""
+    ).fetchone()
+    assert n_fps == n_sets
+
+
+def test_multimodal_feature_queries_invariants(spark, ddb):
+    """The multimodal queries are rows-only (no SQL engine decodes RIFF or
+    runs the fake image decoder), but their frame is checkable: exactly one
+    feature row per document (DuckDB count parity), features inside their
+    domains, and bit-deterministic across runs."""
+    img = QUERIES["multimodal_image_features"](spark, SF_DIR).toPandas()
+    img2 = QUERIES["multimodal_image_features"](spark, SF_DIR).toPandas()
+    assert sorted(map(tuple, img.values.tolist())) == sorted(
+        map(tuple, img2.values.tolist())
+    )
+    n_docs = ddb.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert len(img) == n_docs
+    assert (img["width"] > 0).all() and (img["height"] > 0).all()
+    assert img["mean_intensity"].between(0.0, 1.0).all()
+    assert (img["std_intensity"] >= 0.0).all()
+
+    aud = QUERIES["multimodal_audio_features"](spark, SF_DIR).toPandas()
+    n_audio = ddb.execute(
+        "SELECT COUNT(*) FROM documents WHERE doc_id < 200"
+    ).fetchone()[0]
+    assert len(aud) == n_audio  # the query synthesizes audio for doc_id<200
+    num_cols = [c for c in aud.columns if aud[c].dtype.kind in "fi"]
+    assert all(aud[c].notna().all() for c in num_cols)
+    assert (aud["rms"] > 0).all() and (aud["peak"] <= 1.0).all()
+
+
+def test_quality_classifier_auc_floor(spark):
+    """Round-5 verdict task 9: the learned quality filter must actually
+    SEPARATE the weak labels it trains on — per-doc scores on the query's
+    own salted corpus achieve AUC >= 0.9 against the Gopher-gate labels
+    (rank-sum AUC, computed exactly)."""
+    import numpy as np
+
+    from preprocessor_spark.operators.classifier import (
+        fit_quality_classifier,
+        score_quality_udf,
+    )
+    from preprocessor_spark.operators.text import gopher_rules_exprs
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat_ws(" ", F.array_repeat(F.lit("$$$ ###!! ??%% @@@@ ^^^"), 8)),
+        ).otherwise(F.col("text")),
+    )
+    rules = gopher_rules_exprs(F.col("text"), min_words=15, min_stopword_hits=1)
+    labeled = d.select(
+        "doc_id", "text", rules["gopher_pass"].cast("int").alias("label")
+    )
+    model = fit_quality_classifier(labeled, "text", "label", dim=256, iterations=6, lr=2.0)
+    pdf = (
+        labeled.withColumn("score", score_quality_udf(model)(F.col("text")))
+        .select("label", "score")
+        .toPandas()
+    )
+    pos = pdf[pdf.label == 1]["score"].to_numpy()
+    neg = pdf[pdf.label == 0]["score"].to_numpy()
+    assert len(pos) > 0 and len(neg) > 0
+    ranks = pd.Series(np.concatenate([pos, neg])).rank().to_numpy()
+    auc = (ranks[: len(pos)].sum() - len(pos) * (len(pos) + 1) / 2) / (
+        len(pos) * len(neg)
+    )
+    assert auc >= 0.9, auc
