@@ -337,8 +337,9 @@ def test_persist_scope_releases_operator_caches(spark, sf_dir):
         ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.8).count()
         embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.95).count()
         # minhash: 1 (signatures), ngram: 2 (content-hash collapse map +
-        # shingle base of the representative run), embedding: 1 (vectors)
-        assert len(frames) == 4
+        # shingle base of the representative run), embedding: 2 (exact-dup
+        # collapse map + the representative run's vectors)
+        assert len(frames) == 5
         assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
 
