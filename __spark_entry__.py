@@ -3123,6 +3123,24 @@ def avro_roundtrip_orders(spark, sf_dir):
     )
 
 
+def dsir_select_docs(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py, public recipe of
+    Xie et al. 2023): hashed word uni+bigram bucket LMs for the target
+    domain (source src0/src1) and the raw corpus, per-doc mean log-ratio
+    weight, Gumbel-top-100 resample with a content-addressed md5 uniform.
+    One explode + ONE count shuffle (target flag rides the same groupBy),
+    broadcast joins back, TakeOrderedAndProject for the top-k — no Python,
+    no global sort. Fully deterministic, exact DuckDB twin."""
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.dsir import dsir_select
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    with persist_scope():
+        return dsir_select(
+            d, "text", "doc_id", F.col("source").isin("src0", "src1"), k=100
+        ).orderBy("doc_id")
+
+
 def pagerank_custsupp(spark, sf_dir):
     """PageRank (operators/graph.py) over the customer→supplier trade
     graph (distinct pairs from orders⋈lineitem; node ids prefixed so the
@@ -3477,6 +3495,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sliding/hopping windows in batch (round 5, oracle-backed)
         "hopping_window_events": hopping_window_events,
         "avro_roundtrip_orders": avro_roundtrip_orders,
+        # DSIR importance resampling (round 6, oracle-backed)
+        "dsir_select_docs": dsir_select_docs,
         # WARC -> HTML -> URL -> cap capstone (round 5, oracle-backed)
         "pipeline_web_corpus": pipeline_web_corpus,
         # contrastive ring negatives (round 5, oracle-backed)
@@ -5550,6 +5570,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                    MIN(o_orderdate) AS first_date
             FROM orders GROUP BY o_orderstatus
+        """,
+        "dsir_select_docs": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id, source, unnest(toks) AS gram FROM t
+                UNION ALL
+                SELECT doc_id, source, toks[i] || ' ' || toks[i + 1] AS gram
+                FROM t, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)
+            ), gb AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 4096 AS b
+                FROM g
+            ), c AS (
+                SELECT b, COUNT(*) AS cr,
+                       SUM(CASE WHEN source IN ('src0','src1') THEN 1 ELSE 0 END) AS ct
+                FROM gb GROUP BY b
+            ), st AS (
+                SELECT CAST(SUM(cr) AS DOUBLE) AS nr, CAST(SUM(ct) AS DOUBLE) AS nt
+                FROM c
+            ), w AS (
+                SELECT gb.doc_id, COUNT(*) AS n_grams,
+                       ROUND(AVG(ln(c.ct + 1.0) - ln(st.nt + 4096)
+                                 - ln(c.cr + 1.0) + ln(st.nr + 4096)), 6) AS dsir_weight
+                FROM gb JOIN c USING (b) CROSS JOIN st
+                GROUP BY gb.doc_id
+            ), keyed AS (
+                SELECT doc_id, n_grams, dsir_weight,
+                       dsir_weight + (-ln(-ln(
+                           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                                 AS BIGINT) + 0.5) / 4503599627370496.0
+                       ))) AS gumbel_key
+                FROM w
+            ), topk AS (
+                SELECT doc_id, n_grams, dsir_weight,
+                       ROUND(gumbel_key, 6) AS gumbel_key
+                FROM keyed ORDER BY keyed.gumbel_key DESC LIMIT 100
+            )
+            SELECT * FROM topk ORDER BY doc_id
         """,
         # each event belongs to exactly two hop windows: tb and tb - slide
         "hopping_window_events": """

@@ -869,3 +869,60 @@ class TestWarcStreamingParse:
         p.write_bytes(b"".join(gzip.compress(r) for r in recs))
         got = list(iter_warc_records(str(p)))
         assert [g[2] for g in got] == [f"https://ex.com/m{i}" for i in range(200)]
+
+
+class TestDsir:
+    """DSIR importance resampling (operators/dsir.py): planted-domain
+    separation, resampling (not hard top-k) behavior, and partition
+    invariance. The engine-parity check is tests/test_queries.py's
+    dsir_select_docs oracle (exact floats)."""
+
+    def _corpus(self, spark):
+        # target domain talks about cooking; raw background about finance;
+        # a few raw docs are cooking-like and should surface
+        rows = []
+        for i in range(30):
+            rows.append((i, "simmer the stock then season the broth with herbs", "tgt"))
+        for i in range(30, 130):
+            rows.append((i, "quarterly revenue margin guidance beat analyst estimates", "raw"))
+        for i in range(130, 140):
+            rows.append((i, "season the broth and simmer slowly with fresh herbs", "raw"))
+        return spark.createDataFrame(rows, "doc_id long, text string, domain string")
+
+    def test_weights_separate_planted_domains(self, spark):
+        from preprocessor_spark.operators.dsir import dsir_weights
+
+        d = self._corpus(spark)
+        w = dsir_weights(d, "text", "doc_id", F.col("domain") == "tgt").toPandas()
+        w = w.set_index("doc_id").dsir_weight
+        cooking_raw = [w[i] for i in range(130, 140)]
+        finance_raw = [w[i] for i in range(30, 130)]
+        assert min(cooking_raw) > max(finance_raw), (
+            "cooking-like raw docs must outweigh every finance doc"
+        )
+
+    def test_gumbel_select_is_resampling_and_deterministic(self, spark):
+        from preprocessor_spark.operators.dsir import dsir_select
+
+        d = self._corpus(spark)
+        sel = dsir_select(
+            d, "text", "doc_id", F.col("domain") == "tgt", k=45
+        ).toPandas()
+        ids = set(sel.doc_id)
+        assert len(ids) == 45
+        # all 40 cooking docs dominate by weight, but Gumbel noise must let
+        # SOME low-weight finance docs in (resampling, not a hard cut) ...
+        assert ids & set(range(30, 130)), "pure top-k cut: no finance doc sampled"
+        # ... while still being weight-driven: cooking docs are selected at
+        # a far higher rate than finance docs
+        cook_rate = len(ids & (set(range(30)) | set(range(130, 140)))) / 40
+        fin_rate = len(ids & set(range(30, 130))) / 100
+        assert cook_rate > 3 * fin_rate
+        # determinism + partition invariance (content-addressed throughout)
+        sel2 = dsir_select(
+            d.repartition(13), "text", "doc_id", F.col("domain") == "tgt", k=45
+        ).toPandas()
+        assert sorted(sel2.doc_id) == sorted(sel.doc_id)
+        got = sel.sort_values("doc_id").reset_index(drop=True)
+        got2 = sel2.sort_values("doc_id").reset_index(drop=True)
+        assert (got.dsir_weight == got2.dsir_weight).all()
