@@ -3292,25 +3292,20 @@ _GRADED_WINDOW = [
     "split_documents",
     "text_gopher_quality",
     "search_bm25_docs",
-    "embed_normalize_quantize",
     "pack_documents_plan",
     "ts_features_by_user",
     "prep_datetime_pipeline",
-    "domain_temperature_mix",
     "text_repetition_stats",
     "top_terms_skewed",
-    "pii_redaction_stats",
     "contamination_check",
     "fill_events_all",
     "q1_pricing_summary",
     "q5_region_revenue",
-    "semi_anti_theta_counts",
     "asof_purchase_last_view",
     "window_orders_family",
     "tumbling_json_events",
     "prep_full_transform",
     "prep_roundtrip",
-    "prep_kbins_buckets",
     # round-4 marquee operators promoted into the graded window
     "q2_min_cost_supplier",
     "q21_waiting_suppliers",
@@ -3320,7 +3315,6 @@ _GRADED_WINDOW = [
     "corr_matrix_lineitem",
     "fuzzy_join_docs",
     "edit_join_parts",
-    "profile_orders",
     "variant_props_events",
     # round-5 marquee operators promoted into the graded window (displaced
     # basics remain oracle-graded locally at 51+, same policy as round 4)
@@ -3335,6 +3329,19 @@ _GRADED_WINDOW = [
     "negatives_ring_docs",
     "sql_udf_pricing",
     "token_budget_mix_docs",
+    # round-6 marquee operators promoted into the graded window: the pure-
+    # Python Avro container source round-trip, DSIR importance resampling,
+    # and the batch time-window family (session/hopping/resample/collation)
+    # added after round 5's window was frozen. Displaced basics
+    # (semi_anti_theta_counts, domain_temperature_mix,
+    # embed_normalize_quantize, prep_kbins_buckets, profile_orders,
+    # pii_redaction_stats) remain oracle-graded locally at 51+.
+    "avro_roundtrip_orders",
+    "dsir_select_docs",
+    "session_window_events",
+    "hopping_window_events",
+    "resample_events_hourly",
+    "collated_source_counts",
 ]
 
 
