@@ -1656,6 +1656,23 @@ def drift_orders_psi(spark, sf_dir):
     return psi_report(ref, cur, "o_totalprice", n_bins=10).orderBy("bin")
 
 
+def drift_orders_ks(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov drift (operators/drift.py
+    ks_report): both ECDFs of o_totalprice evaluated at every pooled
+    distinct value, pre-1996 snapshot vs 1996+. The cumulative sums a naive
+    global window would single-task run as the range-partitioned two-pass
+    carry (same shape as assign_row_ids) — no Exchange SinglePartition.
+    Exact DuckDB oracle: the same counts + windowed cumsum + IEEE division.
+    KS total = max(d_abs), an order-independent agg."""
+    from preprocessor_spark.operators.drift import ks_report
+
+    o = _t(spark, sf_dir, "orders")
+    split = F.lit("1996-01-01").cast("timestamp")
+    ref = o.filter(F.col("o_orderdate") < split)
+    cur = o.filter(F.col("o_orderdate") >= split)
+    return ks_report(ref, cur, "o_totalprice").orderBy("value")
+
+
 def dq_orders_report(spark, sf_dir):
     """Declarative data-quality gate (operators/expectations.py — the
     deequ/Great-Expectations shape): seven column-level constraints compiled
@@ -3458,6 +3475,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_winsorize_robust": prep_winsorize_robust,
         # PSI distribution drift (round 4, oracle-backed)
         "drift_orders_psi": drift_orders_psi,
+        "drift_orders_ks": drift_orders_ks,
         # scale-safe global row numbering (round 4, oracle-backed)
         "row_ids_documents": row_ids_documents,
         # CDC merge + SCD2 history (round 4, oracle-backed)
@@ -5011,6 +5029,36 @@ def oracle_sql() -> dict[str, str]:
                        AS psi_contrib
             FROM counts, tot
             ORDER BY bin
+        """,
+        # exact two-sample KS: same counts + cumsum + IEEE division; the
+        # Spark side's range-partitioned carry is bit-equal to this window
+        "drift_orders_ks": """
+            WITH counts AS (
+                SELECT o_totalprice AS value,
+                       CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+                       CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                GROUP BY o_totalprice
+            ), tot AS (
+                SELECT CAST(SUM(ref_n) AS BIGINT) AS tr,
+                       CAST(SUM(cur_n) AS BIGINT) AS tc
+                FROM counts
+            ), cum AS (
+                SELECT value, ref_n, cur_n,
+                       SUM(ref_n) OVER (ORDER BY value) AS cr,
+                       SUM(cur_n) OVER (ORDER BY value) AS cc
+                FROM counts
+            )
+            SELECT value, ref_n, cur_n,
+                   ROUND(cr / CAST(tr AS DOUBLE), 6) AS ecdf_ref,
+                   ROUND(cc / CAST(tc AS DOUBLE), 6) AS ecdf_cur,
+                   ROUND(ABS(cr / CAST(tr AS DOUBLE)
+                             - cc / CAST(tc AS DOUBLE)), 6) AS d_abs
+            FROM cum CROSS JOIN tot
+            ORDER BY value
         """,
         # ---- TPC-H breadth (round 4) ----
         "q4_priority_exists": """

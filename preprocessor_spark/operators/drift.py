@@ -110,3 +110,104 @@ def categorical_drift_report(ref: DataFrame, cur: DataFrame, col: str) -> DataFr
         F.round(F.col("cur_n") / F.col("ct"), 6).alias("cur_frac"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )
+
+
+def ks_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov report: both empirical CDFs
+    evaluated at every pooled distinct value, plus the per-value gap.
+    ``KS = max(d_abs)`` (see :func:`ks_statistic`) — the nonparametric
+    complement to :func:`psi_report` (PSI needs bins; KS is binless and
+    detects any CDF divergence).
+
+    Scale shape (no Exchange SinglePartition anywhere):
+
+    1. one tagged union + ONE groupBy on the value collapses both
+       snapshots to per-distinct-value (ref_n, cur_n) counts — map-side
+       combined, output ≪ raw rows;
+    2. the cumulative sums a naive ``SUM() OVER (ORDER BY value)`` would
+       single-task are computed with the same two-pass range-partitioned
+       carry as :func:`preprocessor_spark.operators.ids.assign_row_ids`:
+       range exchange on value, per-partition sums (|partitions| rows to
+       the driver), broadcast prefix offsets, windowed cumsum WITHIN each
+       range partition + carry-in;
+    3. ECDF = cumulative / total, an exact IEEE division of two integers —
+       bit-identical to any SQL engine's formulation.
+
+    Null values are excluded (an ECDF is undefined at NULL), matching
+    ``scipy.stats.ks_2samp`` on dropna'd inputs.
+    """
+    from preprocessor_spark.caching import register_persisted
+
+    spark = ref.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    v = F.col(col)
+    tagged = ref.filter(v.isNotNull()).select(
+        v.alias("value"), F.lit(1).alias("__r"), F.lit(0).alias("__c")
+    ).unionAll(
+        cur.filter(v.isNotNull()).select(
+            v.alias("value"), F.lit(0).alias("__r"), F.lit(1).alias("__c")
+        )
+    )
+    counts = tagged.groupBy("value").agg(
+        F.sum("__r").alias("ref_n"), F.sum("__c").alias("cur_n")
+    )
+
+    ranged = register_persisted(
+        counts.repartitionByRange(n, F.col("value"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    # pass 1: per-partition sums -> driver prefix scan (|partitions| rows)
+    psums = ranged.groupBy("__pid").agg(
+        F.sum("ref_n").alias("r"), F.sum("cur_n").alias("c")
+    ).collect()
+    by_pid = {row["__pid"]: (row["r"], row["c"]) for row in psums}
+    total_r = sum(r for r, _ in by_pid.values())
+    total_c = sum(c for _, c in by_pid.values())
+    if total_r == 0 or total_c == 0:
+        raise ValueError("ks_report: one snapshot has no non-null values")
+    carry_r, carry_c, off_r, off_c = {}, {}, 0, 0
+    for pid in sorted(by_pid):
+        carry_r[pid], carry_c[pid] = off_r, off_c
+        off_r += by_pid[pid][0]
+        off_c += by_pid[pid][1]
+    carry_r_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(carry_r.items()) for x in kv]),
+        F.col("__pid"),
+    )
+    carry_c_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(carry_c.items()) for x in kv]),
+        F.col("__pid"),
+    )
+
+    # pass 2: windowed cumsum inside each range partition + carry-in
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf_r = (F.sum("ref_n").over(w) + carry_r_expr) / F.lit(float(total_r))
+    ecdf_c = (F.sum("cur_n").over(w) + carry_c_expr) / F.lit(float(total_c))
+    return ranged.select(
+        "value",
+        "ref_n",
+        "cur_n",
+        F.round(ecdf_r, 6).alias("ecdf_ref"),
+        F.round(ecdf_c, 6).alias("ecdf_cur"),
+        F.round(F.abs(ecdf_r - ecdf_c), 6).alias("d_abs"),
+    )
+
+
+def ks_statistic(report: DataFrame) -> float:
+    """KS statistic = sup-norm of the ECDF gap. ``max`` is accumulation-
+    order-independent, so a plain distributed agg is deterministic (unlike
+    a float sum)."""
+    row = report.agg(F.max(F.col("d_abs")).alias("ks")).collect()[0]
+    return float(row["ks"])

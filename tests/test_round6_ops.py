@@ -926,3 +926,60 @@ class TestDsir:
         got = sel.sort_values("doc_id").reset_index(drop=True)
         got2 = sel2.sort_values("doc_id").reset_index(drop=True)
         assert (got.dsir_weight == got2.dsir_weight).all()
+
+
+class TestKSDrift:
+    def test_ks_matches_numpy_ecdf(self, spark):
+        """Exact KS report vs a numpy searchsorted ECDF oracle, including
+        duplicated values across both snapshots."""
+        import numpy as np
+        import pandas as pd
+
+        from preprocessor_spark.operators.drift import ks_report, ks_statistic
+
+        rng = np.random.RandomState(7)
+        a = np.round(rng.normal(0.0, 1.0, 400), 2)        # ties guaranteed
+        b = np.round(rng.normal(0.4, 1.3, 300), 2)
+        ref = spark.createDataFrame(pd.DataFrame({"x": a}))
+        cur = spark.createDataFrame(pd.DataFrame({"x": b}))
+        rep = ks_report(ref, cur, "x", num_partitions=5)
+        pdf = rep.toPandas().sort_values("x" if "x" in rep.columns else "value")
+
+        sa, sb = np.sort(a), np.sort(b)
+        allv = np.sort(pdf["value"].values)
+        er = np.searchsorted(sa, allv, side="right") / len(a)
+        ec = np.searchsorted(sb, allv, side="right") / len(b)
+        assert np.allclose(pdf["ecdf_ref"].values, np.round(er, 6))
+        assert np.allclose(pdf["ecdf_cur"].values, np.round(ec, 6))
+        want = float(np.max(np.abs(er - ec)))
+        got = ks_statistic(ks_report(ref, cur, "x", num_partitions=5))
+        # the report's d_abs is rounded to 6 decimals (driver-hash contract)
+        assert abs(got - want) <= 5e-7
+        # row count = pooled distinct values
+        assert len(pdf) == len(np.unique(np.concatenate([a, b])))
+
+    def test_ks_nulls_excluded_and_empty_side_raises(self, spark):
+        import pandas as pd
+
+        from preprocessor_spark.operators.drift import ks_report
+
+        ref = spark.createDataFrame(pd.DataFrame({"x": [1.0, None, 2.0]}))
+        cur = spark.createDataFrame(pd.DataFrame({"x": [1.5, None]}))
+        rep = ks_report(ref, cur, "x").toPandas()
+        assert rep["ref_n"].sum() == 2 and rep["cur_n"].sum() == 1
+        empty = spark.createDataFrame(pd.DataFrame({"x": [None]}), "x double")
+        with pytest.raises(ValueError, match="no non-null"):
+            ks_report(ref, empty, "x")
+
+    def test_ks_plan_has_no_single_partition(self, spark):
+        """The scale claim: the cumulative sums never plan Exchange
+        SinglePartition — range exchange + per-partition windows only."""
+        import pandas as pd
+
+        from preprocessor_spark.operators.drift import ks_report
+
+        ref = spark.createDataFrame(pd.DataFrame({"x": [float(i) for i in range(50)]}))
+        cur = spark.createDataFrame(pd.DataFrame({"x": [float(i) + 0.5 for i in range(50)]}))
+        rep = ks_report(ref, cur, "x", num_partitions=4)
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
