@@ -1798,6 +1798,19 @@ def search_bm25_docs(spark, sf_dir):
     return bm25_topk(d, ["spark", "window", "hash"], k=10)
 
 
+def keyword_tfidf_docs(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords (operators/search.py::
+    keyword_extract_tfidf): explode → one groupBy(id, term) with map-side
+    combine, per-term document frequencies joined back on the term (keyed
+    shuffle — the vocabulary is unbounded, no broadcast), bounded per-doc
+    window top-k. The raw-idf scoring (tf · N/df) uses only IEEE
+    multiply/divide, so the exact DuckDB oracle hash-matches."""
+    from preprocessor_spark.operators.search import keyword_extract_tfidf
+
+    d = _t(spark, sf_dir, "documents")
+    return keyword_extract_tfidf(d, k=3).orderBy("doc_id", "rank")
+
+
 def embed_normalize_quantize(spark, sf_dir):
     """Embedding codec ops (operators/embeddings.py): L2 norm, symmetric
     int8 quantization scale, and the quantized vector — JVM higher-order
@@ -3378,6 +3391,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_quality": text_gopher_quality,
         "sample_hash_documents": sample_hash_documents,
         "search_bm25_docs": search_bm25_docs,
+        "keyword_tfidf_docs": keyword_tfidf_docs,
         "embed_normalize_quantize": embed_normalize_quantize,
         "chunk_documents_tokens": chunk_documents_tokens,
         "pack_documents_plan": pack_documents_plan,
@@ -4205,6 +4219,34 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.doc_id
             ORDER BY score DESC, p.doc_id ASC
             LIMIT 10
+        """,
+        # raw-idf keywords: tf * (N/df) is pure IEEE multiply/divide, so
+        # the ranking (and hash) is bit-identical across engines
+        "keyword_tfidf_docs": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term
+            ), dft AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ), n AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+            ), scored AS (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                       CAST(t.tf AS DOUBLE)
+                       * (CAST(n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS s
+                FROM tf t JOIN dft d USING (term) CROSS JOIN n
+            ), ranked AS (
+                SELECT doc_id, term, tf, df, s,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df, ROUND(s, 6) AS score, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+            ORDER BY doc_id, rank
         """,
         "embed_normalize_quantize": """
             WITH v AS (

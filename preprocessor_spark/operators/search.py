@@ -123,3 +123,82 @@ def bm25_topk(
         id_col, "n_matched_terms", F.round("score", 6).alias("score")
     )
     return ranked.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def keyword_extract_tfidf(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    log_idf: bool = False,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Returns (id, term, tf, df, score, rank) with rank 1..k per document.
+
+    ``log_idf=False`` (default) scores with the *raw* inverse frequency
+    ``tf · (N / df)`` — every arithmetic step is an IEEE multiply/divide
+    (correctly rounded by spec), so the ranking is bit-identical across
+    engines and the query carries an exact SQL oracle. ``log_idf=True``
+    switches to the classic smoothed ``tf · (ln((1+N)/(1+df)) + 1)``;
+    ``ln`` is not correctly-rounded in libm, so cross-engine ordering of
+    near-tied terms is not guaranteed — use for ranking quality, not for
+    hash-compared outputs. Ties break on the term ascending.
+
+    Scale shape: explode → ONE groupBy(id, term) with map-side combine;
+    per-term document frequencies are a groupBy(term) joined back ON TERM
+    (a keyed shuffle — the vocabulary is unbounded, so no broadcast); the
+    per-doc top-k is a bounded keyed window. No SinglePartition, no
+    driver-side vocabulary.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("__id"), search_tokens_expr(F.col(text_col)).alias("__toks")
+    )
+    stats = base.agg(F.count(F.lit(1)).alias("__n_docs"))
+    tf = (
+        base.select("__id", F.explode("__toks").alias("__term"))
+        .groupBy("__id", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    df_t = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    if min_df > 1:
+        df_t = df_t.filter(F.col("__df") >= min_df)
+
+    joined = tf.join(df_t, "__term").crossJoin(F.broadcast(stats))
+    if log_idf:
+        score = F.col("__tf").cast("double") * (
+            F.log(
+                (F.lit(1.0) + F.col("__n_docs").cast("double"))
+                / (F.lit(1.0) + F.col("__df").cast("double"))
+            )
+            + F.lit(1.0)
+        )
+    else:
+        score = F.col("__tf").cast("double") * (
+            F.col("__n_docs").cast("double") / F.col("__df").cast("double")
+        )
+    scored = joined.select(
+        "__id",
+        "__term",
+        "__tf",
+        "__df",
+        score.alias("__score"),
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.desc("__score"), F.asc("__term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__term").alias("term"),
+            F.col("__tf").alias("tf"),
+            F.col("__df").alias("df"),
+            F.round("__score", 6).alias("score"),
+            "rank",
+        )
+    )

@@ -983,3 +983,55 @@ class TestKSDrift:
         rep = ks_report(ref, cur, "x", num_partitions=4)
         plan = rep._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan, plan
+
+
+class TestKeywordExtract:
+    def test_keywords_match_sklearn_style_numpy(self, spark):
+        """Raw-idf keyword ranking vs a dense numpy TF-IDF on a tiny corpus
+        (hand-checkable): the rare discriminative term must outrank the
+        common one, ranks dense 1..k, ties broken by term."""
+        import pandas as pd
+
+        from preprocessor_spark.operators.search import keyword_extract_tfidf
+
+        corpus = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "spark spark shuffle common common",
+                    "common zebra common",
+                    "common quartz quartz shuffle",
+                ],
+            }
+        )
+        out = keyword_extract_tfidf(
+            spark.createDataFrame(corpus), k=2, id_col="doc_id"
+        ).toPandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        # doc 1: spark tf=2 df=1 -> 6.0, then common tf=2 df=3 -> 2.0
+        # (beats shuffle tf=1 df=2 -> 1.5)
+        d1 = out[out.doc_id == 1]
+        assert list(d1.term) == ["spark", "common"]
+        assert list(d1.score) == [6.0, 2.0]
+        # doc 2: zebra (tf=1, df=1 -> 3.0) beats common (tf=2, df=3 -> 2.0)
+        d2 = out[out.doc_id == 2]
+        assert list(d2.term) == ["zebra", "common"]
+        # ranks are dense 1..2 per doc
+        assert all(list(g["rank"]) == [1, 2] for _, g in out.groupby("doc_id"))
+
+    def test_keywords_min_df_and_log_idf(self, spark):
+        import math
+
+        import pandas as pd
+
+        from preprocessor_spark.operators.search import keyword_extract_tfidf
+
+        corpus = pd.DataFrame(
+            {"doc_id": [1, 2], "text": ["alpha beta", "beta gamma"]}
+        )
+        sdf = spark.createDataFrame(corpus)
+        out = keyword_extract_tfidf(sdf, k=5, min_df=2).toPandas()
+        assert set(out.term) == {"beta"}  # df>=2 keeps only the shared term
+        logd = keyword_extract_tfidf(sdf, k=1, log_idf=True).toPandas()
+        # classic smoothed idf: tf=1, N=2, df=1 -> ln(3/2)+1
+        want = round(1.0 * (math.log(3.0 / 2.0) + 1.0), 6)
+        assert all(abs(s - want) < 1e-9 for s in logd[logd.term != "beta"].score)
