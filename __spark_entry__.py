@@ -2157,6 +2157,26 @@ def knn_ivf(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def knn_pq_adc(spark, sf_dir):
+    """IVF-PQ building block (operators/pq.py): product-quantize the
+    embedding corpus to m=16 codes (~16 bytes/vector vs 256 — the 100 TB
+    compression path) and ADC-search the same 10 queries as knn_bruteforce.
+    Codebooks are centroid-sample-specific → rows-only; DuckDB invariants
+    (structure, recall floor vs the brute-force oracle, ADC-vs-true-cosine
+    quantization bound) in tests/test_queries.py."""
+    from preprocessor_spark.operators.pq import pq_encode, pq_search_adc, pq_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_train(e, "embedding", m=16, sample_rows=2048, seed=7)
+    enc = pq_encode(e, books, "embedding", "vec_id")
+    out = pq_search_adc(
+        enc, books, e.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=5
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("adc_score", 6).alias("adc_score"), "rank"
+    )
+
+
 def text_fingerprint(spark, sf_dir):
     """Content fingerprints: order-insensitive token-set hash (JVM xxhash64)
     + winnowing-style rolling min-hash (vectorized numpy kernel). Hash values
@@ -3559,6 +3579,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup_lsh": embed_neardup_lsh,
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
+        "knn_pq_adc": knn_pq_adc,
         "text_fingerprint": text_fingerprint,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,

@@ -1,0 +1,248 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+The 100 TB story for vector search: a 768-dim float32 embedding is 3 KB;
+its PQ code at m=8 subquantizers is **8 bytes** — a ~384× compression that
+turns a petabyte vector corpus into a few terabytes of codes that scan at
+memory bandwidth. Jégou et al., "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011) — public method, re-derived here on Spark primitives.
+
+Pieces:
+
+- :func:`pq_train` — per-subspace k-means codebooks on a bounded,
+  deterministic driver-side sample (same contract as
+  ``similarity.ivf_train_centroids``: the codebooks are tiny, fully
+  reproducible from (sample, seed), and persistable).
+- :func:`pq_encode` — ONE Arrow-batched pass: normalize, split into m
+  subvectors, vectorized argmin against each codebook → ``array<smallint>``
+  codes. Pure projection, zero shuffles.
+- :func:`pq_search_adc` — asymmetric distance computation: the query stays
+  exact; each corpus code scores as ``sum_j LUT[q, j, code_j]`` where
+  ``LUT[q, j, c] = <q_j, codebook[j][c]>``. The LUT tensor (Q × m × 256
+  float32) broadcasts; the encoded corpus streams through one
+  ``mapInPandas`` with per-batch top-k pruning — the same zero-shuffle
+  shape as ``cosine_topk(engine="arrow")``, but each corpus row moves
+  m bytes instead of 4·d.
+- :func:`pq_save` / :func:`pq_load` — float64 parquet round-trip of the
+  codebooks; a reloaded model encodes and searches bit-identically.
+
+Composes with IVF (``similarity.ivf_assign``): encode the assignments
+frame once, store codes partitioned by cell, and ADC-scan only probed
+cells — the standard IVF-PQ index.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from preprocessor_spark.operators.similarity import _normalized
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    n_codes: int = 256,
+    sample_rows: int = 2048,
+    kmeans_iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train PQ codebooks → float64 array (m, n_codes, dim/m).
+
+    Vectors are L2-normalized first (cosine regime — ADC inner products on
+    normalized vectors approximate cosine). Each of the m subspaces gets an
+    independent k-means on the driver-side sample; empty clusters keep
+    their previous centroid (standard Lloyd's with dead-centroid freeze).
+    """
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
+        dtype="float64",
+    )
+    if sample.ndim != 2 or not len(sample):
+        raise ValueError("pq_train: empty or malformed vector sample")
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    sample = _unit_rows(sample)
+    dsub = d // m
+    n_codes = min(n_codes, len(sample))
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, dsub), dtype="float64")
+    for j in range(m):
+        x = sample[:, j * dsub : (j + 1) * dsub]
+        cents = x[rng.choice(len(x), n_codes, replace=False)].copy()
+        for _ in range(kmeans_iters):
+            # L2 argmin == argmax(2<x,c> - |c|^2); B×K distances
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2.0 * (x @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def _encode_mat(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Vectorized encoder: (B, d) unit rows → (B, m) int16 codes."""
+    m, n_codes, dsub = books.shape
+    b = mat.shape[0]
+    codes = np.empty((b, m), dtype="int16")
+    for j in range(m):
+        x = mat[:, j * dsub : (j + 1) * dsub]
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ books[j].T)
+            + (books[j] * books[j]).sum(axis=1)[None, :]
+        )
+        codes[:, j] = d2.argmin(axis=1).astype("int16")
+    return codes
+
+
+def pq_encode(
+    df: DataFrame,
+    books: np.ndarray,
+    vec_col: str,
+    id_col: str,
+    out_id: str = "neighbor_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every vector to its PQ code: one Arrow-batched projection,
+    zero shuffles. Output: (out_id, code_col array<smallint>)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bks = books  # closure capture; tiny (m·256·dsub float64)
+
+    @pandas_udf("array<smallint>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        mat = _unit_rows(np.array(vecs.tolist(), dtype="float64"))
+        return pd.Series(list(_encode_mat(mat, bks)))
+
+    base = _normalized(df, vec_col, id_col, out_id, "__v")
+    return base.select(out_id, _enc(F.col("__v")).alias(code_col))
+
+
+def pq_reconstruct(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Decode (B, m) codes back to (B, d) approximate vectors (tests /
+    re-ranking)."""
+    m = books.shape[0]
+    return np.concatenate([books[j][codes[:, j]] for j in range(m)], axis=1)
+
+
+def pq_search_adc(
+    index: DataFrame,
+    books: np.ndarray,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    code_col: str = "pq_code",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ADC top-k over an encoded corpus → (query_id, neighbor_id,
+    adc_score, rank). ``adc_score = <q, reconstruct(code)>`` up to float
+    accumulation order (the LUT sum IS that inner product, re-associated
+    per subspace; asserted ≤1e-12 in tests).
+
+    The query side collects under the same 1M-row fail-fast guard as
+    ``cosine_topk(engine="arrow")`` — the identical driver→executor
+    movement a broadcast join performs — and the corpus streams through
+    ONE mapInPandas with per-batch pruning: only batches × Q × k candidate
+    rows reach the final ranking window. Ties break on the 1e-6-rounded
+    score then neighbor id, same contract as every ANN operator here.
+    """
+    q = _normalized(queries, vec_col, id_col, "query_id", "__qv")
+    qrows = q.limit(1_000_001).collect()
+    if len(qrows) > 1_000_000:
+        raise ValueError(
+            "pq_search_adc: query side exceeds the 1M-row broadcast guard"
+        )
+    qids = np.array([r["query_id"] for r in qrows], dtype="int64")
+    qmat = np.array([r["__qv"] for r in qrows], dtype="float64")
+    m, n_codes, dsub = books.shape
+    # LUT[q, j, c] = <q_j, books[j, c]>  (Q × m × n_codes)
+    lut = np.einsum(
+        "qjd,jcd->qjc", qmat.reshape(len(qids), m, dsub), books
+    ).astype("float64")
+    bc = index.sparkSession.sparkContext.broadcast((qids, lut))
+
+    def _scan(batches):
+        bqids, blut = bc.value
+        nq = len(bqids)
+        jidx = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf[code_col].tolist(), dtype="int64")  # B×m
+            # gather: scores[b, q] = sum_j blut[q, j, codes[b, j]]
+            gathered = blut[:, jidx[None, :], codes]  # Q×B×m
+            sims = gathered.sum(axis=2).T  # B×Q
+            nids = pdf["neighbor_id"].to_numpy()
+            if exclude_self:
+                sims[nids[:, None] == bqids[None, :]] = -np.inf
+            kk = min(k, sims.shape[0])
+            rs = np.round(sims, 6)
+            qcols, ncols, scols = [], [], []
+            for j in range(nq):
+                order = np.lexsort((nids, -rs[:, j]))[:kk]
+                sel = sims[order, j]
+                fin = np.isfinite(sel)
+                qcols.append(np.full(int(fin.sum()), bqids[j], dtype="int64"))
+                ncols.append(nids[order][fin])
+                scols.append(sel[fin])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(qcols),
+                    "neighbor_id": np.concatenate(ncols),
+                    "adc_score": np.concatenate(scols),
+                }
+            )
+
+    pruned = index.mapInPandas(
+        _scan, "query_id bigint, neighbor_id bigint, adc_score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("adc_score"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_score", "rank")
+    )
+
+
+def pq_save(spark, books: np.ndarray, path: str) -> None:
+    """Persist codebooks as parquet (float64 round-trips exactly: a
+    reloaded model encodes bit-identically)."""
+    m, n_codes, dsub = books.shape
+    rows = [
+        (int(j), int(c), [float(x) for x in books[j, c]])
+        for j in range(m)
+        for c in range(n_codes)
+    ]
+    spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def pq_load(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    m = rows[-1]["subspace"] + 1
+    n_codes = rows[-1]["code"] + 1
+    dsub = len(rows[0]["centroid"])
+    books = np.empty((m, n_codes, dsub), dtype="float64")
+    for r in rows:
+        books[r["subspace"], r["code"]] = r["centroid"]
+    return books

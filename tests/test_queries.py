@@ -635,3 +635,64 @@ def test_quality_classifier_auc_floor(spark):
         len(pos) * len(neg)
     )
     assert auc >= 0.9, auc
+
+
+def test_knn_pq_adc_invariants_duckdb(spark, ddb):
+    """knn_pq_adc is rows-only (codebooks are centroid-sample-specific),
+    but its invariants ARE SQL:
+
+      1. structure — exactly 5 rows per query, dense ranks, ADC score
+         non-increasing with rank, no self matches;
+      2. no fabricated neighbors — every neighbor id exists in embeddings;
+      3. quantization bound — ADC approximates the true cosine: the DuckDB-
+         recomputed cosine of every returned pair is within 0.25 of the
+         reported ADC score (m=16 on 64-dim unit vectors quantizes far
+         tighter than that in practice);
+      4. recall floor vs the brute-force oracle's top-5 pairs.
+    """
+    from preprocessor_spark.caching import persist_scope
+
+    bf = ddb.execute(ORACLES["knn_bruteforce"]).df()
+    bf_pairs = set(zip(bf["query_id"], bf["neighbor_id"]))
+
+    with persist_scope():
+        pdf = QUERIES["knn_pq_adc"](spark, SF_DIR).toPandas()
+    ddb.register("pq_res", pdf)
+
+    bad_structure = ddb.execute(
+        """SELECT COUNT(*) FROM (
+               SELECT query_id, COUNT(*) c, MIN(rank) mn, MAX(rank) mx,
+                      COUNT(DISTINCT rank) dr
+               FROM pq_res GROUP BY query_id
+           ) WHERE c <> 5 OR mn <> 1 OR mx <> c OR dr <> c"""
+    ).fetchone()[0]
+    assert bad_structure == 0
+    assert (pdf["query_id"] != pdf["neighbor_id"]).all()
+
+    missing_vec = ddb.execute(
+        """SELECT COUNT(*) FROM pq_res r
+           LEFT JOIN embeddings n ON r.neighbor_id = n.vec_id
+           WHERE n.vec_id IS NULL"""
+    ).fetchone()[0]
+    assert missing_vec == 0
+
+    non_monotone = ddb.execute(
+        """SELECT COUNT(*) FROM pq_res a
+           JOIN pq_res b ON a.query_id = b.query_id AND b.rank = a.rank + 1
+           WHERE b.adc_score > a.adc_score + 1e-9"""
+    ).fetchone()[0]
+    assert non_monotone == 0
+
+    off_bound = ddb.execute(
+        """SELECT COUNT(*) FROM pq_res r
+           JOIN embeddings q ON r.query_id = q.vec_id
+           JOIN embeddings n ON r.neighbor_id = n.vec_id
+           WHERE abs(r.adc_score - list_cosine_similarity(
+               q.embedding::DOUBLE[], n.embedding::DOUBLE[])) > 0.25"""
+    ).fetchone()[0]
+    assert off_bound == 0
+
+    got = set(zip(pdf["query_id"], pdf["neighbor_id"]))
+    recall = len(got & bf_pairs) / len(bf_pairs)
+    assert recall >= 0.5, recall
+    ddb.unregister("pq_res")

@@ -1035,3 +1035,95 @@ class TestKeywordExtract:
         # classic smoothed idf: tf=1, N=2, df=1 -> ln(3/2)+1
         want = round(1.0 * (math.log(3.0 / 2.0) + 1.0), 6)
         assert all(abs(s - want) < 1e-9 for s in logd[logd.term != "beta"].score)
+
+
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_adc_score_is_exact_reconstruction_dot(self, spark, emb):
+        """The ADC LUT sum must equal <q, reconstruct(code)> up to float
+        accumulation order (<=1e-12) — the defining ADC identity."""
+        import numpy as np
+
+        from preprocessor_spark.operators.pq import (
+            _encode_mat,
+            _unit_rows,
+            pq_encode,
+            pq_reconstruct,
+            pq_search_adc,
+            pq_train,
+        )
+
+        books = pq_train(emb, "embedding", m=8, sample_rows=512, seed=3)
+        enc = pq_encode(emb, books, "embedding", "vec_id")
+        queries = emb.limit(3)
+        got = pq_search_adc(
+            enc, books, queries, "embedding", "vec_id", k=4
+        ).toPandas()
+
+        pdf = emb.toPandas()
+        mat = _unit_rows(np.array(pdf["embedding"].tolist(), dtype="float64"))
+        ids = pdf["vec_id"].to_numpy()
+        codes = _encode_mat(mat, books)
+        recon = pq_reconstruct(codes, books)
+        by_id = {int(i): recon[n] for n, i in enumerate(ids)}
+        qmap = {int(i): mat[n] for n, i in enumerate(ids)}
+        for r in got.itertuples():
+            want = float(qmap[r.query_id] @ by_id[r.neighbor_id])
+            assert abs(r.adc_score - want) < 1e-12, (r, want)
+        # k rows per query, no self matches, dense ranks
+        assert (got.groupby("query_id").size() == 4).all()
+        assert (got.query_id != got.neighbor_id).all()
+
+    def test_pq_recall_vs_bruteforce(self, spark, emb):
+        """PQ-ADC top-10 must recall most of the exact cosine top-10 —
+        the quality contract that makes the 384x compression usable."""
+        from preprocessor_spark.operators.pq import pq_encode, pq_search_adc, pq_train
+        from preprocessor_spark.operators.similarity import cosine_topk
+
+        books = pq_train(emb, "embedding", m=16, sample_rows=512, seed=3)
+        enc = pq_encode(emb, books, "embedding", "vec_id")
+        queries = emb.limit(20)
+        approx = pq_search_adc(enc, books, queries, "embedding", "vec_id", k=10).toPandas()
+        exact = cosine_topk(emb, queries, "embedding", "vec_id", k=10, engine="arrow").toPandas()
+        hits = tot = 0
+        for qid, g in exact.groupby("query_id"):
+            truth = set(g.neighbor_id)
+            found = set(approx[approx.query_id == qid].neighbor_id)
+            hits += len(truth & found)
+            tot += len(truth)
+        recall = hits / tot
+        assert recall >= 0.6, f"recall@10 = {recall:.3f}"
+
+    def test_pq_save_load_bit_identical(self, spark, emb, tmp_path):
+        import numpy as np
+
+        from preprocessor_spark.operators.pq import pq_load, pq_save, pq_train
+
+        books = pq_train(emb, "embedding", m=4, n_codes=32, sample_rows=256, seed=11)
+        pq_save(spark, books, str(tmp_path / "pq"))
+        back = pq_load(spark, str(tmp_path / "pq"))
+        assert back.shape == books.shape
+        assert np.array_equal(back, books)
+
+    def test_pq_encode_plan_is_pure_projection(self, spark, emb):
+        """Encoding is a zero-shuffle projection — no Exchange at all."""
+        from preprocessor_spark.operators.pq import pq_encode, pq_train
+
+        books = pq_train(emb, "embedding", m=4, n_codes=16, sample_rows=128)
+        enc = pq_encode(emb, books, "embedding", "vec_id")
+        plan = enc._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+    def test_pq_train_validates_divisibility(self, spark):
+        import pandas as pd
+
+        from preprocessor_spark.operators.pq import pq_train
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"v": [[1.0, 2.0, 3.0]], "id": [1]})
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_train(df, "v", m=2)
