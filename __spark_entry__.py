@@ -2177,6 +2177,29 @@ def knn_pq_adc(spark, sf_dir):
     )
 
 
+def mmr_rerank_docs(spark, sf_dir):
+    """MMR diversity re-ranking (operators/rerank.py): brute-force cosine
+    top-8 candidates per query re-ranked with lambda=0.7 greedy maximal
+    marginal relevance — sequential per query, parallel across queries via
+    applyInPandas over bounded candidate groups. Float greedy trajectory →
+    rows-only; DuckDB invariants (subset-of-candidates, first pick = the
+    oracle's rank-1, dense ranks) in tests/test_queries.py."""
+    from preprocessor_spark.operators.rerank import mmr_rerank
+    from preprocessor_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cands = cosine_topk(
+        e, e.filter(F.col("vec_id") < 10), "embedding", "vec_id", k=8, engine="arrow"
+    ).select("query_id", "neighbor_id", F.col("cosine").alias("relevance"))
+    out = mmr_rerank(cands, e, k=4, lam=0.7)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("relevance", 6).alias("relevance"),
+        "mmr_rank",
+    ).orderBy("query_id", "mmr_rank")
+
+
 def text_fingerprint(spark, sf_dir):
     """Content fingerprints: order-insensitive token-set hash (JVM xxhash64)
     + winnowing-style rolling min-hash (vectorized numpy kernel). Hash values
@@ -3580,6 +3603,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
         "knn_pq_adc": knn_pq_adc,
+        "mmr_rerank_docs": mmr_rerank_docs,
         "text_fingerprint": text_fingerprint,
         "multimodal_image_features": multimodal_image_features,
         "multimodal_audio_features": multimodal_audio_features,

@@ -696,3 +696,69 @@ def test_knn_pq_adc_invariants_duckdb(spark, ddb):
     recall = len(got & bf_pairs) / len(bf_pairs)
     assert recall >= 0.5, recall
     ddb.unregister("pq_res")
+
+
+def test_mmr_rerank_invariants_duckdb(spark, ddb):
+    """mmr_rerank_docs is rows-only (float greedy trajectory), but its
+    invariants ARE SQL:
+
+      1. structure — 4 rows per query, dense mmr_rank 1..4;
+      2. subset — every (query, neighbor) pair is one of the query's
+         brute-force top-8 candidates (recomputed in DuckDB);
+      3. first pick — MMR's rank-1 equals pure-relevance rank-1 (the
+         lambda*rel term alone decides the first pick, same tie-break);
+      4. relevance column equals the DuckDB-recomputed cosine.
+    """
+    from preprocessor_spark.caching import persist_scope
+
+    with persist_scope():
+        pdf = QUERIES["mmr_rerank_docs"](spark, SF_DIR).toPandas()
+    ddb.register("mmr_res", pdf)
+
+    bad_structure = ddb.execute(
+        """SELECT COUNT(*) FROM (
+               SELECT query_id, COUNT(*) c, MIN(mmr_rank) mn,
+                      MAX(mmr_rank) mx, COUNT(DISTINCT mmr_rank) dr
+               FROM mmr_res GROUP BY query_id
+           ) WHERE c <> 4 OR mn <> 1 OR mx <> 4 OR dr <> 4"""
+    ).fetchone()[0]
+    assert bad_structure == 0
+
+    # brute-force top-8 candidates per query, DuckDB-side
+    ddb.execute(
+        """CREATE OR REPLACE TEMP VIEW bf8 AS
+           WITH sims AS (
+               SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                      list_cosine_similarity(q.embedding::DOUBLE[],
+                                             n.embedding::DOUBLE[]) AS cosine
+               FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+               WHERE q.vec_id < 10
+           )
+           SELECT * FROM (
+               SELECT *, row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(cosine, 6) DESC, neighbor_id) AS rnk
+               FROM sims
+           ) WHERE rnk <= 8"""
+    )
+    outside = ddb.execute(
+        """SELECT COUNT(*) FROM mmr_res m
+           LEFT JOIN bf8 b USING (query_id, neighbor_id)
+           WHERE b.neighbor_id IS NULL"""
+    ).fetchone()[0]
+    assert outside == 0
+
+    first_mismatch = ddb.execute(
+        """SELECT COUNT(*) FROM mmr_res m
+           JOIN bf8 b USING (query_id, neighbor_id)
+           WHERE m.mmr_rank = 1 AND b.rnk <> 1"""
+    ).fetchone()[0]
+    assert first_mismatch == 0
+
+    fabricated = ddb.execute(
+        """SELECT COUNT(*) FROM mmr_res m
+           JOIN bf8 b USING (query_id, neighbor_id)
+           WHERE abs(m.relevance - round(b.cosine, 6)) > 2e-6"""
+    ).fetchone()[0]
+    assert fabricated == 0
+    ddb.unregister("mmr_res")

@@ -1127,3 +1127,88 @@ class TestProductQuantization:
         )
         with pytest.raises(ValueError, match="not divisible"):
             pq_train(df, "v", m=2)
+
+
+class TestMMRRerank:
+    def test_mmr_skips_near_duplicate(self, spark):
+        """The defining MMR behavior: with a near-duplicate of the top hit
+        in the candidate set, lambda=0.5 picks the diverse doc second;
+        pure relevance (lambda=1) keeps the duplicate."""
+        import pandas as pd
+
+        from preprocessor_spark.operators.rerank import mmr_rerank
+
+        vecs = pd.DataFrame(
+            {
+                "vec_id": [1, 2, 3],
+                "embedding": [
+                    [1.0, 0.0, 0.0],          # A
+                    [0.999, 0.01, 0.0],       # A' near-dup of A
+                    [0.0, 1.0, 0.0],          # B diverse
+                ],
+            }
+        )
+        cands = pd.DataFrame(
+            {
+                "query_id": [7, 7, 7],
+                "neighbor_id": [1, 2, 3],
+                "relevance": [0.99, 0.98, 0.60],
+            }
+        )
+        vdf, cdf = spark.createDataFrame(vecs), spark.createDataFrame(cands)
+        div = mmr_rerank(cdf, vdf, k=2, lam=0.5).toPandas().sort_values("mmr_rank")
+        assert list(div.neighbor_id) == [1, 3]
+        rel = mmr_rerank(cdf, vdf, k=2, lam=1.0).toPandas().sort_values("mmr_rank")
+        assert list(rel.neighbor_id) == [1, 2]
+
+    def test_mmr_equals_independent_reference(self, spark):
+        """Distributed MMR == an independently coded greedy loop, across
+        lambdas and multiple query groups."""
+        import numpy as np
+        import pandas as pd
+
+        from preprocessor_spark.operators.rerank import mmr_rerank
+
+        rng = np.random.RandomState(5)
+        n_vec = 40
+        raw = rng.normal(size=(n_vec, 8))
+        unit = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+        vecs = pd.DataFrame(
+            {"vec_id": range(n_vec), "embedding": [list(v) for v in unit]}
+        )
+        rows = []
+        for q in range(3):
+            cand = rng.choice(n_vec, 12, replace=False)
+            for c in cand:
+                rows.append((q, int(c), float(rng.uniform(0.2, 1.0))))
+        cands = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "relevance"])
+
+        def reference(q, lam, k):
+            sub = cands[cands.query_id == q].sort_values("neighbor_id")
+            ids = sub.neighbor_id.to_numpy()
+            rel = np.round(sub.relevance.to_numpy(), 6)
+            V = unit[ids]
+            S = V @ V.T
+            picked, rest = [], list(range(len(ids)))
+            while len(picked) < k and rest:
+                best, best_key = None, None
+                for i in rest:
+                    pen = max(np.round(S[i, j], 6) for j in picked) if picked else 0.0
+                    sc = lam * rel[i] - (1 - lam) * pen
+                    key = (-sc, ids[i])
+                    if best is None or key < best_key:
+                        best, best_key = i, key
+                picked.append(best)
+                rest.remove(best)
+            return [int(ids[i]) for i in picked]
+
+        vdf, cdf = spark.createDataFrame(vecs), spark.createDataFrame(cands)
+        for lam in (0.3, 0.5, 0.8):
+            got = (
+                mmr_rerank(cdf, vdf, k=6, lam=lam)
+                .toPandas()
+                .sort_values(["query_id", "mmr_rank"])
+            )
+            for q in range(3):
+                want = reference(q, lam, 6)
+                assert list(got[got.query_id == q].neighbor_id) == want, (q, lam)
