@@ -3196,6 +3196,41 @@ def avro_roundtrip_orders(spark, sf_dir):
     )
 
 
+def snapshot_orders_diff(spark, sf_dir):
+    """Versioned snapshot table (sources/snapshots.py): commit pre-1996
+    orders as v1, append the 1996+ rows as v2, then read the INCREMENTAL
+    DIFF — which plans only v2's added files (file-list-asserted in
+    tests), the CDC-lite consumption path a 100 TB table needs. Data files
+    are written by executors; the manifest commit is an O_EXCL create.
+    The DuckDB oracle recomputes the delta from the orders table directly,
+    value-grading the whole commit → manifest → diff-plan path. The
+    fixture directory is applicationId-namespaced and rebuilt from scratch
+    each run (no stale-listing contamination)."""
+    import os
+    import shutil
+
+    from preprocessor_spark.sources.snapshots import SnapshotTable
+
+    path = os.path.join(
+        "/tmp",
+        f"snap_synth_{spark.sparkContext.applicationId}",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    split = F.lit("1996-01-01").cast("timestamp")
+    t = SnapshotTable(spark, path)
+    t.write(o.filter(F.col("o_orderdate") < split))
+    t.write(o.filter(F.col("o_orderdate") >= split), mode="append")
+    return (
+        t.diff(1, 2)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
 def dsir_select_docs(spark, sf_dir):
     """DSIR importance resampling (operators/dsir.py, public recipe of
     Xie et al. 2023): hashed word uni+bigram bucket LMs for the target
@@ -3577,6 +3612,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sliding/hopping windows in batch (round 5, oracle-backed)
         "hopping_window_events": hopping_window_events,
         "avro_roundtrip_orders": avro_roundtrip_orders,
+        "snapshot_orders_diff": snapshot_orders_diff,
         # DSIR importance resampling (round 6, oracle-backed)
         "dsir_select_docs": dsir_select_docs,
         # WARC -> HTML -> URL -> cap capstone (round 5, oracle-backed)
@@ -5712,6 +5748,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                    MIN(o_orderdate) AS first_date
             FROM orders GROUP BY o_orderstatus
+        """,
+        # snapshot diff(1,2) == exactly the appended 1996+ rows
+        "snapshot_orders_diff": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            ORDER BY o_orderkey
         """,
         "dsir_select_docs": """
             WITH t AS (
