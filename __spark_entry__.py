@@ -3196,6 +3196,75 @@ def avro_roundtrip_orders(spark, sf_dir):
     )
 
 
+def higher_order_lineitem(spark, sf_dir):
+    """Higher-order array lambdas (§2.2 scalar-function surface): per order,
+    sort the quantity list then fold/filter/transform/exists entirely
+    JVM-side — F.aggregate, F.filter, F.transform, F.exists. Sorting before
+    the float fold makes the accumulation order identical in any engine, so
+    the sum is bit-exact vs DuckDB's list_aggregate. Quantities are
+    integral doubles, so the doubled head stringifies exactly via bigint."""
+    l = _t(spark, sf_dir, "lineitem")
+    per = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_quantity")).alias("qs")
+    )
+    return per.select(
+        "l_orderkey",
+        F.aggregate("qs", F.lit(0.0), lambda a, x: a + x).alias("total_qty"),
+        F.size(F.filter("qs", lambda x: x >= F.lit(30.0))).alias("n_big"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("qs", 1, 3), lambda x: (x * 2).cast("bigint").cast("string")
+            ),
+        ).alias("head_doubled"),
+        F.exists("qs", lambda x: x > F.lit(45.0)).cast("int").alias("has_jumbo"),
+    ).orderBy("l_orderkey")
+
+
+def try_funcs_orders(spark, sf_dir):
+    """ANSI-safe try_* functions (§2.2): try_divide nulls on a zero divisor
+    and try_cast nulls on a malformed string instead of raising — per-status
+    counts of the null/ok split plus an exact decimal sum of the surviving
+    ratios. DuckDB twin: NULLIF-guarded division and TRY_CAST."""
+    o = _t(spark, sf_dir, "orders")
+    e = o.select(
+        "o_orderstatus",
+        F.try_divide(F.col("o_totalprice"), (F.col("o_orderkey") % 5).cast("double")).alias(
+            "ratio"
+        ),
+        F.substring("o_orderpriority", 1, 8).try_cast("int").alias("prio_num"),
+    )
+    return (
+        e.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("ratio").alias("n_ratio_ok"),
+            F.count("prio_num").alias("n_prio_ok"),
+            F.sum(F.col("ratio").cast("decimal(18,4)")).cast("double").alias("sum_ratio"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def group_by_all_revenue(spark, sf_dir):
+    """Modern SQL sugar (GROUP BY ALL / ORDER BY ALL — Spark 3.4+/4.x and
+    DuckDB both): grouping keys inferred from the non-aggregate select
+    list. Same Catalyst plan as an explicit GROUP BY."""
+    from preprocessor_spark.sources import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
 def snapshot_orders_diff(spark, sf_dir):
     """Versioned snapshot table (sources/snapshots.py): commit pre-1996
     orders as v1, append the 1996+ rows as v2, then read the INCREMENTAL
@@ -3613,6 +3682,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window_events": hopping_window_events,
         "avro_roundtrip_orders": avro_roundtrip_orders,
         "snapshot_orders_diff": snapshot_orders_diff,
+        "higher_order_lineitem": higher_order_lineitem,
+        "try_funcs_orders": try_funcs_orders,
+        "group_by_all_revenue": group_by_all_revenue,
         # DSIR importance resampling (round 6, oracle-backed)
         "dsir_select_docs": dsir_select_docs,
         # WARC -> HTML -> URL -> cap capstone (round 5, oracle-backed)
@@ -5748,6 +5820,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                    MIN(o_orderdate) AS first_date
             FROM orders GROUP BY o_orderstatus
+        """,
+        # sorted-first float fold: accumulation order identical -> bit-exact
+        "higher_order_lineitem": """
+            WITH per AS (
+                SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT l_orderkey,
+                   list_aggregate(qs, 'sum') AS total_qty,
+                   CAST(len(list_filter(qs, x -> x >= 30.0)) AS INT) AS n_big,
+                   array_to_string(list_transform(qs[1:3],
+                       x -> CAST(CAST(x * 2 AS BIGINT) AS VARCHAR)), ',') AS head_doubled,
+                   CAST(len(list_filter(qs, x -> x > 45.0)) > 0 AS INT) AS has_jumbo
+            FROM per ORDER BY l_orderkey
+        """,
+        "try_funcs_orders": """
+            WITH e AS (
+                SELECT o_orderstatus,
+                       o_totalprice / CAST(NULLIF(o_orderkey % 5, 0) AS DOUBLE) AS ratio,
+                       TRY_CAST(substring(o_orderpriority, 1, 8) AS INT) AS prio_num
+                FROM orders
+            )
+            SELECT o_orderstatus,
+                   COUNT(*) AS n,
+                   COUNT(ratio) AS n_ratio_ok,
+                   COUNT(prio_num) AS n_prio_ok,
+                   CAST(SUM(CAST(ratio AS DECIMAL(18,4))) AS DOUBLE) AS sum_ratio
+            FROM e GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "group_by_all_revenue": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ALL
+            ORDER BY ALL
         """,
         # snapshot diff(1,2) == exactly the appended 1996+ rows
         "snapshot_orders_diff": """
