@@ -2177,6 +2177,32 @@ def knn_pq_adc(spark, sf_dir):
     )
 
 
+def knn_ivfpq(spark, sf_dir):
+    """The full IVF-PQ index (operators/pq.py::ivfpq_search): cell-routed
+    candidate generation (bucket equi-join with isin pushdown, as knn_ivf)
+    over PQ codes instead of raw vectors — the standard billion-scale ANN
+    layout. Rows-only (centroid/codebook-sample specific); shares the
+    knn_pq_adc DuckDB invariants in tests/test_queries.py."""
+    from preprocessor_spark.operators.pq import (
+        ivfpq_assign_encode,
+        ivfpq_search,
+        pq_train,
+    )
+    from preprocessor_spark.operators.similarity import ivf_train_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_train(e, "embedding", m=16, sample_rows=2048, seed=7)
+    cents = ivf_train_centroids(e, "embedding", n_cells=16, sample_rows=2048)
+    index = ivfpq_assign_encode(e, cents, books, "embedding", "vec_id")
+    out = ivfpq_search(
+        index, cents, books, e.filter(F.col("vec_id") < 10),
+        "embedding", "vec_id", k=5, n_probe=8,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("adc_score", 6).alias("adc_score"), "rank"
+    )
+
+
 def mmr_rerank_docs(spark, sf_dir):
     """MMR diversity re-ranking (operators/rerank.py): brute-force cosine
     top-8 candidates per query re-ranked with lambda=0.7 greedy maximal
@@ -3711,6 +3737,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": knn_lsh,
         "knn_ivf": knn_ivf,
         "knn_pq_adc": knn_pq_adc,
+        "knn_ivfpq": knn_ivfpq,
         "mmr_rerank_docs": mmr_rerank_docs,
         "text_fingerprint": text_fingerprint,
         "multimodal_image_features": multimodal_image_features,

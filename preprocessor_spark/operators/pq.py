@@ -246,3 +246,113 @@ def pq_load(spark, path: str) -> np.ndarray:
     for r in rows:
         books[r["subspace"], r["code"]] = r["centroid"]
     return books
+
+
+def ivfpq_assign_encode(
+    corpus: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Build the IVF-PQ index frame: (neighbor_id, __cell, pq_code).
+    Composes ``similarity.ivf_assign`` (cell routing) with PQ codes — at
+    rest this is written ``partitionBy("__cell")`` like the plain IVF
+    index, so a probe reads only its cells' files AND each row is m bytes
+    of code instead of the raw vector."""
+    from pyspark.sql.functions import pandas_udf
+
+    from preprocessor_spark.operators.similarity import ivf_assign
+
+    bks = books
+
+    @pandas_udf("array<smallint>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        # same numpy re-normalization as pq_encode so both index-building
+        # paths produce bit-identical codes (argmin ties included)
+        mat = _unit_rows(np.array(vecs.tolist(), dtype="float64"))
+        return pd.Series(list(_encode_mat(mat, bks)))
+
+    assigned = ivf_assign(corpus, cents, vec_col, id_col)
+    return assigned.select(
+        "neighbor_id", "__cell", _enc(F.col("__cv")).alias("pq_code")
+    )
+
+
+def ivfpq_search(
+    index: DataFrame,
+    cents: np.ndarray,
+    books: np.ndarray,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_probe: int = 3,
+    code_col: str = "pq_code",
+    exclude_self: bool = True,
+    prune_cells: bool = True,
+) -> DataFrame:
+    """The standard IVF-PQ search: each query ADC-scans ONLY its n_probe
+    nearest cells' codes. Queries explode to probed cells and equi-join
+    the index on the cell id (the same bucket-join shape as
+    ``similarity.ivf_search``, with the same optional isin pushdown that
+    becomes static partition pruning on a ``partitionBy("__cell")``
+    layout); scores are the broadcast-LUT gather; top-k is a bounded keyed
+    window. With ``n_probe >= n_cells`` the result equals the exhaustive
+    :func:`pq_search_adc` exactly (asserted in tests)."""
+    from preprocessor_spark.caching import register_persisted
+    from preprocessor_spark.operators.similarity import _nearest_cells_udf
+
+    q = _normalized(queries, vec_col, id_col, "query_id", "__qv").withColumn(
+        "__cell",
+        F.explode(F.slice(_nearest_cells_udf(cents)(F.col("__qv")), 1, n_probe)),
+    )
+    q = register_persisted(q.persist())
+    if prune_cells:
+        probed = sorted(r["__cell"] for r in q.select("__cell").distinct().collect())
+        index = index.filter(F.col("__cell").isin(probed))
+
+    qrows = q.select("query_id", "__qv").distinct().limit(1_000_001).collect()
+    if len(qrows) > 1_000_000:
+        raise ValueError("ivfpq_search: query side exceeds the 1M-row guard")
+    m, n_codes, dsub = books.shape
+    qids = np.array([r["query_id"] for r in qrows], dtype="int64")
+    qmat = np.array([r["__qv"] for r in qrows], dtype="float64")
+    lut = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qids), m, dsub), books)
+    pos = {int(i): n for n, i in enumerate(qids)}
+    bc = index.sparkSession.sparkContext.broadcast((pos, lut))
+
+    joined = index.join(q.select("query_id", "__cell"), "__cell").select(
+        "query_id", "neighbor_id", code_col
+    )
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+
+    def _score(batches):
+        bpos, blut = bc.value
+        jidx = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf[code_col].tolist(), dtype="int64")  # B×m
+            qrow = np.array([bpos[int(x)] for x in pdf["query_id"]], dtype="int64")
+            scores = blut[qrow[:, None], jidx[None, :], codes].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "adc_score": scores,
+                }
+            )
+
+    scored = joined.mapInPandas(
+        _score, "query_id bigint, neighbor_id bigint, adc_score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("adc_score"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_score", "rank")
+    )

@@ -655,8 +655,15 @@ def test_knn_pq_adc_invariants_duckdb(spark, ddb):
     bf = ddb.execute(ORACLES["knn_bruteforce"]).df()
     bf_pairs = set(zip(bf["query_id"], bf["neighbor_id"]))
 
+    for qname in ("knn_pq_adc", "knn_ivfpq"):
+        _check_pq_invariants(spark, ddb, qname, bf_pairs)
+
+
+def _check_pq_invariants(spark, ddb, qname, bf_pairs):
+    from preprocessor_spark.caching import persist_scope
+
     with persist_scope():
-        pdf = QUERIES["knn_pq_adc"](spark, SF_DIR).toPandas()
+        pdf = QUERIES[qname](spark, SF_DIR).toPandas()
     ddb.register("pq_res", pdf)
 
     bad_structure = ddb.execute(

@@ -1281,3 +1281,73 @@ class TestSnapshotTable:
         man_files = set(t.versions()[0]["files"])
         got = set(t.read(version=1).inputFiles())
         assert {f.replace("file://", "") for f in got} == man_files
+
+
+class TestIVFPQ:
+    @pytest.fixture(scope="class")
+    def emb6(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def test_full_probe_equals_exhaustive_adc(self, spark, emb6):
+        """With n_probe >= n_cells the IVF routing is a no-op: ivfpq_search
+        must reproduce the exhaustive ADC result exactly (same pairs, same
+        ranks) — proving the cell join loses nothing but unprobed cells."""
+        from preprocessor_spark.operators.pq import (
+            ivfpq_assign_encode,
+            ivfpq_search,
+            pq_encode,
+            pq_search_adc,
+            pq_train,
+        )
+        from preprocessor_spark.operators.similarity import ivf_train_centroids
+
+        books = pq_train(emb6, "embedding", m=8, sample_rows=512, seed=3)
+        cents = ivf_train_centroids(emb6, "embedding", n_cells=8, sample_rows=512)
+        index = ivfpq_assign_encode(emb6, cents, books, "embedding", "vec_id")
+        queries = emb6.filter(F.col("vec_id") < 5)
+        full = (
+            ivfpq_search(index, cents, books, queries, "embedding", "vec_id",
+                         k=4, n_probe=8)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        enc = pq_encode(emb6, books, "embedding", "vec_id")
+        exhaustive = (
+            pq_search_adc(enc, books, queries, "embedding", "vec_id", k=4)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert list(full.query_id) == list(exhaustive.query_id)
+        assert list(full.neighbor_id) == list(exhaustive.neighbor_id)
+        assert list(full["rank"]) == list(exhaustive["rank"])
+
+    def test_probed_cells_only(self, spark, emb6):
+        """With n_probe=2, every returned neighbor must live in one of its
+        query's 2 nearest cells — recomputed independently in numpy."""
+        import numpy as np
+
+        from preprocessor_spark.operators.pq import (
+            _unit_rows,
+            ivfpq_assign_encode,
+            ivfpq_search,
+            pq_train,
+        )
+        from preprocessor_spark.operators.similarity import ivf_train_centroids
+
+        books = pq_train(emb6, "embedding", m=8, sample_rows=512, seed=3)
+        cents = ivf_train_centroids(emb6, "embedding", n_cells=8, sample_rows=512)
+        index = ivfpq_assign_encode(emb6, cents, books, "embedding", "vec_id")
+        queries = emb6.filter(F.col("vec_id") < 5)
+        got = ivfpq_search(
+            index, cents, books, queries, "embedding", "vec_id", k=4, n_probe=2
+        ).toPandas()
+
+        pdf = emb6.toPandas()
+        mat = _unit_rows(np.array(pdf["embedding"].tolist(), dtype="float64"))
+        ids = pdf["vec_id"].to_numpy()
+        cell_of = {int(i): int((mat[n] @ cents.T).argmax()) for n, i in enumerate(ids)}
+        probes = {
+            int(i): set(np.argsort(-(mat[n] @ cents.T))[:2])
+            for n, i in enumerate(ids)
+            if i < 5
+        }
+        for r in got.itertuples():
+            assert cell_of[r.neighbor_id] in probes[r.query_id], r
