@@ -2177,6 +2177,44 @@ def knn_pq_adc(spark, sf_dir):
     )
 
 
+def html_links_docs(spark, sf_dir):
+    """Outgoing-link extraction (operators/text.py::extract_links) — the
+    crawl-frontier step of the web pipeline: anchors pulled with ONE
+    RE2-compatible regexp (zero shuffles until the final per-host agg),
+    non-navigational schemes dropped, root-relative hrefs absolutized
+    against the per-doc base host. HTML synthesized deterministically per
+    document (abs link + relative link + javascript/mailto noise); the
+    DuckDB oracle replays the identical regexp chain."""
+    from preprocessor_spark.operators.text import extract_links
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    html = d.withColumn(
+        "base_host", F.concat(F.col("source"), F.lit(".example.com"))
+    ).withColumn(
+        "html",
+        F.concat(
+            F.lit('<html><body><a href="https://'),
+            F.col("source"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("\">x</a> text <A HREF='/rel/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("'>y</A><a href=\"javascript:void(0)\">z</a>"),
+            F.lit('<a href="mailto:a@b.c">m</a></body></html>'),
+        ),
+    )
+    links = extract_links(html, "html", base_host_col="base_host")
+    return (
+        links.groupBy(F.col("base_host").alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.countDistinct("link").alias("n_unique"),
+            F.min("link").alias("first_link"),
+        )
+        .orderBy("host")
+    )
+
+
 def knn_ivfpq(spark, sf_dir):
     """The full IVF-PQ index (operators/pq.py::ivfpq_search): cell-routed
     candidate generation (bucket equi-join with isin pushdown, as knn_ivf)
@@ -3711,6 +3749,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "higher_order_lineitem": higher_order_lineitem,
         "try_funcs_orders": try_funcs_orders,
         "group_by_all_revenue": group_by_all_revenue,
+        "html_links_docs": html_links_docs,
         # DSIR importance resampling (round 6, oracle-backed)
         "dsir_select_docs": dsir_select_docs,
         # WARC -> HTML -> URL -> cap capstone (round 5, oracle-backed)
@@ -5883,6 +5922,36 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ALL
             ORDER BY ALL
+        """,
+        # identical RE2 pattern + scheme filter + absolutize chain
+        "html_links_docs": """
+            WITH h AS (
+                SELECT doc_id, source, source || '.example.com' AS base_host,
+                       '<html><body><a href="https://' || source
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                       || '">x</a> text <A HREF=''/rel/'
+                       || CAST(doc_id % 7 AS VARCHAR)
+                       || '''>y</A><a href="javascript:void(0)">z</a>'
+                       || '<a href="mailto:a@b.c">m</a></body></html>' AS html
+                FROM documents
+            ), l AS (
+                SELECT base_host,
+                       unnest(regexp_extract_all(html,
+                           '(?i)<a\s[^>]*href\s*=\s*["'']([^"''#<>]+)', 1)) AS raw
+                FROM h
+            ), f AS (
+                SELECT base_host,
+                       CASE WHEN raw LIKE '/%'
+                            THEN 'https://' || base_host || raw
+                            ELSE raw END AS link
+                FROM l
+                WHERE NOT regexp_matches(raw, '(?i)^(javascript|mailto|tel|data):')
+            )
+            SELECT base_host AS host,
+                   COUNT(*) AS n_links,
+                   COUNT(DISTINCT link) AS n_unique,
+                   MIN(link) AS first_link
+            FROM f GROUP BY base_host ORDER BY host
         """,
         # snapshot diff(1,2) == exactly the appended 1996+ rows
         "snapshot_orders_diff": """

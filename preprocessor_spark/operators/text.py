@@ -502,3 +502,52 @@ def html_text_expr(html: Column) -> Column:
 def extract_html_text(df: DataFrame, html_col: str, out_col: str = "text") -> DataFrame:
     """Narrow projection adding ``out_col`` = visible text of ``html_col``."""
     return df.withColumn(out_col, html_text_expr(F.col(html_col)))
+
+
+_HREF_PATTERN = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'#<>]+)"""
+
+
+def links_expr(html: Column) -> Column:
+    """All href targets of anchor tags, in document order (case-insensitive
+    tag/attribute match, fragment part excluded by the character class).
+    RE2-compatible pattern → the DuckDB twin is the identical
+    ``regexp_extract_all(html, pattern, 1)``."""
+    return F.regexp_extract_all(html, F.lit(_HREF_PATTERN), 1)
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str,
+    base_host_col: str | None = None,
+    out_col: str = "link",
+) -> DataFrame:
+    """Explode every document into its outgoing links — the crawl-frontier
+    step between HTML extraction and URL canonicalization
+    (``operators.urls.parse_urls`` composes downstream).
+
+    Non-navigational schemes (javascript:, mailto:, tel:, data:) are
+    dropped; with ``base_host_col``, root-relative hrefs (``/path``)
+    absolutize to ``https://<base_host><path>`` (the only relative form the
+    synthetic corpora emit; full RFC 3986 reference resolution is
+    deliberately out of scope). Narrow plan: regexp project + posexplode —
+    zero shuffles, scales as a pure map at any corpus size.
+    """
+    exploded = df.select(
+        "*", F.posexplode(links_expr(F.col(html_col))).alias("__pos", "__raw")
+    )
+    raw = F.col("__raw")
+    bad = raw.rlike(r"(?i)^(javascript|mailto|tel|data):")
+    if base_host_col is not None:
+        resolved = (
+            F.when(raw.startswith("/"),
+                   F.concat(F.lit("https://"), F.col(base_host_col), raw))
+            .otherwise(raw)
+        )
+    else:
+        resolved = raw
+    return (
+        exploded.filter(~bad)
+        .withColumn(out_col, resolved)
+        .withColumn("link_pos", F.col("__pos").cast("int"))
+        .drop("__pos", "__raw")
+    )
