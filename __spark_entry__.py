@@ -5937,7 +5937,7 @@ def oracle_sql() -> dict[str, str]:
             ), l AS (
                 SELECT base_host,
                        unnest(regexp_extract_all(html,
-                           '(?i)<a\s[^>]*href\s*=\s*["'']([^"''#<>]+)', 1)) AS raw
+                           '(?i)<a\\s[^>]*href\\s*=\\s*["'']([^"''#<>]+)', 1)) AS raw
                 FROM h
             ), f AS (
                 SELECT base_host,
