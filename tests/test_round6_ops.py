@@ -1351,3 +1351,52 @@ class TestIVFPQ:
         }
         for r in got.itertuples():
             assert cell_of[r.neighbor_id] in probes[r.query_id], r
+
+
+class TestStreamingDriftMonitor:
+    def test_ks_in_foreachbatch_matches_batch(self, spark, tmp_path):
+        """Composition: the exact KS report runs per micro-batch against a
+        static reference snapshot (the fit/serve drift-monitor shape).
+        The streamed final-batch statistic equals a batch recompute."""
+        import numpy as np
+        import pandas as pd
+
+        from preprocessor_spark.operators.drift import ks_report, ks_statistic
+
+        rng = np.random.RandomState(11)
+        ref_pdf = pd.DataFrame({"x": np.round(rng.normal(0, 1, 300), 3)})
+        cur_pdf = pd.DataFrame({"x": np.round(rng.normal(0.5, 1, 200), 3)})
+        ref = spark.createDataFrame(ref_pdf)
+
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(cur_pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / "stage")
+        )
+        import glob
+        import shutil
+
+        shutil.copy(
+            glob.glob(str(tmp_path / "stage" / "part-*.parquet"))[0],
+            str(src / "batch0.parquet"),
+        )
+
+        seen: list[float] = []
+
+        def monitor(batch_df, _bid):
+            if batch_df.count():
+                seen.append(ks_statistic(ks_report(ref, batch_df, "x")))
+
+        q = (
+            spark.readStream.schema("x double")
+            .parquet(str(src))
+            .writeStream.foreachBatch(monitor)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        want = ks_statistic(ks_report(ref, spark.createDataFrame(cur_pdf), "x"))
+        assert seen and abs(seen[-1] - want) < 1e-12
+        assert want > 0.15  # the planted mean shift is detectable
