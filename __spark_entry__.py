@@ -1673,6 +1673,34 @@ def drift_orders_ks(spark, sf_dir):
     return ks_report(ref, cur, "o_totalprice").orderBy("value")
 
 
+def funnel_user_events(spark, sf_dir):
+    """Strictly-ordered first-touch conversion funnel (operators/funnel.py
+    funnel_report): view → click → purchase per user, each step's earliest
+    event strictly after the previous step's completion. Chained MIN(CASE)
+    windows all partitioned by user_id — ONE Exchange for the whole funnel
+    regardless of step count. Gap averages are exact BIGINT microsecond
+    sums with one final double division, so the DuckDB oracle (epoch_us
+    sums, identical op order) is bit-exact."""
+    from preprocessor_spark.operators.funnel import funnel_report
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_report(
+        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def cohort_retention_events(spark, sf_dir):
+    """Weekly cohort retention matrix (operators/funnel.py
+    cohort_retention): cohort = Monday-truncated week of each user's first
+    event; cell (cohort, offset) counts distinct users active offset weeks
+    later. Three keyed shuffles (first-touch agg, join back, distinct+agg);
+    offsets are exact integer epoch arithmetic — value-exact oracle."""
+    from preprocessor_spark.operators.funnel import cohort_retention
+
+    e = _t(spark, sf_dir, "events")
+    return cohort_retention(e, "user_id", "ts")
+
+
 def dq_orders_report(spark, sf_dir):
     """Declarative data-quality gate (operators/expectations.py — the
     deequ/Great-Expectations shape): seven column-level constraints compiled
@@ -3701,6 +3729,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PSI distribution drift (round 4, oracle-backed)
         "drift_orders_psi": drift_orders_psi,
         "drift_orders_ks": drift_orders_ks,
+        "funnel_user_events": funnel_user_events,
+        "cohort_retention_events": cohort_retention_events,
         # scale-safe global row numbering (round 4, oracle-backed)
         "row_ids_documents": row_ids_documents,
         # CDC merge + SCD2 history (round 4, oracle-backed)
@@ -5320,6 +5350,83 @@ def oracle_sql() -> dict[str, str]:
                              - cc / CAST(tc AS DOUBLE)), 6) AS d_abs
             FROM cum CROSS JOIN tot
             ORDER BY value
+        """,
+        # strictly-ordered funnel: chained MIN(CASE) windows per user, exact
+        # BIGINT microsecond gap sums, one double division — bit-exact twin
+        # of operators/funnel.py::funnel_report
+        "funnel_user_events": """
+            WITH e AS (SELECT user_id, ts, event_type FROM events),
+            s0 AS (
+                SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                              OVER (PARTITION BY user_id) AS t0
+                FROM e
+            ), s1 AS (
+                SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t0
+                                   THEN ts END)
+                              OVER (PARTITION BY user_id) AS t1
+                FROM s0
+            ), s2 AS (
+                SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1
+                                   THEN ts END)
+                              OVER (PARTITION BY user_id) AS t2
+                FROM s1
+            ), u AS (
+                SELECT user_id, MIN(t0) AS t0, MIN(t1) AS t1, MIN(t2) AS t2
+                FROM s2 GROUP BY user_id
+            ), a AS (
+                SELECT COUNT(*) AS total,
+                       COUNT(t0) AS n0, COUNT(t1) AS n1, COUNT(t2) AS n2,
+                       SUM(CASE WHEN t1 IS NOT NULL
+                                THEN epoch_us(t1 - t0) END) AS g1,
+                       SUM(CASE WHEN t2 IS NOT NULL
+                                THEN epoch_us(t2 - t1) END) AS g2
+                FROM u
+            )
+            SELECT CAST(0 AS INTEGER) AS step_idx, 'view' AS step,
+                   CAST(n0 AS BIGINT) AS n_users,
+                   CASE WHEN total > 0
+                        THEN CAST(n0 AS DOUBLE) / CAST(total AS DOUBLE)
+                   END AS conv_from_prev,
+                   CAST(NULL AS DOUBLE) AS avg_gap_secs
+            FROM a
+            UNION ALL
+            SELECT 1, 'click', CAST(n1 AS BIGINT),
+                   CASE WHEN n0 > 0
+                        THEN CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) END,
+                   CASE WHEN n1 > 0
+                        THEN (CAST(g1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                             / 1000000.0 END
+            FROM a
+            UNION ALL
+            SELECT 2, 'purchase', CAST(n2 AS BIGINT),
+                   CASE WHEN n1 > 0
+                        THEN CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) END,
+                   CASE WHEN n2 > 0
+                        THEN (CAST(g2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                             / 1000000.0 END
+            FROM a
+            ORDER BY step_idx
+        """,
+        # weekly cohort retention: Monday-truncated weeks in both engines,
+        # integer epoch arithmetic for the offset — value-exact
+        "cohort_retention_events": """
+            WITH first_ts AS (
+                SELECT user_id, MIN(ts) AS first_ts
+                FROM events GROUP BY user_id
+            ), cells AS (
+                SELECT DISTINCT e.user_id,
+                       CAST(date_trunc('week', f.first_ts) AS TIMESTAMP)
+                           AS cohort_week,
+                       CAST((epoch(date_trunc('week', e.ts))
+                             - epoch(date_trunc('week', f.first_ts)))
+                            / 604800 AS INTEGER) AS week_offset
+                FROM events e JOIN first_ts f USING (user_id)
+            )
+            SELECT cohort_week, week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM cells
+            GROUP BY cohort_week, week_offset
+            ORDER BY cohort_week, week_offset
         """,
         # ---- TPC-H breadth (round 4) ----
         "q4_priority_exists": """

@@ -1400,3 +1400,94 @@ class TestStreamingDriftMonitor:
         want = ks_statistic(ks_report(ref, spark.createDataFrame(cur_pdf), "x"))
         assert seen and abs(seen[-1] - want) < 1e-12
         assert want > 0.15  # the planted mean shift is detectable
+
+
+class TestFunnelCohort:
+    def _events(self, spark, rows):
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return spark.createDataFrame(pdf)
+
+    def test_funnel_strict_ordering_and_gaps(self, spark):
+        """User A converts fully; user B's click PRECEDES their view so it
+        must not count for step 2 (strict ordering); user C stops at view;
+        user D has a click at exactly the view timestamp — strictly-after
+        excludes it."""
+        from preprocessor_spark.operators.funnel import funnel_report
+
+        ev = self._events(
+            spark,
+            [
+                ("A", "2024-01-01 00:00:00", "view"),
+                ("A", "2024-01-01 00:00:10", "click"),
+                ("A", "2024-01-01 00:01:10", "purchase"),
+                ("B", "2024-01-01 00:00:00", "click"),
+                ("B", "2024-01-01 00:00:05", "view"),
+                ("C", "2024-01-01 00:00:00", "view"),
+                ("D", "2024-01-01 00:02:00", "view"),
+                ("D", "2024-01-01 00:02:00", "click"),  # same instant: no
+            ],
+        )
+        out = funnel_report(
+            ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+        by_step = {r["step"]: r for r in out}
+        assert [r["step_idx"] for r in out] == [0, 1, 2]
+        assert by_step["view"]["n_users"] == 4
+        assert by_step["click"]["n_users"] == 1  # only A
+        assert by_step["purchase"]["n_users"] == 1
+        assert by_step["view"]["conv_from_prev"] == 1.0
+        assert by_step["click"]["conv_from_prev"] == 0.25
+        assert by_step["purchase"]["conv_from_prev"] == 1.0
+        assert by_step["view"]["avg_gap_secs"] is None
+        assert by_step["click"]["avg_gap_secs"] == 10.0
+        assert by_step["purchase"]["avg_gap_secs"] == 60.0
+
+    def test_funnel_single_exchange_for_window_chain(self, spark):
+        """Every chained MIN(CASE) window reuses the same user_id
+        partitioning: exactly ONE hash exchange feeds the whole per-user
+        stage (the only other exchange is the final one-row global agg)."""
+        from preprocessor_spark.operators.funnel import funnel_report
+
+        ev = self._events(spark, [("A", "2024-01-01 00:00:00", "view")])
+        plan = funnel_report(
+            ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_cohort_offsets(self, spark):
+        """u1 first in week of Jan 1 (Mon), active weeks 0 and 2; u2 first
+        in week of Jan 8, active that week only."""
+        from preprocessor_spark.operators.funnel import cohort_retention
+
+        ev = self._events(
+            spark,
+            [
+                ("u1", "2024-01-02 10:00:00", "view"),
+                ("u1", "2024-01-03 10:00:00", "click"),
+                ("u1", "2024-01-16 10:00:00", "view"),
+                ("u2", "2024-01-08 00:00:00", "view"),
+            ],
+        )
+        out = cohort_retention(ev, "user_id", "ts").collect()
+        cells = {(str(r["cohort_week"]), r["week_offset"]): r["n_users"] for r in out}
+        assert cells == {
+            ("2024-01-01 00:00:00", 0): 1,
+            ("2024-01-01 00:00:00", 2): 1,
+            ("2024-01-08 00:00:00", 0): 1,
+        }
+
+    def test_cohort_max_offset_cap(self, spark):
+        from preprocessor_spark.operators.funnel import cohort_retention
+
+        ev = self._events(
+            spark,
+            [
+                ("u1", "2024-01-01 00:00:00", "view"),
+                ("u1", "2024-03-01 00:00:00", "view"),
+            ],
+        )
+        out = cohort_retention(ev, "user_id", "ts", max_offset=1).collect()
+        assert [(r["week_offset"], r["n_users"]) for r in out] == [(0, 1)]
