@@ -2055,6 +2055,33 @@ def knn_bruteforce(spark, sf_dir):
     )
 
 
+def knn_graph_triangles(spark, sf_dir):
+    """Triangle counts + local clustering coefficient over the k=5 cosine
+    kNN graph of the embeddings table (operators/graph.py triangle_count /
+    clustering_coefficient). Edges come from the same exact brute-force
+    top-k as knn_bruteforce (rounded-cosine rank, id tie-break — engine-
+    portable), undirected-canonicalized; enumeration is degree-ordered
+    (Suri & Vassilvitskii WWW'11): each triangle is found once at its
+    minimum-rank vertex, hub out-degrees bounded O(sqrt(m)), all joins
+    keyed. The DuckDB oracle replays the identical kNN edge set and a
+    naive a<b<c triangle join — value-exact."""
+    from preprocessor_spark.operators.graph import clustering_coefficient
+    from preprocessor_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    nn = cosine_topk(e, e, "embedding", "vec_id", k=5, engine="arrow")
+    edges = nn.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    out = clustering_coefficient(edges, "src", "dst", node_col="vec_id")
+    return out.select(
+        "vec_id",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.round("coeff", 6).alias("coeff"),
+    ).orderBy("vec_id")
+
+
 # ---- no-SQL-oracle operators (rows-only checks) ----
 
 def dedup_minhash_pairs(spark, sf_dir):
@@ -3624,6 +3651,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_user_events": sessionize_user_events,
         "embed_neardup": embed_neardup,
         "knn_bruteforce": knn_bruteforce,
+        "knn_graph_triangles": knn_graph_triangles,
         "text_profile_docs": text_profile_docs,
         "split_documents": split_documents,
         "text_quality_by_source": text_quality_by_source,
@@ -4874,6 +4902,54 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+        """,
+        # kNN-graph triangles: identical rounded-cosine top-5 edge set, then
+        # a naive a<b<c closure join — exact twin of the degree-ordered
+        # enumeration in operators/graph.py::triangle_count
+        "knn_graph_triangles": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                           x -> x / sqrt(list_dot_product(
+                               CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])))) AS nv
+                FROM embeddings
+            ), s AS (
+                SELECT a.vec_id AS qid, b.vec_id AS nid,
+                       list_dot_product(a.nv, b.nv) AS cos
+                FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id
+            ), r AS (
+                SELECT qid, nid,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                           ORDER BY ROUND(cos, 6) DESC, nid ASC) AS rk
+                FROM s
+            ), ed AS (
+                SELECT DISTINCT LEAST(qid, nid) AS a, GREATEST(qid, nid) AS b
+                FROM r WHERE rk <= 5
+            ), degs AS (
+                SELECT n, COUNT(*) AS d
+                FROM (SELECT a AS n FROM ed UNION ALL SELECT b AS n FROM ed)
+                GROUP BY n
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM ed e1
+                JOIN ed e2 ON e2.a = e1.b
+                JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), tcnt AS (
+                SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                FROM (SELECT x AS node FROM tri
+                      UNION ALL SELECT y FROM tri
+                      UNION ALL SELECT z FROM tri)
+                GROUP BY node
+            )
+            SELECT d.n AS vec_id, CAST(d.d AS BIGINT) AS degree,
+                   CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+                   ROUND(CASE WHEN d.d >= 2
+                              THEN CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
+                                   / (CAST(d.d * (d.d - 1) AS DOUBLE) / 2.0)
+                              ELSE 0.0 END, 6) AS coeff
+            FROM degs d LEFT JOIN tcnt t ON t.node = d.n
+            ORDER BY vec_id
         """,
         "subqueries_sql": """
             SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice

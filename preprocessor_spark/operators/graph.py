@@ -239,3 +239,127 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank")
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Exact per-node triangle participation counts over an undirected graph.
+
+    Input edges are treated as undirected: they are canonicalized
+    (``least``/``greatest``), self-loops dropped, duplicates collapsed.
+    Enumeration uses DEGREE ORDERING (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11): each undirected
+    edge is oriented from its lower-rank endpoint to its higher-rank one,
+    rank = (degree, id) lexicographic. Every triangle then has exactly ONE
+    wedge centered at its minimum-rank vertex, so
+
+    1. wedges — one self-equi-join of the oriented adjacency on the center
+       (pairs per center bounded by C(out-degree, 2), and degree ordering
+       bounds out-degree by O(sqrt(m)) on any graph — the hub that would
+       generate O(d^2) candidate pairs under arbitrary orientation ranks
+       HIGHEST and therefore generates none);
+    2. closure — one equi-join of the wedges against the oriented edges.
+
+    Both are plain hash-partitioned joins; per-node counts are one keyed
+    explode+groupBy. No cross product, no driver state. Returns
+    ``(node, n_triangles)`` for every node with at least one triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # attach degrees to both endpoints, orient low-rank -> high-rank
+    ed = (
+        e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    w1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("d1")
+    )
+    w2 = oriented.select(
+        F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("d2")
+    )
+    wedges = w1.join(w2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closer = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closer, ["v1", "v2"]).select("u", "v1", "v2")
+    return (
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias(
+                node_col
+            )
+        )
+        .groupBy(node_col)
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Local clustering coefficient per node: triangles / C(degree, 2).
+
+    Composes :func:`triangle_count` with the degree table (left join — a
+    node with degree >= 2 but zero triangles reports 0.0). Exact double
+    division, deterministic. Returns (node, degree, n_triangles, coeff).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias(node_col))
+        .unionAll(e.select(F.col("b").alias(node_col)))
+        .groupBy(node_col)
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(e, "a", "b", node_col=node_col)
+    pairs = (F.col("degree") * (F.col("degree") - F.lit(1))).cast("double") / F.lit(2.0)
+    return (
+        deg.join(tri, node_col, "left")
+        .select(
+            node_col,
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / pairs,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )

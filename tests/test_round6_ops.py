@@ -1491,3 +1491,59 @@ class TestFunnelCohort:
         )
         out = cohort_retention(ev, "user_id", "ts", max_offset=1).collect()
         assert [(r["week_offset"], r["n_users"]) for r in out] == [(0, 1)]
+
+
+class TestTriangleCount:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src: bigint, dst: bigint")
+
+    def test_k4_plus_path_with_noise(self, spark):
+        """K4 has 4 triangles, 3 per node; the appended path and star add
+        none; duplicate, reversed, and self-loop edges must collapse."""
+        from preprocessor_spark.operators.graph import triangle_count
+
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        noise = [(3, 3), (1, 0), (2, 1)]  # self-loop + reversed dups
+        path = [(10, 11), (11, 12), (12, 13)]
+        star = [(20, 21), (20, 22), (20, 23), (20, 24)]
+        out = triangle_count(
+            self._edges(spark, k4 + noise + path + star)
+        ).collect()
+        got = {r["node"]: r["n_triangles"] for r in out}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def test_two_shared_edge_triangles(self, spark):
+        """Two triangles sharing edge (1,2): nodes 1,2 in two each."""
+        from preprocessor_spark.operators.graph import triangle_count
+
+        e = [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)]
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_count(self._edges(spark, e)).collect()
+        }
+        assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+    def test_clustering_coefficient(self, spark):
+        """Triangle 1-2-3 plus pendant 3-4: nodes 1,2 have coeff 1.0;
+        node 3 has degree 3 -> 1/3; pendant node 4 (degree 1) -> 0.0."""
+        from preprocessor_spark.operators.graph import clustering_coefficient
+
+        e = [(1, 2), (1, 3), (2, 3), (3, 4)]
+        rows = clustering_coefficient(self._edges(spark, e)).collect()
+        got = {r["node"]: (r["degree"], r["n_triangles"], r["coeff"]) for r in rows}
+        assert got[1] == (2, 1, 1.0)
+        assert got[2] == (2, 1, 1.0)
+        assert got[3] == (3, 1, 1.0 / 3.0)
+        assert got[4] == (1, 0, 0.0)
+
+    def test_no_cross_product_in_plan(self, spark):
+        from preprocessor_spark.operators.graph import triangle_count
+
+        plan = (
+            triangle_count(self._edges(spark, [(1, 2), (2, 3), (1, 3)]))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
