@@ -1673,6 +1673,49 @@ def drift_orders_ks(spark, sf_dir):
     return ks_report(ref, cur, "o_totalprice").orderBy("value")
 
 
+def interval_join_events(spark, sf_dir):
+    """Bin-bucketed interval join (operators/interval.py): every error
+    event opens a 3600-second incident window; find all click events of the
+    SAME user inside any window. Intervals explode to their covering
+    hour-wide bins (fail-fast fan-out guard), points land in exactly one
+    bin, and the join is a plain (user_id, bin) hash equi-join + exact
+    range recheck — each qualifying pair produced exactly once, no
+    BroadcastNestedLoopJoin anywhere (plan-asserted in tests). The DuckDB
+    oracle is the naive range join; per-user aggregates are integers."""
+    from preprocessor_spark.operators.interval import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 3600 SECONDS")).alias("win_end"),
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    pairs = interval_join(
+        clk,
+        err,
+        point_ts="click_ts",
+        start_col="win_start",
+        end_col="win_end",
+        on=["user_id"],
+        bin_seconds=3600.0,
+    )
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("click_id").alias("n_clicks"),
+            F.countDistinct("err_id").alias("n_errors"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def funnel_user_events(spark, sf_dir):
     """Strictly-ordered first-touch conversion funnel (operators/funnel.py
     funnel_report): view → click → purchase per user, each step's earliest
@@ -3758,6 +3801,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_orders_psi": drift_orders_psi,
         "drift_orders_ks": drift_orders_ks,
         "funnel_user_events": funnel_user_events,
+        "interval_join_events": interval_join_events,
         "cohort_retention_events": cohort_retention_events,
         # scale-safe global row numbering (round 4, oracle-backed)
         "row_ids_documents": row_ids_documents,
@@ -5426,6 +5470,29 @@ def oracle_sql() -> dict[str, str]:
                              - cc / CAST(tc AS DOUBLE)), 6) AS d_abs
             FROM cum CROSS JOIN tot
             ORDER BY value
+        """,
+        # bin-bucketed interval join: the oracle is the naive range join the
+        # binning decomposition must reproduce pair-for-pair
+        "interval_join_events": """
+            WITH err AS (
+                SELECT event_id AS err_id, user_id, ts AS win_start,
+                       ts + INTERVAL 3600 SECOND AS win_end
+                FROM events WHERE event_type = 'error'
+            ), clk AS (
+                SELECT event_id AS click_id, user_id, ts AS click_ts
+                FROM events WHERE event_type = 'click'
+            ), pairs AS (
+                SELECT err.user_id, err_id, click_id
+                FROM err JOIN clk
+                  ON err.user_id = clk.user_id
+                 AND clk.click_ts >= err.win_start
+                 AND clk.click_ts <= err.win_end
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks,
+                   CAST(COUNT(DISTINCT err_id) AS BIGINT) AS n_errors
+            FROM pairs GROUP BY user_id ORDER BY user_id
         """,
         # strictly-ordered funnel: chained MIN(CASE) windows per user, exact
         # BIGINT microsecond gap sums, one double division — bit-exact twin

@@ -1547,3 +1547,128 @@ class TestTriangleCount:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestIntervalJoin:
+    def _dfs(self, spark):
+        import pandas as pd
+
+        pts = pd.DataFrame(
+            {
+                "pid": [1, 2, 3, 4, 5],
+                "k": ["a", "a", "a", "b", "a"],
+                "pts_ts": pd.to_datetime(
+                    [
+                        "2024-01-01 00:00:00",  # == interval start: in
+                        "2024-01-01 00:10:00",  # == interval end: in
+                        "2024-01-01 00:10:01",  # 1s past end: out
+                        "2024-01-01 00:05:00",  # right time, wrong key
+                        "2024-01-01 02:00:00",  # no interval
+                    ]
+                ),
+            }
+        )
+        iv = pd.DataFrame(
+            {
+                "iid": [10, 11],
+                "k": ["a", "a"],
+                "s": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:09:00"]),
+                "e": pd.to_datetime(["2024-01-01 00:10:00", "2024-01-01 00:19:00"]),
+            }
+        )
+        return spark.createDataFrame(pts), spark.createDataFrame(iv)
+
+    def test_inclusive_bounds_keys_and_exactly_once(self, spark):
+        """Boundary points are inclusive both ends; key mismatch excludes;
+        overlapping intervals each match once (no bin-induced dups)."""
+        from preprocessor_spark.operators.interval import interval_join
+
+        pts, iv = self._dfs(spark)
+        out = interval_join(
+            pts, iv, "pts_ts", "s", "e", on=["k"], bin_seconds=120.0
+        ).select("pid", "iid")
+        got = sorted((r["pid"], r["iid"]) for r in out.collect())
+        # pid1 in iv10 only; pid2 in both (end-inclusive for 10, mid for
+        # 11); pid3 is 1s past iv10's end but inside iv11
+        assert got == [(1, 10), (2, 10), (2, 11), (3, 11)]
+
+    def test_matches_naive_join(self, spark):
+        """Property: binned decomposition == naive theta join, pair for
+        pair, on a random-ish fixture with several bin widths."""
+        import pandas as pd
+
+        from preprocessor_spark.operators.interval import interval_join
+
+        n = 300
+        pts = pd.DataFrame(
+            {
+                "pid": range(n),
+                "k": [f"k{i % 7}" for i in range(n)],
+                "pts_ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta([(i * 137) % 86400 for i in range(n)], unit="s"),
+            }
+        )
+        iv = pd.DataFrame(
+            {
+                "iid": range(60),
+                "k": [f"k{i % 7}" for i in range(60)],
+                "s": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta([(i * 1441) % 86400 for i in range(60)], unit="s"),
+            }
+        )
+        iv["e"] = iv["s"] + pd.to_timedelta([(i * 313) % 7200 for i in range(60)], unit="s")
+        P, I = spark.createDataFrame(pts), spark.createDataFrame(iv)
+        naive = (
+            P.join(I, "k")
+            .filter((P.pts_ts >= I.s) & (P.pts_ts <= I.e))
+            .select("pid", "iid")
+        )
+        want = sorted((r["pid"], r["iid"]) for r in naive.collect())
+        for width in (60.0, 600.0, 7200.0):
+            got = sorted(
+                (r["pid"], r["iid"])
+                for r in interval_join(
+                    P, I, "pts_ts", "s", "e", on=["k"], bin_seconds=width
+                )
+                .select("pid", "iid")
+                .collect()
+            )
+            assert got == want, f"width={width}"
+
+    def test_equi_join_plan_no_nested_loop(self, spark):
+        from preprocessor_spark.operators.interval import interval_join
+
+        pts, iv = self._dfs(spark)
+        plan = (
+            interval_join(pts, iv, "pts_ts", "s", "e", on=["k"], bin_seconds=60.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_fanout_guard_fires(self, spark):
+        import pandas as pd
+        import pytest as _pytest
+
+        from preprocessor_spark.operators.interval import interval_join
+
+        pts = spark.createDataFrame(
+            pd.DataFrame(
+                {"pid": [1], "pts_ts": pd.to_datetime(["2024-01-01"])}
+            )
+        )
+        iv = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "iid": [1],
+                    "s": pd.to_datetime(["2024-01-01"]),
+                    "e": pd.to_datetime(["2024-03-01"]),  # 60 days
+                }
+            )
+        )
+        with _pytest.raises(Exception, match="bins"):
+            interval_join(
+                pts, iv, "pts_ts", "s", "e", bin_seconds=60.0, max_bins=100
+            ).collect()
