@@ -1673,6 +1673,20 @@ def drift_orders_ks(spark, sf_dir):
     return ks_report(ref, cur, "o_totalprice").orderBy("value")
 
 
+def anomaly_mad_events(spark, sf_dir):
+    """Robust per-group anomaly detection (operators/stats.py
+    mad_outlier_report): modified z-score |x−median| > 3.5·1.4826·MAD on
+    the events value column per event_type (its long tail plants real
+    outliers in every group). Median and MAD are exact interpolated
+    percentiles (SQL percentile ≡ DuckDB quantile_cont — the same parity
+    prep_winsorize_robust uses), two keyed agg passes + two broadcast
+    joins of the 5-row stat tables. Value-exact oracle."""
+    from preprocessor_spark.operators.stats import mad_outlier_report
+
+    e = _t(spark, sf_dir, "events")
+    return mad_outlier_report(e, "value", ["event_type"], z_thresh=3.5)
+
+
 def interval_join_events(spark, sf_dir):
     """Bin-bucketed interval join (operators/interval.py): every error
     event opens a 3600-second incident window; find all click events of the
@@ -3802,6 +3816,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_orders_ks": drift_orders_ks,
         "funnel_user_events": funnel_user_events,
         "interval_join_events": interval_join_events,
+        "anomaly_mad_events": anomaly_mad_events,
         "cohort_retention_events": cohort_retention_events,
         # scale-safe global row numbering (round 4, oracle-backed)
         "row_ids_documents": row_ids_documents,
@@ -5470,6 +5485,32 @@ def oracle_sql() -> dict[str, str]:
                              - cc / CAST(tc AS DOUBLE)), 6) AS d_abs
             FROM cum CROSS JOIN tot
             ORDER BY value
+        """,
+        # median/MAD modified z-score: quantile_cont == Spark percentile
+        # (interpolation parity), identical float op order for z
+        "anomaly_mad_events": """
+            WITH med AS (
+                SELECT event_type, quantile_cont("value", 0.5) AS med
+                FROM events GROUP BY event_type
+            ), sc AS (
+                SELECT e.event_type, e."value" AS x, med.med
+                FROM events e JOIN med USING (event_type)
+            ), mad AS (
+                SELECT event_type, quantile_cont(ABS(x - med), 0.5) AS mad
+                FROM sc GROUP BY event_type
+            ), z AS (
+                SELECT sc.event_type, sc.x, sc.med, mad.mad,
+                       CASE WHEN mad.mad > 0.0
+                            THEN ABS(sc.x - sc.med) / (1.4826 * mad.mad)
+                       END AS z
+                FROM sc JOIN mad USING (event_type)
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN z > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers,
+                   MIN(med) AS median, MIN(mad) AS mad, MAX(z) AS z_max
+            FROM z GROUP BY event_type ORDER BY event_type
         """,
         # bin-bucketed interval join: the oracle is the naive range join the
         # binning decomposition must reproduce pair-for-pair

@@ -366,3 +366,65 @@ def profile_table(
             )
         )
     return sums.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+MAD_K = 1.4826  # consistency constant: MAD * 1.4826 estimates sigma
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    z_thresh: float = 3.5,
+) -> DataFrame:
+    """Per-group robust outlier report via the median/MAD rule (Iglewicz &
+    Hoaglin's modified z-score): a row is anomalous when
+    ``|x - median| > z_thresh * 1.4826 * MAD``.
+
+    Median and MAD are EXACT interpolated percentiles (SQL ``percentile``
+    — the same linear-interpolation definition as DuckDB ``quantile_cont``,
+    the parity `prep_winsorize_robust` already relies on), each computed
+    per group in ONE aggregation pass; the tiny per-group stat tables come
+    back via broadcast joins, so the data table is scanned twice and
+    shuffled zero times beyond the two keyed aggs. A degenerate group
+    (MAD = 0) reports NULL z and zero outliers rather than dividing by
+    zero. At 100 TB swap the exact percentile for ``percentile_approx``;
+    exact mode is what makes the DuckDB oracle value-identical.
+
+    Returns one row per group: group cols, ``n``, ``n_outliers``,
+    ``median``, ``mad``, ``z_max``.
+    """
+    v = F.col(value_col)
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    with_med = df.join(F.broadcast(med), group_cols)
+    absdev = F.abs(v - F.col("__med"))
+    mad = with_med.groupBy(*group_cols).agg(
+        F.expr(
+            f"percentile(abs({value_col} - __med), 0.5)"
+        ).alias("__mad")
+    )
+    scored = with_med.join(F.broadcast(mad), group_cols).select(
+        *group_cols,
+        F.col("__med"),
+        F.col("__mad"),
+        F.when(
+            F.col("__mad") > 0.0,
+            absdev / (F.lit(MAD_K) * F.col("__mad")),
+        ).alias("__z"),
+    )
+    thresh = F.lit(float(z_thresh))
+    return (
+        scored.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("__z") > thresh, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+            F.min("__med").alias("median"),
+            F.min("__mad").alias("mad"),
+            F.max("__z").alias("z_max"),
+        )
+        .orderBy(*group_cols)
+    )

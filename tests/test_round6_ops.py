@@ -1672,3 +1672,55 @@ class TestIntervalJoin:
             interval_join(
                 pts, iv, "pts_ts", "s", "e", bin_seconds=60.0, max_bins=100
             ).collect()
+
+
+class TestMadOutliers:
+    def test_planted_outliers_and_degenerate_group(self, spark):
+        """Group 'a': tight cluster + two extreme points -> exactly those
+        flagged. Group 'b': constant values (MAD=0) -> NULL z, 0 outliers."""
+        import pandas as pd
+
+        from preprocessor_spark.operators.stats import mad_outlier_report
+
+        a_vals = [10.0, 10.1, 9.9, 10.2, 9.8, 10.05, 9.95, 10.15, 500.0, -400.0]
+        b_vals = [7.0] * 6
+        pdf = pd.DataFrame(
+            {
+                "g": ["a"] * len(a_vals) + ["b"] * len(b_vals),
+                "x": a_vals + b_vals,
+            }
+        )
+        out = mad_outlier_report(
+            spark.createDataFrame(pdf), "x", ["g"], z_thresh=3.5
+        ).collect()
+        got = {r["g"]: r for r in out}
+        assert got["a"]["n"] == 10
+        assert got["a"]["n_outliers"] == 2
+        assert abs(got["a"]["median"] - 10.025) < 1e-12
+        assert got["a"]["z_max"] > 3.5
+        assert got["b"]["n"] == 6
+        assert got["b"]["n_outliers"] == 0
+        assert got["b"]["mad"] == 0.0
+        assert got["b"]["z_max"] is None
+
+    def test_matches_numpy(self, spark):
+        """Median/MAD/outlier count agree with a numpy reference on a
+        deterministic mixed fixture."""
+        import numpy as np
+        import pandas as pd
+
+        from preprocessor_spark.operators.stats import mad_outlier_report
+
+        rng = np.random.RandomState(7)
+        x = np.concatenate([rng.normal(50, 5, 400), rng.normal(300, 1, 8)])
+        pdf = pd.DataFrame({"g": ["only"] * len(x), "x": x})
+        row = mad_outlier_report(
+            spark.createDataFrame(pdf), "x", ["g"], z_thresh=3.5
+        ).collect()[0]
+        med = np.percentile(x, 50)  # linear interpolation, same definition
+        mad = np.percentile(np.abs(x - med), 50)
+        z = np.abs(x - med) / (1.4826 * mad)
+        assert abs(row["median"] - med) < 1e-9
+        assert abs(row["mad"] - mad) < 1e-9
+        assert row["n_outliers"] == int((z > 3.5).sum())
+        assert row["n_outliers"] >= 8
