@@ -2141,6 +2141,30 @@ def knn_graph_triangles(spark, sf_dir):
 
 # ---- no-SQL-oracle operators (rows-only checks) ----
 
+def kmeans_embeddings(spark, sf_dir):
+    """Distributed Lloyd k-means (operators/clustering.py): k=8 fitted over
+    the FULL embeddings table — per-iteration cost is one narrow
+    mapInPandas scan emitting |partitions| k×(d+2) sketches, merged
+    driver-side in sorted-partition order (bit-reproducible refits); data
+    never collects. Rows-only by design (centroid float math); invariants
+    (sizes sum to row count, SSE non-increasing per iteration, assignment
+    == numpy argmin) are pytest-asserted in tests/test_round6_ops.py."""
+    from preprocessor_spark.operators.clustering import (
+        fit_kmeans,
+        kmeans_cluster_stats,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = fit_kmeans(
+        e, "embedding", k=8, max_iter=8, sample_rows=2048, seed=13,
+        id_col="vec_id",
+    )
+    out = kmeans_cluster_stats(e, "embedding", model)
+    return out.select(
+        "cluster", "n", F.round("sse", 4).alias("sse")
+    ).orderBy("cluster")
+
+
 def dedup_minhash_pairs(spark, sf_dir):
     from preprocessor_spark.operators.dedup import minhash_lsh_pairs
 
@@ -3709,6 +3733,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": embed_neardup,
         "knn_bruteforce": knn_bruteforce,
         "knn_graph_triangles": knn_graph_triangles,
+        "kmeans_embeddings": kmeans_embeddings,
         "text_profile_docs": text_profile_docs,
         "split_documents": split_documents,
         "text_quality_by_source": text_quality_by_source,

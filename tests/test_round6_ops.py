@@ -1724,3 +1724,101 @@ class TestMadOutliers:
         assert abs(row["mad"] - mad) < 1e-9
         assert row["n_outliers"] == int((z > 3.5).sum())
         assert row["n_outliers"] >= 8
+
+
+class TestDistributedKMeans:
+    def _blobs(self, spark, n_per=120, d=8, seed=3):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(seed)
+        centers = np.array(
+            [[10.0] * d, [-10.0] * d, [10.0] * (d // 2) + [-10.0] * (d - d // 2)]
+        )
+        X = np.concatenate(
+            [c + rng.normal(0, 0.5, (n_per, d)) for c in centers]
+        )
+        labels = np.repeat(np.arange(3), n_per)
+        pdf = pd.DataFrame(
+            {
+                "vid": range(len(X)),
+                "emb": list(X),
+                "true_label": labels,
+            }
+        )
+        return spark.createDataFrame(pdf), X, labels
+
+    def test_planted_blob_recovery_and_invariants(self, spark):
+        import numpy as np
+
+        from preprocessor_spark.operators.clustering import (
+            assign_kmeans,
+            fit_kmeans,
+            kmeans_cluster_stats,
+        )
+
+        df, X, labels = self._blobs(spark)
+        model = fit_kmeans(df, "emb", k=3, max_iter=15, id_col="vid", seed=5)
+        # Lloyd monotonicity: SSE under successive centroid sets never rises
+        hist = model.inertia_history
+        assert all(hist[i + 1] <= hist[i] + 1e-6 for i in range(len(hist) - 1))
+        rows = assign_kmeans(df, "emb", model).select("vid", "true_label", "cluster").collect()
+        # purity: every true blob maps to one dominant fitted cluster
+        from collections import Counter
+
+        purity = 0
+        for t in range(3):
+            cnt = Counter(r["cluster"] for r in rows if r["true_label"] == t)
+            purity += cnt.most_common(1)[0][1]
+        assert purity >= 0.99 * len(rows)
+        # assignment == numpy argmin of the final centroids, exactly
+        got = {r["vid"]: r["cluster"] for r in rows}
+        cents = model.centroids
+        want = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        assert all(got[i] == want[i] for i in range(len(X)))
+        # stats: sizes sum to n, SSE close to the numpy value
+        stats = kmeans_cluster_stats(df, "emb", model).collect()
+        assert sum(r["n"] for r in stats) == len(X)
+        sse_np = float(
+            (((X - cents[want]) ** 2).sum(axis=1)).sum()
+        )
+        assert abs(sum(r["sse"] for r in stats) - sse_np) < 1e-6 * max(1.0, sse_np)
+
+    def test_refit_bit_reproducible(self, spark):
+        import numpy as np
+
+        from preprocessor_spark.operators.clustering import fit_kmeans
+
+        df, _, _ = self._blobs(spark, n_per=60)
+        m1 = fit_kmeans(df, "emb", k=3, max_iter=6, id_col="vid", seed=9)
+        m2 = fit_kmeans(df, "emb", k=3, max_iter=6, id_col="vid", seed=9)
+        assert np.array_equal(m1.centroids, m2.centroids)
+        assert m1.inertia_history == m2.inertia_history
+
+    def test_save_load_roundtrip(self, spark, tmp_path):
+        import numpy as np
+
+        from preprocessor_spark.operators.clustering import (
+            fit_kmeans,
+            load_kmeans,
+            save_kmeans,
+        )
+
+        df, _, _ = self._blobs(spark, n_per=40)
+        m = fit_kmeans(df, "emb", k=3, max_iter=4, id_col="vid")
+        p = str(tmp_path / "km.npz")
+        save_kmeans(m, p)
+        m2 = load_kmeans(p)
+        assert np.array_equal(m.centroids, m2.centroids)
+        assert m.inertia_history == m2.inertia_history
+
+    def test_more_clusters_than_points(self, spark):
+        import pandas as pd
+
+        from preprocessor_spark.operators.clustering import fit_kmeans
+
+        pdf = pd.DataFrame(
+            {"vid": [0, 1], "emb": [[0.0, 0.0], [1.0, 1.0]]}
+        )
+        m = fit_kmeans(spark.createDataFrame(pdf), "emb", k=5, max_iter=3, id_col="vid")
+        assert m.centroids.shape[0] == 2  # capped at n distinct sample rows
