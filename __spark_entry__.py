@@ -2165,6 +2165,33 @@ def kmeans_embeddings(spark, sf_dir):
     ).orderBy("cluster")
 
 
+def image_phash_neardup(spark, sf_dir):
+    """Perceptual-hash image dedup, REAL decode end-to-end (operators/
+    phash.py): deterministic PGM fixtures are rendered ON EXECUTORS (one
+    63×48 image per document — its n_chars//25 bucket picks a pseudo-
+    random 8×9 level grid, per-doc noise σ=0.004 sits far under the 0.1
+    level margin), decoded by the pure-numpy PGM decoder, dHashed
+    (area-pooled 9-wide gradient bits), and paired EXACTLY at Hamming≤3
+    via the pigeonhole chunk equi-join + JVM bit_count recheck — no cross
+    product (plan-asserted), no driver-side data movement anywhere. By
+    construction same-bucket images hash identically and cross-bucket
+    patterns are independent, so the result is exactly the same-bucket
+    cliques at hamming 0 — which is the value-exact DuckDB oracle."""
+    from preprocessor_spark.operators.phash import (
+        image_dhash,
+        phash_neardup_pairs,
+        render_bucket_images,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") / F.lit(25)).cast("int").alias("bucket")
+    )
+    imgs = render_bucket_images(d, "doc_id", "bucket")
+    hashes = image_dhash(imgs, "id", "payload", decoder="auto")
+    pairs = phash_neardup_pairs(hashes, "id", "dhash", max_hamming=3)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def dedup_minhash_pairs(spark, sf_dir):
     from preprocessor_spark.operators.dedup import minhash_lsh_pairs
 
@@ -3734,6 +3761,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": knn_bruteforce,
         "knn_graph_triangles": knn_graph_triangles,
         "kmeans_embeddings": kmeans_embeddings,
+        "image_phash_neardup": image_phash_neardup,
         "text_profile_docs": text_profile_docs,
         "split_documents": split_documents,
         "text_quality_by_source": text_quality_by_source,
@@ -5510,6 +5538,17 @@ def oracle_sql() -> dict[str, str]:
                              - cc / CAST(tc AS DOUBLE)), 6) AS d_abs
             FROM cum CROSS JOIN tot
             ORDER BY value
+        """,
+        # perceptual-hash near-dup over rendered PGMs: same n_chars//25
+        # bucket => identical dHash by construction, cross-bucket patterns
+        # independent — the exact pair set is the same-bucket cliques
+        "image_phash_neardup": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(0 AS INTEGER) AS hamming
+            FROM documents a JOIN documents b
+              ON (a.n_chars // 25) = (b.n_chars // 25)
+             AND a.doc_id < b.doc_id
+            ORDER BY id_a, id_b
         """,
         # median/MAD modified z-score: quantile_cont == Spark percentile
         # (interpolation parity), identical float op order for z

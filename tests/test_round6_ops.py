@@ -1822,3 +1822,93 @@ class TestDistributedKMeans:
         )
         m = fit_kmeans(spark.createDataFrame(pdf), "emb", k=5, max_iter=3, id_col="vid")
         assert m.centroids.shape[0] == 2  # capped at n distinct sample rows
+
+
+class TestPerceptualHash:
+    def _pgm(self, img):
+        import numpy as np
+
+        u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+        h, w = u8.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + u8.tobytes()
+
+    def test_dhash_robust_to_noise_distinct_for_different(self, spark):
+        """A mild-noise re-render of an image stays within a few bits; the
+        horizontally-mirrored image (all gradients flipped) is far."""
+        import numpy as np
+
+        from preprocessor_spark.operators.phash import dhash64
+        from preprocessor_spark.operators.multimodal import decode_image
+
+        rng = np.random.RandomState(11)
+        base = np.linspace(0, 1, 64)[None, :] * np.linspace(0.3, 1, 48)[:, None]
+        noisy = np.clip(base + rng.normal(0, 0.004, base.shape), 0, 1)
+        h0 = dhash64(decode_image(self._pgm(base)))
+        h1 = dhash64(decode_image(self._pgm(noisy)))
+        h2 = dhash64(decode_image(self._pgm(base[:, ::-1])))
+        ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        assert ham(h0, h1) <= 3
+        assert ham(h0, h2) >= 20
+
+    def test_pigeonhole_pairs_exact_vs_bruteforce(self, spark):
+        """Chunk-join + bit_count recheck == numpy all-pairs popcount for
+        a deterministic hash set mixing near and far values."""
+        import numpy as np
+        import pandas as pd
+
+        from preprocessor_spark.operators.phash import phash_neardup_pairs
+
+        rng = np.random.RandomState(5)
+        base = rng.randint(-(2**63), 2**63, size=40, dtype=np.int64)
+        rows = []
+        for i, h in enumerate(base):
+            rows.append((i * 10, int(h)))
+            flip = int(h) ^ (1 << int(rng.randint(64)))  # 1-bit neighbor
+            flip = flip - (1 << 64) if flip >= 1 << 63 else flip
+            rows.append((i * 10 + 1, flip))
+        pdf = pd.DataFrame(rows, columns=["id", "dhash"])
+        got = sorted(
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in phash_neardup_pairs(
+                spark.createDataFrame(pdf), "id", "dhash", max_hamming=3
+            ).collect()
+        )
+        ids = pdf["id"].to_numpy()
+        hs = pdf["dhash"].to_numpy().astype(np.uint64)
+        want = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
+                if d <= 3:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    want.append((a, b, d))
+        assert got == sorted(want)
+        assert len(got) >= 40  # every planted 1-bit neighbor found
+
+    def test_bucket_guard_drops_degenerate_chunk(self, spark):
+        """1000 identical hashes would pairwise-explode; the guard drops
+        the oversized buckets instead."""
+        import pandas as pd
+
+        from preprocessor_spark.operators.phash import phash_neardup_pairs
+
+        pdf = pd.DataFrame({"id": range(1000), "dhash": [12345] * 1000})
+        out = phash_neardup_pairs(
+            spark.createDataFrame(pdf), "id", "dhash", max_hamming=3, max_bucket=100
+        )
+        assert out.count() == 0
+
+    def test_no_cross_product_plan(self, spark):
+        import pandas as pd
+
+        from preprocessor_spark.operators.phash import phash_neardup_pairs
+
+        pdf = pd.DataFrame({"id": [1, 2, 3], "dhash": [7, 7, 99]})
+        plan = (
+            phash_neardup_pairs(spark.createDataFrame(pdf), "id", "dhash")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
