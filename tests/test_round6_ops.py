@@ -1912,3 +1912,95 @@ class TestPerceptualHash:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestBm25IndexLifecycle:
+    def _docs(self, spark):
+        rows = [
+            (0, "spark shuffles data across the cluster"),
+            (1, "bm25 ranks documents by term frequency"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "term frequency and inverse document frequency"),
+            (4, "spark spark spark tuning guide"),
+            (5, "an unrelated recipe for sourdough bread"),
+            (6, "frequency analysis of spark shuffle spills"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_index_search_equals_direct_search(self, spark, tmp_path):
+        """Saved+reloaded index answers == corpus-rescan bm25_topk,
+        row for row, for several queries."""
+        from preprocessor_spark.caching import persist_scope
+        from preprocessor_spark.operators.search import (
+            bm25_build_index,
+            bm25_load_index,
+            bm25_save_index,
+            bm25_search_index,
+            bm25_topk,
+        )
+
+        docs = self._docs(spark)
+        idx = bm25_build_index(docs, n_buckets=8)
+        p = str(tmp_path / "bm25")
+        bm25_save_index(idx, p)
+        loaded = bm25_load_index(spark, p)
+        assert (loaded.n_docs, loaded.n_buckets) == (7, 8)
+        assert abs(loaded.avgdl - idx.avgdl) == 0.0
+        for q in (["spark", "shuffle"], ["frequency"], ["lazy", "bread", "spark"]):
+            got = [
+                (r["doc_id"], r["n_matched_terms"], r["score"])
+                for r in bm25_search_index(loaded, q, k=5).collect()
+            ]
+            with persist_scope():
+                want = [
+                    (r["doc_id"], r["n_matched_terms"], r["score"])
+                    for r in bm25_topk(docs, q, k=5).collect()
+                ]
+            assert got == want, q
+
+    def test_bucket_pruning_reads_only_query_term_partitions(
+        self, spark, tmp_path
+    ):
+        """File-level proof: with pruning on, the postings scan touches
+        only the query terms' __tb directories, and pruning does not
+        change the answer."""
+        from preprocessor_spark.operators.search import (
+            _term_bucket,
+            bm25_build_index,
+            bm25_load_index,
+            bm25_save_index,
+            bm25_search_index,
+        )
+
+        docs = self._docs(spark)
+        bm25_save_index(bm25_build_index(docs, n_buckets=16), str(tmp_path / "ix"))
+        loaded = bm25_load_index(spark, str(tmp_path / "ix"))
+        q = ["spark", "frequency"]
+        on = [tuple(r) for r in bm25_search_index(loaded, q, k=7).collect()]
+        off = [
+            tuple(r)
+            for r in bm25_search_index(loaded, q, k=7, prune_buckets=False).collect()
+        ]
+        assert on == off and len(on) >= 4
+        bkts = sorted(
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in q], "t string")
+            .select(_term_bucket(F.col("t"), 16).alias("b"))
+            .distinct()
+            .collect()
+        )
+        pruned = loaded.postings.filter(F.col("__tb").isin(bkts))
+        files = [
+            r["f"]
+            for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+        ]
+        assert files
+        for f in files:
+            assert any(f"__tb={bv}/" in f for bv in bkts), f
+        all_files = [
+            r["f"]
+            for r in loaded.postings.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        ]
+        assert len(set(all_files)) > len(set(files))
