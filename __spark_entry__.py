@@ -1673,6 +1673,39 @@ def drift_orders_ks(spark, sf_dir):
     return ks_report(ref, cur, "o_totalprice").orderBy("value")
 
 
+def event_transitions_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    lag(event_type) over (user, ts, event_id) — one keyed window shuffle —
+    then a (prev, next) groupBy with probabilities normalized per source
+    state. Counts are BIGINT; each probability is ONE bigint/bigint double
+    division (order-independent), so the DuckDB oracle (identical window
+    + arithmetic) is value-exact. The event_id tiebreak makes the lag
+    deterministic under timestamp ties in both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("tot").cast("double")).alias(
+                "prob"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
 def anomaly_mad_events(spark, sf_dir):
     """Robust per-group anomaly detection (operators/stats.py
     mad_outlier_report): modified z-score |x−median| > 3.5·1.4826·MAD on
@@ -3870,6 +3903,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_user_events": funnel_user_events,
         "interval_join_events": interval_join_events,
         "anomaly_mad_events": anomaly_mad_events,
+        "event_transitions_markov": event_transitions_markov,
         "cohort_retention_events": cohort_retention_events,
         # scale-safe global row numbering (round 4, oracle-backed)
         "row_ids_documents": row_ids_documents,
@@ -5538,6 +5572,28 @@ def oracle_sql() -> dict[str, str]:
                              - cc / CAST(tc AS DOUBLE)), 6) AS d_abs
             FROM cum CROSS JOIN tot
             ORDER BY value
+        """,
+        # first-order Markov transitions: identical lag window + one
+        # bigint/bigint division per cell
+        "event_transitions_markov": """
+            WITH lagged AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            ), pairs AS (
+                SELECT prev_type, event_type AS next_type,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM lagged WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, event_type
+            ), totals AS (
+                SELECT prev_type, SUM(n) AS tot FROM pairs GROUP BY prev_type
+            )
+            SELECT p.prev_type, p.next_type, p.n,
+                   CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prob
+            FROM pairs p JOIN totals t USING (prev_type)
+            ORDER BY p.prev_type, p.next_type
         """,
         # perceptual-hash near-dup over rendered PGMs: same n_chars//25
         # bucket => identical dHash by construction, cross-bucket patterns
