@@ -768,6 +768,20 @@ def embedding_neardup_pairs(
             F.md5(F.to_json(F.struct(F.col(vec_col).alias("v")))).alias("__g"),
         )
         m = register_persisted(m.persist())
+        # thin-duplication bypass (same probe as ngram_jaccard_pairs): when
+        # ≥98% of vectors are distinct the collapse buys nothing but still
+        # pays a semi join + 4 expansion joins + a self-join (measured ~6.5×
+        # on the dup-free sf0.1 embeddings table). One hash-only agg over the
+        # persisted id→hash frame; output is identical either way.
+        stats = m.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct("__g").alias("g")
+        ).first()
+        if stats["g"] >= 0.98 * stats["n"]:
+            m.unpersist()
+            return embedding_neardup_pairs(
+                df, vec_col, id_col, threshold, n_planes, bands, seed,
+                brute_force=False, engine=engine, collapse_exact=False,
+            )
         reps = m.groupBy("__g").agg(F.min("__mid").alias("__rid"))
         rep_rows = df.join(
             reps.select(F.col("__rid").alias(id_col)), id_col, "left_semi"

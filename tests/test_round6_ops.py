@@ -737,6 +737,38 @@ class TestEmbedNeardupCollapse:
             # duplication actually exercised: within-group 1.0 pairs exist
             assert any(c == 1.0 for _, _, c in got)
 
+    def test_thin_corpus_bypass_identical_output(self, spark):
+        """On an all-distinct corpus the ≥98%-distinct probe bypasses the
+        collapse machinery entirely; output must be identical to the
+        explicit collapse_exact=False run (the bypass is purely a cost
+        optimization, like ngram_jaccard's)."""
+        import numpy as np
+
+        from preprocessor_spark.operators.dedup import embedding_neardup_pairs
+
+        rng = np.random.RandomState(11)
+        base = rng.randn(20, 16)
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+        # two near (not exact) duplicates so the pair set is non-empty
+        for j, src in enumerate((0, 5)):
+            w = base[src].copy()
+            w[0] *= 1.01
+            rows.append((len(base) + j, [float(x) for x in w]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = sorted(
+            (r["id_a"], r["id_b"], round(r["cosine"], 9))
+            for r in embedding_neardup_pairs(
+                df, "embedding", "vec_id", threshold=0.9, collapse_exact=True,
+            ).collect()
+        )
+        want = sorted(
+            (r["id_a"], r["id_b"], round(r["cosine"], 9))
+            for r in embedding_neardup_pairs(
+                df, "embedding", "vec_id", threshold=0.9, collapse_exact=False,
+            ).collect()
+        )
+        assert got == want and len(got) >= 2
+
 
 class TestWarcStreamingParse:
     def test_chunked_equals_oneshot(self):
