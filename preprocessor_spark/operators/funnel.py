@@ -134,8 +134,11 @@ def cohort_retention(
 
     Returns ``cohort_week`` (date), ``week_offset`` (int >= 0),
     ``n_users`` (distinct users of that cohort active that week). Offsets
-    are exact integer arithmetic on epoch seconds of the Monday-truncated
-    weeks (both engines truncate to Monday), so the oracle is value-exact.
+    are exact CALENDAR-DAY arithmetic between the Monday-truncated weeks
+    (``datediff / 7`` — Monday-to-Monday is always a multiple of 7 days),
+    not epoch-second division: in a DST-observing session timezone two
+    week boundaries can sit 604800±3600 s apart and a truncating
+    epoch-second divide would mis-bucket those cohorts (round-6 advice).
     """
     ev = events.select(
         user_col, F.col(ts_col).cast("timestamp").alias("__ts")
@@ -143,8 +146,8 @@ def cohort_retention(
     first = ev.groupBy(user_col).agg(F.min("__ts").alias("__first_ts"))
     cohort = F.date_trunc("week", F.col("__first_ts"))
     active = F.date_trunc("week", F.col("__ts"))
-    offset = (
-        (F.unix_seconds(active) - F.unix_seconds(cohort)) / F.lit(604800)
+    offset = F.floor(
+        F.datediff(F.to_date(active), F.to_date(cohort)) / F.lit(7)
     ).cast("int")
     cells = (
         ev.join(first, user_col)

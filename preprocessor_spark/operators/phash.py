@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from preprocessor_spark.caching import register_persisted
+
 
 def _area_pool(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Area-average resample to (out_h, out_w) — deterministic, pure numpy.
@@ -66,6 +68,40 @@ def dhash64(img: np.ndarray) -> int:
     return v - (1 << 64) if v >= 1 << 63 else v
 
 
+def dhash64_batch(imgs: list[np.ndarray]) -> list[int]:
+    """Batch dHash: same-shape images stack into one (N, h, w) array and
+    pool via two ``np.add.reduceat`` passes instead of N×72 Python-loop
+    slices. Bit-identical to :func:`dhash64` for integer-valued pixel
+    grids (uint8 decoders): cell sums of integers ≤ 2^53 are exact in
+    float64 regardless of summation order, so the mean and every ``<``
+    comparison match the scalar path exactly. Shapes smaller than the
+    9×8 grid fall back to the scalar clamped pooler."""
+    out: list[int] = [0] * len(imgs)
+    by_shape: dict[tuple[int, int], list[int]] = {}
+    for i, a in enumerate(imgs):
+        by_shape.setdefault(a.shape, []).append(i)
+    for (h, w), idxs in by_shape.items():
+        if h < 8 or w < 9:
+            for i in idxs:
+                out[i] = dhash64(imgs[i])
+            continue
+        stack = np.stack([np.asarray(imgs[i], dtype=np.float64) for i in idxs])
+        ys = (np.arange(9) * h) // 8
+        xs = (np.arange(10) * w) // 9
+        s = np.add.reduceat(stack, ys[:-1], axis=1)
+        s = np.add.reduceat(s, xs[:-1], axis=2)
+        area = np.outer(np.diff(ys), np.diff(xs)).astype(np.float64)
+        g = s / area
+        bits = (g[:, :, :-1] < g[:, :, 1:]).reshape(len(idxs), 64)
+        v = np.zeros(len(idxs), dtype=np.uint64)
+        for pos in range(64):
+            v |= bits[:, pos].astype(np.uint64) << np.uint64(pos)
+        signed = v.view(np.int64)
+        for j, i in enumerate(idxs):
+            out[i] = int(signed[j])
+    return out
+
+
 DHASH_SCHEMA = "id bigint, dhash bigint, width int, height int"
 
 
@@ -91,7 +127,7 @@ def image_dhash(
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].values,
-                    "dhash": [dhash64(a) for a in imgs],
+                    "dhash": dhash64_batch(imgs),
                     "width": [a.shape[1] for a in imgs],
                     "height": [a.shape[0] for a in imgs],
                 }
@@ -107,14 +143,24 @@ def phash_neardup_pairs(
     max_hamming: int = 3,
     max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Exact Hamming-≤threshold pairs via pigeonhole chunk equi-join.
+    """Exact Hamming-≤threshold pairs via exact-hash collapse + pigeonhole
+    chunk equi-join over DISTINCT hashes.
 
-    The 64 bits split into ``max_hamming + 1`` near-equal chunks; any pair
-    within the threshold shares ≥1 exact chunk (pigeonhole), so the chunk
-    join generates a superset of candidates and ``bit_count(xor)`` keeps
-    exactly the true pairs. ``max_bucket`` drops degenerate (chunk, value)
-    buckets (e.g. all-black thumbnails) the same way LSH band guards do —
-    loudly countable by the caller via the returned pair provenance.
+    Identical hashes (exact re-uploads, same-render thumbnails) collapse to
+    one representative per distinct 64-bit value FIRST, so (a) the chunk
+    join's work is quadratic only in distinct hashes, never in duplication,
+    and (b) identical-hash mega-cliques larger than ``max_bucket`` still
+    dedup correctly — they come back through the output-sized self-join on
+    the hash value instead of tripping the degenerate-bucket guard (the
+    same collapse ``minhash_dedup_corpus``/``embedding_neardup_pairs`` use,
+    dedup.py:58,765).
+
+    Pigeonhole: the 64 bits split into ``max_hamming + 1`` near-equal
+    chunks; any pair within the threshold shares ≥1 exact chunk, so the
+    (chunk_idx, chunk_value) equi-join generates a candidate superset and
+    ``bit_count(xor)`` keeps exactly the true pairs. ``max_bucket`` now
+    bounds DISTINCT-hash chunk buckets (adversarial hash diversity) — the
+    only remaining degenerate case — the same way LSH band guards do.
 
     Returns (id_a, id_b, hamming) with id_a < id_b, each pair once.
     """
@@ -124,11 +170,31 @@ def phash_neardup_pairs(
     widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
     offs = [sum(widths[:i]) for i in range(n_chunks)]
 
-    h = hashes.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"))
+    h = register_persisted(
+        hashes.select(
+            F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+        ).persist()
+    )
+    # exact-hash collapse: one representative per distinct hash value
+    reps = h.groupBy("__h").agg(F.min("__id").alias("__id")).select("__id", "__h")
+
+    # intra-group pairs (hamming 0): output-sized self equi-join on the
+    # hash value — all-distinct corpora produce zero rows here
+    intra = (
+        h.alias("ia")
+        .join(h.alias("ib"), F.col("ia.__h") == F.col("ib.__h"))
+        .filter(F.col("ia.__id") < F.col("ib.__id"))
+        .select(
+            F.col("ia.__id").alias("id_a"),
+            F.col("ib.__id").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+
     chunks = None
     for i, (o, w) in enumerate(zip(offs, widths)):
         mask = (1 << w) - 1
-        c = h.select(
+        c = reps.select(
             "__id",
             "__h",
             F.lit(i).alias("__ci"),
@@ -145,21 +211,23 @@ def phash_neardup_pairs(
     a = kept.select(
         F.col("__ci"),
         F.col("__cv"),
-        F.col("__id").alias("id_a"),
+        F.col("__id").alias("ra"),
         F.col("__h").alias("ha"),
     )
     b = kept.select(
         F.col("__ci"),
         F.col("__cv"),
-        F.col("__id").alias("id_b"),
+        F.col("__id").alias("rb"),
         F.col("__h").alias("hb"),
     )
-    cand = (
+    # rep-level near pairs: hamming in [1, max_hamming] (0 is impossible
+    # across distinct hashes); each unordered hash pair appears once
+    rep_pairs = (
         a.join(b, ["__ci", "__cv"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("ra") < F.col("rb"))
         .select(
-            "id_a",
-            "id_b",
+            "ha",
+            "hb",
             F.bit_count(
                 F.col("ha").bitwiseXOR(F.col("hb"))
             ).cast("int").alias("hamming"),
@@ -167,7 +235,22 @@ def phash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand
+    # expand rep pairs to member pairs through two keyed joins on the hash
+    # value (output-sized: |A|x|B| rows IS the contractual pair set)
+    cross = (
+        rep_pairs.join(
+            h.select(F.col("__id").alias("mid_a"), F.col("__h").alias("ha")), "ha"
+        )
+        .join(
+            h.select(F.col("__id").alias("mid_b"), F.col("__h").alias("hb")), "hb"
+        )
+        .select(
+            F.least("mid_a", "mid_b").alias("id_a"),
+            F.greatest("mid_a", "mid_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    return intra.unionAll(cross)
 
 
 def _bucket_grid(bucket: int) -> np.ndarray:

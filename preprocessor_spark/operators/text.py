@@ -409,10 +409,12 @@ def rolling_hash_fingerprint_udf(window: int = 8):
 
     from pyspark.sql.functions import pandas_udf
 
-    base = np.int64(1000003)
-    weights = np.ones(window, dtype=np.int64)
-    for i in range(window - 2, -1, -1):
-        weights[i] = weights[i + 1] * base  # wrapping mul == mod 2^64
+    # weights built in exact Python ints then reduced mod 2^64 — the same
+    # wrapping values the old scalar int64 multiply produced, minus its
+    # per-import RuntimeWarning (intentional wrap, now explicit)
+    base = 1000003
+    w_py = [pow(base, window - 1 - i, 1 << 64) for i in range(window)]
+    weights = np.array(w_py, dtype=np.uint64).view(np.int64)
     ws = re.compile(r"\s+")
 
     def _fp(text: str):

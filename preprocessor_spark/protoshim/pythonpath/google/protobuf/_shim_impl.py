@@ -269,7 +269,13 @@ class Message:
             values[name] = []
             return values[name]
         if spec.type == TYPE_MESSAGE:
-            return type(self)._resolver(spec.type_name)()  # default instance
+            # cache the auto-vivified submessage so msg.sub.field = x
+            # mutates THE stored instance (real-protobuf semantics), not a
+            # throwaway default whose write is silently lost; presence
+            # (_set) is only marked on explicit assignment, matching
+            # HasField semantics for untouched defaults
+            values[name] = type(self)._resolver(spec.type_name)()
+            return values[name]
         return _scalar_default(spec.type)
 
     def __setattr__(self, name, value):
@@ -308,6 +314,13 @@ class Message:
                     _encode_one(out, spec, item)
             elif name in self._set:
                 _encode_one(out, spec, self._values[name])
+            elif spec.type == TYPE_MESSAGE and name in self._values:
+                # auto-vivified submessage (msg.sub.field = x): present on
+                # the wire iff something was actually written into it —
+                # matches real-protobuf parent-chain presence semantics
+                sub = self._values[name]
+                if sub._set or sub._values:
+                    _encode_one(out, spec, sub)
         return bytes(out)
 
     def ParseFromString(self, data: bytes) -> int:

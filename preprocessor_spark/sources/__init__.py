@@ -100,10 +100,18 @@ def read_avro(spark: SparkSession, path: str, **options) -> DataFrame:
     except Exception as e:  # AnalysisException: Failed to find data source
         if "Failed to find data source: avro" not in str(e):
             raise
+        if options:
+            # the pure-Python reader takes only a path — refuse loudly
+            # rather than silently diverging from spark-avro semantics
+            raise NotImplementedError(
+                f"avro_py fallback reader does not support options "
+                f"{sorted(options)}; only plain path reads are available "
+                f"without the JVM spark-avro module"
+            ) from e
         from preprocessor_spark.sources.avro_py import register_avro_source
 
         register_avro_source(spark)
-        return spark.read.options(**options).format("avro_py").load(path)
+        return spark.read.format("avro_py").load(path)
 
 
 def write_avro(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
@@ -117,7 +125,18 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite", **options) -> 
             raise
         from preprocessor_spark.sources.avro_py import write_avro_py
 
-        write_avro_py(df, path, mode=mode)
+        # map the spark-avro option the fallback CAN honor; refuse the rest
+        # loudly instead of silently dropping them
+        opts = dict(options)
+        codec = opts.pop("compression", "deflate")
+        if codec == "uncompressed":
+            codec = "null"
+        if opts:
+            raise NotImplementedError(
+                f"avro_py fallback writer supports only the 'compression' "
+                f"option; got unsupported options {sorted(opts)}"
+            ) from e
+        write_avro_py(df, path, codec=codec, mode=mode)
 
 
 def read_xml(spark: SparkSession, path: str, row_tag: str = "row", **options) -> DataFrame:

@@ -465,7 +465,14 @@ def _encoder(dt: T.DataType) -> Callable[[object, bytearray], None]:
 
         def et(v, o):
             delta = v.replace(tzinfo=None) - _EPOCH_TS
-            o.extend(_zigzag(int(delta.total_seconds()) * 1_000_000 + delta.microseconds))
+            # exact integer micros from the timedelta components:
+            # total_seconds() truncation breaks pre-epoch fractional
+            # timestamps (e.g. 1969-12-31T23:59:59.999999 must be -1us,
+            # not +999999us) and loses precision at large magnitudes
+            micros = (
+                delta.days * 86_400 + delta.seconds
+            ) * 1_000_000 + delta.microseconds
+            o.extend(_zigzag(micros))
 
         return et
     if isinstance(dt, T.ArrayType):
@@ -529,16 +536,33 @@ def _nullable_encoder(dt: T.DataType) -> Callable[[object, bytearray], None]:
 
 
 def write_avro_py(df, path: str, codec: str = "deflate", mode: str = "overwrite") -> None:
-    """Distributed pure-Python Avro write: one ``part-N.avro`` container
-    file per partition, written from the executors (temp file + atomic
-    rename, retry-safe). Fields are nullable unions; ``codec`` is ``null``
-    or ``deflate`` (stdlib raw zlib, per spec)."""
+    """Distributed pure-Python Avro write: one part file per partition,
+    written from the executors (temp file + atomic rename, retry-safe).
+    Fields are nullable unions; ``codec`` is ``null`` or ``deflate``
+    (stdlib raw zlib, per spec).
+
+    All four Spark save modes are honored: ``overwrite`` clears the
+    directory, ``append`` adds uniquely-named part files (a per-write
+    token in the filename, so a second write can never clobber a prior
+    write's ``part-N``), ``error``/``errorifexists`` raises if the
+    destination already holds avro files, ``ignore`` is then a no-op."""
     import shutil
+    import uuid
 
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"Avro codec {codec!r} unsupported")
+    existing = _list_avro(path) if os.path.isdir(path) else []
     if mode == "overwrite":
         shutil.rmtree(path, ignore_errors=True)
+    elif mode in ("error", "errorifexists"):
+        if existing:
+            raise FileExistsError(f"path {path!r} already exists (mode={mode})")
+    elif mode == "ignore":
+        if existing:
+            return
+    elif mode != "append":
+        raise ValueError(f"unknown save mode {mode!r}")
+    token = uuid.uuid4().hex[:12] if mode == "append" else "00000000"
     os.makedirs(path, exist_ok=True)
     schema = df.schema
     avro_schema = _spark_to_avro_schema(schema, "topLevelRecord")
@@ -579,9 +603,9 @@ def write_avro_py(df, path: str, codec: str = "deflate", mode: str = "overwrite"
             out.extend(_zigzag(len(block)))
             out.extend(block)
             out.extend(sync)
-        tmp = os.path.join(path, f".part-{pid}.avro.tmp")
+        tmp = os.path.join(path, f".part-{token}-{pid}.avro.tmp")
         with open(tmp, "wb") as f:
             f.write(bytes(out))
-        os.replace(tmp, os.path.join(path, f"part-{pid}.avro"))
+        os.replace(tmp, os.path.join(path, f"part-{token}-{pid}.avro"))
 
     df.foreachPartition(write_partition)

@@ -1917,9 +1917,13 @@ class TestPerceptualHash:
         assert got == sorted(want)
         assert len(got) >= 40  # every planted 1-bit neighbor found
 
-    def test_bucket_guard_drops_degenerate_chunk(self, spark):
-        """1000 identical hashes would pairwise-explode; the guard drops
-        the oversized buckets instead."""
+    def test_mega_clique_dedups_through_exact_collapse(self, spark):
+        """1000 identical hashes — far over max_bucket — used to vanish
+        into the degenerate-bucket drop guard (round-6 code returned zero
+        pairs); the exact-hash collapse routes them through the
+        output-sized hash self-join instead, so the full C(1000,2) clique
+        comes back at hamming 0 and the pigeonhole chunk join never sees
+        the duplication."""
         import pandas as pd
 
         from preprocessor_spark.operators.phash import phash_neardup_pairs
@@ -1928,7 +1932,49 @@ class TestPerceptualHash:
         out = phash_neardup_pairs(
             spark.createDataFrame(pdf), "id", "dhash", max_hamming=3, max_bucket=100
         )
+        assert out.count() == 1000 * 999 // 2
+        assert out.agg({"hamming": "max"}).first()[0] == 0
+
+    def test_bucket_guard_drops_adversarial_distinct_chunk(self, spark):
+        """max_bucket still bounds DISTINCT-hash chunk buckets: 200
+        distinct hashes sharing three whole chunks put 200 rows in each
+        shared (chunk, value) bucket — over the 100 cap — so the guard
+        drops those buckets (documented recall sacrifice on adversarial
+        diversity) and no quadratic candidate join runs."""
+        import pandas as pd
+
+        from preprocessor_spark.operators.phash import phash_neardup_pairs
+
+        # distinct values that agree on chunks 0-2 (bits 0..47) and pack
+        # their differences into the top 16 bits (any two differ there)
+        def signed(v):
+            v &= (1 << 64) - 1
+            return v - (1 << 64) if v >= 1 << 63 else v
+
+        pdf = pd.DataFrame(
+            {"id": range(200), "dhash": [signed(i << 48) for i in range(200)]}
+        )
+        out = phash_neardup_pairs(
+            spark.createDataFrame(pdf), "id", "dhash", max_hamming=3, max_bucket=100
+        )
         assert out.count() == 0
+
+    def test_dhash_batch_matches_scalar(self, spark):
+        """Vectorized reduceat pooling is bit-identical to the scalar
+        looped pooler on integer-valued grids (uint8 decoder output),
+        including sub-grid shapes through the fallback."""
+        import numpy as np
+
+        from preprocessor_spark.operators.phash import dhash64, dhash64_batch
+
+        rng = np.random.RandomState(3)
+        imgs = [
+            rng.randint(0, 256, size=(48, 63)).astype(np.float64)
+            for _ in range(20)
+        ]
+        imgs += [rng.randint(0, 256, size=(5, 4)).astype(np.float64)]  # sub-grid
+        imgs += [rng.randint(0, 256, size=(8, 9)).astype(np.float64)]  # exact grid
+        assert dhash64_batch(imgs) == [dhash64(a) for a in imgs]
 
     def test_no_cross_product_plan(self, spark):
         import pandas as pd
