@@ -3766,11 +3766,7 @@ _GRADED_WINDOW = [
     "search_bm25_docs",
     "pack_documents_plan",
     "ts_features_by_user",
-    "prep_datetime_pipeline",
-    "text_repetition_stats",
-    "top_terms_skewed",
     "contamination_check",
-    "fill_events_all",
     "q1_pricing_summary",
     "q5_region_revenue",
     "asof_purchase_last_view",
@@ -3786,21 +3782,17 @@ _GRADED_WINDOW = [
     "row_ids_documents",
     "corr_matrix_lineitem",
     "fuzzy_join_docs",
-    "edit_join_parts",
     "variant_props_events",
     # round-5 marquee operators promoted into the graded window (displaced
     # basics remain oracle-graded locally at 51+, same policy as round 4)
     "bloom_join_revenue",
     "warc_ingest_stats",
-    "url_normalize_docs",
     # pipeline_web_corpus subsumes the domain-cap query (cap stage inside)
+    # and the url_normalize/html_extract stages (both stay graded at 51+)
     "pipeline_web_corpus",
     "recursive_cte_tree",
     "lateral_topn_orders",
-    "html_extract_docs",
     "negatives_ring_docs",
-    "sql_udf_pricing",
-    "token_budget_mix_docs",
     # round-6 marquee operators promoted into the graded window: the pure-
     # Python Avro container source round-trip, DSIR importance resampling,
     # and the batch time-window family (session/hopping/resample/collation)
@@ -3814,6 +3806,21 @@ _GRADED_WINDOW = [
     "hopping_window_events",
     "resample_events_hourly",
     "collated_source_counts",
+    # round-7 promotion: the round-6b marquee operators (all oracle-backed)
+    # enter the driver-graded window; displaced basics (fill_events_all,
+    # prep_datetime_pipeline, text_repetition_stats, top_terms_skewed,
+    # html_extract_docs, sql_udf_pricing, token_budget_mix_docs,
+    # edit_join_parts, url_normalize_docs) remain oracle-graded locally at
+    # 51+ — same policy as rounds 4-6.
+    "image_phash_neardup",
+    "knn_graph_triangles",
+    "funnel_user_events",
+    "cohort_retention_events",
+    "interval_join_events",
+    "anomaly_mad_events",
+    "event_transitions_markov",
+    "drift_orders_ks",
+    "keyword_tfidf_docs",
 ]
 
 
