@@ -4137,6 +4137,274 @@ def _corr_grouped_oracle(cols: list[str], group_col: str) -> str:
     )
 
 
+def _ts_oracle_sql() -> str:
+    """Generated DuckDB twin of extract_ts_features' 130-feature catalog
+    (operators/ts_features.py): built from the SAME catalog constants so
+    the Spark side and the oracle cannot drift. Verified bit-exact (before
+    AND after the 6dp round) at sf0.001 and sf0.01."""
+    from preprocessor_spark.operators.ts_features import (
+        AUTOCORR_LAGS,
+        C3_LAGS,
+        CROSSING_MS,
+        ENERGY_CHUNKS,
+        LARGE_STD_RS,
+        MASS_QUANTILES,
+        PEAK_NS,
+        QUANTILES,
+        R_SIGMA,
+        SYMMETRY_RS,
+        TRA_LAGS,
+        _crossing_name,
+        _tag,
+    )
+
+    WO = "PARTITION BY user_id ORDER BY event_id"
+    WOR = f"{WO} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    lag_list = sorted({1, 2, 3, 4, 5, 6, 10})
+
+    s1_cols = [f"lag(v, {l}) OVER ({WO}) AS lag{l}" for l in lag_list]
+    s1_cols += [
+        f"v - lag(v) OVER ({WO}) AS diff",
+        "CASE WHEN hi > lo THEN LEAST(CAST(FLOOR((v - lo) / (hi - lo) * 10) AS INTEGER), 9) "
+        "WHEN v IS NOT NULL THEN 0 END AS bin",
+        "CASE WHEN v IS NOT NULL THEN v > meanf END AS above",
+        f"CAST(COUNT(v) OVER ({WOR}) AS DOUBLE) - 1 AS vpos",
+        f"CASE WHEN totabs > 0 THEN SUM(ABS(v)) OVER ({WOR}) / totabs END AS cumratio",
+    ]
+    for n in PEAK_NS:
+        s1_cols.append(
+            f"MAX(v) OVER ({WO} ROWS BETWEEN {n} PRECEDING AND 1 PRECEDING) AS pkp{n}"
+        )
+        s1_cols.append(
+            f"MAX(v) OVER ({WO} ROWS BETWEEN 1 FOLLOWING AND {n} FOLLOWING) AS pkn{n}"
+        )
+
+    # aggregates: the original 26-feature raws plus the tier-2 raws
+    a_cols = [
+        "AVG(v) AS mu", "quantile_cont(v, 0.5) AS med",
+        "stddev_pop(v) AS sd", "var_pop(v) AS var",
+        "MIN(v) AS mn", "MAX(v) AS mx", "SUM(v) AS sx",
+        "CAST(COUNT(v) AS DOUBLE) AS n",
+        "SUM(v * v) AS s2", "sqrt(AVG(v * v)) AS rms",
+        "AVG(diff) AS mc", "AVG(ABS(diff)) AS mac", "SUM(ABS(diff)) AS asoc",
+        "SUM(diff * diff) AS d2",
+        "SUM(v * v * v) AS s3", "SUM(v * v * v * v) AS s4",
+        "SUM(CASE WHEN v IS NOT NULL THEN pos END) AS st",
+        "SUM(CASE WHEN v IS NOT NULL THEN pos * pos END) AS stt",
+        "SUM(pos * v) AS stx",
+    ]
+    for k in range(10):
+        a_cols.append(f"SUM(CASE WHEN bin = {k} THEN 1.0 ELSE 0.0 END) AS b{k}")
+    for l in AUTOCORR_LAGS:
+        both = f"v IS NOT NULL AND lag{l} IS NOT NULL"
+        a_cols += [
+            f"SUM(CASE WHEN {both} THEN v * lag{l} END) AS a{l}_xy",
+            f"SUM(CASE WHEN {both} THEN lag{l} END) AS a{l}_x",
+            f"SUM(CASE WHEN {both} THEN v END) AS a{l}_y",
+            f"SUM(CASE WHEN {both} THEN 1.0 ELSE 0.0 END) AS a{l}_n",
+        ]
+    for l in C3_LAGS:
+        tri = f"v IS NOT NULL AND lag{l} IS NOT NULL AND lag{2 * l} IS NOT NULL"
+        a_cols += [
+            f"SUM(CASE WHEN {tri} THEN v * lag{l} * lag{2 * l} END) AS c{l}_s",
+            f"SUM(CASE WHEN {tri} THEN 1.0 ELSE 0.0 END) AS c{l}_n",
+        ]
+    # ---- tier 2 raws ----
+    for q in QUANTILES:
+        a_cols.append(f"quantile_cont(v, {q!r}) AS qt_{_tag(q)}")
+    a_cols += [
+        "SUM(CASE WHEN v > meanf THEN 1.0 ELSE 0.0 END) AS cam",
+        "SUM(CASE WHEN v < meanf THEN 1.0 ELSE 0.0 END) AS cbm",
+        "SUM(CASE WHEN v >= 0 THEN 1.0 ELSE 0.0 END) AS cat0",
+        "SUM(CASE WHEN v <= 0 THEN 1.0 ELSE 0.0 END) AS cbt0",
+        "COALESCE(MAX(CASE WHEN above THEN strike END), 0.0) AS lsam",
+        "COALESCE(MAX(CASE WHEN NOT above THEN strike END), 0.0) AS lsbm",
+        "MIN(CASE WHEN v = hi THEN pos END) AS flmax",
+        "MAX(CASE WHEN v = hi THEN pos END) AS llmax",
+        "MIN(CASE WHEN v = lo THEN pos END) AS flmin",
+        "MAX(CASE WHEN v = lo THEN pos END) AS llmin",
+        "CAST(COUNT(DISTINCT v) AS DOUBLE) AS nd",
+        "SUM(CASE WHEN v = hi THEN 1.0 ELSE 0.0 END) AS nmax",
+        "SUM(CASE WHEN v = lo THEN 1.0 ELSE 0.0 END) AS nmin",
+        "MAX(ABS(v)) AS absmax",
+        "SUM(CASE WHEN v >= -1.0 AND v < 1.0 THEN 1.0 ELSE 0.0 END) AS rc",
+        "SUM(CASE WHEN v IS NOT NULL AND lag1 IS NOT NULL AND lag2 IS NOT NULL "
+        "THEN (v - 2 * lag1 + lag2) / 2 END) AS msdc",
+    ]
+    for m in CROSSING_MS:
+        a_cols.append(
+            f"SUM(CASE WHEN lag1 IS NOT NULL AND v IS NOT NULL AND "
+            f"((lag1 > {m!r}) <> (v > {m!r})) THEN 1.0 ELSE 0.0 END) AS xc_{_tag(m)}"
+        )
+    for q in MASS_QUANTILES:
+        a_cols.append(f"MIN(CASE WHEN cumratio >= {q!r} THEN vpos END) AS imq_{_tag(q)}")
+    for k in range(ENERGY_CHUNKS):
+        a_cols.append(f"SUM(CASE WHEN chunk = {k} THEN v * v ELSE 0.0 END) AS ec{k}")
+    for r in R_SIGMA:
+        a_cols.append(
+            f"SUM(CASE WHEN ABS(v - meanf) > {r!r} * sdf THEN 1.0 ELSE 0.0 END) AS rbs_{_tag(r)}"
+        )
+    for n in PEAK_NS:
+        a_cols.append(
+            f"SUM(CASE WHEN pos >= {n} AND pos <= nrows - 1 - {n} AND v > pkp{n} "
+            f"AND v > pkn{n} THEN 1.0 ELSE 0.0 END) AS pk{n}"
+        )
+    for l in TRA_LAGS:
+        tri = f"v IS NOT NULL AND lag{l} IS NOT NULL AND lag{2 * l} IS NOT NULL"
+        a_cols.append(
+            f"SUM(CASE WHEN {tri} THEN v * v * lag{l} - lag{l} * lag{2 * l} * lag{2 * l} END) AS tra{l}"
+        )
+
+    # final select: existing 26 features verbatim + tier 2
+    ent = " + ".join(
+        f"(CASE WHEN b{k} > 0 THEN -(b{k} / n) * ln(b{k} / n) ELSE 0.0 END)"
+        for k in range(10)
+    )
+    f_cols = [
+        'ROUND(mu, 6) AS "value__mean"',
+        'ROUND(med, 6) AS "value__median"',
+        'ROUND(sd, 6) AS "value__standard_deviation"',
+        'ROUND(var, 6) AS "value__variance"',
+        'ROUND(mn, 6) AS "value__minimum"',
+        'ROUND(mx, 6) AS "value__maximum"',
+        'ROUND(sx, 6) AS "value__sum_values"',
+        'ROUND(n, 6) AS "value__length"',
+        'ROUND(s2, 6) AS "value__abs_energy"',
+        'ROUND(rms, 6) AS "value__root_mean_square"',
+        'ROUND(mc, 6) AS "value__mean_change"',
+        'ROUND(mac, 6) AS "value__mean_abs_change"',
+        'ROUND(asoc, 6) AS "value__absolute_sum_of_changes"',
+        """ROUND(CASE WHEN n > 2 AND (s2 / n - mu * mu) > 0
+            THEN sqrt(n * (n - 1)) / (n - 2)
+                 * (s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu)
+                 / POW(s2 / n - mu * mu, 1.5) END, 6) AS "value__skewness\"""",
+        """ROUND(CASE WHEN n > 3 AND (s2 / n - mu * mu) > 0
+            THEN ((n + 1) * ((s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
+                              - 3 * mu * mu * mu * mu)
+                             / ((s2 / n - mu * mu) * (s2 / n - mu * mu)) - 3) + 6)
+                 * (n - 1) / ((n - 2) * (n - 3)) END, 6) AS "value__kurtosis\"""",
+        """ROUND(CASE WHEN n * stt - st * st <> 0
+            THEN (n * stx - st * sx) / (n * stt - st * st) END, 6)
+            AS "value__linear_trend_slope\"""",
+        f'ROUND(CASE WHEN n > 0 THEN {ent} END, 6) AS "value__binned_entropy"',
+        'ROUND(sqrt(d2), 6) AS "value__cid_ce"',
+        'ROUND(CASE WHEN sd > 0 THEN sqrt(d2) / sd END, 6) AS "value__cid_ce_normalized"',
+    ]
+    for l in AUTOCORR_LAGS:
+        f_cols.append(
+            f"ROUND(CASE WHEN a{l}_n > 0 AND var > 0 THEN "
+            f"(a{l}_xy - mu * a{l}_x - mu * a{l}_y + a{l}_n * mu * mu) / (a{l}_n * var) "
+            f'END, 6) AS "value__autocorrelation_lag_{l}"'
+        )
+    for l in C3_LAGS:
+        f_cols.append(
+            f'ROUND(CASE WHEN c{l}_n > 0 THEN c{l}_s / c{l}_n END, 6) AS "value__c3_lag_{l}"'
+        )
+    # ---- tier 2 finals ----
+    for q in QUANTILES:
+        f_cols.append(f'ROUND(qt_{_tag(q)}, 6) AS "value__quantile_q_{_tag(q)}"')
+    f_cols += [
+        'ROUND(cam, 6) AS "value__count_above_mean"',
+        'ROUND(cbm, 6) AS "value__count_below_mean"',
+        'ROUND(CASE WHEN n > 0 THEN cat0 / n END, 6) AS "value__count_above_t_0"',
+        'ROUND(CASE WHEN n > 0 THEN cbt0 / n END, 6) AS "value__count_below_t_0"',
+        'ROUND(lsam, 6) AS "value__longest_strike_above_mean"',
+        'ROUND(lsbm, 6) AS "value__longest_strike_below_mean"',
+        'ROUND(CASE WHEN n > 0 THEN flmax / n END, 6) AS "value__first_location_of_maximum"',
+        'ROUND(CASE WHEN n > 0 THEN (llmax + 1) / n END, 6) AS "value__last_location_of_maximum"',
+        'ROUND(CASE WHEN n > 0 THEN flmin / n END, 6) AS "value__first_location_of_minimum"',
+        'ROUND(CASE WHEN n > 0 THEN (llmin + 1) / n END, 6) AS "value__last_location_of_minimum"',
+        'ROUND(CASE WHEN c1_n > 0 THEN msdc / c1_n END, 6) AS "value__mean_second_derivative_central"',
+        """ROUND(CASE WHEN sd IS NOT NULL AND var IS NOT NULL THEN
+            CASE WHEN var > sd THEN 1.0 ELSE 0.0 END END, 6)
+            AS "value__variance_larger_than_standard_deviation\"""",
+        """ROUND(CASE WHEN n > 0 THEN
+            CASE WHEN nd < n THEN 1.0 ELSE 0.0 END END, 6) AS "value__has_duplicate\"""",
+        """ROUND(CASE WHEN n > 0 THEN
+            CASE WHEN nmax > 1 THEN 1.0 ELSE 0.0 END END, 6) AS "value__has_duplicate_max\"""",
+        """ROUND(CASE WHEN n > 0 THEN
+            CASE WHEN nmin > 1 THEN 1.0 ELSE 0.0 END END, 6) AS "value__has_duplicate_min\"""",
+        'ROUND(CASE WHEN n > 0 THEN nd / n END, 6) AS "value__ratio_value_number_to_time_series_length"',
+        'ROUND(absmax, 6) AS "value__absolute_maximum"',
+        'ROUND(rc, 6) AS "value__range_count_m1_1"',
+    ]
+    for m in CROSSING_MS:
+        f_cols.append(f'ROUND(xc_{_tag(m)}, 6) AS "value__{_crossing_name(m)}"')
+    for l in TRA_LAGS:
+        f_cols.append(
+            f"ROUND(CASE WHEN c{l}_n > 0 THEN tra{l} / c{l}_n END, 6) "
+            f'AS "value__time_reversal_asymmetry_statistic_lag_{l}"'
+        )
+    for q in MASS_QUANTILES:
+        f_cols.append(
+            f"ROUND(CASE WHEN n > 0 THEN (imq_{_tag(q)} + 1) / n END, 6) "
+            f'AS "value__index_mass_quantile_q_{_tag(q)}"'
+        )
+    for k in range(ENERGY_CHUNKS):
+        f_cols.append(
+            f"ROUND(CASE WHEN s2 > 0 THEN ec{k} / s2 END, 6) "
+            f'AS "value__energy_ratio_by_chunks_{k}"'
+        )
+    for r in R_SIGMA:
+        f_cols.append(
+            f"ROUND(CASE WHEN n > 0 THEN rbs_{_tag(r)} / n END, 6) "
+            f'AS "value__ratio_beyond_r_sigma_r_{_tag(r)}"'
+        )
+    for r in LARGE_STD_RS:
+        f_cols.append(
+            f"ROUND(CASE WHEN sd IS NOT NULL AND mx IS NOT NULL AND mn IS NOT NULL THEN "
+            f"CASE WHEN sd > {r!r} * (mx - mn) THEN 1.0 ELSE 0.0 END END, 6) "
+            f'AS "value__large_standard_deviation_r_{_tag(r)}"'
+        )
+    for r in SYMMETRY_RS:
+        f_cols.append(
+            f"ROUND(CASE WHEN mu IS NOT NULL AND med IS NOT NULL AND mx IS NOT NULL "
+            f"AND mn IS NOT NULL THEN "
+            f"CASE WHEN ABS(mu - med) < {r!r} * (mx - mn) THEN 1.0 ELSE 0.0 END END, 6) "
+            f'AS "value__symmetry_looking_r_{_tag(r)}"'
+        )
+    for n in PEAK_NS:
+        f_cols.append(f'ROUND(pk{n}, 6) AS "value__number_peaks_n_{n}"')
+
+    nl = ",\n                   "
+    return f"""
+            WITH s0 AS (
+                SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+                   CAST(row_number() OVER ({WO}) - 1 AS DOUBLE) AS pos,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS nrows,
+                   AVG(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS meanf,
+                   stddev_pop(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS sdf,
+                   CAST(COUNT(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS DOUBLE) AS nf,
+                   MIN(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS lo,
+                   MAX(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS hi,
+                   SUM(ABS(CAST(value AS DOUBLE))) OVER (PARTITION BY user_id) AS totabs
+                FROM events
+            ), s1 AS (
+                SELECT *, {nl.join(s1_cols)}
+                FROM s0
+            ), s2 AS (
+                SELECT *, lag(above) OVER ({WO}) AS lagabove FROM s1
+            ), s3 AS (
+                SELECT *,
+                   pos - MAX(CASE WHEN above IS NOT DISTINCT FROM lagabove
+                                  THEN NULL ELSE pos END)
+                             OVER ({WOR}) + 1 AS strike,
+                   CAST(CASE WHEN vpos < (CAST(nf AS BIGINT) % 10) * (CAST(FLOOR(nf / 10) AS BIGINT) + 1)
+                        THEN FLOOR(vpos / (CAST(FLOOR(nf / 10) AS BIGINT) + 1))
+                        ELSE (CAST(nf AS BIGINT) % 10)
+                             + FLOOR((vpos - (CAST(nf AS BIGINT) % 10) * (CAST(FLOOR(nf / 10) AS BIGINT) + 1))
+                                     / GREATEST(CAST(FLOOR(nf / 10) AS BIGINT), 1))
+                        END AS INTEGER) AS chunk
+                FROM s2
+            ), a AS (
+                SELECT user_id, {nl.join(a_cols)}
+                FROM s3 GROUP BY user_id
+            )
+            SELECT user_id, {nl.join(f_cols)}
+            FROM a
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     dp = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
     charge = f"({dp}) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
@@ -5286,139 +5554,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5
         """,
-        "ts_features_by_user": """
-            WITH d AS (
-                SELECT user_id, CAST(value AS DOUBLE) AS v,
-                       CAST(value AS DOUBLE) - lag(CAST(value AS DOUBLE)) OVER w AS diff,
-                       lag(CAST(value AS DOUBLE), 1) OVER w AS lag1,
-                       lag(CAST(value AS DOUBLE), 2) OVER w AS lag2,
-                       lag(CAST(value AS DOUBLE), 3) OVER w AS lag3,
-                       lag(CAST(value AS DOUBLE), 4) OVER w AS lag4,
-                       lag(CAST(value AS DOUBLE), 5) OVER w AS lag5,
-                       lag(CAST(value AS DOUBLE), 6) OVER w AS lag6,
-                       lag(CAST(value AS DOUBLE), 10) OVER w AS lag10,
-                       CAST(row_number() OVER w - 1 AS DOUBLE) AS pos,
-                       MIN(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS lo,
-                       MAX(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS hi
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
-            ), bd AS (
-                SELECT *,
-                       CASE WHEN hi > lo
-                            THEN LEAST(CAST(FLOOR((v - lo) / (hi - lo) * 10) AS INTEGER), 9)
-                            WHEN v IS NOT NULL THEN 0 END AS bin
-                FROM d
-            ), a AS (
-                SELECT user_id,
-                       AVG(v) AS mu, quantile_cont(v, 0.5) AS med,
-                       stddev_pop(v) AS sd, var_pop(v) AS var,
-                       MIN(v) AS mn, MAX(v) AS mx, SUM(v) AS sx,
-                       CAST(COUNT(v) AS DOUBLE) AS n,
-                       SUM(v * v) AS s2, sqrt(AVG(v * v)) AS rms,
-                       AVG(diff) AS mc, AVG(ABS(diff)) AS mac, SUM(ABS(diff)) AS asoc,
-                       SUM(diff * diff) AS d2,
-                       SUM(CASE WHEN v IS NOT NULL AND lag1 IS NOT NULL AND lag2 IS NOT NULL
-                                THEN v * lag1 * lag2 END) AS c1_s,
-                       SUM(CASE WHEN v IS NOT NULL AND lag1 IS NOT NULL AND lag2 IS NOT NULL
-                                THEN 1.0 ELSE 0.0 END) AS c1_n,
-                       SUM(CASE WHEN v IS NOT NULL AND lag2 IS NOT NULL AND lag4 IS NOT NULL
-                                THEN v * lag2 * lag4 END) AS c2_s,
-                       SUM(CASE WHEN v IS NOT NULL AND lag2 IS NOT NULL AND lag4 IS NOT NULL
-                                THEN 1.0 ELSE 0.0 END) AS c2_n,
-                       SUM(CASE WHEN v IS NOT NULL AND lag3 IS NOT NULL AND lag6 IS NOT NULL
-                                THEN v * lag3 * lag6 END) AS c3_s,
-                       SUM(CASE WHEN v IS NOT NULL AND lag3 IS NOT NULL AND lag6 IS NOT NULL
-                                THEN 1.0 ELSE 0.0 END) AS c3_n,
-                       SUM(v * v * v) AS s3, SUM(v * v * v * v) AS s4,
-                       SUM(CASE WHEN v IS NOT NULL THEN pos END) AS st,
-                       SUM(CASE WHEN v IS NOT NULL THEN pos * pos END) AS stt,
-                       SUM(pos * v) AS stx,
-                       SUM(CASE WHEN bin = 0 THEN 1.0 ELSE 0.0 END) AS b0,
-                       SUM(CASE WHEN bin = 1 THEN 1.0 ELSE 0.0 END) AS b1,
-                       SUM(CASE WHEN bin = 2 THEN 1.0 ELSE 0.0 END) AS b2,
-                       SUM(CASE WHEN bin = 3 THEN 1.0 ELSE 0.0 END) AS b3,
-                       SUM(CASE WHEN bin = 4 THEN 1.0 ELSE 0.0 END) AS b4,
-                       SUM(CASE WHEN bin = 5 THEN 1.0 ELSE 0.0 END) AS b5,
-                       SUM(CASE WHEN bin = 6 THEN 1.0 ELSE 0.0 END) AS b6,
-                       SUM(CASE WHEN bin = 7 THEN 1.0 ELSE 0.0 END) AS b7,
-                       SUM(CASE WHEN bin = 8 THEN 1.0 ELSE 0.0 END) AS b8,
-                       SUM(CASE WHEN bin = 9 THEN 1.0 ELSE 0.0 END) AS b9,
-                       SUM(CASE WHEN v IS NOT NULL AND lag1 IS NOT NULL THEN v * lag1 END) AS a1_xy,
-                       SUM(CASE WHEN v IS NOT NULL AND lag1 IS NOT NULL THEN lag1 END) AS a1_x,
-                       SUM(CASE WHEN v IS NOT NULL AND lag1 IS NOT NULL THEN v END) AS a1_y,
-                       SUM(CASE WHEN v IS NOT NULL AND lag1 IS NOT NULL THEN 1.0 ELSE 0.0 END) AS a1_n,
-                       SUM(CASE WHEN v IS NOT NULL AND lag2 IS NOT NULL THEN v * lag2 END) AS a2_xy,
-                       SUM(CASE WHEN v IS NOT NULL AND lag2 IS NOT NULL THEN lag2 END) AS a2_x,
-                       SUM(CASE WHEN v IS NOT NULL AND lag2 IS NOT NULL THEN v END) AS a2_y,
-                       SUM(CASE WHEN v IS NOT NULL AND lag2 IS NOT NULL THEN 1.0 ELSE 0.0 END) AS a2_n,
-                       SUM(CASE WHEN v IS NOT NULL AND lag5 IS NOT NULL THEN v * lag5 END) AS a5_xy,
-                       SUM(CASE WHEN v IS NOT NULL AND lag5 IS NOT NULL THEN lag5 END) AS a5_x,
-                       SUM(CASE WHEN v IS NOT NULL AND lag5 IS NOT NULL THEN v END) AS a5_y,
-                       SUM(CASE WHEN v IS NOT NULL AND lag5 IS NOT NULL THEN 1.0 ELSE 0.0 END) AS a5_n,
-                       SUM(CASE WHEN v IS NOT NULL AND lag10 IS NOT NULL THEN v * lag10 END) AS a10_xy,
-                       SUM(CASE WHEN v IS NOT NULL AND lag10 IS NOT NULL THEN lag10 END) AS a10_x,
-                       SUM(CASE WHEN v IS NOT NULL AND lag10 IS NOT NULL THEN v END) AS a10_y,
-                       SUM(CASE WHEN v IS NOT NULL AND lag10 IS NOT NULL THEN 1.0 ELSE 0.0 END) AS a10_n
-                FROM bd GROUP BY user_id
-            )
-            SELECT user_id,
-                   ROUND(mu, 6) AS "value__mean",
-                   ROUND(med, 6) AS "value__median",
-                   ROUND(sd, 6) AS "value__standard_deviation",
-                   ROUND(var, 6) AS "value__variance",
-                   ROUND(mn, 6) AS "value__minimum",
-                   ROUND(mx, 6) AS "value__maximum",
-                   ROUND(sx, 6) AS "value__sum_values",
-                   ROUND(n, 6) AS "value__length",
-                   ROUND(s2, 6) AS "value__abs_energy",
-                   ROUND(rms, 6) AS "value__root_mean_square",
-                   ROUND(mc, 6) AS "value__mean_change",
-                   ROUND(mac, 6) AS "value__mean_abs_change",
-                   ROUND(asoc, 6) AS "value__absolute_sum_of_changes",
-                   ROUND(CASE WHEN n > 2 AND (s2 / n - mu * mu) > 0
-                        THEN sqrt(n * (n - 1)) / (n - 2)
-                             * (s3 / n - 3 * mu * s2 / n + 2 * mu * mu * mu)
-                             / POW(s2 / n - mu * mu, 1.5) END, 6) AS "value__skewness",
-                   ROUND(CASE WHEN n > 3 AND (s2 / n - mu * mu) > 0
-                        THEN ((n + 1) * ((s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n
-                                          - 3 * mu * mu * mu * mu)
-                                         / ((s2 / n - mu * mu) * (s2 / n - mu * mu)) - 3) + 6)
-                             * (n - 1) / ((n - 2) * (n - 3)) END, 6) AS "value__kurtosis",
-                   ROUND(CASE WHEN n * stt - st * st <> 0
-                        THEN (n * stx - st * sx) / (n * stt - st * st) END, 6)
-                       AS "value__linear_trend_slope",
-                   ROUND(CASE WHEN n > 0 THEN
-                        (CASE WHEN b0 > 0 THEN -(b0 / n) * ln(b0 / n) ELSE 0.0 END)
-                      + (CASE WHEN b1 > 0 THEN -(b1 / n) * ln(b1 / n) ELSE 0.0 END)
-                      + (CASE WHEN b2 > 0 THEN -(b2 / n) * ln(b2 / n) ELSE 0.0 END)
-                      + (CASE WHEN b3 > 0 THEN -(b3 / n) * ln(b3 / n) ELSE 0.0 END)
-                      + (CASE WHEN b4 > 0 THEN -(b4 / n) * ln(b4 / n) ELSE 0.0 END)
-                      + (CASE WHEN b5 > 0 THEN -(b5 / n) * ln(b5 / n) ELSE 0.0 END)
-                      + (CASE WHEN b6 > 0 THEN -(b6 / n) * ln(b6 / n) ELSE 0.0 END)
-                      + (CASE WHEN b7 > 0 THEN -(b7 / n) * ln(b7 / n) ELSE 0.0 END)
-                      + (CASE WHEN b8 > 0 THEN -(b8 / n) * ln(b8 / n) ELSE 0.0 END)
-                      + (CASE WHEN b9 > 0 THEN -(b9 / n) * ln(b9 / n) ELSE 0.0 END)
-                        END, 6) AS "value__binned_entropy",
-                   ROUND(CASE WHEN a1_n > 0 AND var > 0
-                        THEN (a1_xy - mu * a1_x - mu * a1_y + a1_n * mu * mu) / (a1_n * var)
-                        END, 6) AS "value__autocorrelation_lag_1",
-                   ROUND(CASE WHEN a2_n > 0 AND var > 0
-                        THEN (a2_xy - mu * a2_x - mu * a2_y + a2_n * mu * mu) / (a2_n * var)
-                        END, 6) AS "value__autocorrelation_lag_2",
-                   ROUND(CASE WHEN a5_n > 0 AND var > 0
-                        THEN (a5_xy - mu * a5_x - mu * a5_y + a5_n * mu * mu) / (a5_n * var)
-                        END, 6) AS "value__autocorrelation_lag_5",
-                   ROUND(CASE WHEN a10_n > 0 AND var > 0
-                        THEN (a10_xy - mu * a10_x - mu * a10_y + a10_n * mu * mu) / (a10_n * var)
-                        END, 6) AS "value__autocorrelation_lag_10",
-                   ROUND(sqrt(d2), 6) AS "value__cid_ce",
-                   ROUND(CASE WHEN sd > 0 THEN sqrt(d2) / sd END, 6)
-                       AS "value__cid_ce_normalized",
-                   ROUND(CASE WHEN c1_n > 0 THEN c1_s / c1_n END, 6) AS "value__c3_lag_1",
-                   ROUND(CASE WHEN c2_n > 0 THEN c2_s / c2_n END, 6) AS "value__c3_lag_2",
-                   ROUND(CASE WHEN c3_n > 0 THEN c3_s / c3_n END, 6) AS "value__c3_lag_3"
-            FROM a
-        """,
+        "ts_features_by_user": _ts_oracle_sql(),
         "dedup_incremental_batch": """
             WITH batch AS (
                 SELECT doc_id + 1000000 AS doc_id, text
