@@ -1,0 +1,64 @@
+"""COVERAGE.md must document every registry query (round-6 verdict task 10).
+
+The driver-window half of the registry contract lives in
+tests/test_queries.py::test_graded_window_contract; this is the symmetric
+doc-side check: every `queries()` entry appears literally in COVERAGE.md,
+and the generated index's grading labels match the code (window membership
+and oracle presence), so the doc can never drift behind the registry again.
+"""
+
+import os
+import re
+
+import __spark_entry__ as entry
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _coverage_text():
+    return open(os.path.join(REPO, "COVERAGE.md")).read()
+
+
+def test_every_registry_query_documented():
+    cov = _coverage_text()
+    missing = [q for q in entry.queries() if f"`{q}`" not in cov]
+    assert not missing, (
+        f"{len(missing)} registry queries undocumented in COVERAGE.md "
+        f"(run scripts/gen_coverage_index.py): {missing}"
+    )
+
+
+def test_registry_index_gradings_match_code():
+    cov = _coverage_text()
+    marker = "## Registry index (generated)"
+    assert marker in cov, "COVERAGE.md lost its generated registry index"
+    index = cov.split(marker, 1)[1]
+    rows = dict(re.findall(r"^\| `([^`]+)` \| (\S+) \|", index, re.M))
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    window = set(entry._GRADED_WINDOW)
+    assert set(rows) == set(queries), (
+        "index rows != registry; run scripts/gen_coverage_index.py "
+        f"(only-in-doc={sorted(set(rows) - set(queries))[:5]}, "
+        f"only-in-code={sorted(set(queries) - set(rows))[:5]})"
+    )
+    for name, grading in rows.items():
+        expect = (
+            "driver"
+            if name in window
+            else ("local" if name in oracles else "rows-only")
+        )
+        assert grading == expect, f"{name}: doc says {grading}, code says {expect}"
+
+
+def test_no_stale_registry_counts_in_readme():
+    """README's stated query/oracle counts must track the registry."""
+    readme = open(os.path.join(REPO, "README.md")).read()
+    n_queries = len(entry.queries())
+    n_oracles = len(entry.oracle_sql())
+    m = re.search(r"(\d+)\s+queries\s+\((\d+)\s+with exact DuckDB oracles", readme)
+    assert m, "README no longer states registry counts"
+    assert (int(m.group(1)), int(m.group(2))) == (n_queries, n_oracles), (
+        f"README says {m.group(1)}/{m.group(2)} but registry is "
+        f"{n_queries}/{n_oracles}"
+    )
