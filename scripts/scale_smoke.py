@@ -103,6 +103,19 @@ EXPECTED_SUPRALINEAR = {
         "pair output is quadratic in the duplication factor by contract "
         "(every intra-group pair must be emitted)"
     ),
+    "image_phash_neardup": (
+        "pair output is quadratic in the duplication factor by contract: "
+        "10x-replicated images make every hash a 10-member clique, so the "
+        "result grows ~100x (61.9M pairs at derived sf1 vs ~0.6M at sf0.1) "
+        "for ~13x wall — sublinear in its true workload"
+    ),
+    "knn_graph_triangles": (
+        "EXACT brute-force kNN-graph construction is O(N^2 * d) by "
+        "definition — 10x vectors = 100x GEMM work (observed ~19x wall; "
+        "the blocked kernel amortizes). The 100 TB path is the ANN "
+        "variants (knn_ivf / knn_lsh / knn_ivfpq), which bound candidate "
+        "generation per cell/bucket"
+    ),
 }
 
 
