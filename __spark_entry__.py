@@ -1115,6 +1115,31 @@ def text_lm_quality(spark, sf_dir):
         return char_ngram_lm_scores(d, "text", "doc_id", n=3).orderBy("doc_id")
 
 
+def ridge_regression_lineitem(spark, sf_dir):
+    """Distributed ridge regression (operators/linreg.py): one exact-decimal
+    aggregation pass builds the 2-feature normal-equation moments
+    (XᵀX, Xᵀy as DECIMAL sums — the money-sum idiom, so partial-agg order
+    can't flip a bit), then the 3×3 Cramer solve, R², and RMSE run as an
+    explicit double expression tree ON the one-row moments frame. The
+    DuckDB oracle replays the identical tree, so even the float solve is
+    bit-exact across engines. Fit: l_extendedprice ~ l_quantity +
+    l_discount, λ=100 (intercept unpenalized)."""
+    from preprocessor_spark.operators.linreg import ridge_fit_2feature
+
+    l = _t(spark, sf_dir, "lineitem")
+    out = ridge_fit_2feature(
+        l, "l_quantity", "l_discount", "l_extendedprice", l2=100.0
+    )
+    return out.select(
+        "n",
+        F.round("theta0", 6).alias("theta0"),
+        F.round("theta1", 6).alias("theta1"),
+        F.round("theta2", 6).alias("theta2"),
+        F.round("r2", 9).alias("r2"),
+        F.round("rmse", 6).alias("rmse"),
+    )
+
+
 def lm_kn_perplexity_docs(spark, sf_dir):
     """Interpolated Kneser-Ney bigram LM (operators/lm_kn.py) — the KenLM/
     CCNet-style perplexity gate one level up from the char-trigram unigram
@@ -3690,6 +3715,29 @@ def dsir_select_docs(spark, sf_dir):
         ).orderBy("doc_id")
 
 
+def communities_lpa(spark, sf_dir):
+    """Label-propagation community detection (operators/graph.py
+    label_propagation) over the same customer→supplier trade graph
+    PageRank uses: synchronous LPA with a deterministic (votes desc, label
+    asc) tie-break and a self-vote oscillation damper, 5 fixed rounds.
+    Rows-only (community structure has no SQL oracle);
+    tests/test_round7_ops.py plants two bridge-linked cliques that must
+    split into exactly their two communities, and checks repartition
+    determinism + per-round plan shape (one keyed join + one groupBy)."""
+    from preprocessor_spark.caching import persist_scope
+    from preprocessor_spark.operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    with persist_scope():
+        out = label_propagation(edges, rounds=5)
+        return out.orderBy("node")
+
+
 def pagerank_custsupp(spark, sf_dir):
     """PageRank (operators/graph.py) over the customer→supplier trade
     graph (distinct pairs from orders⋈lineitem; node ids prefixed so the
@@ -3976,6 +4024,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_quality": text_lm_quality,
         # interpolated Kneser-Ney bigram LM (round 7, oracle-backed)
         "lm_kn_perplexity_docs": lm_kn_perplexity_docs,
+        # one-pass distributed ridge regression (round 7, oracle-backed)
+        "ridge_regression_lineitem": ridge_regression_lineitem,
         "dedup_substring_spans": dedup_substring_spans,
         "sample_stratified_topk": sample_stratified_topk,
         "topk_orders": topk_orders,
@@ -4093,6 +4143,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PageRank link-graph signal (float-order nondeterminism — graded
         # vs an independent numpy power iteration in tests)
         "pagerank_custsupp": pagerank_custsupp,
+        # LPA community detection (round 7, rows-only: no SQL community oracle)
+        "communities_lpa": communities_lpa,
         "bpe_token_stats": bpe_token_stats_docs,
         "text_quality_classifier": text_quality_classifier,
         "embed_pca_project": embed_pca_project,
@@ -5261,6 +5313,69 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c JOIN bench b USING (gh)
             GROUP BY c.doc_id
             ORDER BY c.doc_id
+        """,
+        # identical exact-decimal moments and the identical Cramer/R²/RMSE
+        # double expression tree as operators/linreg.py ridge_fit_2feature
+        "ridge_regression_lineitem": """
+            WITH m AS (
+                SELECT COUNT(*) AS n,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s0,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
+                                * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s00,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
+                                * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s0y,
+                       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))
+                                * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s10,
+                       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))
+                                * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s11,
+                       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))
+                                * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s1y,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                                * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ), solve AS (
+                SELECT n, CAST(n AS DOUBLE) AS nd, s0, s00, s0y, s1, s10, s11,
+                       s1y, sy, syy,
+                       (s00 + 100.0) AS a11, (s11 + 100.0) AS a22
+                FROM m
+            ), dets AS (
+                SELECT *,
+                       nd * (a11 * a22 - s10 * s10)
+                         - s0 * (s0 * a22 - s10 * s1)
+                         + s1 * (s0 * s10 - a11 * s1) AS det,
+                       sy * (a11 * a22 - s10 * s10)
+                         - s0 * (s0y * a22 - s10 * s1y)
+                         + s1 * (s0y * s10 - a11 * s1y) AS det0,
+                       nd * (s0y * a22 - s10 * s1y)
+                         - sy * (s0 * a22 - s10 * s1)
+                         + s1 * (s0 * s1y - s0y * s1) AS det1,
+                       nd * (a11 * s1y - s0y * s10)
+                         - s0 * (s0 * s1y - s0y * s1)
+                         + sy * (s0 * s10 - a11 * s1) AS det2
+                FROM solve
+            ), theta AS (
+                SELECT *, det0 / det AS t0, det1 / det AS t1, det2 / det AS t2
+                FROM dets
+            ), fit AS (
+                SELECT *,
+                       syy - 2.0 * (t0 * sy + t1 * s0y + t2 * s1y)
+                           + (t0 * t0 * nd + t1 * t1 * s00 + t2 * t2 * s11
+                              + 2.0 * (t0 * t1 * s0 + t0 * t2 * s1 + t1 * t2 * s10))
+                           AS ss_res,
+                       syy - sy * sy / nd AS ss_tot
+                FROM theta
+            )
+            SELECT n,
+                   ROUND(t0, 6) AS theta0,
+                   ROUND(t1, 6) AS theta1,
+                   ROUND(t2, 6) AS theta2,
+                   ROUND(1.0 - ss_res / ss_tot, 9) AS r2,
+                   ROUND(sqrt(ss_res / nd), 6) AS rmse
+            FROM fit
         """,
         # identical tokenization, counts, KN regimes, and sorted left-fold;
         # every arithmetic op in the same order as operators/lm_kn.py

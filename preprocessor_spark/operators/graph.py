@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from preprocessor_spark.caching import register_persisted
 
@@ -363,3 +364,72 @@ def clustering_coefficient(
             .alias("coeff"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection → (node,
+    community); community ids are node ids (each community is named after
+    one of its members).
+
+    Classic asynchronous LPA (Raghavan et al. 2007) is update-order-
+    dependent; the GraphFrames/Pregel formulation used here is synchronous
+    with a DETERMINISTIC tie-break — each round every node adopts the most
+    frequent label among its neighbors *plus its own current label as one
+    extra vote* (the self-vote damps the 2-coloring oscillation synchronous
+    LPA exhibits on bipartite structures), ties broken by smallest label.
+    ``rounds`` is fixed, not convergence-polled, so the output is a pure
+    function of the edge set: stable under repartitioning and replayable.
+
+    Scale shape: per round ONE keyed join (labels onto the symmetric edge
+    list) and one (node, label) groupBy — no driver traffic at all;
+    ``localCheckpoint`` truncates the iterative lineage exactly like
+    :func:`connected_components`.
+    """
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = register_persisted(sym.persist())
+
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    ).localCheckpoint(eager=True)
+
+    w = Window.partitionBy("node").orderBy(
+        F.desc("votes"), F.asc("community")
+    )
+    for _ in range(rounds):
+        incoming = sym.join(
+            labels.select(F.col("node").alias("v"), "community"), "v"
+        ).select(F.col("u").alias("node"), "community")
+        votes = (
+            incoming.groupBy("node", "community")
+            .agg(F.count(F.lit(1)).alias("votes"))
+            # self-vote: the node's current label counts once more
+            .unionByName(
+                labels.select("node", "community", F.lit(1).alias("votes"))
+            )
+            .groupBy("node", "community")
+            .agg(F.sum("votes").alias("votes"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "community")
+            .localCheckpoint(eager=True)
+        )
+    return labels

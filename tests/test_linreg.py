@@ -1,0 +1,110 @@
+"""One-pass distributed ridge regression (operators/linreg.py): numpy
+closed-form parity, OLS-equals-lstsq at λ=0, null handling, the engine-
+exact 2-feature path vs the general solver, and repartition stability.
+(The graded query's DuckDB oracle runs via tests/test_queries.py.)"""
+
+import numpy as np
+import pytest
+
+from preprocessor_spark.operators.linreg import ridge_fit, ridge_fit_2feature
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from preprocessor_spark.session import get_spark
+
+    return get_spark("test-linreg", cpus=4)
+
+
+def _data(n=400, seed=2):
+    rng = np.random.default_rng(seed)
+    x1 = np.round(rng.uniform(0, 50, n), 2)
+    x2 = np.round(rng.uniform(0, 0.1, n), 2)
+    y = np.round(3.0 + 2.5 * x1 - 40.0 * x2 + rng.normal(0, 2, n), 2)
+    return x1, x2, y
+
+
+def _ridge_closed_form(X, y, l2):
+    n, p = X.shape
+    Xb = np.column_stack([np.ones(n), X])
+    A = Xb.T @ Xb
+    A[1:, 1:] += l2 * np.eye(p)
+    return np.linalg.solve(A, Xb.T @ y)
+
+
+def test_ols_matches_lstsq(spark):
+    x1, x2, y = _data()
+    df = spark.createDataFrame(
+        list(zip(x1, x2, y)), "x1 double, x2 double, y double"
+    )
+    fit = ridge_fit(df, ["x1", "x2"], "y", l2=0.0)
+    Xb = np.column_stack([np.ones(len(x1)), x1, x2])
+    ref, *_ = np.linalg.lstsq(Xb, y, rcond=None)
+    assert fit["intercept"] == pytest.approx(ref[0], rel=1e-9)
+    assert fit["coef"][0] == pytest.approx(ref[1], rel=1e-9)
+    assert fit["coef"][1] == pytest.approx(ref[2], rel=1e-9)
+    # residual-derived stats match the direct computation
+    resid = y - Xb @ ref
+    assert fit["rmse"] == pytest.approx(np.sqrt((resid**2).mean()), rel=1e-9)
+    ss_tot = ((y - y.mean()) ** 2).sum()
+    assert fit["r2"] == pytest.approx(1 - (resid**2).sum() / ss_tot, rel=1e-9)
+
+
+def test_ridge_matches_closed_form_and_shrinks(spark):
+    x1, x2, y = _data()
+    df = spark.createDataFrame(
+        list(zip(x1, x2, y)), "x1 double, x2 double, y double"
+    )
+    lam = 500.0
+    fit = ridge_fit(df, ["x1", "x2"], "y", l2=lam)
+    ref = _ridge_closed_form(np.column_stack([x1, x2]), y, lam)
+    assert fit["intercept"] == pytest.approx(ref[0], rel=1e-9)
+    assert fit["coef"] == pytest.approx(list(ref[1:]), rel=1e-9)
+    ols = ridge_fit(df, ["x1", "x2"], "y", l2=0.0)
+    # L2 shrinks the coefficient norm
+    assert np.hypot(*fit["coef"]) < np.hypot(*ols["coef"])
+
+
+def test_2feature_expression_path_equals_general(spark):
+    x1, x2, y = _data(seed=5)
+    df = spark.createDataFrame(
+        list(zip(x1, x2, y)), "x1 double, x2 double, y double"
+    )
+    lam = 100.0
+    row = ridge_fit_2feature(df, "x1", "x2", "y", l2=lam).collect()[0]
+    fit = ridge_fit(df, ["x1", "x2"], "y", l2=lam)
+    assert row["theta0"] == pytest.approx(fit["intercept"], rel=1e-12)
+    assert row["theta1"] == pytest.approx(fit["coef"][0], rel=1e-12)
+    assert row["theta2"] == pytest.approx(fit["coef"][1], rel=1e-12)
+    assert row["r2"] == pytest.approx(fit["r2"], rel=1e-9)
+    assert row["rmse"] == pytest.approx(fit["rmse"], rel=1e-9)
+    assert row["n"] == len(x1)
+
+
+def test_nulls_dropped_rowwise(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0, 10.0), (2.0, None, 20.0), (3.0, 2.0, None), (4.0, 3.0, 40.0)],
+        "x1 double, x2 double, y double",
+    )
+    fit = ridge_fit(df, ["x1", "x2"], "y", l2=0.0)
+    assert fit["n"] == 2  # only fully-populated rows enter the Gram matrix
+
+
+def test_repartition_exactness(spark):
+    """Decimal accumulation makes the fit bit-identical under any physical
+    partitioning — the property that lets the query carry a value oracle."""
+    x1, x2, y = _data(seed=7)
+    df = spark.createDataFrame(
+        list(zip(x1, x2, y)), "x1 double, x2 double, y double"
+    )
+    a = ridge_fit_2feature(df, "x1", "x2", "y", l2=100.0).collect()[0]
+    b = ridge_fit_2feature(
+        df.repartition(17), "x1", "x2", "y", l2=100.0
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_underdetermined_raises(spark):
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], "x1 double, x2 double, y double")
+    with pytest.raises(ValueError, match="rows <"):
+        ridge_fit(df, ["x1", "x2"], "y")

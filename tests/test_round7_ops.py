@@ -259,3 +259,59 @@ class TestCohortOffsetArithmetic:
             ("2024-01-01 00:00:00", 1): 1,
             ("2024-01-01 00:00:00", 2): 2,
         }
+
+
+class TestLabelPropagation:
+    def _edges(self, spark):
+        # two 5-cliques bridged by ONE edge: LPA must keep them separate
+        rows = []
+        for base in (0, 100):
+            for i in range(5):
+                for j in range(i + 1, 5):
+                    rows.append((base + i, base + j))
+        rows.append((4, 100))  # the bridge
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    def test_planted_cliques_split(self, spark):
+        from preprocessor_spark.operators.graph import label_propagation
+
+        out = label_propagation(self._edges(spark), rounds=5).collect()
+        comm = {r.node: r.community for r in out}
+        assert len(comm) == 10
+        left = {comm[i] for i in range(5)}
+        right = {comm[100 + i] for i in range(5)}
+        assert len(left) == 1 and len(right) == 1, (left, right)
+        assert left != right  # the bridge must not merge the cliques
+        # community names are member ids
+        assert left.pop() in range(5) and right.pop() in range(100, 105)
+
+    def test_repartition_determinism(self, spark):
+        from preprocessor_spark.operators.graph import label_propagation
+
+        e = self._edges(spark)
+        a = sorted(map(tuple, label_propagation(e, rounds=4).collect()))
+        b = sorted(
+            map(tuple, label_propagation(e.repartition(7), rounds=4).collect())
+        )
+        assert a == b
+
+    def test_star_adopts_hub_or_leaf_consistently(self, spark):
+        """A star graph: leaves see only the hub; after round 1 every leaf
+        carries the hub's (round-0) label — one community total."""
+        from preprocessor_spark.operators.graph import label_propagation
+
+        rows = [(0, i) for i in range(1, 9)]
+        e = spark.createDataFrame(rows, "src long, dst long")
+        out = label_propagation(e, rounds=3).collect()
+        assert len({r.community for r in out}) == 1
+
+    def test_no_cartesian(self, spark):
+        from preprocessor_spark.operators.graph import label_propagation
+
+        plan = (
+            label_propagation(self._edges(spark), rounds=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
