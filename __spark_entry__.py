@@ -5318,21 +5318,25 @@ def oracle_sql() -> dict[str, str]:
         # double expression tree as operators/linreg.py ridge_fit_2feature
         "ridge_regression_lineitem": """
             WITH m AS (
+                -- first factor widened to (19,6): DuckDB then binds the
+                -- multiply hugeint-backed as DECIMAL(37,12) (18×18 would
+                -- overflow int64 at runtime); exact scale-12 integers,
+                -- identical to Spark's DECIMAL(37,12) products
                 SELECT COUNT(*) AS n,
                        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s0,
-                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
                                 * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s00,
-                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
                                 * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s0y,
                        CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-                       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))
+                       CAST(SUM(CAST(l_discount AS DECIMAL(19,6))
                                 * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s10,
-                       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))
+                       CAST(SUM(CAST(l_discount AS DECIMAL(19,6))
                                 * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s11,
-                       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))
+                       CAST(SUM(CAST(l_discount AS DECIMAL(19,6))
                                 * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s1y,
                        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
                                 * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS syy
                 FROM lineitem
                 WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL

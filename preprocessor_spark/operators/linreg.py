@@ -31,15 +31,31 @@ from pyspark.sql import functions as F
 
 # (18,6): products are DECIMAL(37,12) — inside BOTH Spark's and DuckDB's
 # 38-digit width, so every engine accumulates the identical exact value.
-# Inputs are rounded to 6 decimals on the way in; pre-scale to ints if you
-# need more fractional precision.
+# (DuckDB needs one factor widened to (19,6) at the cast site so the
+# multiply binds hugeint-backed — see the oracle SQL.) Inputs are rounded
+# to 6 decimals on the way in; pre-scale to ints if you need more
+# fractional precision. Magnitude bound: |x| must be < 1e12 — larger
+# values overflow the DECIMAL(18,6) cast to NULL under non-ANSI Spark.
+# Both fit paths detect that (n vs n_raw) and raise instead of silently
+# skewing the moments.
 _DEC = "decimal(18,6)"
+
+_OVERFLOW_MSG = (
+    "ridge: input magnitude >= 1e12 overflows the DECIMAL(18,6) moment "
+    "cast; pre-scale the column"
+)
 
 
 def _moment_aggs(features: list[str], target: str) -> list:
     """Exact-decimal sums for the full normal-equation system."""
     cols = {c: F.col(c).cast(_DEC) for c in [*features, target]}
-    aggs = [F.count(F.lit(1)).alias("n")]
+    all_valid = None
+    for c in cols.values():
+        all_valid = c.isNotNull() if all_valid is None else (all_valid & c.isNotNull())
+    aggs = [
+        F.count(F.when(all_valid, F.lit(1))).alias("n"),
+        F.count(F.lit(1)).alias("n_raw"),
+    ]
     for i, fi in enumerate(features):
         aggs.append(F.sum(cols[fi]).cast("double").alias(f"s_{i}"))
         for j, fj in enumerate(features[: i + 1]):
@@ -65,6 +81,8 @@ def ridge_fit(
     cols = [*features, target]
     clean = df.dropna(subset=cols)
     row = clean.groupBy().agg(*_moment_aggs(features, target)).collect()[0]
+    if row["n"] != row["n_raw"]:
+        raise ValueError(_OVERFLOW_MSG)
     p = len(features)
     n = float(row["n"])
     if n < p + 1:
@@ -142,8 +160,16 @@ def ridge_fit_2feature(
         )
     )
     ss_tot = syy - sy * sy / n
-    return m.select(
+    # overflow guard: assert_true raises at runtime if any decimal cast
+    # overflowed to NULL (n < n_raw); passes → NULL → coalesce yields n
+    n_guarded = F.coalesce(
+        F.assert_true(
+            F.col("n") == F.col("n_raw"), F.lit(_OVERFLOW_MSG)
+        ).cast("long"),
         F.col("n"),
+    )
+    return m.select(
+        n_guarded.alias("n"),
         t0.alias("theta0"),
         t1.alias("theta1"),
         t2.alias("theta2"),

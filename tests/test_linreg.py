@@ -24,6 +24,14 @@ def _data(n=400, seed=2):
     return x1, x2, y
 
 
+def _df(spark, x1, x2, y):
+    # .tolist(): PySpark rejects numpy.float64 in createDataFrame rows
+    return spark.createDataFrame(
+        list(zip(x1.tolist(), x2.tolist(), y.tolist())),
+        "x1 double, x2 double, y double",
+    )
+
+
 def _ridge_closed_form(X, y, l2):
     n, p = X.shape
     Xb = np.column_stack([np.ones(n), X])
@@ -34,9 +42,7 @@ def _ridge_closed_form(X, y, l2):
 
 def test_ols_matches_lstsq(spark):
     x1, x2, y = _data()
-    df = spark.createDataFrame(
-        list(zip(x1, x2, y)), "x1 double, x2 double, y double"
-    )
+    df = _df(spark, x1, x2, y)
     fit = ridge_fit(df, ["x1", "x2"], "y", l2=0.0)
     Xb = np.column_stack([np.ones(len(x1)), x1, x2])
     ref, *_ = np.linalg.lstsq(Xb, y, rcond=None)
@@ -52,9 +58,7 @@ def test_ols_matches_lstsq(spark):
 
 def test_ridge_matches_closed_form_and_shrinks(spark):
     x1, x2, y = _data()
-    df = spark.createDataFrame(
-        list(zip(x1, x2, y)), "x1 double, x2 double, y double"
-    )
+    df = _df(spark, x1, x2, y)
     lam = 500.0
     fit = ridge_fit(df, ["x1", "x2"], "y", l2=lam)
     ref = _ridge_closed_form(np.column_stack([x1, x2]), y, lam)
@@ -67,9 +71,7 @@ def test_ridge_matches_closed_form_and_shrinks(spark):
 
 def test_2feature_expression_path_equals_general(spark):
     x1, x2, y = _data(seed=5)
-    df = spark.createDataFrame(
-        list(zip(x1, x2, y)), "x1 double, x2 double, y double"
-    )
+    df = _df(spark, x1, x2, y)
     lam = 100.0
     row = ridge_fit_2feature(df, "x1", "x2", "y", l2=lam).collect()[0]
     fit = ridge_fit(df, ["x1", "x2"], "y", l2=lam)
@@ -83,20 +85,24 @@ def test_2feature_expression_path_equals_general(spark):
 
 def test_nulls_dropped_rowwise(spark):
     df = spark.createDataFrame(
-        [(1.0, 1.0, 10.0), (2.0, None, 20.0), (3.0, 2.0, None), (4.0, 3.0, 40.0)],
+        [
+            (1.0, 1.0, 10.0),
+            (2.0, None, 20.0),
+            (3.0, 2.0, None),
+            (4.0, 3.0, 40.0),
+            (5.0, 1.5, 50.0),
+        ],
         "x1 double, x2 double, y double",
     )
     fit = ridge_fit(df, ["x1", "x2"], "y", l2=0.0)
-    assert fit["n"] == 2  # only fully-populated rows enter the Gram matrix
+    assert fit["n"] == 3  # only fully-populated rows enter the Gram matrix
 
 
 def test_repartition_exactness(spark):
     """Decimal accumulation makes the fit bit-identical under any physical
     partitioning — the property that lets the query carry a value oracle."""
     x1, x2, y = _data(seed=7)
-    df = spark.createDataFrame(
-        list(zip(x1, x2, y)), "x1 double, x2 double, y double"
-    )
+    df = _df(spark, x1, x2, y)
     a = ridge_fit_2feature(df, "x1", "x2", "y", l2=100.0).collect()[0]
     b = ridge_fit_2feature(
         df.repartition(17), "x1", "x2", "y", l2=100.0
@@ -108,3 +114,25 @@ def test_underdetermined_raises(spark):
     df = spark.createDataFrame([(1.0, 2.0, 3.0)], "x1 double, x2 double, y double")
     with pytest.raises(ValueError, match="rows <"):
         ridge_fit(df, ["x1", "x2"], "y")
+
+
+def test_magnitude_overflow_raises(spark):
+    """|x| >= 1e12 overflows the DECIMAL(18,6) moment cast. Under ANSI
+    (Spark 4 default) the cast itself errors loudly; under non-ANSI it
+    yields NULL and the n/n_raw guard raises instead. Either way the fit
+    must refuse rather than silently drop the row (ADVICE round 7)."""
+    rows = [(1.0e13, 1.0, 2.0), (2.0, 3.0, 4.0), (5.0, 6.0, 7.0), (8.0, 9.0, 10.0)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    loud = "1e12|NUMERIC_VALUE_OUT_OF_RANGE"
+    with pytest.raises(Exception, match=loud):
+        ridge_fit(df, ["x1", "x2"], "y")
+    with pytest.raises(Exception, match=loud):
+        ridge_fit_2feature(df, "x1", "x2", "y").collect()
+    # non-ANSI: the NULL-drop path must hit the n/n_raw guard
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(ValueError, match="1e12"):
+            ridge_fit(df, ["x1", "x2"], "y")
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
