@@ -203,7 +203,10 @@ def _welch_psd(v: np.ndarray) -> np.ndarray:
         return np.array([np.nan])
     noverlap = nperseg // 2
     step = nperseg - noverlap
-    win = np.hanning(nperseg)
+    # periodic Hann (scipy get_window default, fftbins=True): denominator
+    # nperseg, NOT the symmetric np.hanning (denominator nperseg-1) —
+    # tsfresh's spkt_welch_density/fourier_entropy go through scipy.welch
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(nperseg) / nperseg)
     scale = 1.0 / (win * win).sum()
     segs = []
     for start in range(0, n - nperseg + 1, step):
@@ -511,9 +514,14 @@ def _series_features_nan(v: np.ndarray) -> dict[str, float]:
             np.sort(np.abs(v))[-MEAN_N_ABS_MAX:].mean()
         )
 
-    pos = np.abs(v[np.isfinite(v) & (v != 0)])
-    if len(pos):
-        digit = (pos / 10.0 ** np.floor(np.log10(pos))).astype(int)
+    # tsfresh keeps zeros/NaN in the denominator: nan_to_num, leading digit
+    # of EVERY element (0 for zeros — matches '0' from
+    # np.format_float_scientific), (digit==d).mean() over the full length
+    ax = np.abs(np.nan_to_num(v))
+    if len(ax):
+        digit = np.zeros(len(ax), dtype=int)
+        nz = ax > 0
+        digit[nz] = (ax[nz] / 10.0 ** np.floor(np.log10(ax[nz]))).astype(int)
         dist = np.array([(digit == d).mean() for d in range(1, 10)])
         benford = np.log10(1.0 + 1.0 / np.arange(1, 10))
         if dist.std() > 0:
@@ -525,11 +533,13 @@ def _series_features_nan(v: np.ndarray) -> dict[str, float]:
             out[
                 f"friedrich_coefficients_coeff_{j}_m_{FRIEDRICH_M}_r_{FRIEDRICH_R}"
             ] = float(coeffs[j])
+        # tsfresh: max over real PARTS of all roots (complex included);
+        # NaN only when that max exceeds max(x)
         roots = np.roots(coeffs)
-        real = np.real(roots[np.isreal(roots)])
-        real = real[real < v.max()]
-        if len(real):
-            out["max_langevin_fixed_point"] = float(real.max())
+        if len(roots):
+            mfp = float(np.real(roots).max())
+            if mfp <= v.max():
+                out["max_langevin_fixed_point"] = mfp
 
     return out
 

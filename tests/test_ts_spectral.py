@@ -315,3 +315,52 @@ def test_spark_matches_local_and_is_repartition_deterministic(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_welch_periodic_hann_values():
+    """Value-level check vs scipy.signal.welch semantics (ADVICE round 7):
+    one 8-sample segment, computed here from the textbook Welch formula
+    with the periodic-Hann window values HARDCODED (denominator nperseg=8),
+    so reintroducing np.hanning's symmetric window (denominator 7) fails."""
+    v = np.array([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0])
+    # 0.5 - 0.5*cos(2*pi*n/8), n=0..7 — literal values
+    w = np.array([0.0, 0.14644660940672627, 0.5, 0.8535533905932737,
+                  1.0, 0.8535533905932737, 0.5, 0.14644660940672627])
+    seg = (v - v.mean()) * w
+    fx = np.fft.rfft(seg)
+    expected = (fx.real**2 + fx.imag**2) / (w * w).sum()
+    expected[1:-1] *= 2.0  # one-sided, even nperseg
+    np.testing.assert_allclose(S._welch_psd(v), expected, rtol=1e-12)
+    # symmetric np.hanning would change (w*w).sum() from exactly 3.0
+    assert (w * w).sum() == pytest.approx(3.0, rel=1e-12)
+
+
+def test_benford_keeps_zeros_in_denominator():
+    """tsfresh maps zeros/NaN to digit 0 but keeps them in the .mean()
+    denominator (ADVICE round 7): with half the series zero, every digit
+    share is halved but the correlation is over the same shape."""
+    base = np.array([1.0, 1.2, 2.5, 3.1, 1.9, 8.4, 1.1, 2.2, 9.9, 4.0])
+    with_zeros = np.concatenate([base, np.zeros(10)])
+    benford = np.log10(1.0 + 1.0 / np.arange(1, 10))
+
+    def ref_corr(x):
+        ax = np.abs(np.nan_to_num(x))
+        digits = [int(f"{a:e}"[0]) if a > 0 else 0 for a in ax]
+        dist = np.array([np.mean([d == k for d in digits]) for k in range(1, 10)])
+        return float(np.corrcoef(benford, dist)[0, 1])
+
+    f0 = S._series_features(base)["benford_correlation"]
+    f1 = S._series_features(with_zeros)["benford_correlation"]
+    assert f0 == pytest.approx(ref_corr(base), rel=1e-12)
+    assert f1 == pytest.approx(ref_corr(with_zeros), rel=1e-12)
+    # halving every share rescales dist linearly -> correlation unchanged
+    assert f1 == pytest.approx(f0, rel=1e-12)
+
+
+def test_langevin_uses_real_parts_of_complex_roots():
+    """tsfresh takes max(np.real(roots)) over ALL cubic roots — complex
+    included — and NaNs only when that exceeds max(x) (ADVICE round 7)."""
+    coeffs = [1.0, -2.0, 4.0, -8.0]  # roots: 2, ±2i -> max real part = 2
+    roots = np.roots(coeffs)
+    assert np.isreal(roots).sum() == 1
+    assert float(np.real(roots).max()) == pytest.approx(2.0)
