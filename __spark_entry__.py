@@ -3885,8 +3885,6 @@ _GRADED_WINDOW = [
     "sessionize_user_events",
     "embed_neardup",
     "knn_bruteforce",
-    "text_profile_docs",
-    "split_documents",
     "text_gopher_quality",
     "search_bm25_docs",
     "pack_documents_plan",
@@ -3946,6 +3944,13 @@ _GRADED_WINDOW = [
     "event_transitions_markov",
     "drift_orders_ks",
     "keyword_tfidf_docs",
+    # round-8 promotion: the two round-7 value-oracled operators (KN bigram
+    # LM with the sorted-left-fold float contract; ridge regression with
+    # the bit-exact Cramer expression tree). Displaced basics
+    # (text_profile_docs, split_documents) remain oracle-graded locally at
+    # 51+ — same policy as rounds 4-7.
+    "lm_kn_perplexity_docs",
+    "ridge_regression_lineitem",
 ]
 
 

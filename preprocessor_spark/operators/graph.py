@@ -412,24 +412,30 @@ def label_propagation(
     w = Window.partitionBy("node").orderBy(
         F.desc("votes"), F.asc("community")
     )
-    for _ in range(rounds):
+    for r in range(rounds):
         incoming = sym.join(
             labels.select(F.col("node").alias("v"), "community"), "v"
         ).select(F.col("u").alias("node"), "community")
+        # self-vote folded into the ONE vote aggregation: union the node's
+        # own (node, community) row with the neighbor stream and count —
+        # identical votes to count+union+re-sum but a single shuffle/agg
+        # per round instead of two
         votes = (
-            incoming.groupBy("node", "community")
-            .agg(F.count(F.lit(1)).alias("votes"))
-            # self-vote: the node's current label counts once more
-            .unionByName(
-                labels.select("node", "community", F.lit(1).alias("votes"))
-            )
+            incoming.unionByName(labels.select("node", "community"))
             .groupBy("node", "community")
-            .agg(F.sum("votes").alias("votes"))
+            .agg(F.count(F.lit(1)).alias("votes"))
         )
         labels = (
             votes.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("node", "community")
-            .localCheckpoint(eager=True)
         )
+        # eager-materialize every OTHER round (and the last): halves the
+        # per-round job-launch + checkpoint cost; off rounds persist so the
+        # two uses of `labels` next round compute the 2-round plan once,
+        # and lineage still truncates every 2 rounds
+        if r % 2 == 1 or r == rounds - 1:
+            labels = labels.localCheckpoint(eager=True)
+        else:
+            labels = register_persisted(labels.persist())
     return labels
