@@ -23,11 +23,12 @@ table (reference ``clearbox_preprocessor/preprocessor.py:558-638``); the
 feature formulas below re-express tsfresh's default ``ComprehensiveFCParameters``
 entries (names follow tsfresh's ``{column}__{feature}`` convention with
 parameters folded in, dots/quotes adapted to Spark-safe column names).
-Not implemented (documented capability bounds): ``augmented_dickey_fuller``
-(needs MacKinnon response-surface p-value tables), ``number_cwt_peaks``
-(scipy's ridge-line peak finder), and ``matrix_profile`` /
-``query_similarity_count`` (tsfresh itself returns NaN for these without
-optional native dependencies).
+``augmented_dickey_fuller`` is implemented pure-numpy (autolag-AIC
+regression + embedded MacKinnon response-surface p-values — see
+``_adfuller``). Not implemented (final documented capability bounds):
+``number_cwt_peaks`` (scipy's ridge-line peak finder) and
+``matrix_profile`` / ``query_similarity_count`` (tsfresh itself returns
+NaN for these without optional native dependencies).
 
 Grading: rows-only by design (libm/FFT float math is not DuckDB-replayable
 bit-for-bit); `tests/test_ts_spectral.py` checks every family against
@@ -107,6 +108,10 @@ def _catalog() -> list[str]:
         for j in range(FRIEDRICH_M + 1)
     ]
     names += ["max_langevin_fixed_point"]
+    names += [
+        f"augmented_dickey_fuller_{a}_autolag_aic"
+        for a in ("teststat", "pvalue", "usedlag")
+    ]
     return names
 
 
@@ -220,6 +225,95 @@ def _welch_psd(v: np.ndarray) -> np.ndarray:
             p[1:] *= 2.0
         segs.append(p)
     return np.mean(segs, axis=0)
+
+
+# MacKinnon (1994; 2010 update) response-surface coefficients for the ADF
+# tau distribution — regression="c", one I(1) variable. These are the
+# published constants statsmodels embeds (tsfresh's augmented_dickey_fuller
+# calls statsmodels.adfuller); validated in tests against the textbook
+# Dickey-Fuller critical values p(-3.43)≈0.01, p(-2.86)≈0.05, p(-2.57)≈0.10.
+_ADF_TAU_MAX = 2.74
+_ADF_TAU_MIN = -18.83
+_ADF_TAU_STAR = -1.61
+_ADF_TAU_SMALLP = (2.1659, 1.4412, 0.038269)
+_ADF_TAU_LARGEP = (1.7339, 0.93202, -0.12745, -0.010368)
+
+
+def _adf_pvalue(stat: float) -> float:
+    """MacKinnon approximate asymptotic p-value (statsmodels ``mackinnonp``
+    semantics, regression='c', N=1): Φ(poly(stat)) with the response-
+    surface polynomial, clamped to {0, 1} outside the tabulated range."""
+    if stat > _ADF_TAU_MAX:
+        return 1.0
+    if stat < _ADF_TAU_MIN:
+        return 0.0
+    coef = _ADF_TAU_SMALLP if stat <= _ADF_TAU_STAR else _ADF_TAU_LARGEP
+    z = 0.0
+    for i, c in enumerate(coef):
+        z += c * stat**i
+    return 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+
+
+def _adfuller(v: np.ndarray):
+    """statsmodels ``adfuller(x, regression='c', autolag='AIC')``
+    re-expressed in numpy: Δx_t on [x_{t-1}, Δx_{t-1..k}, const], k chosen
+    by OLS-AIC over 0..maxlag (Schwert's 12·(n/100)^¼ rule, all candidates
+    on the maxlag-trimmed common rows, ties → smallest k), then refit on
+    the usedlag-trimmed rows; teststat is the t-ratio on x_{t-1}, p-value
+    from the MacKinnon response surface. Returns (teststat, pvalue,
+    usedlag) or None for series too short/degenerate (tsfresh NaNs those).
+    """
+    x = np.asarray(v, dtype=float)
+    n = len(x)
+    maxlag = min(int(np.ceil(12.0 * (n / 100.0) ** 0.25)), n // 2 - 2)
+    if maxlag < 0:
+        return None
+    xdiff = np.diff(x)
+    nobs = len(xdiff) - maxlag
+    if nobs < maxlag + 3:  # every candidate fit needs dof > 0
+        return None
+
+    def _design(k: int, rows: int):
+        level = x[-rows - 1 : -1]
+        lags = [xdiff[k - j : len(xdiff) - j] for j in range(1, k + 1)]
+        return level, lags, xdiff[-rows:]
+
+    # AIC selection over the common maxlag-trimmed rows (statsmodels
+    # _autolag slices one full design matrix, so rows are shared)
+    level, lags, dep = _design(maxlag, nobs)
+    fullX = np.column_stack([np.ones(nobs), level, *lags])
+    best_aic, usedlag = math.inf, 0
+    for k in range(maxlag + 1):
+        X = fullX[:, : 2 + k]
+        params, *_ = np.linalg.lstsq(X, dep, rcond=None)
+        resid = dep - X @ params
+        ssr = float(resid @ resid)
+        if ssr <= 0.0:
+            return None  # degenerate (e.g. constant series)
+        llf = -nobs / 2.0 * (1.0 + math.log(2.0 * math.pi) + math.log(ssr / nobs))
+        aic = -2.0 * llf + 2.0 * X.shape[1]
+        if aic < best_aic:
+            best_aic, usedlag = aic, k
+    # final regression, re-trimmed at usedlag (more rows when usedlag<maxlag)
+    rows = len(xdiff) - usedlag
+    level, lags, dep = _design(usedlag, rows)
+    X = np.column_stack([level, *lags, np.ones(rows)])  # const appended last
+    XtX = X.T @ X
+    try:
+        XtX_inv = np.linalg.inv(XtX)
+    except np.linalg.LinAlgError:
+        return None
+    params = XtX_inv @ (X.T @ dep)
+    resid = dep - X @ params
+    dof = rows - X.shape[1]
+    if dof <= 0:
+        return None
+    s2 = float(resid @ resid) / dof
+    var0 = s2 * XtX_inv[0, 0]
+    if not var0 > 0.0:
+        return None
+    stat = float(params[0] / math.sqrt(var0))
+    return stat, _adf_pvalue(stat), usedlag
 
 
 def _ricker(points: int, a: float) -> np.ndarray:
@@ -450,6 +544,15 @@ def _series_features_nan(v: np.ndarray) -> dict[str, float]:
         params, *_ = np.linalg.lstsq(X, v[AR_K:], rcond=None)
         for j in range(AR_K + 1):
             out[f"ar_coefficient_coeff_{j}_k_{AR_K}"] = float(params[j])
+
+    try:
+        adf = _adfuller(v)
+    except (np.linalg.LinAlgError, ValueError):
+        adf = None  # tsfresh NaNs short/degenerate series the same way
+    if adf is not None:
+        out["augmented_dickey_fuller_teststat_autolag_aic"] = adf[0]
+        out["augmented_dickey_fuller_pvalue_autolag_aic"] = adf[1]
+        out["augmented_dickey_fuller_usedlag_autolag_aic"] = float(adf[2])
 
     # partial autocorrelation via Levinson-Durbin on the biased acov
     # (statsmodels pacf(method="ld"), tsfresh's choice)

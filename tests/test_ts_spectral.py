@@ -364,3 +364,73 @@ def test_langevin_uses_real_parts_of_complex_roots():
     roots = np.roots(coeffs)
     assert np.isreal(roots).sum() == 1
     assert float(np.real(roots).max()) == pytest.approx(2.0)
+
+
+def test_adf_mackinnon_critical_values():
+    """The embedded MacKinnon response surface must reproduce the textbook
+    asymptotic Dickey-Fuller critical values for regression='c': p(-3.43)
+    ~= 1%, p(-2.86) ~= 5%, p(-2.57) ~= 10% — an EXTERNAL check on the
+    constants, independent of any implementation here."""
+    assert S._adf_pvalue(-3.43) == pytest.approx(0.01, abs=0.0015)
+    assert S._adf_pvalue(-2.86) == pytest.approx(0.05, abs=0.002)
+    assert S._adf_pvalue(-2.57) == pytest.approx(0.10, abs=0.003)
+    # range clamps
+    assert S._adf_pvalue(3.0) == 1.0
+    assert S._adf_pvalue(-25.0) == 0.0
+    # the small-p / large-p polynomial branches agree at the switch point
+    lo = S._adf_pvalue(-1.61)
+    hi = S._adf_pvalue(-1.6099999)
+    assert hi == pytest.approx(lo, abs=1e-3)
+    # monotone nonincreasing in the statistic across the whole range
+    grid = np.linspace(-18.8, 2.7, 200)
+    ps = [S._adf_pvalue(t) for t in grid]
+    assert all(a <= b + 1e-12 for a, b in zip(ps, ps[1:]))
+
+
+def test_adf_discriminates_unit_root_from_stationary():
+    rng = np.random.default_rng(3)
+    walk = np.cumsum(rng.normal(0, 1, 500))          # unit root
+    ar = np.zeros(500)                               # stationary AR(1)
+    for t in range(1, 500):
+        ar[t] = 0.5 * ar[t - 1] + rng.normal(0, 1)
+    stat_w, p_w, lag_w = S._adfuller(walk)
+    stat_a, p_a, lag_a = S._adfuller(ar)
+    assert p_w > 0.10          # cannot reject unit root on a random walk
+    assert p_a < 0.01          # strongly rejects on stationary AR(1)
+    assert stat_a < stat_w
+    maxlag = int(np.ceil(12 * (500 / 100) ** 0.25))
+    assert 0 <= lag_w <= maxlag and 0 <= lag_a <= maxlag
+    # deterministic
+    assert S._adfuller(walk) == S._adfuller(walk)
+
+
+def test_adf_lag0_teststat_matches_direct_regression():
+    """When AIC selects k=0 the statistic must equal the straight-line
+    OLS t-ratio of Δx_t on [x_{t-1}, 1], computed here independently."""
+    rng = np.random.default_rng(9)
+    x = np.zeros(120)
+    for t in range(1, 120):
+        x[t] = 0.2 * x[t - 1] + rng.normal(0, 1)
+    stat, pval, usedlag = S._adfuller(x)
+    if usedlag == 0:
+        dep = np.diff(x)
+        X = np.column_stack([x[:-1], np.ones(len(dep))])
+        beta = np.linalg.solve(X.T @ X, X.T @ dep)
+        resid = dep - X @ beta
+        s2 = resid @ resid / (len(dep) - 2)
+        se = np.sqrt(s2 * np.linalg.inv(X.T @ X)[0, 0])
+        assert stat == pytest.approx(beta[0] / se, rel=1e-10)
+    # degenerate inputs refuse instead of crashing
+    assert S._adfuller(np.ones(50)) is None
+    assert S._adfuller(np.arange(3.0)) is None
+
+
+def test_adf_features_emitted():
+    feats = S._series_features(SERIES)
+    ts = feats["augmented_dickey_fuller_teststat_autolag_aic"]
+    pv = feats["augmented_dickey_fuller_pvalue_autolag_aic"]
+    lag = feats["augmented_dickey_fuller_usedlag_autolag_aic"]
+    assert ts is not None and pv is not None and lag is not None
+    assert 0.0 <= pv <= 1.0
+    assert pv == pytest.approx(S._adf_pvalue(ts), rel=1e-12)
+    assert lag == int(lag) >= 0
