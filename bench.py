@@ -84,6 +84,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # True only when the WHOLE registry ran (no SPARK_GRAFT_BENCH_ONLY
+        # subset) — the regression guard requires the newest full recording
+        # to cover every registry query, so a stale/partial bench fails
+        # loudly instead of silently skipping new queries
+        "full": only is None,
         # embedded so the regression guard can pick the newest
         # committed recording content-wise (file mtime is just
         # checkout order after a fresh clone)
