@@ -1,14 +1,17 @@
-"""Per-query bench regression guard (round-4 verdict task 7): committed
-bench recordings must stay within a ceiling of the recorded round-4
-baseline, so suite-level drift fails loudly in `pytest` instead of
-surfacing as a judge diff next round.
+"""Per-query bench regression guard (round-4 task 7, widened round 8).
 
-The guard compares COMMITTED artifacts (pure JSON, no Spark session): the
-newest full sf0.1 recording in bench_results/ against the r4e baseline,
-and every sf1-derived recording against its sf0.1 sibling via
-scripts/scale_smoke.check. Ceiling = 1.5x + 0.5 s absolute slack — sized
-to the measured host variance (bench_results/DRIFT_NOTE_r5.md: identical
-plans vary up to ~1.4x quiet-to-quiet on this shared box)."""
+Round 7's gap: the guard only ceilinged queries present in the r4e
+baseline, silently skipping ~90 newer queries — exactly where round 6's
+unmeasured regression hid. Now every registry query must have a ceiling
+base in bench_results/ceilings.json (append-only, oldest-recording-wins —
+scripts/make_ceilings.py), the newest FULL sf0.1 recording must cover the
+whole registry (a stale bench fails loudly), and every covered timing must
+stay within ceiling.
+
+The guard compares COMMITTED artifacts (pure JSON, no Spark session).
+Ceiling = 1.5x + 0.5 s absolute slack — sized to the measured host
+variance (bench_results/DRIFT_NOTE_r5.md: identical plans vary up to ~1.4x
+quiet-to-quiet on this shared box)."""
 
 from __future__ import annotations
 
@@ -21,10 +24,26 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-BASELINE = os.path.join(REPO, "bench_results", "bench_sf0.1_r4e.json")
+CEILINGS = os.path.join(REPO, "bench_results", "ceilings.json")
+R4E = os.path.join(REPO, "bench_results", "bench_sf0.1_r4e.json")
 
 CEILING_RATIO = 1.5
 CEILING_SLACK = 0.5  # seconds — absorbs sub-second jitter on fast queries
+
+
+def _ceilings_doc() -> dict:
+    return json.load(open(CEILINGS))
+
+
+def _ceilings() -> dict[str, float]:
+    """Effective ceiling bases: append-only bases overridden by the LOUD
+    documented rebases (host-drift cases listed in DRIFT_NOTE_r8.md —
+    test_ceiling_bases_never_loosened enforces the documentation)."""
+    doc = _ceilings_doc()
+    out = dict(doc["ceilings"])
+    for q, info in doc.get("rebased", {}).items():
+        out[q] = info["base"]
+    return out
 
 
 def _full_sf01_artifacts():
@@ -51,38 +70,89 @@ def _recency_key(path: str, rec: dict) -> tuple:
     return (rec.get("recorded_unix", 0), round_key)
 
 
-def test_latest_sf01_recording_within_ceiling():
-    base = json.load(open(BASELINE))
+def _newest_full_recording():
     arts = _full_sf01_artifacts()
     assert arts, "no committed sf0.1 bench artifacts"
-    # newest by mtime, excluding the baseline itself; subset recordings
-    # (SPARK_GRAFT_BENCH_ONLY) guard only the queries they cover
-    newer = [(p, d) for p, d in arts if os.path.abspath(p) != os.path.abspath(BASELINE)]
-    if not newer:
-        pytest.skip("only the baseline recording exists")
-    path, rec = max(newer, key=lambda t: _recency_key(t[0], t[1]))
+    # pre-r8 artifacts lack the "full" flag but were always full runs
+    full = [(p, d) for p, d in arts if d.get("full", True)]
+    assert full, "no committed FULL sf0.1 bench recording"
+    return max(full, key=lambda t: _recency_key(t[0], t[1]))
+
+
+def test_every_registry_query_has_a_ceiling():
+    """Adding a queries() entry without recording a bench for it (and
+    appending its ceiling via scripts/make_ceilings.py) fails here — the
+    round-6/7 pattern of operators shipping with no regression ceiling."""
+    import bench
+
+    ceil = _ceilings()
+    missing = [q for q in bench.HEADLINE if q not in ceil]
+    assert not missing, (
+        f"registry queries without a ceiling base (run the full bench and "
+        f"scripts/make_ceilings.py): {missing}"
+    )
+
+
+def test_newest_full_recording_covers_registry():
+    """The stale-bench failure mode of round 7: a registry that grew after
+    the last full recording. The newest committed full recording must time
+    every current registry query."""
+    import bench
+
+    path, rec = _newest_full_recording()
+    missing = [q for q in bench.HEADLINE if q not in rec["queries"]]
+    assert not missing, (
+        f"{os.path.basename(path)} does not cover the current registry — "
+        f"re-record the full sf0.1 bench; missing: {missing}"
+    )
+
+
+def test_latest_sf01_recording_within_ceiling():
+    ceil = _ceilings()
+    path, rec = _newest_full_recording()
     over = []
     for q, t in rec["queries"].items():
-        b = base["queries"].get(q)
+        b = ceil.get(q)
         if b is None:
-            continue  # new query — no recorded baseline yet
+            continue  # coverage test above handles unknown queries
         if t > CEILING_RATIO * b + CEILING_SLACK:
             over.append((q, b, t, round(t / max(b, 1e-9), 2)))
     assert not over, (
         f"{os.path.basename(path)} regressed past {CEILING_RATIO}x+{CEILING_SLACK}s "
-        f"of the r4e baseline: {sorted(over, key=lambda x: -x[3])[:10]}"
+        f"of its ceiling base: {sorted(over, key=lambda x: -x[3])[:10]}"
     )
+
+
+def test_ceiling_bases_never_loosened():
+    """ceilings.json is append-only: every query the r4e baseline recorded
+    must keep its r4e base (regenerating the file cannot quietly raise the
+    bar a regression hides under). The ONLY escape is a loud rebase: an
+    entry in the `rebased` section carrying a substantive reason AND a
+    mention in a committed DRIFT_NOTE — silent loosening stays impossible."""
+    doc = _ceilings_doc()
+    r4e = json.load(open(R4E))["queries"]
+    base = doc["ceilings"]
+    drifted = {q: (b, base.get(q)) for q, b in r4e.items() if base.get(q) != b}
+    assert not drifted, f"r4e ceiling bases changed: {drifted}"
+    notes = " ".join(
+        open(p).read()
+        for p in glob.glob(os.path.join(REPO, "bench_results", "DRIFT_NOTE_*.md"))
+    )
+    for q, info in doc.get("rebased", {}).items():
+        assert len(info.get("reason", "")) >= 40, f"rebase of {q} lacks a reason"
+        assert q in notes, f"rebase of {q} not documented in any DRIFT_NOTE_*.md"
 
 
 def test_sf1_derived_recordings_scale_linearly():
     """Every committed sf1-derived recording must pass scale_smoke.check
-    against the r4e sf0.1 baseline (<=10x for 10x data, modulo the declared
-    supra-linear exceptions)."""
+    against its matching full sf0.1 recording (<=10x for 10x data, modulo
+    the declared supra-linear exceptions)."""
     from scripts.scale_smoke import check
 
     sf1s = sorted(glob.glob(os.path.join(REPO, "bench_results", "bench_sf1_derived_*.json")))
     if not sf1s:
         pytest.skip("no sf1-derived recordings committed")
+
     def _key(p):
         try:
             return _recency_key(p, json.load(open(p)))
@@ -90,4 +160,7 @@ def test_sf1_derived_recordings_scale_linearly():
             return (0, (0, ""))
 
     newest = max(sf1s, key=_key)
-    assert check(BASELINE, newest, 10.0) == 0, f"{os.path.basename(newest)} failed scale check"
+    base_path, _ = _newest_full_recording()
+    assert check(base_path, newest, 10.0) == 0, (
+        f"{os.path.basename(newest)} failed scale check vs {os.path.basename(base_path)}"
+    )
