@@ -2264,9 +2264,14 @@ def knn_graph_nndescent(spark, sf_dir):
     scale_smoke.py), while NN-descent does O(N·(ρk)²·d) per round via
     neighbors-of-neighbors candidate generation, hash-bucket seeding, and
     bounded per-node merges — every stage a keyed shuffle, no cross
-    products (plan-asserted). Rows-only (approximate by contract);
-    tests/test_nndescent.py pins a ≥0.9 recall floor vs brute force,
-    repartition determinism, and the duplicated-corpus clique bound."""
+    products (plan-asserted). Below exact_below=4096 vectors the builder
+    routes to the blocked exact GEMM (pynndescent-style small-N switch —
+    the iterative machinery costs more than the answer there), so sf0.1
+    rides the exact path and derived sf1+ exercises NN-descent proper.
+    Rows-only (approximate by contract); tests/test_nndescent.py pins a
+    ≥0.9 recall floor vs brute force on the FORCED iterative path
+    (exact_below=0), repartition determinism, the duplicated-corpus clique
+    bound, and exact-route equivalence."""
     from preprocessor_spark.caching import persist_scope
     from preprocessor_spark.operators.nndescent import nndescent_knn_graph
 

@@ -64,11 +64,21 @@ def _cosine_pairs_udf():
     return _cosine_pairs
 
 
-def _score(pairs: DataFrame, vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _score(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    broadcast_vectors: bool = False,
+) -> DataFrame:
     """(src, dst) -> (src, dst, sim): two keyed equi-joins attach the
-    vectors, one vectorized UDF scores. Sims round to 1e-6 for stable ties."""
+    vectors, one vectorized UDF scores. Sims round to 1e-6 for stable ties.
+    ``broadcast_vectors`` (decided once by the caller from N) turns both
+    attach joins map-side — the pair stream then never shuffles."""
     va = vectors.select(F.col(id_col).alias("src"), F.col(vec_col).alias("__va"))
     vb = vectors.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("__vb"))
+    if broadcast_vectors:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     return (
         pairs.join(va, "src")
         .join(vb, "dst")
@@ -98,18 +108,42 @@ def nndescent_knn_graph(
     k: int = 10,
     rounds: int = 3,
     rho: float = 2.0,
+    exact_below: int = 4096,
+    broadcast_vector_limit: int = 2_000_000,
 ) -> DataFrame:
     """Approximate directed kNN graph: (src, dst, sim, rank), k rows per
     node. ``rounds`` fixed (not convergence-polled) for plan determinism;
     3 rounds reach >0.9 recall on clustered corpora (Dong et al. report
-    ~5 rounds to 0.99 on uniform data)."""
+    ~5 rounds to 0.99 on uniform data).
+
+    ``exact_below``: below this N the iterative machinery costs more than
+    the answer — the blocked exact GEMM (`similarity.cosine_topk`) is both
+    faster AND recall-1.0 there, so route to it (pynndescent does the
+    same below its tree threshold). Pass 0 to force the iterative path
+    (the recall/determinism tests do). ``broadcast_vector_limit``: while N
+    fits, the per-round scoring joins broadcast the vector table instead
+    of shuffling the pair stream — past it the keyed joins engage."""
     import math
 
-    from preprocessor_spark.caching import register_persisted
     from preprocessor_spark.operators.similarity import _bucket_expr
 
     n = vectors.count()
+    if n <= exact_below:
+        from preprocessor_spark.operators.similarity import cosine_topk
+
+        # self-exclusion, 1e-6-rounded (cosine desc, id asc) ranking, and
+        # the rank column all match the iterative path's output contract
+        return cosine_topk(
+            vectors, vectors, vec_col, id_col, k=k, engine="arrow"
+        ).select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            F.round("cosine", 6).alias("sim"),
+            "rank",
+        )
+
     cap = max(int(rho * k), k + 1)
+    bcast = n <= broadcast_vector_limit
     dim = len(vectors.select(vec_col).first()[0])
 
     # --- seeding: sign-LSH buckets put SIMILAR vectors together (the
@@ -141,13 +175,17 @@ def nndescent_knn_graph(
     for bexpr in buckets:
         b = ids.select("src", bexpr.alias("__b"))
         w_b = Window.partitionBy("__b").orderBy(F.md5(F.col("src").cast("string")))
-        bb = b.withColumn("__rn", F.row_number().over(w_b))
-        sizes = bb.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+        bb = b.withColumn("__rn", F.row_number().over(w_b)).withColumn(
+            # bucket size from the SAME window partitioning — no separate
+            # groupBy + join per bucket family
+            "__sz",
+            F.count(F.lit(1)).over(Window.partitionBy("__b")),
+        )
         right = bb.select(
             "__b", F.col("__rn").alias("__prn"), F.col("src").alias("dst")
         )
         expanded = (
-            bb.join(sizes, "__b")
+            bb
             .select(
                 "__b",
                 "src",
@@ -171,11 +209,14 @@ def nndescent_knn_graph(
     for p in seed_parts[1:]:
         seeds = seeds.union(p)
     seeds = seeds.filter(F.col("src") != F.col("dst")).distinct()
-    edges = _topk(_score(seeds, vectors, id_col, vec_col), k)
-    edges = register_persisted(edges.persist())
-    edges.count()
+    # eager localCheckpoint, NOT persist: persist truncates recompute but
+    # the logical plan still nests round over round and analyzer/optimizer
+    # time grows superlinearly (profiled 10s -> 53s by round 3); the
+    # checkpoint truncates the plan itself, same idiom as
+    # connected_components / label_propagation
+    edges = _topk(_score(seeds, vectors, id_col, vec_col, bcast), k)
+    edges = edges.localCheckpoint(eager=True)
 
-    w_cap = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     for _ in range(rounds):
         undirected = edges.select("src", "dst", "sim").union(
             edges.select(
@@ -185,13 +226,30 @@ def nndescent_knn_graph(
         # bounded neighborhood per node: the cap best neighbors by sim
         # (id tie-break) — keeps hub fan-out from going quadratic while the
         # candidate pool stays the HIGH-QUALITY fwd∪rev neighborhood the
-        # NN-descent local join needs (top-by-id slicing converges to noise)
+        # NN-descent local join needs (top-by-id slicing converges to
+        # noise). ONE groupBy shuffle: collect_set dedups the (sim, dst)
+        # mirror rows (sims are symmetric + 1e-6-rounded so both directions
+        # carry identical structs), sort_array on (-sim, dst) orders by
+        # quality, slice bounds to cap — no dropDuplicates or sort window.
         nbrs = (
-            undirected.dropDuplicates(["src", "dst"])
-            .withColumn("__rn", F.row_number().over(w_cap))
-            .filter(F.col("__rn") <= cap)
-            .groupBy("src")
-            .agg(F.sort_array(F.collect_set("dst")).alias("__nbrs"))
+            undirected.groupBy("src")
+            .agg(
+                F.slice(
+                    F.sort_array(
+                        F.collect_set(
+                            F.struct(
+                                (-F.col("sim")).alias("__ns"), F.col("dst")
+                            )
+                        )
+                    ),
+                    1,
+                    cap,
+                ).alias("__top")
+            )
+            .select(
+                "src",
+                F.transform(F.col("__top"), lambda s: s["dst"]).alias("__nbrs"),
+            )
         )
         pairs = (
             nbrs.select(F.explode("__nbrs").alias("a"), F.col("__nbrs"))
@@ -203,11 +261,9 @@ def nndescent_knn_graph(
             pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
         new = cand.join(edges.select("src", "dst"), ["src", "dst"], "left_anti")
-        scored = _score(new, vectors, id_col, vec_col)
+        scored = _score(new, vectors, id_col, vec_col, bcast)
         merged = _topk(edges.union(scored), k)
-        merged = register_persisted(merged.persist())
-        merged.count()
-        edges = merged
+        edges = merged.localCheckpoint(eager=True)
 
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     return edges.select("src", "dst", "sim", F.row_number().over(w).alias("rank"))

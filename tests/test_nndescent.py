@@ -31,7 +31,7 @@ def graph_and_truth(spark):
     rows = _clustered_vectors()
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     k = 5
-    graph = nndescent_knn_graph(df, "embedding", "vec_id", k=k, rounds=3)
+    graph = nndescent_knn_graph(df, "embedding", "vec_id", k=k, rounds=3, exact_below=0)
     got = graph.collect()
 
     mat = np.array([r[1] for r in rows])
@@ -73,7 +73,7 @@ def test_rank_orders_by_sim_desc(graph_and_truth):
 def test_no_cartesian_and_bounded_pairs(spark):
     rows = _clustered_vectors(n=40)
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    graph = nndescent_knn_graph(df, "embedding", "vec_id", k=4, rounds=1)
+    graph = nndescent_knn_graph(df, "embedding", "vec_id", k=4, rounds=1, exact_below=0)
     plan = graph._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
@@ -82,12 +82,12 @@ def test_repartition_determinism(spark):
     rows = _clustered_vectors(n=60, seed=9)
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     a = sorted(
-        tuple(r) for r in nndescent_knn_graph(df, "embedding", "vec_id", k=4, rounds=2).collect()
+        tuple(r) for r in nndescent_knn_graph(df, "embedding", "vec_id", k=4, rounds=2, exact_below=0).collect()
     )
     b = sorted(
         tuple(r)
         for r in nndescent_knn_graph(
-            df.repartition(7), "embedding", "vec_id", k=4, rounds=2
+            df.repartition(7), "embedding", "vec_id", k=4, rounds=2, exact_below=0
         ).collect()
     )
     assert a == b
@@ -103,7 +103,7 @@ def test_identical_vector_cliques_stay_bounded(spark):
         for c in range(10):
             rows.append((g * 10 + c, base))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    graph = nndescent_knn_graph(df, "embedding", "vec_id", k=5, rounds=2)
+    graph = nndescent_knn_graph(df, "embedding", "vec_id", k=5, rounds=2, exact_below=0)
     got = graph.collect()
     for r in got:
         if r.rank <= 5:
@@ -119,3 +119,16 @@ def test_identical_vector_cliques_stay_bounded(spark):
         ]
     )
     assert same_clique_hits >= 0.95
+
+
+def test_exact_small_n_route_matches_bruteforce(graph_and_truth):
+    """Below exact_below the builder routes to the blocked exact GEMM
+    (pynndescent-style): identical output contract, recall exactly 1.0."""
+    df, k, _, truth = graph_and_truth
+    got = nndescent_knn_graph(df, "embedding", "vec_id", k=k).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.src, set()).add(r.dst)
+        assert 1 <= r.rank <= k and r.src != r.dst
+    assert set(by_src) == set(truth)
+    assert all(by_src[i] == truth[i] for i in truth)
