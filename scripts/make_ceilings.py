@@ -1,12 +1,13 @@
 """Maintain bench_results/ceilings.json — the per-query regression-ceiling
 base table (round-7 verdict task 3).
 
-Policy: a query's ceiling base is its OLDEST committed full-recording
-timing — r4e where the query existed then, otherwise the first full
-recording that covered it. Re-running this script therefore never loosens
-an existing ceiling; it only APPENDS entries for queries that have none
-yet (new operators must ship with a bench recording, or the guard's
-coverage test fails).
+Policy: a query's ceiling base is the MINIMUM timing across committed
+full recordings — r4e where the query existed then, tightened by any
+newer faster recording. Re-running this script therefore never loosens an
+existing ceiling (loosening requires a documented `rebased` entry, see
+test_ceiling_bases_never_loosened); it appends entries for queries that
+have none yet (new operators must ship with a bench recording, or the
+guard's coverage test fails) and tightens where the code got faster.
 
 Usage:
     python scripts/make_ceilings.py bench_results/bench_sf0.1_r8.json
@@ -39,16 +40,22 @@ def main(recording_path: str) -> None:
             "sources": {"bench_sf0.1_r4e.json": sorted(base)},
             "ceilings": dict(base),
         }
-    added = []
+    added, tightened = [], []
     for q, t in rec["queries"].items():
         if q not in doc["ceilings"]:
             doc["ceilings"][q] = t
             added.append(q)
-    if added:
-        doc["sources"][os.path.basename(recording_path)] = sorted(added)
+        elif t < doc["ceilings"][q]:
+            doc["ceilings"][q] = t
+            tightened.append(q)
+    if added or tightened:
+        doc["sources"][os.path.basename(recording_path)] = sorted(added + tightened)
     with open(CEILINGS, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
-    print(f"ceilings: {len(doc['ceilings'])} entries (+{len(added)} new)")
+    print(
+        f"ceilings: {len(doc['ceilings'])} entries "
+        f"(+{len(added)} new, {len(tightened)} tightened)"
+    )
 
 
 if __name__ == "__main__":
