@@ -2201,14 +2201,31 @@ def ts_spectral_by_user(spark, sf_dir):
     )
 
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
-    feats = extract_ts_features_spectral(e, time="event_id", column_id="user_id")
-    return feats.select(
-        "user_id",
-        *[
-            F.round(F.col(c), 6).alias(c)
-            for c in feats.columns
-            if c != "user_id"
-        ],
+    # rounding happens inside the Arrow stage: an F.round projection over
+    # ~750 columns costs ~5 s of pure codegen at any data size
+    return extract_ts_features_spectral(
+        e, time="event_id", column_id="user_id", round_decimals=6
+    )
+
+
+def ts_matrix_profile_by_user(spark, sf_dir):
+    """Matrix profile tier (operators/matrix_profile.py): STOMP z-normalized
+    matrix-profile summary stats + motif/discord locations and CWT
+    ridge-line peak counts per user series — the last tsfresh residuals
+    (matrix_profile / query_similarity_count / number_cwt_peaks), which
+    tsfresh itself NaNs without optional native deps (reference escape:
+    preprocessor.py:558-638). Same plan shape as the spectral tier: ONE
+    keyed shuffle + one Arrow mapInPandas stage; rows-only by design
+    (iterative float recursions aren't DuckDB-replayable) — STOMP is tested
+    exactly against a brute-force z-normalized scan in
+    tests/test_matrix_profile.py."""
+    from preprocessor_spark.operators.matrix_profile import (
+        extract_matrix_profile,
+    )
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return extract_matrix_profile(
+        e, time="event_id", column_id="user_id", round_decimals=6
     )
 
 
@@ -3987,6 +4004,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_features_by_user": ts_features_by_user,
         # whole-series tsfresh tier (round 7, rows-only: spectral float math)
         "ts_spectral_by_user": ts_spectral_by_user,
+        # matrix profile / CWT peaks (round 8, rows-only: STOMP recursion)
+        "ts_matrix_profile_by_user": ts_matrix_profile_by_user,
         "prep_datetime_pipeline": prep_datetime_pipeline,
         # -- LLM-pipeline family, continued (pulled inside the window by the
         # relational merges below — round-1 verdict task) --

@@ -291,6 +291,8 @@ def ivfpq_search(
     code_col: str = "pq_code",
     exclude_self: bool = True,
     prune_cells: bool = True,
+    refine: DataFrame | None = None,
+    refine_factor: int = 4,
 ) -> DataFrame:
     """The standard IVF-PQ search: each query ADC-scans ONLY its n_probe
     nearest cells' codes. Queries explode to probed cells and equi-join
@@ -299,7 +301,15 @@ def ivfpq_search(
     becomes static partition pruning on a ``partitionBy("__cell")``
     layout); scores are the broadcast-LUT gather; top-k is a bounded keyed
     window. With ``n_probe >= n_cells`` the result equals the exhaustive
-    :func:`pq_search_adc` exactly (asserted in tests)."""
+    :func:`pq_search_adc` exactly (asserted in tests).
+
+    ``refine`` (IVFADC+R, Jégou et al.): pass the ORIGINAL corpus frame to
+    re-rank each query's top ``k * refine_factor`` ADC candidates by exact
+    cosine. The candidate set is |Q|·k·refine_factor rows — a bounded keyed
+    join back to the raw vectors (at rest the corpus is id-addressable
+    parquet, so this is a point-lookup join, not a rescan) — recovering the
+    recall that m-byte codes quantize away while the ADC scan still touches
+    only codes. The refined score column is exact ``cosine``."""
     from preprocessor_spark.caching import register_persisted
     from preprocessor_spark.operators.similarity import _nearest_cells_udf
 
@@ -351,8 +361,35 @@ def ivfpq_search(
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("adc_score"), 6).desc(), F.col("neighbor_id").asc()
     )
-    return (
+    k_adc = k if refine is None else k * refine_factor
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= k_adc)
         .select("query_id", "neighbor_id", "adc_score", "rank")
+    )
+    if refine is None:
+        return ranked
+    corp = _normalized(refine, vec_col, id_col, "neighbor_id", "__nv")
+    qvecs = q.select("query_id", "__qv").distinct()
+    exact = (
+        ranked.select("query_id", "neighbor_id")
+        .join(corp, "neighbor_id")
+        .join(qvecs, "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with("__qv", "__nv", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -661,6 +661,7 @@ def extract_ts_features_spectral(
     time: str,
     column_id: str,
     value_cols: list[str] | None = None,
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """One row per series id, ~{len(SPECTRAL_FEATURES)} features per value
     column named ``{col}__{feature}`` — the whole-series tsfresh tier.
@@ -668,7 +669,11 @@ def extract_ts_features_spectral(
     Plan: one keyed shuffle (``groupBy(id)`` with per-column
     ``sort_array(collect_list(struct(order, value)))``) followed by one
     Arrow-batched ``mapInPandas`` stage; null values drop out of their
-    series (tsfresh operates on the non-null frame)."""
+    series (tsfresh operates on the non-null frame).
+
+    ``round_decimals`` rounds inside the Arrow stage (numpy half-even) —
+    a caller-side ``F.round`` over ~750 columns costs seconds of pure
+    Catalyst/codegen time, the numpy call costs nothing."""
     if value_cols is None:
         value_cols = [
             f.name
@@ -689,7 +694,15 @@ def extract_ts_features_spectral(
                 F.collect_list(F.when(F.col(c).isNotNull(), pair))
             ).alias(f"__series_{c}")
         )
-    gathered = data.groupBy(column_id).agg(*aggs)
+    # Explicit keyed repartition ahead of the gather: the per-series numpy
+    # stage is Python-compute-bound (~10 ms/series), but the gathered frame
+    # is only a few MB, so AQE's byte-sized coalescing collapses the
+    # shuffle to ONE partition and serializes the whole Arrow stage
+    # (measured 20.9 s -> ~2 s at sf0.1). A user-specified partition count
+    # is exempt from coalescing, and the groupBy reuses the partitioning —
+    # still exactly one exchange in the plan.
+    n_part = int(data.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    gathered = data.repartition(n_part, column_id).groupBy(column_id).agg(*aggs)
 
     id_field = gathered.schema[column_id]
     fields = [T.StructField(column_id, id_field.dataType, True)]
@@ -716,16 +729,18 @@ def extract_ts_features_spectral(
                     vv = np.array([p["v"] for p in series], dtype=float)
                     feats = _series_features_nan(vv)
                     mat[i, :] = [feats[k] for k in SPECTRAL_FEATURES]
+                if round_decimals is not None:
+                    mat = np.round(mat, round_decimals)
+                # NaN -> null INSIDE the Arrow stage (nullable Float64 masks
+                # become Arrow validity bitmaps) so downstream semantics
+                # match the base tier's SQL NULLs — a JVM-side
+                # when(~isnan(...)) projection over ~750 columns costs
+                # seconds of codegen; this costs nothing
+                nanmask = np.isnan(mat)
                 for j, name in enumerate(SPECTRAL_FEATURES):
-                    data[f"{c}__{name}"] = mat[:, j]
+                    data[f"{c}__{name}"] = pd.arrays.FloatingArray(
+                        mat[:, j], nanmask[:, j]
+                    )
             yield pd.DataFrame(data)
 
-    out = gathered.mapInPandas(compute, schema=schema)
-    # NaN -> null so downstream semantics match the base tier's SQL NULLs
-    return out.select(
-        column_id,
-        *[
-            F.when(~F.isnan(F.col(name)), F.col(name)).alias(name)
-            for name in (f.name for f in fields[1:])
-        ],
-    )
+    return gathered.mapInPandas(compute, schema=schema)

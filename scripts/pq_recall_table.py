@@ -65,20 +65,39 @@ def main() -> None:
 
     rows = []
     for n_probe in PROBES:
-        t0 = time.time()
-        res = ivfpq_search(
-            index, cents, books, queries, "embedding", "vec_id", k=K, n_probe=n_probe
-        ).collect()
-        wall = round(time.time() - t0, 3)
-        got: dict[int, set] = {}
-        for r in res:
-            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        recalls = [
-            len(got.get(q, set()) & hits) / len(hits) for q, hits in truth.items()
-        ]
-        recall = round(sum(recalls) / len(recalls), 4)
-        rows.append({"n_probe": n_probe, "recall_at_k": recall, "wall_sec": wall})
-        print(f"n_probe={n_probe}: recall@{K}={recall} wall={wall}s", flush=True)
+        for refined in (False, True):
+            t0 = time.time()
+            res = ivfpq_search(
+                index,
+                cents,
+                books,
+                queries,
+                "embedding",
+                "vec_id",
+                k=K,
+                n_probe=n_probe,
+                refine=emb if refined else None,
+            ).collect()
+            wall = round(time.time() - t0, 3)
+            got: dict[int, set] = {}
+            for r in res:
+                got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            recalls = [
+                len(got.get(q, set()) & hits) / len(hits) for q, hits in truth.items()
+            ]
+            recall = round(sum(recalls) / len(recalls), 4)
+            rows.append(
+                {
+                    "n_probe": n_probe,
+                    "refine": refined,
+                    "recall_at_k": recall,
+                    "wall_sec": wall,
+                }
+            )
+            print(
+                f"n_probe={n_probe} refine={refined}: recall@{K}={recall} wall={wall}s",
+                flush=True,
+            )
 
     artifact = {
         "sf_dir": sf_dir,
@@ -93,11 +112,14 @@ def main() -> None:
     with open(out_json, "w") as f:
         json.dump(artifact, f, indent=2)
     print(f"\nwrote {out_json}\n")
-    print(f"| n_probe | recall@{K} | wall (s) |")
-    print("|---|---|---|")
+    print(f"| n_probe | refine | recall@{K} | wall (s) |")
+    print("|---|---|---|---|")
     for r in rows:
-        print(f"| {r['n_probe']} | {r['recall_at_k']} | {r['wall_sec']} |")
-    print(f"| exact brute force | 1.0 | {brute_wall} |")
+        print(
+            f"| {r['n_probe']} | {'+R' if r['refine'] else '—'} | "
+            f"{r['recall_at_k']} | {r['wall_sec']} |"
+        )
+    print(f"| exact brute force | | 1.0 | {brute_wall} |")
 
 
 if __name__ == "__main__":

@@ -1351,6 +1351,49 @@ class TestIVFPQ:
         assert list(full.neighbor_id) == list(exhaustive.neighbor_id)
         assert list(full["rank"]) == list(exhaustive["rank"])
 
+    def test_refine_recovers_exact_topk(self, spark, emb6):
+        """IVFADC+R (round 8): with every cell probed and a refine_factor
+        wide enough that the ADC candidate set is the whole corpus, the
+        exact-rerank stage must reproduce brute-force cosine top-k exactly
+        — proving the refine join computes true cosine, not another
+        approximation. (At production factors the candidate set is
+        k·refine_factor rows; the committed recall table
+        bench_results/pq_recall_sf01_r8.json shows the measured trade.)"""
+        from preprocessor_spark.operators.pq import (
+            ivfpq_assign_encode,
+            ivfpq_search,
+            pq_train,
+        )
+        from preprocessor_spark.operators.similarity import (
+            cosine_topk,
+            ivf_train_centroids,
+        )
+
+        books = pq_train(emb6, "embedding", m=8, sample_rows=512, seed=3)
+        cents = ivf_train_centroids(emb6, "embedding", n_cells=8, sample_rows=512)
+        index = ivfpq_assign_encode(emb6, cents, books, "embedding", "vec_id")
+        queries = emb6.filter(F.col("vec_id") < 5)
+        refined = (
+            ivfpq_search(
+                index, cents, books, queries, "embedding", "vec_id",
+                k=4, n_probe=8, refine=emb6, refine_factor=200,  # 4*200 > 500
+            )
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        exact = (
+            cosine_topk(emb6, queries, "embedding", "vec_id", k=4)
+            .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        )
+        assert list(refined.query_id) == list(exact.query_id)
+        assert list(refined.neighbor_id) == list(exact.neighbor_id)
+        import numpy as np
+
+        # JVM fold vs numpy-GEMM dot products: identical math, different
+        # summation order — allow float-addition jitter only
+        np.testing.assert_allclose(
+            refined.cosine.to_numpy(), exact.cosine.to_numpy(), atol=1e-6
+        )
+
     def test_probed_cells_only(self, spark, emb6):
         """With n_probe=2, every returned neighbor must live in one of its
         query's 2 nearest cells — recomputed independently in numpy."""
