@@ -1140,6 +1140,50 @@ def ridge_regression_lineitem(spark, sf_dir):
     )
 
 
+def logreg_returnflag_lineitem(spark, sf_dir):
+    """Distributed IRLS logistic regression (operators/logreg.py): per
+    Newton step ONE map-side-combinable aggregation computes XᵀWX and
+    Xᵀ(y-μ) with the scores inlined as JVM codegen expressions (no Python
+    in the scan); the driver solves 3×3 and re-broadcasts θ as literals.
+    Moment terms quantize to DECIMAL(38,9) per row, so the fit is
+    bit-identical across partitionings. Fit: P(l_returnflag='R') ~
+    l_discount + l_tax, λ=1; the returned row also scores the corpus with
+    the fitted model through logreg_predict_expr (pure expression —
+    the 100 TB quality-filter shape) and reports training accuracy.
+    Rows-only (iterative driver solve isn't SQL); optimality-certificate
+    tests in tests/test_logreg.py."""
+    from preprocessor_spark.operators.logreg import (
+        logreg_fit,
+        logreg_predict_expr,
+    )
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_discount", "l_tax", (F.col("l_returnflag") == "R").cast("double").alias("y")
+    )
+    fit = logreg_fit(l, ["l_discount", "l_tax"], "y", l2=1.0)
+    score = logreg_predict_expr(
+        fit["intercept"], fit["coef"], ["l_discount", "l_tax"]
+    )
+    acc = l.agg(
+        F.avg(((score > 0.5).cast("double") == F.col("y")).cast("double")).alias("acc")
+    ).collect()[0]["acc"]
+    return spark.createDataFrame(
+        [
+            (
+                fit["n"],
+                round(fit["intercept"], 6),
+                round(fit["coef"][0], 6),
+                round(fit["coef"][1], 6),
+                fit["iterations"],
+                round(fit["log_loss"], 9),
+                round(acc, 9),
+            )
+        ],
+        "n bigint, intercept double, coef_discount double, coef_tax double, "
+        "iterations int, log_loss double, train_accuracy double",
+    )
+
+
 def lm_kn_perplexity_docs(spark, sf_dir):
     """Interpolated Kneser-Ney bigram LM (operators/lm_kn.py) — the KenLM/
     CCNet-style perplexity gate one level up from the char-trigram unigram
@@ -4053,6 +4097,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_quality": text_lm_quality,
         # interpolated Kneser-Ney bigram LM (round 7, oracle-backed)
         "lm_kn_perplexity_docs": lm_kn_perplexity_docs,
+        # IRLS logistic regression (round 8, rows-only: iterative solve)
+        "logreg_returnflag_lineitem": logreg_returnflag_lineitem,
         # one-pass distributed ridge regression (round 7, oracle-backed)
         "ridge_regression_lineitem": ridge_regression_lineitem,
         "dedup_substring_spans": dedup_substring_spans,

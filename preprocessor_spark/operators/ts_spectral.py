@@ -25,10 +25,11 @@ entries (names follow tsfresh's ``{column}__{feature}`` convention with
 parameters folded in, dots/quotes adapted to Spark-safe column names).
 ``augmented_dickey_fuller`` is implemented pure-numpy (autolag-AIC
 regression + embedded MacKinnon response-surface p-values — see
-``_adfuller``). Not implemented (final documented capability bounds):
-``number_cwt_peaks`` (scipy's ridge-line peak finder) and
-``matrix_profile`` / ``query_similarity_count`` (tsfresh itself returns
-NaN for these without optional native dependencies).
+``_adfuller``). The remaining tsfresh names — ``number_cwt_peaks``
+(scipy's ridge-line peak finder) and ``matrix_profile`` /
+``query_similarity_count`` (which tsfresh NaNs without optional native
+dependencies) — are implemented in ``operators/matrix_profile.py``
+(round 8), closing the catalog.
 
 Grading: rows-only by design (libm/FFT float math is not DuckDB-replayable
 bit-for-bit); `tests/test_ts_spectral.py` checks every family against
