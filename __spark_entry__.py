@@ -2273,6 +2273,52 @@ def ts_matrix_profile_by_user(spark, sf_dir):
     )
 
 
+def ts_query_count_events(spark, sf_dir):
+    """Motif census (operators/matrix_profile.py count_query_matches —
+    tsfresh query_similarity_count, normalize=True): per user, how many
+    windows of the value series z-normalize-match a fixed V-shaped query
+    pattern below threshold 2.0. MASS distance profile per series inside
+    one Arrow stage after one keyed shuffle; rows-only (float recursion),
+    kernel tested against brute force in tests/test_matrix_profile.py."""
+    from preprocessor_spark.operators.matrix_profile import count_query_matches
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    pattern = [3.0, 2.0, 1.0, 0.0, 1.0, 2.0, 3.0]  # a V-shaped dip
+    return count_query_matches(
+        e, time="event_id", column_id="user_id", value_col="value",
+        query=pattern, threshold=2.0,
+    )
+
+
+def knn_ivfpq_refined(spark, sf_dir):
+    """IVFADC+R (operators/pq.py ivfpq_search refine=...): the ADC scan
+    routes and ranks on m-byte codes, then the top k*4 candidates re-rank
+    by exact cosine through a bounded point-lookup join back to the raw
+    vectors — recall recovered from quantization error while the scan
+    still touches only codes (measured trade committed under
+    bench_results/pq_recall_*.json; full-candidate-width refine asserted
+    equal to brute force in tests/test_round6_ops.py). Rows-only
+    (approximate by contract below full width)."""
+    from preprocessor_spark.operators.pq import (
+        ivfpq_assign_encode,
+        ivfpq_search,
+        pq_train,
+    )
+    from preprocessor_spark.operators.similarity import ivf_train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, "embedding", m=8, sample_rows=2048, seed=3)
+    cents = ivf_train_centroids(emb, "embedding", n_cells=16, sample_rows=2048)
+    index = ivfpq_assign_encode(emb, cents, books, "embedding", "vec_id")
+    out = ivfpq_search(
+        index, cents, books, emb.filter(F.col("vec_id") < 10),
+        "embedding", "vec_id", k=5, n_probe=4, refine=emb,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def knn_bruteforce(spark, sf_dir):
     from preprocessor_spark.operators.similarity import cosine_topk
 
@@ -4050,6 +4096,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_spectral_by_user": ts_spectral_by_user,
         # matrix profile / CWT peaks (round 8, rows-only: STOMP recursion)
         "ts_matrix_profile_by_user": ts_matrix_profile_by_user,
+        # motif census via MASS (round 8, rows-only: float recursion)
+        "ts_query_count_events": ts_query_count_events,
         "prep_datetime_pipeline": prep_datetime_pipeline,
         # -- LLM-pipeline family, continued (pulled inside the window by the
         # relational merges below — round-1 verdict task) --
@@ -4233,6 +4281,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": knn_ivf,
         "knn_pq_adc": knn_pq_adc,
         "knn_ivfpq": knn_ivfpq,
+        # IVFADC+R exact-rerank (round 8, rows-only: approximate ANN)
+        "knn_ivfpq_refined": knn_ivfpq_refined,
         "mmr_rerank_docs": mmr_rerank_docs,
         "text_fingerprint": text_fingerprint,
         "multimodal_image_features": multimodal_image_features,

@@ -314,6 +314,61 @@ def number_cwt_peaks(v: np.ndarray, n: int) -> float:
     return float(len(find_peaks_cwt(v, np.arange(1, n + 1))))
 
 
+def count_query_matches(
+    data: DataFrame,
+    time: str,
+    column_id: str,
+    value_col: str,
+    query: list[float],
+    threshold: float,
+) -> DataFrame:
+    """Per series id: how many windows z-normalize-match ``query`` below
+    ``threshold`` (tsfresh ``query_similarity_count``, normalize=True) —
+    the motif-census shape ("how often does this pattern occur per
+    entity"). Same one-keyed-shuffle + one-Arrow-stage plan as the feature
+    extractors; the query vector ships inside the serialized closure
+    (bounded: it is one window, not data)."""
+    qvec = np.asarray(list(query), dtype=np.float64)
+    thr = float(threshold)
+    pair = F.struct(F.col(time).alias("o"), F.col(value_col).cast("double").alias("v"))
+    n_part = int(data.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    gathered = (
+        data.repartition(n_part, column_id)
+        .groupBy(column_id)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col(value_col).isNotNull(), pair))
+            ).alias("__series")
+        )
+    )
+    id_field = gathered.schema[column_id]
+    schema = T.StructType(
+        [
+            T.StructField(column_id, id_field.dataType, True),
+            T.StructField("n_windows", T.LongType(), True),
+            T.StructField("match_count", T.LongType(), True),
+        ]
+    )
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nw, mc = [], [], []
+            for sid, series in zip(pdf[column_id], pdf["__series"]):
+                vv = np.array([p["v"] for p in series], dtype=float)
+                vv = vv[np.isfinite(vv)]
+                d = mass_distance_profile(qvec, vv)
+                ids.append(sid)
+                nw.append(len(d))
+                mc.append(int(np.count_nonzero(d < thr)))
+            yield pd.DataFrame(
+                {column_id: ids, "n_windows": nw, "match_count": mc}
+            )
+
+    return gathered.mapInPandas(compute, schema=schema)
+
+
 # ------------------------------------------------------- Spark operator --
 MP_FEATURES: tuple[str, ...] = tuple(
     [f"matrix_profile_{s}" for s in MP_STATS]

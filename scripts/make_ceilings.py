@@ -1,20 +1,27 @@
 """Maintain bench_results/ceilings.json — the per-query regression-ceiling
-base table (round-7 verdict task 3).
+base table (round-7 verdict task 3; variance-robust policy round 8).
 
-Policy: a query's ceiling base is the MINIMUM timing across committed
-full recordings — r4e where the query existed then, tightened by any
-newer faster recording. Re-running this script therefore never loosens an
-existing ceiling (loosening requires a documented `rebased` entry, see
-test_ceiling_bases_never_loosened); it appends entries for queries that
-have none yet (new operators must ship with a bench recording, or the
-guard's coverage test fails) and tightens where the code got faster.
+Policy: a query's ceiling base is recomputed from ALL committed full sf0.1
+recordings as
+
+    base = max( min(times),  max((t - SLACK)/RATIO for t in times) )
+
+i.e. the minimum observed time (new fast code tightens the bar), but never
+so tight that the resulting ceiling (RATIO*base + SLACK) would flag a
+committed same-code measurement — round 8 showed a single warm outlier
+(dedup_minhash_corpus 2.82 s in one suite run vs 3.9-4.7 s in its
+neighbors) can otherwise tighten a ceiling below the query's own measured
+variance. Bases never rise above their r4e value where one exists
+(test_ceiling_bases_never_loosened); documented `rebased` entries override
+as before.
 
 Usage:
-    python scripts/make_ceilings.py bench_results/bench_sf0.1_r8.json
+    python scripts/make_ceilings.py bench_results/bench_sf0.1_r8f.json
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -23,38 +30,72 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CEILINGS = os.path.join(REPO, "bench_results", "ceilings.json")
 R4E = os.path.join(REPO, "bench_results", "bench_sf0.1_r4e.json")
 
+RATIO = 1.5
+SLACK = 0.5  # keep in sync with tests/test_bench_guard.py
+
+
+def _full_recordings(extra_path: str) -> list[dict]:
+    paths = set(glob.glob(os.path.join(REPO, "bench_results", "bench_sf0.1_*.json")))
+    paths.add(os.path.abspath(extra_path))
+    out = []
+    for p in sorted(paths):
+        try:
+            d = json.load(open(p))
+        except Exception:
+            continue
+        if isinstance(d, dict) and d.get("queries") and d.get("full", True):
+            out.append(d)
+    return out
+
 
 def main(recording_path: str) -> None:
     rec = json.load(open(recording_path))
     assert rec.get("queries"), f"{recording_path}: no queries"
+    recs = _full_recordings(recording_path)
+    r4e = json.load(open(R4E))["queries"]
     if os.path.exists(CEILINGS):
         doc = json.load(open(CEILINGS))
     else:
-        base = json.load(open(R4E))["queries"]
         doc = {
-            "comment": (
-                "per-query ceiling bases (seconds at sf0.1); guard ceiling "
-                "= 1.5x + 0.5s. Entries are append-only: oldest committed "
-                "full recording wins (r4e where present)."
-            ),
-            "sources": {"bench_sf0.1_r4e.json": sorted(base)},
-            "ceilings": dict(base),
+            "sources": {"bench_sf0.1_r4e.json": sorted(r4e)},
+            "ceilings": dict(r4e),
         }
-    added, tightened = [], []
-    for q, t in rec["queries"].items():
-        if q not in doc["ceilings"]:
-            doc["ceilings"][q] = t
+    doc["comment"] = (
+        "per-query ceiling bases (seconds at sf0.1); guard ceiling = "
+        f"{RATIO}x + {SLACK}s. base = max(min observed, tightest base whose "
+        "ceiling covers every committed full recording), never above the "
+        "r4e value where one exists; loosening past r4e requires a "
+        "documented `rebased` entry."
+    )
+    added, tightened, relaxed = [], [], []
+    for q in rec["queries"]:
+        times = [r["queries"][q] for r in recs if q in r["queries"]]
+        cover = max((t - SLACK) / RATIO for t in times) + 1e-9
+        base = max(min(times), cover)
+        if q in r4e:
+            base = min(base, r4e[q])
+        base = round(base, 3)
+        old = doc["ceilings"].get(q)
+        if old is None:
+            doc["ceilings"][q] = base
             added.append(q)
-        elif t < doc["ceilings"][q]:
-            doc["ceilings"][q] = t
+        elif base < old:
+            doc["ceilings"][q] = base
             tightened.append(q)
-    if added or tightened:
-        doc["sources"][os.path.basename(recording_path)] = sorted(added + tightened)
+        elif base > old:
+            # variance-cover raise — capped at the r4e value by the clamp
+            # above, so the never-loosened contract holds
+            doc["ceilings"][q] = base
+            relaxed.append(q)
+    if added or tightened or relaxed:
+        doc["sources"][os.path.basename(recording_path)] = sorted(
+            added + tightened + relaxed
+        )
     with open(CEILINGS, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     print(
-        f"ceilings: {len(doc['ceilings'])} entries "
-        f"(+{len(added)} new, {len(tightened)} tightened)"
+        f"ceilings: {len(doc['ceilings'])} entries (+{len(added)} new, "
+        f"{len(tightened)} tightened, {len(relaxed)} variance-raised: {relaxed})"
     )
 
 

@@ -156,6 +156,34 @@ def test_extract_matrix_profile_spark(spark):
     assert pdf2["value__matrix_profile_mean"].tolist() == pdf["value__matrix_profile_mean"].tolist()
 
 
+def test_count_query_matches_spark(spark):
+    """Planted motif census: user 1 carries the query pattern twice, user 2
+    never — counts must match a local brute-force MASS scan exactly."""
+    from preprocessor_spark.operators.matrix_profile import count_query_matches
+
+    rng = np.random.default_rng(9)
+    pattern = [3.0, 2.0, 1.0, 0.0, 1.0, 2.0, 3.0]
+    s1 = list(rng.normal(scale=0.05, size=60).cumsum())
+    s1[10:17] = [v + 10 * p for v, p in zip(s1[10:17], pattern)]
+    s1[40:47] = [v + 10 * p for v, p in zip(s1[40:47], pattern)]
+    s2 = list(rng.normal(scale=0.05, size=60).cumsum())
+    rows = [(1, i, float(v)) for i, v in enumerate(s1)] + [
+        (2, i, float(v)) for i, v in enumerate(s2)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, t int, value double")
+    got = {
+        r["user_id"]: (r["n_windows"], r["match_count"])
+        for r in count_query_matches(
+            df, "t", "user_id", "value", pattern, threshold=1.0
+        ).collect()
+    }
+    assert got[1][0] == 54 and got[2][0] == 54
+    for uid, series in ((1, s1), (2, s2)):
+        d = mass_distance_profile(np.array(pattern), np.array(series))
+        assert got[uid][1] == int(np.count_nonzero(d < 1.0)), uid
+    assert got[1][1] >= 2 and got[2][1] == 0
+
+
 def test_extract_matrix_profile_plan_no_cartesian(spark):
     df = spark.createDataFrame(
         [(1, 0, 1.0), (1, 1, 2.0)], "user_id int, t int, value double"
