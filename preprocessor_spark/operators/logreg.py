@@ -109,13 +109,7 @@ def logreg_fit(
     # the narrow (p+1)-double projection is scanned once per Newton step —
     # cache it for the fit's lifetime (released in the finally below)
     clean = clean.persist()
-    p = len(features)
-    theta = np.zeros(p + 1)
-    n = None
-    prev_loss = math.inf
-    loss = math.inf
-    it = 0
-    converged = False
+    theta = np.zeros(len(features) + 1)
     try:
         theta, n, it, loss, converged = _irls(
             clean, features, target, theta, l2, max_iter, tol

@@ -330,6 +330,10 @@ def test_persist_scope_releases_operator_caches(spark, sf_dir):
     )
 
     spark.catalog.clearCache()
+    # residue from earlier tests in the shared session (e.g. localCheckpoint
+    # RDDs, which clearCache does not touch and the ContextCleaner releases
+    # asynchronously) is not this test's subject — assert on the DELTA
+    pre = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with persist_scope() as frames:
@@ -340,8 +344,10 @@ def test_persist_scope_releases_operator_caches(spark, sf_dir):
         # shingle base of the representative run), embedding: 2 (exact-dup
         # collapse map + the representative run's vectors)
         assert len(frames) == 5
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+        now = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        assert len(now - pre) > 0
+    now = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert now - pre == set()
 
 
 def test_persist_scope_nests_and_is_optional(spark, sf_dir):
@@ -351,6 +357,13 @@ def test_persist_scope_nests_and_is_optional(spark, sf_dir):
     from preprocessor_spark.operators.dedup import minhash_lsh_pairs
 
     spark.catalog.clearCache()
+
+    def _new(pre):
+        now = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        return now - pre
+
+    # delta-based vs shared-session residue — same rationale as above
+    pre = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with persist_scope() as outer:
         minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8).count()
@@ -360,11 +373,11 @@ def test_persist_scope_nests_and_is_optional(spark, sf_dir):
             minhash_lsh_pairs(d, "text", "doc_id", num_hashes=16, bands=4).count()
             assert len(inner) == 1 and len(outer) == 1
         # inner released, outer's cache still live
-        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 1
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+        assert len(_new(pre)) == 1
+    assert _new(pre) == set()
     # scope-less call: persists stay (LRU-managed) — just clean up after
     minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8).count()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 1
+    assert len(_new(pre)) == 1
     spark.catalog.clearCache()
 
 
