@@ -1184,6 +1184,38 @@ def logreg_returnflag_lineitem(spark, sf_dir):
     )
 
 
+def anomaly_isoforest_lineitem(spark, sf_dir):
+    """Isolation forest (operators/isoforest.py): fit on a bounded
+    xxhash64-ranked sample (the paper's psi=256 — content-addressed, so
+    the same rows win on any partitioning), then score every row in ONE
+    Arrow-batched zero-shuffle projection (trees ship in the closure,
+    level-synchronous vectorized tree walks — no per-row Python). Returns the 20 most
+    anomalous lineitems by multivariate (quantity, extendedprice,
+    discount) isolation score. Rows-only (randomized trees aren't SQL);
+    planted-outlier recovery + determinism in tests/test_isoforest.py."""
+    from preprocessor_spark.operators.isoforest import (
+        isolation_forest_fit,
+        isolation_forest_score,
+    )
+
+    feats = ["l_quantity", "l_extendedprice", "l_discount"]
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", *feats)
+    model = isolation_forest_fit(l, feats, n_trees=100, seed=8)
+    # _par: the sf0.1 lineitem parquet scans as 3 splits, which would pin
+    # the Python tree-walk stage to 3 tasks (~11 s); on a real multi-file
+    # layout the scan is already wide and this is a no-op.
+    scored = isolation_forest_score(_par(l), model)
+    return (
+        scored.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("anomaly_score", 6).alias("anomaly_score"),
+        )
+        .orderBy(F.col("anomaly_score").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
 def lm_kn_perplexity_docs(spark, sf_dir):
     """Interpolated Kneser-Ney bigram LM (operators/lm_kn.py) — the KenLM/
     CCNet-style perplexity gate one level up from the char-trigram unigram
@@ -4147,6 +4179,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_kn_perplexity_docs": lm_kn_perplexity_docs,
         # IRLS logistic regression (round 8, rows-only: iterative solve)
         "logreg_returnflag_lineitem": logreg_returnflag_lineitem,
+        # isolation forest (round 8, rows-only: randomized trees)
+        "anomaly_isoforest_lineitem": anomaly_isoforest_lineitem,
         # one-pass distributed ridge regression (round 7, oracle-backed)
         "ridge_regression_lineitem": ridge_regression_lineitem,
         "dedup_substring_spans": dedup_substring_spans,
