@@ -1326,6 +1326,69 @@ def target_encode_priority(spark, sf_dir):
     ).orderBy("category", "fold")
 
 
+def eval_binary_discount(spark, sf_dir):
+    """Binary-classifier evaluation (operators/metrics.py): treat
+    l_discount as a score predicting returned lineitems (label
+    l_returnflag = 'R') and grade it — exact ROC-AUC via the Mann-Whitney
+    identity (per-distinct-score counts + integer 2·R rank arithmetic, one
+    double division at the end) plus the confusion matrix and
+    precision/recall/F1/accuracy at threshold 0.05 in one conditional-count
+    pass. Both 1-row frames broadcast-joined — VALUE-oracled."""
+    from preprocessor_spark.operators.metrics import confusion_metrics, roc_auc
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_discount", (F.col("l_returnflag") == "R").cast("int").alias("y")
+    )
+    auc = roc_auc(l, "l_discount", "y")
+    conf = confusion_metrics(l, "l_discount", "y", 0.05)
+    return auc.crossJoin(F.broadcast(conf))
+
+
+def forecast_holt_users(spark, sf_dir):
+    """Per-user Holt linear-trend forecast (operators/holt.py): each
+    user's event-value series gathered with ONE keyed repartition+groupBy
+    (the ts_spectral AQE-coalescing guard), O(n) level+trend recursion per
+    series in one Arrow stage, 3-step-ahead forecasts. Rows-only
+    (sequential recursion is not SQL); invariants + straight-line
+    exactness in tests/test_holt.py."""
+    from preprocessor_spark.operators.holt import holt_forecast
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = holt_forecast(e, "user_id", "ts", "value", alpha=0.5, beta=0.3, horizon=3)
+    return out.orderBy("user_id")
+
+
+def grouped_ols_lineitem(spark, sf_dir):
+    """Per-group simple OLS (operators/linreg.py::grouped_ols): one fitted
+    price~quantity line per (returnflag, linestatus) — the unbounded-group
+    "trend per key" shape: ONE map-side-combinable groupBy of exact
+    DECIMAL moments, slope/intercept/r² as a deterministic double
+    expression per group row — VALUE-oracled (the ridge Cramer contract,
+    per key)."""
+    from preprocessor_spark.operators.linreg import grouped_ols
+
+    l = _t(spark, sf_dir, "lineitem")
+    return grouped_ols(
+        l, ["l_returnflag", "l_linestatus"], "l_quantity", "l_extendedprice"
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def nbayes_lang_docs(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier (operators/nbayes.py):
+    add-1-smoothed token model per lang, trained and scored distributed
+    (token-keyed joins, broadcast class/vocab scalars, per-doc sorted-fold
+    float contract, deterministic argmax). Returns the (true lang,
+    predicted lang) confusion counts — the whole supervised train+score
+    pipeline VALUE-oracled (DuckDB replays counts, ln smoothing, fold
+    order, and argmax tie-break exactly)."""
+    from preprocessor_spark.operators.nbayes import nb_classify, nb_confusion
+
+    d = _par(_t(spark, sf_dir, "documents"))
+    return nb_confusion(nb_classify(d, "doc_id", "text", "lang")).orderBy(
+        "true_class", "predicted"
+    )
+
+
 def lm_kn_perplexity_docs(spark, sf_dir):
     """Interpolated Kneser-Ney bigram LM (operators/lm_kn.py) — the KenLM/
     CCNet-style perplexity gate one level up from the char-trigram unigram
@@ -4305,6 +4368,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_brand_pairs": basket_brand_pairs,
         "survival_km_customers": survival_km_customers,
         "target_encode_priority": target_encode_priority,
+        "eval_binary_discount": eval_binary_discount,
+        "nbayes_lang_docs": nbayes_lang_docs,
+        "grouped_ols_lineitem": grouped_ols_lineitem,
+        # Holt forecasting (round 8, rows-only: sequential recursion)
+        "forecast_holt_users": forecast_holt_users,
         # one-pass distributed ridge regression (round 7, oracle-backed)
         "ridge_regression_lineitem": ridge_regression_lineitem,
         "dedup_substring_spans": dedup_substring_spans,
@@ -5707,6 +5775,148 @@ def oracle_sql() -> dict[str, str]:
                            / (2.0 * sqrt(var_u))
                    END, 6) AS z
             FROM zz
+        """,
+        "grouped_ols_lineitem": """
+            WITH m AS (
+                SELECT l_returnflag, l_linestatus,
+                       COUNT(CASE WHEN l_quantity IS NOT NULL
+                                   AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
+                       -- DuckDB's DECIMAL cast errors (never NULLs) on
+                       -- overflow, so the Spark-side overflow counter is
+                       -- identically 0 whenever this oracle runs at all
+                       CAST(0 AS BIGINT) AS n_overflow,
+                       CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                           THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS sx,
+                       CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                           THEN CAST(l_extendedprice AS DECIMAL(18,6)) END) AS DOUBLE) AS sy,
+                       CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL
+                           THEN CAST(l_quantity AS DECIMAL(19,6))
+                                * CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                                * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+                       CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                           THEN CAST(l_extendedprice AS DECIMAL(19,6))
+                                * CAST(l_extendedprice AS DECIMAL(18,6)) END) AS DOUBLE) AS syy
+                FROM lineitem
+                GROUP BY l_returnflag, l_linestatus
+            ), s AS (
+                SELECT l_returnflag, l_linestatus, n, n_overflow,
+                       CAST(n AS DOUBLE) AS nd, sx, sy, sxx, sxy, syy,
+                       CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+                       CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+                       CAST(n AS DOUBLE) * syy - sy * sy AS ss_tot
+                FROM m
+            )
+            SELECT l_returnflag, l_linestatus, n, n_overflow,
+                   ROUND(CASE WHEN den != 0 THEN num / den END, 6) AS slope,
+                   ROUND(CASE WHEN den != 0
+                       THEN (sy - (num / den) * sx) / nd END, 6) AS intercept,
+                   ROUND(CASE WHEN den != 0 AND ss_tot != 0
+                       THEN (num * num) / (den * ss_tot) END, 6) AS r2
+            FROM s
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "nbayes_lang_docs": """
+            WITH base AS (
+                SELECT doc_id AS doc, lang AS true_class,
+                       list_filter(string_split_regex(lower(text),
+                           '[ \t\r\n\f\x0B]+'), t -> t != '') AS toks
+                FROM documents
+                WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+            ), tokens AS (
+                SELECT doc, true_class, unnest(toks) AS token FROM base
+            ), counts AS (
+                SELECT true_class AS cls, token, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM tokens GROUP BY 1, 2
+            ), ctot AS (
+                SELECT cls, CAST(SUM(cnt) AS BIGINT) AS ct FROM counts GROUP BY cls
+            ), ndc AS (
+                SELECT true_class AS cls, CAST(COUNT(*) AS BIGINT) AS nd
+                FROM base GROUP BY 1
+            ), classes AS (
+                SELECT ctot.cls, ct, nd FROM ctot JOIN ndc ON ctot.cls = ndc.cls
+            ), v AS (
+                SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM counts
+            ), nn AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base
+            ), st AS (
+                SELECT t.doc, t.true_class, c.cls, c.nd,
+                       ln(CAST(COALESCE(k.cnt, 0) + 1 AS DOUBLE)
+                          / CAST(c.ct + v.v AS DOUBLE)) AS logp
+                FROM tokens t
+                CROSS JOIN classes c
+                LEFT JOIN counts k ON k.cls = c.cls AND k.token = t.token
+                CROSS JOIN v
+            ), pd AS (
+                SELECT doc, true_class, cls,
+                       list_reduce(list_prepend(0.0, list_sort(list(logp))),
+                                   (a, x) -> a + x)
+                           + ln(CAST(MAX(nd) AS DOUBLE) / CAST(MAX(nn.n) AS DOUBLE))
+                           AS score
+                FROM st CROSS JOIN nn
+                GROUP BY doc, true_class, cls
+            ), rk AS (
+                SELECT doc, true_class, cls AS predicted,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc ORDER BY score DESC, cls
+                       ) AS rk
+                FROM pd
+            )
+            SELECT true_class, predicted, CAST(COUNT(*) AS BIGINT) AS n
+            FROM rk WHERE rk = 1
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "eval_binary_discount": """
+            WITH f AS (
+                SELECT l_discount AS s,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                FROM lineitem
+                WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+            ), c AS (
+                SELECT s AS value,
+                       CAST(SUM(y) AS BIGINT) AS cp,
+                       CAST(SUM(1 - y) AS BIGINT) AS cn
+                FROM f GROUP BY s
+            ), r AS (
+                SELECT cp, cp + cn AS t,
+                       CAST(COALESCE(SUM(cp + cn) OVER (
+                           ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS below
+                FROM c
+            ), a AS (
+                SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+                       CAST(SUM(t) - SUM(cp) AS BIGINT) AS n_neg,
+                       CAST(SUM(cp * (2 * below + t + 1)) AS BIGINT) AS two_r
+                FROM r
+            ), auc AS (
+                SELECT n_pos, n_neg,
+                       ROUND(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                           CAST(two_r - n_pos * (n_pos + 1) AS DOUBLE)
+                               / (2.0 * CAST(n_pos * n_neg AS DOUBLE))
+                       END, 6) AS auc
+                FROM a
+            ), conf AS (
+                SELECT CAST(SUM(p * y) AS BIGINT) AS tp,
+                       CAST(SUM(p * (1 - y)) AS BIGINT) AS fp,
+                       CAST(SUM((1 - p) * (1 - y)) AS BIGINT) AS tn,
+                       CAST(SUM((1 - p) * y) AS BIGINT) AS fn
+                FROM (
+                    SELECT CASE WHEN s >= 0.05 THEN 1 ELSE 0 END AS p, y
+                    FROM f
+                )
+            ), cm AS (
+                SELECT tp, fp, tn, fn,
+                       ROUND(CASE WHEN tp + fp > 0
+                           THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+                       ROUND(CASE WHEN tp + fn > 0
+                           THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+                       ROUND(CASE WHEN 2 * tp + fp + fn > 0
+                           THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END, 6) AS f1,
+                       ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + tn + fn), 6) AS accuracy
+                FROM conf
+            )
+            SELECT * FROM auc, cm
         """,
         "basket_brand_pairs": """
             WITH baskets AS (

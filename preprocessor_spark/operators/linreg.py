@@ -176,3 +176,59 @@ def ridge_fit_2feature(
         (F.lit(1.0) - ss_res / ss_tot).alias("r2"),
         F.sqrt(ss_res / n).alias("rmse"),
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple OLS (y = a + b·x) — one fitted line PER KEY from
+    ONE map-side-combinable groupBy of exact DECIMAL moments (the "fit a
+    trend per customer/segment/series on 100 TB" shape: the group count is
+    unbounded, each group's fit is O(1) from its own moment row).
+
+    slope / intercept / r² are a deterministic double expression over the
+    exact per-group moments — VALUE-oracle-able like
+    :func:`ridge_fit_2feature`. Groups with fewer than 2 complete rows or
+    zero x-variance return NULL fit columns; ``n_overflow`` counts rows
+    whose values overflowed the DECIMAL(18,6) moment cast (|v| ≥ 1e12 —
+    the ridge magnitude contract, surfaced per group instead of raising
+    because one bad group must not kill the other million).
+    """
+    x = F.col(x_col).cast(_DEC)
+    y = F.col(y_col).cast(_DEC)
+    raw_valid = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    valid = x.isNotNull() & y.isNotNull()
+    xv, yv = F.when(valid, x), F.when(valid, y)
+    xw = F.when(valid, F.col(x_col).cast("decimal(19,6)"))  # hugeint-width twin
+    yw = F.when(valid, F.col(y_col).cast("decimal(19,6)"))
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.when(valid, F.lit(1))).alias("n"),
+        (F.count(F.when(raw_valid, F.lit(1))) - F.count(F.when(valid, F.lit(1)))).alias(
+            "n_overflow"
+        ),
+        F.sum(xv).cast("double").alias("sx"),
+        F.sum(yv).cast("double").alias("sy"),
+        F.sum(xw * xv).cast("double").alias("sxx"),
+        F.sum(xw * yv).cast("double").alias("sxy"),
+        F.sum(yw * yv).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    ss_tot = n * syy - sy * sy
+    slope = F.when(den != 0, num / den)
+    intercept = F.when(den != 0, (sy - (num / den) * sx) / n)
+    r2 = F.when((den != 0) & (ss_tot != 0), (num * num) / (den * ss_tot))
+    return g.select(
+        *group_cols,
+        "n",
+        "n_overflow",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

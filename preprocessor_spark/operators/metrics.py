@@ -1,0 +1,137 @@
+"""Binary-classifier evaluation metrics — exact rank/count arithmetic.
+
+The evaluation half of the engine's supervised surface (pairs with
+`operators/logreg.py` / `operators/classifier.py`, which fit scores but
+could not previously be graded inside the engine):
+
+- :func:`roc_auc` — the exact area under the ROC curve via the
+  Mann-Whitney identity AUC = U⁺/(n⁺·n⁻): scores collapse to
+  per-distinct-value (pos, neg) counts in ONE groupBy, rank sums use the
+  same exact integer 2·R arithmetic as
+  :func:`preprocessor_spark.operators.hypotests.mann_whitney_u` (midranks
+  at ×2 scale need no float averaging), so the AUC is ONE double division
+  of exact int64s — ties-correct (trapezoidal), VALUE-oracle-able, and
+  never materializes a sorted score list.
+- :func:`confusion_metrics` — tp/fp/tn/fn at a threshold in one
+  conditional-count aggregation, with precision/recall/F1/accuracy as
+  deterministic doubles over the exact counts.
+
+Scale shape: one map-side-combined groupBy each; the per-distinct-score
+frame is bounded by score cardinality and the cumsum uses the
+range-partitioned two-pass carry (no SinglePartition on data-sized
+frames).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-row frame (n_pos, n_neg, auc): P(score⁺ > score⁻) + ½P(tie).
+
+    The label column is boolean-ish (1/true = positive). Exact for any
+    tie structure — ties contribute the standard half credit, which is the
+    midrank construction, kept integral at ×2 scale.
+    """
+    from preprocessor_spark.caching import register_persisted
+
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    s, y = F.col(score_col), F.col(label_col).cast("int")
+    counts = (
+        df.where(s.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(s.alias("value"))
+        .agg(
+            F.sum(y).alias("cp"),
+            F.sum(1 - y).alias("cn"),
+        )
+    )
+    ranged = register_persisted(
+        counts.repartitionByRange(n_part, F.col("value"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = (
+        ranged.groupBy("__pid").agg((F.sum("cp") + F.sum("cn")).alias("t")).collect()
+    )
+    by_pid = {r["__pid"]: r["t"] for r in psums}
+    carry, off = {}, 0
+    for pid in sorted(by_pid):
+        carry[pid] = off
+        off += by_pid[pid]
+    carry_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(carry.items()) for x in kv]),
+        F.col("__pid"),
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = (F.col("cp") + F.col("cn")).cast("long")
+    below = F.coalesce(F.sum(t).over(w), F.lit(0)) + carry_expr
+    per = ranged.select(
+        F.col("cp").cast("long").alias("cp"),
+        t.alias("t"),
+        below.alias("below"),
+    )
+    agg = per.agg(
+        F.sum("cp").alias("n_pos"),
+        (F.sum("t") - F.sum("cp")).alias("n_neg"),
+        F.sum(F.col("cp") * (2 * F.col("below") + F.col("t") + 1)).alias("two_r_pos"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    two_u = F.col("two_r_pos") - np_ * (np_ + 1)
+    return agg.select(
+        np_.alias("n_pos"),
+        nn.alias("n_neg"),
+        F.round(
+            F.when(
+                (np_ > 0) & (nn > 0),
+                two_u.cast("double") / (2.0 * (np_ * nn).cast("double")),
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def confusion_metrics(
+    df: DataFrame, score_col: str, label_col: str, threshold: float
+) -> DataFrame:
+    """1-row tp/fp/tn/fn at ``score >= threshold`` plus
+    precision/recall/f1/accuracy — exact conditional counts in ONE
+    aggregation, derived ratios as deterministic doubles (NULL where the
+    denominator is zero)."""
+    s, y = F.col(score_col), F.col(label_col).cast("int")
+    pred = (s >= F.lit(threshold)).cast("int")
+    base = df.where(s.isNotNull() & F.col(label_col).isNotNull())
+    agg = base.agg(
+        F.sum(pred * y).alias("tp"),
+        F.sum(pred * (1 - y)).alias("fp"),
+        F.sum((1 - pred) * (1 - y)).alias("tn"),
+        F.sum((1 - pred) * y).alias("fn"),
+    )
+    tp, fp, tn, fn = F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn")
+    prec = F.when(tp + fp > 0, tp.cast("double") / (tp + fp))
+    rec = F.when(tp + fn > 0, tp.cast("double") / (tp + fn))
+    f1 = F.when(
+        (2 * tp + fp + fn) > 0, (2 * tp).cast("double") / (2 * tp + fp + fn)
+    )
+    acc = (tp + tn).cast("double") / (tp + fp + tn + fn)
+    return agg.select(
+        tp,
+        fp,
+        tn,
+        fn,
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(acc, 6).alias("accuracy"),
+    )

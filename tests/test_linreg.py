@@ -136,3 +136,42 @@ def test_magnitude_overflow_raises(spark):
             ridge_fit(df, ["x1", "x2"], "y")
     finally:
         spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+
+def test_grouped_ols_vs_numpy_per_group(spark):
+    import numpy as np
+    from preprocessor_spark.operators.linreg import grouped_ols
+
+    rng = np.random.default_rng(21)
+    rows = []
+    truth = {"a": (2.0, 5.0), "b": (-1.5, 30.0), "c": (0.0, 7.0)}
+    for g, (b, a) in truth.items():
+        x = np.round(rng.uniform(0, 50, 200), 2)
+        y = np.round(a + b * x + rng.normal(0, 3, 200), 2)
+        rows += [(g, float(xi), float(yi)) for xi, yi in zip(x, y)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in grouped_ols(df, ["g"], "x", "y").collect()}
+    for g in truth:
+        xs = np.array([x for gg, x, _ in rows if gg == g])
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        b_ref, a_ref = np.polyfit(xs, ys, 1)
+        r_ref = np.corrcoef(xs, ys)[0, 1] ** 2
+        r = got[g]
+        assert r.n == 200 and r.n_overflow == 0
+        assert r.slope == pytest.approx(b_ref, abs=1e-4)
+        assert r.intercept == pytest.approx(a_ref, abs=1e-3)
+        assert r.r2 == pytest.approx(r_ref, abs=1e-6)
+
+
+def test_grouped_ols_degenerate_groups_null(spark):
+    from preprocessor_spark.operators.linreg import grouped_ols
+
+    rows = [
+        ("one", 1.0, 5.0),            # single point -> NULL fit
+        ("const", 2.0, 1.0), ("const", 2.0, 9.0),  # zero x-variance -> NULL
+        ("ok", 0.0, 0.0), ("ok", 1.0, 2.0), ("ok", 2.0, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in grouped_ols(df, ["g"], "x", "y").collect()}
+    assert got["one"].slope is None and got["const"].slope is None
+    assert got["ok"].slope == pytest.approx(2.0) and got["ok"].r2 == pytest.approx(1.0)
