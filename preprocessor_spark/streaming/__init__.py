@@ -179,6 +179,79 @@ def screen_stream_against_corpus(
     ).drop("__h")
 
 
+def holt_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    order_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 3,
+) -> DataFrame:
+    """Streaming twin of :func:`preprocessor_spark.operators.holt.
+    holt_forecast` — the per-key Holt level+trend recursion maintained
+    across micro-batches in ``applyInPandasWithState``.
+
+    State per key is O(1): (n, level, trend, sse) — the recursion is
+    associative over batch boundaries as long as rows arrive per-key in
+    event order ACROSS batches (the usual append-log contract; within a
+    batch rows are sorted by ``order_col`` before updating). After a full
+    in-order drain the emitted (level, trend, rmse, forecast) equal the
+    batch operator exactly — pytest-asserted batch-twin equivalence, the
+    same contract as the window twins above. Keys still inside their first
+    observation (n < 2) emit nothing yet.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[key].dataType.simpleString()
+    out_schema = (
+        f"{key} {key_type}, n bigint, level double, trend double, "
+        "rmse double, forecast array<double>"
+    )
+    state_schema = "n bigint, lvl double, tr double, sse double, first double"
+    a, b_, h = float(alpha), float(beta), int(horizon)
+
+    def _update(key_tuple, pdfs, state: GroupState):
+        n, lvl, tr, sse, first = (
+            state.get if state.exists else (0, 0.0, 0.0, 0.0, 0.0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows[value_col].notna()].sort_values(order_col)
+        for v in rows[value_col].astype(float):
+            if n == 0:
+                first, lvl, n = v, v, 1
+                continue
+            if n == 1:
+                tr = v - first
+                # replay the batch init: l_1 = y_1, b_1 = y_2 - y_1, and
+                # y_2's one-step error is y_2 - (y_1 + b_1) = 0 by
+                # construction -- so run the same update as any step
+            err = v - (lvl + tr)
+            sse += err * err
+            new_lvl = a * v + (1.0 - a) * (lvl + tr)
+            tr = b_ * (new_lvl - lvl) + (1.0 - b_) * tr
+            lvl = new_lvl
+            n += 1
+        state.update((n, lvl, tr, sse, first))
+        if n >= 2:
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]],
+                    "n": [n],
+                    "level": [round(lvl, 6)],
+                    "trend": [round(tr, 6)],
+                    "rmse": [round(float((sse / (n - 1)) ** 0.5), 6)],
+                    "forecast": [[round(lvl + (i + 1) * tr, 6) for i in range(h)]],
+                }
+            )
+
+    return events.groupBy(key).applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stateful_running_totals_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
     """The same per-key running (count, sum) via Spark 4's
     ``transformWithStateInPandas`` — the successor API to

@@ -69,3 +69,66 @@ def test_short_series_dropped_and_param_validation(spark):
         holt_forecast(df, "k", "o", "v", alpha=0.0)
     with pytest.raises(ValueError, match="horizon"):
         holt_forecast(df, "k", "o", "v", horizon=0)
+
+
+def test_holt_stream_equals_batch_after_drain(spark, tmp_path):
+    """Streaming twin contract: after an in-order full drain, the
+    applyInPandasWithState recursion emits exactly the batch fit."""
+    import time
+
+    import pandas as pd
+
+    from preprocessor_spark.streaming import holt_stream, run_available_now
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for uid in (1, 2, 3):
+        base = rng.uniform(10, 20)
+        for t in range(40):
+            rows.append(
+                (
+                    uid * 1000 + t,
+                    pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=t),
+                    uid,
+                    "m",
+                    float(base + 0.7 * t + rng.normal(0, 1)),
+                    "{}",
+                )
+            )
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    src = str(tmp_path / "holt_events")
+    # two time-ordered files -> two micro-batches, state carries across
+    early = pdf[pdf.ts < pd.Timestamp("2024-01-01 00:20:00")]
+    late = pdf[pdf.ts >= pd.Timestamp("2024-01-01 00:20:00")]
+    spark.createDataFrame(early).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)  # distinct mtimes keep listing order == event order
+    spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now(
+        holt_stream(stream, "user_id", "ts", "value"), "holt_state", output_mode="update"
+    )
+    out = spark.table("holt_state").toPandas()
+    final = out.sort_values("n").groupby("user_id").last().reset_index()
+
+    from preprocessor_spark.operators.holt import holt_forecast
+
+    batch = (
+        holt_forecast(spark.createDataFrame(pdf), "user_id", "ts", "value")
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == 3
+    for _, r in final.iterrows():
+        b = batch.loc[r.user_id]
+        assert (r.n, r.level, r.trend, r.rmse) == (b.n, b.level, b.trend, b.rmse)
+        assert list(r.forecast) == list(b.forecast)
