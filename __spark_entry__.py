@@ -1344,6 +1344,70 @@ def eval_binary_discount(spark, sf_dir):
     return auc.crossJoin(F.broadcast(conf))
 
 
+def dbscan_embeddings(spark, sf_dir):
+    """Cosine DBSCAN over the embeddings table (operators/clustering.py::
+    dbscan_cosine — density complement to kmeans_embeddings): banded
+    sign-LSH ε-neighbor pairs → degree count → core points → connected
+    components over core-core edges → border attach. Returns the per-role
+    summary (points, distinct clusters) — rows-only (LSH neighbor recall
+    is a documented dial; the operator itself is seed-deterministic,
+    planted-cluster recovery + scalar-reference equivalence in
+    tests/test_dbscan.py)."""
+    from preprocessor_spark.operators.clustering import dbscan_cosine
+
+    # the synthetic embeddings are direction-uniform (max pairwise cosine
+    # ~0.49), so density structure is PLANTED deterministically — the
+    # classifier/phash salting precedent: every 10th vector gets 3 copies
+    # perturbed by +0.06·|v| along a vec_id-derived basis axis (pairwise
+    # cosine >= 0.996 within a group, < 0.5 across groups), giving one
+    # 4-member density cluster per seed and leaving the rest noise.
+    # Copies perturb the RAW vectors (cosine is scale-invariant; the
+    # operator normalizes inside its Arrow kernel) — nesting l2-normalize
+    # COLUMN expressions here re-expands the interpreted higher-order fold
+    # per element with no CSE (the dedup.py engine note; measured as one
+    # 18 s / 56 executor-seconds stage for 2.6k rows before this rewrite).
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("emb")
+    )
+    nrm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    seeds = e.where(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "emb", nrm.alias("__n")
+    )
+    parts = [e]
+
+    def _pert(axis, scale):
+        return lambda x, i: x + F.when(i == axis, scale).otherwise(F.lit(0.0))
+
+    for k in (1, 2, 3):
+        axis = ((F.col("vec_id") + k) % 64).cast("int")
+        pert = F.transform(F.col("emb"), _pert(axis, F.lit(0.06) * F.col("__n")))
+        parts.append(
+            seeds.select(
+                (F.lit(1_000_000) + F.col("vec_id") * 4 + k).alias("vec_id"),
+                pert.alias("emb"),
+            )
+        )
+    salted = parts[0]
+    for p in parts[1:]:
+        salted = salted.unionByName(p)
+    # the 4-way union stacks 4x the scan partitions; every downstream
+    # narrow Arrow stage would run that many near-empty tasks (AQE only
+    # coalesces shuffles, not unions) — coalesce to the real parallelism
+    # the 2.6k-row demo needs
+    salted = salted.coalesce(8)
+    labeled = dbscan_cosine(
+        salted, "vec_id", "emb", eps_cosine=0.98, min_pts=3
+    )
+    return (
+        labeled.groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+        .orderBy("role")
+    )
+
+
 def forecast_holt_users(spark, sf_dir):
     """Per-user Holt linear-trend forecast (operators/holt.py): each
     user's event-value series gathered with ONE keyed repartition+groupBy
@@ -4371,8 +4435,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_binary_discount": eval_binary_discount,
         "nbayes_lang_docs": nbayes_lang_docs,
         "grouped_ols_lineitem": grouped_ols_lineitem,
-        # Holt forecasting (round 8, rows-only: sequential recursion)
+        # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
+        "dbscan_embeddings": dbscan_embeddings,
         # one-pass distributed ridge regression (round 7, oracle-backed)
         "ridge_regression_lineitem": ridge_regression_lineitem,
         "dedup_substring_spans": dedup_substring_spans,

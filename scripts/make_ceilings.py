@@ -22,6 +22,7 @@ Usage:
 from __future__ import annotations
 
 import glob
+import math
 import json
 import os
 import sys
@@ -74,7 +75,11 @@ def main(recording_path: str) -> None:
         base = max(min(times), cover)
         if q in r4e:
             base = min(base, r4e[q])
-        base = round(base, 3)
+        # round UP at 3 decimals: banker's rounding of a cover-derived base
+        # can land 0.5 ms below what the committed measurement needs and
+        # arm a false-positive ceiling (observed: 1.987 s needs 0.99134,
+        # round() stored 0.991 -> ceiling 1.9865 < 1.987)
+        base = math.ceil(base * 1000) / 1000
         old = doc["ceilings"].get(q)
         if old is None:
             doc["ceilings"][q] = base
