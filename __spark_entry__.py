@@ -1422,6 +1422,23 @@ def forecast_holt_users(spark, sf_dir):
     return out.orderBy("user_id")
 
 
+def isotonic_discount_returnrate(spark, sf_dir):
+    """Isotonic (PAV) calibration of P(returned | discount)
+    (operators/isotonic.py): one groupBy collapses lineitem to exact
+    per-discount (Σy, n), PAV pools on the bounded 11-step frame with
+    block means as double divisions of exact sums. VALUE-oracled via the
+    minimax identity ŷ_i = max_{j≤i} min_{k≥i} mean(y[j..k]) — DuckDB
+    evaluates it directly from the same exact DECIMAL prefix sums, so a
+    sequential algorithm grades hash-exact."""
+    from preprocessor_spark.operators.isotonic import isotonic_fit
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_discount").alias("x"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    return isotonic_fit(l, "x", "y").orderBy("x")
+
+
 def grouped_ols_lineitem(spark, sf_dir):
     """Per-group simple OLS (operators/linreg.py::grouped_ols): one fitted
     price~quantity line per (returnflag, linestatus) — the unbounded-group
@@ -4435,6 +4452,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_binary_discount": eval_binary_discount,
         "nbayes_lang_docs": nbayes_lang_docs,
         "grouped_ols_lineitem": grouped_ols_lineitem,
+        "isotonic_discount_returnrate": isotonic_discount_returnrate,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,
@@ -5840,6 +5858,49 @@ def oracle_sql() -> dict[str, str]:
                            / (2.0 * sqrt(var_u))
                    END, 6) AS z
             FROM zz
+        """,
+        "isotonic_discount_returnrate": """
+            WITH f AS (
+                SELECT l_discount AS x,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                FROM lineitem
+                WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+            ), c AS (
+                SELECT x,
+                       CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sy,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM f GROUP BY x
+            ), o AS (
+                SELECT x, sy, n,
+                       CAST(ROW_NUMBER() OVER (ORDER BY x) AS BIGINT) AS i,
+                       SUM(sy) OVER (ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csy,
+                       CAST(SUM(n) OVER (ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+                FROM c
+            ), rng AS (
+                -- weighted mean over every contiguous x-range [j..k], from
+                -- exact DECIMAL prefix sums (identical values to the PAV
+                -- block sums, hence identical doubles)
+                SELECT a.i AS j, b.i AS k,
+                       CAST(b.csy - COALESCE(a2.csy, 0) AS DOUBLE)
+                           / (b.cn - COALESCE(a2.cn, 0)) AS m
+                FROM o a
+                JOIN o b ON a.i <= b.i
+                LEFT JOIN o a2 ON a2.i = a.i - 1
+            ), inner_min AS (
+                SELECT i.i AS i, r.j, MIN(r.m) AS mn
+                FROM o i JOIN rng r ON r.j <= i.i AND r.k >= i.i
+                GROUP BY 1, 2
+            ), iso AS (
+                -- minimax identity: y_iso_i = max_{j<=i} min_{k>=i} mean
+                SELECT i, MAX(mn) AS y_iso FROM inner_min GROUP BY i
+            )
+            SELECT o.x, o.n,
+                   ROUND(CAST(o.sy AS DOUBLE) / o.n, 6) AS y_mean,
+                   ROUND(iso.y_iso, 6) AS y_iso
+            FROM o JOIN iso ON o.i = iso.i
+            ORDER BY o.x
         """,
         "grouped_ols_lineitem": """
             WITH m AS (
