@@ -6125,6 +6125,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT category, fold, s, c,
                        SUM(s) OVER (PARTITION BY category) AS tot_s,
                        SUM(c) OVER (PARTITION BY category) AS tot_c,
+                       SUM(s) OVER (PARTITION BY fold) AS fold_s,
+                       SUM(c) OVER (PARTITION BY fold) AS fold_c,
                        SUM(s) OVER () AS all_s,
                        SUM(c) OVER () AS all_c
                 FROM cells
@@ -6133,7 +6135,9 @@ def oracle_sql() -> dict[str, str]:
                        CAST(tot_c - c AS BIGINT) AS n_oof,
                        CAST(tot_s - s AS DOUBLE) AS oof_s,
                        CAST(tot_c - c AS DOUBLE) AS oof_c,
-                       CAST(all_s - s AS DOUBLE) / CAST(all_c - c AS DOUBLE) AS g
+                       -- OOF global mean excludes the row's ENTIRE fold
+                       CAST(all_s - fold_s AS DOUBLE)
+                           / CAST(all_c - fold_c AS DOUBLE) AS g
                 FROM w
             )
             SELECT category, fold, c AS n_in_fold, n_oof,

@@ -76,12 +76,17 @@ def target_encode_oof(
     )
     # bounded |cats|·k frame from here on
     wc = Window.partitionBy("category")
+    wf = Window.partitionBy("fold")
     wg = Window.partitionBy()
     tot_s, tot_c = F.sum("s").over(wc), F.sum("c").over(wc)
+    fold_s, fold_c = F.sum("s").over(wf), F.sum("c").over(wf)
     all_s, all_c = F.sum("s").over(wg), F.sum("c").over(wg)
     oof_s = (tot_s - F.col("s")).cast("double")
     oof_c = (tot_c - F.col("c")).cast("double")
-    g = ((all_s - F.col("s")).cast("double")) / ((all_c - F.col("c")).cast("double"))
+    # out-of-fold GLOBAL mean: excludes the row's ENTIRE fold (all
+    # categories), not just this cell — same-fold labels of other
+    # categories must not leak into the smoothing prior / fallback
+    g = ((all_s - fold_s).cast("double")) / ((all_c - fold_c).cast("double"))
     m = float(smoothing)
     enc = F.when(oof_c > 0, (oof_s + F.lit(m) * g) / (oof_c + F.lit(m))).otherwise(g)
     return cells.select(

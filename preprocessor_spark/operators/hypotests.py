@@ -39,11 +39,23 @@ from pyspark.sql import functions as F
 _DEC = "decimal(38,8)"
 
 
+_WELCH_OVERFLOW_MSG = (
+    "welch_ttest: input magnitude >= 1e14 overflows the DECIMAL(18,4) moment "
+    "cast to NULL under non-ANSI Spark; pre-scale the value column"
+)
+
+
 def _moments(df: DataFrame, value_col: str, flag: Column) -> list[Column]:
-    """n, Σx, Σx² for rows where ``flag`` — exact DECIMAL accumulators."""
+    """n, n_raw, Σx, Σx² for rows where ``flag`` — exact DECIMAL accumulators.
+
+    ``n_raw`` counts non-null values BEFORE the DECIMAL(18,4) cast; under
+    non-ANSI Spark a |x| >= 1e14 value overflows that cast to NULL and
+    silently vanishes from n/Σx/Σx², so n < n_raw is the overflow
+    certificate (same guard as :func:`linreg.ridge_fit`)."""
     x = F.when(flag, F.col(value_col).cast("decimal(18,4)"))
     return [
         F.count(x),
+        F.count(F.when(flag, F.col(value_col))),
         F.sum(x.cast(_DEC)),
         F.sum((x * x).cast(_DEC)),
     ]
@@ -63,7 +75,10 @@ def welch_ttest(
     frame: n/mean/var per group, ``t_stat`` and Welch–Satterthwaite ``df``
     — every column a deterministic double over exact DECIMAL sums. The
     normal-approximation p-value is left to the caller (erf is not part of
-    the portable-SQL contract).
+    the portable-SQL contract). Values with |x| >= 1e14 would overflow the
+    DECIMAL(18,4) moment cast; a runtime certificate (pre-cast vs post-cast
+    counts, same as ``linreg.ridge_fit``) raises instead of silently
+    dropping them.
     """
     g = F.col(group_col)
     row = (
@@ -74,12 +89,21 @@ def welch_ttest(
                 for m, n in zip(
                     _moments(df, value_col, g == F.lit(group_a))
                     + _moments(df, value_col, g == F.lit(group_b)),
-                    ["na", "sa", "qa", "nb", "sb", "qb"],
+                    ["na", "na_raw", "sa", "qa", "nb", "nb_raw", "sb", "qb"],
                 )
             ]
         )
     )
-    na, sa, qa = F.col("na"), F.col("sa").cast("double"), F.col("qa").cast("double")
+    # overflow certificate: raises at runtime if any DECIMAL(18,4) cast
+    # overflowed to NULL (n < n_raw); passes → NULL → coalesce yields n
+    na = F.coalesce(
+        F.assert_true(
+            (F.col("na") == F.col("na_raw")) & (F.col("nb") == F.col("nb_raw")),
+            F.lit(_WELCH_OVERFLOW_MSG),
+        ).cast("long"),
+        F.col("na"),
+    )
+    sa, qa = F.col("sa").cast("double"), F.col("qa").cast("double")
     nb, sb, qb = F.col("nb"), F.col("sb").cast("double"), F.col("qb").cast("double")
     ma, mb = sa / na, sb / nb
     va = (qa - sa * sa / na) / (na - 1)

@@ -283,8 +283,10 @@ def _filter_ridge_lines(
             return False
         noise = noises[cols[0]]
         if noise == 0:
-            # the zero-noise ratio is inf/nan upstream — both branches keep
-            return True
+            # scipy evaluates abs(signal/0): inf >= min_snr keeps a nonzero
+            # signal, but 0/0 = nan fails `nan >= min_snr` and DROPS the
+            # line — match that, or all-zero segments count phantom peaks
+            return cwt_mat[rows[0], cols[0]] != 0
         return abs(cwt_mat[rows[0], cols[0]] / noise) >= min_snr
 
     return [l for l in ridge_lines if keep(l)]

@@ -65,16 +65,27 @@ def main(recording_path: str) -> None:
         "per-query ceiling bases (seconds at sf0.1); guard ceiling = "
         f"{RATIO}x + {SLACK}s. base = max(min observed, tightest base whose "
         "ceiling covers every committed full recording), never above the "
-        "r4e value where one exists; loosening past r4e requires a "
-        "documented `rebased` entry."
+        "query's FIRST-recorded base (first_bases, append-only; r4e value "
+        "where one exists); loosening past that requires a documented "
+        "`rebased` entry."
     )
+    # first_bases: append-only record of each query's first-recorded base —
+    # the variance-raise branch clamps to it so a regression committed
+    # alongside a full recording can't quietly raise its own bar (round-8
+    # ADVICE: the r4e clamp only protected r4e-era queries). Bootstrap
+    # from r4e + the bases already stored for post-r4 queries.
+    first = doc.setdefault("first_bases", {})
+    for q, b in r4e.items():
+        first.setdefault(q, b)
+    for q, b in doc["ceilings"].items():
+        first.setdefault(q, b)
     added, tightened, relaxed = [], [], []
     for q in rec["queries"]:
         times = [r["queries"][q] for r in recs if q in r["queries"]]
         cover = max((t - SLACK) / RATIO for t in times) + 1e-9
         base = max(min(times), cover)
-        if q in r4e:
-            base = min(base, r4e[q])
+        if q in first:
+            base = min(base, first[q])
         # round UP at 3 decimals: banker's rounding of a cover-derived base
         # can land 0.5 ms below what the committed measurement needs and
         # arm a false-positive ceiling (observed: 1.987 s needs 0.99134,
@@ -83,6 +94,7 @@ def main(recording_path: str) -> None:
         old = doc["ceilings"].get(q)
         if old is None:
             doc["ceilings"][q] = base
+            first.setdefault(q, base)
             added.append(q)
         elif base < old:
             doc["ceilings"][q] = base

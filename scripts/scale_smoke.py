@@ -126,6 +126,9 @@ EXPECTED_SUPRALINEAR = {
 }
 
 
+ABS_SF1_WALL = 10.0  # seconds — above this, the 1.0s noise floor no longer applies
+
+
 def check(base_path: str, sf1_path: str, max_ratio: float = 10.0) -> int:
     base = json.load(open(base_path))
     sf1 = json.load(open(sf1_path))
@@ -137,10 +140,17 @@ def check(base_path: str, sf1_path: str, max_ratio: float = 10.0) -> int:
         # stage-scheduling overhead, so its 10x projection is measurement
         # noise, not a plan property (round 8: text_repetition_stats
         # measured 0.88s -> 9.0s in-suite but 3.0s isolated — same code).
-        # The 1.0s denominator floor means only multi-second scale-ups can
-        # flag, which is exactly the scale-killer class this check hunts.
+        # The 1.0s denominator floor alone would let a genuinely
+        # superlinear fast query hide (0.3s -> 10s = 33x reads as 10x), so
+        # it is paired with an ABSOLUTE sf1 wall test: any sf1 time over
+        # ABS_SF1_WALL whose unfloored ratio exceeds the cap flags too.
         ratio = max(sq[q], 0.2) / max(bq[q], 1.0)
-        if ratio > max_ratio:
+        raw_ratio = max(sq[q], 0.2) / max(bq[q], 0.2)
+        flagged = ratio > max_ratio or (
+            sq[q] > ABS_SF1_WALL and raw_ratio > max_ratio
+        )
+        if flagged:
+            ratio = max(ratio, raw_ratio)
             if q in EXPECTED_SUPRALINEAR:
                 print(
                     f"  EXPECTED {q}: {bq[q]}s -> {sq[q]}s ({round(ratio, 1)}x) — "

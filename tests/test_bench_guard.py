@@ -145,6 +145,20 @@ def test_ceiling_bases_never_loosened():
     for q, info in doc.get("rebased", {}).items():
         assert len(info.get("reason", "")) >= 40, f"rebase of {q} lacks a reason"
         assert q in notes, f"rebase of {q} not documented in any DRIFT_NOTE_*.md"
+    # post-r4 queries: the variance-raise branch may never lift a base
+    # above the query's FIRST-recorded base (first_bases is append-only in
+    # make_ceilings.py) — without this, a regression committed alongside a
+    # full recording quietly raises its own bar on the next regeneration
+    first = doc.get("first_bases", {})
+    assert first, "ceilings.json lacks first_bases (run scripts/make_ceilings.py)"
+    missing_first = [q for q in base if q not in first]
+    assert not missing_first, f"queries without a first-recorded base: {missing_first}"
+    raised = {
+        q: (first[q], b)
+        for q, b in base.items()
+        if b > first[q] + 1e-9 and q not in doc.get("rebased", {})
+    }
+    assert not raised, f"bases raised past first-recorded without a rebase: {raised}"
 
 
 def test_sf1_derived_recordings_scale_linearly():

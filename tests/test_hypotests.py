@@ -49,6 +49,28 @@ def test_welch_vs_textbook_two_pass(spark):
     assert got.welch_df == pytest.approx(dof, abs=1e-4)
 
 
+def test_welch_overflow_certificate_raises(spark):
+    # |x| >= 1e14 overflows the DECIMAL(18,4) moment cast to NULL under
+    # non-ANSI Spark; the pre/post-cast count certificate must raise
+    # instead of silently dropping the row from n / sum x / sum x^2
+    # under ANSI Spark (4.x default) the cast itself raises
+    # NUMERIC_VALUE_OUT_OF_RANGE — equally loud; the certificate covers
+    # the non-ANSI silent-NULL mode
+    rows = [("a", 1.0), ("a", 2.0), ("a", 1.0e15), ("b", 3.0), ("b", 4.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+    with pytest.raises(
+        Exception, match="welch_ttest|NUMERIC_VALUE_OUT_OF_RANGE|1e14"
+    ):
+        welch_ttest(df, "x", "g", "a", "b").collect()
+    # and the certificate path itself, with the cast forced non-ANSI
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="welch_ttest"):
+            welch_ttest(df, "x", "g", "a", "b").collect()
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")
+
+
 def test_welch_identical_groups_t_zero(spark):
     rows = [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [
         ("b", float(v)) for v in (1, 2, 3, 4, 5)

@@ -117,6 +117,19 @@ def test_find_peaks_cwt_counts_bumps():
     assert math.isnan(number_cwt_peaks(np.array([1.0, 2.0]), 5))
 
 
+def test_filter_ridge_lines_zero_noise_zero_signal_drops():
+    # scipy: snr = abs(0/0) = nan fails `nan >= min_snr` -> line dropped;
+    # abs(x/0) = inf for x != 0 -> kept. The zero/zero case must NOT count.
+    from preprocessor_spark.operators.matrix_profile import _filter_ridge_lines
+
+    cwt = np.zeros((4, 40))
+    cwt[:, 30] = 5.0  # nonzero ridge at col 30; col 10 stays all-zero
+    zero_line = (np.array([0, 1, 2, 3]), np.array([10, 10, 10, 10]))
+    live_line = (np.array([0, 1, 2, 3]), np.array([30, 30, 30, 30]))
+    kept = _filter_ridge_lines(cwt, [zero_line, live_line], min_length=2)
+    assert [l[1][0] for l in kept] == [30]
+
+
 # ------------------------------------------------------------ Spark level
 @pytest.fixture(scope="module")
 def spark():

@@ -144,5 +144,34 @@ def test_target_encode_single_fold_category_falls_back_global(spark):
     out = target_encode_oof(df, "cat", "y", "k", k=5).collect()
     solo = [r for r in out if r.category == "solo"]
     assert len(solo) == 1 and solo[0].n_oof == 0
-    # g excludes the solo cell itself -> mean of the 100 "big" rows
+    # g excludes the solo row's ENTIRE fold (all categories) -> mean of
+    # the "big" rows in the other folds, all 10.0
     assert solo[0].encoded == pytest.approx(10.0, abs=1e-9)
+
+
+def test_target_encode_global_mean_excludes_whole_fold(spark):
+    # the smoothing prior / single-fold fallback must not see labels from
+    # the SAME fold in OTHER categories: plant an extreme-label category
+    # entirely inside the solo row's fold and check g ignores it
+    import hashlib
+
+    k = 5
+
+    def py_fold(key: int) -> int:  # python twin of oof_fold_expr
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % 10000 % k
+
+    rows = [(i, "big", 10.0) for i in range(200)]
+    solo_key = 1000
+    rows.append((solo_key, "solo", 99.0))
+    solo_fold = py_fold(solo_key)
+    poison_keys = [i for i in range(2000, 3000) if py_fold(i) == solo_fold][:50]
+    rows += [(pk, "poison", 1e6) for pk in poison_keys]
+    df = spark.createDataFrame(rows, "k long, cat string, y double")
+    out = target_encode_oof(df, "cat", "y", "k", k=k).collect()
+    solo = [r for r in out if r.category == "solo"][0]
+    # expected: mean over everything OUTSIDE solo_fold = "big" rows only
+    outside = [y for kk, c, y in rows if py_fold(kk) != solo_fold]
+    assert all(c == "big" for kk, c, y in rows if py_fold(kk) != solo_fold)
+    assert solo.encoded == pytest.approx(float(np.mean(outside)), abs=1e-6)
+    # the poison labels (1e6, same fold) must not have leaked in
+    assert solo.encoded < 100.0
