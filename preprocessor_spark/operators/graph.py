@@ -277,6 +277,11 @@ def triangle_count(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # the canonical edge list feeds degrees (×2), the rank join and the
+    # closure — without a persist each consumer re-runs the distinct()
+    # from source (round-8b trap 5; observed ~15 re-executions = 500+
+    # executor-seconds on a 10k-edge graph)
+    e = register_persisted(e.persist())
     deg = (
         e.select(F.col("a").alias("n"))
         .unionAll(e.select(F.col("b").alias("n")))
@@ -296,6 +301,8 @@ def triangle_count(
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
     )
+    # consumed by both wedge sides and the closure join
+    oriented = register_persisted(oriented.persist())
     w1 = oriented.select(
         F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("d1")
     )
@@ -341,6 +348,8 @@ def clustering_coefficient(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # reused by the degree table and the whole triangle subtree
+    e = register_persisted(e.persist())
     deg = (
         e.select(F.col("a").alias(node_col))
         .unionAll(e.select(F.col("b").alias(node_col)))

@@ -441,3 +441,168 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---- engine-portable multi-table sign-LSH kNN graph --------------------
+
+def rademacher_planes(seed: int, n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    """±1 hyperplanes (L, P, d) for engine-portable sign-LSH.
+
+    Rademacher entries instead of Gaussians on purpose: every product
+    ``±x[i]`` is an EXACT IEEE double (float32→double widening is exact and
+    negation is exact), so the sign of the left-associated term sum is
+    bit-identical in any engine that folds in index order — the property
+    that makes the bucket assignment VALUE-oracle-able in SQL, unlike
+    :func:`lsh_cosine_topk`'s Gaussian planes."""
+    rng = np.random.default_rng(seed)
+    return rng.choice([-1.0, 1.0], size=(n_tables, n_bits, dim))
+
+
+def lsh_table_key_sql(planes: np.ndarray, elem) -> list[str]:
+    """One SQL expression per LSH table computing its P-bit bucket key.
+
+    ``elem(i)`` renders the i-th vector element as engine-specific SQL
+    (0-based for Spark ``x[i]``, 1-based for DuckDB ``x[i+1]``). The sign
+    sums are emitted as left-associated ``±e`` chains so both engines fold
+    in the same order — with ±1 coefficients every intermediate is exact
+    arithmetic on exact doubles, so the bucket bits agree bit-for-bit."""
+    keys = []
+    for t in range(planes.shape[0]):
+        bits = []
+        for p in range(planes.shape[1]):
+            terms = "".join(
+                ("+" if planes[t, p, i] > 0 else "-") + elem(i)
+                for i in range(planes.shape[2])
+            )
+            bits.append(f"(CASE WHEN ({terms.lstrip('+')}) >= 0 THEN {1 << p} ELSE 0 END)")
+        keys.append("(" + " + ".join(bits) + ")")
+    return keys
+
+
+def lsh_knn_graph_edges(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_tables: int = 16,
+    n_bits: int = 5,
+    dim: int | None = None,
+    seed: int = 97,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Approximate kNN-graph edges via multi-table sign-LSH — the 100 TB
+    replacement for the exact O(N²·d) GEMM build (round-8 verdict task 2).
+
+    Shape: (1) exact-duplicate vectors collapse to their min-id
+    representative FIRST (replicated corpora — the dedup-adversarial case —
+    cost nothing extra, and cliques of identical vectors never explode the
+    bucket joins); (2) each rep lands in ``n_tables`` sign-LSH buckets
+    (Rademacher planes, see :func:`rademacher_planes` for why the bucket
+    bits are engine-exact); (3) candidate pairs are generated ONLY inside
+    each (table, bucket) group by a per-group Arrow GEMM — bounded by
+    ``max_bucket`` (oversize buckets are skipped: they are uninformative
+    hash collisions, and the skip is replayable as a HAVING filter);
+    (4) pairs dedupe across tables and rank per query by rounded cosine
+    (6 dp, id tie-break — the repo-wide rank contract). No cross join, no
+    all-pairs GEMM: every stage is a keyed shuffle over posting lists.
+
+    Returns (query_id, neighbor_id, cosine) with rank <= k per query —
+    same shape as :func:`cosine_topk`, recall < 1 by construction (LSH).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = rademacher_planes(seed, n_tables, n_bits, dim)
+    reps = df.filter(F.col(vec_col).isNotNull()).groupBy(vec_col).agg(
+        F.min(id_col).alias("__rid")
+    )
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # Bucket keys are computed in ONE narrow Arrow stage with an explicit
+    # left-associated accumulation loop — acc = ±x[0]; acc = acc ± x[i] —
+    # each step a single elementwise IEEE double add, the EXACT operation
+    # sequence the oracle's SQL chain (:func:`lsh_table_key_sql`) performs,
+    # so the sign bits are bit-identical across engines. Expressing the
+    # same L·P 64-term chains as Catalyst expressions instead collapses
+    # into the dup-collapse aggregate's output projection, whose generated
+    # method exceeds Janino's limits: 13-19 s of failed compile +
+    # interpreted fallback per run (InternalCompilerException, observed).
+    vname = vec_col
+
+    def _postings(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vname].tolist(), dtype="float64")  # exact widen
+            n = len(x)
+            keys = np.empty((n_tables, n), dtype="int64")
+            for t in range(n_tables):
+                key = np.zeros(n, dtype="int64")
+                for p in range(n_bits):
+                    s = planes[t, p]
+                    acc = s[0] * x[:, 0]
+                    for i in range(1, dim):
+                        acc = acc + s[i] * x[:, i]
+                    key |= (acc >= 0).astype("int64") << p
+                keys[t] = key
+            yield pd.DataFrame(
+                {
+                    "__rid": np.tile(pdf["__rid"].to_numpy(), n_tables),
+                    "__vec": list(pdf[vname]) * n_tables,
+                    "__t": np.repeat(np.arange(n_tables, dtype="int32"), n),
+                    "__key": keys.reshape(-1),
+                }
+            )
+
+    posting = reps.mapInPandas(
+        _postings, "__rid long, __vec array<float>, __t int, __key long"
+    )
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+        n = len(pdf)
+        if n < 2 or n > max_bucket:
+            return empty
+        # float32 → float64 widening is exact, same values the SQL oracle
+        # casts element-wise
+        m = np.array(pdf["__vec"].tolist(), dtype="float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        s = np.round(m @ m.T, 6)
+        ids = pdf["__rid"].to_numpy()
+        # emit only each query's top-k WITHIN this bucket (same tie-break
+        # as the global window: cosine desc, id asc) — the global top-k is
+        # a subset of the union of per-bucket top-k, so the final ranking
+        # is unchanged while the pair traffic drops ~bucket/k-fold
+        idx0 = np.argsort(ids, kind="stable")  # id asc
+        order = idx0[np.argsort(-s[:, idx0], axis=1, kind="stable")]
+        kk = min(k + 1, n)  # +1: self may occupy one slot
+        qi = np.repeat(np.arange(n), kk)
+        ni = order[:, :kk].reshape(-1)
+        keep = qi != ni
+        qi, ni = qi[keep], ni[keep]
+        return pd.DataFrame(
+            {"query_id": ids[qi], "neighbor_id": ids[ni], "cosine": s[qi, ni]}
+        )
+
+    # pre-repartition on the group key: AQE's byte-based coalescing would
+    # otherwise collapse this small shuffle to one partition and serialize
+    # the per-bucket GEMMs (the round-8 gathered-series trap)
+    pairs = (
+        posting.repartition(n_shuffle, "__t", "__key")
+        .groupBy("__t", "__key")
+        .applyInPandas(
+            _bucket_pairs, "query_id long, neighbor_id long, cosine double"
+        )
+    )
+    dedup = pairs.groupBy("query_id", "neighbor_id").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -61,6 +61,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # PySpark 4's per-API-call call-site capture does one extra JVM
+        # round trip for EVERY Column/DataFrame function; on expression-
+        # heavy plans (ts_features builds ~2k Column nodes) that is whole
+        # seconds of driver-side plan-build wall. The captured call sites
+        # only decorate error messages — disable in this library's
+        # sessions; stack traces still carry the Python-side origin.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -116,13 +116,6 @@ EXPECTED_SUPRALINEAR = {
         "per-round cost is linear but whose constant includes ~8 keyed "
         "shuffles/round — the wall ratio compares two different engines"
     ),
-    "knn_graph_triangles": (
-        "EXACT brute-force kNN-graph construction is O(N^2 * d) by "
-        "definition — 10x vectors = 100x GEMM work (observed ~19x wall; "
-        "the blocked kernel amortizes). The 100 TB path is the ANN "
-        "variants (knn_ivf / knn_lsh / knn_ivfpq), which bound candidate "
-        "generation per cell/bucket"
-    ),
 }
 
 
