@@ -66,3 +66,35 @@ def persist_scope() -> Iterator[list[DataFrame]]:
                 f.unpersist()
             except Exception:  # session already stopped — nothing to free
                 pass
+
+
+@contextmanager
+def fixpoint_shuffle_scope(
+    spark, rows_hint: int, rows_per_partition: int = 100_000
+) -> Iterator[int]:
+    """Size ``spark.sql.shuffle.partitions`` to the frames an iterative
+    fixpoint actually shuffles, for the duration of the loop.
+
+    Synchronous fixpoints (connected components, LPA) re-plan a handful of
+    tiny keyed shuffles EVERY round; at toy scale the session-wide
+    partition count (2×cores) turns each round into hundreds of ~empty
+    tasks whose scheduling overhead dominates the query (round-8 verdict:
+    35+ s of the sf0.1 suite across three fixpoint queries). AQE's
+    coalescing only helps reducer sides — the map side of every round
+    still launches one task per parent partition. Scoping the conf to
+    ``clamp(rows_hint / rows_per_partition, 8, session default)`` keeps
+    the round-trip cost proportional to the data: at 100 TB the hint
+    exceeds the session default and this is a no-op.
+
+    Config reads happen at PLAN time, so the scope must enclose both the
+    plan construction and the per-round materialization (checkpoint /
+    action) — which is how the fixpoint loops are written. Restores the
+    previous value on exit; yields the partition count chosen.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    n = max(8, min(int(old), (int(rows_hint) + rows_per_partition - 1) // rows_per_partition))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

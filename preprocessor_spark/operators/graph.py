@@ -66,41 +66,46 @@ def connected_components(
         .distinct()
     )
     edges = register_persisted(edges.persist())
+    n_edges = edges.count()  # materializes the persist; sizes the fixpoint
 
-    # round-1 propagate fused into init: with identity labels, the first
-    # round's message min is just min(neighbor id), so start every node at
-    # min(id, min neighbor) directly — one groupBy instead of a full
-    # join+groupBy+jump+checkpoint round
-    labels = (
-        edges.groupBy(F.col("src").alias("id"))
-        .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
-        .localCheckpoint(eager=True)
-    )
+    from preprocessor_spark.caching import fixpoint_shuffle_scope
 
-    prev_sum = None
-    for _ in range(max_iterations):
-        # 1. propagate: my label vs my neighbors' labels
-        msgs = edges.join(labels.withColumnRenamed("id", "src"), "src").select(
-            F.col("dst").alias("id"), "component"
+    spark = pairs.sparkSession
+    with fixpoint_shuffle_scope(spark, n_edges):
+        # round-1 propagate fused into init: with identity labels, the
+        # first round's message min is just min(neighbor id), so start
+        # every node at min(id, min neighbor) directly — one groupBy
+        # instead of a full join+groupBy+jump+checkpoint round
+        labels = (
+            edges.groupBy(F.col("src").alias("id"))
+            .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
+            .localCheckpoint(eager=True)
         )
-        stage1 = (
-            labels.unionByName(msgs).groupBy("id").agg(F.min("component").alias("component"))
-        )
-        # 2. pointer jump: follow my label's label (labels are node ids)
-        lut = stage1.select(
-            F.col("id").alias("cid"), F.col("component").alias("comp2")
-        )
-        jumped = stage1.join(lut, stage1["component"] == lut["cid"], "left").select(
-            "id", F.coalesce("comp2", "component").alias("component")
-        )
-        labels = jumped.localCheckpoint(eager=True)
-        s = labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        if s == prev_sum:
-            edges.unpersist()
-            return labels
-        prev_sum = s
+
+        prev_sum = None
+        for _ in range(max_iterations):
+            # 1. propagate: my label vs my neighbors' labels
+            msgs = edges.join(labels.withColumnRenamed("id", "src"), "src").select(
+                F.col("dst").alias("id"), "component"
+            )
+            stage1 = (
+                labels.unionByName(msgs).groupBy("id").agg(F.min("component").alias("component"))
+            )
+            # 2. pointer jump: follow my label's label (labels are node ids)
+            lut = stage1.select(
+                F.col("id").alias("cid"), F.col("component").alias("comp2")
+            )
+            jumped = stage1.join(lut, stage1["component"] == lut["cid"], "left").select(
+                "id", F.coalesce("comp2", "component").alias("component")
+            )
+            labels = jumped.localCheckpoint(eager=True)
+            s = labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            if s == prev_sum:
+                edges.unpersist()
+                return labels
+            prev_sum = s
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )
@@ -420,45 +425,49 @@ def label_propagation(
         .distinct()
     )
     sym = register_persisted(sym.persist())
+    n_edges = sym.count()  # materializes the persist; sizes the fixpoint
 
-    labels = sym.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("community")
-    ).localCheckpoint(eager=True)
-    # one tiny job up front: |V| decides keyed-join vs broadcast rounds
-    small_vertex_set = labels.count() <= broadcast_vertex_limit
+    from preprocessor_spark.caching import fixpoint_shuffle_scope
 
-    for r in range(rounds):
-        lab = F.broadcast(labels) if small_vertex_set else labels
-        incoming = sym.join(
-            lab.select(F.col("node").alias("v"), "community"), "v"
-        ).select(F.col("u").alias("node"), "community")
-        # self-vote folded into the ONE vote aggregation: union the node's
-        # own (node, community) row with the neighbor stream and count —
-        # identical votes to count+union+re-sum but a single shuffle/agg
-        # per round instead of two
-        votes = (
-            incoming.unionByName(labels.select("node", "community"))
-            .groupBy("node", "community")
-            .agg(F.count(F.lit(1)).alias("votes"))
-        )
-        # deterministic top-1 per node WITHOUT a sort window:
-        # min(struct(-votes, community)) == (votes desc, community asc);
-        # partial-aggregates map-side and re-shuffles only |V|·labels rows
-        labels = (
-            votes.groupBy("node")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("votes")).alias("neg_votes"), F.col("community")
-                    )
-                ).alias("top")
+    with fixpoint_shuffle_scope(edges.sparkSession, n_edges):
+        labels = sym.select(F.col("u").alias("node")).distinct().select(
+            "node", F.col("node").alias("community")
+        ).localCheckpoint(eager=True)
+        # one tiny job up front: |V| decides keyed-join vs broadcast rounds
+        small_vertex_set = labels.count() <= broadcast_vertex_limit
+
+        for r in range(rounds):
+            lab = F.broadcast(labels) if small_vertex_set else labels
+            incoming = sym.join(
+                lab.select(F.col("node").alias("v"), "community"), "v"
+            ).select(F.col("u").alias("node"), "community")
+            # self-vote folded into the ONE vote aggregation: union the
+            # node's own (node, community) row with the neighbor stream and
+            # count — identical votes to count+union+re-sum but a single
+            # shuffle/agg per round instead of two
+            votes = (
+                incoming.unionByName(labels.select("node", "community"))
+                .groupBy("node", "community")
+                .agg(F.count(F.lit(1)).alias("votes"))
             )
-            .select("node", F.col("top.community").alias("community"))
-        )
-        # eager per-round materialization: measured FASTER than
-        # every-other-round persist-then-checkpoint (the off-round frame is
-        # referenced twice next round — join + self-vote union — and the
-        # double recompute costs more than a |V|-sized checkpoint job;
-        # A/B at sf0.1: ~11.5 s vs ~14.3 s)
-        labels = labels.localCheckpoint(eager=True)
+            # deterministic top-1 per node WITHOUT a sort window:
+            # min(struct(-votes, community)) == (votes desc, community asc);
+            # partial-aggregates map-side, re-shuffles only |V|·labels rows
+            labels = (
+                votes.groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("votes")).alias("neg_votes"), F.col("community")
+                        )
+                    ).alias("top")
+                )
+                .select("node", F.col("top.community").alias("community"))
+            )
+            # eager per-round materialization: measured FASTER than
+            # every-other-round persist-then-checkpoint (the off-round frame
+            # is referenced twice next round — join + self-vote union — and
+            # the double recompute costs more than a |V|-sized checkpoint
+            # job; A/B at sf0.1: ~11.5 s vs ~14.3 s)
+            labels = labels.localCheckpoint(eager=True)
     return labels
