@@ -26,6 +26,39 @@ from preprocessor_spark.session import get_spark
 HEADLINE = list(entrymod.queries())
 
 
+def _calibrate(spark) -> float:
+    """Fixed synthetic workload: shuffle agg + window + broadcast join over
+    spark.range data — the shapes the suite spends its time in. Returns
+    min-of-3 wall seconds (~1 s on the quiet reference host)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        base = spark.range(0, 2_000_000).select(
+            (F.col("id") % 10_000).alias("k"),
+            (F.col("id") % 97).alias("g"),
+            (F.col("id") * 2654435761 % 1_000_003).cast("double").alias("v"),
+        )
+        dim = spark.range(0, 97).select(
+            F.col("id").alias("g"), (F.col("id") * 7 % 13).alias("cat")
+        )
+        w = Window.partitionBy("g").orderBy("k").rowsBetween(-3, 0)
+        out = (
+            base.join(F.broadcast(dim), "g")
+            .withColumn("r", F.avg("v").over(w))
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.avg("r").alias("m"), F.count("*").alias("n"))
+        )
+        out.write.mode("overwrite").format("noop").save()
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # robust to derived dirs like /tmp/sf1-derived: take the number after "sf"
@@ -58,6 +91,14 @@ def main() -> None:
 
     spark.range(1000).select(_warm(col("id"))).count()
 
+    # Drift-calibration workload (round-8 verdict item 6): a FIXED
+    # synthetic job — no input files, no registry entry — timed in every
+    # recording. Same code on the same host state reproduces it; a slower
+    # shared-box session inflates it proportionally, so the regression
+    # guard can normalize per-query ceilings by the calibration ratio
+    # instead of spending loud `rebased` entries on host drift.
+    calibration = _calibrate(spark)
+
     # optional subset (comma-separated names) for quiet-session profiling —
     # e.g. re-running only the round-3 common set to separate plan
     # regressions from long-suite contention
@@ -89,6 +130,8 @@ def main() -> None:
         # to cover every registry query, so a stale/partial bench fails
         # loudly instead of silently skipping new queries
         "full": only is None,
+        # fixed synthetic workload wall (sec): the guard's drift normalizer
+        "calibration_sec": calibration,
         # embedded so the regression guard can pick the newest
         # committed recording content-wise (file mtime is just
         # checkout order after a fresh clone)

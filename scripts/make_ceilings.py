@@ -74,6 +74,15 @@ def main(recording_path: str) -> None:
     # alongside a full recording can't quietly raise its own bar (round-8
     # ADVICE: the r4e clamp only protected r4e-era queries). Bootstrap
     # from r4e + the bases already stored for post-r4 queries.
+    # calibration_base: the FASTEST fixed-workload calibration any
+    # committed recording achieved — the reference the guard's drift
+    # normalizer divides against (tightens monotonically, never loosens)
+    cals = [
+        r["calibration_sec"] for r in recs if r.get("calibration_sec")
+    ]
+    if cals:
+        prev = doc.get("calibration_base")
+        doc["calibration_base"] = min([*cals, prev] if prev else cals)
     first = doc.setdefault("first_bases", {})
     for q, b in r4e.items():
         first.setdefault(q, b)

@@ -107,19 +107,40 @@ def test_newest_full_recording_covers_registry():
     )
 
 
+MAX_DRIFT_FACTOR = 2.0  # a slower host loosens ceilings at most this much
+
+
+def _drift_factor(rec: dict) -> float:
+    """Host-drift normalizer (round-8 verdict item 6): the recording's
+    fixed synthetic calibration wall over the fastest calibration any
+    committed recording achieved. Same code on a slower shared-box session
+    inflates both proportionally, so ceilings scale by the ratio instead
+    of spending loud `rebased` entries on host drift. Clamped to
+    [1, MAX_DRIFT_FACTOR] — drift can never TIGHTEN a ceiling and can
+    never excuse a >2x regression. Recordings predating the calibration
+    field get factor 1."""
+    cal = rec.get("calibration_sec")
+    base = _ceilings_doc().get("calibration_base")
+    if not cal or not base:
+        return 1.0
+    return min(MAX_DRIFT_FACTOR, max(1.0, cal / base))
+
+
 def test_latest_sf01_recording_within_ceiling():
     ceil = _ceilings()
     path, rec = _newest_full_recording()
+    drift = _drift_factor(rec)
     over = []
     for q, t in rec["queries"].items():
         b = ceil.get(q)
         if b is None:
             continue  # coverage test above handles unknown queries
-        if t > CEILING_RATIO * b + CEILING_SLACK:
+        if t > drift * CEILING_RATIO * b + CEILING_SLACK:
             over.append((q, b, t, round(t / max(b, 1e-9), 2)))
     assert not over, (
-        f"{os.path.basename(path)} regressed past {CEILING_RATIO}x+{CEILING_SLACK}s "
-        f"of its ceiling base: {sorted(over, key=lambda x: -x[3])[:10]}"
+        f"{os.path.basename(path)} regressed past drift({drift:.2f}x)*"
+        f"{CEILING_RATIO}x+{CEILING_SLACK}s of its ceiling base: "
+        f"{sorted(over, key=lambda x: -x[3])[:10]}"
     )
 
 
