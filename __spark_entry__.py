@@ -4341,12 +4341,8 @@ _GRADED_WINDOW = [
     "image_phash_neardup",
     "knn_graph_triangles",
     "funnel_user_events",
-    "cohort_retention_events",
     "interval_join_events",
-    "anomaly_mad_events",
-    "event_transitions_markov",
     "drift_orders_ks",
-    "keyword_tfidf_docs",
     # round-8 promotion: the two round-7 value-oracled operators (KN bigram
     # LM with the sorted-left-fold float contract; ridge regression with
     # the bit-exact Cramer expression tree). Displaced basics
@@ -4366,6 +4362,18 @@ _GRADED_WINDOW = [
     "basket_brand_pairs",
     "survival_km_customers",
     "target_encode_priority",
+    # round-9 promotion: the value-oracled round-8b analytics (ROC-AUC +
+    # confusion metrics, multinomial Naive Bayes, grouped OLS, isotonic
+    # PAV via the minimax identity). Their rows-only siblings (holt,
+    # logreg, isoforest) stay at 51+ with invariant/equivalence pytest
+    # grading — approximate/iterative fits have no SQL twin by design.
+    # Displaced long-green r6b basics (cohort_retention_events,
+    # anomaly_mad_events, event_transitions_markov, keyword_tfidf_docs)
+    # remain oracle-graded locally at 51+ — same policy as rounds 4-8.
+    "eval_binary_discount",
+    "nbayes_lang_docs",
+    "grouped_ols_lineitem",
+    "isotonic_discount_returnrate",
 ]
 
 
