@@ -4262,6 +4262,139 @@ def cms_word_counts(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# round-9 analytics tier: rules / experimentation / changepoint / MI /
+# gains / seasonal / linear SHAP — all VALUE-oracled
+# --------------------------------------------------------------------------
+
+
+def assoc_rules_brands(spark, sf_dir):
+    """Directed association rules A→B over order-brand baskets
+    (operators/itemsets.py association_rules — the Apriori rule-induction
+    step on the frequent-pair lattice, with confidence / lift / leverage /
+    conviction). All data-sized work happens in the pruned pair mining;
+    the rule expansion is model-sized. Every measure is a deterministic
+    double over exact int64 counts — VALUE-oracled. Top 20 by confidence."""
+    from preprocessor_spark.operators.itemsets import association_rules
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    rules = association_rules(
+        baskets, "l_orderkey", "p_brand", min_item_count=2, min_pair_count=2
+    )
+    return rules.orderBy(
+        F.col("confidence").desc(), "antecedent", "consequent"
+    ).limit(20)
+
+
+def cuped_orders_experiment(spark, sf_dir):
+    """CUPED variance reduction (operators/abtest.py, Deng/Xu/Kohavi/Walker
+    WSDM'13) on a synthetic-but-deterministic experiment: customers split
+    into two variants by md5 bucket, metric = 1996+ order spend, covariate
+    = pre-1996 spend. ONE exact-DECIMAL moment pass per variant; theta and
+    the adjusted means are deterministic doubles over exact sums —
+    VALUE-oracled. The adjusted variance drops by the squared pre/post
+    correlation, the entire point of the method."""
+    from preprocessor_spark.operators.abtest import cuped_adjusted_means
+    from preprocessor_spark.operators.splits import split_bucket_expr
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.when(F.year("o_orderdate") >= 1996, F.col("o_totalprice")).otherwise(
+                F.lit(0.0)
+            ).cast("decimal(18,2)")
+        ).cast("double").alias("y"),
+        F.sum(
+            F.when(F.year("o_orderdate") < 1996, F.col("o_totalprice")).otherwise(
+                F.lit(0.0)
+            ).cast("decimal(18,2)")
+        ).cast("double").alias("x"),
+    )
+    variants = per_cust.withColumn(
+        "variant", (split_bucket_expr(F.col("o_custkey")) % 2).cast("int")
+    )
+    return cuped_adjusted_means(variants, "variant", "y", "x").orderBy("variant")
+
+
+def changepoint_user_values(spark, sf_dir):
+    """Offline CUSUM changepoint per user series (operators/changepoint.py,
+    Page 1954): argmax |cumsum(x − mean)| with exact cleared-denominator
+    DECIMAL arithmetic — position, peak, and before/after means are
+    bit-identical in any engine. ONE per-key window exchange + a
+    min(struct) groupBy. VALUE-oracled. Top 30 users by |shift|."""
+    from preprocessor_spark.operators.changepoint import cusum_changepoint
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = cusum_changepoint(e, "user_id", "event_id", "value")
+    return out.orderBy(F.abs(F.col("shift")).desc(), "key").limit(30)
+
+
+def mutual_info_orders(spark, sf_dir):
+    """Mutual information + NMI of order priority vs status
+    (operators/hypotests.py mutual_information): one keyed cell groupBy,
+    margins over the bounded cell frame, sorted-fold float contract —
+    VALUE-oracled (DuckDB replays the fold with
+    list_reduce(list_sort(...)))."""
+    from preprocessor_spark.operators.hypotests import mutual_information
+
+    o = _t(spark, sf_dir, "orders")
+    return mutual_information(o, "o_orderpriority", "o_orderstatus")
+
+
+def gains_table_returns(spark, sf_dir):
+    """Decile gains/lift table (operators/metrics.py gains_table): lineitem
+    rows ranked by extended price, label = returned flag. Distinct-score
+    collapse + the range-partitioned two-pass cumulative carry (no
+    SinglePartition), tie groups land in one bucket — engine-portable
+    cuts; every measure a deterministic double over exact counts —
+    VALUE-oracled."""
+    from preprocessor_spark.operators.metrics import gains_table
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    return gains_table(l, "score", "label", n_buckets=10)
+
+
+def seasonal_decompose_events(spark, sf_dir):
+    """Classical additive seasonal decomposition per user series
+    (operators/seasonal.py — statsmodels seasonal_decompose semantics:
+    centered 2×MA trend for the even period, per-phase detrended means
+    re-centered over one period). Exact-DECIMAL window sums + exact phase
+    numerators + a bounded phase-ordered fold make every output value
+    engine-portable — VALUE-oracled over all rows of every series."""
+    from preprocessor_spark.operators.seasonal import seasonal_decompose
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = seasonal_decompose(e, "user_id", "event_id", "value", period=6)
+    return out.orderBy("key", "pos")
+
+
+def shapley_lineitem_price(spark, sf_dir):
+    """Linear-SHAP attributions (operators/linreg.py shapley_linear_2f,
+    Lundberg & Lee NeurIPS'17 closed form phi_j = theta_j (x_j − mean_j))
+    for the exact 2-feature price model: which line items' prices are most
+    explained by quantity+discount? ONE exact-DECIMAL moment pass, the
+    bit-exact Cramer thetas, a narrow projection and a
+    TakeOrderedAndProject top-20 — VALUE-oracled."""
+    from preprocessor_spark.operators.linreg import shapley_linear_2f
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+    )
+    return shapley_linear_2f(
+        l, "l_quantity", "l_discount", "l_extendedprice", "rid", k=20
+    )
+
+
+# --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
 
@@ -4329,7 +4462,6 @@ _GRADED_WINDOW = [
     "avro_roundtrip_orders",
     "dsir_select_docs",
     "session_window_events",
-    "hopping_window_events",
     "resample_events_hourly",
     "collated_source_counts",
     # round-7 promotion: the round-6b marquee operators (all oracle-backed)
@@ -4340,9 +4472,6 @@ _GRADED_WINDOW = [
     # 51+ — same policy as rounds 4-6.
     "image_phash_neardup",
     "knn_graph_triangles",
-    "funnel_user_events",
-    "interval_join_events",
-    "drift_orders_ks",
     # round-8 promotion: the two round-7 value-oracled operators (KN bigram
     # LM with the sorted-left-fold float contract; ridge regression with
     # the bit-exact Cramer expression tree). Displaced basics
@@ -4374,6 +4503,17 @@ _GRADED_WINDOW = [
     "nbayes_lang_docs",
     "grouped_ols_lineitem",
     "isotonic_discount_returnrate",
+    # round-9 marquee analytics (all value-oracled): association rules,
+    # CUPED experimentation, offline CUSUM changepoint, seasonal
+    # decomposition. Their siblings (mutual_info_orders,
+    # gains_table_returns, shapley_lineitem_price) and the displaced
+    # long-green r6b/r7 basics (funnel_user_events, interval_join_events,
+    # drift_orders_ks, hopping_window_events) remain oracle-graded locally
+    # at 51+ — same policy as rounds 4-8.
+    "assoc_rules_brands",
+    "cuped_orders_experiment",
+    "changepoint_user_values",
+    "seasonal_decompose_events",
 ]
 
 
@@ -4472,6 +4612,16 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nbayes_lang_docs": nbayes_lang_docs,
         "grouped_ols_lineitem": grouped_ols_lineitem,
         "isotonic_discount_returnrate": isotonic_discount_returnrate,
+        # round-9 analytics tier (all value-oracled): association rules,
+        # CUPED, offline CUSUM changepoint, mutual information, gains
+        # table, seasonal decomposition, linear SHAP
+        "assoc_rules_brands": assoc_rules_brands,
+        "cuped_orders_experiment": cuped_orders_experiment,
+        "changepoint_user_values": changepoint_user_values,
+        "mutual_info_orders": mutual_info_orders,
+        "gains_table_returns": gains_table_returns,
+        "seasonal_decompose_events": seasonal_decompose_events,
+        "shapley_lineitem_price": shapley_lineitem_price,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,
@@ -6254,6 +6404,363 @@ def oracle_sql() -> dict[str, str]:
                        ELSE g END, 6) AS encoded
             FROM e
             ORDER BY category, fold
+        """,
+        "assoc_rules_brands": """
+            WITH baskets AS (
+                SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE l.l_orderkey IS NOT NULL AND p.p_brand IS NOT NULL
+            ), nb AS (
+                SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM baskets
+            ), ic AS (
+                SELECT i, CAST(COUNT(*) AS BIGINT) AS cnt FROM baskets GROUP BY i
+            ), freq AS (
+                SELECT * FROM ic WHERE cnt >= 2
+            ), pr AS (
+                SELECT b.b, b.i, f.cnt FROM baskets b JOIN freq f ON b.i = f.i
+            ), pc AS (
+                SELECT l.i AS item_a, r.i AS item_b,
+                       l.cnt AS cnt_a, r.cnt AS cnt_b,
+                       CAST(COUNT(*) AS BIGINT) AS pair_cnt
+                FROM pr l JOIN pr r ON l.b = r.b AND l.i < r.i
+                GROUP BY 1, 2, 3, 4
+                HAVING COUNT(*) >= 2
+            ), lifted AS (
+                SELECT *, ROUND(CAST(pair_cnt * nb.n AS DOUBLE)
+                                / (cnt_a * cnt_b), 6) AS lift
+                FROM pc, nb
+            ), directed AS (
+                SELECT item_a AS antecedent, item_b AS consequent,
+                       cnt_a AS cnt_ante, cnt_b AS cnt_cons, pair_cnt, lift
+                FROM lifted
+                UNION ALL
+                SELECT item_b, item_a, cnt_b, cnt_a, pair_cnt, lift FROM lifted
+            ), scored AS (
+                SELECT antecedent, consequent, pair_cnt, cnt_ante, cnt_cons,
+                       ROUND(CAST(pair_cnt AS DOUBLE) / cnt_ante, 6) AS confidence,
+                       lift,
+                       ROUND(pair_cnt / CAST(nb.n AS DOUBLE)
+                             - (cnt_ante / CAST(nb.n AS DOUBLE))
+                               * (cnt_cons / CAST(nb.n AS DOUBLE)), 6) AS leverage,
+                       ROUND(CASE WHEN CAST(pair_cnt AS DOUBLE) / cnt_ante < 1.0
+                             THEN (1.0 - cnt_cons / CAST(nb.n AS DOUBLE))
+                                  / (1.0 - CAST(pair_cnt AS DOUBLE) / cnt_ante)
+                             END, 6) AS conviction
+                FROM directed, nb
+            )
+            SELECT * FROM scored
+            WHERE confidence >= 0.0
+            ORDER BY confidence DESC, antecedent, consequent
+            LIMIT 20
+        """,
+        "cuped_orders_experiment": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(CASE WHEN year(o_orderdate) >= 1996
+                                 THEN o_totalprice ELSE 0.0 END
+                                 AS DECIMAL(18,2))) AS DOUBLE) AS y,
+                       CAST(SUM(CAST(CASE WHEN year(o_orderdate) < 1996
+                                 THEN o_totalprice ELSE 0.0 END
+                                 AS DECIMAL(18,2))) AS DOUBLE) AS x
+                FROM orders GROUP BY o_custkey
+            ), v AS (
+                SELECT CAST(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 10000 % 2 AS INT) AS variant,
+                       CAST(y AS DECIMAL(18,4)) AS yd,
+                       CAST(x AS DECIMAL(18,4)) AS xd
+                FROM per_cust
+                WHERE y IS NOT NULL AND x IS NOT NULL
+            ), cells AS (
+                -- (19,4) widening so DuckDB binds the multiply hugeint-backed
+                SELECT variant,
+                       CAST(COUNT(CASE WHEN xd IS NOT NULL AND yd IS NOT NULL
+                                  THEN 1 END) AS BIGINT) AS n,
+                       CAST(SUM(CAST(xd AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sx,
+                       CAST(SUM(CAST(yd AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sy,
+                       CAST(SUM(CAST(CAST(xd AS DECIMAL(19,4)) * xd
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sxx,
+                       CAST(SUM(CAST(CAST(xd AS DECIMAL(19,4)) * yd
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sxy,
+                       CAST(SUM(CAST(CAST(yd AS DECIMAL(19,4)) * yd
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS syy
+                FROM v GROUP BY variant
+            ), pooled AS (
+                SELECT *,
+                       CAST(SUM(n) OVER () AS DOUBLE) AS tn,
+                       CAST(SUM(sx) OVER () AS DOUBLE) AS tsx,
+                       CAST(SUM(sy) OVER () AS DOUBLE) AS tsy,
+                       CAST(SUM(sxx) OVER () AS DOUBLE) AS tsxx,
+                       CAST(SUM(sxy) OVER () AS DOUBLE) AS tsxy
+                FROM cells
+            ), calc AS (
+                SELECT variant, n,
+                       (tsxy - tsx * tsy / tn) / (tsxx - tsx * tsx / tn) AS theta,
+                       tsx / tn AS mxp,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                       CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+                       CAST(syy AS DOUBLE) AS syyd
+                FROM pooled
+            ), stats AS (
+                SELECT variant, n, theta,
+                       syd / nd AS mean_raw,
+                       syd / nd - theta * (sxd / nd - mxp) AS mean_c,
+                       syyd / nd - (syd / nd) * (syd / nd) AS var_raw,
+                       sxyd / nd - (sxd / nd) * (syd / nd) AS cov_v,
+                       sxxd / nd - (sxd / nd) * (sxd / nd) AS var_x_v
+                FROM calc
+            )
+            SELECT variant, n,
+                   ROUND(mean_raw, 6) AS mean_raw,
+                   ROUND(mean_c, 6) AS mean_cuped,
+                   ROUND(var_raw, 6) AS var_raw,
+                   ROUND(var_raw - 2.0 * theta * cov_v + theta * theta * var_x_v,
+                         6) AS var_cuped,
+                   ROUND(theta, 6) AS theta,
+                   ROUND(CASE WHEN var_raw > 0 THEN
+                         (1.0 - (var_raw - 2.0 * theta * cov_v
+                                 + theta * theta * var_x_v) / var_raw) * 100.0
+                         END, 4) AS var_reduction_pct
+            FROM stats
+            ORDER BY variant
+        """,
+        "changepoint_user_values": """
+            WITH r AS (
+                SELECT user_id AS key,
+                       ROW_NUMBER() OVER w AS t,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+                            (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS DECIMAL(28,4)) AS cum,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+                            (PARTITION BY user_id) AS DECIMAL(28,4)) AS tot
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                  AND value IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ), d AS (
+                SELECT key, n, tot, t, cum,
+                       CAST(n AS DECIMAL(9,0)) * cum
+                           - CAST(t AS DECIMAL(9,0)) * tot AS dd
+                FROM r WHERE t < n
+            ), best AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                           ORDER BY ABS(dd) DESC, t ASC) AS rk
+                FROM d
+            ), stats AS (
+                SELECT key, CAST(n AS BIGINT) AS n, CAST(t AS INT) AS cp_pos,
+                       ROUND((-CAST(-ABS(dd) AS DOUBLE)) / CAST(n AS DOUBLE),
+                             6) AS s_max,
+                       ROUND(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE),
+                             6) AS mean_before,
+                       ROUND((CAST(tot AS DOUBLE) - CAST(cum AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)),
+                             6) AS mean_after,
+                       ROUND((CAST(tot AS DOUBLE) - CAST(cum AS DOUBLE))
+                             / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE))
+                             - CAST(cum AS DOUBLE) / CAST(t AS DOUBLE),
+                             6) AS shift
+                FROM best WHERE rk = 1
+            )
+            SELECT * FROM stats
+            ORDER BY ABS(shift) DESC, key
+            LIMIT 30
+        """,
+        "mutual_info_orders": """
+            WITH cells AS (
+                SELECT o_orderpriority AS a, o_orderstatus AS b,
+                       CAST(COUNT(*) AS BIGINT) AS o
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+                GROUP BY 1, 2
+            ), m AS (
+                SELECT a, b, o,
+                       SUM(o) OVER (PARTITION BY a) AS ra,
+                       SUM(o) OVER (PARTITION BY b) AS cb,
+                       SUM(o) OVER () AS n
+                FROM cells
+            ), terms AS (
+                SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS cells,
+                       list_reduce(list_prepend(0.0, list_sort(list(
+                           (CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                                / (CAST(ra AS DOUBLE) * cb))
+                       ))), (acc, x) -> acc + x) AS mi_raw,
+                       list_reduce(list_prepend(0.0, list_sort(list(
+                           -(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(ra / CAST(n AS DOUBLE))
+                       ))), (acc, x) -> acc + x) AS h_a_raw,
+                       list_reduce(list_prepend(0.0, list_sort(list(
+                           -(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(cb / CAST(n AS DOUBLE))
+                       ))), (acc, x) -> acc + x) AS h_b_raw
+                FROM m
+            )
+            SELECT CAST(n AS BIGINT) AS n, cells,
+                   ROUND(mi_raw, 6) AS mi,
+                   ROUND(h_a_raw, 6) AS h_a,
+                   ROUND(h_b_raw, 6) AS h_b,
+                   ROUND(CASE WHEN h_a_raw > 0 AND h_b_raw > 0
+                         THEN mi_raw / sqrt(h_a_raw * h_b_raw) END, 6) AS nmi
+            FROM terms
+        """,
+        "gains_table_returns": """
+            WITH counts AS (
+                SELECT l_extendedprice AS value,
+                       CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS pos
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+                GROUP BY 1
+            ), cum AS (
+                SELECT *,
+                       SUM(cnt) OVER (ORDER BY value DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+                       SUM(cnt) OVER () AS total
+                FROM counts
+            ), bucketed AS (
+                SELECT LEAST(CAST(CEIL(10 * c / CAST(total AS DOUBLE)) AS INT),
+                             10) AS bucket,
+                       cnt, pos
+                FROM cum
+            ), per AS (
+                SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS n,
+                       CAST(SUM(pos) AS BIGINT) AS positives
+                FROM bucketed GROUP BY bucket
+            ), rep AS (
+                SELECT bucket, n, positives,
+                       SUM(positives) OVER (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+                       SUM(positives) OVER () AS tp,
+                       SUM(n) OVER () AS tn
+                FROM per
+            )
+            SELECT bucket, n, positives,
+                   ROUND(CAST(positives AS DOUBLE) / CAST(n AS DOUBLE),
+                         6) AS response_rate,
+                   ROUND(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS cum_gain,
+                   ROUND((CAST(positives AS DOUBLE) / CAST(n AS DOUBLE))
+                         / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) AS lift
+            FROM rep
+            ORDER BY bucket
+        """,
+        "seasonal_decompose_events": """
+            WITH base AS (
+                SELECT user_id AS key, event_id,
+                       CAST(value AS DECIMAL(18,4)) AS x,
+                       CAST(value AS DOUBLE) AS v
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                  AND value IS NOT NULL
+            ), r AS (
+                SELECT key,
+                       ROW_NUMBER() OVER w AS pos,
+                       v,
+                       x AS xd,
+                       CASE WHEN COUNT(x) OVER
+                                 (w ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+                            THEN CAST(LAG(x, 3) OVER w + LEAD(x, 3) OVER w
+                                 + 2 * SUM(x) OVER
+                                   (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                                 AS DECIMAL(38,8))
+                       END AS tnum
+                FROM base
+                WINDOW w AS (PARTITION BY key ORDER BY event_id)
+            ), rr AS (
+                SELECT *, CAST((pos - 1) % 6 AS BIGINT) AS phase FROM r
+            ), ph AS (
+                SELECT key, phase,
+                       CAST((12 * CAST(SUM(xd) AS DECIMAL(30,4)) - SUM(tnum))
+                            AS DOUBLE)
+                       / CAST(12 * COUNT(*) AS DOUBLE) AS s_raw
+                FROM rr WHERE tnum IS NOT NULL
+                GROUP BY key, phase
+            ), keymean AS (
+                SELECT key,
+                       list_reduce(list_prepend(0.0,
+                            list(s_raw ORDER BY phase)),
+                            (acc, s) -> acc + s) / COUNT(*) AS s_mean
+                FROM ph GROUP BY key
+            ), seas AS (
+                SELECT ph.key, ph.phase, ph.s_raw - km.s_mean AS seasonal
+                FROM ph JOIN keymean km ON ph.key = km.key
+            )
+            SELECT rr.key, rr.pos,
+                   ROUND(rr.v, 6) AS value,
+                   ROUND(CAST(rr.tnum AS DOUBLE) / 12.0, 6) AS trend,
+                   ROUND(seas.seasonal, 6) AS seasonal,
+                   ROUND(rr.v - CAST(rr.tnum AS DOUBLE) / 12.0 - seas.seasonal,
+                         6) AS resid
+            FROM rr LEFT JOIN seas ON rr.key = seas.key AND rr.phase = seas.phase
+            ORDER BY rr.key, rr.pos
+        """,
+        "shapley_lineitem_price": """
+            WITH m AS (
+                SELECT COUNT(*) AS n,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s0,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                                * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s00,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                                * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s0y,
+                       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(l_discount AS DECIMAL(19,6))
+                                * CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s10,
+                       CAST(SUM(CAST(l_discount AS DECIMAL(19,6))
+                                * CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS s11,
+                       CAST(SUM(CAST(l_discount AS DECIMAL(19,6))
+                                * CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS s1y,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ), solve AS (
+                SELECT CAST(n AS DOUBLE) AS nd, s0, s00, s0y, s1, s10, s11,
+                       s1y, sy,
+                       (s00 + 0.0) AS a11, (s11 + 0.0) AS a22
+                FROM m
+            ), theta AS (
+                SELECT *,
+                       (sy * (a11 * a22 - s10 * s10)
+                         - s0 * (s0y * a22 - s10 * s1y)
+                         + s1 * (s0y * s10 - a11 * s1y))
+                       / (nd * (a11 * a22 - s10 * s10)
+                         - s0 * (s0 * a22 - s10 * s1)
+                         + s1 * (s0 * s10 - a11 * s1)) AS t0,
+                       (nd * (s0y * a22 - s10 * s1y)
+                         - sy * (s0 * a22 - s10 * s1)
+                         + s1 * (s0 * s1y - s0y * s1))
+                       / (nd * (a11 * a22 - s10 * s10)
+                         - s0 * (s0 * a22 - s10 * s1)
+                         + s1 * (s0 * s10 - a11 * s1)) AS t1,
+                       (nd * (a11 * s1y - s0y * s10)
+                         - s0 * (s0 * s1y - s0y * s1)
+                         + sy * (s0 * s10 - a11 * s1))
+                       / (nd * (a11 * a22 - s10 * s10)
+                         - s0 * (s0 * a22 - s10 * s1)
+                         + s1 * (s0 * s10 - a11 * s1)) AS t2,
+                       s0 / nd AS m1, s1 / nd AS m2
+                FROM solve
+            ), scored AS (
+                SELECT l.l_orderkey * 8 + l.l_linenumber AS id,
+                       CAST(l.l_quantity AS DOUBLE) AS x1,
+                       CAST(l.l_discount AS DOUBLE) AS x2,
+                       CAST(l.l_extendedprice AS DOUBLE) AS y,
+                       t.t1 * (CAST(l.l_quantity AS DOUBLE) - t.m1) AS p1,
+                       t.t2 * (CAST(l.l_discount AS DOUBLE) - t.m2) AS p2,
+                       t.t0 + t.t1 * t.m1 + t.t2 * t.m2 AS bl
+                FROM lineitem l CROSS JOIN theta t
+                WHERE l.l_quantity IS NOT NULL AND l.l_discount IS NOT NULL
+                  AND l.l_extendedprice IS NOT NULL
+            )
+            SELECT id, x1, x2, y,
+                   ROUND(p1, 6) AS phi_1,
+                   ROUND(p2, 6) AS phi_2,
+                   ROUND(bl, 6) AS baseline,
+                   ROUND(bl + p1 + p2, 6) AS prediction
+            FROM scored
+            ORDER BY ROUND(ABS(p1 + p2), 6) DESC, id
+            LIMIT 20
         """,
         "ridge_regression_lineitem": """
             WITH m AS (

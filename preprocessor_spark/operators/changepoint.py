@@ -1,0 +1,97 @@
+"""Offline changepoint detection — per-key CUSUM argmax.
+
+The classic offline CUSUM location estimator (Page 1954; the
+"cumulative-sum of deviations" form used by ruptures/changepoint as the
+single-changepoint baseline): for a series x_1..x_n,
+
+    S_t = sum_{i<=t} (x_i - mean(x))           t = 1..n-1
+    cp  = argmax_t |S_t|                        (earliest on ties)
+
+|S_cp| peaks where the mean shifts; mean-before/mean-after quantify the
+shift. Complements the streaming anomaly surface (operators/anomaly.py MAD,
+streaming Holt) with an exact batch estimator.
+
+Engine-portability contract: S_t is kept EXACT by clearing denominators —
+D_t = n·cumsum_t − t·total (DECIMAL arithmetic throughout, zero float until
+the final reported statistics), so argmax and tie-breaks are bit-identical
+in any engine; reported stats are deterministic doubles over exact sums.
+
+Scale shape: ONE exchange (the per-key window partition); the argmax is a
+``min(struct(-|D|, t, ...))`` groupBy — map-side combinable, no second
+shuffle, no driver state. |keys| rows out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single most-likely changepoint per key.
+
+    ``order_col`` must order each key's series deterministically (unique
+    within key — e.g. an event id). Keys with < 2 non-null values are
+    dropped (no interior split point exists). Returns one row per key:
+    (key, n, cp_pos [1-based: the last index of the left segment], s_max
+    [the CUSUM peak |S_t|], mean_before, mean_after, shift).
+    """
+    x = F.col(value_col).cast("decimal(18,4)")
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wfull = Window.partitionBy(key_col)
+    # sums stay at (28,4) so the n*cum / t*tot multiplies below fit 38
+    # digits exactly in BOTH engines (a (38,8) accumulator would make them
+    # precision-loss multiplies in Spark, binder errors in DuckDB)
+    rows = base.select(
+        F.col(key_col).alias("key"),
+        F.row_number().over(w).alias("t"),
+        F.sum(x).over(wcum).cast("decimal(28,4)").alias("cum"),
+        F.count(F.lit(1)).over(wfull).alias("n"),
+        F.sum(x).over(wfull).cast("decimal(28,4)").alias("tot"),
+    ).where(F.col("t") < F.col("n"))  # interior split points only
+    # D_t = n*cum - t*tot: exact DECIMAL, |D_t| = n*|S_t|
+    d = (
+        F.col("n").cast("decimal(9,0)") * F.col("cum")
+        - F.col("t").cast("decimal(9,0)") * F.col("tot")
+    )
+    best = (
+        rows.select(
+            "key",
+            "n",
+            "tot",
+            F.struct(
+                (-F.abs(d)).alias("neg_abs_d"),
+                F.col("t").alias("t"),
+                F.col("cum").alias("cum"),
+            ).alias("cand"),
+        )
+        .groupBy("key", "n", "tot")
+        .agg(F.min("cand").alias("best"))
+    )
+    n = F.col("n").cast("double")
+    t = F.col("best.t").cast("double")
+    cum = F.col("best.cum").cast("double")
+    tot = F.col("tot").cast("double")
+    mean_before = cum / t
+    mean_after = (tot - cum) / (n - t)
+    return best.select(
+        F.col("key"),
+        F.col("n"),
+        F.col("best.t").alias("cp_pos"),
+        # |S_cp| = |D_cp| / n
+        F.round((-F.col("best.neg_abs_d").cast("double")) / n, 6).alias("s_max"),
+        F.round(mean_before, 6).alias("mean_before"),
+        F.round(mean_after, 6).alias("mean_after"),
+        F.round(mean_after - mean_before, 6).alias("shift"),
+    )

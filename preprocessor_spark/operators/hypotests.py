@@ -272,3 +272,67 @@ def mann_whitney_u(
         ((mu2 * 2 - two_u_a).cast("double") / 2.0).alias("u_b"),
         F.round(F.when(var_u > 0, z), 6).alias("z"),
     )
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information I(A;B) of two categorical columns, in nats, plus
+    the sqrt-normalized NMI = I/sqrt(H(A)·H(B)) (scikit-learn's
+    ``normalized_mutual_info_score`` with the geometric average).
+
+    Same engine shape and portability contract as
+    :func:`chi2_independence`: ONE keyed groupBy collapses the table to
+    observed cells; margins and entropies derive from the bounded cell
+    frame. Absent (a, b) combinations contribute 0 to every sum (0·ln 0 =
+    0), so no cross product materializes. Per-cell/per-margin terms are
+    deterministic doubles over exact int64 counts, folded in sorted order
+    (callers own the low-cardinality contract). Returns 1 row: n, cells,
+    mi, h_a, h_b, nmi.
+    """
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(col_a, col_b)
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    wa = F.sum("o").over(Window.partitionBy(col_a))
+    wb = F.sum("o").over(Window.partitionBy(col_b))
+    wn = F.sum("o").over(Window.partitionBy())
+    per = cells.select(
+        F.col(col_a).alias("a"),
+        F.col(col_b).alias("b"),
+        F.col("o"),
+        wa.alias("ra"),
+        wb.alias("cb"),
+        wn.alias("n"),
+    )
+    o = F.col("o").cast("double")
+    n = F.col("n").cast("double")
+    # I = Σ (o/n) ln(o n / (ra cb)); margin entropies from per-cell terms
+    # weighted 1/margin-count occurrences would double-count, so H(A) =
+    # -Σ_cells (o/n) ln(ra/n) works because Σ_{cells in row a} o = ra.
+    mi_term = (o / n) * F.log(o * n / (F.col("ra").cast("double") * F.col("cb")))
+    ha_term = -(o / n) * F.log(F.col("ra") / n)
+    hb_term = -(o / n) * F.log(F.col("cb") / n)
+
+    def _fold(c):
+        return F.aggregate(
+            F.sort_array(F.collect_list(c)), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    agg = per.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("cells"),
+        _fold(mi_term).alias("mi_raw"),
+        _fold(ha_term).alias("h_a_raw"),
+        _fold(hb_term).alias("h_b_raw"),
+    )
+    mi, ha, hb = F.col("mi_raw"), F.col("h_a_raw"), F.col("h_b_raw")
+    return agg.select(
+        "n",
+        "cells",
+        F.round(mi, 6).alias("mi"),
+        F.round(ha, 6).alias("h_a"),
+        F.round(hb, 6).alias("h_b"),
+        F.round(
+            F.when((ha > 0) & (hb > 0), mi / F.sqrt(ha * hb)), 6
+        ).alias("nmi"),
+    )

@@ -88,3 +88,88 @@ def frequent_pairs(
             6,
         ).alias("lift"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_count: int = 1,
+    min_pair_count: int = 1,
+    max_basket: int | None = None,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """Directed association rules A → B from the frequent-pair lattice —
+    the rule-induction step of Apriori (Agrawal & Srikant, VLDB 1994 §1.1)
+    on 2-itemsets, with the standard interestingness measures:
+
+    - ``confidence`` = P(B|A) = pair/cnt_A;
+    - ``lift`` = P(A,B)/(P(A)P(B)) (symmetric, shared by both directions);
+    - ``leverage`` = P(A,B) − P(A)P(B) (Piatetsky-Shapiro);
+    - ``conviction`` = (1 − P(B)) / (1 − confidence) (Brin et al. 1997),
+      NULL for confidence = 1 like mlxtend's inf.
+
+    Scale shape: :func:`frequent_pairs` does all data-sized work (one
+    distinct + one pruned basket self-join); the rule expansion doubles a
+    |frequent pairs|-sized frame — model-sized, never the corpus. Every
+    measure is a deterministic double over exact int64 counts, so the
+    whole output is VALUE-oracle-able (DuckDB twin in __spark_entry__).
+    """
+    pairs = frequent_pairs(
+        df,
+        basket_col,
+        item_col,
+        min_item_count=min_item_count,
+        min_pair_count=min_pair_count,
+        max_basket=max_basket,
+    ).select("item_a", "item_b", "pair_cnt", "cnt_a", "cnt_b", "lift")
+    n_baskets = (
+        df.select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+        .where(F.col("b").isNotNull() & F.col("i").isNotNull())
+        .select(F.countDistinct("b").alias("n"))
+    )
+    # both rule directions from one pair row: model-sized explode
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                    F.col("cnt_a").alias("cnt_ante"),
+                    F.col("cnt_b").alias("cnt_cons"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                    F.col("cnt_b").alias("cnt_ante"),
+                    F.col("cnt_a").alias("cnt_cons"),
+                ),
+            )
+        ).alias("r"),
+        F.col("pair_cnt"),
+        F.col("lift"),
+    ).select("r.*", "pair_cnt", "lift")
+    n = F.col("n").cast("double")
+    conf = F.col("pair_cnt").cast("double") / F.col("cnt_ante")
+    p_cons = F.col("cnt_cons") / n
+    out = (
+        directed.crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            "pair_cnt",
+            F.col("cnt_ante"),
+            F.col("cnt_cons"),
+            F.round(conf, 6).alias("confidence"),
+            "lift",
+            F.round(
+                F.col("pair_cnt") / n - (F.col("cnt_ante") / n) * p_cons, 6
+            ).alias("leverage"),
+            F.round(
+                F.when(conf < 1.0, (F.lit(1.0) - p_cons) / (F.lit(1.0) - conf)),
+                6,
+            ).alias("conviction"),
+        )
+        .where(F.col("confidence") >= F.lit(float(min_confidence)))
+    )
+    return out

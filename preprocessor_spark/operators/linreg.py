@@ -111,19 +111,15 @@ def ridge_fit(
     }
 
 
-def ridge_fit_2feature(
-    df: DataFrame, x1: str, x2: str, y: str, l2: float = 0.0
-) -> DataFrame:
-    """Engine-exact 2-feature fit: the Cramer solve runs as Spark SQL
-    double expressions ON the one-row moments frame, so a SQL engine
-    replaying the identical expression tree reproduces every output bit.
-    Returns one row: (n, theta0, theta1, theta2, r2, rmse)."""
-    clean = df.dropna(subset=[x1, x2, y])
-    m = clean.groupBy().agg(*_moment_aggs([x1, x2], y))
+def _cramer2_thetas(l2: float):
+    """(t0, t1, t2) Cramer-solve expressions over a `_moment_aggs` frame —
+    fixed association order so any engine replaying the identical
+    expression tree reproduces every output bit. Shared by
+    :func:`ridge_fit_2feature` and :func:`shapley_linear_2f`."""
     n = F.col("n").cast("double")
     s1, s2 = F.col("s_0"), F.col("s_1")
     s11, s12, s22 = F.col("s_00"), F.col("s_10"), F.col("s_11")
-    sy, s1y, s2y, syy = F.col("s_y"), F.col("s_0y"), F.col("s_1y"), F.col("s_yy")
+    sy, s1y, s2y = F.col("s_y"), F.col("s_0y"), F.col("s_1y")
     lam = F.lit(float(l2))
     a11, a22 = s11 + lam, s22 + lam
     # det of [[n,s1,s2],[s1,a11,s12],[s2,s12,a22]] — fixed association order
@@ -147,7 +143,23 @@ def ridge_fit_2feature(
         - s1 * (s1 * s2y - s1y * s2)
         + sy * (s1 * s12 - a11 * s2)
     )
-    t0, t1, t2 = det0 / det, det1 / det, det2 / det
+    return det0 / det, det1 / det, det2 / det
+
+
+def ridge_fit_2feature(
+    df: DataFrame, x1: str, x2: str, y: str, l2: float = 0.0
+) -> DataFrame:
+    """Engine-exact 2-feature fit: the Cramer solve runs as Spark SQL
+    double expressions ON the one-row moments frame, so a SQL engine
+    replaying the identical expression tree reproduces every output bit.
+    Returns one row: (n, theta0, theta1, theta2, r2, rmse)."""
+    clean = df.dropna(subset=[x1, x2, y])
+    m = clean.groupBy().agg(*_moment_aggs([x1, x2], y))
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s_0"), F.col("s_1")
+    s11, s12, s22 = F.col("s_00"), F.col("s_10"), F.col("s_11")
+    sy, s1y, s2y, syy = F.col("s_y"), F.col("s_0y"), F.col("s_1y"), F.col("s_yy")
+    t0, t1, t2 = _cramer2_thetas(l2)
     # SS_res from moments only: Σ(y-ŷ)² = syy - 2θᵀb + θᵀ(XᵀX)θ
     ss_res = (
         syy
@@ -231,4 +243,73 @@ def grouped_ols(
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
+    )
+
+
+def shapley_linear_2f(
+    df: DataFrame,
+    x1: str,
+    x2: str,
+    y: str,
+    id_col: str,
+    k: int = 20,
+    l2: float = 0.0,
+) -> DataFrame:
+    """Per-row linear-SHAP attributions for the exact 2-feature fit.
+
+    For a linear model the Shapley value of feature j on row i has the
+    closed form phi_ij = theta_j * (x_ij - mean(x_j)) (Lundberg & Lee,
+    NeurIPS 2017, "Linear SHAP"; independence assumption) — so exact
+    attributions come straight from the engine-exact Cramer solve: no
+    sampling, no background set, no Python. Returns the top-``k`` rows by
+    |phi_1 + phi_2| (largest total attribution magnitude — the "most
+    explained-away" rows), id tie-break, with (id, x1, x2, y, phi_1,
+    phi_2, baseline, prediction).
+
+    Scale shape: ONE exact-DECIMAL moment pass (the `_moment_aggs` frame,
+    1 row, broadcast), a narrow projection over the data, and a
+    TakeOrderedAndProject top-k — no global sort, no second shuffle.
+    VALUE-oracle-able: thetas and means are the bit-exact Cramer
+    expressions over exact DECIMAL sums; attributions are deterministic
+    doubles; rank keys are rounded before ordering so the top-k frontier
+    is engine-stable.
+    """
+    clean = df.dropna(subset=[x1, x2, y])
+    m = clean.groupBy().agg(*_moment_aggs([x1, x2], y))
+    t0, t1, t2 = _cramer2_thetas(l2)
+    n = F.col("n").cast("double")
+    fit = m.select(
+        F.coalesce(
+            F.assert_true(
+                F.col("n") == F.col("n_raw"), F.lit(_OVERFLOW_MSG)
+            ).cast("long"),
+            F.col("n"),
+        ).alias("__n"),
+        t0.alias("__t0"),
+        t1.alias("__t1"),
+        t2.alias("__t2"),
+        (F.col("s_0") / n).alias("__m1"),
+        (F.col("s_1") / n).alias("__m2"),
+    )
+    x1c, x2c = F.col(x1).cast("double"), F.col(x2).cast("double")
+    phi1 = F.col("__t1") * (x1c - F.col("__m1"))
+    phi2 = F.col("__t2") * (x2c - F.col("__m2"))
+    baseline = (
+        F.col("__t0") + F.col("__t1") * F.col("__m1") + F.col("__t2") * F.col("__m2")
+    )
+    scored = clean.crossJoin(F.broadcast(fit)).select(
+        F.col(id_col).alias("id"),
+        x1c.alias("x1"),
+        x2c.alias("x2"),
+        F.col(y).cast("double").alias("y"),
+        F.round(phi1, 6).alias("phi_1"),
+        F.round(phi2, 6).alias("phi_2"),
+        F.round(baseline, 6).alias("baseline"),
+        F.round(baseline + phi1 + phi2, 6).alias("prediction"),
+        F.round(F.abs(phi1 + phi2), 6).alias("__key"),
+    )
+    return (
+        scored.orderBy(F.col("__key").desc(), F.col("id").asc())
+        .limit(k)
+        .drop("__key")
     )

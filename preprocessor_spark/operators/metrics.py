@@ -135,3 +135,88 @@ def confusion_metrics(
         F.round(f1, 6).alias("f1"),
         F.round(acc, 6).alias("accuracy"),
     )
+
+
+def gains_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Decile gains/lift table — the classic campaign-targeting report.
+
+    Rows are ranked by score DESCENDING and cut into ``n_buckets`` equal-
+    population buckets; ties (one distinct score value) always land in one
+    bucket — the bucket of the group's LAST row — so the cut is a pure
+    function of the score distribution (engine-portable, no arbitrary
+    within-tie splits). Per bucket: row count, positives, response rate,
+    cumulative gain (share of all positives captured so far) and lift
+    (rate over the base rate) — every number a deterministic double over
+    exact int64 counts.
+
+    Scale shape: scores collapse to per-distinct-value counts in ONE
+    groupBy; the descending cumulative count uses the same range-
+    partitioned two-pass carry as :func:`roc_auc` (no SinglePartition on
+    the distinct-score frame); the final report is ``n_buckets`` rows.
+    """
+    from preprocessor_spark.caching import register_persisted
+
+    spark = df.sparkSession
+    n_part = num_partitions or spark.sparkContext.defaultParallelism
+    s, y = F.col(score_col), F.col(label_col).cast("int")
+    counts = (
+        df.where(s.isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(s.alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(y).alias("pos"))
+    )
+    # descending score order: range-partition on the NEGATED rank key so
+    # partition ids follow rank order, then carry cumulative counts across
+    ranged = register_persisted(
+        counts.repartitionByRange(n_part, F.col("value").desc())
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    psums = ranged.groupBy("__pid").agg(F.sum("cnt").alias("t")).collect()
+    by_pid = {r["__pid"]: r["t"] for r in psums}
+    carry, off = {}, 0
+    for pid in sorted(by_pid):
+        carry[pid] = off
+        off += by_pid[pid]
+    total_rows = off
+    carry_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(carry.items()) for x in kv]),
+        F.col("__pid"),
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("value").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("cnt").over(w) + carry_expr
+    # bucket of the tie-group's last row: ceil(B * cum / N), clamped to B
+    bucket = F.least(
+        F.ceil(F.lit(n_buckets) * cum / F.lit(total_rows)).cast("int"),
+        F.lit(n_buckets),
+    )
+    per_bucket = (
+        ranged.select(bucket.alias("bucket"), "cnt", "pos")
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("n"), F.sum("pos").alias("positives"))
+    )
+    # the report frame is n_buckets rows — bounded window is fine here
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy()
+    tot_pos = F.sum("positives").over(wt)
+    tot_n = F.sum("n").over(wt)
+    cum_pos = F.sum("positives").over(wb)
+    rate = F.col("positives").cast("double") / F.col("n").cast("double")
+    base = tot_pos.cast("double") / tot_n.cast("double")
+    return per_bucket.select(
+        "bucket",
+        "n",
+        "positives",
+        F.round(rate, 6).alias("response_rate"),
+        F.round(cum_pos.cast("double") / tot_pos.cast("double"), 6).alias("cum_gain"),
+        F.round(rate / base, 6).alias("lift"),
+    ).orderBy("bucket")

@@ -1,0 +1,139 @@
+"""Classical seasonal decomposition (additive) — per-key, distributed.
+
+The moving-average decomposition statsmodels ships as
+``seasonal_decompose(..., model="additive")`` (Hyndman & Athanasopoulos,
+FPP §6.2 "classical decomposition"):
+
+1. trend_t = centered moving average of one full period (for even period
+   p the standard 2×MA: end points weighted ½, i.e. weights
+   [½, 1, …, 1, ½]/p over p+1 points; for odd p a plain p-point MA);
+2. seasonal = per-phase mean of the detrended series, re-centered so one
+   period of seasonal components sums to ~0 (statsmodels subtracts the
+   mean of the period averages);
+3. resid = value − trend − seasonal.
+
+Engine-portability contract (what makes the output VALUE-oracle-able, the
+repo-wide exact-moment recipe): values cast to DECIMAL(18,4); the window
+sums behind the trend stay DECIMAL (window SUM of DECIMAL is exact in any
+engine — no float accumulation order to disagree on); detrended phase
+means are computed from exact numerators (2p·Σx − ΣT over the phase
+group); the only float SUM — the mean of the p phase averages — folds in
+phase order over a bounded collect (the sorted-left-fold idiom). Every
+reported number is then a deterministic IEEE double expression.
+
+Scale shape: ONE exchange (the per-key window partition); phase stats are
+a keyed groupBy on (key, phase) → |keys|·p rows; the re-center collapse is
+|keys| rows; one keyed join back. No SinglePartition, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,8)"
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int,
+) -> DataFrame:
+    """(key, pos, value, trend, seasonal, resid) per input row.
+
+    ``order_col`` must order each key's series deterministically (unique
+    within key). ``trend``/``resid`` are NULL at the series edges where
+    the centered window is incomplete — statsmodels' NaN edges. Keys with
+    fewer than ``period + period % 2 + 1`` rows yield all-NULL trend.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    # stay at (18,4): window sums widen to (28,4) and the small integer
+    # multiplies below stay inside 38 digits in BOTH engines — a (38,8)
+    # accumulator would make n*sum a precision-loss multiply in Spark and
+    # a binder error in DuckDB
+    x = F.col(value_col).cast("decimal(18,4)")
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    even = period % 2 == 0
+    h = period // 2 if even else (period - 1) // 2
+    if even:
+        # 2xMA: T = x_{t-h} + 2*mid + x_{t+h}, trend = T / (2p)
+        mid = F.sum(x).over(w.rowsBetween(-(h - 1), h - 1))
+        ends = F.lag(x, h).over(w) + F.lead(x, h).over(w)
+        t_num = (ends + F.lit(2) * mid).cast(_DEC)
+        denom = 2 * period
+        full = F.count(x).over(w.rowsBetween(-h, h)) == (period + 1)
+    else:
+        t_num = F.sum(x).over(w.rowsBetween(-h, h)).cast(_DEC)
+        denom = period
+        full = F.count(x).over(w.rowsBetween(-h, h)) == period
+    rows = base.select(
+        F.col(key_col).alias("key"),
+        F.row_number().over(w).alias("pos"),
+        F.col(value_col).cast("double").alias("value"),
+        x.alias("xd"),
+        F.when(full, t_num).alias("tnum"),  # exact DECIMAL numerator
+    ).withColumn("phase", (F.col("pos") - 1) % F.lit(period))
+
+    # per-(key, phase) detrended mean from EXACT numerators:
+    # mean_j = (denom * sum(x) - sum(tnum)) / (denom * m)
+    ph = (
+        rows.where(F.col("tnum").isNotNull())
+        .groupBy("key", "phase")
+        .agg(
+            # sx stays narrow so denom*sx is an exact in-width multiply
+            F.sum("xd").cast("decimal(30,4)").alias("sx"),
+            F.sum("tnum").alias("st"),
+            F.count(F.lit(1)).alias("m"),
+        )
+        .select(
+            "key",
+            "phase",
+            (
+                (F.lit(denom) * F.col("sx") - F.col("st")).cast("double")
+                / (F.lit(denom) * F.col("m")).cast("double")
+            ).alias("s_raw"),
+        )
+    )
+    # re-center: subtract the mean of the phase averages (p values per key,
+    # folded in phase order — bounded, deterministic)
+    centered = (
+        ph.groupBy("key")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("phase"), F.col("s_raw")))
+            ).alias("ps")
+        )
+        .select(
+            "key",
+            F.explode("ps").alias("p"),
+            (
+                F.aggregate(
+                    F.col("ps"), F.lit(0.0), lambda acc, s: acc + s["s_raw"]
+                )
+                / F.size("ps")
+            ).alias("s_mean"),
+        )
+        .select(
+            "key",
+            F.col("p.phase").alias("phase"),
+            (F.col("p.s_raw") - F.col("s_mean")).alias("seasonal"),
+        )
+    )
+    trend = F.col("tnum").cast("double") / F.lit(float(denom))
+    out = rows.join(centered, ["key", "phase"], "left").select(
+        "key",
+        "pos",
+        F.round("value", 6).alias("value"),
+        F.round(trend, 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("value") - trend - F.col("seasonal"), 6).alias("resid"),
+    )
+    return out

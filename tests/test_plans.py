@@ -300,3 +300,43 @@ def test_incremental_dedup_no_pairwise_join(spark):
     b = d.select((F.col("doc_id") + 999).alias("doc_id"), "text")
     plan = formatted_plan(incremental_dedup_stats(d, b, "text", "doc_id"))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_changepoint_one_exchange_no_single_partition(spark):
+    """cusum_changepoint: ONE hash exchange (the per-key window) feeds the
+    whole operator — no Exchange SinglePartition on the data-sized path."""
+    q = em.queries()["changepoint_user_values"]
+    plan = formatted_plan(q(spark, SF))
+    # the only SinglePartition allowed is the final top-30 collect ordering
+    body = plan.split("TakeOrderedAndProject")[0]
+    assert "Exchange SinglePartition" not in body, body
+
+
+def test_seasonal_windows_share_one_exchange(spark):
+    """seasonal_decompose: every window shares the (key, order) partition —
+    exactly one hashpartitioning(user_id) exchange on the row path, and no
+    SinglePartition anywhere (the phase re-center is a keyed groupBy)."""
+    q = em.queries()["seasonal_decompose_events"]
+    plan = formatted_plan(q(spark, SF))
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_shapley_is_takeordered_with_broadcast_fit(spark):
+    """shapley_linear_2f: the fit is a broadcast 1-row frame and the top-k
+    plans as TakeOrderedAndProject — no global Sort, no cartesian."""
+    q = em.queries()["shapley_lineitem_price"]
+    plan = formatted_plan(q(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_gains_table_no_single_partition_on_scores(spark):
+    """gains_table: the distinct-score cumsum must ride the range-
+    partitioned carry, not an Exchange SinglePartition window; the only
+    unpartitioned window allowed is over the n_buckets report frame."""
+    q = em.queries()["gains_table_returns"]
+    plan = formatted_plan(q(spark, SF))
+    # the report window reads from a frame whose input is the bucket agg
+    # (<= 10 rows); the score-sized path must carry range partitions
+    assert "rangepartitioning" in plan.lower(), plan
