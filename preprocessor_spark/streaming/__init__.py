@@ -252,6 +252,70 @@ def holt_stream(
     )
 
 
+def cusum_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    order_col: str = "ts",
+    value_col: str = "value",
+    target_mean: float = 0.0,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Streaming twin of :func:`preprocessor_spark.operators.changepoint.
+    cusum_online` — Page's one-sided CUSUM pair maintained across
+    micro-batches in ``applyInPandasWithState``.
+
+    State per key is O(1): (n, S+, S-, n_alarms, first_alarm_pos). The
+    max(0, .) recursion is associative over batch boundaries as long as
+    rows arrive per-key in event order ACROSS batches (the append-log
+    contract; within a batch rows sort by ``order_col``). After a full
+    in-order drain the emitted row equals the batch operator exactly —
+    pytest-asserted, the same contract as ``holt_stream``.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[key].dataType.simpleString()
+    out_schema = (
+        f"key {key_type}, n bigint, n_alarms bigint, "
+        "first_alarm_pos bigint, s_pos double, s_neg double"
+    )
+    state_schema = "n bigint, sp double, sn double, alarms bigint, first bigint"
+    mu, k, h = float(target_mean), float(slack), float(threshold)
+
+    def _update(key_tuple, pdfs, state: GroupState):
+        n, sp, sn, alarms, first = (
+            state.get if state.exists else (0, 0.0, 0.0, 0, -1)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows[value_col].notna()].sort_values(order_col)
+        for v in rows[value_col].astype(float):
+            n += 1
+            sp = max(0.0, sp + (v - mu - k))
+            sn = max(0.0, sn - (v - mu + k))
+            if sp > h or sn > h:
+                alarms += 1
+                if first < 0:
+                    first = n
+        state.update((n, sp, sn, alarms, first))
+        if n:
+            yield pd.DataFrame(
+                {
+                    "key": [key_tuple[0]],
+                    "n": [n],
+                    "n_alarms": [alarms],
+                    "first_alarm_pos": [None if first < 0 else first],
+                    "s_pos": [round(sp, 6)],
+                    "s_neg": [round(sn, 6)],
+                }
+            )
+
+    return events.groupBy(key).applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stateful_running_totals_tws(events: DataFrame, key: str = "user_id") -> DataFrame:
     """The same per-key running (count, sum) via Spark 4's
     ``transformWithStateInPandas`` — the successor API to
