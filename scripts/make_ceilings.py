@@ -98,8 +98,11 @@ def main(recording_path: str) -> None:
         # round UP at 3 decimals: banker's rounding of a cover-derived base
         # can land 0.5 ms below what the committed measurement needs and
         # arm a false-positive ceiling (observed: 1.987 s needs 0.99134,
-        # round() stored 0.991 -> ceiling 1.9865 < 1.987)
-        base = math.ceil(base * 1000) / 1000
+        # round() stored 0.991 -> ceiling 1.9865 < 1.987). The 1e-9 slack
+        # keeps an already-3-decimal base from ceiling UP on float dust
+        # (2.019*1000 == 2019.0000000000002 would otherwise become 2.02 and
+        # trip the never-loosened contract)
+        base = math.ceil(base * 1000 - 1e-9) / 1000
         old = doc["ceilings"].get(q)
         if old is None:
             doc["ceilings"][q] = base
