@@ -4495,6 +4495,39 @@ def als_part_affinity(spark, sf_dir):
     )
 
 
+def graph_hops_custsupp(spark, sf_dir):
+    """Multi-source BFS hop distances (operators/graph.py shortest_hops)
+    over the undirected customer↔supplier trade graph, seeded at the
+    suppliers of nation 0: the Pregel unit-weight shortest-path shape
+    (one keyed join + min groupBy per round, checkpointed, shuffle-scoped).
+    VALUE-oracled — the first iterative graph operator with a full SQL
+    twin: hop distances are exact integers and min-plus is confluent, so
+    DuckDB replays the fixpoint with a bounded WITH RECURSIVE walk +
+    MIN(d). Returns the full (node, hops) frontier within 4 hops."""
+    from preprocessor_spark.operators.graph import shortest_hops
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 0)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+    )
+    out = shortest_hops(edges, seeds, max_hops=4)
+    return out.orderBy("node")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4731,6 +4764,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_online_users": cusum_online_users,
         "huber_price_model": huber_price_model,
         "als_part_affinity": als_part_affinity,
+        # multi-source BFS hops — iterative yet value-oracled (recursive CTE)
+        "graph_hops_custsupp": graph_hops_custsupp,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,
@@ -6882,6 +6917,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_eval > 0
             ORDER BY mase DESC NULLS LAST, key
             LIMIT 30
+        """,
+        "graph_hops_custsupp": """
+            WITH RECURSIVE pairs AS (
+                SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS a,
+                       's' || CAST(l.l_suppkey AS VARCHAR) AS b
+                FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            ), edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION ALL
+                SELECT b AS src, a AS dst FROM pairs
+            ), seeds AS (
+                SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node
+                FROM supplier WHERE s_nationkey = 0
+            ), walk(node, d) AS (
+                SELECT node, 0 FROM seeds
+                UNION
+                SELECT e.dst, w.d + 1
+                FROM walk w JOIN edges e ON e.src = w.node
+                WHERE w.d < 4
+            )
+            SELECT node, CAST(MIN(d) AS INT) AS hops
+            FROM walk GROUP BY node
+            ORDER BY node
         """,
         "shapley_lineitem_price": """
             WITH m AS (

@@ -471,3 +471,69 @@ def label_propagation(
             # job; A/B at sf0.1: ~11.5 s vs ~14.3 s)
             labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def shortest_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Multi-source BFS hop distances — (node, hops) for every node
+    reachable from ``seeds`` within ``max_hops`` directed edges (pass a
+    symmetrized edge list for undirected graphs; seeds report 0).
+
+    The classic Pregel shortest-path specialization for unit weights:
+    synchronous frontier expansion, dist' = min(dist, min over in-edges
+    dist+1), one keyed join + one groupBy per round, lineage truncated by
+    ``localCheckpoint`` and shuffles sized by
+    :func:`preprocessor_spark.caching.fixpoint_shuffle_scope` — the
+    connected-components engine with min-plus messages instead of min.
+    Early-exits when a round adds no nodes and relaxes no distance (the
+    frontier is empty — BFS never revisits at larger d, so the integer
+    sum certificate is monotone).
+
+    VALUE-oracle-able despite being iterative: hop distances are exact
+    integers and the fixpoint is confluent (min-plus is idempotent /
+    commutative), so DuckDB replays it with a bounded WITH RECURSIVE walk
+    + MIN(d) — the first of the repo's iterative operators with a full
+    SQL twin.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col("s").isNotNull() & F.col("d").isNotNull()
+    ).distinct()
+    e = register_persisted(e.persist())
+    n_edges = e.count()
+
+    from preprocessor_spark.caching import fixpoint_shuffle_scope
+
+    spark = edges.sparkSession
+    with fixpoint_shuffle_scope(spark, n_edges):
+        dist = (
+            seeds.select(F.col(seed_col).alias("node"))
+            .where(F.col("node").isNotNull())
+            .distinct()
+            .select("node", F.lit(0).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        prev_sum, prev_cnt = None, None
+        for _ in range(max_hops):
+            msgs = e.join(
+                dist.withColumnRenamed("node", "s"), "s"
+            ).select(F.col("d").alias("node"), (F.col("hops") + 1).alias("hops"))
+            dist = (
+                dist.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("hops").alias("hops"))
+                .localCheckpoint(eager=True)
+            )
+            probe = dist.agg(
+                F.count(F.lit(1)).alias("c"), F.sum("hops").alias("s")
+            ).collect()[0]
+            if (probe["c"], probe["s"]) == (prev_cnt, prev_sum):
+                break
+            prev_cnt, prev_sum = probe["c"], probe["s"]
+    e.unpersist()
+    return dist

@@ -298,3 +298,22 @@ def test_als_deterministic_across_partitionings(spark):
     assert m1.rmse_history == m2.rmse_history
     assert np.array_equal(m1.user_factors, m2.user_factors)
     assert np.array_equal(m1.item_factors, m2.item_factors)
+
+
+def test_shortest_hops_planted_graph(spark):
+    from preprocessor_spark.operators.graph import shortest_hops
+
+    # chain 1-2-3-4-5, star 10-{11,12}, isolated 99; seeds {1, 10}
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12)]
+    sym = edges + [(b, a) for a, b in edges]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (10,)], "node long")
+    got = {r.node: r.hops for r in shortest_hops(e, seeds, max_hops=10).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 10: 0, 11: 1, 12: 1}
+    # max_hops truncates the frontier
+    got2 = {r.node: r.hops for r in shortest_hops(e, seeds, max_hops=2).collect()}
+    assert got2 == {1: 0, 2: 1, 3: 2, 10: 0, 11: 1, 12: 1}
+    # multi-source min: seed both chain ends -> distances fold inward
+    seeds2 = spark.createDataFrame([(1,), (5,)], "node long")
+    got3 = {r.node: r.hops for r in shortest_hops(e, seeds2, max_hops=10).collect()}
+    assert got3 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
