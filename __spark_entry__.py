@@ -4528,6 +4528,29 @@ def graph_hops_custsupp(spark, sf_dir):
     return out.orderBy("node")
 
 
+def anova_price_priority(spark, sf_dir):
+    """One-way ANOVA F of order total price across the 5 order priorities
+    (operators/hypotests.py anova_oneway): ONE map-side-combinable groupBy
+    of exact DECIMAL moments per level; SSB/SSW assemble on the bounded
+    5-row frame with the sorted-fold float contract — VALUE-oracled."""
+    from preprocessor_spark.operators.hypotests import anova_oneway
+
+    o = _t(spark, sf_dir, "orders")
+    return anova_oneway(o, "o_totalprice", "o_orderpriority")
+
+
+def fdr_priority_price(spark, sf_dir):
+    """Per-priority mean-vs-complement z-tests with Benjamini-Hochberg
+    FDR control (operators/hypotests.py group_ztests_fdr): ONE exact-moment
+    groupBy, complements from grand totals on the bounded 5-row frame,
+    two-sided p via the engine-portable Zelen-Severo normal polynomial, BH
+    reverse-running-min adjust — VALUE-oracled."""
+    from preprocessor_spark.operators.hypotests import group_ztests_fdr
+
+    o = _t(spark, sf_dir, "orders")
+    return group_ztests_fdr(o, "o_totalprice", "o_orderpriority", alpha=0.10)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4766,6 +4789,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "als_part_affinity": als_part_affinity,
         # multi-source BFS hops — iterative yet value-oracled (recursive CTE)
         "graph_hops_custsupp": graph_hops_custsupp,
+        # round-9d analytics (all value-oracled)
+        "anova_price_priority": anova_price_priority,
+        "fdr_priority_price": fdr_priority_price,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,
@@ -6940,6 +6966,121 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, CAST(MIN(d) AS INT) AS hops
             FROM walk GROUP BY node
             ORDER BY node
+        """,
+        "anova_price_priority": """
+            WITH cells AS (
+                SELECT o_orderpriority AS grp,
+                       COUNT(CAST(o_totalprice AS DECIMAL(18,4))) AS n,
+                       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s,
+                       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(19,4))
+                            * CAST(o_totalprice AS DECIMAL(18,4))
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS q
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+                GROUP BY 1
+            ), tot AS (
+                -- floor/frac split-casts: engine-portable decimal->double
+                SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                       CAST(COUNT(*) AS BIGINT) AS k,
+                       CAST(floor(SUM(s)) AS DOUBLE)
+                       + CAST(SUM(s) - floor(SUM(s)) AS DOUBLE) AS s_tot,
+                       CAST(floor(SUM(q)) AS DOUBLE)
+                       + CAST(SUM(q) - floor(SUM(q)) AS DOUBLE) AS q_tot,
+                       list_reduce(list_prepend(0.0, list_sort(list(
+                           (CAST(floor(s) AS DOUBLE)
+                            + CAST(s - floor(s) AS DOUBLE))
+                           * (CAST(floor(s) AS DOUBLE)
+                              + CAST(s - floor(s) AS DOUBLE)) / n
+                       ))), (acc, x) -> acc + x) AS sum_term
+                FROM cells
+            ), f AS (
+                SELECT n_total, k,
+                       CAST(n_total AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+                       sum_term - s_tot * s_tot / CAST(n_total AS DOUBLE) AS ssb,
+                       q_tot - sum_term AS ssw
+                FROM tot
+            )
+            SELECT n_total AS n, k,
+                   CAST(kd - 1 AS BIGINT) AS df_between,
+                   CAST(nd - kd AS BIGINT) AS df_within,
+                   ROUND((ssb / (kd - 1)) / (ssw / (nd - kd)), 6) AS f_stat,
+                   ROUND(ssb / (ssb + ssw), 6) AS eta_sq
+            FROM f
+        """,
+        "fdr_priority_price": """
+            WITH cells AS (
+                SELECT o_orderpriority AS grp,
+                       COUNT(CAST(o_totalprice AS DECIMAL(18,4))) AS n,
+                       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s,
+                       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(19,4))
+                            * CAST(o_totalprice AS DECIMAL(18,4))
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS q
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+                GROUP BY 1
+            ), per AS (
+                -- floor/frac split-casts: engine-portable decimal->double
+                SELECT grp, n,
+                       CAST(floor(s) AS DOUBLE)
+                       + CAST(s - floor(s) AS DOUBLE) AS s,
+                       CAST(floor(q) AS DOUBLE)
+                       + CAST(q - floor(q) AS DOUBLE) AS q,
+                       SUM(n) OVER () AS nn,
+                       CAST(floor(SUM(s) OVER ()) AS DOUBLE)
+                       + CAST(SUM(s) OVER () - floor(SUM(s) OVER ()) AS DOUBLE) AS ss,
+                       CAST(floor(SUM(q) OVER ()) AS DOUBLE)
+                       + CAST(SUM(q) OVER () - floor(SUM(q) OVER ()) AS DOUBLE) AS qq,
+                       COUNT(*) OVER () AS k
+                FROM cells
+            ), z AS (
+                SELECT grp, n, k,
+                       CAST(n AS DOUBLE) AS ng,
+                       CAST(nn - n AS DOUBLE) AS nc,
+                       s, q, ss, qq
+                FROM per
+            ), z2 AS (
+                SELECT grp, n, k,
+                       s / ng AS m_g,
+                       (s / ng - (ss - s) / nc)
+                       / sqrt(((q - s * s / ng) / (ng - 1)) / ng
+                              + ((qq - q - (ss - s) * (ss - s) / nc)
+                                 / (nc - 1)) / nc) AS zval
+                FROM z
+            ), p AS (
+                SELECT grp, n, k, ROUND(m_g, 6) AS mean,
+                       ROUND(zval, 6) AS z,
+                       ROUND(LEAST(1.0,
+                           2.0 * (exp(-(abs(zval) * abs(zval)) / 2.0)
+                                  / 2.5066282746310002)
+                           * ((1.0 / (1.0 + 0.2316419 * abs(zval)))
+                              * (0.319381530
+                                 + (1.0 / (1.0 + 0.2316419 * abs(zval)))
+                                 * (-0.356563782
+                                    + (1.0 / (1.0 + 0.2316419 * abs(zval)))
+                                    * (1.781477937
+                                       + (1.0 / (1.0 + 0.2316419 * abs(zval)))
+                                       * (-1.821255978
+                                          + (1.0 / (1.0 + 0.2316419
+                                                    * abs(zval)))
+                                          * 1.330274429)))))), 10) AS p_value
+                FROM z2
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (ORDER BY p_value, grp) AS rank
+                FROM p
+            ), adj AS (
+                SELECT *,
+                       LEAST(1.0, MIN(p_value * k / rank) OVER (
+                           ORDER BY p_value DESC, grp DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       )) AS p_adj_raw
+                FROM ranked
+            )
+            SELECT grp AS "group", n, mean, z, p_value,
+                   ROUND(p_adj_raw, 10) AS p_adj,
+                   p_adj_raw <= 0.10 AS reject
+            FROM adj ORDER BY "group"
         """,
         "shapley_lineitem_price": """
             WITH m AS (

@@ -274,6 +274,200 @@ def mann_whitney_u(
     )
 
 
+def _dec_double(c: Column) -> Column:
+    """DECIMAL → DOUBLE with the floor/frac split, engine-portable at any
+    magnitude. A direct cast of a decimal whose unscaled representation
+    exceeds 2^53 is rounded differently by different engines (DuckDB
+    scales the integer in float; Java BigDecimal rounds the exact value).
+    Integer→double and (<1)-fraction→double conversions are correctly
+    rounded everywhere, and the final IEEE add is deterministic, so
+    ``floor(c) + (c − floor(c))`` yields bit-identical doubles in any
+    engine (DuckDB twin: same expression)."""
+    f = F.floor(c)
+    return f.cast("double") + (c - f).cast("double")
+
+
+def _normal_sf(z_abs: Column) -> Column:
+    """Upper-tail P(Z > z), z >= 0 — Zelen & Severo (Abramowitz & Stegun
+    26.2.17) polynomial, |error| < 7.5e-8. A closed-form double expression
+    (exp/sqrt/Horner multiplies only), so any SQL engine replays it; callers
+    round the resulting p-values, absorbing last-ulp libm differences the
+    same way the mutual-information fold absorbs ``log``."""
+    t = 1.0 / (1.0 + 0.2316419 * z_abs)
+    poly = t * (
+        0.319381530
+        + t
+        * (
+            -0.356563782
+            + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+        )
+    )
+    pdf = F.exp(-(z_abs * z_abs) / 2.0) / 2.5066282746310002
+    return pdf * poly
+
+
+def anova_oneway(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """One-way ANOVA (fixed-effects F) of ``value_col`` across the levels
+    of ``group_col``.
+
+    ONE map-side-combinable groupBy computes each level's exact DECIMAL
+    moments (n, Σx, Σx²) with the same DECIMAL(18,4)-cast overflow
+    certificate as :func:`welch_ttest`; the sums of squares derive from
+    the bounded per-group frame via the identities
+
+        SSB = Σ_g s_g²/n_g − S²/N      SSW = Q − Σ_g s_g²/n_g
+
+    where S, Q, N are exact grand totals (windows over the |groups| frame
+    — callers own the low-cardinality contract). The only float SUM over
+    multiple terms (Σ s_g²/n_g) folds in sorted order (the ``lm_kn``
+    idiom), so the F statistic is engine-portable. Returns 1 row: n, k,
+    df_between, df_within, f_stat, eta_sq. The
+    F-distribution p-value needs the incomplete beta and is left to the
+    caller (same contract as welch_ttest's missing erf).
+    """
+    g = F.col(group_col)
+    cells = (
+        df.filter(g.isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(g.alias("grp"))
+        .agg(
+            *[
+                m.alias(n)
+                for m, n in zip(
+                    _moments(df, value_col, F.lit(True)),
+                    ["n", "n_raw", "s", "q"],
+                )
+            ]
+        )
+    )
+    wt = Window.partitionBy()
+    sd = _dec_double(F.col("s"))
+    term = sd * sd / F.col("n")
+    agg = cells.select(
+        F.col("n"),
+        F.col("n_raw"),
+        term.alias("term"),
+        F.sum("n").over(wt).alias("nn"),
+        F.sum("n_raw").over(wt).alias("nn_raw"),
+        F.sum("s").over(wt).alias("ss"),
+        F.sum("q").over(wt).alias("qq"),
+    ).agg(
+        F.max("nn").alias("n_total"),
+        F.max("nn_raw").alias("n_raw"),
+        F.count(F.lit(1)).alias("k"),
+        F.max(_dec_double(F.col("ss"))).alias("s_tot"),
+        F.max(_dec_double(F.col("qq"))).alias("q_tot"),
+        F.aggregate(
+            F.sort_array(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x
+        ).alias("sum_term"),
+    )
+    n = F.coalesce(
+        F.assert_true(
+            F.col("n_total") == F.col("n_raw"), F.lit(_WELCH_OVERFLOW_MSG)
+        ).cast("long"),
+        F.col("n_total"),
+    ).cast("double")
+    k = F.col("k").cast("double")
+    ssb = F.col("sum_term") - F.col("s_tot") * F.col("s_tot") / n
+    ssw = F.col("q_tot") - F.col("sum_term")
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    # the raw sums of squares are NOT reported: their magnitude exceeds
+    # the double ulp at which a 4-decimal ROUND is meaningful, and
+    # sub-ulp rounding is the one operation engines disagree on. The
+    # scale-free F and eta² carry the full inference content.
+    return agg.select(
+        F.col("n_total").alias("n"),
+        F.col("k"),
+        (k - 1).cast("long").alias("df_between"),
+        (n - k).cast("long").alias("df_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+    )
+
+
+def group_ztests_fdr(
+    df: DataFrame, value_col: str, group_col: str, alpha: float = 0.05
+) -> DataFrame:
+    """Per-level two-sided z-tests of mean(level) vs mean(complement) with
+    Benjamini–Hochberg FDR control across the family.
+
+    ONE groupBy computes exact per-level moments (welch-style overflow
+    certificate); each level's complement moments are grand totals minus
+    the level's own (windows over the bounded |groups| frame). The
+    large-sample z uses the Welch standard error; the two-sided p-value is
+    the Zelen–Severo normal polynomial (:func:`_normal_sf` — closed-form,
+    engine-portable). BH runs entirely on the |groups| frame: rank p
+    ascending (ties broken by group for determinism), adjusted
+    p_(i) = min_{j ≥ i} p_(j)·k/j via a reverse running min, clamped to 1.
+    Returns one row per level: group, n, mean, z, p_value, p_adj, reject.
+    """
+    g = F.col(group_col)
+    cells = (
+        df.filter(g.isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(g.alias("grp"))
+        .agg(
+            *[
+                m.alias(n)
+                for m, n in zip(
+                    _moments(df, value_col, F.lit(True)),
+                    ["n", "n_raw", "s", "q"],
+                )
+            ]
+        )
+    )
+    wt = Window.partitionBy()
+    per = cells.select(
+        "grp",
+        "n",
+        "n_raw",
+        _dec_double(F.col("s")).alias("s"),
+        _dec_double(F.col("q")).alias("q"),
+        F.sum("n").over(wt).alias("nn"),
+        F.sum("n_raw").over(wt).alias("nn_raw"),
+        _dec_double(F.sum("s").over(wt)).alias("ss"),
+        _dec_double(F.sum("q").over(wt)).alias("qq"),
+        F.count(F.lit(1)).over(wt).alias("k"),
+    )
+    n_g = F.coalesce(
+        F.assert_true(
+            F.col("nn") == F.col("nn_raw"), F.lit(_WELCH_OVERFLOW_MSG)
+        ).cast("long"),
+        F.col("n"),
+    ).cast("double")
+    n_c = (F.col("nn") - F.col("n")).cast("double")
+    m_g = F.col("s") / n_g
+    m_c = (F.col("ss") - F.col("s")) / n_c
+    v_g = (F.col("q") - F.col("s") * F.col("s") / n_g) / (n_g - 1)
+    v_c = (F.col("qq") - F.col("q") - (F.col("ss") - F.col("s")) * (F.col("ss") - F.col("s")) / n_c) / (n_c - 1)
+    z = (m_g - m_c) / F.sqrt(v_g / n_g + v_c / n_c)
+    p = F.least(F.lit(1.0), 2.0 * _normal_sf(F.abs(z)))
+    scored = per.select(
+        "grp",
+        "n",
+        F.col("k"),
+        F.round(m_g, 6).alias("mean"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 10).alias("p_value"),
+    )
+    # BH on the bounded |groups| frame: ascending-p rank, reverse running
+    # min of p*k/rank (deterministic tie-break by group)
+    w_rank = Window.orderBy("p_value", "grp")
+    w_rev = Window.orderBy(F.col("p_value").desc(), F.col("grp").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w_rank))
+    raw_adj = F.col("p_value") * F.col("k") / F.col("rank")
+    adj = F.least(F.lit(1.0), F.min(raw_adj).over(w_rev))
+    return ranked.select(
+        F.col("grp").alias("group"),
+        "n",
+        "mean",
+        "z",
+        "p_value",
+        F.round(adj, 10).alias("p_adj"),
+        (adj <= F.lit(alpha)).alias("reject"),
+    ).orderBy("group")
+
+
 def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Mutual information I(A;B) of two categorical columns, in nats, plus
     the sqrt-normalized NMI = I/sqrt(H(A)·H(B)) (scikit-learn's
