@@ -4551,6 +4551,33 @@ def fdr_priority_price(spark, sf_dir):
     return group_ztests_fdr(o, "o_totalprice", "o_orderpriority", alpha=0.10)
 
 
+def ar2_forecast_users(spark, sf_dir):
+    """AR(2) per user series via Yule-Walker (operators/ar.py
+    ar2_yule_walker): exact DECIMAL lag-product sums + row_number-flagged
+    boundary values assemble bit-portable autocovariances; phi1/phi2 by
+    the closed-form YW solve, one-step forecast. ONE (key, order) window
+    exchange + one groupBy — VALUE-oracled. Top 30 users by |phi1|."""
+    from preprocessor_spark.operators.ar import ar2_yule_walker
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = ar2_yule_walker(e, "user_id", "event_id", "value")
+    return out.orderBy(F.abs(F.col("phi1")).desc_nulls_last(), "key").limit(30)
+
+
+def ewma_events_users(spark, sf_dir):
+    """Final EWMA state per user (operators/ar.py ewma_last, alpha=0.3
+    over the last 50 events): the sequential recursion runs as a seeded
+    ordered fold over a bounded pos-sorted list — DuckDB replays it with
+    list_reduce(list_sort(...)) — so this classically 'iterative' smoother
+    is fully VALUE-oracled. One keyed window exchange."""
+    from preprocessor_spark.operators.ar import ewma_last
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return ewma_last(e, "user_id", "event_id", "value", alpha=0.3, last_k=50).orderBy(
+        "key"
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4792,6 +4819,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-9d analytics (all value-oracled)
         "anova_price_priority": anova_price_priority,
         "fdr_priority_price": fdr_priority_price,
+        "ar2_forecast_users": ar2_forecast_users,
+        "ewma_events_users": ewma_events_users,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,
@@ -7081,6 +7110,104 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(p_adj_raw, 10) AS p_adj,
                    p_adj_raw <= 0.10 AS reject
             FROM adj ORDER BY "group"
+        """,
+        "ar2_forecast_users": """
+            WITH staged AS (
+                SELECT user_id AS key,
+                       CAST(value AS DECIMAL(18,4)) AS x,
+                       LAG(CAST(value AS DECIMAL(18,4)), 1) OVER w AS l1,
+                       LAG(CAST(value AS DECIMAL(18,4)), 2) OVER w AS l2,
+                       ROW_NUMBER() OVER w AS rn,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rd
+                FROM events WHERE value IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+            ), agg AS (
+                SELECT key, COUNT(x) AS n,
+                       CAST(SUM(CAST(x AS DECIMAL(38,8)))
+                            AS DECIMAL(38,8)) AS s,
+                       CAST(SUM(CAST(CAST(x AS DECIMAL(19,4)) * x
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS q0,
+                       CAST(SUM(CAST(CAST(x AS DECIMAL(19,4)) * l1
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS p1,
+                       CAST(SUM(CAST(CAST(x AS DECIMAL(19,4)) * l2
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS p2,
+                       MAX(CASE WHEN rn = 1 THEN x END) AS h1,
+                       MAX(CASE WHEN rn = 2 THEN x END) AS h2,
+                       MAX(CASE WHEN rd = 1 THEN x END) AS t1,
+                       MAX(CASE WHEN rd = 2 THEN x END) AS t2
+                FROM staged GROUP BY key
+            ), d AS (
+                -- floor/frac split-casts: engine-portable decimal->double
+                SELECT key, n, CAST(n AS DOUBLE) AS nd,
+                       CAST(floor(s) AS DOUBLE)
+                       + CAST(s - floor(s) AS DOUBLE) AS s,
+                       CAST(floor(q0) AS DOUBLE)
+                       + CAST(q0 - floor(q0) AS DOUBLE) AS q0,
+                       CAST(floor(p1) AS DOUBLE)
+                       + CAST(p1 - floor(p1) AS DOUBLE) AS p1,
+                       CAST(floor(p2) AS DOUBLE)
+                       + CAST(p2 - floor(p2) AS DOUBLE) AS p2,
+                       CAST(h1 AS DOUBLE) AS h1, CAST(h2 AS DOUBLE) AS h2,
+                       CAST(t1 AS DOUBLE) AS t1, CAST(t2 AS DOUBLE) AS t2
+                FROM agg
+            ), m1 AS (
+                SELECT *, s / nd AS m FROM d
+            ), cov AS (
+                SELECT *,
+                       q0 / nd - m * m AS c0,
+                       (p1 - m * (s - t1) - m * (s - h1)
+                        + (nd - 1) * m * m) / nd AS c1,
+                       (p2 - m * (s - t1 - t2) - m * (s - h1 - h2)
+                        + (nd - 2) * m * m) / nd AS c2
+                FROM m1
+            ), rr AS (
+                SELECT *, c1 / c0 AS r1, c2 / c0 AS r2,
+                       1.0 - (c1 / c0) * (c1 / c0) AS denom,
+                       (n >= 5 AND c0 > 0
+                        AND abs(1.0 - (c1 / c0) * (c1 / c0)) > 1e-12) AS ok
+                FROM cov
+            ), fit AS (
+                SELECT key, n, m,
+                       CASE WHEN ok THEN r1 END AS r1u,
+                       CASE WHEN ok THEN r2 END AS r2u,
+                       CASE WHEN ok THEN r1 * (1.0 - r2) / denom END AS phi1u,
+                       CASE WHEN ok THEN (r2 - r1 * r1) / denom END AS phi2u,
+                       t1, t2
+                FROM rr
+            )
+            SELECT key, n, ROUND(m, 6) AS mean,
+                   ROUND(r1u, 6) AS r1, ROUND(r2u, 6) AS r2,
+                   ROUND(phi1u, 6) AS phi1, ROUND(phi2u, 6) AS phi2,
+                   ROUND(m + phi1u * (t1 - m) + phi2u * (t2 - m), 6)
+                       AS forecast
+            FROM fit
+            ORDER BY abs(ROUND(phi1u, 6)) DESC NULLS LAST, key
+            LIMIT 30
+        """,
+        "ewma_events_users": """
+            WITH tail AS (
+                SELECT user_id AS key, event_id AS pos,
+                       CAST(value AS DOUBLE) AS x,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rd
+                FROM events WHERE value IS NOT NULL
+            ), lim AS (
+                SELECT * FROM tail WHERE rd <= 50
+            ), agg AS (
+                SELECT key, COUNT(x) AS n_used,
+                       MAX(CASE WHEN rd = 1 THEN x END) AS last_value,
+                       list_transform(
+                           list_sort(list({'pos': pos, 'x': x})),
+                           e -> e.x
+                       ) AS xs
+                FROM lim GROUP BY key
+            )
+            SELECT key, n_used,
+                   ROUND(last_value, 6) AS last_value,
+                   ROUND(list_reduce(xs, (acc, x) -> 0.3 * x + 0.7 * acc),
+                         6) AS ewma
+            FROM agg ORDER BY key
         """,
         "shapley_lineitem_price": """
             WITH m AS (

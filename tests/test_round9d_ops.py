@@ -1,0 +1,166 @@
+"""Round-9d operators: ANOVA / BH-FDR, AR(2) Yule-Walker, EWMA.
+
+Each operator is value-oracled end-to-end in test_queries.py; these tests
+grade the math against independent scalar references (numpy/pandas) on
+planted data, and assert the scale shapes (no SinglePartition on
+data-sized frames for the per-key operators).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def anova_frame(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for gi, (mu, n) in enumerate([(10.0, 400), (10.5, 350), (12.0, 450)]):
+        for v in rng.normal(mu, 2.0, n):
+            rows.append((f"g{gi}", round(float(v), 2)))
+    return spark.createDataFrame(rows, "grp string, x double")
+
+
+def test_anova_matches_scalar_reference(spark, anova_frame):
+    from preprocessor_spark.operators.hypotests import anova_oneway
+
+    out = anova_oneway(anova_frame, "x", "grp").collect()[0]
+    pdf = anova_frame.toPandas()
+    groups = [g["x"].to_numpy() for _, g in pdf.groupby("grp")]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out["n"] == n and out["k"] == k
+    assert out["df_between"] == k - 1 and out["df_within"] == n - k
+    assert out["f_stat"] == pytest.approx(f_ref, abs=1e-5)
+    assert out["eta_sq"] == pytest.approx(ssb / (ssb + ssw), abs=1e-5)
+    # planted separation is real: F must be decisively large
+    assert out["f_stat"] > 50
+
+
+def test_group_ztests_fdr_matches_bh_reference(spark, anova_frame):
+    from preprocessor_spark.operators.hypotests import group_ztests_fdr
+
+    rows = group_ztests_fdr(anova_frame, "x", "grp", alpha=0.05).collect()
+    pdf = anova_frame.toPandas()
+    by = {g: s["x"].to_numpy() for g, s in pdf.groupby("grp")}
+    ref = {}
+    for g, xs in by.items():
+        rest = np.concatenate([v for h, v in by.items() if h != g])
+        se = math.sqrt(xs.var(ddof=1) / len(xs) + rest.var(ddof=1) / len(rest))
+        z = (xs.mean() - rest.mean()) / se
+        ref[g] = z
+    k = len(ref)
+    for r in rows:
+        assert r["z"] == pytest.approx(ref[r["group"]], abs=5e-6)
+    # BH adjust reference over the operator's own (rounded) p-values
+    ps = sorted((r["p_value"], r["group"]) for r in rows)
+    adj_ref = {}
+    running = 1.0
+    for i in range(k - 1, -1, -1):
+        running = min(running, ps[i][0] * k / (i + 1))
+        adj_ref[ps[i][1]] = running
+    for r in rows:
+        assert r["p_adj"] == pytest.approx(adj_ref[r["group"]], abs=1e-9)
+        assert r["reject"] == (adj_ref[r["group"]] <= 0.05)
+    # the two planted-separated groups must reject; g0 vs g1 is a 0.5-sigma
+    # gap over ~750 samples and also separates decisively
+    assert all(r["reject"] for r in rows)
+
+
+@pytest.fixture(scope="module")
+def ar2_series(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for key, (p1, p2) in [("a", (0.6, -0.3)), ("b", (0.2, 0.5)), ("c", (0.0, 0.0))]:
+        x = [0.0, 0.0]
+        for _ in range(300):
+            x.append(p1 * x[-1] + p2 * x[-2] + rng.normal(0, 1))
+        for i, v in enumerate(x[2:]):
+            rows.append((key, i, round(50 + v, 2)))
+    return spark.createDataFrame(rows, "key string, pos int, x double")
+
+
+def _yw_reference(xs):
+    n = len(xs)
+    m = xs.mean()
+    c = [((xs[k:] - m) * (xs[: n - k] - m)).sum() / n for k in range(3)]
+    r1, r2 = c[1] / c[0], c[2] / c[0]
+    phi1 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    fc = m + phi1 * (xs[-1] - m) + phi2 * (xs[-2] - m)
+    return r1, r2, phi1, phi2, fc
+
+
+def test_ar2_matches_numpy_yule_walker(spark, ar2_series):
+    from preprocessor_spark.operators.ar import ar2_yule_walker
+
+    out = {r["key"]: r for r in ar2_yule_walker(ar2_series, "key", "pos", "x").collect()}
+    pdf = ar2_series.toPandas()
+    for key, sub in pdf.groupby("key"):
+        xs = sub.sort_values("pos")["x"].to_numpy()
+        r1, r2, phi1, phi2, fc = _yw_reference(xs)
+        row = out[key]
+        assert row["n"] == len(xs)
+        assert row["mean"] == pytest.approx(xs.mean(), abs=1e-4)
+        assert row["r1"] == pytest.approx(r1, abs=1e-6)
+        assert row["r2"] == pytest.approx(r2, abs=1e-6)
+        assert row["phi1"] == pytest.approx(phi1, abs=1e-6)
+        assert row["phi2"] == pytest.approx(phi2, abs=1e-6)
+        assert row["forecast"] == pytest.approx(fc, abs=1e-4)
+    # planted dynamics recovered (YW is consistent; 300 obs ≈ ±0.1)
+    assert abs(out["a"]["phi1"] - 0.6) < 0.15 and abs(out["a"]["phi2"] + 0.3) < 0.15
+    assert abs(out["b"]["phi2"] - 0.5) < 0.15
+
+
+def test_ar2_short_and_constant_series_are_null(spark):
+    from preprocessor_spark.operators.ar import ar2_yule_walker
+
+    df = spark.createDataFrame(
+        [("s", i, 1.0 + i) for i in range(3)] + [("c", i, 5.0) for i in range(10)],
+        "key string, pos int, x double",
+    )
+    out = {r["key"]: r for r in ar2_yule_walker(df, "key", "pos", "x").collect()}
+    assert out["s"]["phi1"] is None  # too short
+    assert out["c"]["phi1"] is None  # zero variance
+
+
+def test_ewma_matches_pandas_recursion(spark, ar2_series):
+    from preprocessor_spark.operators.ar import ewma_last
+
+    out = {r["key"]: r for r in
+           ewma_last(ar2_series, "key", "pos", "x", alpha=0.3, last_k=50).collect()}
+    pdf = ar2_series.toPandas()
+    for key, sub in pdf.groupby("key"):
+        xs = sub.sort_values("pos")["x"].to_numpy()[-50:]
+        ref = pd.Series(xs).ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+        row = out[key]
+        assert row["n_used"] == 50
+        assert row["last_value"] == pytest.approx(xs[-1])
+        assert row["ewma"] == pytest.approx(ref, abs=1e-6)
+
+
+def test_ewma_short_series_seeds_with_first(spark):
+    from preprocessor_spark.operators.ar import ewma_last
+
+    df = spark.createDataFrame([("k", 0, 10.0)], "key string, pos int, x double")
+    row = ewma_last(df, "key", "pos", "x", alpha=0.3).collect()[0]
+    assert row["ewma"] == 10.0 and row["n_used"] == 1
+
+
+def test_ar_operators_have_no_single_partition_exchange(spark, ar2_series):
+    from preprocessor_spark.operators.ar import ar2_yule_walker, ewma_last
+
+    for df in (
+        ar2_yule_walker(ar2_series, "key", "pos", "x"),
+        ewma_last(ar2_series, "key", "pos", "x"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, plan
