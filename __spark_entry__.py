@@ -4578,6 +4578,53 @@ def ewma_events_users(spark, sf_dir):
     )
 
 
+def _strong_tie_edges(spark, sf_dir):
+    """Bipartite strong-tie customer↔supplier edges: distinct (cust, supp)
+    pairs connected by a line item with quantity ≥ 45 — the thinned
+    evidence graph shared by the link-prediction and k-core queries."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_suppkey")
+    )
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def link_predict_custsupp(spark, sf_dir):
+    """Common-neighbors / Jaccard / Adamic-Adar link prediction
+    (operators/graph.py link_prediction_scores, Liben-Nowell & Kleinberg
+    CIKM'03) over the strong-tie trade graph: wedge equi-join (no cross
+    product), hub centers capped at degree 128 (the LSH-style recall
+    trade), Adamic-Adar by the bounded sorted fold — VALUE-oracled.
+    Top 40 predicted pairs."""
+    from preprocessor_spark.operators.graph import link_prediction_scores
+
+    edges = _strong_tie_edges(spark, sf_dir)
+    return link_prediction_scores(edges, top_k=40, max_center_degree=128)
+
+
+def kcore_custsupp(spark, sf_dir):
+    """k-core decomposition (operators/graph.py k_core, Seidman 1983 /
+    distributed Batagelj-Zaveršnik peeling) of the strong-tie trade graph
+    at k=6: iterative delete-all-sub-k rounds, one degree groupBy + two
+    anti joins per round, edge-count convergence certificate. Rows-only by
+    design (iterative deletion has no monotone recursive-CTE twin); graded
+    by planted-graph scalar-peel equivalence in pytest. Returns the core
+    members with their in-core degrees."""
+    from preprocessor_spark.operators.graph import k_core
+
+    edges = _strong_tie_edges(spark, sf_dir)
+    return k_core(edges, k=6).orderBy("node")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4821,6 +4868,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fdr_priority_price": fdr_priority_price,
         "ar2_forecast_users": ar2_forecast_users,
         "ewma_events_users": ewma_events_users,
+        "link_predict_custsupp": link_predict_custsupp,
+        # k-core (rows-only: iterative deletion, no recursive-CTE twin)
+        "kcore_custsupp": kcore_custsupp,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,
@@ -7184,6 +7234,52 @@ def oracle_sql() -> dict[str, str]:
             FROM fit
             ORDER BY abs(ROUND(phi1u, 6)) DESC NULLS LAST, key
             LIMIT 30
+        """,
+        "link_predict_custsupp": """
+            WITH base AS (
+                SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS x,
+                                's' || CAST(l_suppkey AS VARCHAR) AS y
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_quantity >= 45
+            ), e AS (
+                SELECT LEAST(x, y) AS a, GREATEST(x, y) AS b FROM base
+                WHERE x <> y
+            ), adj AS (
+                SELECT a AS w, b AS n FROM e
+                UNION ALL
+                SELECT b AS w, a AS n FROM e
+            ), deg AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY w
+            ), centers AS (
+                SELECT adj.w, adj.n, deg.d
+                FROM adj JOIN deg USING (w) WHERE deg.d <= 128
+            ), wedges AS (
+                SELECT l.w, l.n AS a, l.d, r.n AS b
+                FROM centers l JOIN centers r
+                  ON l.w = r.w AND l.n < r.n
+            ), pair AS (
+                SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cn,
+                       list_sort(list(1.0 / ln(CAST(d AS DOUBLE)))) AS aa_terms
+                FROM wedges GROUP BY a, b
+            ), newp AS (
+                SELECT p.a, p.b, p.cn, p.aa_terms
+                FROM pair p ANTI JOIN e ON p.a = e.a AND p.b = e.b
+            ), scored AS (
+                SELECT n.a, n.b, n.cn,
+                       ROUND(CAST(n.cn AS DOUBLE)
+                             / CAST(da.d + db.d - n.cn AS DOUBLE), 6)
+                           AS jaccard,
+                       ROUND(list_reduce(list_prepend(0.0, n.aa_terms),
+                                         (acc, x) -> acc + x), 6)
+                           AS adamic_adar
+                FROM newp n
+                JOIN deg da ON n.a = da.w
+                JOIN deg db ON n.b = db.w
+            )
+            SELECT a, b, cn, jaccard, adamic_adar
+            FROM scored
+            ORDER BY jaccard DESC, cn DESC, a, b
+            LIMIT 40
         """,
         "ewma_events_users": """
             WITH tail AS (

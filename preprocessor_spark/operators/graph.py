@@ -537,3 +537,160 @@ def shortest_hops(
             prev_cnt, prev_sum = probe["c"], probe["s"]
     e.unpersist()
     return dist
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int = 50,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-based link prediction: score NON-adjacent node pairs by
+    common neighbors, Jaccard, and Adamic–Adar (Liben-Nowell & Kleinberg,
+    CIKM'03) over an undirected graph.
+
+    Shape: edges canonicalize/dedup once (persisted — feeds degrees, the
+    wedge join and the anti join); candidate pairs come from ONE
+    self-equi-join of the adjacency on the shared neighbor (a wedge join —
+    the same equi-join-not-cross-product shape as triangle_count), existing
+    edges drop with one left-anti join, and the per-pair reduction is one
+    groupBy. Adamic–Adar's float sum folds in sorted order over the pair's
+    common-neighbor weight list, whose length is bounded by
+    min(deg a, deg b) ≤ ``max_center_degree`` — the bounded-list contract
+    that keeps it engine-portable (DuckDB: list_reduce(list_sort(...))).
+
+    ``max_center_degree``: hub centers with more neighbors generate
+    deg² wedges AND carry the least evidence (an Adamic–Adar weight of
+    1/ln d → 0); excluding them bounds the wedge join by |E|·cap and is
+    the standard recall trade (same role as LSH banding in the dedup
+    family). Full degrees (not capped-subgraph degrees) still feed
+    Jaccard. Returns the ``top_k`` pairs by (jaccard, cn, a, b) —
+    TakeOrderedAndProject, no global sort.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    e = register_persisted(e.persist())
+    adj = e.select(F.col("a").alias("w"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    centers = adj.join(deg, "w").select("w", "n", "d")
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("d") <= max_center_degree)
+    left = centers.select("w", F.col("n").alias("a"), F.col("d"))
+    right = centers.select("w", F.col("n").alias("b"))
+    wedges = left.join(right, "w").filter(F.col("a") < F.col("b"))
+    pair_scores = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sort_array(F.collect_list(1.0 / F.log(F.col("d").cast("double")))).alias(
+            "aa_terms"
+        ),
+    )
+    new_pairs = pair_scores.join(e, ["a", "b"], "left_anti")
+    da = deg.select(F.col("w").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("w").alias("b"), F.col("d").alias("db"))
+    scored = (
+        new_pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            (
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")).cast("double")
+            ).alias("jaccard_raw"),
+            F.aggregate(
+                F.col("aa_terms"), F.lit(0.0), lambda acc, x: acc + x
+            ).alias("aa_raw"),
+        )
+    )
+    out = scored.select(
+        "a",
+        "b",
+        "cn",
+        F.round(F.col("jaccard_raw"), 6).alias("jaccard"),
+        F.round(F.col("aa_raw"), 6).alias("adamic_adar"),
+    )
+    return out.orderBy(
+        F.col("jaccard").desc(), F.col("cn").desc(), "a", "b"
+    ).limit(top_k)
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 100,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph in which
+    every node has degree ≥ k, found by iterative peeling (Seidman 1983;
+    Batagelj–Zaveršnik's distributed variant: delete ALL sub-k nodes each
+    round, not one).
+
+    Per round: one degree groupBy, one broadcast-able sub-k node frame,
+    two left-anti joins to drop their edges, localCheckpoint to truncate
+    lineage; shuffles sized by
+    :func:`preprocessor_spark.caching.fixpoint_shuffle_scope`. The
+    surviving-edge count is the convergence certificate (monotone
+    decreasing — unchanged count IS the fixpoint). Rows-only by design:
+    iterative deletion is non-monotone, so no recursive-CTE SQL twin;
+    graded by planted-graph equivalence against a scalar peel in pytest.
+
+    Returns (node, degree) for every node of the k-core, with degree
+    counted INSIDE the core.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+
+    from preprocessor_spark.caching import fixpoint_shuffle_scope
+
+    spark = edges.sparkSession
+    with fixpoint_shuffle_scope(spark, n_edges):
+        for _ in range(max_iterations):
+            if n_edges == 0:
+                break
+            deg = (
+                e.select(F.col("a").alias("n"))
+                .unionAll(e.select(F.col("b").alias("n")))
+                .groupBy("n")
+                .agg(F.count(F.lit(1)).alias("d"))
+            )
+            low = deg.filter(F.col("d") < k).select("n")
+            e2 = (
+                e.join(low.withColumnRenamed("n", "a"), "a", "left_anti")
+                .join(low.withColumnRenamed("n", "b"), "b", "left_anti")
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+            n2 = e2.count()
+            e = e2
+            if n2 == n_edges:
+                break
+            n_edges = n2
+        else:
+            raise RuntimeError(f"k_core: not converged in {max_iterations} rounds")
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

@@ -164,3 +164,106 @@ def test_ar_operators_have_no_single_partition_exchange(spark, ar2_series):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan, plan
+
+
+def _peel_reference(edges, k):
+    """Scalar k-core peel: dict-based Batagelj-Zaversnik."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(ns) for n, ns in adj.items() if ns}
+
+
+def test_k_core_matches_scalar_peel(spark):
+    from preprocessor_spark.operators.graph import k_core
+
+    rng = np.random.default_rng(3)
+    nodes = [f"n{i}" for i in range(60)]
+    edges = set()
+    # a planted 8-clique (survives k=5) + sparse random noise (peels away)
+    for i in range(8):
+        for j in range(i + 1, 8):
+            edges.add((nodes[i], nodes[j]))
+    for _ in range(80):
+        a, b = rng.choice(60, 2, replace=False)
+        edges.add((nodes[a], nodes[b]))
+    df = spark.createDataFrame(sorted(edges), "src string, dst string")
+    got = {r["node"]: r["degree"] for r in k_core(df, k=5).collect()}
+    ref = _peel_reference(edges, 5)
+    assert got == ref
+    assert all(nodes[i] in got for i in range(8))  # the clique survives
+
+
+def test_k_core_empty_when_k_exceeds_graph(spark):
+    from preprocessor_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    assert k_core(df, k=3).count() == 0  # triangle is a 2-core, not 3
+
+
+def test_link_prediction_matches_scalar_reference(spark):
+    from preprocessor_spark.operators.graph import link_prediction_scores
+    from collections import defaultdict
+    from itertools import combinations
+
+    rng = np.random.default_rng(5)
+    edges = set()
+    for _ in range(120):
+        a, b = rng.choice(25, 2, replace=False)
+        edges.add((f"n{a:02d}", f"n{b:02d}"))
+    edges = {(min(a, b), max(a, b)) for a, b in edges}
+    df = spark.createDataFrame(sorted(edges), "src string, dst string")
+    got = link_prediction_scores(df, top_k=1000).collect()
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    ref = {}
+    for a, b in combinations(sorted(adj), 2):
+        if b in adj[a]:
+            continue
+        common = adj[a] & adj[b]
+        if not common:
+            continue
+        cn = len(common)
+        jac = cn / (len(adj[a]) + len(adj[b]) - cn)
+        aa = sum(1.0 / math.log(len(adj[w])) for w in common)
+        ref[(a, b)] = (cn, jac, aa)
+    assert len(got) == len(ref)
+    for r in got:
+        cn, jac, aa = ref[(r["a"], r["b"])]
+        assert r["cn"] == cn
+        assert r["jaccard"] == pytest.approx(jac, abs=1e-6)
+        assert r["adamic_adar"] == pytest.approx(aa, abs=1e-6)
+
+
+def test_link_prediction_wedge_join_is_not_cartesian(spark):
+    from preprocessor_spark.operators.graph import link_prediction_scores
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    plan = (
+        link_prediction_scores(df, top_k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
