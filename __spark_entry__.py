@@ -4625,6 +4625,35 @@ def kcore_custsupp(spark, sf_dir):
     return k_core(edges, k=6).orderBy("node")
 
 
+def stump_quantity_returns(spark, sf_dir):
+    """Exact CART decision stump (operators/cart.py decision_stump): the
+    best 'quantity ≤ v' split for predicting returned line items by
+    weighted Gini. ONE distinct-value groupBy + the range-partitioned
+    cumulative carry (no SinglePartition) + a min(struct) argmin —
+    VALUE-oracled (DuckDB replays with a window cumsum and
+    ORDER BY impurity LIMIT 1)."""
+    from preprocessor_spark.operators.cart import decision_stump
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_quantity", (F.col("l_returnflag") == "R").cast("int").alias("label")
+    )
+    return decision_stump(l, "l_quantity", "label")
+
+
+def conformal_price_intervals(spark, sf_dir):
+    """Split-conformal prediction intervals (operators/conformal.py, Lei
+    et al. JASA'18) for order totals per priority: md5 hash-split, exact-
+    DECIMAL train means broadcast onto the calibration split, q-hat as the
+    exact ceil((n+1)(1-alpha)) order statistic under one keyed window —
+    distribution-free >=90% coverage, VALUE-oracled."""
+    from preprocessor_spark.operators.conformal import conformal_group_intervals
+
+    o = _t(spark, sf_dir, "orders")
+    return conformal_group_intervals(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey", alpha=0.1
+    ).orderBy("group")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4871,6 +4900,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_predict_custsupp": link_predict_custsupp,
         # k-core (rows-only: iterative deletion, no recursive-CTE twin)
         "kcore_custsupp": kcore_custsupp,
+        "stump_quantity_returns": stump_quantity_returns,
+        "conformal_price_intervals": conformal_price_intervals,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,
@@ -7234,6 +7265,94 @@ def oracle_sql() -> dict[str, str]:
             FROM fit
             ORDER BY abs(ROUND(phi1u, 6)) DESC NULLS LAST, key
             LIMIT 30
+        """,
+        "stump_quantity_returns": """
+            WITH counts AS (
+                SELECT l_quantity AS value,
+                       CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                                END) AS BIGINT) AS pos
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+                GROUP BY 1
+            ), cum AS (
+                SELECT value,
+                       CAST(SUM(cnt) OVER (ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+                       CAST(SUM(pos) OVER (ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl,
+                       CAST(SUM(cnt) OVER () AS BIGINT) AS nt,
+                       CAST(SUM(pos) OVER () AS BIGINT) AS pt
+                FROM counts
+            ), per AS (
+                SELECT value, nl, pl, nt, pt,
+                       CAST(nl AS DOUBLE) AS nld,
+                       CAST(nt - nl AS DOUBLE) AS nrd,
+                       CAST(pl AS DOUBLE) AS pld,
+                       CAST(pt - pl AS DOUBLE) AS prd
+                FROM cum WHERE nl < nt
+            ), imp AS (
+                SELECT value, nl, pl, nt, pt,
+                       ((nld - (pld * pld + (nld - pld) * (nld - pld)) / nld)
+                        + (nrd - (prd * prd + (nrd - prd) * (nrd - prd)) / nrd))
+                       / CAST(nt AS DOUBLE) AS impurity,
+                       1.0 - (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                             * (CAST(pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                           - (CAST(nt - pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                             * (CAST(nt - pt AS DOUBLE) / CAST(nt AS DOUBLE))
+                           AS groot
+                FROM per
+            ), best AS (
+                SELECT * FROM imp ORDER BY impurity, value LIMIT 1
+            )
+            SELECT value AS threshold,
+                   nl AS n_left, pl AS pos_left,
+                   nt - nl AS n_right, pt - pl AS pos_right,
+                   ROUND(groot, 6) AS gini_root,
+                   ROUND(impurity, 6) AS gini_split,
+                   ROUND(groot - impurity, 6) AS gain
+            FROM best
+        """,
+        "conformal_price_intervals": """
+            WITH base AS (
+                SELECT o_orderpriority AS grp,
+                       CAST(o_totalprice AS DECIMAL(18,4)) AS yd,
+                       CAST(o_totalprice AS DOUBLE) AS y,
+                       (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 10000) < 5000 AS is_train
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+            ), means AS (
+                -- floor/frac split-cast: engine-portable decimal->double
+                SELECT grp, COUNT(yd) AS n_train,
+                       (CAST(floor(SUM(CAST(yd AS DECIMAL(38,8)))) AS DOUBLE)
+                        + CAST(SUM(CAST(yd AS DECIMAL(38,8)))
+                               - floor(SUM(CAST(yd AS DECIMAL(38,8))))
+                               AS DOUBLE))
+                       / COUNT(yd) AS prediction
+                FROM base WHERE is_train GROUP BY grp
+            ), cal AS (
+                SELECT b.grp, m.n_train, m.prediction,
+                       abs(b.y - m.prediction) AS r
+                FROM base b JOIN means m ON b.grp = m.grp
+                WHERE NOT b.is_train
+            ), scored AS (
+                SELECT *, COUNT(*) OVER (PARTITION BY grp) AS n_cal,
+                       ROW_NUMBER() OVER (PARTITION BY grp ORDER BY r) AS rn
+                FROM cal
+            ), agg AS (
+                SELECT grp, n_train, prediction, n_cal,
+                       MAX(CASE WHEN rn = CAST(ceil((n_cal + 1) * 0.9)
+                                           AS BIGINT)
+                                THEN r END) AS qhat_raw
+                FROM scored GROUP BY grp, n_train, prediction, n_cal
+            )
+            SELECT grp AS "group", n_train, n_cal,
+                   ROUND(prediction, 6) AS prediction,
+                   ROUND(qhat_raw, 6) AS qhat,
+                   ROUND(prediction - qhat_raw, 6) AS lo,
+                   ROUND(prediction + qhat_raw, 6) AS hi
+            FROM agg ORDER BY "group"
         """,
         "link_predict_custsupp": """
             WITH base AS (

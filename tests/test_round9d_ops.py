@@ -267,3 +267,91 @@ def test_link_prediction_wedge_join_is_not_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decision_stump_matches_exhaustive_search(spark):
+    from preprocessor_spark.operators.cart import decision_stump
+
+    rng = np.random.default_rng(9)
+    xs = rng.integers(0, 20, 800).astype(float)
+    # planted signal: P(label) jumps at x > 12
+    labels = (rng.random(800) < np.where(xs > 12, 0.8, 0.2)).astype(int)
+    df = spark.createDataFrame(
+        [(float(x), int(y)) for x, y in zip(xs, labels)], "x double, y int"
+    )
+    row = decision_stump(df, "x", "y").collect()[0]
+
+    best = None
+    n, p = len(xs), labels.sum()
+    for v in sorted(set(xs))[:-1]:
+        m = xs <= v
+        nl, pl = int(m.sum()), int(labels[m].sum())
+        nr, pr = n - nl, p - pl
+        wl = nl - (pl**2 + (nl - pl) ** 2) / nl
+        wr = nr - (pr**2 + (nr - pr) ** 2) / nr
+        imp = (wl + wr) / n
+        if best is None or imp < best[0]:
+            best = (imp, v, nl, pl)
+    assert row["threshold"] == best[1] == 12.0
+    assert row["n_left"] == best[2] and row["pos_left"] == best[3]
+    assert row["gini_split"] == pytest.approx(best[0], abs=1e-6)
+    g_root = 1 - (p / n) ** 2 - ((n - p) / n) ** 2
+    assert row["gini_root"] == pytest.approx(g_root, abs=1e-6)
+    assert row["gain"] == pytest.approx(g_root - best[0], abs=1e-6)
+
+
+def test_decision_stump_has_no_single_partition_exchange(spark):
+    from preprocessor_spark.operators.cart import decision_stump
+
+    df = spark.createDataFrame(
+        [(float(i % 7), i % 2) for i in range(50)], "x double, y int"
+    )
+    plan = decision_stump(df, "x", "y")._jdf.queryExecution().executedPlan().toString()
+    # the only single-partition stage is the final 1-row argmin aggregate;
+    # the distinct-value cumulative must ride the range partitioning
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_conformal_intervals_coverage_and_reference(spark):
+    from preprocessor_spark.operators.conformal import conformal_group_intervals
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for gi, (mu, sd) in enumerate([(100.0, 5.0), (50.0, 1.0)]):
+        for i in range(3000):
+            rows.append((f"g{gi}", gi * 3000 + i, round(float(rng.normal(mu, sd)), 2)))
+    df = spark.createDataFrame(rows, "grp string, id long, y double")
+    out = {r["group"]: r for r in
+           conformal_group_intervals(df, "grp", "y", "id", alpha=0.1).collect()}
+    pdf = df.toPandas()
+    import hashlib
+
+    def bucket(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 10000
+
+    pdf["is_train"] = pdf["id"].map(bucket) < 5000
+    for g, sub in pdf.groupby("grp"):
+        tr, ca = sub[sub.is_train], sub[~sub.is_train]
+        pred = tr["y"].mean()
+        resid = np.sort(np.abs(ca["y"].to_numpy() - pred))
+        k = math.ceil((len(ca) + 1) * 0.9)
+        row = out[g]
+        assert row["n_train"] == len(tr) and row["n_cal"] == len(ca)
+        assert row["prediction"] == pytest.approx(pred, abs=1e-4)
+        assert row["qhat"] == pytest.approx(resid[k - 1], abs=1e-6)
+        # distribution-free guarantee: empirical calibration coverage >= 1-alpha
+        cover = ((ca["y"] >= row["lo"]) & (ca["y"] <= row["hi"])).mean()
+        assert cover >= 0.9
+    # tighter group gets the tighter interval
+    assert (out["g1"]["hi"] - out["g1"]["lo"]) < (out["g0"]["hi"] - out["g0"]["lo"])
+
+
+def test_conformal_small_calibration_reports_null(spark):
+    from preprocessor_spark.operators.conformal import conformal_group_intervals
+
+    df = spark.createDataFrame(
+        [("g", i, 10.0 + i) for i in range(6)], "grp string, id long, y double"
+    )
+    rows = conformal_group_intervals(df, "grp", "y", "id", alpha=0.05).collect()
+    # ceil((n_cal+1)*0.95) > n_cal for tiny calibration splits -> NULL qhat
+    assert all(r["qhat"] is None and r["lo"] is None for r in rows)
