@@ -4654,6 +4654,43 @@ def conformal_price_intervals(spark, sf_dir):
     ).orderBy("group")
 
 
+def attribution_linear_events(spark, sf_dir):
+    """Linear multi-touch attribution (operators/attribution.py): each
+    purchase distributes 1/n credit (and its value) across the user's
+    view/click/signup touches in the trailing 24 h. Fractional credit is
+    VALUE-oracled via the exact (channel, n_touch) cell collapse + the
+    k-sorted bounded fold — no order-dependent float sum over data-sized
+    rows. Unattributed conversions appear on their own row, so credit
+    totals the conversion count."""
+    from preprocessor_spark.operators.attribution import attribute_conversions
+
+    e = _t(spark, sf_dir, "events")
+    return attribute_conversions(
+        e, "user_id", "ts", "event_type", "event_id", "value",
+        conversion_type="purchase",
+        touch_types=["view", "click", "signup"],
+        lookback_hours=24,
+        model="linear",
+    )
+
+
+def attribution_last_touch_events(spark, sf_dir):
+    """Last-touch attribution (operators/attribution.py): 100% of each
+    purchase's credit to the most recent in-window touch (deterministic
+    (ts, event_id) tie-break). Exact integer credit + exact DECIMAL value
+    sums — VALUE-oracled."""
+    from preprocessor_spark.operators.attribution import attribute_conversions
+
+    e = _t(spark, sf_dir, "events")
+    return attribute_conversions(
+        e, "user_id", "ts", "event_type", "event_id", "value",
+        conversion_type="purchase",
+        touch_types=["view", "click", "signup"],
+        lookback_hours=24,
+        model="last",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4902,6 +4939,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_custsupp": kcore_custsupp,
         "stump_quantity_returns": stump_quantity_returns,
         "conformal_price_intervals": conformal_price_intervals,
+        "attribution_linear_events": attribution_linear_events,
+        "attribution_last_touch_events": attribution_last_touch_events,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,
@@ -7265,6 +7304,121 @@ def oracle_sql() -> dict[str, str]:
             FROM fit
             ORDER BY abs(ROUND(phi1u, 6)) DESC NULLS LAST, key
             LIMIT 30
+        """,
+        "attribution_linear_events": """
+            WITH convs AS (
+                SELECT user_id AS u, ts AS conv_ts, event_id AS conv_id,
+                       CAST(value AS DECIMAL(18,4)) AS conv_value
+                FROM events WHERE event_type = 'purchase'
+            ), touches AS (
+                SELECT user_id AS u, ts AS touch_ts, event_id AS touch_id,
+                       event_type AS channel
+                FROM events
+                WHERE event_type IN ('view', 'click', 'signup')
+            ), pairs AS (
+                SELECT t.channel, c.conv_id, c.conv_value,
+                       t.touch_ts, t.touch_id
+                FROM touches t JOIN convs c ON t.u = c.u
+                WHERE t.touch_ts <= c.conv_ts
+                  AND t.touch_ts >= c.conv_ts - INTERVAL 24 HOURS
+            ), ranked AS (
+                SELECT conv_id, conv_value, channel,
+                       COUNT(*) OVER (PARTITION BY conv_id) AS n_touch
+                FROM pairs
+            ), cells AS (
+                SELECT channel, n_touch,
+                       CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(SUM(CAST(conv_value AS DECIMAL(38,8)))
+                            AS DECIMAL(38,8)) AS vsum
+                FROM ranked GROUP BY 1, 2
+            ), per AS (
+                SELECT channel,
+                       list_reduce(list_prepend(0.0, list_transform(
+                           list_sort(list({'k': n_touch, 'cnt': cnt,
+                               'v': CAST(floor(vsum) AS DOUBLE)
+                                    + CAST(vsum - floor(vsum) AS DOUBLE)})),
+                           e -> CAST(e.cnt AS DOUBLE) / e.k)),
+                           (acc, x) -> acc + x) AS conversions,
+                       list_reduce(list_prepend(0.0, list_transform(
+                           list_sort(list({'k': n_touch, 'cnt': cnt,
+                               'v': CAST(floor(vsum) AS DOUBLE)
+                                    + CAST(vsum - floor(vsum) AS DOUBLE)})),
+                           e -> e.v / e.k)),
+                           (acc, x) -> acc + x) AS value_d,
+                       CAST(SUM(cnt) AS BIGINT) AS touches
+                FROM cells GROUP BY channel
+            ), unatt AS (
+                SELECT '(unattributed)' AS channel,
+                       CAST(COUNT(*) AS DOUBLE) AS conversions,
+                       COALESCE(CAST(floor(SUM(CAST(conv_value
+                           AS DECIMAL(38,8)))) AS DOUBLE)
+                           + CAST(SUM(CAST(conv_value AS DECIMAL(38,8)))
+                                  - floor(SUM(CAST(conv_value
+                                        AS DECIMAL(38,8)))) AS DOUBLE),
+                           0.0) AS value_d,
+                       CAST(0 AS BIGINT) AS touches
+                FROM convs
+                ANTI JOIN (SELECT DISTINCT conv_id FROM pairs) p
+                  USING (conv_id)
+                HAVING COUNT(*) > 0
+            ), unioned AS (
+                SELECT * FROM per UNION ALL SELECT * FROM unatt
+            )
+            SELECT channel, ROUND(conversions, 6) AS conversions,
+                   ROUND(value_d, 4) AS attributed_value, touches
+            FROM unioned ORDER BY channel
+        """,
+        "attribution_last_touch_events": """
+            WITH convs AS (
+                SELECT user_id AS u, ts AS conv_ts, event_id AS conv_id,
+                       CAST(value AS DECIMAL(18,4)) AS conv_value
+                FROM events WHERE event_type = 'purchase'
+            ), touches AS (
+                SELECT user_id AS u, ts AS touch_ts, event_id AS touch_id,
+                       event_type AS channel
+                FROM events
+                WHERE event_type IN ('view', 'click', 'signup')
+            ), pairs AS (
+                SELECT t.channel, c.conv_id, c.conv_value,
+                       t.touch_ts, t.touch_id
+                FROM touches t JOIN convs c ON t.u = c.u
+                WHERE t.touch_ts <= c.conv_ts
+                  AND t.touch_ts >= c.conv_ts - INTERVAL 24 HOURS
+            ), ranked AS (
+                SELECT conv_id, conv_value, channel,
+                       ROW_NUMBER() OVER (PARTITION BY conv_id
+                           ORDER BY touch_ts DESC, touch_id DESC) AS rn_last
+                FROM pairs
+            ), per AS (
+                SELECT channel,
+                       CAST(COUNT(*) AS DOUBLE) AS conversions,
+                       CAST(floor(SUM(CAST(conv_value AS DECIMAL(38,8))))
+                            AS DOUBLE)
+                       + CAST(SUM(CAST(conv_value AS DECIMAL(38,8)))
+                              - floor(SUM(CAST(conv_value AS DECIMAL(38,8))))
+                              AS DOUBLE) AS value_d,
+                       CAST(COUNT(*) AS BIGINT) AS touches
+                FROM ranked WHERE rn_last = 1 GROUP BY channel
+            ), unatt AS (
+                SELECT '(unattributed)' AS channel,
+                       CAST(COUNT(*) AS DOUBLE) AS conversions,
+                       COALESCE(CAST(floor(SUM(CAST(conv_value
+                           AS DECIMAL(38,8)))) AS DOUBLE)
+                           + CAST(SUM(CAST(conv_value AS DECIMAL(38,8)))
+                                  - floor(SUM(CAST(conv_value
+                                        AS DECIMAL(38,8)))) AS DOUBLE),
+                           0.0) AS value_d,
+                       CAST(0 AS BIGINT) AS touches
+                FROM convs
+                ANTI JOIN (SELECT DISTINCT conv_id FROM pairs) p
+                  USING (conv_id)
+                HAVING COUNT(*) > 0
+            ), unioned AS (
+                SELECT * FROM per UNION ALL SELECT * FROM unatt
+            )
+            SELECT channel, ROUND(conversions, 6) AS conversions,
+                   ROUND(value_d, 4) AS attributed_value, touches
+            FROM unioned ORDER BY channel
         """,
         "stump_quantity_returns": """
             WITH counts AS (

@@ -355,3 +355,83 @@ def test_conformal_small_calibration_reports_null(spark):
     rows = conformal_group_intervals(df, "grp", "y", "id", alpha=0.05).collect()
     # ceil((n_cal+1)*0.95) > n_cal for tiny calibration splits -> NULL qhat
     assert all(r["qhat"] is None and r["lo"] is None for r in rows)
+
+
+@pytest.fixture(scope="module")
+def attribution_events(spark):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def ev(user, minutes, etype, value=0.0):
+        nonlocal eid
+        rows.append((user, t0 + timedelta(minutes=minutes), etype, eid, value))
+        eid += 1
+
+    # u1: view, click, purchase (both in window)
+    ev("u1", 0, "view"); ev("u1", 30, "click"); ev("u1", 60, "purchase", 100.0)
+    # u2: touch outside the 24h window, then purchase -> unattributed
+    ev("u2", 0, "view"); ev("u2", 60 * 30, "purchase", 50.0)
+    # u3: signup only, two purchases sharing the touch
+    ev("u3", 0, "signup"); ev("u3", 10, "purchase", 10.0); ev("u3", 20, "purchase", 20.0)
+    # u4: tie on ts broken by event_id (click later id wins last-touch)
+    rows.append(("u4", t0, "view", 100, 0.0))
+    rows.append(("u4", t0, "click", 101, 0.0))
+    rows.append(("u4", t0 + timedelta(minutes=5), "purchase", 102, 40.0))
+    return spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string, event_id long, value double"
+    )
+
+
+def _attr(spark, df, model):
+    from preprocessor_spark.operators.attribution import attribute_conversions
+
+    out = attribute_conversions(
+        df, "user_id", "ts", "event_type", "event_id", "value",
+        conversion_type="purchase", touch_types=["view", "click", "signup"],
+        lookback_hours=24, model=model,
+    ).collect()
+    return {r["channel"]: r for r in out}
+
+
+def test_attribution_last_touch_scalar(spark, attribution_events):
+    got = _attr(spark, attribution_events, "last")
+    # u1 -> click (latest), u3 -> signup x2, u4 -> click (tie: higher id)
+    assert got["click"]["conversions"] == 2.0 and got["click"]["attributed_value"] == 140.0
+    assert got["signup"]["conversions"] == 2.0 and got["signup"]["attributed_value"] == 30.0
+    assert got["(unattributed)"]["conversions"] == 1.0
+    assert got["(unattributed)"]["attributed_value"] == 50.0
+    assert "view" not in got
+
+
+def test_attribution_first_touch_scalar(spark, attribution_events):
+    got = _attr(spark, attribution_events, "first")
+    # u1 -> view, u3 -> signup x2, u4 -> view (tie: lower id)
+    assert got["view"]["conversions"] == 2.0
+    assert got["view"]["attributed_value"] == 140.0
+    assert got["signup"]["conversions"] == 2.0
+
+
+def test_attribution_linear_conserves_credit(spark, attribution_events):
+    got = _attr(spark, attribution_events, "linear")
+    # u1 splits 1/2 view 1/2 click; u4 splits 1/2 1/2; u3 full to signup
+    assert got["view"]["conversions"] == 1.0  # 0.5 + 0.5
+    assert got["click"]["conversions"] == 1.0
+    assert got["signup"]["conversions"] == 2.0
+    assert got["view"]["attributed_value"] == pytest.approx(70.0)  # 50 + 20
+    total_purchases = attribution_events.filter("event_type = 'purchase'").count()
+    assert sum(r["conversions"] for r in got.values()) == pytest.approx(total_purchases)
+    total_value = 100.0 + 50.0 + 10.0 + 20.0 + 40.0
+    assert sum(r["attributed_value"] for r in got.values()) == pytest.approx(total_value)
+
+
+def test_attribution_rejects_unknown_model(spark, attribution_events):
+    from preprocessor_spark.operators.attribution import attribute_conversions
+
+    with pytest.raises(ValueError, match="unknown attribution model"):
+        attribute_conversions(
+            attribution_events, "user_id", "ts", "event_type", "event_id",
+            "value", "purchase", ["view"], model="u_shaped",
+        )
