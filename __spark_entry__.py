@@ -4581,7 +4581,10 @@ def ewma_events_users(spark, sf_dir):
 def _strong_tie_edges(spark, sf_dir):
     """Bipartite strong-tie customer↔supplier edges: distinct (cust, supp)
     pairs connected by a line item with quantity ≥ 45 — the thinned
-    evidence graph shared by the link-prediction and k-core queries."""
+    evidence graph shared by the link-prediction and k-core queries.
+    Nodes are LONG-encoded (customer = 2·key, supplier = 2·key+1): integer
+    join/groupBy keys are materially cheaper than strings on the
+    wedge-join hot path, and the encoding is trivially replayed in SQL."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = (
         _t(spark, sf_dir, "lineitem")
@@ -4591,8 +4594,8 @@ def _strong_tie_edges(spark, sf_dir):
     return (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -7510,8 +7513,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_predict_custsupp": """
             WITH base AS (
-                SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS x,
-                                's' || CAST(l_suppkey AS VARCHAR) AS y
+                SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS x,
+                                CAST(l_suppkey * 2 + 1 AS BIGINT) AS y
                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                 WHERE l_quantity >= 45
             ), e AS (
