@@ -4694,6 +4694,41 @@ def attribution_last_touch_events(spark, sf_dir):
     )
 
 
+def graph_wsp_custsupp(spark, sf_dir):
+    """Multi-source WEIGHTED shortest paths (operators/graph.py
+    shortest_paths_weighted — distributed Bellman-Ford) over the
+    strong-tie trade graph: edge cost = min(51 − quantity) across the
+    pair's line items, seeded at nation-0 suppliers, 4 relaxation rounds.
+    Exact-DECIMAL min-plus keeps the fixpoint bit-portable, so this
+    iterative operator is VALUE-oracled via a round-bounded WITH RECURSIVE
+    walk + MIN(cost) in DuckDB."""
+    from preprocessor_spark.operators.graph import shortest_paths_weighted
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+    )
+    pairs = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("c"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+        (F.lit(51) - F.col("l_quantity")).alias("w"),
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") == 0)
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    out = shortest_paths_weighted(edges, seeds, weight="w", max_rounds=4)
+    return out.select(
+        "node", F.round(F.col("cost").cast("double"), 4).alias("cost")
+    ).orderBy("node")
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4944,6 +4979,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_price_intervals": conformal_price_intervals,
         "attribution_linear_events": attribution_linear_events,
         "attribution_last_touch_events": attribution_last_touch_events,
+        "graph_wsp_custsupp": graph_wsp_custsupp,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,
@@ -7307,6 +7343,33 @@ def oracle_sql() -> dict[str, str]:
             FROM fit
             ORDER BY abs(ROUND(phi1u, 6)) DESC NULLS LAST, key
             LIMIT 30
+        """,
+        "graph_wsp_custsupp": """
+            WITH RECURSIVE base AS (
+                SELECT CAST(o_custkey * 2 AS BIGINT) AS c,
+                       CAST(l_suppkey * 2 + 1 AS BIGINT) AS s,
+                       CAST(51 - l_quantity AS DECIMAL(18,4)) AS w
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE l_quantity >= 45
+            ), e0 AS (
+                SELECT c AS src, s AS dst, MIN(w) AS w FROM base GROUP BY 1, 2
+                UNION ALL
+                SELECT s AS src, c AS dst, MIN(w) AS w FROM base GROUP BY 1, 2
+            ), edges AS (
+                SELECT src, dst, CAST(w AS DECIMAL(38,8)) AS w FROM e0
+            ), seeds AS (
+                SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS node
+                FROM supplier WHERE s_nationkey = 0
+            ), walk(node, cost, r) AS (
+                SELECT node, CAST(0 AS DECIMAL(38,8)), 0 FROM seeds
+                UNION
+                SELECT e.dst, CAST(w.cost + e.w AS DECIMAL(38,8)), w.r + 1
+                FROM walk w JOIN edges e ON e.src = w.node
+                WHERE w.r < 4
+            )
+            SELECT node, ROUND(CAST(MIN(cost) AS DOUBLE), 4) AS cost
+            FROM walk GROUP BY node
+            ORDER BY node
         """,
         "attribution_linear_events": """
             WITH convs AS (

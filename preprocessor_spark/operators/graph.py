@@ -730,3 +730,77 @@ def k_core(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def shortest_paths_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    seed_col: str = "node",
+    max_rounds: int = 10,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths: (node, cost) for every node
+    reachable from ``seeds`` within ``max_rounds`` edge relaxations —
+    :func:`shortest_hops` upgraded from unit weights to a cost column
+    (the distributed Bellman-Ford / Pregel SSSP shape; negative weights
+    are rejected, so every relaxation round only improves).
+
+    Weights are cast to exact DECIMAL(18,4) and path costs accumulate in
+    DECIMAL(38,8): min-plus over exact decimals is confluent AND
+    bit-exact, so the fixpoint is VALUE-oracle-able the same way as the
+    unit-weight walk — DuckDB replays it with a round-bounded
+    WITH RECURSIVE walk + MIN(cost). The convergence certificate
+    (node count + exact cost sum, both monotone) is exact arithmetic,
+    never a float comparison. One keyed join + one min groupBy per round,
+    localCheckpoint lineage truncation, fixpoint-scoped shuffles.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("s"),
+            F.col(dst).alias("d"),
+            F.col(weight).cast("decimal(18,4)").alias("w"),
+        )
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull() & F.col("w").isNotNull())
+        .groupBy("s", "d")
+        .agg(F.min("w").alias("w"))
+    )
+    e = register_persisted(e.persist())
+    neg = e.where(F.col("w") < 0).count()
+    if neg:
+        raise ValueError(f"shortest_paths_weighted: {neg} negative-weight edges")
+    n_edges = e.count()
+
+    from preprocessor_spark.caching import fixpoint_shuffle_scope
+
+    spark = edges.sparkSession
+    with fixpoint_shuffle_scope(spark, n_edges):
+        dist = (
+            seeds.select(F.col(seed_col).alias("node"))
+            .where(F.col("node").isNotNull())
+            .distinct()
+            .select("node", F.lit("0").cast("decimal(38,8)").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        prev = None
+        for _ in range(max_rounds):
+            msgs = e.join(dist.withColumnRenamed("node", "s"), "s").select(
+                F.col("d").alias("node"),
+                (F.col("cost") + F.col("w")).cast("decimal(38,8)").alias("cost"),
+            )
+            dist = (
+                dist.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("cost").alias("cost"))
+                .localCheckpoint(eager=True)
+            )
+            probe = dist.agg(
+                F.count(F.lit(1)).alias("c"), F.sum("cost").alias("s")
+            ).collect()[0]
+            key = (probe["c"], str(probe["s"]))
+            if key == prev:
+                break
+            prev = key
+    e.unpersist()
+    return dist

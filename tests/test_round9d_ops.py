@@ -435,3 +435,41 @@ def test_attribution_rejects_unknown_model(spark, attribution_events):
             attribution_events, "user_id", "ts", "event_type", "event_id",
             "value", "purchase", ["view"], model="u_shaped",
         )
+
+
+def test_weighted_sssp_matches_bellman_ford(spark):
+    from preprocessor_spark.operators.graph import shortest_paths_weighted
+
+    rng = np.random.default_rng(21)
+    edges = []
+    for _ in range(60):
+        a, b = rng.choice(15, 2, replace=False)
+        edges.append((f"n{a}", f"n{b}", float(rng.integers(1, 10))))
+    e = spark.createDataFrame(edges, "src string, dst string, weight double")
+    seeds = spark.createDataFrame([("n0",), ("n1",)], "node string")
+    rounds = 4
+    got = {r["node"]: float(r["cost"]) for r in
+           shortest_paths_weighted(e, seeds, max_rounds=rounds).collect()}
+
+    # scalar Bellman-Ford limited to the same relaxation rounds, on the
+    # min-deduped edge list the operator uses
+    best = {}
+    for a, b, w in edges:
+        best[(a, b)] = min(best.get((a, b), float("inf")), w)
+    dist = {"n0": 0.0, "n1": 0.0}
+    for _ in range(rounds):
+        new = dict(dist)
+        for (a, b), w in best.items():
+            if a in dist and dist[a] + w < new.get(b, float("inf")):
+                new[b] = dist[a] + w
+        dist = new
+    assert got == dist
+
+
+def test_weighted_sssp_rejects_negative_weights(spark):
+    from preprocessor_spark.operators.graph import shortest_paths_weighted
+
+    e = spark.createDataFrame([("a", "b", -1.0)], "src string, dst string, weight double")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="negative-weight"):
+        shortest_paths_weighted(e, seeds)
