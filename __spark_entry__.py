@@ -4729,6 +4729,23 @@ def graph_wsp_custsupp(spark, sf_dir):
     ).orderBy("node")
 
 
+def forecast_hw_users(spark, sf_dir):
+    """Additive Holt-Winters per user series (operators/holt.py
+    holt_winters_forecast, period 6; streaming twin
+    streaming.holt_winters_stream with pytest-exact batch equivalence):
+    level + trend + seasonal-ring state, one keyed gather + one Arrow
+    recursion stage. Rows-only by design (sequential triple recursion);
+    graded by planted-signal recovery, parameter degeneracies, and the
+    stream-twin drain test. Top 30 users by |trend|."""
+    from preprocessor_spark.operators.holt import holt_winters_forecast
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = holt_winters_forecast(
+        e, "user_id", "event_id", "value", season=6, horizon=6
+    )
+    return out.orderBy(F.abs(F.col("trend")).desc_nulls_last(), "user_id").limit(30)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4980,6 +4997,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_linear_events": attribution_linear_events,
         "attribution_last_touch_events": attribution_last_touch_events,
         "graph_wsp_custsupp": graph_wsp_custsupp,
+        # Holt-Winters triple smoothing (rows-only: sequential recursion)
+        "forecast_hw_users": forecast_hw_users,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,

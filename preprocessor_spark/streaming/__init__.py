@@ -468,3 +468,106 @@ def stateful_sessionize_tws(
         .groupBy(key)
         .transformWithStateInPandas(Sessionizer(), out_schema, "Append", "eventTime")
     )
+
+
+def holt_winters_stream(
+    events: DataFrame,
+    key: str = "user_id",
+    order_col: str = "ts",
+    value_col: str = "value",
+    season: int = 6,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    gamma: float = 0.3,
+    horizon: int = 3,
+) -> DataFrame:
+    """Streaming twin of :func:`preprocessor_spark.operators.holt.
+    holt_winters_forecast` — the additive triple-smoothing recursion
+    maintained across micro-batches in ``applyInPandasWithState``.
+
+    State per key is O(season): until 2·season observations arrive, raw
+    values buffer (the two-season init is a function of that prefix);
+    afterwards state is (n, level, trend, the season-length seasonal ring,
+    sse, count). Rows must arrive per-key in event order across batches
+    (the append-log contract shared with holt_stream); within a batch they
+    sort by ``order_col``. After a full in-order drain the emitted values
+    equal the batch operator exactly — pytest-asserted. Keys still inside
+    their init window emit nothing yet.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[key].dataType.simpleString()
+    out_schema = (
+        f"{key} {key_type}, n bigint, level double, trend double, "
+        "seasonal array<double>, rmse double, forecast array<double>"
+    )
+    # buf holds the init prefix until 2m rows are seen; seas is the
+    # rolling seasonal ring (s_{t-m+1}..s_t) once the recursion is live
+    state_schema = (
+        "n bigint, lvl double, tr double, sse double, cnt bigint, "
+        "live boolean, buf array<double>, seas array<double>"
+    )
+    a, b_, g, m, h = float(alpha), float(beta), float(gamma), int(season), int(horizon)
+
+    def _update(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            n, lvl, tr, sse, cnt, live, buf, seas = state.get
+            buf, seas = list(buf), list(seas)
+        else:
+            n, lvl, tr, sse, cnt, live, buf, seas = 0, 0.0, 0.0, 0.0, 0, False, [], []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows[value_col].notna()].sort_values(order_col)
+
+        def step(v):
+            nonlocal lvl, tr, sse, cnt
+            s_lag = seas.pop(0)
+            err = v - (lvl + tr + s_lag)
+            sse += err * err
+            cnt += 1
+            new_lvl = a * (v - s_lag) + (1.0 - a) * (lvl + tr)
+            tr = b_ * (new_lvl - lvl) + (1.0 - b_) * tr
+            lvl = new_lvl
+            seas.append(g * (v - lvl) + (1.0 - g) * s_lag)
+
+        for v in rows[value_col].astype(float):
+            n += 1
+            if live:
+                step(v)
+                continue
+            buf.append(v)
+            if len(buf) == 2 * m:
+                # replay the batch init on the buffered two seasons, then
+                # run the recursion over the second season's values
+                import numpy as np
+
+                vals = np.array(buf, dtype=np.float64)
+                lvl = float(vals[:m].mean())
+                tr = float((vals[m:].mean() - vals[:m].mean()) / m)
+                seas = [float(x - lvl) for x in vals[:m]]
+                live = True
+                for w in vals[m:]:
+                    step(float(w))
+                buf = []
+        state.update((n, lvl, tr, sse, cnt, live, buf, seas))
+        if live:
+            last_season = seas[-m:]
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]],
+                    "n": [n],
+                    "level": [round(lvl, 6)],
+                    "trend": [round(tr, 6)],
+                    "seasonal": [[round(s, 6) for s in last_season]],
+                    "rmse": [round(float((sse / cnt) ** 0.5), 6)],
+                    "forecast": [[
+                        round(lvl + (i + 1) * tr + last_season[i % m], 6)
+                        for i in range(h)
+                    ]],
+                }
+            )
+
+    return events.groupBy(key).applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -473,3 +473,134 @@ def test_weighted_sssp_rejects_negative_weights(spark):
     seeds = spark.createDataFrame([("a",)], "node string")
     with pytest.raises(ValueError, match="negative-weight"):
         shortest_paths_weighted(e, seeds)
+
+
+def _hw_reference(vals, m, a, b, g, h):
+    """Scalar additive Holt-Winters with the operator's documented init."""
+    lvl = float(np.mean(vals[:m]))
+    tr = float((np.mean(vals[m:2 * m]) - np.mean(vals[:m])) / m)
+    seas = [float(v - lvl) for v in vals[:m]]
+    sse = cnt = 0
+    for t in range(m, len(vals)):
+        s_lag = seas[t - m]
+        err = vals[t] - (lvl + tr + s_lag)
+        sse += err * err
+        cnt += 1
+        new_lvl = a * (vals[t] - s_lag) + (1 - a) * (lvl + tr)
+        tr = b * (new_lvl - lvl) + (1 - b) * tr
+        lvl = new_lvl
+        seas.append(g * (vals[t] - lvl) + (1 - g) * s_lag)
+    last = seas[-m:]
+    fc = [lvl + (i + 1) * tr + last[i % m] for i in range(h)]
+    return lvl, tr, last, (sse / cnt) ** 0.5, fc
+
+
+def test_holt_winters_recovers_planted_signal(spark):
+    from preprocessor_spark.operators.holt import holt_winters_forecast
+
+    m = 4
+    profile = [5.0, -2.0, -4.0, 1.0]
+    rows = []
+    for t in range(48):
+        rows.append(("u", t, 100.0 + 0.5 * t + profile[t % m]))
+    df = spark.createDataFrame(rows, "key string, pos int, x double")
+    row = holt_winters_forecast(df, "key", "pos", "x", season=m,
+                                alpha=0.4, beta=0.2, gamma=0.3, horizon=m).collect()[0]
+    # a noiseless additive signal is fit near-exactly: forecasts continue it
+    for i, f in enumerate(row["forecast"]):
+        t = 48 + i
+        truth = 100.0 + 0.5 * t + profile[t % m]
+        assert abs(f - truth) < 0.2, (i, f, truth)
+    # in-sample RMSE includes the init transient (level biased by the
+    # within-season trend); the converged forecasts above are the signal
+    assert row["rmse"] < 0.6
+    # and the scalar reference is matched exactly
+    vals = np.array([r[2] for r in rows])
+    lvl, tr, last, rmse, fc = _hw_reference(vals, m, 0.4, 0.2, 0.3, m)
+    assert row["level"] == pytest.approx(lvl, abs=1e-6)
+    assert row["trend"] == pytest.approx(tr, abs=1e-6)
+    assert row["rmse"] == pytest.approx(rmse, abs=1e-6)
+    assert list(row["forecast"]) == pytest.approx(fc, abs=1e-6)
+
+
+def test_holt_winters_gamma_zero_freezes_seasonals(spark):
+    from preprocessor_spark.operators.holt import holt_winters_forecast
+
+    m = 3
+    rows = [("u", t, 10.0 + [1.0, -1.0, 0.0][t % m]) for t in range(12)]
+    df = spark.createDataFrame(rows, "key string, pos int, x double")
+    row = holt_winters_forecast(df, "key", "pos", "x", season=m,
+                                gamma=0.0).collect()[0]
+    # gamma=0: seasonal state stays the init profile s_i = y_i - l_m
+    init_lvl = np.mean([10.0 + [1.0, -1.0, 0.0][t % m] for t in range(m)])
+    expect = [10.0 + [1.0, -1.0, 0.0][i] - init_lvl for i in range(m)]
+    # ring order: last m seasonals correspond to positions n-m..n-1
+    got = list(row["seasonal"])
+    assert got == pytest.approx([expect[(12 - m + i) % m] for i in range(m)], abs=1e-9)
+
+
+def test_holt_winters_short_series_dropped_and_validation(spark):
+    from preprocessor_spark.operators.holt import holt_winters_forecast
+
+    df = spark.createDataFrame([("u", t, 1.0) for t in range(7)],
+                               "key string, pos int, x double")
+    assert holt_winters_forecast(df, "key", "pos", "x", season=4).count() == 0
+    with pytest.raises(ValueError, match="alpha"):
+        holt_winters_forecast(df, "key", "pos", "x", season=2, alpha=0.0)
+    with pytest.raises(ValueError, match="season"):
+        holt_winters_forecast(df, "key", "pos", "x", season=0)
+
+
+def test_holt_winters_stream_equals_batch_after_drain(spark, tmp_path):
+    import time
+
+    import pandas as pd
+
+    from preprocessor_spark.streaming import holt_winters_stream, run_available_now
+    from preprocessor_spark.operators.holt import holt_winters_forecast
+
+    rng = np.random.default_rng(37)
+    m = 4
+    rows = []
+    for uid in (1, 2):
+        base = rng.uniform(50, 60)
+        prof = rng.normal(0, 3, m)
+        for t in range(30):
+            rows.append((
+                uid * 1000 + t,
+                pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=t),
+                uid, "m",
+                float(base + 0.3 * t + prof[t % m] + rng.normal(0, 0.2)),
+                "{}",
+            ))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    src = str(tmp_path / "hw_events")
+    early = pdf[pdf.ts < pd.Timestamp("2024-01-01 00:11:00")]  # mid-init split
+    late = pdf[pdf.ts >= pd.Timestamp("2024-01-01 00:11:00")]
+    spark.createDataFrame(early).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now(
+        holt_winters_stream(stream, "user_id", "ts", "value", season=m),
+        "hw_state", output_mode="update",
+    )
+    out = spark.table("hw_state").toPandas()
+    final = out.sort_values("n").groupby("user_id").last().reset_index().set_index("user_id")
+    batch = (
+        holt_winters_forecast(spark.createDataFrame(pdf), "user_id", "ts", "value", season=m)
+        .toPandas().set_index("user_id")
+    )
+    assert set(final.index) == set(batch.index)
+    for uid in batch.index:
+        for col in ("n", "level", "trend", "rmse"):
+            assert final.loc[uid, col] == batch.loc[uid, col], (uid, col)
+        assert list(final.loc[uid, "seasonal"]) == list(batch.loc[uid, "seasonal"])
+        assert list(final.loc[uid, "forecast"]) == list(batch.loc[uid, "forecast"])
