@@ -4746,6 +4746,26 @@ def forecast_hw_users(spark, sf_dir):
     return out.orderBy(F.abs(F.col("trend")).desc_nulls_last(), "user_id").limit(30)
 
 
+def cv_ols_price_folds(spark, sf_dir):
+    """Distributed 5-fold cross-validation of the exact 2-feature OLS
+    (operators/crossval.py kfold_cv_ols2): ONE groupBy(fold) of exact
+    DECIMAL moments gives every fold's training system by leave-one-out
+    subtraction on the 5-row frame; a second pass scores held-out folds
+    with quantized-residual exact sums. TWO scans regardless of k —
+    VALUE-oracled."""
+    from preprocessor_spark.operators.crossval import kfold_cv_ols2
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        "l_quantity",
+        "l_discount",
+        "l_extendedprice",
+    )
+    return kfold_cv_ols2(
+        l, "l_quantity", "l_discount", "l_extendedprice", "rid", k=5
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -4999,6 +5019,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wsp_custsupp": graph_wsp_custsupp,
         # Holt-Winters triple smoothing (rows-only: sequential recursion)
         "forecast_hw_users": forecast_hw_users,
+        "cv_ols_price_folds": cv_ols_price_folds,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,
@@ -7389,6 +7410,111 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, ROUND(CAST(MIN(cost) AS DOUBLE), 4) AS cost
             FROM walk GROUP BY node
             ORDER BY node
+        """,
+        "cv_ols_price_folds": """
+            WITH base AS (
+                SELECT CAST(CAST(('0x' || substr(md5(CAST(l_orderkey * 8
+                           + l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT)
+                           % 10000 % 5 AS INT) AS fold,
+                       CAST(l_quantity AS DECIMAL(18,4)) AS x1d,
+                       CAST(l_discount AS DECIMAL(18,4)) AS x2d,
+                       CAST(l_extendedprice AS DECIMAL(18,4)) AS yd,
+                       CAST(l_quantity AS DOUBLE) AS x1v,
+                       CAST(l_discount AS DOUBLE) AS x2v,
+                       CAST(l_extendedprice AS DOUBLE) AS yv
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+            ), cells AS (
+                SELECT fold, COUNT(yd) AS n,
+                       CAST(SUM(CAST(x1d AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s1,
+                       CAST(SUM(CAST(x2d AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s2,
+                       CAST(SUM(CAST(CAST(x1d AS DECIMAL(19,4)) * x1d AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s11,
+                       CAST(SUM(CAST(CAST(x1d AS DECIMAL(19,4)) * x2d AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s12,
+                       CAST(SUM(CAST(CAST(x2d AS DECIMAL(19,4)) * x2d AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s22,
+                       CAST(SUM(CAST(yd AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sy,
+                       CAST(SUM(CAST(CAST(x1d AS DECIMAL(19,4)) * yd AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s1y,
+                       CAST(SUM(CAST(CAST(x2d AS DECIMAL(19,4)) * yd AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s2y,
+                       CAST(SUM(CAST(CAST(yd AS DECIMAL(19,4)) * yd AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS syy
+                FROM base GROUP BY fold
+            ), with_tot AS (
+                SELECT *, SUM(n) OVER () AS tn,
+                       SUM(s1) OVER () AS ts1, SUM(s2) OVER () AS ts2,
+                       SUM(s11) OVER () AS ts11, SUM(s12) OVER () AS ts12,
+                       SUM(s22) OVER () AS ts22, SUM(sy) OVER () AS tsy,
+                       SUM(s1y) OVER () AS ts1y, SUM(s2y) OVER () AS ts2y,
+                       SUM(syy) OVER () AS tsyy
+                FROM cells
+            ), tr AS (
+                -- floor/frac split-casts on the exact leave-one-out moments
+                SELECT fold,
+                       CAST(tn - n AS BIGINT) AS n_train,
+                       n AS n_test,
+                       CAST(tn - n AS DOUBLE) AS nd,
+                       CAST(floor(ts1 - s1) AS DOUBLE) + CAST((ts1 - s1) - floor(ts1 - s1) AS DOUBLE) AS s1,
+                       CAST(floor(ts2 - s2) AS DOUBLE) + CAST((ts2 - s2) - floor(ts2 - s2) AS DOUBLE) AS s2,
+                       CAST(floor(ts11 - s11) AS DOUBLE) + CAST((ts11 - s11) - floor(ts11 - s11) AS DOUBLE) AS s11,
+                       CAST(floor(ts12 - s12) AS DOUBLE) + CAST((ts12 - s12) - floor(ts12 - s12) AS DOUBLE) AS s12,
+                       CAST(floor(ts22 - s22) AS DOUBLE) + CAST((ts22 - s22) - floor(ts22 - s22) AS DOUBLE) AS s22,
+                       CAST(floor(tsy - sy) AS DOUBLE) + CAST((tsy - sy) - floor(tsy - sy) AS DOUBLE) AS sy,
+                       CAST(floor(ts1y - s1y) AS DOUBLE) + CAST((ts1y - s1y) - floor(ts1y - s1y) AS DOUBLE) AS s1y,
+                       CAST(floor(ts2y - s2y) AS DOUBLE) + CAST((ts2y - s2y) - floor(ts2y - s2y) AS DOUBLE) AS s2y
+                FROM with_tot
+            ), solve AS (
+                SELECT fold, n_train, n_test,
+                       (sy * (s11 * s22 - s12 * s12)
+                         - s1 * (s1y * s22 - s12 * s2y)
+                         + s2 * (s1y * s12 - s11 * s2y))
+                       / (nd * (s11 * s22 - s12 * s12)
+                         - s1 * (s1 * s22 - s12 * s2)
+                         + s2 * (s1 * s12 - s11 * s2)) AS t0,
+                       (nd * (s1y * s22 - s12 * s2y)
+                         - sy * (s1 * s22 - s12 * s2)
+                         + s2 * (s1 * s2y - s1y * s2))
+                       / (nd * (s11 * s22 - s12 * s12)
+                         - s1 * (s1 * s22 - s12 * s2)
+                         + s2 * (s1 * s12 - s11 * s2)) AS t1,
+                       (nd * (s11 * s2y - s1y * s12)
+                         - s1 * (s1 * s2y - s1y * s2)
+                         + sy * (s1 * s12 - s11 * s2))
+                       / (nd * (s11 * s22 - s12 * s12)
+                         - s1 * (s1 * s22 - s12 * s2)
+                         + s2 * (s1 * s12 - s11 * s2)) AS t2
+                FROM tr
+            ), scored AS (
+                SELECT b.fold, t.n_train, t.n_test, t.t0, t.t1, t.t2,
+                       CAST(CAST((b.yv - (t.t0 + t.t1 * b.x1v + t.t2 * b.x2v))
+                            * (b.yv - (t.t0 + t.t1 * b.x1v + t.t2 * b.x2v))
+                            AS DECIMAL(28,10)) AS DECIMAL(38,10)) AS r2q,
+                       b.yd
+                FROM base b JOIN solve t USING (fold)
+            ), per AS (
+                SELECT fold, n_train, n_test, t0, t1, t2,
+                       SUM(r2q) AS sse,
+                       CAST(SUM(CAST(yd AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sy_test,
+                       CAST(SUM(CAST(CAST(yd AS DECIMAL(19,4)) * yd AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS syy_test
+                FROM scored GROUP BY 1, 2, 3, 4, 5, 6
+            ), rep AS (
+                SELECT fold, n_train, n_test, t0, t1, t2,
+                       CAST(floor(sse) AS DOUBLE)
+                       + CAST(sse - floor(sse) AS DOUBLE) AS ssed,
+                       CAST(n_test AS DOUBLE) AS nte,
+                       (CAST(floor(syy_test) AS DOUBLE)
+                        + CAST(syy_test - floor(syy_test) AS DOUBLE))
+                       - (CAST(floor(sy_test) AS DOUBLE)
+                          + CAST(sy_test - floor(sy_test) AS DOUBLE))
+                         * (CAST(floor(sy_test) AS DOUBLE)
+                            + CAST(sy_test - floor(sy_test) AS DOUBLE))
+                         / CAST(n_test AS DOUBLE) AS sst
+                FROM per
+            )
+            SELECT fold, n_train, n_test,
+                   ROUND(t0, 6) AS theta0, ROUND(t1, 6) AS theta1,
+                   ROUND(t2, 6) AS theta2,
+                   ROUND(sqrt(ssed / nte), 6) AS rmse_test,
+                   ROUND(CASE WHEN sst > 0 THEN 1.0 - ssed / sst END, 6)
+                       AS r2_test
+            FROM rep ORDER BY fold
         """,
         "attribution_linear_events": """
             WITH convs AS (

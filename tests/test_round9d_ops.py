@@ -604,3 +604,46 @@ def test_holt_winters_stream_equals_batch_after_drain(spark, tmp_path):
             assert final.loc[uid, col] == batch.loc[uid, col], (uid, col)
         assert list(final.loc[uid, "seasonal"]) == list(batch.loc[uid, "seasonal"])
         assert list(final.loc[uid, "forecast"]) == list(batch.loc[uid, "forecast"])
+
+
+def test_kfold_cv_matches_numpy_per_fold_ols(spark):
+    from preprocessor_spark.operators.crossval import kfold_cv_ols2
+    import hashlib
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    x1 = rng.uniform(0, 10, n)
+    x2 = rng.uniform(-5, 5, n)
+    y = 3.0 + 2.0 * x1 - 1.5 * x2 + rng.normal(0, 1, n)
+    rows = [(int(i), round(float(a), 2), round(float(b), 2), round(float(c), 2))
+            for i, (a, b, c) in enumerate(zip(x1, x2, y))]
+    df = spark.createDataFrame(rows, "rid long, x1 double, x2 double, y double")
+    out = {r["fold"]: r for r in kfold_cv_ols2(df, "x1", "x2", "y", "rid", k=4).collect()}
+
+    def fold_of(rid):
+        return int(hashlib.md5(str(rid).encode()).hexdigest()[:8], 16) % 10000 % 4
+
+    data = np.array([(fold_of(r[0]), r[1], r[2], r[3]) for r in rows])
+    for f in range(4):
+        tr = data[data[:, 0] != f]
+        te = data[data[:, 0] == f]
+        X = np.column_stack([np.ones(len(tr)), tr[:, 1], tr[:, 2]])
+        theta = np.linalg.solve(X.T @ X, X.T @ tr[:, 3])
+        row = out[f]
+        assert row["n_train"] == len(tr) and row["n_test"] == len(te)
+        assert row["theta0"] == pytest.approx(theta[0], abs=1e-4)
+        assert row["theta1"] == pytest.approx(theta[1], abs=1e-4)
+        assert row["theta2"] == pytest.approx(theta[2], abs=1e-4)
+        pred = theta[0] + theta[1] * te[:, 1] + theta[2] * te[:, 2]
+        rmse = float(np.sqrt(np.mean((te[:, 3] - pred) ** 2)))
+        assert row["rmse_test"] == pytest.approx(rmse, abs=1e-4)
+        # a genuinely linear signal: held-out R^2 near 1 on every fold
+        assert row["r2_test"] > 0.95
+
+
+def test_kfold_cv_validation(spark):
+    from preprocessor_spark.operators.crossval import kfold_cv_ols2
+
+    df = spark.createDataFrame([(1, 1.0, 1.0, 1.0)], "rid long, x1 double, x2 double, y double")
+    with pytest.raises(ValueError, match="k must be"):
+        kfold_cv_ols2(df, "x1", "x2", "y", "rid", k=1)
