@@ -4766,6 +4766,43 @@ def cv_ols_price_folds(spark, sf_dir):
     )
 
 
+def survival_na_customers(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard + Fleming-Harrington survival
+    (operators/survival.py nelson_aalen) on the same customer-lifetime
+    frame as the Kaplan-Meier query: one groupBy(duration) collapse,
+    exact-integer risk sets, running hazard sum on the bounded ordered
+    curve frame — VALUE-oracled. Returns the 30 longest-duration steps."""
+    from preprocessor_spark.operators.survival import nelson_aalen
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_o"),
+            F.max("o_orderdate").alias("last_o"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_o", "first_o").alias("lifetime_days"),
+            (F.datediff("h", "last_o") > 90).cast("int").alias("churned"),
+        )
+    )
+    na = nelson_aalen(per_cust, "lifetime_days", "churned")
+    return na.orderBy(F.col("duration").desc()).limit(30)
+
+
+def rfm_segments_orders(spark, sf_dir):
+    """RFM customer segmentation (operators/rfm.py): recency/frequency/
+    monetary quintile scores from one customer groupBy + one exact
+    percentile aggregation (Spark percentile ≡ DuckDB quantile_cont),
+    thresholds broadcast back, segment cube ≤ 125 rows — VALUE-oracled."""
+    from preprocessor_spark.operators.rfm import rfm_segments
+
+    o = _t(spark, sf_dir, "orders")
+    return rfm_segments(o, "o_custkey", "o_orderdate", "o_totalprice", n_bins=5)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5020,6 +5057,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Holt-Winters triple smoothing (rows-only: sequential recursion)
         "forecast_hw_users": forecast_hw_users,
         "cv_ols_price_folds": cv_ols_price_folds,
+        "survival_na_customers": survival_na_customers,
+        "rfm_segments_orders": rfm_segments_orders,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,
@@ -7515,6 +7554,107 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN sst > 0 THEN 1.0 - ssed / sst END, 6)
                        AS r2_test
             FROM rep ORDER BY fold
+        """,
+        "survival_na_customers": """
+            WITH pc AS (
+                SELECT o_custkey,
+                       MIN(CAST(o_orderdate AS DATE)) AS f,
+                       MAX(CAST(o_orderdate AS DATE)) AS l
+                FROM orders GROUP BY o_custkey
+            ), h AS (
+                SELECT MAX(CAST(o_orderdate AS DATE)) AS h FROM orders
+            ), subj AS (
+                SELECT date_diff('day', f, l) AS duration,
+                       CASE WHEN date_diff('day', l, h.h) > 90
+                            THEN 1 ELSE 0 END AS e
+                FROM pc, h
+            ), per AS (
+                SELECT duration,
+                       CAST(SUM(e) AS BIGINT) AS events,
+                       CAST(SUM(1 - e) AS BIGINT) AS censored
+                FROM subj GROUP BY duration
+            ), na AS (
+                SELECT duration, events, censored,
+                       CAST(SUM(events + censored) OVER ()
+                            - COALESCE(SUM(events + censored) OVER (
+                                  ORDER BY duration
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                              ), 0) AS BIGINT) AS n_at_risk
+                FROM per
+            )
+            SELECT duration, events, censored, n_at_risk,
+                   ROUND(SUM(CAST(events AS DOUBLE) / n_at_risk) OVER (
+                       ORDER BY duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS cum_hazard,
+                   ROUND(exp(-SUM(CAST(events AS DOUBLE) / n_at_risk) OVER (
+                       ORDER BY duration
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )), 6) AS survival_fh
+            FROM na
+            ORDER BY duration DESC
+            LIMIT 30
+        """,
+        "rfm_segments_orders": """
+            WITH per_cust AS (
+                SELECT o_custkey AS cust,
+                       MAX(o_orderdate) AS last_ts,
+                       CAST(COUNT(*) AS BIGINT) AS frequency,
+                       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+                            AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS monetary_dec
+                FROM orders
+                WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+                  AND o_totalprice IS NOT NULL
+                GROUP BY o_custkey
+            ), h AS (
+                SELECT MAX(last_ts) AS as_of FROM per_cust
+            ), feats AS (
+                SELECT cust,
+                       CAST(date_diff('day', CAST(last_ts AS DATE),
+                            CAST(as_of AS DATE)) AS DOUBLE) AS recency,
+                       CAST(frequency AS DOUBLE) AS frequency,
+                       CAST(floor(monetary_dec) AS DOUBLE)
+                       + CAST(monetary_dec - floor(monetary_dec) AS DOUBLE)
+                           AS monetary,
+                       monetary_dec
+                FROM per_cust, h
+            ), thr AS (
+                SELECT quantile_cont(recency, [0.2, 0.4, 0.6, 0.8]) AS thr_r,
+                       quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS thr_f,
+                       quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS thr_m
+                FROM feats
+            ), scored AS (
+                SELECT cust, monetary_dec,
+                       6 - (1 + (CASE WHEN recency > thr_r[1] THEN 1 ELSE 0 END)
+                              + (CASE WHEN recency > thr_r[2] THEN 1 ELSE 0 END)
+                              + (CASE WHEN recency > thr_r[3] THEN 1 ELSE 0 END)
+                              + (CASE WHEN recency > thr_r[4] THEN 1 ELSE 0 END))
+                           AS r_score,
+                       1 + (CASE WHEN frequency > thr_f[1] THEN 1 ELSE 0 END)
+                         + (CASE WHEN frequency > thr_f[2] THEN 1 ELSE 0 END)
+                         + (CASE WHEN frequency > thr_f[3] THEN 1 ELSE 0 END)
+                         + (CASE WHEN frequency > thr_f[4] THEN 1 ELSE 0 END)
+                           AS f_score,
+                       1 + (CASE WHEN monetary > thr_m[1] THEN 1 ELSE 0 END)
+                         + (CASE WHEN monetary > thr_m[2] THEN 1 ELSE 0 END)
+                         + (CASE WHEN monetary > thr_m[3] THEN 1 ELSE 0 END)
+                         + (CASE WHEN monetary > thr_m[4] THEN 1 ELSE 0 END)
+                           AS m_score
+                FROM feats, thr
+            ), seg AS (
+                SELECT r_score, f_score, m_score,
+                       CAST(COUNT(*) AS BIGINT) AS customers,
+                       CAST(SUM(monetary_dec) AS DECIMAL(38,8)) AS tot_dec
+                FROM scored GROUP BY 1, 2, 3
+            )
+            SELECT r_score, f_score, m_score, customers,
+                   ROUND(CAST(floor(tot_dec) AS DOUBLE)
+                         + CAST(tot_dec - floor(tot_dec) AS DOUBLE), 4)
+                       AS total_monetary,
+                   ROUND((CAST(floor(tot_dec) AS DOUBLE)
+                          + CAST(tot_dec - floor(tot_dec) AS DOUBLE))
+                         / customers, 6) AS avg_monetary
+            FROM seg ORDER BY r_score, f_score, m_score
         """,
         "attribution_linear_events": """
             WITH convs AS (

@@ -64,3 +64,44 @@ def kaplan_meier(df: DataFrame, duration_col: str, event_col) -> DataFrame:
         per.select("duration", "events", "censored", n_at_risk)
         .withColumn("survival", F.round(F.product(factor).over(w_run), 6))
     )
+
+
+def nelson_aalen(df: DataFrame, duration_col: str, event_col) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator — Kaplan-Meier's additive
+    sibling (Nelson 1972, Aalen 1978):
+
+        H(t) = Σ_{t_i <= t} d_i / n_i        S̃(t) = exp(−H(t))
+
+    (the Fleming–Harrington survival estimate, reported alongside). Same
+    distributed shape as :func:`kaplan_meier`: ONE data-sized
+    groupBy(duration) collapse, then exact-integer risk sets and the
+    running hazard sum on the bounded duration-ordered curve frame. The
+    hazard sum is a left-to-right running SUM of per-duration doubles over
+    exact integers — deterministic under the ordered-window contract, so
+    fully VALUE-oracled (DuckDB replays the same window).
+    """
+    d, e = F.col(duration_col), F.col(event_col).cast("int")
+    per = (
+        df.where(d.isNotNull() & F.col(event_col).isNotNull())
+        .groupBy(d.alias("duration"))
+        .agg(
+            F.sum(e).alias("events"),
+            F.sum(1 - e).alias("censored"),
+        )
+    )
+    w_order = Window.orderBy("duration")
+    w_prev = w_order.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    total = F.sum(F.col("events") + F.col("censored")).over(Window.partitionBy())
+    left_before = F.coalesce(
+        F.sum(F.col("events") + F.col("censored")).over(w_prev), F.lit(0)
+    )
+    n_at_risk = (total - left_before).alias("n_at_risk")
+    hazard_inc = F.col("events").cast("double") / F.col("n_at_risk")
+    out = per.select("duration", "events", "censored", n_at_risk).withColumn(
+        "cum_hazard", F.round(F.sum(hazard_inc).over(w_run), 6)
+    )
+    return out.withColumn(
+        "survival_fh",
+        F.round(F.exp(-F.sum(hazard_inc).over(w_run)), 6),
+    )

@@ -647,3 +647,75 @@ def test_kfold_cv_validation(spark):
     df = spark.createDataFrame([(1, 1.0, 1.0, 1.0)], "rid long, x1 double, x2 double, y double")
     with pytest.raises(ValueError, match="k must be"):
         kfold_cv_ols2(df, "x1", "x2", "y", "rid", k=1)
+
+
+def test_nelson_aalen_matches_scalar_reference(spark):
+    from preprocessor_spark.operators.survival import nelson_aalen
+
+    rng = np.random.default_rng(23)
+    subjects = [(int(rng.integers(1, 15)), int(rng.random() < 0.7)) for _ in range(400)]
+    df = spark.createDataFrame(subjects, "dur int, ev int")
+    got = {r["duration"]: r for r in nelson_aalen(df, "dur", "ev").collect()}
+
+    from collections import Counter
+
+    ev = Counter(d for d, e in subjects if e)
+    cs = Counter(d for d, e in subjects if not e)
+    at_risk = len(subjects)
+    H = 0.0
+    for d in sorted(set(list(ev) + list(cs))):
+        H += ev[d] / at_risk
+        row = got[d]
+        assert row["n_at_risk"] == at_risk
+        assert row["events"] == ev[d] and row["censored"] == cs[d]
+        assert row["cum_hazard"] == pytest.approx(H, abs=1e-6)
+        assert row["survival_fh"] == pytest.approx(math.exp(-H), abs=1e-6)
+        at_risk -= ev[d] + cs[d]
+    # H is monotone and exp(-H) >= KM survival pointwise (standard bound)
+    from preprocessor_spark.operators.survival import kaplan_meier
+
+    km = {r["duration"]: r["survival"] for r in kaplan_meier(df, "dur", "ev").collect()}
+    for d, r in got.items():
+        assert r["survival_fh"] >= km[d] - 1e-9
+
+
+def test_rfm_matches_pandas_reference(spark):
+    from preprocessor_spark.operators.rfm import rfm_segments
+    import pandas as pd
+
+    rng = np.random.default_rng(29)
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for cust in range(300):
+        for _ in range(int(rng.integers(1, 12))):
+            ts = (t0 + pd.Timedelta(days=int(rng.integers(0, 365)))).to_pydatetime()
+            rows.append((cust, ts, round(float(rng.uniform(10, 500)), 2)))
+    df = spark.createDataFrame(rows, "cust long, ts timestamp, val double")
+    got = rfm_segments(df, "cust", "ts", "val", n_bins=5).toPandas()
+
+    pdf = pd.DataFrame(rows, columns=["cust", "ts", "val"])
+    per = pdf.groupby("cust").agg(last=("ts", "max"), freq=("ts", "count"),
+                                  mon=("val", "sum"))
+    as_of = per["last"].max()
+    per["rec"] = (as_of.normalize() - per["last"].dt.normalize()).dt.days.astype(float)
+    ref_rows = {}
+    thr = {m: np.quantile(per[m].to_numpy(), [0.2, 0.4, 0.6, 0.8],
+                          method="linear") for m in ("rec", "freq", "mon")}
+
+    def score(v, m):
+        return 1 + int(sum(v > t for t in thr[m]))
+
+    per["r"] = per["rec"].map(lambda v: 6 - score(v, "rec"))
+    per["f"] = per["freq"].map(lambda v: score(v, "freq"))
+    per["m"] = per["mon"].map(lambda v: score(v, "mon"))
+    ref = per.groupby(["r", "f", "m"]).agg(customers=("mon", "count"),
+                                           total=("mon", "sum")).reset_index()
+    assert len(got) == len(ref)
+    gd = {(r.r_score, r.f_score, r.m_score): r for r in got.itertuples()}
+    for r in ref.itertuples():
+        g = gd[(r.r, r.f, r.m)]
+        assert g.customers == r.customers
+        assert g.total_monetary == pytest.approx(r.total, abs=1e-2)
+        assert g.avg_monetary == pytest.approx(r.total / r.customers, abs=1e-2)
+    # conservation: segment customer counts sum to the customer count
+    assert got["customers"].sum() == 300
