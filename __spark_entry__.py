@@ -4803,6 +4803,23 @@ def rfm_segments_orders(spark, sf_dir):
     return rfm_segments(o, "o_custkey", "o_orderdate", "o_totalprice", n_bins=5)
 
 
+def bootstrap_ci_priority(spark, sf_dir):
+    """One-pass Poisson-bootstrap CIs (operators/bootstrap.py, Chamandy et
+    al. 2012) for mean order value per priority: 64 derandomized
+    replicates as exact DECIMAL weighted sums (md5→Poisson(1) ladder with
+    inlined integer thresholds), map-side combine collapses the ×64
+    explosion before the shuffle, CI bounds are exact order statistics on
+    the 64-row replicate frame — a resampling method with a full SQL
+    value oracle."""
+    from preprocessor_spark.operators.bootstrap import bootstrap_mean_ci
+
+    o = _t(spark, sf_dir, "orders")
+    return bootstrap_mean_ci(
+        o, "o_orderpriority", "o_totalprice", "o_orderkey",
+        replicates=64, alpha=0.05,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5059,6 +5076,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cv_ols_price_folds": cv_ols_price_folds,
         "survival_na_customers": survival_na_customers,
         "rfm_segments_orders": rfm_segments_orders,
+        "bootstrap_ci_priority": bootstrap_ci_priority,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,
@@ -7655,6 +7673,75 @@ def oracle_sql() -> dict[str, str]:
                           + CAST(tot_dec - floor(tot_dec) AS DOUBLE))
                          / customers, 6) AS avg_monetary
             FROM seg ORDER BY r_score, f_score, m_score
+        """,
+        "bootstrap_ci_priority": """
+            WITH base AS (
+                SELECT o_orderpriority AS grp,
+                       CAST(o_totalprice AS DECIMAL(18,4)) AS xd,
+                       CAST(o_orderkey AS VARCHAR) AS id
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+                  AND o_orderkey IS NOT NULL
+            ), expl AS (
+                SELECT grp, xd, blk * 8 + s AS b,
+                       CAST(('0x' || substr(md5(id || '|' || CAST(blk AS VARCHAR)),
+                            4 * s + 1, 4)) AS BIGINT) AS bucket
+                FROM base,
+                     UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t1(blk),
+                     UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t2(s)
+            ), weighted AS (
+                -- the inlined Poisson(1) CDF ladder (the Spark twin's
+                -- POISSON_T constants)
+                SELECT grp, xd, b,
+                       CASE WHEN bucket < 24109 THEN 0
+                            WHEN bucket < 48219 THEN 1
+                            WHEN bucket < 60273 THEN 2
+                            WHEN bucket < 64292 THEN 3
+                            WHEN bucket < 65296 THEN 4
+                            ELSE 5 END AS w
+                FROM expl
+            ), cells AS (
+                SELECT grp, b, CAST(SUM(w) AS BIGINT) AS nw,
+                       CAST(SUM(CAST(w * xd AS DECIMAL(38,8)))
+                            AS DECIMAL(38,8)) AS sw
+                FROM weighted GROUP BY grp, b
+            ), reps AS (
+                SELECT grp,
+                       CASE WHEN nw > 0 THEN
+                           (CAST(floor(sw) AS DOUBLE)
+                            + CAST(sw - floor(sw) AS DOUBLE))
+                           / CAST(nw AS DOUBLE) END AS m
+                FROM cells
+            ), ranked AS (
+                SELECT grp, m,
+                       ROW_NUMBER() OVER (PARTITION BY grp ORDER BY m) AS rn
+                FROM reps WHERE m IS NOT NULL
+            ), ci AS (
+                SELECT grp,
+                       MAX(CASE WHEN rn = 2 THEN m END) AS lo,
+                       MAX(CASE WHEN rn = 63 THEN m END) AS hi,
+                       list_reduce(list_prepend(0.0, list_sort(list(m))),
+                                   (a, v) -> a + v) AS msum,
+                       list_reduce(list_prepend(0.0, list_sort(list(m * m))),
+                                   (a, v) -> a + v) AS m2sum,
+                       CAST(COUNT(*) AS BIGINT) AS b_eff
+                FROM ranked GROUP BY grp
+            ), pt AS (
+                SELECT grp, COUNT(xd) AS n,
+                       CAST(SUM(CAST(xd AS DECIMAL(38,8)))
+                            AS DECIMAL(38,8)) AS s
+                FROM base GROUP BY grp
+            )
+            SELECT p.grp AS "group", p.n,
+                   ROUND((CAST(floor(p.s) AS DOUBLE)
+                          + CAST(p.s - floor(p.s) AS DOUBLE))
+                         / CAST(p.n AS DOUBLE), 6) AS mean,
+                   ROUND(sqrt((c.m2sum - c.msum * (c.msum / c.b_eff))
+                              / (c.b_eff - 1)), 6) AS se_boot,
+                   ROUND(c.lo, 6) AS ci_lo,
+                   ROUND(c.hi, 6) AS ci_hi
+            FROM pt p JOIN ci c ON p.grp = c.grp
+            ORDER BY "group"
         """,
         "attribution_linear_events": """
             WITH convs AS (

@@ -719,3 +719,53 @@ def test_rfm_matches_pandas_reference(spark):
         assert g.avg_monetary == pytest.approx(r.total / r.customers, abs=1e-2)
     # conservation: segment customer counts sum to the customer count
     assert got["customers"].sum() == 300
+
+
+def test_bootstrap_ci_covers_planted_mean_and_is_deterministic(spark):
+    from preprocessor_spark.operators.bootstrap import bootstrap_mean_ci
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for gi, mu in enumerate([100.0, 50.0]):
+        for i in range(4000):
+            rows.append((f"g{gi}", gi * 10000 + i, round(float(rng.normal(mu, 10.0)), 2)))
+    df = spark.createDataFrame(rows, "grp string, id long, x double")
+    out1 = {r["group"]: r for r in
+            bootstrap_mean_ci(df, "grp", "x", "id", replicates=64).collect()}
+    out2 = {r["group"]: r for r in
+            bootstrap_mean_ci(df, "grp", "x", "id", replicates=64).collect()}
+    assert out1 == out2  # fully derandomized
+    for gi, mu in enumerate([100.0, 50.0]):
+        r = out1[f"g{gi}"]
+        assert r["n"] == 4000
+        # CI brackets the sample mean and (with sd=10, n=4000 -> se~0.16)
+        # the planted mean
+        assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+        assert r["ci_lo"] < mu < r["ci_hi"] or abs(r["mean"] - mu) < 0.8
+        # bootstrap se close to the analytic se
+        assert r["se_boot"] == pytest.approx(10.0 / math.sqrt(4000), rel=0.5)
+        assert (r["ci_hi"] - r["ci_lo"]) < 1.5
+
+
+def test_bootstrap_poisson_ladder_mean_is_one(spark):
+    from preprocessor_spark.operators.bootstrap import POISSON_T, poisson_weight_expr
+
+    # ladder sanity: E[w] over the 65536 buckets ~= 1 (Poisson(1) mean,
+    # truncated at 5)
+    probs = np.diff([0] + POISSON_T + [65536]) / 65536
+    assert sum(p * k for k, p in enumerate(probs)) == pytest.approx(1.0, abs=2e-3)
+    from pyspark.sql import functions as F
+
+    spark_df = spark.range(0, 65536).select(
+        poisson_weight_expr(F.col("id").cast("int")).alias("w")
+    )
+    mean_w = spark_df.agg(F.avg("w")).collect()[0][0]
+    assert mean_w == pytest.approx(1.0, abs=2e-3)
+
+
+def test_bootstrap_validation(spark):
+    from preprocessor_spark.operators.bootstrap import bootstrap_mean_ci
+
+    df = spark.createDataFrame([("g", 1, 1.0)], "grp string, id long, x double")
+    with pytest.raises(ValueError, match="multiple of 8"):
+        bootstrap_mean_ci(df, "grp", "x", "id", replicates=10)
