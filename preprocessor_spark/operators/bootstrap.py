@@ -82,15 +82,26 @@ def bootstrap_mean_ci(
         x.alias("xd"),
         F.col(id_col).cast("string").alias("id"),
     )
-    digests = [F.md5(F.concat(F.col("id"), F.lit(f"|{blk}"))) for blk in range(n_blocks)]
-    weights = F.array(
-        *[
-            poisson_weight_expr(
-                F.conv(F.substring(d, 4 * s + 1, 4), 16, 10).cast("int")
-            )
-            for d in digests
-            for s in range(8)
-        ]
+    # one digest ARRAY + one higher-order transform: unrolling all B
+    # bucket/ladder expressions inline blows the 64 KB JVM method limit
+    # (janino refuses, whole-stage codegen falls back to interpreted);
+    # the lambda body compiles ONCE and evaluates per element instead.
+    digests = F.array(
+        *[F.md5(F.concat(F.col("id"), F.lit(f"|{blk}"))) for blk in range(n_blocks)]
+    )
+    weights = F.transform(
+        F.sequence(F.lit(0), F.lit(replicates - 1)),
+        lambda b: poisson_weight_expr(
+            F.conv(
+                F.substr(
+                    F.element_at(digests, ((b - b % 8) / 8).cast("int") + 1),
+                    (b % 8) * 4 + 1,
+                    F.lit(4),
+                ),
+                16,
+                10,
+            ).cast("int")
+        ),
     )
     exploded = base.select(
         "group", "xd", F.posexplode(weights).alias("b", "w")
