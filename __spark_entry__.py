@@ -7683,12 +7683,13 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
                   AND o_orderkey IS NOT NULL
             ), expl AS (
-                SELECT grp, xd, blk * 8 + s AS b,
-                       CAST(('0x' || substr(md5(id || '|' || CAST(blk AS VARCHAR)),
+                SELECT grp, xd, blk * 16 + s AS b,
+                       CAST(('0x' || substr(sha256(id || '|' || CAST(blk AS VARCHAR)),
                             4 * s + 1, 4)) AS BIGINT) AS bucket
                 FROM base,
-                     UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t1(blk),
-                     UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS t2(s)
+                     UNNEST([0, 1, 2, 3]) AS t1(blk),
+                     UNNEST([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15])
+                         AS t2(s)
             ), weighted AS (
                 -- the inlined Poisson(1) CDF ladder (the Spark twin's
                 -- POISSON_T constants)

@@ -10,18 +10,20 @@ row i ``w_ib ~ Poisson(1)`` times, and Σ_i w_ib·x_i / Σ_i w_ib converges
 to the same bootstrap distribution. Each replicate is then just an exact
 WEIGHTED SUM — embarrassingly map-side combinable.
 
-Engine-portable derandomization: w_ib is a pure function of md5(id ∥
-block) — each 128-bit digest yields eight 16-bit buckets (one per
-replicate in the block), inverted through the Poisson(1) CDF ladder with
-INLINED integer thresholds (identical constants in the SQL twin), weights
-capped at 5 (P ≈ 6e-4 truncated — identical in both engines, so the
-estimate is deterministic AND value-oracle-able). Weights build as one
-JVM-codegen array per row (8 md5s for 64 replicates), posexplode into
-(replicate, weight), and ONE groupBy(group, replicate) reduces exact
-DECIMAL weighted sums — partial aggregation collapses the ×B explosion
-before any shuffle, so the exchange carries |groups|·B rows regardless of
-data size. CI bounds are exact order statistics over the B-row bounded
-replicate frame.
+Engine-portable derandomization: w_ib is a pure function of sha256(id ∥
+block) — each 256-bit digest yields sixteen 16-bit buckets (one per
+replicate in the block; Spark ``sha2(·, 256)`` ≡ DuckDB ``sha256``),
+inverted through the Poisson(1) CDF ladder with INLINED integer
+thresholds (identical constants in the SQL twin), weights capped at 5
+(P ≈ 6e-4 truncated — identical in both engines, so the estimate is
+deterministic AND value-oracle-able). The digest array projects once per
+row (codegen), the replicate INDEX explodes, the bucket materializes as
+its own column (the 5-branch ladder would otherwise re-evaluate the
+slice per branch — measured 4× the extraction cost), and ONE
+groupBy(group, replicate) reduces exact DECIMAL weighted sums — partial
+aggregation collapses the ×B explosion before any shuffle, so the
+exchange carries |groups|·B rows regardless of data size. CI bounds are
+exact order statistics over the B-row bounded replicate frame.
 """
 
 from __future__ import annotations
@@ -67,12 +69,12 @@ def bootstrap_mean_ci(
     Returns one row per group: group, n, mean (exact-moment point
     estimate), se_boot (std of replicate means, sorted-fold), ci_lo,
     ci_hi (exact order statistics at ranks ⌊α/2·B⌋+1 and B−⌊α/2·B⌋ of
-    the B replicate means). ``replicates`` must be a multiple of 8 (one
-    md5 digest feeds 8 replicates).
+    the B replicate means). ``replicates`` must be a multiple of 8; one
+    sha256 digest feeds up to 16 replicates.
     """
     if replicates % 8 != 0 or replicates <= 0:
         raise ValueError(f"replicates must be a positive multiple of 8, got {replicates}")
-    n_blocks = replicates // 8
+    n_blocks = -(-replicates // 16)
     g = F.col(group_col)
     x = F.col(value_col).cast("decimal(18,4)")
     base = df.where(
@@ -82,29 +84,42 @@ def bootstrap_mean_ci(
         x.alias("xd"),
         F.col(id_col).cast("string").alias("id"),
     )
-    # one digest ARRAY + one higher-order transform: unrolling all B
-    # bucket/ladder expressions inline blows the 64 KB JVM method limit
-    # (janino refuses, whole-stage codegen falls back to interpreted);
-    # the lambda body compiles ONCE and evaluates per element instead.
+    # Four shapes were measured at sf0.1 before landing on this one:
+    # (a) B unrolled weight expressions blow the 64 KB JVM method limit —
+    # janino refuses, whole-stage codegen falls back to interpreted (58 s);
+    # (b) a higher-order transform evaluates its lambda INTERPRETED per
+    # element (15 s — and inlining the digest array into the lambda
+    # re-runs every digest per element, 131 s); (c) exploding the index
+    # but ladder-ing the inline slice re-evaluates it per CASE branch
+    # (12 s). The fast shape: project the digests ONCE per row (codegen),
+    # explode the replicate index, materialize the 16-bit bucket as a
+    # column, ladder the column — every step inside whole-stage codegen.
     digests = F.array(
-        *[F.md5(F.concat(F.col("id"), F.lit(f"|{blk}"))) for blk in range(n_blocks)]
+        *[
+            F.sha2(F.concat(F.col("id"), F.lit(f"|{blk}")), 256)
+            for blk in range(n_blocks)
+        ]
     )
-    weights = F.transform(
-        F.sequence(F.lit(0), F.lit(replicates - 1)),
-        lambda b: poisson_weight_expr(
-            F.conv(
-                F.substr(
-                    F.element_at(digests, ((b - b % 8) / 8).cast("int") + 1),
-                    (b % 8) * 4 + 1,
-                    F.lit(4),
-                ),
-                16,
-                10,
-            ).cast("int")
+    staged = base.withColumn("__digests", digests)
+    b = F.col("b")
+    bucket = F.conv(
+        F.substr(
+            F.element_at(F.col("__digests"), ((b - b % 16) / 16).cast("int") + 1),
+            (b % 16) * 4 + 1,
+            F.lit(4),
         ),
-    )
-    exploded = base.select(
-        "group", "xd", F.posexplode(weights).alias("b", "w")
+        16,
+        10,
+    ).cast("int")
+    exploded = (
+        staged.select(
+            "group",
+            "xd",
+            "__digests",
+            F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("b"),
+        )
+        .select("group", "xd", "b", bucket.alias("bucket"))
+        .select("group", "xd", "b", poisson_weight_expr(F.col("bucket")).alias("w"))
     )
     cells = exploded.groupBy("group", "b").agg(
         F.sum("w").alias("nw"),
