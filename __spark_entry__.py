@@ -4856,20 +4856,16 @@ _GRADED_WINDOW = [
     "ts_features_by_user",
     "q1_pricing_summary",
     "q5_region_revenue",
-    "asof_purchase_last_view",
     "window_orders_family",
     "tumbling_json_events",
     "prep_full_transform",
     "prep_roundtrip",
     # round-4 marquee operators promoted into the graded window
-    "q2_min_cost_supplier",
     "q21_waiting_suppliers",
     "merge_upsert_orders",
     "scd2_customers_dim",
-    "row_ids_documents",
     "corr_matrix_lineitem",
     "fuzzy_join_docs",
-    "variant_props_events",
     # round-5 marquee operators promoted into the graded window (displaced
     # basics remain oracle-graded locally at 51+, same policy as round 4)
     "bloom_join_revenue",
@@ -4877,7 +4873,6 @@ _GRADED_WINDOW = [
     # pipeline_web_corpus subsumes the domain-cap query (cap stage inside)
     # and the url_normalize/html_extract stages (both stay graded at 51+)
     "pipeline_web_corpus",
-    "recursive_cte_tree",
     # round-6 marquee operators promoted into the graded window: the pure-
     # Python Avro container source round-trip, DSIR importance resampling,
     # and the batch time-window family (session/hopping/resample/collation)
@@ -4887,9 +4882,6 @@ _GRADED_WINDOW = [
     # pii_redaction_stats) remain oracle-graded locally at 51+.
     "avro_roundtrip_orders",
     "dsir_select_docs",
-    "session_window_events",
-    "resample_events_hourly",
-    "collated_source_counts",
     # round-7 promotion: the round-6b marquee operators (all oracle-backed)
     # enter the driver-graded window; displaced basics (fill_events_all,
     # prep_datetime_pipeline, text_repetition_stats, top_terms_skewed,
@@ -4940,6 +4932,24 @@ _GRADED_WINDOW = [
     "cuped_orders_experiment",
     "changepoint_user_values",
     "seasonal_decompose_events",
+    # round-9d promotion: eight new value-oracled operators — weighted
+    # Bellman-Ford SSSP (iterative, recursive-CTE-replayed), linear
+    # multi-touch attribution (fractional credit via exact cells + sorted
+    # folds), two-scan k-fold CV, Poisson-bootstrap CIs, wedge-join link
+    # prediction, one-way ANOVA, AR(2) Yule-Walker, split-conformal
+    # intervals. Displaced long-green basics (asof_purchase_last_view,
+    # session_window_events, resample_events_hourly, collated_source_counts,
+    # variant_props_events, recursive_cte_tree, row_ids_documents,
+    # q2_min_cost_supplier) remain oracle-graded locally at 51+ — same
+    # policy as rounds 4-9.
+    "graph_wsp_custsupp",
+    "attribution_linear_events",
+    "cv_ols_price_folds",
+    "bootstrap_ci_priority",
+    "link_predict_custsupp",
+    "anova_price_priority",
+    "ar2_forecast_users",
+    "conformal_price_intervals",
 ]
 
 
