@@ -769,3 +769,100 @@ def test_bootstrap_validation(spark):
     df = spark.createDataFrame([("g", 1, 1.0)], "grp string, id long, x double")
     with pytest.raises(ValueError, match="multiple of 8"):
         bootstrap_mean_ci(df, "grp", "x", "id", replicates=10)
+
+
+def test_quantile_fit_recovers_planted_quantiles(spark):
+    from preprocessor_spark.operators.quantreg import quantile_fit
+
+    rng = np.random.default_rng(43)
+    n = 4000
+    x = rng.uniform(0, 10, n)
+    # heteroscedastic: y = 2 + 3x + (1+0.5x)*eps, eps ~ N(0,1)
+    y = 2.0 + 3.0 * x + (1.0 + 0.5 * x) * rng.normal(0, 1, n)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    fits = {}
+    for tau in (0.1, 0.5, 0.9):
+        fits[tau] = quantile_fit(df, ["x"], "y", tau=tau, max_iter=60, tol=1e-9)
+    # quantile property: ~tau of residuals below the line
+    for tau, fit in fits.items():
+        assert abs(fit["frac_below"] - tau) < 0.03, (tau, fit["frac_below"])
+    # tau ordering: higher quantile -> higher line (both intercept-ish and
+    # slope, since noise scale grows with x)
+    assert fits[0.1]["coef"][0] < fits[0.5]["coef"][0] < fits[0.9]["coef"][0]
+    # true conditional quantile slope = 3 + 0.5*z_tau
+    from math import sqrt
+
+    z = {0.1: -1.2816, 0.5: 0.0, 0.9: 1.2816}
+    for tau, fit in fits.items():
+        assert abs(fit["coef"][0] - (3.0 + 0.5 * z[tau])) < 0.25, (tau, fit["coef"])
+        assert abs(fit["intercept"] - (2.0 + 1.0 * z[tau])) < 0.6
+
+
+def test_quantile_fit_median_resists_outliers(spark):
+    from preprocessor_spark.operators.quantreg import quantile_fit
+    from preprocessor_spark.operators.linreg import ridge_fit
+
+    rng = np.random.default_rng(47)
+    n = 1000
+    x = rng.uniform(0, 10, n)
+    y = 1.0 + 2.0 * x + rng.normal(0, 0.5, n)
+    y[:50] += 500.0  # gross outliers
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    med = quantile_fit(df, ["x"], "y", tau=0.5, max_iter=60)
+    ols = ridge_fit(df, ["x"], "y")
+    assert abs(med["coef"][0] - 2.0) < 0.1  # median ignores the outliers
+    assert abs(ols["intercept"] - 1.0) > 5.0  # OLS is dragged
+
+
+def test_quantile_fit_matches_numpy_irls_steps(spark):
+    from preprocessor_spark.operators.quantreg import quantile_fit
+
+    rng = np.random.default_rng(53)
+    n = 500
+    x = np.round(rng.uniform(0, 5, n), 3)
+    y = np.round(1.0 + 1.5 * x + rng.normal(0, 1, n), 3)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    tau, eps = 0.7, 1e-6
+    got = quantile_fit(df, ["x"], "y", tau=tau, max_iter=40, tol=1e-8, eps=eps)
+
+    # replicate the IRLS on the same 1e-9 quantization grid
+    def qsum(v):
+        return np.sum(np.round(v * 1e9)) / 1e9
+
+    theta = np.zeros(2)
+    X = np.column_stack([np.ones(n), x])
+    for it in range(1, 41):
+        r = y - X @ theta
+        if it == 1:
+            w = np.ones(n)
+        else:
+            asym = np.where(r < 0, 1.0 - tau, tau)
+            w = asym / np.maximum(np.abs(r), eps)
+        a = np.array([
+            [qsum(w), qsum(w * x)],
+            [qsum(w * x), qsum(w * x * x)],
+        ])
+        b = np.array([qsum(w * y), qsum(w * x * y)])
+        new = np.linalg.solve(a, b)
+        if np.max(np.abs(new - theta)) < 1e-8:
+            theta = new
+            break
+        theta = new
+    assert got["intercept"] == pytest.approx(theta[0], abs=1e-6)
+    assert got["coef"][0] == pytest.approx(theta[1], abs=1e-6)
+
+
+def test_quantile_fit_validation(spark):
+    from preprocessor_spark.operators.quantreg import quantile_fit
+
+    df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+    with pytest.raises(ValueError, match="tau"):
+        quantile_fit(df, ["x"], "y", tau=1.5)
+    with pytest.raises(ValueError, match="eps"):
+        quantile_fit(df, ["x"], "y", eps=0.0)
