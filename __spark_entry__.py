@@ -4820,6 +4820,41 @@ def bootstrap_ci_priority(spark, sf_dir):
     )
 
 
+def quantreg_price_tau90(spark, sf_dir):
+    """Quantile regression (operators/quantreg.py, Koenker & Bassett 1978):
+    the conditional 0.9-quantile of price ~ quantity + discount via
+    IRLS-smoothed pinball loss on the scaled-int64 one-pass moment engine
+    (bit-deterministic, overflow-certified — the huber/logreg contract).
+    Rows-only by design (iterative float fit); graded by numpy-IRLS step
+    equivalence, the ~tau below-line property, planted-quantile recovery,
+    and median outlier resistance. Pre-scaled units keep the fast engine
+    at any sf (the huber lesson)."""
+    from preprocessor_spark.operators.quantreg import quantile_fit
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") / 10.0).alias("qty"),
+        F.col("l_discount").alias("disc"),
+        (F.col("l_extendedprice") / 100000.0).alias("price"),
+    )
+    # eps=1e-2 (1% of the scaled price range) conditions the IRLS well
+    # enough that 15 scans land frac_below ~0.89 for tau=0.9; the exact
+    # minimizer needs the slow eps->0 limit (documented smoothing trade)
+    fit = quantile_fit(l, ["qty", "disc"], "price", tau=0.9, max_iter=15, eps=1e-2)
+    return spark.createDataFrame(
+        [(
+            fit["n"],
+            round(fit["intercept"], 6),
+            round(fit["coef"][0], 6),
+            round(fit["coef"][1], 6),
+            fit["iterations"],
+            fit["converged"],
+            round(fit["frac_below"], 6),
+        )],
+        "n long, intercept double, coef_qty double, coef_disc double, "
+        "iterations int, converged boolean, frac_below double",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5065,6 +5100,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backtest_seasonal_naive_users": backtest_seasonal_naive_users,
         "cusum_online_users": cusum_online_users,
         "huber_price_model": huber_price_model,
+        # quantile regression (rows-only: iterative pinball IRLS)
+        "quantreg_price_tau90": quantreg_price_tau90,
         "als_part_affinity": als_part_affinity,
         # multi-source BFS hops — iterative yet value-oracled (recursive CTE)
         "graph_hops_custsupp": graph_hops_custsupp,
