@@ -340,3 +340,52 @@ def test_gains_table_no_single_partition_on_scores(spark):
     # the report window reads from a frame whose input is the bucket agg
     # (<= 10 rows); the score-sized path must carry range partitions
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_attribution_join_is_hash_not_cartesian(spark):
+    """The conversion-touch pairing must plan as a user-keyed hash join
+    with the 24 h window as a residual predicate — never BNLJ/cartesian."""
+    plan = formatted_plan(em.attribution_linear_events(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_cv_thetas_broadcast_back(spark):
+    """k-fold CV's second pass joins the k-row theta table by BROADCAST —
+    the scoring scan must not shuffle on fold."""
+    plan = formatted_plan(em.cv_ols_price_folds(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bootstrap_explosion_combines_before_exchange(spark):
+    """The x64 replicate explosion must collapse map-side: a partial
+    HashAggregate below the (group, b) Exchange, so the shuffle carries
+    |groups|*B cells, not 64x the data."""
+    df = em.bootstrap_ci_priority(spark, SF)
+    plan = formatted_plan(df)
+    assert "partial_sum" in plan, plan
+    # and the weight pipeline stays inside whole-stage codegen (the 64 KB
+    # unrolled shape broke this — janino fallback removes the *(n) stars)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in simple, simple
+
+
+def test_rfm_has_no_customer_sized_single_partition_window(spark):
+    """RFM's horizon and thresholds are 1-row broadcasts; the only
+    WindowExec-style global ops allowed are absent entirely here."""
+    plan = formatted_plan(em.rfm_segments_orders(spark, SF))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_conformal_single_keyed_window(spark):
+    """Conformal's rank and count windows share one (group) exchange; no
+    SinglePartition on the calibration rows."""
+    plan = formatted_plan(em.conformal_price_intervals(spark, SF))
+    assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0], plan
+
+
+def test_stump_cumulative_rides_range_partitioning(spark):
+    plan = formatted_plan(em.stump_quantity_returns(spark, SF))
+    assert "rangepartitioning" in plan.lower(), plan
