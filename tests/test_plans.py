@@ -365,10 +365,12 @@ def test_bootstrap_explosion_combines_before_exchange(spark):
     df = em.bootstrap_ci_priority(spark, SF)
     plan = formatted_plan(df)
     assert "partial_sum" in plan, plan
-    # and the weight pipeline stays inside whole-stage codegen (the 64 KB
-    # unrolled shape broke this — janino fallback removes the *(n) stars)
+    # and the weight ladder must NOT be unrolled per replicate (the 64x
+    # shape blew janino's 64 KB method limit and fell back to interpreted):
+    # its first threshold literal appears once in the single bucket
+    # expression, not 64 times
     simple = df._jdf.queryExecution().executedPlan().toString()
-    assert "*(" in simple, simple
+    assert simple.count("24109") <= 3, simple.count("24109")
 
 
 def test_rfm_has_no_customer_sized_single_partition_window(spark):
