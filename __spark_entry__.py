@@ -4855,6 +4855,61 @@ def quantreg_price_tau90(spark, sf_dir):
     )
 
 
+def gmm_lineitem_price3(spark, sf_dir):
+    """Gaussian mixture EM (operators/gmm.py): 3 diagonal components over
+    (quantity, price) in pre-scaled units. The 100 TB pattern: FIT on a
+    deterministic 5% md5-bucket sample (density estimation needs a
+    statistical sample, not the corpus — the isolation-forest lesson),
+    then SCORE the full corpus with the codegen responsibility softmax
+    (gmm_responsibility_exprs — pure JVM, no UDF). The EM itself is the
+    logreg quantized-moment engine: one aggregation per step,
+    BIT-deterministic across partitionings, quantile-init, no RNG.
+    Rows-only by design; graded by numpy-EM step equivalence,
+    planted-cluster recovery, and repartition bit-determinism pytest.
+    Returns per component: fit parameters + full-corpus hard-assignment
+    counts."""
+    from preprocessor_spark.operators.gmm import gmm_fit, gmm_responsibility_exprs
+    from preprocessor_spark.operators.splits import split_bucket_expr
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        (F.col("l_quantity") / 10.0).alias("qty"),
+        (F.col("l_extendedprice") / 100000.0).alias("price"),
+    )
+    sample = l.where(split_bucket_expr(F.col("rid")) < 500)  # 5% fit sample
+    fit = gmm_fit(sample, ["qty", "price"], k=3, max_iter=8, tol=1e-5)
+    rs = gmm_responsibility_exprs(fit, ["qty", "price"])
+    arr = F.array(*rs)
+    assigned = l.select(
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias("component")
+    )
+    counts = {
+        r["component"]: r["cnt"]
+        for r in assigned.groupBy("component").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    rows = [
+        (
+            j,
+            fit["n"],
+            round(fit["weights"][j], 6),
+            round(fit["means"][j][0], 6),
+            round(fit["means"][j][1], 6),
+            round(fit["variances"][j][0], 6),
+            round(fit["variances"][j][1], 6),
+            round(fit["log_likelihood"], 4),
+            fit["iterations"],
+            int(counts.get(j, 0)),
+        )
+        for j in range(3)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "component int, n_fit long, weight double, mean_qty double, "
+        "mean_price double, var_qty double, var_price double, "
+        "log_likelihood double, iterations int, corpus_assigned long",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5102,6 +5157,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "huber_price_model": huber_price_model,
         # quantile regression (rows-only: iterative pinball IRLS)
         "quantreg_price_tau90": quantreg_price_tau90,
+        # Gaussian mixture EM (rows-only: iterative float fit)
+        "gmm_lineitem_price3": gmm_lineitem_price3,
         "als_part_affinity": als_part_affinity,
         # multi-source BFS hops — iterative yet value-oracled (recursive CTE)
         "graph_hops_custsupp": graph_hops_custsupp,

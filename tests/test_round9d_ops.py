@@ -866,3 +866,99 @@ def test_quantile_fit_validation(spark):
         quantile_fit(df, ["x"], "y", tau=1.5)
     with pytest.raises(ValueError, match="eps"):
         quantile_fit(df, ["x"], "y", eps=0.0)
+
+
+@pytest.fixture(scope="module")
+def gmm_frame(spark):
+    rng = np.random.default_rng(59)
+    rows = []
+    for mu, n in [((0.0, 0.0), 700), ((6.0, 1.0), 900), ((2.0, 8.0), 800)]:
+        for _ in range(n):
+            rows.append((round(float(rng.normal(mu[0], 0.8)), 3),
+                         round(float(rng.normal(mu[1], 0.8)), 3)))
+    return spark.createDataFrame(rows, "x double, y double")
+
+
+def test_gmm_recovers_planted_clusters(spark, gmm_frame):
+    from preprocessor_spark.operators.gmm import gmm_fit, gmm_responsibility_exprs
+    from pyspark.sql import functions as F
+
+    fit = gmm_fit(gmm_frame, ["x", "y"], k=3, max_iter=40)
+    assert fit["converged"] and fit["n"] == 2400
+    got = sorted((round(m[0], 1), round(m[1], 1)) for m in fit["means"])
+    for (gx, gy), (tx, ty) in zip(got, sorted([(0.0, 0.0), (6.0, 1.0), (2.0, 8.0)])):
+        assert abs(gx - tx) < 0.3 and abs(gy - ty) < 0.3, (got,)
+    ws = sorted(fit["weights"])
+    assert ws == pytest.approx(sorted([700 / 2400, 900 / 2400, 800 / 2400]), abs=0.03)
+    for var in fit["variances"]:
+        assert all(0.3 < v < 1.5 for v in var)
+    # hard assignments via the codegen scorer recover cluster purity
+    rs = gmm_responsibility_exprs(fit, ["x", "y"])
+    arr = F.array(*rs)
+    assign = gmm_frame.select(
+        F.array_position(arr, F.array_max(arr)).alias("c"), "x", "y"
+    )
+    purity = assign.groupBy("c").agg(F.avg("x").alias("mx"), F.count(F.lit(1)).alias("n")).collect()
+    assert len(purity) == 3 and all(r["n"] > 500 for r in purity)
+
+
+def test_gmm_is_bit_deterministic_across_partitionings(spark, gmm_frame):
+    from preprocessor_spark.operators.gmm import gmm_fit
+
+    f1 = gmm_fit(gmm_frame.repartition(3), ["x", "y"], k=3, max_iter=15)
+    f2 = gmm_fit(gmm_frame.repartition(17, "y"), ["x", "y"], k=3, max_iter=15)
+    assert f1["means"] == f2["means"]
+    assert f1["weights"] == f2["weights"]
+    assert f1["log_likelihood"] == f2["log_likelihood"]
+
+
+def test_gmm_matches_numpy_em_steps(spark):
+    from preprocessor_spark.operators.gmm import gmm_fit
+
+    rng = np.random.default_rng(61)
+    xs = np.round(np.concatenate([rng.normal(0, 1, 300), rng.normal(5, 1, 300)]), 3)
+    df = spark.createDataFrame([(float(v),) for v in xs], "x double")
+    got = gmm_fit(df, ["x"], k=2, max_iter=8, tol=0.0)  # fixed 8 EM steps
+
+    # numpy replica on the same 1e-9 grid, same quantile init
+    def qsum(v):
+        return np.sum(np.round(v * 1e9)) / 1e9
+
+    n = len(xs)
+    mus = np.quantile(xs, [0.25, 0.75], method="linear")
+    var = np.full(2, xs.var())
+    w = np.array([0.5, 0.5])
+    for _ in range(8):
+        lps = np.stack([
+            np.log(w[j]) - 0.5 * (np.log(2 * np.pi * var[j]) + (xs - mus[j]) ** 2 / var[j])
+            for j in range(2)
+        ])
+        mx = lps.max(axis=0)
+        e = np.exp(lps - mx)
+        r = e / e.sum(axis=0)
+        nj = np.array([qsum(r[j]) for j in range(2)])
+        new_mu = np.array([qsum(r[j] * xs) / nj[j] for j in range(2)])
+        new_var = np.array([
+            max(qsum(r[j] * xs * xs) / nj[j] - new_mu[j] ** 2, 1e-6) for j in range(2)
+        ])
+        w = nj / n
+        w = w / w.sum()
+        mus, var = new_mu, new_var
+    order = np.argsort(mus)
+    assert [m[0] for m in got["means"]] == pytest.approx(
+        [mus[j] for j in order], abs=1e-6
+    )
+    assert [v[0] for v in got["variances"]] == pytest.approx(
+        [var[j] for j in order], abs=1e-6
+    )
+    assert got["weights"] == pytest.approx([w[j] for j in order], abs=1e-8)
+
+
+def test_gmm_validation(spark):
+    from preprocessor_spark.operators.gmm import gmm_fit
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    with pytest.raises(ValueError, match="k must be"):
+        gmm_fit(df, ["x"], k=1)
+    with pytest.raises(ValueError, match="rows <"):
+        gmm_fit(df, ["x"], k=2)
