@@ -571,3 +571,76 @@ def holt_winters_stream(
     return events.groupBy(key).applyInPandasWithState(
         _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def heavy_hitters_stream(
+    events: DataFrame,
+    value_col: str = "event_type",
+    capacity: int = 64,
+    order_col: str = "ts",
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters — the standing "what's trending
+    right now" sketch, maintained across micro-batches in
+    ``applyInPandasWithState`` under a single global sketch key.
+
+    Classic MG semantics (the batch twin is
+    :func:`preprocessor_spark.operators.sketches.heavy_hitters`'s
+    per-partition pass, sequentialized): at most ``capacity`` counters;
+    an unseen item beyond capacity decrements every counter and evicts
+    zeros. The streaming guarantee holds at every emission: for every
+    item, est ≤ true ≤ est + n_decrements, and any item with true
+    frequency > N/capacity is guaranteed present. State is O(capacity)
+    regardless of stream length. Rows sort by ``order_col`` within each
+    batch; after an in-order drain the sketch equals the sequential
+    scalar MG over the full stream (pytest-asserted against an
+    independent reference implementation).
+
+    Scale note: a single state key serializes the stream through one
+    task — right for control-plane cardinalities (event types, domains,
+    status codes). For high-rate streams shard upstream by hash into S
+    sketch keys and merge the S summaries downstream (the batch
+    operator's partial-merge shape); the guarantee degrades to
+    est + Σ decrements, same as any MG merge.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "item string, est bigint, n bigint, n_decrements bigint"
+    state_schema = "items array<string>, counts array<long>, n bigint, dec bigint"
+
+    def _update(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            items, counts, n, dec = state.get
+            counters = dict(zip(list(items), list(counts)))
+        else:
+            counters, n, dec = {}, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows[value_col].notna()].sort_values(order_col)
+        for v in rows[value_col].astype(str):
+            n += 1
+            if v in counters:
+                counters[v] += 1
+            elif len(counters) < capacity:
+                counters[v] = 1
+            else:
+                dec += 1
+                for key in list(counters):
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        del counters[key]
+        state.update((list(counters), [counters[i] for i in counters], n, dec))
+        out = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        yield pd.DataFrame(
+            {
+                "item": [i for i, _ in out],
+                "est": [c for _, c in out],
+                "n": [n] * len(out),
+                "n_decrements": [dec] * len(out),
+            }
+        )
+
+    sketch = events.withColumn("__sk", F.lit(1))
+    return sketch.groupBy("__sk").applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -962,3 +962,76 @@ def test_gmm_validation(spark):
         gmm_fit(df, ["x"], k=1)
     with pytest.raises(ValueError, match="rows <"):
         gmm_fit(df, ["x"], k=2)
+
+
+def _mg_reference(values, capacity):
+    counters, dec = {}, 0
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < capacity:
+            counters[v] = 1
+        else:
+            dec += 1
+            for k in list(counters):
+                counters[k] -= 1
+                if counters[k] == 0:
+                    del counters[k]
+    return counters, dec
+
+
+def test_heavy_hitters_stream_matches_sequential_mg(spark, tmp_path):
+    import time
+
+    import pandas as pd
+
+    from preprocessor_spark.streaming import heavy_hitters_stream, run_available_now
+
+    rng = np.random.default_rng(67)
+    # zipf-ish: a few hot items + a long tail wider than capacity
+    items = [f"hot{i}" for i in range(3)] * 200 + [
+        f"tail{int(rng.integers(0, 40))}" for _ in range(400)
+    ]
+    rng.shuffle(items)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, (t0 + pd.Timedelta(seconds=i)).to_pydatetime(), 1, it, 0.0, "{}")
+        for i, it in enumerate(items)
+    ]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    src = str(tmp_path / "hh_events")
+    early = pdf[pdf.event_id < 400]
+    late = pdf[pdf.event_id >= 400]
+    spark.createDataFrame(early).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cap = 16
+    run_available_now(
+        heavy_hitters_stream(stream, "event_type", capacity=cap, order_col="ts"),
+        "hh_state", output_mode="update",
+    )
+    out = spark.table("hh_state").toPandas()
+    final_n = out["n"].max()
+    final = out[out["n"] == final_n]
+    got = dict(zip(final["item"], final["est"]))
+    dec = int(final["n_decrements"].iloc[0])
+
+    ref, ref_dec = _mg_reference([str(i) for i in items], cap)
+    assert got == ref and dec == ref_dec  # exact sequential-MG equivalence
+    # MG guarantees on the true stream: est <= true <= est + dec, and the
+    # hot items (true freq 200 > N/capacity = 62.5) are present
+    from collections import Counter
+
+    true = Counter(items)
+    for item, est in got.items():
+        assert est <= true[item] <= est + dec, (item, est, true[item], dec)
+    for i in range(3):
+        assert f"hot{i}" in got
