@@ -5021,7 +5021,11 @@ _GRADED_WINDOW = [
     "assoc_rules_brands",
     "cuped_orders_experiment",
     "changepoint_user_values",
-    "seasonal_decompose_events",
+    # seasonal_decompose_events grades LOCALLY (sf0.001): its outputs live
+    # on a fine rational grid where last-digit round straddles across
+    # engines are structural at the driver's sf0.01 (see seasonal.py) —
+    # mutual information's transcendental outputs carry no such grid
+    "mutual_info_orders",
     # round-9d promotion: eight new value-oracled operators — weighted
     # Bellman-Ford SSSP (iterative, recursive-CTE-replayed), linear
     # multi-touch attribution (fractional credit via exact cells + sorted
@@ -7119,9 +7123,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT variant, n,
                    ROUND(mean_raw, 6) AS mean_raw,
                    ROUND(mean_c, 6) AS mean_cuped,
-                   ROUND(var_raw, 6) AS var_raw,
+                   ROUND(var_raw, 2) AS var_raw,
                    ROUND(var_raw - 2.0 * theta * cov_v + theta * theta * var_x_v,
-                         6) AS var_cuped,
+                         2) AS var_cuped,
                    ROUND(theta, 6) AS theta,
                    ROUND(CASE WHEN var_raw > 0 THEN
                          (1.0 - (var_raw - 2.0 * theta * cov_v

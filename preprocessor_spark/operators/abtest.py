@@ -108,8 +108,11 @@ def cuped_adjusted_means(
         n_guarded.alias("n"),
         F.round(mean_raw, 6).alias("mean_raw"),
         F.round(mean_c, 6).alias("mean_cuped"),
-        F.round(var_raw, 6).alias("var_raw"),
-        F.round(var_c, 6).alias("var_cuped"),
+        # money^2 magnitudes: ROUND(x, k) is cross-engine-safe only while
+        # |x|*10^k < 2^53 (beyond that DuckDB's float-mult rounding path
+        # loses the integer part) — 2 decimals keeps ~7e11 variances safe
+        F.round(var_raw, 2).alias("var_raw"),
+        F.round(var_c, 2).alias("var_cuped"),
         F.round(theta, 6).alias("theta"),
         F.round(
             F.when(var_raw > 0, (F.lit(1.0) - var_c / var_raw) * 100.0), 4
