@@ -69,6 +69,20 @@ def decision_stump(
         off_c += by_pid[pid][0]
         off_p += by_pid[pid][1]
     n_total, p_total = off_c, off_p
+    if n_total == 0:
+        # empty (or all-null) input: no split exists — return an empty
+        # frame with the output schema (threshold keeps the feature's
+        # type) instead of dividing by zero below
+        return ranged.limit(0).select(
+            F.col("value").alias("threshold"),
+            F.lit(None).cast("long").alias("n_left"),
+            F.lit(None).cast("long").alias("pos_left"),
+            F.lit(None).cast("long").alias("n_right"),
+            F.lit(None).cast("long").alias("pos_right"),
+            F.lit(None).cast("double").alias("gini_root"),
+            F.lit(None).cast("double").alias("gini_split"),
+            F.lit(None).cast("double").alias("gain"),
+        )
     cmap = F.create_map(*[F.lit(v) for kv in sorted(carry_c.items()) for v in kv])
     pmap = F.create_map(*[F.lit(v) for kv in sorted(carry_p.items()) for v in kv])
     w = (

@@ -33,6 +33,11 @@ _OVERFLOW_MSG = (
     "kfold_cv_ols2: input magnitude >= 1e14 overflows the DECIMAL(18,4) "
     "moment cast to NULL under non-ANSI Spark; pre-scale the columns"
 )
+_SSE_OVERFLOW_MSG = (
+    "kfold_cv_ols2: a held-out squared residual >= 1e18 overflows the "
+    "DECIMAL(28,10) quantization cast to NULL under non-ANSI Spark; "
+    "pre-scale the columns"
+)
 
 
 def kfold_cv_ols2(
@@ -148,10 +153,20 @@ def kfold_cv_ols2(
     r2q = (resid * resid).cast("decimal(28,10)")
     per_fold = scored.groupBy("fold", "n_train", "n_test", "t0", "t1", "t2").agg(
         F.sum(r2q.cast("decimal(38,10)")).alias("sse"),
+        F.count(r2q).alias("n_sse"),
+        F.count(F.lit(1)).alias("n_sse_raw"),
         F.sum(F.col("yd").cast(_DEC)).alias("sy_test"),
         F.sum((F.col("yd") * F.col("yd")).cast(_DEC)).alias("syy_test"),
     )
-    sse = _dec_double(F.col("sse"))
+    # certificate: a |residual| >= 1e9 squares past DECIMAL(28,10)'s 18
+    # integer digits and NULLs under non-ANSI Spark — that would silently
+    # drop rows from the fold SSE, so fail loudly instead
+    sse = F.coalesce(
+        F.assert_true(
+            F.col("n_sse") == F.col("n_sse_raw"), F.lit(_SSE_OVERFLOW_MSG)
+        ).cast("double"),
+        _dec_double(F.col("sse")),
+    )
     n_te = F.col("n_test").cast("double")
     sst = _dec_double(F.col("syy_test")) - _dec_double(F.col("sy_test")) * _dec_double(
         F.col("sy_test")

@@ -218,7 +218,9 @@ def holt_stream(
             state.get if state.exists else (0, 0.0, 0.0, 0.0, 0.0)
         )
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows[rows[value_col].notna()].sort_values(order_col)
+        rows = rows[
+            rows[value_col].notna() & rows[order_col].notna()
+        ].sort_values(order_col)
         for v in rows[value_col].astype(float):
             if n == 0:
                 first, lvl, n = v, v, 1
@@ -289,7 +291,9 @@ def cusum_stream(
             state.get if state.exists else (0, 0.0, 0.0, 0, -1)
         )
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows[rows[value_col].notna()].sort_values(order_col)
+        rows = rows[
+            rows[value_col].notna() & rows[order_col].notna()
+        ].sort_values(order_col)
         for v in rows[value_col].astype(float):
             n += 1
             sp = max(0.0, sp + (v - mu - k))
@@ -518,7 +522,11 @@ def holt_winters_stream(
         else:
             n, lvl, tr, sse, cnt, live, buf, seas = 0, 0.0, 0.0, 0.0, 0, False, [], []
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows[rows[value_col].notna()].sort_values(order_col)
+        # drop null order_col rows too — the batch twin's where clause
+        # filters both, and a null timestamp must not enter the recursion
+        rows = rows[
+            rows[value_col].notna() & rows[order_col].notna()
+        ].sort_values(order_col)
 
         def step(v):
             nonlocal lvl, tr, sse, cnt
@@ -616,7 +624,9 @@ def heavy_hitters_stream(
         else:
             counters, n, dec = {}, 0, 0
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows[rows[value_col].notna()].sort_values(order_col)
+        rows = rows[
+            rows[value_col].notna() & rows[order_col].notna()
+        ].sort_values(order_col)
         for v in rows[value_col].astype(str):
             n += 1
             if v in counters:

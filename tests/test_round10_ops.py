@@ -1,0 +1,155 @@
+"""Round-10 regression tests for the round-9 ADVICE items plus the
+round-10 operator hardening work.
+
+- kfold_cv_ols2: the held-out SSE path gets the same overflow-certificate
+  discipline as the moment path (a |residual| >= 1e9 squares past
+  DECIMAL(28,10) and would silently NULL out of the fold SSE).
+- decision_stump: empty / all-null input returns an empty frame with the
+  output schema instead of a driver-side ZeroDivisionError.
+- holt_winters_stream (and the holt/cusum/MG stream twins): null
+  order_col rows are filtered exactly like the batch twins' where clause,
+  preserving the documented exact batch/stream equivalence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_kfold_cv_sse_overflow_certificate_raises(spark):
+    from preprocessor_spark.operators.crossval import kfold_cv_ols2
+
+    rng = np.random.default_rng(5)
+    # x magnitudes pass the DECIMAL(18,4) moment certificate, but y is an
+    # alternating +-1e13 signal no plane can track: held-out residuals are
+    # ~1e13, residual^2 ~1e26 > DECIMAL(28,10)'s 18 integer digits
+    rows = [
+        (
+            int(i),
+            round(float(rng.uniform(0, 10)), 2),
+            round(float(rng.uniform(-5, 5)), 2),
+            float(1e13 if i % 2 else -1e13),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "rid long, x1 double, x2 double, y double")
+    # under ANSI (Spark 4 default) the quantization cast itself raises;
+    # under non-ANSI the new count certificate fires — both are loud
+    with pytest.raises(
+        Exception,
+        match="squared residual|overflows|NUMERIC_VALUE_OUT_OF_RANGE|cannot be represented",
+    ):
+        kfold_cv_ols2(df, "x1", "x2", "y", "rid", k=4).collect()
+
+    # verify the certificate itself under non-ANSI semantics
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="squared residual"):
+            kfold_cv_ols2(df, "x1", "x2", "y", "rid", k=4).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_kfold_cv_sane_inputs_still_pass_certificate(spark):
+    from preprocessor_spark.operators.crossval import kfold_cv_ols2
+
+    rng = np.random.default_rng(6)
+    rows = [
+        (
+            int(i),
+            round(float(rng.uniform(0, 10)), 2),
+            round(float(rng.uniform(-5, 5)), 2),
+            round(float(rng.normal(100, 20)), 2),
+        )
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "rid long, x1 double, x2 double, y double")
+    out = kfold_cv_ols2(df, "x1", "x2", "y", "rid", k=3).collect()
+    assert len(out) == 3
+    assert all(r["rmse_test"] is not None for r in out)
+
+
+def test_decision_stump_empty_input_returns_empty_frame(spark):
+    from preprocessor_spark.operators.cart import decision_stump
+
+    empty = spark.createDataFrame([], "x double, y int")
+    out = decision_stump(empty, "x", "y")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "threshold", "n_left", "pos_left", "n_right", "pos_right",
+        "gini_root", "gini_split", "gain",
+    ]
+    # all-null feature column is the same degenerate case
+    allnull = spark.createDataFrame(
+        [(None, 1), (None, 0)], "x double, y int"
+    )
+    assert decision_stump(allnull, "x", "y").count() == 0
+
+
+def test_holt_winters_stream_drops_null_order_rows_like_batch(spark, tmp_path):
+    """A null-timestamp event must not enter the recursion (the batch twin
+    filters both value and order nulls); equivalence must hold when the
+    source contains null order_col rows."""
+    import time
+
+    from preprocessor_spark.operators.holt import holt_winters_forecast
+    from preprocessor_spark.streaming import holt_winters_stream, run_available_now
+
+    rng = np.random.default_rng(41)
+    m = 4
+    rows = []
+    for uid in (1, 2):
+        base = rng.uniform(50, 60)
+        prof = rng.normal(0, 3, m)
+        for t in range(24):
+            rows.append((
+                uid * 1000 + t,
+                pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=t),
+                uid, "m",
+                float(base + 0.3 * t + prof[t % m] + rng.normal(0, 0.2)),
+                "{}",
+            ))
+    # poison rows: null ts (and one null value) that the batch twin drops
+    rows.append((9001, None, 1, "m", 999.0, "{}"))
+    rows.append((9002, None, 2, "m", -999.0, "{}"))
+    rows.append((9003, pd.Timestamp("2024-01-01 00:05:30"), 1, "m", None, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    src = str(tmp_path / "hw_null_events")
+    early = pdf[pdf.ts.isna() | (pdf.ts < pd.Timestamp("2024-01-01 00:11:00"))]
+    late = pdf[pdf.ts.notna() & (pdf.ts >= pd.Timestamp("2024-01-01 00:11:00"))]
+    spark.createDataFrame(early).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(late).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_available_now(
+        holt_winters_stream(stream, "user_id", "ts", "value", season=m),
+        "hw_null_state", output_mode="update",
+    )
+    out = spark.table("hw_null_state").toPandas()
+    final = (
+        out.sort_values("n").groupby("user_id").last().reset_index().set_index("user_id")
+    )
+    batch = (
+        holt_winters_forecast(
+            spark.createDataFrame(pdf), "user_id", "ts", "value", season=m
+        )
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert set(final.index) == set(batch.index)
+    for uid in batch.index:
+        for col in ("n", "level", "trend", "rmse"):
+            assert final.loc[uid, col] == batch.loc[uid, col], (uid, col)
+        assert list(final.loc[uid, "seasonal"]) == list(batch.loc[uid, "seasonal"])
