@@ -2750,25 +2750,27 @@ def image_phash_neardup(spark, sf_dir):
     phash.py): pre-materialized PGM fixture parquet (_synth_image_parquet;
     rendered on executors once per sf-dir, outside the timed body) is
     decoded by the pure-numpy PGM decoder, dHashed (area-pooled 9-wide
-    gradient bits, batch-vectorized reduceat pooling), and paired EXACTLY
-    at Hamming≤3 — identical hashes collapse to one representative before
-    the pigeonhole chunk equi-join + JVM bit_count recheck, then expand
-    through output-sized hash self-joins, so join work is quadratic only
-    in DISTINCT hashes and oversized identical-hash cliques still dedup
-    (round-6 verdict items 3-4). No cross product (plan-asserted), no
-    driver-side data movement. By construction same-bucket images hash
-    identically and cross-bucket patterns are independent, so the result
-    is exactly the same-bucket cliques at hamming 0 — the value-exact
-    DuckDB oracle."""
+    gradient bits, batch-vectorized reduceat pooling), then CLUSTERED at
+    Hamming≤3 — the round-10 scale-safe default (one output row per image
+    at any duplication factor): identical hashes collapse to one
+    representative, the pigeonhole chunk equi-join + JVM bit_count recheck
+    builds the rep-level near-pair graph, connected components label it,
+    and members inherit their component through the exact-hash map —
+    member pairs NEVER materialize (the minhash_dedup_corpus shape; the
+    quadratic pair list is the opt-in phash_neardup_pairs). No cross
+    product (plan-asserted), no driver-side data movement. By construction
+    same-bucket images hash identically and cross-bucket patterns are
+    independent, so each cluster is exactly a bucket clique with its min
+    doc_id canonical — the value-exact DuckDB oracle."""
     from preprocessor_spark.operators.phash import (
         image_dhash,
-        phash_neardup_pairs,
+        phash_neardup_clusters,
     )
 
     imgs = spark.read.parquet(_synth_image_parquet(spark, sf_dir))
     hashes = image_dhash(imgs, "id", "payload", decoder="auto")
-    pairs = phash_neardup_pairs(hashes, "id", "dhash", max_hamming=3)
-    return pairs.orderBy("id_a", "id_b")
+    out = phash_neardup_clusters(hashes, "id", "dhash", max_hamming=3)
+    return out.orderBy("id")
 
 
 def dedup_minhash_pairs(spark, sf_dir):
@@ -4951,15 +4953,14 @@ _GRADED_WINDOW = [
     "prep_full_transform",
     "prep_roundtrip",
     # round-4 marquee operators promoted into the graded window
-    "q21_waiting_suppliers",
-    "merge_upsert_orders",
+    # (q21_waiting_suppliers, merge_upsert_orders, corr_matrix_lineitem
+    # and fuzzy_join_docs rotated out at round 10 after six green rounds —
+    # all remain oracle-graded locally at 51+)
     "scd2_customers_dim",
-    "corr_matrix_lineitem",
-    "fuzzy_join_docs",
     # round-5 marquee operators promoted into the graded window (displaced
-    # basics remain oracle-graded locally at 51+, same policy as round 4)
-    "bloom_join_revenue",
-    "warc_ingest_stats",
+    # basics remain oracle-graded locally at 51+, same policy as round 4;
+    # bloom_join_revenue and warc_ingest_stats rotated out at round 10
+    # after five green rounds)
     # pipeline_web_corpus subsumes the domain-cap query (cap stage inside)
     # and the url_normalize/html_extract stages (both stay graded at 51+)
     "pipeline_web_corpus",
@@ -5044,6 +5045,21 @@ _GRADED_WINDOW = [
     "anova_price_priority",
     "ar2_forecast_users",
     "conformal_price_intervals",
+    # round-10 promotion: the six round-9 value-oracled operators enter the
+    # driver window (all local-oracle green through round 9, strict
+    # exact-compare re-simulated at sf0.01 before freezing): multi-source
+    # BFS hops, Nelson-Aalen hazard, RFM segmentation, gains/decile table,
+    # linear SHAP top-k, seasonal-naive forecast backtest. Displaced
+    # long-green r4/r5 basics (q21_waiting_suppliers, merge_upsert_orders,
+    # corr_matrix_lineitem, fuzzy_join_docs, bloom_join_revenue,
+    # warc_ingest_stats) remain oracle-graded locally at 51+ — same policy
+    # as rounds 4-9.
+    "graph_hops_custsupp",
+    "survival_na_customers",
+    "rfm_segments_orders",
+    "gains_table_returns",
+    "shapley_lineitem_price",
+    "backtest_seasonal_naive_users",
 ]
 
 
@@ -8863,12 +8879,15 @@ def oracle_sql() -> dict[str, str]:
         # bucket => identical dHash by construction, cross-bucket patterns
         # independent — the exact pair set is the same-bucket cliques
         "image_phash_neardup": """
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(0 AS INTEGER) AS hamming
-            FROM documents a JOIN documents b
-              ON (a.n_chars // 25) = (b.n_chars // 25)
-             AND a.doc_id < b.doc_id
-            ORDER BY id_a, id_b
+            SELECT doc_id AS id,
+                   MIN(doc_id) OVER (PARTITION BY (n_chars // 25))
+                       AS cluster,
+                   COUNT(*) OVER (PARTITION BY (n_chars // 25))
+                       AS cluster_size,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY (n_chars // 25))
+                       AS keep
+            FROM documents
+            ORDER BY id
         """,
         # median/MAD modified z-score: quantile_cont == Spark percentile
         # (interpolation parity), identical float op order for z

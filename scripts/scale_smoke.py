@@ -103,12 +103,10 @@ EXPECTED_SUPRALINEAR = {
         "pair output is quadratic in the duplication factor by contract "
         "(every intra-group pair must be emitted)"
     ),
-    "image_phash_neardup": (
-        "pair output is quadratic in the duplication factor by contract: "
-        "10x-replicated images make every hash a 10-member clique, so the "
-        "result grows ~100x (61.9M pairs at derived sf1 vs ~0.6M at sf0.1) "
-        "for ~13x wall — sublinear in its true workload"
-    ),
+    # image_phash_neardup left this list at round 10: its default output
+    # is now the CLUSTER frame (one row per image; member pairs never
+    # materialize) — the quadratic pair list is the opt-in
+    # phash_neardup_pairs.
     "knn_graph_nndescent": (
         "algorithm switch, not a scaling defect: at sf0.1 (2k vectors, "
         "below exact_below=4096) the builder rides the blocked exact GEMM; "

@@ -153,3 +153,99 @@ def test_holt_winters_stream_drops_null_order_rows_like_batch(spark, tmp_path):
         for col in ("n", "level", "trend", "rmse"):
             assert final.loc[uid, col] == batch.loc[uid, col], (uid, col)
         assert list(final.loc[uid, "seasonal"]) == list(batch.loc[uid, "seasonal"])
+
+
+class TestPhashClusters:
+    """Round-10: cluster output is the scale-safe default for image dedup
+    (one row per image at any duplication factor; member pairs never
+    materialize)."""
+
+    def _clusters(self, spark, ids_hashes, **kw):
+        import pandas as pd
+
+        from preprocessor_spark.operators.phash import phash_neardup_clusters
+
+        pdf = pd.DataFrame(ids_hashes, columns=["id", "dhash"])
+        return {
+            r["id"]: r
+            for r in phash_neardup_clusters(
+                spark.createDataFrame(pdf), "id", "dhash", **kw
+            ).collect()
+        }
+
+    def test_matches_pairs_then_cc_reference(self, spark):
+        """Clusters equal the transitive closure of the exact pair list."""
+        import itertools
+
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        # planted: 3 exact-dup groups, a chain of 1-bit neighbors, singletons
+        rows = []
+        nid = 0
+        for h in (0x1234, -77, 1 << 40):
+            for _ in range(4):
+                rows.append((nid, h)); nid += 1
+        chain_base = 0x0F0F0F0F
+        for k in range(4):  # any two differ in exactly 2 bits: one cluster
+            rows.append((nid, chain_base ^ (1 << k))); nid += 1
+        for _ in range(5):
+            v = int(rng.randint(0, 2**31)) | (1 << 62)
+            rows.append((nid, v)); nid += 1
+        got = self._clusters(spark, rows, max_hamming=3)
+        assert len(got) == len(rows)
+        # scalar reference: union-find over brute-force hamming<=3 pairs
+        parent = {i: i for i, _ in rows}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        def ham(a, b):
+            return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+        for (ia, ha), (ib, hb) in itertools.combinations(rows, 2):
+            if ham(ha, hb) <= 3:
+                union(ia, ib)
+        want = {i: find(i) for i, _ in rows}
+        # normalize: component label = min member id
+        comp_members = {}
+        for i, c in want.items():
+            comp_members.setdefault(c, []).append(i)
+        for c, members in comp_members.items():
+            m = min(members)
+            for i in members:
+                assert got[i]["cluster"] == m, (i, got[i], m)
+                assert got[i]["cluster_size"] == len(members)
+                assert got[i]["keep"] == (i == m)
+
+    def test_mega_clique_is_linear_output(self, spark):
+        """1000 identical hashes (over max_bucket): output is 1000 rows,
+        one keeper — never the C(1000,2) pair list."""
+        rows = [(i, 12345) for i in range(1000)]
+        got = self._clusters(spark, rows, max_hamming=3, max_bucket=100)
+        assert len(got) == 1000
+        assert sum(1 for r in got.values() if r["keep"]) == 1
+        assert all(r["cluster"] == 0 and r["cluster_size"] == 1000 for r in got.values())
+
+    def test_no_cross_product_plan(self, spark):
+        import pandas as pd
+
+        from preprocessor_spark.operators.phash import phash_neardup_clusters
+
+        pdf = pd.DataFrame({"id": [1, 2, 3], "dhash": [7, 7, 99]})
+        plan = (
+            phash_neardup_clusters(spark.createDataFrame(pdf), "id", "dhash")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
