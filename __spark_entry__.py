@@ -3994,7 +3994,10 @@ def avro_roundtrip_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
-    write_avro_py(o.repartition(4, "o_orderkey"), dest)
+    # one container file per partition: size the layout to the cluster
+    # (round-10 — the old fixed 4 capped encode/decode parallelism 8x)
+    n_part = max(4, spark.sparkContext.defaultParallelism)
+    write_avro_py(o.repartition(n_part, "o_orderkey"), dest)
     register_avro_source(spark)
     back = spark.read.format("avro_py").load(dest)
     return back.groupBy("o_orderstatus").agg(

@@ -249,3 +249,113 @@ class TestPhashClusters:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestAvroFlatFastPath:
+    """Round-10: the exec-generated flat-record block decoder must be
+    value-identical to the generic closure-tree decoder on every supported
+    primitive kind, including nulls, pre-epoch timestamps, unicode and
+    empty strings."""
+
+    def _write(self, spark, tmp_path, rows, schema, codec="deflate"):
+        from preprocessor_spark.sources.avro_py import write_avro_py
+
+        dest = str(tmp_path / "flat")
+        write_avro_py(spark.createDataFrame(rows, schema), dest, codec=codec)
+        return dest
+
+    def test_plan_detection(self, spark, tmp_path):
+        import glob as g
+
+        from preprocessor_spark.sources.avro_py import (
+            _flat_plan,
+            read_avro_schema,
+            write_avro_py,
+        )
+
+        flat = self._write(
+            spark, tmp_path, [(1, "a", 2.5)], "id long, s string, x double"
+        )
+        sch, _ = read_avro_schema(g.glob(f"{flat}/part-*.avro")[0])
+        plan = _flat_plan(sch)
+        assert plan is not None and [k for _, k, _ in plan] == [
+            "long", "string", "double",
+        ]
+        nested = str(tmp_path / "nested")
+        write_avro_py(
+            spark.createDataFrame([(1, [1, 2])], "id long, arr array<int>"), nested
+        )
+        sch2, _ = read_avro_schema(g.glob(f"{nested}/part-*.avro")[0])
+        assert _flat_plan(sch2) is None
+
+    def test_fast_path_equals_generic_rows(self, spark, tmp_path):
+        import datetime as dt
+        import glob as g
+
+        from preprocessor_spark.sources.avro_py import (
+            _flat_plan,
+            _gen_flat_decoder,
+            _iter_file_rows,
+            _iter_raw_blocks,
+            read_avro_schema,
+            register_avro_source,
+        )
+
+        rows = [
+            (1, "héllo wörld", "", 1.5, -2.25, True, 42, -(2**40),
+             bytearray(b"\x00\xff"), dt.date(2024, 2, 29),
+             dt.datetime(2024, 2, 29, 12, 34, 56, 789012)),
+            (2, None, None, None, None, None, None, None, None, None, None),
+            (3, "z" * 1000, "x", float("inf"), -0.0, False, -1, 0,
+             bytearray(b""), dt.date(1969, 12, 31),
+             dt.datetime(1969, 12, 31, 23, 59, 59, 999999)),
+        ]
+        schema = (
+            "id long, s string, s2 string, f float, x double, b boolean, "
+            "i int, big long, raw binary, d date, ts timestamp"
+        )
+        dest = self._write(spark, tmp_path, rows, schema)
+        path = g.glob(f"{dest}/part-*.avro")[0]
+        sch, _ = read_avro_schema(path)
+        plan = _flat_plan(sch)
+        assert plan is not None
+        # generic row decode (Python datetimes, utf8-decoded strings)
+        generic = list(_iter_file_rows(path))
+        # specialized decode (raw ints, bytes slices)
+        import struct as st
+
+        dec = _gen_flat_decoder(plan)
+        cols_all = [[] for _ in plan]
+        for n, block in _iter_raw_blocks(path):
+            cols = dec(block, n, st.Struct("<f").unpack_from,
+                       st.Struct("<d").unpack_from)
+            for acc, c in zip(cols_all, cols):
+                acc.extend(c)
+        epoch_d = dt.date(1970, 1, 1)
+        epoch_t = dt.datetime(1970, 1, 1)
+        for ri, grow in enumerate(generic):
+            for ci, (name, kind, _) in enumerate(plan):
+                gv, fv = grow[ci], cols_all[ci][ri]
+                if gv is None:
+                    assert fv is None, (name, ri)
+                elif kind == "string":
+                    assert fv.decode("utf-8") == gv, name
+                elif kind == "bytes":
+                    assert fv == gv, name
+                elif kind == "date":
+                    assert epoch_d + dt.timedelta(days=fv) == gv, name
+                elif kind in ("ts_us", "ts_ms", "ts_ntz"):
+                    assert epoch_t + dt.timedelta(microseconds=fv) == gv, name
+                else:
+                    assert fv == gv, name
+        # and the registered source end-to-end returns the same frame
+        register_avro_source(spark)
+        back = spark.read.format("avro_py").load(dest)
+        got = sorted(back.collect(), key=lambda r: r["id"])
+        assert got[0]["s"] == "héllo wörld" and got[0]["s2"] == ""
+        assert got[0]["ts"] == dt.datetime(2024, 2, 29, 12, 34, 56, 789012)
+        assert got[2]["ts"] == dt.datetime(1969, 12, 31, 23, 59, 59, 999999)
+        assert got[2]["d"] == dt.date(1969, 12, 31)
+        assert got[2]["x"] == 0.0 and got[2]["f"] == float("inf")
+        assert bytes(got[0]["raw"]) == b"\x00\xff" and bytes(got[2]["raw"]) == b""
+        assert all(got[1][c] is None for c in back.columns if c != "id")
