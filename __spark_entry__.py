@@ -4431,15 +4431,18 @@ def cusum_online_users(spark, sf_dir):
     """Page's online CUSUM detector per user (operators/changepoint.py
     cusum_online; streaming twin streaming.cusum_stream with pytest-exact
     batch equivalence): alarms when the one-sided drift statistics exceed
-    h. Rows-only by design — the max(0,·) recursion is sequential, no SQL
-    twin; graded by scalar-reference + stream-twin equivalence tests.
+    h. VALUE-oracled since round 10: after the in-order drain the S+/S-
+    recursion is a seeded ordered left fold, replayed in DuckDB with a
+    STRUCT-accumulator list_reduce (the EWMA template) — every field a
+    pure accumulator, first_alarm_pos recovered as n - post + 1 from the
+    steps-since-first-alarm counter. Identical IEEE op order both sides.
     Returns the alarmed users."""
     from preprocessor_spark.operators.changepoint import cusum_online
 
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
     out = cusum_online(
         e, "user_id", "event_id", "value",
-        target_mean=50.0, slack=25.0, threshold=300.0,
+        target_mean=50.0, slack=25.0, threshold=200.0,
     )
     return out.where(F.col("n_alarms") > 0).orderBy("key")
 
@@ -8119,6 +8122,76 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY jaccard DESC, cn DESC, a, b
             LIMIT 40
+        """,
+        # Page's CUSUM: the S+/S- recursion is a seeded ordered left fold
+        # (the EWMA list_reduce template with a STRUCT accumulator — the
+        # round-10 rows-only -> value-oracled promotion). Same IEEE op
+        # order as the pandas scan: x - mu - k left-to-right, max via
+        # GREATEST, positions via the fold counter.
+        "cusum_online_users": """
+            WITH f AS (
+                SELECT user_id AS key, event_id AS pos,
+                       CAST(value AS DOUBLE) AS x
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                      AND value IS NOT NULL
+            ), agg AS (
+                SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+                       list_transform(list_sort(list({'pos': pos, 'x': x})),
+                                      e -> e.x) AS xs
+                FROM f GROUP BY key
+            ), folded AS (
+                -- duckdb 1.0 evaluates lambda struct fields IN ORDER and
+                -- rebinds acc.f to the just-computed value for fields
+                -- already evaluated, so na/fa (which must read the OLD
+                -- sp/sn/i) come before sp/sn/i in the struct — an order
+                -- that is also correct under snapshot semantics. The
+                -- alarm test uses GREATEST(0,y) > h == y > h (h > 0).
+                SELECT key, n,
+                       list_reduce(
+                           list_prepend(
+                               {'post': CAST(0 AS BIGINT),
+                                'na': CAST(0 AS BIGINT),
+                                'sp': CAST(0.0 AS DOUBLE),
+                                'sn': CAST(0.0 AS DOUBLE),
+                                'x': CAST(0.0 AS DOUBLE)},
+                               list_transform(xs, x ->
+                                   {'post': CAST(0 AS BIGINT),
+                                    'na': CAST(0 AS BIGINT),
+                                    'sp': CAST(0.0 AS DOUBLE),
+                                    'sn': CAST(0.0 AS DOUBLE),
+                                    'x': x})
+                           ),
+                           -- every field is a pure accumulator (the
+                           -- conditional-carry form of first_alarm_pos
+                           -- leaked state across rows in duckdb 1.0's
+                           -- vectorized lambda; 'post' counts steps from
+                           -- the first alarm onward instead, so
+                           -- first = n - post + 1)
+                           (acc, e) -> {
+                               'post': acc.post + CASE WHEN acc.na > 0
+                                   OR acc.sp + (e.x - 50.0 - 25.0) > 200.0
+                                   OR acc.sn - (e.x - 50.0 + 25.0) > 200.0
+                                   THEN 1 ELSE 0 END,
+                               'na': acc.na + CASE WHEN
+                                   acc.sp + (e.x - 50.0 - 25.0) > 200.0
+                                   OR acc.sn - (e.x - 50.0 + 25.0) > 200.0
+                                   THEN 1 ELSE 0 END,
+                               'sp': GREATEST(0.0, acc.sp + (e.x - 50.0 - 25.0)),
+                               'sn': GREATEST(0.0, acc.sn - (e.x - 50.0 + 25.0)),
+                               'x': e.x
+                           }
+                       ) AS st
+                FROM agg
+            )
+            SELECT key, n, st.na AS n_alarms,
+                   CASE WHEN st.na > 0 THEN n - st.post + 1 END
+                       AS first_alarm_pos,
+                   ROUND(st.sp, 6) AS s_pos,
+                   ROUND(st.sn, 6) AS s_neg
+            FROM folded
+            WHERE st.na > 0
+            ORDER BY key
         """,
         "ewma_events_users": """
             WITH tail AS (

@@ -106,10 +106,13 @@ def cusum_online(
     slack: float = 0.5,
     threshold: float = 5.0,
 ) -> DataFrame:
-    """Page's online CUSUM decision scheme, batch form (rows-only: the
-    max(0, ·) recursion is inherently sequential, no SQL twin by design —
-    graded by pytest equivalence against the scalar reference and the
-    streaming twin :func:`preprocessor_spark.streaming.cusum_stream`).
+    """Page's online CUSUM decision scheme, batch form. VALUE-oracled
+    (round 10): the max(0, ·) recursion is sequential but after an
+    in-order drain it is a seeded ordered left fold, so the DuckDB twin
+    replays it with a struct-accumulator ``list_reduce`` (the EWMA
+    template) — graded end-to-end plus pytest equivalence against the
+    scalar reference and the streaming twin
+    :func:`preprocessor_spark.streaming.cusum_stream`.
 
         S⁺_t = max(0, S⁺_{t−1} + (x_t − μ₀ − κ))     alarm when S⁺ > h
         S⁻_t = max(0, S⁻_{t−1} − (x_t − μ₀ + κ))     alarm when S⁻ > h

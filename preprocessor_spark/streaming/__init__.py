@@ -586,6 +586,7 @@ def heavy_hitters_stream(
     value_col: str = "event_type",
     capacity: int = 64,
     order_col: str = "ts",
+    shards: int = 1,
 ) -> DataFrame:
     """Streaming Misra-Gries heavy hitters — the standing "what's trending
     right now" sketch, maintained across micro-batches in
@@ -603,21 +604,31 @@ def heavy_hitters_stream(
     scalar MG over the full stream (pytest-asserted against an
     independent reference implementation).
 
-    Scale note: a single state key serializes the stream through one
-    task — right for control-plane cardinalities (event types, domains,
-    status codes). For high-rate streams shard upstream by hash into S
-    sketch keys and merge the S summaries downstream (the batch
-    operator's partial-merge shape); the guarantee degrades to
-    est + Σ decrements, same as any MG merge.
+    Scale shape (``shards``, round-10): a single state key serializes the
+    stream through one task — right for control-plane cardinalities
+    (event types, domains, status codes). For high-rate streams set
+    ``shards=S``: items route to ``pmod(xxhash64(value), S)`` state keys,
+    so the S sketches update in parallel across state partitions and
+    every item's FULL substream lands in exactly one shard. Because the
+    sharding is value-deterministic, the drain merge is a disjoint union
+    — :func:`merge_sharded_heavy_hitters` — and the per-item bound stays
+    est ≤ true ≤ est + its OWN shard's decrement count (tighter than the
+    batch operator's Σ-over-partitions bound, where an item's stream
+    splits). Presence guarantee per shard: true freq > N_shard/capacity.
     """
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = "item string, est bigint, n bigint, n_decrements bigint"
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    out_schema = (
+        "shard int, item string, est bigint, n bigint, n_decrements bigint"
+    )
     state_schema = "items array<string>, counts array<long>, n bigint, dec bigint"
 
     def _update(key_tuple, pdfs, state: GroupState):
+        shard = int(key_tuple[0])
         if state.exists:
             items, counts, n, dec = state.get
             counters = dict(zip(list(items), list(counts)))
@@ -643,6 +654,7 @@ def heavy_hitters_stream(
         out = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
         yield pd.DataFrame(
             {
+                "shard": [shard] * len(out),
                 "item": [i for i, _ in out],
                 "est": [c for _, c in out],
                 "n": [n] * len(out),
@@ -650,7 +662,49 @@ def heavy_hitters_stream(
             }
         )
 
-    sketch = events.withColumn("__sk", F.lit(1))
+    if shards == 1:
+        shard_key = F.lit(0)
+    else:
+        # null values are dropped inside the update fn; route them to 0
+        shard_key = F.coalesce(
+            F.pmod(F.xxhash64(F.col(value_col)), F.lit(shards)), F.lit(0)
+        ).cast("int")
+    sketch = events.withColumn("__sk", shard_key)
     return sketch.groupBy("__sk").applyInPandasWithState(
         _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def merge_sharded_heavy_hitters(
+    summaries: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Merge the drained sink table of a sharded
+    :func:`heavy_hitters_stream` into one ``(item, est, err, n_total)``
+    frame.
+
+    Per shard, the LATEST emission (max ``n`` — n is nondecreasing) is its
+    final summary; because items route to exactly one shard, the merge is
+    a disjoint union with ``err`` = the item's own shard's decrement count
+    and the additive guarantee est ≤ true ≤ est + err per item. n_total
+    sums the per-shard stream lengths. Batch frame in, batch frame out
+    (run it on ``spark.table(sink)`` after the drain)."""
+    from pyspark.sql import Window
+
+    # summaries is sketch-sized (emissions x capacity rows), so a per-shard
+    # window here is a bounded frame, not a data-sized SinglePartition
+    mx = F.max("n").over(Window.partitionBy("shard"))
+    latest = (
+        summaries.withColumn("__mx", mx)
+        .where(F.col("n") == F.col("__mx"))
+        .drop("__mx")
+        .dropDuplicates(["shard", "item"])
+    )
+    n_total = latest.select("shard", "n").distinct().agg(
+        F.sum("n").alias("n_total")
+    )
+    out = (
+        latest.select("item", "est", F.col("n_decrements").alias("err"))
+        .join(F.broadcast(n_total))
+        .orderBy(F.desc("est"), F.asc("item"))
+    )
+    return out.limit(k) if k else out
