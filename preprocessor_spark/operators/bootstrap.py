@@ -84,46 +84,86 @@ def bootstrap_mean_ci(
         x.alias("xd"),
         F.col(id_col).cast("string").alias("id"),
     )
-    # Four shapes were measured at sf0.1 before landing on this one:
+    # Five shapes were measured at sf0.1 before landing on this one:
     # (a) B unrolled weight expressions blow the 64 KB JVM method limit —
     # janino refuses, whole-stage codegen falls back to interpreted (58 s);
     # (b) a higher-order transform evaluates its lambda INTERPRETED per
     # element (15 s — and inlining the digest array into the lambda
     # re-runs every digest per element, 131 s); (c) exploding the index
     # but ladder-ing the inline slice re-evaluates it per CASE branch
-    # (12 s). The fast shape: project the digests ONCE per row (codegen),
-    # explode the replicate index, materialize the 16-bit bucket as a
-    # column, ladder the column — every step inside whole-stage codegen.
-    digests = F.array(
+    # (12 s); (d) explode the replicate index, bucket as a column, ladder
+    # the column — all codegen (10.0 s committed through round 9).
+    # (e — round 10, this one): explode only the BLOCK index (B/16 rows
+    # per input row): each exploded row carries one digest and 16 ladder
+    # weights as COLUMNS (w0..w15 — few enough expressions to stay under
+    # the janino limit that killed (a)), and the groupBy(group, blk)
+    # reduces 32 partial sums, so the ×B row expansion of (d) never
+    # exists — the pre-shuffle frame is rows×B/16 and the replicate-level
+    # B rows materialize only AFTER aggregation, on the |groups|·B/16
+    # frame. Same arithmetic, 16× less row machinery: 10.0 → ~4 s.
+    blk = F.col("blk")
+    digest = F.sha2(F.concat(F.col("id"), F.lit("|"), blk.cast("string")), 256)
+    # pre-repartition the slim (group, xd, id) frame: a single-file input
+    # scans as one partition and would serialize the digest+ladder stage
+    # onto one core (the round-8 AQE/scan-coalescing trap); the exchange
+    # carries 3 narrow columns, the stage it feeds does 16 sha2+ladders
+    # per row
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    base = base.repartition(n_shuffle)
+    per_block = base.select(
+        "group",
+        "xd",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk"),
+        F.col("id"),
+    ).select("group", "xd", "blk", digest.alias("__dg"))
+
+    def _bucket(i):
+        return F.conv(F.substr(F.col("__dg"), F.lit(i * 4 + 1), F.lit(4)), 16, 10).cast(
+            "int"
+        )
+
+    # buckets materialize as their own projection so the 5-branch ladder
+    # references a cheap column — inlining the conv(substr(...)) would
+    # re-evaluate it per CASE branch (measured shape (c), 5x the
+    # extraction cost; CollapseProject keeps multi-referenced non-cheap
+    # aliases in their own stage)
+    buckets = per_block.select(
+        "group",
+        "xd",
+        "blk",
+        *[_bucket(i).alias(f"bk{i}") for i in range(16)],
+    )
+    weighted = buckets.select(
+        "group",
+        "xd",
+        "blk",
+        *[poisson_weight_expr(F.col(f"bk{i}")).alias(f"w{i}") for i in range(16)],
+    )
+    block_cells = weighted.groupBy("group", "blk").agg(
+        *[F.sum(f"w{i}").alias(f"nw{i}") for i in range(16)],
         *[
-            F.sha2(F.concat(F.col("id"), F.lit(f"|{blk}")), 256)
-            for blk in range(n_blocks)
+            F.sum((F.col(f"w{i}") * F.col("xd")).cast(_DEC)).alias(f"sw{i}")
+            for i in range(16)
+        ],
+    )
+    # replicate rows exist only now, on the |groups|·n_blocks frame;
+    # b = blk*16 + i, truncated to the requested replicate count
+    rep_structs = F.array(
+        *[
+            F.struct(
+                (blk * 16 + F.lit(i)).alias("b"),
+                F.col(f"nw{i}").alias("nw"),
+                F.col(f"sw{i}").alias("sw"),
+            )
+            for i in range(16)
         ]
     )
-    staged = base.withColumn("__digests", digests)
-    b = F.col("b")
-    bucket = F.conv(
-        F.substr(
-            F.element_at(F.col("__digests"), ((b - b % 16) / 16).cast("int") + 1),
-            (b % 16) * 4 + 1,
-            F.lit(4),
-        ),
-        16,
-        10,
-    ).cast("int")
-    exploded = (
-        staged.select(
-            "group",
-            "xd",
-            "__digests",
-            F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("b"),
-        )
-        .select("group", "xd", "b", bucket.alias("bucket"))
-        .select("group", "xd", "b", poisson_weight_expr(F.col("bucket")).alias("w"))
-    )
-    cells = exploded.groupBy("group", "b").agg(
-        F.sum("w").alias("nw"),
-        F.sum((F.col("w") * F.col("xd")).cast(_DEC)).alias("sw"),
+    cells = (
+        block_cells.select("group", F.explode(rep_structs).alias("r"))
+        .select("group", "r.b", "r.nw", "r.sw")
+        .where(F.col("b") < replicates)
     )
     rep_mean = F.when(
         F.col("nw") > 0, _dec_double(F.col("sw")) / F.col("nw").cast("double")

@@ -359,18 +359,28 @@ def test_cv_thetas_broadcast_back(spark):
 
 
 def test_bootstrap_explosion_combines_before_exchange(spark):
-    """The x64 replicate explosion must collapse map-side: a partial
-    HashAggregate below the (group, b) Exchange, so the shuffle carries
-    |groups|*B cells, not 64x the data."""
+    """Replicate-level rows must not exist before aggregation: the
+    round-10 block shape carries 16 weight COLUMNS per (row, block) into a
+    partial HashAggregate below the (group, blk) Exchange, and the x16
+    struct explode runs on the |groups|*n_blocks post-agg frame."""
     df = em.bootstrap_ci_priority(spark, SF)
     plan = formatted_plan(df)
     assert "partial_sum" in plan, plan
-    # and the weight ladder must NOT be unrolled per replicate (the 64x
-    # shape blew janino's 64 KB method limit and fell back to interpreted):
-    # its first threshold literal appears once in the single bucket
-    # expression, not 64 times
     simple = df._jdf.queryExecution().executedPlan().toString()
-    assert simple.count("24109") <= 3, simple.count("24109")
+    # exactly one ladder per block-replicate column (16), never unrolled
+    # per replicate (the 64x shape blew janino's 64 KB method limit and
+    # fell back to interpreted)
+    assert simple.count("24109") <= 2 * 16, simple.count("24109")
+    # and the bucket extraction is a materialized column, not re-evaluated
+    # per CASE branch (5 branches x 16 would be 80+)
+    assert simple.count("conv(") <= 2 * 16, simple.count("conv(")
+    # the replicate explode sits ABOVE the block partial aggregate
+    # (post-agg bounded frame), not below it on the data-sized frame
+    gen_pos = simple.find("Generate explode(array(struct")
+    agg_pos = simple.find("partial_sum(w0")
+    assert gen_pos != -1 and agg_pos != -1 and gen_pos < agg_pos, (
+        gen_pos, agg_pos,
+    )
 
 
 def test_rfm_has_no_customer_sized_single_partition_window(spark):
