@@ -4918,6 +4918,94 @@ def gmm_lineitem_price3(spark, sf_dir):
     )
 
 
+# -- round-10 applied-analytics additions ----------------------------------
+
+
+def gini_nation_balances(spark, sf_dir):
+    """Per-nation Gini coefficient + Lorenz shares of positive customer
+    account balances (operators/inequality.py): rank weights and Lorenz
+    conditional sums are exact int64/DECIMAL through one keyed window
+    exchange + one groupBy; the coefficient is a single IEEE division —
+    VALUE-oracled (DuckDB replays the same windows and the floor/frac
+    decimal->double split)."""
+    from preprocessor_spark.operators.inequality import gini_by_group
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0).select(
+        "c_nationkey", "c_acctbal"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    return gini_by_group(j, "n_name", "c_acctbal")
+
+
+def benford_price_digits(spark, sf_dir):
+    """Benford first-digit conformity audit of l_extendedprice per return
+    flag (operators/benford.py): digits from the DECIMAL string rendering
+    (no float log10 near the digit), expected probabilities inlined as
+    shared literals (the Poisson-ladder constant pattern), one map-side
+    combined groupBy — VALUE-oracled per digit."""
+    from preprocessor_spark.operators.benford import benford_report
+
+    l = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    return benford_report(l, "l_returnflag", "l_extendedprice")
+
+
+def event_sequences_users(spark, sf_dir):
+    """Frequent consecutive event-type trigrams across user streams
+    (operators/seqmine.py): one keyed lead-window exchange builds the
+    grams, one groupBy counts occurrences and distinct users,
+    TakeOrderedAndProject keeps the top 40 — exact integer support,
+    VALUE-oracled."""
+    from preprocessor_spark.operators.seqmine import frequent_sequences
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return frequent_sequences(
+        e, "user_id", "event_id", "event_type", k=3, top=40
+    )
+
+
+def cox_ph_customers(spark, sf_dir):
+    """Cox proportional hazards on the customer-lifetime frame
+    (operators/survival.py cox_ph): duration/churn as in the KM/NA
+    queries, covariate = account balance scaled to O(1). Rows-only by
+    design (iterative partial-likelihood fit); graded by numpy-reference
+    equivalence, planted-effect recovery, and repartition bit-determinism
+    (quantized-moment sums)."""
+    from preprocessor_spark.operators.survival import cox_ph
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_o"),
+            F.max("o_orderdate").alias("last_o"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.col("o_custkey"),
+            F.datediff("last_o", "first_o").alias("lifetime_days"),
+            (F.datediff("h", "last_o") > 90).cast("int").alias("churned"),
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), (F.col("c_acctbal") / 1000.0).alias("bal_k")
+    )
+    j = per_cust.join(c, per_cust["o_custkey"] == c["c_custkey"])
+    fit = cox_ph(j, "lifetime_days", "churned", "bal_k", max_iter=12)
+    return spark.createDataFrame(
+        [(
+            fit["n"], fit["n_events"],
+            round(fit["beta"], 6) if fit["beta"] is not None else None,
+            round(fit["se"], 6) if fit["se"] is not None else None,
+            round(fit["hr"], 6) if fit["hr"] is not None else None,
+            fit["iterations"], fit["converged"],
+        )],
+        "n long, n_events long, beta double, se double, hr double, "
+        "iterations int, converged boolean",
+    )
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5207,6 +5295,13 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_na_customers": survival_na_customers,
         "rfm_segments_orders": rfm_segments_orders,
         "bootstrap_ci_priority": bootstrap_ci_priority,
+        # round-10 applied analytics: inequality / forensics / sequences /
+        # proportional hazards
+        "gini_nation_balances": gini_nation_balances,
+        "benford_price_digits": benford_price_digits,
+        "event_sequences_users": event_sequences_users,
+        # Cox PH (rows-only: iterative partial-likelihood Newton fit)
+        "cox_ph_customers": cox_ph_customers,
         # Holt forecasting + density clustering (round 8, rows-only)
         "forecast_holt_users": forecast_holt_users,
         "dbscan_embeddings": dbscan_embeddings,
@@ -8122,6 +8217,131 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY jaccard DESC, cn DESC, a, b
             LIMIT 40
+        """,
+        # Gini: rank weights and Lorenz conditional sums are exact
+        # int64/DECIMAL; the twin replays the same windows and the
+        # floor/frac decimal->double split
+        "gini_nation_balances": """
+            WITH base AS (
+                SELECT n.n_name AS grp, CAST(c.c_acctbal AS DECIMAL(18,4)) AS xd
+                FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                WHERE c.c_acctbal > 0
+            ), ranked AS (
+                SELECT grp, xd,
+                       ROW_NUMBER() OVER (PARTITION BY grp ORDER BY xd) AS rn,
+                       CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n_all
+                FROM base
+            ), cells AS (
+                SELECT grp, xd,
+                       CAST(CAST(2 * rn - n_all - 1 AS DECIMAL(20,0)) * xd
+                            AS DECIMAL(38,8)) AS w,
+                       rn <= n_all // 2 AS in_b50,
+                       rn > n_all - n_all // 10 AS in_t10
+                FROM ranked
+            ), agg AS (
+                SELECT grp, CAST(COUNT(xd) AS BIGINT) AS n,
+                       CAST(SUM(CAST(xd AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS sx,
+                       CAST(SUM(w) AS DECIMAL(38,8)) AS num,
+                       CAST(SUM(CASE WHEN in_b50
+                                     THEN CAST(xd AS DECIMAL(38,8)) END)
+                            AS DECIMAL(38,8)) AS sb50,
+                       CAST(SUM(CASE WHEN in_t10
+                                     THEN CAST(xd AS DECIMAL(38,8)) END)
+                            AS DECIMAL(38,8)) AS st10
+                FROM cells GROUP BY grp
+            )
+            SELECT grp AS "group", n,
+                   ROUND(CAST(floor(sx) AS DOUBLE)
+                         + CAST(sx - floor(sx) AS DOUBLE), 6) AS total,
+                   ROUND(CASE WHEN n > 1 THEN
+                       (CAST(floor(num) AS DOUBLE)
+                        + CAST(num - floor(num) AS DOUBLE))
+                       / (CAST(n AS DOUBLE)
+                          * (CAST(floor(sx) AS DOUBLE)
+                             + CAST(sx - floor(sx) AS DOUBLE)))
+                       ELSE 0.0 END, 6) AS gini,
+                   ROUND(COALESCE(CAST(floor(sb50) AS DOUBLE)
+                                  + CAST(sb50 - floor(sb50) AS DOUBLE), 0.0)
+                         / (CAST(floor(sx) AS DOUBLE)
+                            + CAST(sx - floor(sx) AS DOUBLE)), 6)
+                       AS bottom50_share,
+                   ROUND(COALESCE(CAST(floor(st10) AS DOUBLE)
+                                  + CAST(st10 - floor(st10) AS DOUBLE), 0.0)
+                         / (CAST(floor(sx) AS DOUBLE)
+                            + CAST(sx - floor(sx) AS DOUBLE)), 6)
+                       AS top10_share
+            FROM agg ORDER BY "group"
+        """,
+        # Benford: digits from the DECIMAL string rendering; expected
+        # probabilities are the SAME inlined repr literals the Spark
+        # template frame carries (generated from one Python constant)
+        "benford_price_digits": """
+            WITH base AS (
+                SELECT l_returnflag AS grp,
+                       regexp_extract(CAST(CAST(l_extendedprice
+                           AS DECIMAL(18,4)) AS VARCHAR), '[1-9]') AS ds
+                FROM lineitem
+                WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+            ), digits AS (
+                SELECT grp, CAST(ds AS INTEGER) AS digit
+                FROM base WHERE ds <> ''
+            ), counts AS (
+                SELECT grp, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+                FROM digits GROUP BY grp, digit
+            ), totals AS (
+                SELECT grp, CAST(SUM(n_obs) AS BIGINT) AS n_total
+                FROM counts GROUP BY grp
+            ), template AS (
+                SELECT * FROM (VALUES
+                    (1, CAST(0.3010299956639812 AS DOUBLE)),
+                    (2, CAST(0.17609125905568124 AS DOUBLE)),
+                    (3, CAST(0.12493873660829992 AS DOUBLE)),
+                    (4, CAST(0.09691001300805642 AS DOUBLE)),
+                    (5, CAST(0.07918124604762482 AS DOUBLE)),
+                    (6, CAST(0.06694678963061322 AS DOUBLE)),
+                    (7, CAST(0.05799194697768673 AS DOUBLE)),
+                    (8, CAST(0.05115252244738129 AS DOUBLE)),
+                    (9, CAST(0.04575749056067514 AS DOUBLE))
+                ) AS t(digit, expected)
+            ), full_t AS (
+                SELECT t.grp, tp.digit, tp.expected, t.n_total,
+                       COALESCE(c.n_obs, 0) AS n_obs
+                FROM totals t CROSS JOIN template tp
+                LEFT JOIN counts c ON c.grp = t.grp AND c.digit = tp.digit
+            )
+            SELECT grp AS "group", digit, n_obs, n_total,
+                   ROUND(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+                       AS frac_obs,
+                   ROUND(expected, 6) AS expected,
+                   ROUND(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE)
+                         - expected, 6) AS dev,
+                   ROUND((CAST(n_obs AS DOUBLE)
+                          - CAST(n_total AS DOUBLE) * expected)
+                         * (CAST(n_obs AS DOUBLE)
+                            - CAST(n_total AS DOUBLE) * expected)
+                         / (CAST(n_total AS DOUBLE) * expected), 6)
+                       AS chi2_part
+            FROM full_t ORDER BY "group", digit
+        """,
+        # consecutive trigram census: same LEAD windows, exact int support
+        "event_sequences_users": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                      AND event_type IS NOT NULL
+            ), grams AS (
+                SELECT user_id, event_type AS t0,
+                       LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                                 ORDER BY event_id) AS t1,
+                       LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                                 ORDER BY event_id) AS t2
+                FROM e
+            )
+            SELECT t0 || '>' || t1 || '>' || t2 AS seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+            FROM grams WHERE t2 IS NOT NULL
+            GROUP BY 1 ORDER BY n_occurrences DESC, seq LIMIT 40
         """,
         # Page's CUSUM: the S+/S- recursion is a seeded ordered left fold
         # (the EWMA list_reduce template with a STRUCT accumulator — the

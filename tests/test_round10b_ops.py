@@ -1,0 +1,269 @@
+"""Round-10 applied-analytics operators: Gini/Lorenz, Benford audit,
+sequence mining, Cox proportional hazards.
+
+The three SQL-expressible operators are value-oracled end-to-end in
+test_queries.py; these tests grade the math against independent scalar
+references on planted data and assert the scale shapes. Cox is rows-only
+(iterative partial-likelihood fit) — graded here by numpy-Breslow
+equivalence, planted-effect recovery, and repartition bit-determinism.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class TestGini:
+    def test_matches_scalar_reference(self, spark):
+        rng = np.random.default_rng(19)
+        rows = []
+        data = {}
+        for g, (lo, hi, n) in {
+            "a": (1.0, 100.0, 400),
+            "b": (50.0, 60.0, 300),
+            "c": (0.01, 1e6, 200),
+        }.items():
+            vals = np.round(rng.uniform(lo, hi, n), 2)
+            data[g] = vals
+            rows += [(g, float(v)) for v in vals]
+        from preprocessor_spark.operators.inequality import gini_by_group
+
+        df = spark.createDataFrame(rows, "g string, x double")
+        got = {r["group"]: r for r in gini_by_group(df, "g", "x").collect()}
+        for g, vals in data.items():
+            xs = np.sort(vals)
+            n = len(xs)
+            i = np.arange(1, n + 1)
+            ref = float(((2 * i - n - 1) * xs).sum() / (n * xs.sum()))
+            assert got[g]["gini"] == pytest.approx(ref, abs=1e-6), g
+            assert got[g]["n"] == n
+            assert got[g]["total"] == pytest.approx(float(xs.sum()), abs=1e-4)
+            b50 = float(xs[: n // 2].sum() / xs.sum())
+            t10 = float(xs[n - n // 10 :].sum() / xs.sum()) if n // 10 else 0.0
+            assert got[g]["bottom50_share"] == pytest.approx(b50, abs=1e-6), g
+            assert got[g]["top10_share"] == pytest.approx(t10, abs=1e-6), g
+
+    def test_known_extremes(self, spark):
+        from preprocessor_spark.operators.inequality import gini_by_group
+
+        rows = [("eq", 5.0)] * 10 + [("one", 0.0001)] * 9 + [("one", 1000.0)]
+        df = spark.createDataFrame(rows, "g string, x double")
+        got = {r["group"]: r for r in gini_by_group(df, "g", "x").collect()}
+        assert got["eq"]["gini"] == 0.0  # perfect equality
+        # single holder: G -> (n-1)/n = 0.9 (up to the epsilon holdings)
+        assert got["one"]["gini"] == pytest.approx(0.9, abs=1e-3)
+        assert got["one"]["top10_share"] == pytest.approx(1.0, abs=1e-3)
+
+    def test_single_keyed_exchange_no_single_partition(self, spark):
+        from preprocessor_spark.operators.inequality import gini_by_group
+
+        df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, x double")
+        plan = (
+            gini_by_group(df, "g", "x")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        body = plan.split("Sort [group")[-1]  # ignore the final orderBy
+        assert "Exchange SinglePartition" not in body, plan
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+class TestBenford:
+    def test_digit_extraction_cases(self, spark):
+        from preprocessor_spark.operators.benford import first_digit_expr
+
+        from pyspark.sql import functions as F
+
+        rows = [
+            (12345.6,), (0.052,), (-700.1,), (0.0,), (None,), (9.0,),
+            (0.0001,), (0.00004,),
+        ]
+        df = spark.createDataFrame(rows, "x double")
+        got = df.select(first_digit_expr(F.col("x")).alias("d")).collect()
+        # 0.0001 sits exactly on the DECIMAL(18,4) grid (digit 1);
+        # 0.00004 quantizes to 0.0000 — no significant digit
+        assert [r["d"] for r in got] == [1, 5, 7, None, None, 9, 1, None]
+
+    def test_report_matches_scalar_and_covers_all_digits(self, spark):
+        from collections import Counter
+
+        from preprocessor_spark.operators.benford import (
+            BENFORD_P,
+            benford_mad,
+            benford_report,
+        )
+
+        rng = np.random.default_rng(23)
+        # log-uniform sample IS Benford-distributed; plus a skewed group
+        ben = np.round(10 ** rng.uniform(0, 4, 3000), 2)
+        skew = np.round(rng.uniform(100, 199, 500), 2)  # all start with 1
+        rows = [("ben", float(v)) for v in ben] + [("skew", float(v)) for v in skew]
+        df = spark.createDataFrame(rows, "g string, x double")
+        out = benford_report(df, "g", "x").collect()
+        by_group = {}
+        for r in out:
+            by_group.setdefault(r["group"], []).append(r)
+        for g in ("ben", "skew"):
+            assert sorted(r["digit"] for r in by_group[g]) == list(range(1, 10))
+        # scalar reference on the skewed group: every value starts with 1
+        skew_rows = {r["digit"]: r for r in by_group["skew"]}
+        assert skew_rows[1]["n_obs"] == 500 and skew_rows[2]["n_obs"] == 0
+        assert skew_rows[1]["frac_obs"] == 1.0
+        assert skew_rows[3]["expected"] == pytest.approx(BENFORD_P[3], abs=1e-6)
+        chi1 = (500 - 500 * BENFORD_P[1]) ** 2 / (500 * BENFORD_P[1])
+        assert skew_rows[1]["chi2_part"] == pytest.approx(chi1, rel=1e-5)
+        # the log-uniform group conforms, the skewed one does not
+        assert benford_mad(by_group["ben"]) < 0.015
+        assert benford_mad(by_group["skew"]) > 0.05
+        # scalar recount of the conforming group
+        digits = Counter(int(str(f"{v:.4f}").lstrip("-0.")[0]) for v in ben)
+        ben_rows = {r["digit"]: r for r in by_group["ben"]}
+        for d in range(1, 10):
+            assert ben_rows[d]["n_obs"] == digits.get(d, 0), d
+
+    def test_broadcast_template_and_partial_agg(self, spark):
+        from preprocessor_spark.operators.benford import benford_report
+
+        df = spark.createDataFrame([("a", 12.0), ("a", 7.0)], "g string, x double")
+        plan = (
+            benford_report(df, "g", "x")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "partial_count" in plan or "partial_sum" in plan
+
+
+class TestSequences:
+    def test_matches_pandas_reference(self, spark):
+        from preprocessor_spark.operators.seqmine import frequent_sequences
+
+        rng = np.random.default_rng(31)
+        toks = ["view", "click", "cart", "purchase"]
+        rows = []
+        for uid in range(40):
+            for i in range(int(rng.integers(3, 20))):
+                rows.append((uid, uid * 1000 + i, toks[int(rng.integers(0, 4))]))
+        df = spark.createDataFrame(rows, "u long, o long, t string")
+        got = {
+            r["seq"]: (r["n_occurrences"], r["n_keys"])
+            for r in frequent_sequences(df, "u", "o", "t", k=2).collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["u", "o", "t"]).sort_values(["u", "o"])
+        ref: dict = {}
+        for u, g in pdf.groupby("u"):
+            ts = list(g["t"])
+            for a, b in zip(ts, ts[1:]):
+                k = f"{a}>{b}"
+                c, users = ref.get(k, (0, set()))
+                users.add(u)
+                ref[k] = (c + 1, users)
+        assert got == {k: (c, len(us)) for k, (c, us) in ref.items()}
+
+    def test_no_cross_key_grams_and_validation(self, spark):
+        from preprocessor_spark.operators.seqmine import frequent_sequences
+
+        rows = [(1, 1, "a"), (1, 2, "b"), (2, 3, "c"), (2, 4, "d")]
+        df = spark.createDataFrame(rows, "u long, o long, t string")
+        got = {r["seq"] for r in frequent_sequences(df, "u", "o", "t", k=2).collect()}
+        assert got == {"a>b", "c>d"}  # never "b>c" across the key boundary
+        with pytest.raises(ValueError, match="k must be"):
+            frequent_sequences(df, "u", "o", "t", k=1)
+
+    def test_single_exchange_topk_plan(self, spark):
+        from preprocessor_spark.operators.seqmine import frequent_sequences
+
+        rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c")]
+        df = spark.createDataFrame(rows, "u long, o long, t string")
+        plan = (
+            frequent_sequences(df, "u", "o", "t", k=3, top=10)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "CartesianProduct" not in plan
+
+
+def _cox_breslow_numpy(t, e, x, max_iter=12, tol=1e-9):
+    """Independent scalar Breslow reference."""
+    t, e, x = np.asarray(t, float), np.asarray(e, int), np.asarray(x, float)
+    beta = 0.0
+    for it in range(1, max_iter + 1):
+        r = np.exp(beta * x)
+        times = np.unique(t[e == 1])
+        u = info = 0.0
+        for tt in sorted(times):
+            risk = t >= tt
+            s0 = r[risk].sum()
+            s1 = (x[risk] * r[risk]).sum()
+            s2 = (x[risk] ** 2 * r[risk]).sum()
+            ev = (t == tt) & (e == 1)
+            dk = ev.sum()
+            u += x[ev].sum() - dk * s1 / s0
+            info += dk * (s2 / s0 - (s1 / s0) ** 2)
+        step = u / info
+        beta += step
+        if abs(step) < tol:
+            return beta, info, it
+    return beta, info, max_iter
+
+
+class TestCoxPH:
+    def _frame(self, spark, rng, n=800, beta_true=0.8):
+        x = rng.normal(0.0, 1.0, n).round(3)
+        lam = 0.05 * np.exp(beta_true * x)
+        dur = np.ceil(rng.exponential(1.0 / lam)).astype(int)
+        cens = np.ceil(rng.exponential(40.0, n)).astype(int)
+        t = np.minimum(dur, cens)
+        e = (dur <= cens).astype(int)
+        rows = [(int(a), int(b), float(c)) for a, b, c in zip(t, e, x)]
+        return spark.createDataFrame(rows, "t int, e int, x double"), t, e, x
+
+    def test_matches_numpy_breslow(self, spark):
+        from preprocessor_spark.operators.survival import cox_ph
+
+        rng = np.random.default_rng(7)
+        df, t, e, x = self._frame(spark, rng)
+        fit = cox_ph(df, "t", "e", "x")
+        ref_beta, ref_info, _ = _cox_breslow_numpy(t, e, x)
+        assert fit["converged"]
+        assert fit["beta"] == pytest.approx(ref_beta, abs=1e-6)
+        assert fit["se"] == pytest.approx(1.0 / math.sqrt(ref_info), rel=1e-5)
+        assert fit["n"] == len(t) and fit["n_events"] == int(e.sum())
+
+    def test_planted_effect_recovery_and_null(self, spark):
+        from preprocessor_spark.operators.survival import cox_ph
+
+        rng = np.random.default_rng(11)
+        df, *_ = self._frame(spark, rng, n=1500, beta_true=0.8)
+        fit = cox_ph(df, "t", "e", "x")
+        # planted log-hazard-ratio recovered within ~3 SE
+        assert abs(fit["beta"] - 0.8) < 3 * fit["se"] + 0.05
+        assert fit["hr"] == pytest.approx(math.exp(fit["beta"]), rel=1e-9)
+        # null covariate: beta ~ 0 within 3 SE
+        df0, *_ = self._frame(spark, rng, n=1000, beta_true=0.0)
+        fit0 = cox_ph(df0, "t", "e", "x")
+        assert abs(fit0["beta"]) < 3 * fit0["se"] + 0.02
+
+    def test_repartition_bit_determinism(self, spark):
+        from preprocessor_spark.operators.survival import cox_ph
+
+        rng = np.random.default_rng(13)
+        df, *_ = self._frame(spark, rng, n=600)
+        a = cox_ph(df.repartition(3), "t", "e", "x")
+        b = cox_ph(df.repartition(17), "t", "e", "x")
+        assert a["beta"] == b["beta"] and a["se"] == b["se"]
+
+    def test_no_events_degenerate(self, spark):
+        from preprocessor_spark.operators.survival import cox_ph
+
+        df = spark.createDataFrame([(5, 0, 1.0), (7, 0, 2.0)], "t int, e int, x double")
+        fit = cox_ph(df, "t", "e", "x")
+        assert fit["n_events"] == 0 and fit["beta"] is None and not fit["converged"]
