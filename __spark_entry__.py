@@ -1412,14 +1412,24 @@ def forecast_holt_users(spark, sf_dir):
     """Per-user Holt linear-trend forecast (operators/holt.py): each
     user's event-value series gathered with ONE keyed repartition+groupBy
     (the ts_spectral AQE-coalescing guard), O(n) level+trend recursion per
-    series in one Arrow stage, 3-step-ahead forecasts. Rows-only
-    (sequential recursion is not SQL); invariants + straight-line
-    exactness in tests/test_holt.py."""
+    series in one Arrow stage, 3-step-ahead forecasts. VALUE-oracled since
+    round 10: the level/trend recursion is a seeded ordered left fold, so
+    the DuckDB twin replays it with a TWO-PHASE struct-accumulator
+    list_reduce (mutual recursion is inexpressible in one fold step under
+    duckdb 1.0's probed semantics — see the oracle's comment; phase 0
+    computes the new level into a scratch field from pre-step values only,
+    phase 1 commits). The forecast array projects to scalar f1..f3
+    columns for the exact cross-engine compare."""
     from preprocessor_spark.operators.holt import holt_forecast
 
     e = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
     out = holt_forecast(e, "user_id", "ts", "value", alpha=0.5, beta=0.3, horizon=3)
-    return out.orderBy("user_id")
+    return out.select(
+        "user_id", "n", "level", "trend", "rmse",
+        F.col("forecast")[0].alias("f1"),
+        F.col("forecast")[1].alias("f2"),
+        F.col("forecast")[2].alias("f3"),
+    ).orderBy("user_id")
 
 
 def isotonic_discount_returnrate(spark, sf_dir):
@@ -8412,6 +8422,86 @@ def oracle_sql() -> dict[str, str]:
             FROM folded
             WHERE st.na > 0
             ORDER BY key
+        """,
+        # Holt linear smoothing: seeded ordered struct fold (the CUSUM
+        # template). Field order matters under duckdb 1.0's in-order
+        # field evaluation: sse/lp read the OLD level+trend (they precede
+        # l), l reads old l+b (its own write happens last in its slot),
+        # and b deliberately reads the NEW l plus lp (= old l) — exactly
+        # the numpy recursion's op order.
+        "forecast_holt_users": """
+            WITH f AS (
+                SELECT user_id AS key, ts AS pos, CAST(value AS DOUBLE) AS x
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND value IS NOT NULL
+            ), agg AS (
+                SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+                       list_transform(list_sort(list({'pos': pos, 'x': x})),
+                                      e -> e.x) AS xs
+                FROM f GROUP BY key
+            ), folded AS (
+                -- TWO-PHASE fold: the level/trend recursion is mutually
+                -- recursive, which no single-step field order can express
+                -- safely under duckdb 1.0's fold semantics (probed: first
+                -- step snapshot, later steps live-buffer in field order,
+                -- plain acc.f copies alias the final buffer, and
+                -- within-step write-then-read leaks across rows in the
+                -- vectorized lambda). So each element appears twice:
+                -- phase 0 accumulates the SSE and computes the new level
+                -- into the ln scratch field reading only pre-step values;
+                -- phase 1 commits b from (ln, old l) and l := ln. Every
+                -- read in both phases resolves identically under snapshot
+                -- and in-place semantics; self-copies are
+                -- arithmetic-forced (+0.0).
+                SELECT key, n,
+                       list_reduce(
+                           list_prepend(
+                               {'sse': CAST(0.0 AS DOUBLE),
+                                'ln': CAST(0.0 AS DOUBLE),
+                                'b': xs[2] - xs[1],
+                                'l': xs[1],
+                                'ph': CAST(0 AS INTEGER),
+                                'x': CAST(0.0 AS DOUBLE)},
+                               flatten(list_transform(xs[2:], x -> [
+                                   {'sse': CAST(0.0 AS DOUBLE),
+                                    'ln': CAST(0.0 AS DOUBLE),
+                                    'b': CAST(0.0 AS DOUBLE),
+                                    'l': CAST(0.0 AS DOUBLE),
+                                    'ph': CAST(0 AS INTEGER), 'x': x},
+                                   {'sse': CAST(0.0 AS DOUBLE),
+                                    'ln': CAST(0.0 AS DOUBLE),
+                                    'b': CAST(0.0 AS DOUBLE),
+                                    'l': CAST(0.0 AS DOUBLE),
+                                    'ph': CAST(1 AS INTEGER), 'x': x}]))
+                           ),
+                           (acc, e) -> CASE WHEN e.ph = 0 THEN {
+                               'sse': acc.sse + (e.x - (acc.l + acc.b))
+                                              * (e.x - (acc.l + acc.b)),
+                               'ln': 0.5 * e.x + 0.5 * (acc.l + acc.b),
+                               'b': acc.b + 0.0,
+                               'l': acc.l + 0.0,
+                               'ph': e.ph,
+                               'x': e.x
+                           } ELSE {
+                               'sse': acc.sse + 0.0,
+                               'ln': acc.ln + 0.0,
+                               'b': 0.3 * (acc.ln - acc.l) + 0.7 * acc.b,
+                               'l': acc.ln + 0.0,
+                               'ph': e.ph,
+                               'x': e.x
+                           } END
+                       ) AS st
+                FROM agg WHERE n >= 2
+            )
+            SELECT key AS user_id, n,
+                   ROUND(st.l, 6) AS level,
+                   ROUND(st.b, 6) AS trend,
+                   ROUND(sqrt(st.sse / CAST(n - 1 AS DOUBLE)), 6) AS rmse,
+                   ROUND(st.l + 1 * st.b, 6) AS f1,
+                   ROUND(st.l + 2 * st.b, 6) AS f2,
+                   ROUND(st.l + 3 * st.b, 6) AS f3
+            FROM folded ORDER BY user_id
         """,
         "ewma_events_users": """
             WITH tail AS (

@@ -16,8 +16,10 @@ Scale shape — the `ts_spectral` gather contract: ONE keyed repartition +
 groupBy collapses each series to a sorted (order, value) array (bounded by
 series length, the caller's contract), then ONE Arrow-batched applyInPandas
 stage runs the O(n) recursion per series in numpy. Series count is the
-parallelism axis; nothing is collected. Rows-only grading (a sequential
-recursion is not SQL) with an independent straight-line reference test.
+parallelism axis; nothing is collected. VALUE-oracled since round 10: the
+post-drain recursion is a seeded ordered left fold, replayed in DuckDB
+with a two-phase struct-accumulator ``list_reduce`` (straight-line
+reference test retained).
 """
 
 from __future__ import annotations
