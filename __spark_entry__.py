@@ -4752,16 +4752,25 @@ def forecast_hw_users(spark, sf_dir):
     holt_winters_forecast, period 6; streaming twin
     streaming.holt_winters_stream with pytest-exact batch equivalence):
     level + trend + seasonal-ring state, one keyed gather + one Arrow
-    recursion stage. Rows-only by design (sequential triple recursion);
-    graded by planted-signal recovery, parameter degeneracies, and the
-    stream-twin drain test. Top 30 users by |trend|."""
+    recursion stage. VALUE-oracled since round 10 — the deepest fold
+    promotion yet: the triple recursion (level, trend, season-6 ring)
+    replays in DuckDB as a TWO-PHASE struct-accumulator list_reduce whose
+    state includes a LIST field for the ring (shift via slice+append,
+    self-copies arithmetic-forced, every read pre-step — the
+    forecast_holt_users design extended to list state). Seasonal/forecast
+    arrays project to scalar s1..s6/f1..f6 for the exact compare. Top 30
+    users by |trend|."""
     from preprocessor_spark.operators.holt import holt_winters_forecast
 
     e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
     out = holt_winters_forecast(
         e, "user_id", "event_id", "value", season=6, horizon=6
     )
-    return out.orderBy(F.abs(F.col("trend")).desc_nulls_last(), "user_id").limit(30)
+    return out.select(
+        "user_id", "n", "level", "trend", "rmse",
+        *[F.col("seasonal")[i].alias(f"s{i + 1}") for i in range(6)],
+        *[F.col("forecast")[i].alias(f"f{i + 1}") for i in range(6)],
+    ).orderBy(F.abs(F.col("trend")).desc_nulls_last(), "user_id").limit(30)
 
 
 def cv_ols_price_folds(spark, sf_dir):
@@ -5299,7 +5308,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_linear_events": attribution_linear_events,
         "attribution_last_touch_events": attribution_last_touch_events,
         "graph_wsp_custsupp": graph_wsp_custsupp,
-        # Holt-Winters triple smoothing (rows-only: sequential recursion)
+        # Holt-Winters triple smoothing (round-10: two-phase list-ring
+        # fold oracle)
         "forecast_hw_users": forecast_hw_users,
         "cv_ols_price_folds": cv_ols_price_folds,
         "survival_na_customers": survival_na_customers,
@@ -8429,6 +8439,82 @@ def oracle_sql() -> dict[str, str]:
         # l), l reads old l+b (its own write happens last in its slot),
         # and b deliberately reads the NEW l plus lp (= old l) — exactly
         # the numpy recursion's op order.
+        # Holt-Winters: the two-phase fold extended with a LIST ring
+        # field (shift = slice+append; self-copies arithmetic-forced;
+        # every read pre-step — see forecast_holt_users for the probed
+        # duckdb-1.0 fold semantics these designs are robust to)
+        "forecast_hw_users": """
+            WITH f AS (
+                SELECT user_id AS key, event_id AS pos, CAST(value AS DOUBLE) AS x
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                      AND value IS NOT NULL
+            ), agg AS (
+                SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+                       list_transform(list_sort(list({'pos': pos, 'x': x})),
+                                      e -> e.x) AS xs
+                FROM f GROUP BY key HAVING COUNT(*) >= 12
+            ), seeded AS (
+                SELECT key, n, xs,
+                       list_reduce(list_prepend(0.0, xs[1:6]), (p, q) -> p + q) / 6 AS l0
+                FROM agg
+            ), folded AS (
+                SELECT key, n,
+                       list_reduce(
+                           list_prepend(
+                               {'sse': CAST(0.0 AS DOUBLE), 'nl': CAST(0.0 AS DOUBLE),
+                                'b': (list_reduce(list_prepend(0.0, xs[7:12]),
+                                                  (p, q) -> p + q) / 6 - l0) / 6,
+                                'l': l0,
+                                'ring': list_transform(xs[1:6], v -> v - l0),
+                                'ph': CAST(0 AS INTEGER), 'x': CAST(0.0 AS DOUBLE)},
+                               flatten(list_transform(xs[7:], x -> [
+                                   {'sse': CAST(0.0 AS DOUBLE), 'nl': CAST(0.0 AS DOUBLE),
+                                    'b': CAST(0.0 AS DOUBLE), 'l': CAST(0.0 AS DOUBLE),
+                                    'ring': CAST([] AS DOUBLE[]),
+                                    'ph': CAST(0 AS INTEGER), 'x': x},
+                                   {'sse': CAST(0.0 AS DOUBLE), 'nl': CAST(0.0 AS DOUBLE),
+                                    'b': CAST(0.0 AS DOUBLE), 'l': CAST(0.0 AS DOUBLE),
+                                    'ring': CAST([] AS DOUBLE[]),
+                                    'ph': CAST(1 AS INTEGER), 'x': x}]))
+                           ),
+                           (acc, e) -> CASE WHEN e.ph = 0 THEN {
+                               'sse': acc.sse + (e.x - (acc.l + acc.b + acc.ring[1]))
+                                              * (e.x - (acc.l + acc.b + acc.ring[1])),
+                               'nl': 0.5 * (e.x - acc.ring[1]) + 0.5 * (acc.l + acc.b),
+                               'b': acc.b + 0.0,
+                               'l': acc.l + 0.0,
+                               'ring': list_transform(acc.ring, v -> v + 0.0),
+                               'ph': e.ph, 'x': e.x
+                           } ELSE {
+                               'sse': acc.sse + 0.0,
+                               'nl': acc.nl + 0.0,
+                               'b': 0.3 * (acc.nl - acc.l) + 0.7 * acc.b,
+                               'l': acc.nl + 0.0,
+                               'ring': list_append(
+                                   list_transform(acc.ring[2:], v -> v + 0.0),
+                                   0.3 * (e.x - acc.nl) + 0.7 * acc.ring[1]),
+                               'ph': e.ph, 'x': e.x
+                           } END
+                       ) AS st
+                FROM seeded
+            )
+            SELECT key AS user_id, n,
+                   ROUND(st.l, 6) AS level,
+                   ROUND(st.b, 6) AS trend,
+                   ROUND(sqrt(st.sse / CAST(n - 6 AS DOUBLE)), 6) AS rmse,
+                   ROUND(st.ring[1], 6) AS s1, ROUND(st.ring[2], 6) AS s2,
+                   ROUND(st.ring[3], 6) AS s3, ROUND(st.ring[4], 6) AS s4,
+                   ROUND(st.ring[5], 6) AS s5, ROUND(st.ring[6], 6) AS s6,
+                   ROUND(st.l + 1 * st.b + st.ring[1], 6) AS f1,
+                   ROUND(st.l + 2 * st.b + st.ring[2], 6) AS f2,
+                   ROUND(st.l + 3 * st.b + st.ring[3], 6) AS f3,
+                   ROUND(st.l + 4 * st.b + st.ring[4], 6) AS f4,
+                   ROUND(st.l + 5 * st.b + st.ring[5], 6) AS f5,
+                   ROUND(st.l + 6 * st.b + st.ring[6], 6) AS f6
+            FROM folded
+            ORDER BY ABS(ROUND(st.b, 6)) DESC NULLS LAST, user_id LIMIT 30
+        """,
         "forecast_holt_users": """
             WITH f AS (
                 SELECT user_id AS key, ts AS pos, CAST(value AS DOUBLE) AS x

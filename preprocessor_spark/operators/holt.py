@@ -247,7 +247,8 @@ def holt_winters_forecast(
     Scale shape — identical to holt_forecast: ONE keyed repartition +
     groupBy gathers each series (bounded length contract), ONE
     Arrow-batched mapInPandas stage runs the O(n) recursion in numpy.
-    Rows-only grading (sequential recursion) with planted-signal recovery,
+    VALUE-oracled since round 10 (two-phase list-ring DuckDB fold — see
+    the forecast_hw_users oracle) alongside planted-signal recovery,
     parameter-degeneracy, and exact stream-twin equivalence tests.
     """
     if not (0.0 < alpha <= 1.0) or not (0.0 <= beta <= 1.0) or not (0.0 <= gamma <= 1.0):
