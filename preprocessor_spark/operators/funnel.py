@@ -73,6 +73,16 @@ def funnel_report(
     per_user = df.groupBy(user_col).agg(
         *[F.min(t).alias(t) for t in tcols]
     )
+    return _report_from_per_user(per_user, tcols, steps)
+
+
+def _report_from_per_user(
+    per_user: DataFrame, tcols: list[str], steps: list[str]
+) -> DataFrame:
+    """Shared report builder over per-user step-completion timestamps —
+    also the drain-side aggregator of the streaming twin
+    (:func:`preprocessor_spark.streaming.funnel_report_from_states`), so
+    both venues share the exact BIGINT-microsecond arithmetic."""
     # exact BIGINT microsecond gaps; one double division at the end
     gaps = per_user.select(
         *[

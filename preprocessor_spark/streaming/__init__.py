@@ -708,3 +708,103 @@ def merge_sharded_heavy_hitters(
         .orderBy(F.desc("est"), F.asc("item"))
     )
     return out.limit(k) if k else out
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stateful streaming funnel — the live twin of
+    :func:`preprocessor_spark.operators.funnel.funnel_report`.
+
+    Per-user state is the k-slot completion-time vector of the strictly
+    ordered first-touch funnel, held as EPOCH-MICROSECOND bigints (the
+    state codec does not take timestamp arrays; micros are also exactly
+    the unit the batch report's gap arithmetic uses). The forward pass is
+    EXACTLY the batch chained-min semantics under the per-key in-order
+    drain contract (induction: step i−1's completion is set at the event
+    that attains the batch minimum; every earlier step-i event has
+    ts ≤ t_{i−1} and fails the strict >, every later one is examined in
+    time order, so the first qualifying step-i event IS the batch min —
+    pytest-asserted exact report equivalence incl. repeated step types
+    and ts ties).
+
+    Emits one row per user per batch: (user, n_events, stage,
+    t0..t{k−1} micros); aggregate the drained sink with
+    :func:`funnel_report_from_states` for the batch report. State is
+    O(k) per user.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    k = len(steps)
+    idx_of: dict = {}
+    for i, st in enumerate(steps):
+        idx_of.setdefault(st, []).append(i)
+    key_type = events.schema[user_col].dataType.simpleString()
+    tcols = [f"t{i}" for i in range(k)]
+    out_schema = (
+        f"{user_col} {key_type}, n_events bigint, stage int, "
+        + ", ".join(f"{t} bigint" for t in tcols)
+    )
+    state_schema = "n bigint, " + ", ".join(f"{t} bigint" for t in tcols)
+
+    def _update(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            got = state.get
+            n, times = got[0], list(got[1:])
+        else:
+            n, times = 0, [None] * k
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[
+            rows[type_col].notna() & rows[ts_col].notna()
+        ].sort_values(ts_col)
+        for ts, et in zip(rows[ts_col], rows[type_col]):
+            n += 1
+            us = pd.Timestamp(ts).value // 1000  # exact epoch micros
+            for i in idx_of.get(et, ()):
+                if times[i] is not None:
+                    continue
+                if i == 0 or (times[i - 1] is not None and us > times[i - 1]):
+                    times[i] = us
+        state.update((n, *times))
+        if n:
+            stage = sum(1 for t in times if t is not None)
+            yield pd.DataFrame(
+                [{
+                    user_col: key_tuple[0],
+                    "n_events": n,
+                    "stage": stage,
+                    **{t: times[i] for i, t in enumerate(tcols)},
+                }]
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def funnel_report_from_states(states: DataFrame, steps: list[str]) -> DataFrame:
+    """Drained per-user funnel states → the batch ``funnel_report`` frame
+    (step_idx, step, n_users, conv_from_prev, avg_gap_secs), using the
+    SAME exact BIGINT-microsecond arithmetic so the two reports are
+    bit-equal after a full in-order drain. The latest emission per user
+    (max n_events — nondecreasing) is its final state."""
+    from preprocessor_spark.operators.funnel import _report_from_per_user
+
+    k = len(steps)
+    tcols = [f"__t{i}" for i in range(k)]
+    per_user = states.groupBy(states.columns[0]).agg(
+        *[
+            F.timestamp_micros(F.max_by(f"t{i}", "n_events")).alias(t)
+            for i, t in enumerate(tcols)
+        ]
+    )
+    return _report_from_per_user(per_user, tcols, steps)

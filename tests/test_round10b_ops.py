@@ -267,3 +267,66 @@ class TestCoxPH:
         df = spark.createDataFrame([(5, 0, 1.0), (7, 0, 2.0)], "t int, e int, x double")
         fit = cox_ph(df, "t", "e", "x")
         assert fit["n_events"] == 0 and fit["beta"] is None and not fit["converged"]
+
+
+def test_funnel_stream_equals_batch_after_drain(spark, tmp_path):
+    """Round-10 streaming funnel twin: after an in-order drain the
+    aggregated per-user states reproduce the batch funnel_report
+    bit-exactly (same BIGINT-microsecond arithmetic), including repeated
+    step types, ts ties, and users who never convert."""
+    import time
+
+    from preprocessor_spark.operators.funnel import funnel_report
+    from preprocessor_spark.streaming import (
+        funnel_report_from_states,
+        funnel_stream,
+        run_available_now,
+    )
+
+    rng = np.random.default_rng(59)
+    toks = ["view", "click", "purchase", "noise"]
+    rows = []
+    eid = 0
+    t0 = pd.Timestamp("2024-01-01")
+    for uid in range(60):
+        n = int(rng.integers(2, 25))
+        for i in range(n):
+            # coarse second grid to force ts ties within and across users
+            ts = t0 + pd.Timedelta(seconds=int(rng.integers(0, 40)))
+            rows.append(
+                (eid, ts.to_pydatetime(), uid, toks[int(rng.integers(0, 4))], 0.0, "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    # in-order drain contract: split by event time, early file then late
+    cut = t0 + pd.Timedelta(seconds=20)
+    src = str(tmp_path / "funnel_events")
+    spark.createDataFrame(pdf[pdf.ts < cut]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(pdf[pdf.ts >= cut]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    steps = ["view", "click", "click", "purchase"]  # repeated step type
+    run_available_now(
+        funnel_stream(stream, steps, "user_id", "ts", "event_type"),
+        "funnel_state", output_mode="update",
+    )
+    got = funnel_report_from_states(spark.table("funnel_state"), steps).collect()
+    want = funnel_report(
+        spark.createDataFrame(pdf), "user_id", "ts", "event_type", steps
+    ).collect()
+    assert len(got) == len(want) == len(steps)
+    for g, w in zip(got, want):
+        assert g == w, (g, w)
