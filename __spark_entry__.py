@@ -5025,6 +5025,53 @@ def cox_ph_customers(spark, sf_dir):
     )
 
 
+def wquantile_price_by_flag(spark, sf_dir):
+    """Quantity-weighted price quantiles per return flag
+    (operators/wquantile.py): distinct-value collapse, exact DECIMAL
+    cumulative weights under one keyed window, thresholds as exact
+    DECIMAL products on the 1e-6 probability grid — the selected order
+    statistics are exact, VALUE-oracled."""
+    from preprocessor_spark.operators.wquantile import weighted_quantiles
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return weighted_quantiles(
+        l, "l_returnflag", "l_extendedprice", "l_quantity",
+        probs=(0.25, 0.5, 0.75, 0.9),
+    )
+
+
+def prop_ztest_orders(spark, sf_dir):
+    """Two-proportion z-test + prospective power sizing
+    (operators/abtest.py two_proportion_ztest) on the same deterministic
+    md5-bucket experiment as CUPED: variant = bucket % 2, success =
+    order fulfilled (o_orderstatus = 'F'). Exact BIGINT counts; z / CI /
+    required-n single IEEE expressions; p-value via the shared
+    Zelen-Severo polynomial — VALUE-oracled."""
+    from preprocessor_spark.operators.abtest import two_proportion_ztest
+    from preprocessor_spark.operators.splits import split_bucket_expr
+
+    o = _t(spark, sf_dir, "orders").select(
+        (split_bucket_expr(F.col("o_custkey")) % 2).cast("int").alias("variant"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("success"),
+    )
+    return two_proportion_ztest(o, "variant", "success", control=None)
+
+
+def skew_events_users(spark, sf_dir):
+    """Key-skew diagnosis report (operators/skew.py skew_report) over the
+    events table's user_id — the measurement step behind salted_join /
+    two_stage_agg: top heavy keys with exact counts, share, skew factor
+    vs the mean key, p50/p99 context, and the suggested salt-bucket
+    count. One map-side-combined groupBy; everything else on the
+    |distinct keys| frame — VALUE-oracled."""
+    from preprocessor_spark.operators.skew import skew_report
+
+    e = _t(spark, sf_dir, "events")
+    return skew_report(e, ["user_id"], top=10)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5319,6 +5366,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # proportional hazards
         "gini_nation_balances": gini_nation_balances,
         "benford_price_digits": benford_price_digits,
+        "wquantile_price_by_flag": wquantile_price_by_flag,
+        "prop_ztest_orders": prop_ztest_orders,
+        "skew_events_users": skew_events_users,
         "event_sequences_users": event_sequences_users,
         # Cox PH (rows-only: iterative partial-likelihood Newton fit)
         "cox_ph_customers": cox_ph_customers,
@@ -8237,6 +8287,134 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY jaccard DESC, cn DESC, a, b
             LIMIT 40
+        """,
+        # weighted quantiles: exact DECIMAL cumulative weights, thresholds
+        # as DECIMAL products on the 1e-6 grid — same windows both engines
+        "wquantile_price_by_flag": """
+            WITH base AS (
+                SELECT l_returnflag AS grp, l_extendedprice AS v,
+                       CAST(l_quantity AS DECIMAL(18,6)) AS wd
+                FROM lineitem
+                WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+                      AND l_quantity IS NOT NULL AND l_quantity > 0
+            ), cells AS (
+                SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(wd AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sw
+                FROM base GROUP BY grp, v
+            ), staged AS (
+                SELECT grp, v, n,
+                       CAST(SUM(sw) OVER (PARTITION BY grp ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,6)) AS cw,
+                       CAST(SUM(sw) OVER (PARTITION BY grp)
+                            AS DECIMAL(38,6)) AS tw
+                FROM cells
+            ), agg AS (
+                SELECT grp, CAST(SUM(n) AS BIGINT) AS n, MAX(tw) AS tw,
+                       MIN(CASE WHEN cw >= tw * CAST('0.250000' AS DECIMAL(10,6))
+                                THEN v END) AS p25,
+                       MIN(CASE WHEN cw >= tw * CAST('0.500000' AS DECIMAL(10,6))
+                                THEN v END) AS p50,
+                       MIN(CASE WHEN cw >= tw * CAST('0.750000' AS DECIMAL(10,6))
+                                THEN v END) AS p75,
+                       MIN(CASE WHEN cw >= tw * CAST('0.900000' AS DECIMAL(10,6))
+                                THEN v END) AS p90
+                FROM staged GROUP BY grp
+            )
+            SELECT grp AS "group", n,
+                   ROUND(CAST(floor(tw) AS DOUBLE)
+                         + CAST(tw - floor(tw) AS DOUBLE), 6) AS w_total,
+                   p25, p50, p75, p90
+            FROM agg ORDER BY "group"
+        """,
+        # two-proportion z-test: exact counts; z/CI/required-n single IEEE
+        # expressions; p-value via the shared Zelen-Severo polynomial; the
+        # alpha/power normal quantiles are the SAME Acklam doubles the
+        # Spark plan inlines (generated from one Python constant)
+        "prop_ztest_orders": """
+            WITH o AS (
+                SELECT CAST(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 10000 % 2 AS INT) AS variant,
+                       CAST(o_orderstatus = 'F' AS INT) AS success
+                FROM orders
+                WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL
+            ), cells AS (
+                SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(success) AS BIGINT) AS k
+                FROM o GROUP BY variant
+            ), ctrl AS (
+                SELECT n AS n_c, k AS k_c FROM cells WHERE variant = 0
+            ), ex AS (
+                SELECT c.variant, c.n, c.k, ctrl.n_c, ctrl.k_c,
+                       CAST(ctrl.n_c AS DOUBLE) AS dnc,
+                       CAST(ctrl.k_c AS DOUBLE) AS dkc,
+                       CAST(c.n AS DOUBLE) AS dnt,
+                       CAST(c.k AS DOUBLE) AS dkt
+                FROM cells c, ctrl WHERE c.variant <> 0
+            ), calc AS (
+                SELECT *,
+                       dkc / dnc AS p_c, dkt / dnt AS p_t,
+                       (dkc + dkt) / (dnc + dnt) AS p_pool,
+                       dkt / dnt - dkc / dnc AS delta
+                FROM ex
+            ), zc AS (
+                SELECT *,
+                       (p_t - p_c) / sqrt(p_pool * (1.0 - p_pool)
+                           * (1.0 / dnc + 1.0 / dnt)) AS z,
+                       sqrt(p_c * (1.0 - p_c) / dnc
+                            + p_t * (1.0 - p_t) / dnt) AS se_wald
+                FROM calc
+            ), pv AS (
+                SELECT *,
+                       1.0 / (1.0 + 0.2316419 * abs(z)) AS tt
+                FROM zc
+            )
+            SELECT 0 AS control, variant AS treatment,
+                   n_c AS n_control, k_c AS k_control,
+                   n AS n_treatment, k AS k_treatment,
+                   ROUND(p_c, 6) AS rate_control,
+                   ROUND(p_t, 6) AS rate_treatment,
+                   ROUND(delta, 6) AS diff,
+                   ROUND(z, 6) AS z,
+                   ROUND(2.0 * ((exp(-(abs(z) * abs(z)) / 2.0)
+                                 / 2.5066282746310002)
+                         * (tt * (0.319381530 + tt * (-0.356563782
+                            + tt * (1.781477937 + tt * (-1.821255978
+                            + tt * 1.330274429)))))), 6) AS p_value,
+                   ROUND(delta - 1.959963986120195 * se_wald, 6) AS ci_lo,
+                   ROUND(delta + 1.959963986120195 * se_wald, 6) AS ci_hi,
+                   CASE WHEN abs(delta) > 0 THEN
+                       CAST(CEIL(7.848879738460949 * (p_c * (1.0 - p_c)
+                            + p_t * (1.0 - p_t)) / (delta * delta))
+                            AS BIGINT) END AS n_per_arm_for_observed_diff
+            FROM pv ORDER BY treatment
+        """,
+        # skew diagnosis: exact BIGINT counts; Spark percentile == DuckDB
+        # quantile_cont (interpolation parity, the RFM precedent)
+        "skew_events_users": """
+            WITH counts AS (
+                SELECT CAST(user_id AS VARCHAR) AS user_id,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ), stats AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                       quantile_cont(cnt, 0.5) AS p50,
+                       quantile_cont(cnt, 0.99) AS p99
+                FROM counts
+            )
+            SELECT c.user_id AS key, c.cnt AS n, s.n_keys, s.n_rows,
+                   ROUND(CAST(c.cnt AS DOUBLE) / CAST(s.n_rows AS DOUBLE), 6)
+                       AS share,
+                   ROUND(CAST(c.cnt AS DOUBLE)
+                         / (CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE)),
+                         6) AS skew_factor,
+                   ROUND(s.p50, 6) AS p50_key_rows,
+                   ROUND(s.p99, 6) AS p99_key_rows,
+                   CAST(LEAST(CEIL(CAST(c.cnt AS DOUBLE)
+                        / (CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE))),
+                        256) AS INT) AS suggested_salt
+            FROM counts c, stats s
+            ORDER BY n DESC, key ASC LIMIT 10
         """,
         # Gini: rank weights and Lorenz conditional sums are exact
         # int64/DECIMAL; the twin replays the same windows and the

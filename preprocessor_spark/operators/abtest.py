@@ -118,3 +118,113 @@ def cuped_adjusted_means(
             F.when(var_raw > 0, (F.lit(1.0) - var_c / var_raw) * 100.0), 4
         ).alias("var_reduction_pct"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    variant_col: str,
+    success_col,
+    control: str | None = None,
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """Two-proportion z-test of every treatment variant against the
+    control — the conversion-rate counterpart of the CUPED/Welch pipeline.
+
+    Per (control, treatment) pair, from EXACT success/total counts:
+    pooled z = (p_t − p_c) / sqrt(p̂(1−p̂)(1/n_c + 1/n_t)), two-sided
+    normal p-value via the shared Zelen-Severo polynomial
+    (:func:`preprocessor_spark.operators.hypotests._normal_sf` — a
+    closed-form double expression both engines replay), Wald CI on the
+    difference, and the prospective per-arm sample size for detecting the
+    OBSERVED difference at the requested alpha/power (the classic
+    (z_{α/2}+z_β)²(p_c q_c + p_t q_t)/δ² planning formula; the normal
+    quantiles are driver-side plan constants). Every number is a
+    deterministic IEEE expression over exact BIGINT counts —
+    VALUE-oracle-able.
+
+    ``control`` defaults to the lexicographically smallest variant. One
+    map-side-combined groupBy; the frame never exceeds |variants| rows.
+    """
+    from preprocessor_spark.operators.hypotests import _normal_sf
+
+    v = F.col(variant_col)
+    s = F.col(success_col).cast("int")
+    cells = (
+        df.where(v.isNotNull() & F.col(success_col).isNotNull())
+        .groupBy(v.alias("variant"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(s).alias("k"))
+    )
+    if control is None:
+        control = cells.agg(F.min("variant")).collect()[0][0]
+    ctrl = cells.where(F.col("variant") == F.lit(control)).select(
+        F.col("n").alias("n_c"), F.col("k").alias("k_c")
+    )
+    pairs = cells.where(F.col("variant") != F.lit(control)).crossJoin(
+        F.broadcast(ctrl)
+    )
+    n_c, k_c = F.col("n_c").cast("double"), F.col("k_c").cast("double")
+    n_t, k_t = F.col("n").cast("double"), F.col("k").cast("double")
+    p_c, p_t = k_c / n_c, k_t / n_t
+    p_pool = (k_c + k_t) / (n_c + n_t)
+    se_pool = F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_c + 1.0 / n_t))
+    z = (p_t - p_c) / se_pool
+    se_wald = F.sqrt(p_c * (1.0 - p_c) / n_c + p_t * (1.0 - p_t) / n_t)
+    z_a = _norm_ppf(1.0 - alpha / 2.0)
+    z_b = _norm_ppf(power)
+    delta = p_t - p_c
+    n_req = F.when(
+        F.abs(delta) > 0,
+        F.ceil(
+            F.lit((z_a + z_b) ** 2)
+            * (p_c * (1.0 - p_c) + p_t * (1.0 - p_t))
+            / (delta * delta)
+        ).cast("bigint"),
+    )
+    return pairs.select(
+        F.lit(control).alias("control"),
+        F.col("variant").alias("treatment"),
+        F.col("n_c").cast("bigint").alias("n_control"),
+        F.col("k_c").cast("bigint").alias("k_control"),
+        F.col("n").cast("bigint").alias("n_treatment"),
+        F.col("k").cast("bigint").alias("k_treatment"),
+        F.round(p_c, 6).alias("rate_control"),
+        F.round(p_t, 6).alias("rate_treatment"),
+        F.round(delta, 6).alias("diff"),
+        F.round(z, 6).alias("z"),
+        F.round(2.0 * _normal_sf(F.abs(z)), 6).alias("p_value"),
+        F.round(delta - F.lit(z_a) * se_wald, 6).alias("ci_lo"),
+        F.round(delta + F.lit(z_a) * se_wald, 6).alias("ci_hi"),
+        n_req.alias("n_per_arm_for_observed_diff"),
+    ).orderBy("treatment")
+
+
+def _norm_ppf(q: float) -> float:
+    """Scalar standard-normal quantile (Acklam's rational approximation,
+    |rel err| < 1.15e-9) — driver-side only (plan constants)."""
+    import math
+
+    a = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+    b = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if q < plow:
+        u = math.sqrt(-2 * math.log(q))
+        return (((((c[0] * u + c[1]) * u + c[2]) * u + c[3]) * u + c[4]) * u + c[5]) / (
+            (((d[0] * u + d[1]) * u + d[2]) * u + d[3]) * u + 1
+        )
+    if q > phigh:
+        u = math.sqrt(-2 * math.log(1 - q))
+        return -(((((c[0] * u + c[1]) * u + c[2]) * u + c[3]) * u + c[4]) * u + c[5]) / (
+            (((d[0] * u + d[1]) * u + d[2]) * u + d[3]) * u + 1
+        )
+    u = q - 0.5
+    r = u * u
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * u / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+    )

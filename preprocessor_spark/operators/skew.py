@@ -97,3 +97,63 @@ def two_stage_agg(
         *keys, _SALT
     ).agg(*partial)
     return stage1.groupBy(*keys).agg(*final)
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 10,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnosis — the measurement step that
+    decides whether :func:`salted_join` / :func:`two_stage_agg` (or AQE's
+    skew-join) is needed, and how many salt buckets to use.
+
+    Returns one row per top-``top`` heaviest key: the composite key
+    rendered as a string, its row count, share of all rows, the ratio to
+    the MEAN per-key count (the skew factor — a key at ratio r serializes
+    ~r partitions' worth of work through one task), the exact p50/p99
+    per-key counts for context, and ``suggested_salt`` = ceil(count /
+    mean) capped at 256 (enough buckets to bring the key down to average
+    load). All counts exact BIGINT; shares/ratios single IEEE divisions —
+    VALUE-oracle-able.
+
+    Scale shape: one map-side-combined groupBy(keys); everything after
+    runs on the |distinct keys| frame (percentiles via the exact
+    ``percentile`` aggregate, top-k via TakeOrderedAndProject).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    counts = (
+        df.where(F.struct(*key_cols).isNotNull())
+        .groupBy(*[F.col(k).cast("string").alias(k) for k in key_cols])
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.expr("percentile(cnt, 0.5)").alias("p50"),
+        F.expr("percentile(cnt, 0.99)").alias("p99"),
+    )
+    key_str = F.concat_ws("|", *key_cols)
+    joined = counts.crossJoin(F.broadcast(stats))
+    mean = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    ratio = F.col("cnt").cast("double") / mean
+    return (
+        joined.select(
+            key_str.alias("key"),
+            F.col("cnt").alias("n"),
+            F.col("n_keys"),
+            F.col("n_rows"),
+            F.round(F.col("cnt").cast("double") / F.col("n_rows").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(ratio, 6).alias("skew_factor"),
+            F.round(F.col("p50"), 6).alias("p50_key_rows"),
+            F.round(F.col("p99"), 6).alias("p99_key_rows"),
+            F.least(F.ceil(ratio).cast("int"), F.lit(256)).alias("suggested_salt"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(top)
+    )

@@ -330,3 +330,139 @@ def test_funnel_stream_equals_batch_after_drain(spark, tmp_path):
     assert len(got) == len(want) == len(steps)
     for g, w in zip(got, want):
         assert g == w, (g, w)
+
+
+class TestWeightedQuantiles:
+    def test_matches_scalar_reference(self, spark):
+        from preprocessor_spark.operators.wquantile import weighted_quantiles
+
+        rng = np.random.default_rng(43)
+        rows = []
+        data = {}
+        for g in ("a", "b"):
+            vals = np.round(rng.uniform(0, 100, 300), 2)
+            wts = rng.integers(1, 20, 300).astype(float)
+            data[g] = (vals, wts)
+            rows += [(g, float(v), float(w)) for v, w in zip(vals, wts)]
+        df = spark.createDataFrame(rows, "g string, v double, w double")
+        got = {
+            r["group"]: r
+            for r in weighted_quantiles(
+                df, "g", "v", "w", probs=(0.25, 0.5, 0.9)
+            ).collect()
+        }
+        for g, (vals, wts) in data.items():
+            order = np.argsort(vals, kind="stable")
+            sv, sw = vals[order], wts[order]
+            # merge ties (the operator's distinct-value collapse)
+            uv = np.unique(sv)
+            uw = np.array([sw[sv == x].sum() for x in uv])
+            cw = np.cumsum(uw)
+            W = uw.sum()
+            for p, col in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+                ref = float(uv[np.searchsorted(cw, p * W, side="left")])
+                assert got[g][col] == ref, (g, col, got[g][col], ref)
+            assert got[g]["n"] == len(vals)
+            assert got[g]["w_total"] == pytest.approx(float(W), abs=1e-6)
+
+    def test_unweighted_degenerates_to_lower_quantile(self, spark):
+        from preprocessor_spark.operators.wquantile import weighted_quantiles
+
+        vals = [float(v) for v in range(1, 11)]
+        df = spark.createDataFrame([("g", v, 1.0) for v in vals], "g string, v double, w double")
+        r = weighted_quantiles(df, "g", "v", "w", probs=(0.5, 1.0)).collect()[0]
+        assert r["p50"] == 5.0 and r["p100"] == 10.0
+
+    def test_validation(self, spark):
+        from preprocessor_spark.operators.wquantile import weighted_quantiles
+
+        df = spark.createDataFrame([("g", 1.0, 1.0)], "g string, v double, w double")
+        with pytest.raises(ValueError, match="probs"):
+            weighted_quantiles(df, "g", "v", "w", probs=(1.5,))
+        with pytest.raises(ValueError, match="grid"):
+            weighted_quantiles(df, "g", "v", "w", probs=(1 / 3,))
+
+
+class TestTwoProportionZ:
+    def test_matches_scipy_free_reference(self, spark):
+        import math
+
+        from preprocessor_spark.operators.abtest import (
+            _norm_ppf,
+            two_proportion_ztest,
+        )
+
+        # planted: control 200/1000, treatment 260/1000
+        rows = [("c", 1)] * 200 + [("c", 0)] * 800 + [("t", 1)] * 260 + [("t", 0)] * 740
+        df = spark.createDataFrame(rows, "variant string, success int")
+        r = two_proportion_ztest(df, "variant", "success", control="c").collect()[0]
+        p_c, p_t = 0.2, 0.26
+        pool = (200 + 260) / 2000
+        z = (p_t - p_c) / math.sqrt(pool * (1 - pool) * (1 / 1000 + 1 / 1000))
+        assert r["z"] == pytest.approx(z, abs=1e-6)
+        # normal two-sided p via erfc
+        p_ref = math.erfc(abs(z) / math.sqrt(2))
+        assert r["p_value"] == pytest.approx(p_ref, abs=1e-5)  # A&S poly 7.5e-8
+        se = math.sqrt(p_c * (1 - p_c) / 1000 + p_t * (1 - p_t) / 1000)
+        z_a = _norm_ppf(0.975)
+        assert r["ci_lo"] == pytest.approx(p_t - p_c - z_a * se, abs=1e-6)
+        assert r["ci_hi"] == pytest.approx(p_t - p_c + z_a * se, abs=1e-6)
+        # standard planning formula vs statsmodels-style closed form
+        z_b = _norm_ppf(0.8)
+        n_req = math.ceil(
+            (z_a + z_b) ** 2 * (p_c * (1 - p_c) + p_t * (1 - p_t)) / (p_t - p_c) ** 2
+        )
+        assert r["n_per_arm_for_observed_diff"] == n_req
+        # the observed experiment (n=1000/arm) is big enough iff n_req <= 1000
+        assert n_req < 1000 and r["p_value"] < 0.05
+
+    def test_norm_ppf_accuracy(self):
+        from preprocessor_spark.operators.abtest import _norm_ppf
+
+        # classic table values
+        assert _norm_ppf(0.975) == pytest.approx(1.959963985, abs=1e-7)
+        assert _norm_ppf(0.8) == pytest.approx(0.841621234, abs=1e-7)
+        assert _norm_ppf(0.5) == 0.0
+        assert _norm_ppf(0.025) == pytest.approx(-1.959963985, abs=1e-7)
+
+    def test_multi_treatment(self, spark):
+        from preprocessor_spark.operators.abtest import two_proportion_ztest
+
+        rows = (
+            [("a", 1)] * 10 + [("a", 0)] * 90
+            + [("b", 1)] * 20 + [("b", 0)] * 80
+            + [("c", 1)] * 30 + [("c", 0)] * 70
+        )
+        df = spark.createDataFrame(rows, "variant string, success int")
+        out = two_proportion_ztest(df, "variant", "success").collect()
+        assert [r["treatment"] for r in out] == ["b", "c"]  # control = min = 'a'
+        assert all(r["control"] == "a" for r in out)
+
+
+class TestSkewReport:
+    def test_counts_and_salt_suggestion(self, spark):
+        from preprocessor_spark.operators.skew import skew_report
+
+        rows = [("whale",)] * 900 + [(f"k{i}",) for i in range(100)]
+        df = spark.createDataFrame(rows, "k string")
+        out = skew_report(df, ["k"], top=3).collect()
+        assert out[0]["key"] == "whale" and out[0]["n"] == 900
+        n_keys, n_rows = 101, 1000
+        mean = n_rows / n_keys
+        assert out[0]["skew_factor"] == pytest.approx(900 / mean, abs=1e-6)
+        assert out[0]["suggested_salt"] == math.ceil(900 / mean)
+        assert out[0]["share"] == pytest.approx(0.9, abs=1e-9)
+        # remaining keys: 1 row each, deterministic key tiebreak
+        assert [r["key"] for r in out[1:]] == ["k0", "k1"]
+        assert all(r["suggested_salt"] == math.ceil(1 / mean) for r in out[1:])
+
+    def test_composite_keys_and_validation(self, spark):
+        from preprocessor_spark.operators.skew import skew_report
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 2)], "x string, y int"
+        )
+        out = skew_report(df, ["x", "y"], top=5).collect()
+        assert out[0]["key"] == "a|1" and out[0]["n"] == 2
+        with pytest.raises(ValueError, match="key_cols"):
+            skew_report(df, [], top=5)
