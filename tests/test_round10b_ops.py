@@ -466,3 +466,158 @@ class TestSkewReport:
         assert out[0]["key"] == "a|1" and out[0]["n"] == 2
         with pytest.raises(ValueError, match="key_cols"):
             skew_report(df, [], top=5)
+
+
+class TestMediaHeaderSniff:
+    """Header-only metadata vs the repo's own full decoders on
+    encoder-built fixtures — the no-decode cheap pass."""
+
+    def _fixtures(self):
+        from preprocessor_spark.operators.gif import encode_gif
+        from preprocessor_spark.operators.jpeg import encode_jpeg
+        from preprocessor_spark.operators.multimodal import _encode_pgm
+        from preprocessor_spark.operators.tiff import encode_tiff
+
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, (19, 13)).astype(np.uint8)
+        rgb = rng.randint(0, 256, (19, 13, 3)).astype(np.uint8)
+        pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        idx = rng.randint(0, 16, (19, 13)).astype(np.uint8)
+        g16 = rng.randint(0, 65536, (9, 7)).astype(np.uint16)
+        return {
+            "pgm": (bytes(_encode_pgm(img)), 13, 19, 8),
+            "ppm": (b"P6\n# c\n13 19\n255\n" + rgb.tobytes(), 13, 19, 8),
+            "jpeg": (bytes(encode_jpeg(rgb, qval=2)), 13, 19, 8),
+            "jpeg420": (bytes(encode_jpeg(rgb, qval=1, subsample=True)), 13, 19, 8),
+            "gif": (bytes(encode_gif(idx, pal)), 13, 19, None),
+            "tiff_le": (bytes(encode_tiff(img)), 13, 19, 8),
+            "tiff_be": (bytes(encode_tiff(img, endian=">")), 13, 19, 8),
+            "tiff16": (bytes(encode_tiff(g16, lzw=True)), 7, 9, 16),
+        }
+
+    def test_sniff_matches_encoders(self):
+        from preprocessor_spark.operators.media_meta import sniff_image_meta
+
+        fmt_of = {"pgm": "pnm", "ppm": "pnm", "jpeg": "jpeg", "jpeg420": "jpeg",
+                  "gif": "gif", "tiff_le": "tiff", "tiff_be": "tiff",
+                  "tiff16": "tiff"}
+        for name, (payload, w, h, depth) in self._fixtures().items():
+            m = sniff_image_meta(payload)
+            assert m["format"] == fmt_of[name], (name, m)
+            assert (m["width"], m["height"]) == (w, h), (name, m)
+            if depth is not None:
+                assert m["bit_depth"] == depth, (name, m)
+
+    def test_png_bmp_and_garbage(self):
+        import struct as st
+
+        from preprocessor_spark.operators.media_meta import sniff_image_meta
+
+        png = (b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR"
+               + st.pack(">II", 640, 480) + bytes([8, 2, 0, 0, 0]))
+        m = sniff_image_meta(png)
+        assert (m["format"], m["width"], m["height"], m["bit_depth"]) == (
+            "png", 640, 480, 8)
+        bmp = b"BM" + b"\x00" * 16 + st.pack("<ii", 320, -200) + b"\x00\x00" + st.pack("<H", 24)
+        m = sniff_image_meta(bmp)
+        assert (m["format"], m["width"], m["height"], m["bit_depth"]) == (
+            "bmp", 320, 200, 24)
+        for junk in (b"", b"\x00" * 40, b"not an image at all", b"P5", b"\xff\xd8\xff"):
+            m = sniff_image_meta(junk)
+            assert m["format"] is None and m["width"] is None
+
+    def test_flac_and_wav_headers(self):
+        import struct as st
+
+        from preprocessor_spark.operators.media_meta import sniff_audio_meta
+
+        rate, channels, bps, total = 44100, 2, 16, 441000
+        word = (rate << 44) | ((channels - 1) << 41) | ((bps - 1) << 36) | total
+        info = b"\x00" * 10 + word.to_bytes(8, "big") + b"\x00" * 16
+        payload = b"fLaC" + bytes([0x80, 0, 0, len(info)]) + info
+        m = sniff_audio_meta(payload)
+        assert m == {
+            "format": "flac", "sample_rate": 44100, "channels": 2,
+            "bits_per_sample": 16, "total_samples": 441000,
+            "duration_secs": 10.0,
+        }
+        # canonical PCM WAV: fmt(16) + data
+        n, ch, r, b = 8000, 1, 8000, 16
+        data = b"\x00" * (n * ch * (b // 8))
+        fmt = st.pack("<HHIIHH", 1, ch, r, r * ch * b // 8, ch * b // 8, b)
+        wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+               + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+               + b"data" + st.pack("<I", len(data)) + data)
+        m = sniff_audio_meta(wav)
+        assert m == {
+            "format": "wav", "sample_rate": 8000, "channels": 1,
+            "bits_per_sample": 16, "total_samples": 8000,
+            "duration_secs": 1.0,
+        }
+        assert sniff_audio_meta(b"fLa")["sample_rate"] is None
+        assert sniff_audio_meta(b"RIFF....")["sample_rate"] is None
+
+    def test_audio_meta_matches_synth_wav(self, spark):
+        """Distributed audio sniff on the SAME WAV synth the
+        multimodal_audio_features query uses."""
+        import struct as st
+
+        from preprocessor_spark.operators.media_meta import audio_header_meta
+
+        rows = []
+        for did in range(6):
+            rate = 8000
+            n = 800 + (did % 5) * 80
+            t = np.arange(n) / rate
+            sig = (np.sin(2 * np.pi * (200 + did) * t) * 32767 * 0.4).astype("<i2")
+            data = sig.tobytes()
+            fmt = st.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            wav = (b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                   + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                   + b"data" + st.pack("<I", len(data)) + data)
+            rows.append((did, wav))
+        df = spark.createDataFrame(rows, "clip_id long, payload binary")
+        got = {r["id"]: r for r in audio_header_meta(df, "clip_id", "payload").collect()}
+        for did in range(6):
+            r = got[did]
+            assert r["format"] == "wav" and r["sample_rate"] == 8000
+            assert r["total_samples"] == 800 + (did % 5) * 80
+            assert r["channels"] == 1 and r["bits_per_sample"] == 16
+
+    def test_distributed_sniff_and_triage(self, spark):
+        from preprocessor_spark.operators.media_meta import image_header_meta
+
+        fx = self._fixtures()
+        rows = [(i, p) for i, (p, *_) in enumerate(fx.values())]
+        rows.append((99, b"garbage bytes"))
+        rows.append((100, None))
+        df = spark.createDataFrame(rows, "img_id long, payload binary")
+        got = {r["id"]: r for r in image_header_meta(df, "img_id", "payload").collect()}
+        assert len(got) == len(rows)
+        n_known = sum(1 for r in got.values() if r["format"] is not None)
+        assert n_known == len(fx)
+        assert got[99]["format"] is None and got[99]["n_bytes"] == 13
+        assert got[100]["format"] is None and got[100]["n_bytes"] == 0
+        # every known fixture's dims match
+        for i, (name, (_, w, h, _d)) in enumerate(fx.items()):
+            assert (got[i]["width"], got[i]["height"]) == (w, h), name
+
+    def test_sniff_vs_full_decode(self):
+        """The sniffed dims equal the full decoders' shapes."""
+        from preprocessor_spark.operators.gif import decode_gif
+        from preprocessor_spark.operators.jpeg import decode_jpeg
+        from preprocessor_spark.operators.media_meta import sniff_image_meta
+        from preprocessor_spark.operators.multimodal import decode_image
+        from preprocessor_spark.operators.tiff import decode_tiff
+
+        for name, (payload, *_rest) in self._fixtures().items():
+            m = sniff_image_meta(payload)
+            if name.startswith("tiff"):
+                shape = decode_tiff(payload).shape
+            elif name.startswith("jpeg"):
+                shape = decode_jpeg(payload).shape[:2]
+            elif name == "gif":
+                shape = decode_gif(payload).shape
+            else:
+                shape = decode_image(payload).shape
+            assert (m["height"], m["width"]) == shape[:2], name
