@@ -5072,6 +5072,44 @@ def skew_events_users(spark, sf_dir):
     return skew_report(e, ["user_id"], top=10)
 
 
+def spearman_lineitem(spark, sf_dir):
+    """Per-flag tie-corrected Spearman rank correlation of quantity vs
+    price (operators/rankstats.py): doubled average ranks are exact
+    int64s (half-integer grid x2), moments exact DECIMAL sums, rho one
+    IEEE expression — VALUE-oracled (the DuckDB twin replays the same
+    distinct-value rank windows)."""
+    from preprocessor_spark.operators.rankstats import spearman_by_group
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return spearman_by_group(l, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+def kruskal_value_events(spark, sf_dir):
+    """Kruskal-Wallis rank ANOVA of event values across event types
+    (operators/rankstats.py): pooled doubled ranks from one
+    groupBy(value, group) collapse, exact DECIMAL rank sums, standard tie
+    correction — VALUE-oracled."""
+    from preprocessor_spark.operators.rankstats import kruskal_wallis
+
+    e = _t(spark, sf_dir, "events").select("value", "event_type")
+    return kruskal_wallis(e, "value", "event_type")
+
+
+def acf_events_users(spark, sf_dir):
+    """Per-user autocorrelation function (lags 1-5) + Ljung-Box Q
+    (operators/ar.py acf_by_key): cleared-denominator exact DECIMAL lag
+    moments through ONE keyed window exchange, r_l a fixed IEEE
+    expression, Q folded in sorted order — VALUE-oracled. Top 30 users
+    by Q (most autocorrelated series)."""
+    from preprocessor_spark.operators.ar import acf_by_key
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = acf_by_key(e, "user_id", "event_id", "value", max_lag=5)
+    return out.orderBy(F.col("lb_q").desc_nulls_last(), "key").limit(30)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -5369,6 +5407,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wquantile_price_by_flag": wquantile_price_by_flag,
         "prop_ztest_orders": prop_ztest_orders,
         "skew_events_users": skew_events_users,
+        "spearman_lineitem": spearman_lineitem,
+        "kruskal_value_events": kruskal_value_events,
+        "acf_events_users": acf_events_users,
         "event_sequences_users": event_sequences_users,
         # Cox PH (rows-only: iterative partial-likelihood Newton fit)
         "cox_ph_customers": cox_ph_customers,
@@ -8287,6 +8328,193 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY jaccard DESC, cn DESC, a, b
             LIMIT 40
+        """,
+        # Spearman: doubled average ranks are exact int64; same
+        # distinct-value rank windows + exact DECIMAL moments both engines
+        "spearman_lineitem": """
+            WITH base AS (
+                SELECT l_returnflag AS grp, l_quantity AS x,
+                       l_extendedprice AS y
+                FROM lineitem
+                WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+                      AND l_extendedprice IS NOT NULL
+            ), cx AS (
+                SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS t
+                FROM base GROUP BY grp, x
+            ), rx AS (
+                SELECT grp, x,
+                       2 * CAST(COALESCE(SUM(t) OVER (PARTITION BY grp
+                           ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) + t + 1 AS r2x
+                FROM cx
+            ), cy AS (
+                SELECT grp, y, CAST(COUNT(*) AS BIGINT) AS t
+                FROM base GROUP BY grp, y
+            ), ry AS (
+                SELECT grp, y,
+                       2 * CAST(COALESCE(SUM(t) OVER (PARTITION BY grp
+                           ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) + t + 1 AS r2y
+                FROM cy
+            ), j AS (
+                SELECT b.grp, rx.r2x, ry.r2y
+                FROM base b
+                JOIN rx ON b.grp = rx.grp AND b.x = rx.x
+                JOIN ry ON b.grp = ry.grp AND b.y = ry.y
+            ), mom AS (
+                SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(r2x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                       CAST(SUM(CAST(r2y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                       CAST(SUM(CAST(r2x * r2x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+                       CAST(SUM(CAST(r2y * r2y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy,
+                       CAST(SUM(CAST(r2x * r2y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy
+                FROM j GROUP BY grp
+            )
+            SELECT grp AS "group", n,
+                   ROUND(CASE WHEN sqrt((CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE))
+                                         - (CAST(floor(sx) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(floor(sx) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)))
+                                        * (CAST(n AS DOUBLE) * (CAST(floor(syy) AS DOUBLE) + CAST(syy - floor(syy) AS DOUBLE))
+                                           - (CAST(floor(sy) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) * (CAST(floor(sy) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)))) > 0
+                         THEN (CAST(n AS DOUBLE) * (CAST(floor(sxy) AS DOUBLE) + CAST(sxy - floor(sxy) AS DOUBLE))
+                               - (CAST(floor(sx) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(floor(sy) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)))
+                              / sqrt((CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE))
+                                      - (CAST(floor(sx) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)) * (CAST(floor(sx) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE)))
+                                     * (CAST(n AS DOUBLE) * (CAST(floor(syy) AS DOUBLE) + CAST(syy - floor(syy) AS DOUBLE))
+                                        - (CAST(floor(sy) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE)) * (CAST(floor(sy) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE))))
+                         END, 6) AS rho
+            FROM mom ORDER BY "group"
+        """,
+        # Kruskal-Wallis: pooled doubled ranks, exact DECIMAL rank sums,
+        # sorted fold for the sum of R_g^2/n_g terms
+        "kruskal_value_events": """
+            WITH cells AS (
+                SELECT "value" AS v, event_type AS grp,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events
+                WHERE "value" IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2
+            ), perv AS (
+                SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY v
+            ), ranked AS (
+                SELECT v, t,
+                       2 * CAST(COALESCE(SUM(t) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) + t + 1 AS r2
+                FROM perv
+            ), perg AS (
+                SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g,
+                       CAST(SUM(CAST(CAST(c AS DECIMAL(38,0))
+                                     * CAST(r2 AS DECIMAL(38,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS r2_g
+                FROM cells JOIN ranked USING (v) GROUP BY grp
+            ), ties AS (
+                SELECT CAST(SUM(CAST(CAST(t AS DECIMAL(38,0))
+                                     * CAST(t AS DECIMAL(38,0))
+                                     * CAST(t AS DECIMAL(38,0))
+                                     - CAST(t AS DECIMAL(38,0))
+                                AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tsum
+                FROM ranked
+            ), agg AS (
+                SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                       CAST(COUNT(*) AS BIGINT) AS k,
+                       list_reduce(
+                           list_prepend(0.0, list_sort(list(
+                               (CAST(floor(r2_g) AS DOUBLE) + CAST(r2_g - floor(r2_g) AS DOUBLE)) * (CAST(floor(r2_g) AS DOUBLE) + CAST(r2_g - floor(r2_g) AS DOUBLE))
+                               / (4.0 * CAST(n_g AS DOUBLE))))),
+                           (a, x) -> a + x
+                       ) AS sr
+                FROM perg
+            ), hh AS (
+                SELECT n, k, tsum,
+                       12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                           * sr - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+                       1.0 - (CAST(floor(tsum) AS DOUBLE) + CAST(tsum - floor(tsum) AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                              * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS cc
+                FROM agg, ties
+            )
+            SELECT n, k, CAST(k - 1 AS INT) AS dof,
+                   ROUND(h, 6) AS h,
+                   ROUND(CASE WHEN cc > 0 THEN h / cc END, 6) AS h_corrected
+            FROM hh
+        """,
+        # per-key ACF: same LAG windows, cleared-denominator exact DECIMAL
+        # lag moments, Ljung-Box terms folded in sorted order
+        "acf_events_users": """
+            WITH f AS (
+                SELECT user_id AS key, event_id AS o,
+                       CAST("value" AS DECIMAL(18,4)) AS x
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                      AND "value" IS NOT NULL
+            ), lagged AS (
+                SELECT key, x,
+                       LAG(x, 1) OVER (PARTITION BY key ORDER BY o) AS xl1,
+LAG(x, 2) OVER (PARTITION BY key ORDER BY o) AS xl2,
+LAG(x, 3) OVER (PARTITION BY key ORDER BY o) AS xl3,
+LAG(x, 4) OVER (PARTITION BY key ORDER BY o) AS xl4,
+LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
+                FROM f
+            ), mom AS (
+                SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS s,
+                       CAST(SUM(CAST(x * x AS DECIMAL(38,8)))
+                            AS DECIMAL(38,8)) AS sxx,
+                       CAST(SUM(CAST(x * xl1 AS DECIMAL(38,8)))
+                            AS DECIMAL(38,8)) AS sxy1,
+                       CAST(SUM(CASE WHEN xl1 IS NOT NULL
+                                THEN CAST(x AS DECIMAL(38,8)) END)
+                            AS DECIMAL(38,8)) AS sa1,
+                       CAST(SUM(CASE WHEN xl1 IS NOT NULL
+                                THEN CAST(xl1 AS DECIMAL(38,8)) END)
+                            AS DECIMAL(38,8)) AS sb1,
+                       CAST(SUM(CAST(x * xl2 AS DECIMAL(38,8)))
+                            AS DECIMAL(38,8)) AS sxy2,
+                       CAST(SUM(CASE WHEN xl2 IS NOT NULL
+                                THEN CAST(x AS DECIMAL(38,8)) END)
+                            AS DECIMAL(38,8)) AS sa2,
+                       CAST(SUM(CASE WHEN xl2 IS NOT NULL
+                                THEN CAST(xl2 AS DECIMAL(38,8)) END)
+                            AS DECIMAL(38,8)) AS sb2,
+                       CAST(SUM(CAST(x * xl3 AS DECIMAL(38,8)))
+                            AS DECIMAL(38,8)) AS sxy3,
+                       CAST(SUM(CASE WHEN xl3 IS NOT NULL
+                                THEN CAST(x AS DECIMAL(38,8)) END)
+                            AS DECIMAL(38,8)) AS sa3,
+                       CAST(SUM(CASE WHEN xl3 IS NOT NULL
+                                THEN CAST(xl3 AS DECIMAL(38,8)) END)
+                            AS DECIMAL(38,8)) AS sb3,
+                       CAST(SUM(CAST(x * xl4 AS DECIMAL(38,8)))
+                            AS DECIMAL(38,8)) AS sxy4,
+                       CAST(SUM(CASE WHEN xl4 IS NOT NULL
+                                THEN CAST(x AS DECIMAL(38,8)) END)
+                            AS DECIMAL(38,8)) AS sa4,
+                       CAST(SUM(CASE WHEN xl4 IS NOT NULL
+                                THEN CAST(xl4 AS DECIMAL(38,8)) END)
+                            AS DECIMAL(38,8)) AS sb4,
+                       CAST(SUM(CAST(x * xl5 AS DECIMAL(38,8)))
+                            AS DECIMAL(38,8)) AS sxy5,
+                       CAST(SUM(CASE WHEN xl5 IS NOT NULL
+                                THEN CAST(x AS DECIMAL(38,8)) END)
+                            AS DECIMAL(38,8)) AS sa5,
+                       CAST(SUM(CASE WHEN xl5 IS NOT NULL
+                                THEN CAST(xl5 AS DECIMAL(38,8)) END)
+                            AS DECIMAL(38,8)) AS sb5,
+                       CAST(COUNT(*) AS BIGINT) AS n_dup
+                FROM lagged GROUP BY key HAVING COUNT(*) > 5
+            )
+            SELECT key, n,
+                   ROUND(CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy1) AS DOUBLE) + CAST(sxy1 - floor(sxy1) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa1) AS DOUBLE) + CAST(sa1 - floor(sa1) AS DOUBLE)) + (CAST(floor(sb1) AS DOUBLE) + CAST(sb1 - floor(sb1) AS DOUBLE))) + (CAST(n AS DOUBLE) - 1.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END, 6) AS acf1,
+                   ROUND(CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy2) AS DOUBLE) + CAST(sxy2 - floor(sxy2) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa2) AS DOUBLE) + CAST(sa2 - floor(sa2) AS DOUBLE)) + (CAST(floor(sb2) AS DOUBLE) + CAST(sb2 - floor(sb2) AS DOUBLE))) + (CAST(n AS DOUBLE) - 2.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END, 6) AS acf2,
+                   ROUND(CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy3) AS DOUBLE) + CAST(sxy3 - floor(sxy3) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa3) AS DOUBLE) + CAST(sa3 - floor(sa3) AS DOUBLE)) + (CAST(floor(sb3) AS DOUBLE) + CAST(sb3 - floor(sb3) AS DOUBLE))) + (CAST(n AS DOUBLE) - 3.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END, 6) AS acf3,
+                   ROUND(CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy4) AS DOUBLE) + CAST(sxy4 - floor(sxy4) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa4) AS DOUBLE) + CAST(sa4 - floor(sa4) AS DOUBLE)) + (CAST(floor(sb4) AS DOUBLE) + CAST(sb4 - floor(sb4) AS DOUBLE))) + (CAST(n AS DOUBLE) - 4.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END, 6) AS acf4,
+                   ROUND(CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy5) AS DOUBLE) + CAST(sxy5 - floor(sxy5) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa5) AS DOUBLE) + CAST(sa5 - floor(sa5) AS DOUBLE)) + (CAST(floor(sb5) AS DOUBLE) + CAST(sb5 - floor(sb5) AS DOUBLE))) + (CAST(n AS DOUBLE) - 5.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END, 6) AS acf5,
+                   ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                         * list_reduce(list_prepend(0.0, list_sort([
+                               (CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy1) AS DOUBLE) + CAST(sxy1 - floor(sxy1) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa1) AS DOUBLE) + CAST(sa1 - floor(sa1) AS DOUBLE)) + (CAST(floor(sb1) AS DOUBLE) + CAST(sb1 - floor(sb1) AS DOUBLE))) + (CAST(n AS DOUBLE) - 1.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END) * (CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy1) AS DOUBLE) + CAST(sxy1 - floor(sxy1) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa1) AS DOUBLE) + CAST(sa1 - floor(sa1) AS DOUBLE)) + (CAST(floor(sb1) AS DOUBLE) + CAST(sb1 - floor(sb1) AS DOUBLE))) + (CAST(n AS DOUBLE) - 1.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END) / (CAST(n AS DOUBLE) - 1.0), (CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy2) AS DOUBLE) + CAST(sxy2 - floor(sxy2) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa2) AS DOUBLE) + CAST(sa2 - floor(sa2) AS DOUBLE)) + (CAST(floor(sb2) AS DOUBLE) + CAST(sb2 - floor(sb2) AS DOUBLE))) + (CAST(n AS DOUBLE) - 2.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END) * (CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy2) AS DOUBLE) + CAST(sxy2 - floor(sxy2) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa2) AS DOUBLE) + CAST(sa2 - floor(sa2) AS DOUBLE)) + (CAST(floor(sb2) AS DOUBLE) + CAST(sb2 - floor(sb2) AS DOUBLE))) + (CAST(n AS DOUBLE) - 2.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END) / (CAST(n AS DOUBLE) - 2.0), (CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy3) AS DOUBLE) + CAST(sxy3 - floor(sxy3) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa3) AS DOUBLE) + CAST(sa3 - floor(sa3) AS DOUBLE)) + (CAST(floor(sb3) AS DOUBLE) + CAST(sb3 - floor(sb3) AS DOUBLE))) + (CAST(n AS DOUBLE) - 3.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END) * (CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy3) AS DOUBLE) + CAST(sxy3 - floor(sxy3) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa3) AS DOUBLE) + CAST(sa3 - floor(sa3) AS DOUBLE)) + (CAST(floor(sb3) AS DOUBLE) + CAST(sb3 - floor(sb3) AS DOUBLE))) + (CAST(n AS DOUBLE) - 3.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END) / (CAST(n AS DOUBLE) - 3.0), (CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy4) AS DOUBLE) + CAST(sxy4 - floor(sxy4) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa4) AS DOUBLE) + CAST(sa4 - floor(sa4) AS DOUBLE)) + (CAST(floor(sb4) AS DOUBLE) + CAST(sb4 - floor(sb4) AS DOUBLE))) + (CAST(n AS DOUBLE) - 4.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END) * (CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy4) AS DOUBLE) + CAST(sxy4 - floor(sxy4) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa4) AS DOUBLE) + CAST(sa4 - floor(sa4) AS DOUBLE)) + (CAST(floor(sb4) AS DOUBLE) + CAST(sb4 - floor(sb4) AS DOUBLE))) + (CAST(n AS DOUBLE) - 4.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END) / (CAST(n AS DOUBLE) - 4.0), (CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy5) AS DOUBLE) + CAST(sxy5 - floor(sxy5) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa5) AS DOUBLE) + CAST(sa5 - floor(sa5) AS DOUBLE)) + (CAST(floor(sb5) AS DOUBLE) + CAST(sb5 - floor(sb5) AS DOUBLE))) + (CAST(n AS DOUBLE) - 5.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END) * (CASE WHEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) > 0 THEN (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxy5) AS DOUBLE) + CAST(sxy5 - floor(sxy5) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * ((CAST(floor(sa5) AS DOUBLE) + CAST(sa5 - floor(sa5) AS DOUBLE)) + (CAST(floor(sb5) AS DOUBLE) + CAST(sb5 - floor(sb5) AS DOUBLE))) + (CAST(n AS DOUBLE) - 5.0) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE)) - CAST(n AS DOUBLE) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE)) * (CAST(floor(s) AS DOUBLE) + CAST(s - floor(s) AS DOUBLE))) END) / (CAST(n AS DOUBLE) - 5.0)])),
+                           (a, x) -> a + x), 6) AS lb_q
+            FROM mom
+            ORDER BY lb_q DESC NULLS LAST, key LIMIT 30
         """,
         # weighted quantiles: exact DECIMAL cumulative weights, thresholds
         # as DECIMAL products on the 1e-6 grid — same windows both engines

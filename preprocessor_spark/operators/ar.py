@@ -190,3 +190,98 @@ def ewma_last(
         F.round(F.col("last_value"), 6).alias("last_value"),
         F.round(F.col("ewma_raw"), 6).alias("ewma"),
     )
+
+
+def acf_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Per-key autocorrelation function r_1..r_k plus the Ljung-Box Q
+    statistic — the diagnostic completion of the AR(2)/EWMA tier.
+
+    Cleared-denominator exactness (the ar2_yule_walker recipe): with
+    S = Σx and per-lag exact DECIMAL sums (sxy_l = Σ x_t·x_{t−l},
+    sa_l/sb_l = the aligned partial sums over the valid range),
+
+        n²·c_l = n²·sxy_l − n·S·(sa_l + sb_l) + (n−l)·S²
+        r_l    = n²c_l / n²c_0
+
+    every input is an exact DECIMAL converted through the floor/frac
+    split, so r_l is a fixed IEEE expression — VALUE-oracle-able. The
+    Ljung-Box Q = n(n+2)·Σ_l r_l²/(n−l) folds its k terms in sorted
+    order (the lm_kn idiom). Keys with n ≤ max_lag drop (no full lag
+    range). ONE keyed window exchange (all k lags share it) + one moment
+    groupBy.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    k = int(max_lag)
+    w = Window.partitionBy("key").orderBy("o")
+    xd = F.col(value_col).cast("decimal(18,4)")
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(order_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).alias("o"),
+        xd.alias("x"),
+    )
+    staged = base.select(
+        "key",
+        "x",
+        *[F.lag("x", l).over(w).alias(f"xl{l}") for l in range(1, k + 1)],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.count("x").alias("n_x"),
+        F.sum(F.col("x").cast(_DEC)).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(_DEC)).alias("sxx"),
+    ]
+    for l in range(1, k + 1):
+        xl = F.col(f"xl{l}")
+        aggs += [
+            F.sum((F.col("x") * xl).cast(_DEC)).alias(f"sxy{l}"),
+            F.sum(F.when(xl.isNotNull(), F.col("x").cast(_DEC))).alias(f"sa{l}"),
+            F.sum(F.when(xl.isNotNull(), xl.cast(_DEC))).alias(f"sb{l}"),
+        ]
+    mom = staged.groupBy("key").agg(*aggs).where(F.col("n") > k)
+    n_ok = F.coalesce(
+        F.assert_true(
+            F.col("n") == F.col("n_x"),
+            F.lit(
+                "acf_by_key: value magnitude >= 1e14 overflows the "
+                "DECIMAL(18,4) cast to NULL under non-ANSI Spark; pre-scale"
+            ),
+        ).cast("long"),
+        F.col("n"),
+    )
+    n = n_ok.cast("double")
+    s = _dec_double(F.col("s"))
+    c0 = n * n * _dec_double(F.col("sxx")) - n * s * s
+    cols = [F.col("key"), F.col("n")]
+    r_exprs = []
+    for l in range(1, k + 1):
+        nl = n - F.lit(float(l))
+        num = (
+            n * n * _dec_double(F.col(f"sxy{l}"))
+            - n * s * (_dec_double(F.col(f"sa{l}")) + _dec_double(F.col(f"sb{l}")))
+            + nl * s * s
+        )
+        r = F.when(c0 > 0, num / c0)
+        r_exprs.append(r)
+        cols.append(F.round(r, 6).alias(f"acf{l}"))
+    lb_terms = F.array(
+        *[
+            (r * r) / (n - F.lit(float(l)))
+            for l, r in zip(range(1, k + 1), r_exprs)
+        ]
+    )
+    q = n * (n + 2.0) * F.aggregate(
+        F.sort_array(lb_terms), F.lit(0.0), lambda a, x: a + x
+    )
+    cols.append(F.round(q, 6).alias("lb_q"))
+    return mom.select(*cols).orderBy("key")

@@ -1,0 +1,167 @@
+"""Rank-based statistics — Spearman correlation and the Kruskal-Wallis H
+test, exactly, at scale.
+
+Rank statistics dodge outliers and monotone transformations, which is why
+they are the robust defaults for drift/association screens — but naive
+implementations globally sort the data. Both operators here need only
+per-DISTINCT-VALUE frames:
+
+- average ranks under ties live on the half-integer grid, so DOUBLED
+  ranks (2·rank) are exact int64s: 2·avg_rank(v) = 2·below(v) + t(v) + 1
+  where below = rows strictly smaller, t = ties at v. Every moment of
+  doubled ranks is then an exact DECIMAL sum, and the final statistic is
+  a deterministic IEEE expression over exact integers — VALUE-oracle-able
+  (Spearman's rho is scale-invariant, so doubling changes nothing; the
+  Kruskal-Wallis rank sums divide the 2 back out analytically).
+- the only data-sized passes are groupBy(value[, key]) collapses; the
+  cumulative "below" counts ride keyed (or bounded distinct-value)
+  windows, exactly the :func:`mannwhitney <operators.hypotests>` shape.
+
+Spearman's rho (tie-corrected) is Pearson on average ranks; the
+Kruskal-Wallis H uses the pooled ranking with the standard tie correction
+C = 1 − Σ(t³−t)/(N³−N); H_corrected = H/C.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from preprocessor_spark.operators.hypotests import _dec_double
+
+_DEC = "decimal(38,0)"
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group tie-corrected Spearman rank correlation of two columns.
+
+    Returns (group, n, rho): rho = Pearson over average ranks, computed
+    on DOUBLED ranks (exact int64 on the half-integer grid) with exact
+    DECIMAL moments — one deterministic IEEE expression at the end.
+
+    Shape: two distinct-value collapses (per column) + keyed windows on
+    those bounded frames + one join back per column + one moment groupBy.
+    All exchanges keyed by the group column.
+    """
+    g = F.col(group_col)
+    base = df.where(
+        g.isNotNull() & F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(g.alias("group"), F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+
+    def ranked(col: str) -> DataFrame:
+        cells = base.groupBy("group", col).agg(F.count(F.lit(1)).alias("t"))
+        w = Window.partitionBy("group").orderBy(col)
+        below = F.coalesce(
+            F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        return cells.select(
+            "group",
+            col,
+            (F.lit(2) * below + F.col("t") + F.lit(1)).alias(f"r2_{col}"),
+        )
+
+    withx = base.join(ranked("x"), ["group", "x"])
+    withxy = withx.join(ranked("y"), ["group", "y"])
+    rx, ry = F.col("r2_x"), F.col("r2_y")
+    mom = withxy.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rx.cast(_DEC)).alias("sx"),
+        F.sum(ry.cast(_DEC)).alias("sy"),
+        F.sum((rx * rx).cast(_DEC)).alias("sxx"),
+        F.sum((ry * ry).cast(_DEC)).alias("syy"),
+        F.sum((rx * ry).cast(_DEC)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = _dec_double(F.col("sx")), _dec_double(F.col("sy"))
+    sxx, syy = _dec_double(F.col("sxx")), _dec_double(F.col("syy"))
+    sxy = _dec_double(F.col("sxy"))
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return mom.select(
+        "group",
+        F.col("n"),
+        F.round(F.when(den > 0, num / den), 6).alias("rho"),
+    ).orderBy("group")
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H (rank one-way ANOVA) across the levels of
+    ``group_col`` — the k-sample extension of the Mann-Whitney screen.
+
+        H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+        C = 1 − Σ_v (t_v³ − t_v) / (N³ − N)        (tie correction)
+
+    computed from exact integers: per distinct value, per-group counts
+    and the pooled doubled rank (2·below + t + 1); R2_g = Σ cnt_g·rank2
+    is an exact DECIMAL sum and R_g = R2_g/2 enters H analytically.
+    Returns 1 row: n, k, h, h_corrected, dof. The chi-square p-value
+    needs the incomplete gamma and is left to the caller (the ANOVA
+    contract).
+
+    Shape: one groupBy(value, group) collapse (the only data-sized pass),
+    cumulative windows on the bounded distinct-value frame (documented
+    single-partition on the CURVE frame, the kaplan_meier contract), one
+    bounded groupBy(group), one 1-row reduce.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    cells = (
+        df.where(g.isNotNull() & v.isNotNull())
+        .groupBy(v.alias("v"), g.alias("grp"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # pooled per-value totals + cumulative below on the bounded value frame
+    per_v = cells.groupBy("v").agg(F.sum("c").alias("t"))
+    w = Window.orderBy("v")
+    below = F.coalesce(
+        F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    ranked = per_v.select(
+        "v",
+        "t",
+        (F.lit(2) * below + F.col("t") + F.lit(1)).alias("r2"),
+    )
+    joined = cells.join(ranked, "v")
+    per_g = joined.groupBy("grp").agg(
+        F.sum("c").alias("n_g"),
+        F.sum((F.col("c").cast(_DEC) * F.col("r2").cast(_DEC)).cast(_DEC)).alias(
+            "r2_g"
+        ),
+    )
+    # Σ R_g²/n_g with R_g = R2_g/2: sorted fold over the |groups| frame
+    term = (
+        _dec_double(F.col("r2_g")) * _dec_double(F.col("r2_g"))
+        / (F.lit(4.0) * F.col("n_g").cast("double"))
+    )
+    ties = ranked.agg(
+        F.sum(
+            (F.col("t").cast(_DEC) * F.col("t").cast(_DEC) * F.col("t").cast(_DEC)
+             - F.col("t").cast(_DEC)).cast(_DEC)
+        ).alias("tsum")
+    )
+    agg = per_g.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.aggregate(
+            F.sort_array(F.collect_list(term)), F.lit(0.0), lambda a, x: a + x
+        ).alias("sr"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n").cast("double")
+    h = F.lit(12.0) / (n * (n + 1.0)) * F.col("sr") - 3.0 * (n + 1.0)
+    c_corr = 1.0 - _dec_double(F.col("tsum")) / (n * n * n - n)
+    return agg.select(
+        F.col("n"),
+        F.col("k"),
+        (F.col("k") - 1).cast("int").alias("dof"),
+        F.round(h, 6).alias("h"),
+        F.round(F.when(c_corr > 0, h / c_corr), 6).alias("h_corrected"),
+    )

@@ -621,3 +621,144 @@ class TestMediaHeaderSniff:
             else:
                 shape = decode_image(payload).shape
             assert (m["height"], m["width"]) == shape[:2], name
+
+
+class TestRankStats:
+    def test_spearman_matches_numpy_rankdata(self, spark):
+        from preprocessor_spark.operators.rankstats import spearman_by_group
+
+        rng = np.random.default_rng(61)
+        rows = []
+        data = {}
+        for g in ("mono", "noisy", "ties"):
+            x = np.round(rng.uniform(0, 100, 400), 1)
+            if g == "mono":
+                y = np.round(x ** 2 / 10, 1)      # monotone: rho = 1
+            elif g == "ties":
+                x = np.round(x / 10) * 10          # heavy ties
+                y = np.round(-x + rng.normal(0, 5, 400), 0)
+            else:
+                y = np.round(rng.uniform(0, 100, 400), 1)
+            data[g] = (x, y)
+            rows += [(g, float(a), float(b)) for a, b in zip(x, y)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        got = {r["group"]: r for r in spearman_by_group(df, "g", "x", "y").collect()}
+
+        def rankdata(a):
+            order = np.argsort(a, kind="stable")
+            ranks = np.empty(len(a), float)
+            sa = a[order]
+            i = 0
+            r = np.arange(1, len(a) + 1, dtype=float)
+            while i < len(a):
+                j = i
+                while j + 1 < len(a) and sa[j + 1] == sa[i]:
+                    j += 1
+                ranks[order[i : j + 1]] = r[i : j + 1].mean()
+                i = j + 1
+            return ranks
+
+        for g, (x, y) in data.items():
+            rx, ry = rankdata(x), rankdata(y)
+            ref = float(np.corrcoef(rx, ry)[0, 1])
+            assert got[g]["rho"] == pytest.approx(ref, abs=1e-6), g
+            assert got[g]["n"] == 400
+        # y = round(x^2/10) collapses some distinct x into tied y, so the
+        # tie-corrected rho sits just under 1
+        assert got["mono"]["rho"] >= 0.999998
+
+    def test_kruskal_matches_scipy_free_reference(self, spark):
+        from preprocessor_spark.operators.rankstats import kruskal_wallis
+
+        rng = np.random.default_rng(67)
+        groups = {"a": rng.normal(10, 2, 300), "b": rng.normal(11, 2, 250),
+                  "c": rng.normal(10.2, 2, 350)}
+        rows = []
+        for g, vals in groups.items():
+            rows += [(g, round(float(v), 1)) for v in vals]  # 1dp → real ties
+        df = spark.createDataFrame(rows, "g string, x double")
+        r = kruskal_wallis(df, "x", "g").collect()[0]
+        # scalar reference (standard tie-corrected H)
+        allv = np.array([v for _, v in rows])
+        labels = np.array([g for g, _ in rows])
+        order = np.argsort(allv, kind="stable")
+        sa = allv[order]
+        ranks = np.empty(len(allv), float)
+        i = 0
+        rr = np.arange(1, len(allv) + 1, dtype=float)
+        tie_sum = 0.0
+        while i < len(allv):
+            j = i
+            while j + 1 < len(allv) and sa[j + 1] == sa[i]:
+                j += 1
+            ranks[order[i : j + 1]] = rr[i : j + 1].mean()
+            t = j - i + 1
+            tie_sum += t ** 3 - t
+            i = j + 1
+        N = len(allv)
+        H = 12.0 / (N * (N + 1)) * sum(
+            ranks[labels == g].sum() ** 2 / (labels == g).sum() for g in groups
+        ) - 3 * (N + 1)
+        C = 1 - tie_sum / (N ** 3 - N)
+        assert r["n"] == N and r["k"] == 3 and r["dof"] == 2
+        assert r["h"] == pytest.approx(H, abs=1e-6)
+        assert r["h_corrected"] == pytest.approx(H / C, abs=1e-6)
+        # planted shift makes the statistic clearly significant (chi2_0.95(2)=5.99)
+        assert r["h_corrected"] > 5.99
+
+    def test_identical_groups_h_near_zero(self, spark):
+        from preprocessor_spark.operators.rankstats import kruskal_wallis
+
+        rows = [(g, float(v)) for g in ("a", "b") for v in range(1, 101)]
+        df = spark.createDataFrame(rows, "g string, x double")
+        r = kruskal_wallis(df, "x", "g").collect()[0]
+        assert abs(r["h_corrected"]) < 1e-6  # identical distributions
+
+
+class TestACF:
+    def test_matches_numpy_reference(self, spark):
+        from preprocessor_spark.operators.ar import acf_by_key
+
+        rng = np.random.default_rng(71)
+        rows = []
+        series = {}
+        for key in (1, 2):
+            n = 200
+            x = np.zeros(n)
+            phi = 0.7 if key == 1 else -0.4
+            for t in range(1, n):
+                x[t] = phi * x[t - 1] + rng.normal(0, 1)
+            x = np.round(x + 10, 2)
+            series[key] = x
+            rows += [(key, i, float(v)) for i, v in enumerate(x)]
+        df = spark.createDataFrame(rows, "k long, o long, x double")
+        got = {r["key"]: r for r in acf_by_key(df, "k", "o", "x", max_lag=4).collect()}
+        for key, x in series.items():
+            n = len(x)
+            xm = x - x.mean()
+            c0 = (xm ** 2).sum()
+            q_terms = []
+            for l in range(1, 5):
+                r_l = float((xm[l:] * xm[:-l]).sum() / c0)
+                assert got[key][f"acf{l}"] == pytest.approx(r_l, abs=1e-6), (key, l)
+                q_terms.append(r_l ** 2 / (n - l))
+            q_ref = n * (n + 2) * sum(sorted(q_terms))
+            assert got[key]["lb_q"] == pytest.approx(q_ref, abs=1e-4)
+        # AR(0.7) series: positive decaying acf; AR(-0.4): alternating sign
+        assert got[1]["acf1"] > 0.5 > got[1]["acf2"] > got[1]["acf4"]
+        assert got[2]["acf1"] < 0 < got[2]["acf2"]
+
+    def test_short_series_dropped_and_single_exchange(self, spark):
+        from preprocessor_spark.operators.ar import acf_by_key
+
+        rows = [(1, i, float(i)) for i in range(3)] + [
+            (2, i, float(i % 7)) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "k long, o long, x double")
+        out = acf_by_key(df, "k", "o", "x", max_lag=5)
+        keys = [r["key"] for r in out.collect()]
+        assert keys == [2]  # n=3 <= max_lag drops
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+        with pytest.raises(ValueError, match="max_lag"):
+            acf_by_key(df, "k", "o", "x", max_lag=0)
