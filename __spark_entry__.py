@@ -8499,8 +8499,7 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
                             AS DECIMAL(38,8)) AS sa5,
                        CAST(SUM(CASE WHEN xl5 IS NOT NULL
                                 THEN CAST(xl5 AS DECIMAL(38,8)) END)
-                            AS DECIMAL(38,8)) AS sb5,
-                       CAST(COUNT(*) AS BIGINT) AS n_dup
+                            AS DECIMAL(38,8)) AS sb5
                 FROM lagged GROUP BY key HAVING COUNT(*) > 5
             )
             SELECT key, n,
