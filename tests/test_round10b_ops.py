@@ -762,3 +762,30 @@ class TestACF:
         assert plan.count("Exchange hashpartitioning") <= 2, plan
         with pytest.raises(ValueError, match="max_lag"):
             acf_by_key(df, "k", "o", "x", max_lag=0)
+
+
+def test_wquantile_and_spearman_plan_shapes(spark):
+    """No SinglePartition on data-sized frames; keyed exchanges only."""
+    from preprocessor_spark.operators.rankstats import spearman_by_group
+    from preprocessor_spark.operators.wquantile import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 3.0, 1.0)], "g string, v double, w double"
+    )
+    plan_wq = (
+        weighted_quantiles(df, "g", "v", "w", probs=(0.5,))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    body = plan_wq.split("Sort [group")[-1]
+    assert "Exchange SinglePartition" not in body, plan_wq
+    plan_sp = (
+        spearman_by_group(df, "g", "v", "w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    body = plan_sp.split("Sort [group")[-1]
+    assert "Exchange SinglePartition" not in body, plan_sp
+    assert "CartesianProduct" not in plan_sp
