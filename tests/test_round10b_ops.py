@@ -789,3 +789,72 @@ def test_wquantile_and_spearman_plan_shapes(spark):
     body = plan_sp.split("Sort [group")[-1]
     assert "Exchange SinglePartition" not in body, plan_sp
     assert "CartesianProduct" not in plan_sp
+
+
+def test_single_shard_mg_merge_compatible(spark, tmp_path):
+    """shards=1 (the default) emits shard 0 and merges through the same
+    helper — back-compat for the round-9 single-sketch contract."""
+    import time
+
+    from preprocessor_spark.streaming import (
+        heavy_hitters_stream,
+        merge_sharded_heavy_hitters,
+        run_available_now,
+    )
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, (t0 + pd.Timedelta(seconds=i)).to_pydatetime(), 1,
+         f"k{i % 5}", 0.0, "{}")
+        for i in range(100)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    src = str(tmp_path / "hh1_events")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(0.2)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(src)
+    )
+    run_available_now(
+        heavy_hitters_stream(stream, "event_type", capacity=8, order_col="ts"),
+        "hh1_state", output_mode="update",
+    )
+    merged = merge_sharded_heavy_hitters(spark.table("hh1_state")).toPandas()
+    assert int(merged["n_total"].iloc[0]) == 100
+    assert set(merged["item"]) == {f"k{i}" for i in range(5)}
+    assert (merged["est"] == 20).all() and (merged["err"] == 0).all()
+
+
+def test_gini_negative_values_still_evaluate(spark):
+    """Negatives are accepted (documented) — the identity still computes
+    and the scalar reference agrees."""
+    from preprocessor_spark.operators.inequality import gini_by_group
+
+    vals = [-5.0, -1.0, 2.0, 10.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, x double")
+    r = gini_by_group(df, "g", "x").collect()[0]
+    xs = np.sort(np.array(vals))
+    n = len(xs)
+    i = np.arange(1, n + 1)
+    ref = float(((2 * i - n - 1) * xs).sum() / (n * xs.sum()))
+    assert r["gini"] == pytest.approx(ref, abs=1e-6)
+
+
+def test_wquantile_overflow_certificate(spark):
+    from preprocessor_spark.operators.wquantile import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1e13), ("g", 2.0, 1.0)], "g string, v double, w double"
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        with pytest.raises(Exception, match="weight magnitude|overflows"):
+            weighted_quantiles(df, "g", "v", "w", probs=(0.5,)).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
