@@ -66,6 +66,12 @@ def gmm_fit(
         *[F.col(c).cast("double").alias(c) for c in features]
     )
     clean = clean.persist()  # scanned once per EM step
+    # AQE adds a stage-materialization round-trip to every EM step's tiny
+    # fixed-shape aggregation (the sample is persisted and partition counts
+    # are known) — turn it off for the fit loop and restore after.
+    spark = df.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         qs = [(j + 0.5) / k for j in range(k)]
         init = clean.agg(
@@ -92,7 +98,7 @@ def gmm_fit(
             _I64_SAFE,
             _SCALE,
             _qsum_dec,
-            _qsum_long,
+            _quant,
         )
 
         xs = [F.col(c) for c in features]
@@ -113,42 +119,69 @@ def gmm_fit(
             rs = [e / denom for e in exps]
             row_ll = mx + F.log(denom)
 
-            moments: list[tuple[str, Column]] = [("ll", row_ll)]
+            # Materialize the softmax ONCE per row in a projection, then
+            # aggregate trivial products of the projected columns. Inlining
+            # the responsibilities into all K·(2p+1) aggregates duplicates
+            # the whole exp/log subtree per moment — the generated aggregate
+            # update method blows past the JIT method-size limit and runs
+            # interpreted (measured 1.3 s vs 0.48 s per step at sf0.1).
+            # Numerically identical: same expressions, same association.
+            proj = clean.select(
+                *features,
+                row_ll.alias("__ll"),
+                *[rs[j].alias(f"__r_{j}") for j in range(k)],
+            )
+            moments: list[tuple[str, Column]] = [("ll", F.col("__ll"))]
             for j in range(k):
-                moments.append((f"r_{j}", rs[j]))
+                r = F.col(f"__r_{j}")
+                moments.append((f"r_{j}", r))
                 for ci, c in enumerate(features):
-                    moments.append((f"rx_{j}_{ci}", rs[j] * xs[ci]))
-                    moments.append((f"rxx_{j}_{ci}", rs[j] * xs[ci] * xs[ci]))
+                    moments.append((f"rx_{j}_{ci}", r * xs[ci]))
+                    moments.append((f"rxx_{j}_{ci}", r * xs[ci] * xs[ci]))
 
-            def _collect(qsum) -> dict:
-                aggs = [F.count(F.lit(1)).alias("n")]
+            def _collect_long() -> dict:
+                # One shared certificate instead of one per moment: the
+                # overflow checks below are uniform across moments, so
+                # max over moments of max|scaled term| certifies them all
+                # and halves the aggregate column count (driver-side
+                # planning per EM step is the dominant cost at small SF).
+                qs = [_quant(expr) for _, expr in moments]
+                cert = F.abs(qs[0])
+                for q in qs[1:]:
+                    cert = F.greatest(cert, F.abs(q))
+                aggs = [F.max(cert).alias("__cert")]
+                aggs += [
+                    F.sum(q.cast("long")).alias(name)
+                    for (name, _), q in zip(moments, qs)
+                ]
+                return proj.agg(*aggs).collect()[0].asDict()
+
+            def _collect_dec() -> dict:
+                aggs = []
                 for name, expr in moments:
-                    aggs += qsum(expr, name)
-                return clean.agg(*aggs).collect()[0].asDict()
+                    aggs += _qsum_dec(expr, name)
+                return proj.agg(*aggs).collect()[0].asDict()
 
             if use_dec:
-                row = _collect(_qsum_dec)
+                row = _collect_dec()
             else:
                 try:
-                    row = _collect(_qsum_long)
+                    row = _collect_long()
                 except Exception as exc:
                     if "OVERFLOW" not in str(exc).upper():
                         raise
                     use_dec = True
-                    row = _collect(_qsum_dec)
+                    row = _collect_dec()
                 else:
-                    certs = [
-                        float(row.get(f"__cert_{name}") or 0.0)
-                        for name, _ in moments
-                    ]
-                    if any(c >= _I64_SAFE for c in certs):
+                    cert = float(row.get("__cert") or 0.0)
+                    if cert >= _I64_SAFE:
                         raise ValueError(
                             "gmm_fit: a moment term overflows the 1e-9 "
                             "quantization grid; pre-scale the features"
                         )
-                    if any(int(row["n"]) * c >= _I64_SAFE for c in certs):
+                    if int(n_total) * cert >= _I64_SAFE:
                         use_dec = True
-                        row = _collect(_qsum_dec)
+                        row = _collect_dec()
 
             def g(name: str) -> float:
                 return row[name] / _SCALE
@@ -182,6 +215,7 @@ def gmm_fit(
                 break
             prev_ll = ll
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         clean.unpersist()
     order = sorted(range(k), key=lambda j: (means[j][0], means[j][1:] if p > 1 else 0))
     return {
