@@ -5192,12 +5192,10 @@ _GRADED_WINDOW = [
     # pack_documents_plan, contamination_check, negatives_ring_docs,
     # lateral_topn_orders, text_gopher_quality) remain oracle-graded
     # locally at 51+ — same policy as rounds 4-7.
-    "welch_ttest_returnflags",
-    "chi2_priority_status",
-    "mannwhitney_quantity_status",
-    "basket_brand_pairs",
-    "survival_km_customers",
-    "target_encode_priority",
+    # (round-11 rotation: the six r8b analytics — welch_ttest_returnflags,
+    # chi2_priority_status, mannwhitney_quantity_status, basket_brand_pairs,
+    # survival_km_customers, target_encode_priority — rotated out after
+    # three green rounds; all remain oracle-graded locally at 51+.)
     # round-9 promotion: the value-oracled round-8b analytics (ROC-AUC +
     # confusion metrics, multinomial Naive Bayes, grouped OLS, isotonic
     # PAV via the minimax identity). Their rows-only siblings (holt,
@@ -5206,10 +5204,10 @@ _GRADED_WINDOW = [
     # Displaced long-green r6b basics (cohort_retention_events,
     # anomaly_mad_events, event_transitions_markov, keyword_tfidf_docs)
     # remain oracle-graded locally at 51+ — same policy as rounds 4-8.
-    "eval_binary_discount",
-    "nbayes_lang_docs",
+    # (round-11 rotation: eval_binary_discount, nbayes_lang_docs,
+    # isotonic_discount_returnrate rotated out after two green rounds;
+    # grouped_ols_lineitem stays — it also grades the linear-SHAP row.)
     "grouped_ols_lineitem",
-    "isotonic_discount_returnrate",
     # round-9 marquee analytics (all value-oracled): association rules,
     # CUPED experimentation, offline CUSUM changepoint, seasonal
     # decomposition. Their siblings (mutual_info_orders,
@@ -5258,6 +5256,23 @@ _GRADED_WINDOW = [
     "gains_table_returns",
     "shapley_lineitem_price",
     "backtest_seasonal_naive_users",
+    # round-11 promotion: the nine round-10 value-oracled analytics enter
+    # the driver window (strict exact-compare re-simulated at sf0.01
+    # before freezing — the a00682f discipline): Spearman rank correlation,
+    # Kruskal-Wallis H, per-series ACF + Ljung-Box, Gini/Lorenz, Benford
+    # first-digit audit, weighted quantiles, two-proportion z-test + power,
+    # key-skew report, frequent event sequences. Their rows-only sibling
+    # (cox_ph_customers) stays at 51+ with partial-likelihood pytest
+    # grading — iterative float fit has no SQL twin by design.
+    "spearman_lineitem",
+    "kruskal_value_events",
+    "acf_events_users",
+    "gini_nation_balances",
+    "benford_price_digits",
+    "wquantile_price_by_flag",
+    "prop_ztest_orders",
+    "skew_events_users",
+    "event_sequences_users",
 ]
 
 
