@@ -4461,8 +4461,12 @@ def huber_price_model(spark, sf_dir):
     """Huber robust regression (operators/huber.py): price ~ quantity +
     discount under Huber loss — IRLS over one-pass scaled-int64 weighted
     moments (bit-deterministic across partitionings, overflow
-    certificates). Rows-only by design (iterative float fit); graded by
-    numpy-IRLS equivalence, outlier-resistance, and determinism pytest."""
+    certificates). VALUE-oracled since round 11: tol=0.0 pins the fit to
+    exactly 12 IRLS steps, the p=2 solve is the engine-exact Cramer tree,
+    and the DuckDB oracle replays all 12 reweight→quantize→solve rounds
+    as an unrolled CTE chain (identical expression text, identical
+    doubles). Also graded by numpy-IRLS equivalence, outlier-resistance,
+    and determinism pytest."""
     from preprocessor_spark.operators.huber import huber_fit
 
     # pre-scaled units (qty/10, price/1e5) keep every scaled-int64 moment
@@ -4474,19 +4478,28 @@ def huber_price_model(spark, sf_dir):
         F.col("l_discount").alias("disc"),
         (F.col("l_extendedprice") / 100000.0).alias("price"),
     )
-    fit = huber_fit(l, ["qty", "disc"], "price", delta=0.05, max_iter=12)
-    return spark.createDataFrame(
+    fit = huber_fit(l, ["qty", "disc"], "price", delta=0.05, max_iter=12, tol=0.0)
+    raw = spark.createDataFrame(
         [(
             fit["n"],
-            round(fit["intercept"], 6),
-            round(fit["coef"][0], 6),
-            round(fit["coef"][1], 6),
+            fit["intercept"],
+            fit["coef"][0],
+            fit["coef"][1],
             fit["iterations"],
             fit["converged"],
             fit["n_downweighted"],
         )],
         "n long, intercept double, coef_qty double, coef_disc double, "
         "iterations int, converged boolean, n_downweighted long",
+    )
+    return raw.select(
+        "n",
+        F.round("intercept", 6).alias("intercept"),
+        F.round("coef_qty", 6).alias("coef_qty"),
+        F.round("coef_disc", 6).alias("coef_disc"),
+        "iterations",
+        "converged",
+        "n_downweighted",
     )
 
 
@@ -4852,10 +4865,13 @@ def quantreg_price_tau90(spark, sf_dir):
     the conditional 0.9-quantile of price ~ quantity + discount via
     IRLS-smoothed pinball loss on the scaled-int64 one-pass moment engine
     (bit-deterministic, overflow-certified — the huber/logreg contract).
-    Rows-only by design (iterative float fit); graded by numpy-IRLS step
-    equivalence, the ~tau below-line property, planted-quantile recovery,
-    and median outlier resistance. Pre-scaled units keep the fast engine
-    at any sf (the huber lesson)."""
+    VALUE-oracled since round 11: tol=0.0 pins the fit to exactly 15
+    IRLS steps, the p=2 solve is the engine-exact Cramer tree, and the
+    DuckDB oracle replays all 15 reweight→quantize→solve rounds as an
+    unrolled CTE chain. Also graded by numpy-IRLS step equivalence, the
+    ~tau below-line property, planted-quantile recovery, and median
+    outlier resistance. Pre-scaled units keep the fast engine at any sf
+    (the huber lesson)."""
     from preprocessor_spark.operators.quantreg import quantile_fit
 
     l = _t(spark, sf_dir, "lineitem").select(
@@ -4866,19 +4882,30 @@ def quantreg_price_tau90(spark, sf_dir):
     # eps=1e-2 (1% of the scaled price range) conditions the IRLS well
     # enough that 15 scans land frac_below ~0.89 for tau=0.9; the exact
     # minimizer needs the slow eps->0 limit (documented smoothing trade)
-    fit = quantile_fit(l, ["qty", "disc"], "price", tau=0.9, max_iter=15, eps=1e-2)
-    return spark.createDataFrame(
+    fit = quantile_fit(
+        l, ["qty", "disc"], "price", tau=0.9, max_iter=15, tol=0.0, eps=1e-2
+    )
+    raw = spark.createDataFrame(
         [(
             fit["n"],
-            round(fit["intercept"], 6),
-            round(fit["coef"][0], 6),
-            round(fit["coef"][1], 6),
+            fit["intercept"],
+            fit["coef"][0],
+            fit["coef"][1],
             fit["iterations"],
             fit["converged"],
-            round(fit["frac_below"], 6),
+            fit["frac_below"],
         )],
         "n long, intercept double, coef_qty double, coef_disc double, "
         "iterations int, converged boolean, frac_below double",
+    )
+    return raw.select(
+        "n",
+        F.round("intercept", 6).alias("intercept"),
+        F.round("coef_qty", 6).alias("coef_qty"),
+        F.round("coef_disc", 6).alias("coef_disc"),
+        "iterations",
+        "converged",
+        F.round("frac_below", 6).alias("frac_below"),
     )
 
 
@@ -6083,6 +6110,123 @@ def _seasonal_core_sql() -> str:
                 SELECT ph.key, ph.phase, ph.s_raw - km.s_mean AS seasonal
                 FROM ph JOIN keymean km ON ph.key = km.key
             )"""
+
+
+def _cramer3_sql(m: str) -> tuple[str, str, str]:
+    """SQL text of the 3×3 Cramer solve over a moments CTE ``m`` — the
+    EXACT expression tree of operators/huber.py::_cramer3 (same naming
+    map as the driver call: sw→s_w, s1→s_0, s2→s_1, a11→s_00, a12→s_10,
+    a22→s_11), so DuckDB reproduces every θ bit."""
+    minor = "({m}.s_00*{m}.s_11 - {m}.s_10*{m}.s_10)".format(m=m)
+    det = (
+        f"({m}.s_w*{minor} - {m}.s_0*({m}.s_0*{m}.s_11 - {m}.s_10*{m}.s_1)"
+        f" + {m}.s_1*({m}.s_0*{m}.s_10 - {m}.s_00*{m}.s_1))"
+    )
+    det0 = (
+        f"({m}.s_y*{minor} - {m}.s_0*({m}.s_0y*{m}.s_11 - {m}.s_10*{m}.s_1y)"
+        f" + {m}.s_1*({m}.s_0y*{m}.s_10 - {m}.s_00*{m}.s_1y))"
+    )
+    det1 = (
+        f"({m}.s_w*({m}.s_0y*{m}.s_11 - {m}.s_10*{m}.s_1y)"
+        f" - {m}.s_y*({m}.s_0*{m}.s_11 - {m}.s_10*{m}.s_1)"
+        f" + {m}.s_1*({m}.s_0*{m}.s_1y - {m}.s_0y*{m}.s_1))"
+    )
+    det2 = (
+        f"({m}.s_w*({m}.s_00*{m}.s_1y - {m}.s_0y*{m}.s_10)"
+        f" - {m}.s_0*({m}.s_0*{m}.s_1y - {m}.s_0y*{m}.s_1)"
+        f" + {m}.s_y*({m}.s_0*{m}.s_10 - {m}.s_00*{m}.s_1))"
+    )
+    return f"{det0}/{det}", f"{det1}/{det}", f"{det2}/{det}"
+
+
+def _irls2_replay_sql(max_iter: int, w_sql: str, final_sql: str) -> str:
+    """Unrolled replay of the huber/quantreg IRLS engine over lineitem in
+    pre-scaled units: per iteration one CTE computes the row weight from
+    the previous θ (``w_sql`` may reference t0/t1/t2 — iteration 1 uses
+    w = 1.0), one CTE the nine 1e-9-quantized HUGEINT moment sums (the
+    exact integers Spark's scaled-int64 engine accumulates, converted
+    int→double→/1e9 in the same sequence), and one CTE the Cramer solve.
+    ``final_sql`` formats with {s} = the last solve CTE name."""
+    q = "CAST(SUM(CAST(floor({e}*1000000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)/1000000000.0 AS {n}"
+    moments = [
+        ("s_w", "w"),
+        ("s_y", "(w*price)"),
+        ("s_0", "(w*qty)"),
+        ("s_0y", "((w*qty)*price)"),
+        ("s_00", "((w*qty)*qty)"),
+        ("s_1", "(w*disc)"),
+        ("s_1y", "((w*disc)*price)"),
+        ("s_10", "((w*disc)*qty)"),
+        ("s_11", "((w*disc)*disc)"),
+    ]
+    msel = ",\n                       ".join(q.format(e=e, n=n) for n, e in moments)
+    parts = [
+        """WITH base AS (
+                SELECT CAST(l_quantity AS DOUBLE)/10.0 AS qty,
+                       CAST(l_discount AS DOUBLE) AS disc,
+                       CAST(l_extendedprice AS DOUBLE)/100000.0 AS price
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                      AND l_extendedprice IS NOT NULL
+            )"""
+    ]
+    for i in range(1, max_iter + 1):
+        w = "1.0" if i == 1 else w_sql
+        src = "base" if i == 1 else f"base, s{i - 1}"
+        t0, t1, t2 = _cramer3_sql(f"m{i}")
+        parts.append(
+            f""", w{i} AS (
+                SELECT qty, disc, price, {w} AS w FROM {src}
+            ), m{i} AS (
+                SELECT {msel}
+                FROM w{i}
+            ), s{i} AS (
+                SELECT {t0} AS t0,
+                       {t1} AS t1,
+                       {t2} AS t2
+                FROM m{i}
+            )"""
+        )
+    return "\n            ".join(parts) + "\n            " + final_sql.format(
+        s=f"s{max_iter}"
+    )
+
+
+def _huber_oracle_sql() -> str:
+    w = "LEAST(1.0, 0.05/ABS(price - ((t0 + t1*qty) + t2*disc)))"
+    final = """SELECT (SELECT COUNT(*) FROM base) AS n,
+                   ROUND(t0, 6) AS intercept,
+                   ROUND(t1, 6) AS coef_qty,
+                   ROUND(t2, 6) AS coef_disc,
+                   CAST(12 AS INTEGER) AS iterations,
+                   FALSE AS converged,
+                   (SELECT COUNT(*) FROM base, {s}
+                    WHERE ABS(price - ((t0 + t1*qty) + t2*disc)) > 0.05)
+                       AS n_downweighted
+            FROM {s}"""
+    return _irls2_replay_sql(12, w, final)
+
+
+def _quantreg_oracle_sql() -> str:
+    lo = repr(1.0 - 0.9)  # the exact double Spark embeds for 1.0 - tau
+    w = (
+        f"(CASE WHEN (price - ((t0 + t1*qty) + t2*disc)) < 0.0"
+        f" THEN {lo} ELSE 0.9 END)"
+        f" / GREATEST(ABS(price - ((t0 + t1*qty) + t2*disc)), 0.01)"
+    )
+    final = """SELECT (SELECT COUNT(*) FROM base) AS n,
+                   ROUND(t0, 6) AS intercept,
+                   ROUND(t1, 6) AS coef_qty,
+                   ROUND(t2, 6) AS coef_disc,
+                   CAST(15 AS INTEGER) AS iterations,
+                   FALSE AS converged,
+                   ROUND(CAST((SELECT COUNT(*) FROM base, {s}
+                               WHERE price < ((t0 + t1*qty) + t2*disc))
+                              AS DOUBLE)
+                         / CAST((SELECT COUNT(*) FROM base) AS DOUBLE),
+                         6) AS frac_below
+            FROM {s}"""
+    return _irls2_replay_sql(15, w, final)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8788,6 +8932,11 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
         # round-10 rows-only -> value-oracled promotion). Same IEEE op
         # order as the pandas scan: x - mu - k left-to-right, max via
         # GREATEST, positions via the fold counter.
+        # IRLS regression replays: unrolled CTE chains generated by
+        # _irls2_replay_sql — every reweight/quantize/solve round of the
+        # scaled-int64 engine re-run in DuckDB with identical doubles
+        "huber_price_model": _huber_oracle_sql(),
+        "quantreg_price_tau90": _quantreg_oracle_sql(),
         "cusum_online_users": """
             WITH f AS (
                 SELECT user_id AS key, event_id AS pos,

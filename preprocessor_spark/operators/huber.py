@@ -31,6 +31,64 @@ from pyspark.sql import functions as F
 from preprocessor_spark.operators.logreg import _qsum_long
 
 
+def _cramer3(sw, s1, s2, s11, s12, s22, sy, s1y, s2y):
+    """Solve [[sw,s1,s2],[s1,s11,s12],[s2,s12,s22]] θ = [sy,s1y,s2y] by
+    Cramer's rule with a FIXED association order — the same expression
+    tree `linreg._cramer2_thetas` emits Spark-side and the DuckDB IRLS
+    oracles replay, so a SQL engine evaluating the identical text on the
+    identical double moments reproduces every θ bit. Returns None when
+    the system is singular (caller falls back to numpy's LU, which
+    raises its usual LinAlgError)."""
+    det = (
+        sw * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    if det == 0.0:
+        return None
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        sw * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        sw * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    return det0 / det, det1 / det, det2 / det
+
+
+def _solve_weighted_normal(g, p: int) -> np.ndarray:
+    """Driver-side solve of the weighted normal equations from the moment
+    getter ``g``. p == 2 rides the engine-exact Cramer tree (so the fit
+    is VALUE-oracle-able — DuckDB replays the identical expression);
+    other p use numpy's LU. Shared by huber_fit and quantile_fit."""
+    if p == 2:
+        t = _cramer3(
+            g("s_w"), g("s_0"), g("s_1"),
+            g("s_00"), g("s_10"), g("s_11"),
+            g("s_y"), g("s_0y"), g("s_1y"),
+        )
+        if t is not None:
+            return np.array(t)
+    a = np.zeros((p + 1, p + 1))
+    b = np.zeros(p + 1)
+    a[0, 0] = g("s_w")
+    b[0] = g("s_y")
+    for j in range(p):
+        a[0, j + 1] = a[j + 1, 0] = g(f"s_{j}")
+        b[j + 1] = g(f"s_{j}y")
+        for i in range(j + 1):
+            a[j + 1, i + 1] = a[i + 1, j + 1] = g(f"s_{j}{i}")
+    return np.linalg.solve(a, b)
+
+
 def huber_fit(
     df: DataFrame,
     features: list[str],
@@ -129,18 +187,13 @@ def huber_fit(
             from preprocessor_spark.operators.logreg import _SCALE
 
             def g(name: str) -> float:
-                return row[name] / _SCALE
+                # float() FIRST, divide second: a SQL twin computes
+                # CAST(hugeint_sum AS DOUBLE)/1e9 (two roundings), so the
+                # driver does the identical int->double->divide sequence
+                # instead of Python's single correctly-rounded int/float
+                return float(row[name]) / _SCALE
 
-            a = np.zeros((p + 1, p + 1))
-            b = np.zeros(p + 1)
-            a[0, 0] = g("s_w")
-            b[0] = g("s_y")
-            for j in range(p):
-                a[0, j + 1] = a[j + 1, 0] = g(f"s_{j}")
-                b[j + 1] = g(f"s_{j}y")
-                for i in range(j + 1):
-                    a[j + 1, i + 1] = a[i + 1, j + 1] = g(f"s_{j}{i}")
-            new_theta = np.linalg.solve(a, b)
+            new_theta = _solve_weighted_normal(g, p)
             if np.max(np.abs(new_theta - theta)) < tol:
                 theta = new_theta
                 converged = True

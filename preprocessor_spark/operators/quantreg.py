@@ -122,21 +122,17 @@ def quantile_fit(
             if n < p + 1:
                 raise ValueError(f"quantile_fit: {n} rows < {p + 1} parameters")
 
+            from preprocessor_spark.operators.huber import (
+                _solve_weighted_normal,
+            )
             from preprocessor_spark.operators.logreg import _SCALE
 
             def g(name: str) -> float:
-                return row[name] / _SCALE
+                # float() first, divide second — matches the SQL twin's
+                # CAST(sum AS DOUBLE)/1e9 sequence (see huber_fit)
+                return float(row[name]) / _SCALE
 
-            a = np.zeros((p + 1, p + 1))
-            b = np.zeros(p + 1)
-            a[0, 0] = g("s_w")
-            b[0] = g("s_y")
-            for j in range(p):
-                a[0, j + 1] = a[j + 1, 0] = g(f"s_{j}")
-                b[j + 1] = g(f"s_{j}y")
-                for i in range(j + 1):
-                    a[j + 1, i + 1] = a[i + 1, j + 1] = g(f"s_{j}{i}")
-            new_theta = np.linalg.solve(a, b)
+            new_theta = _solve_weighted_normal(g, p)
             if np.max(np.abs(new_theta - theta)) < tol:
                 theta = new_theta
                 converged = True
