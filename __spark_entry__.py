@@ -4144,10 +4144,13 @@ def communities_lpa(spark, sf_dir):
     label_propagation) over the same customer→supplier trade graph
     PageRank uses: synchronous LPA with a deterministic (votes desc, label
     asc) tie-break and a self-vote oscillation damper, 5 fixed rounds.
-    Rows-only (community structure has no SQL oracle);
-    tests/test_round7_ops.py plants two bridge-linked cliques that must
-    split into exactly their two communities, and checks repartition
-    determinism + per-round plan shape (one keyed join + one groupBy)."""
+    VALUE-oracled since round 11: synchronous LPA is a pure function of
+    the edge set with integer votes and a string tie-break — no floats —
+    so the DuckDB oracle (_lpa_oracle_sql) replays all 5 rounds exactly.
+    tests/test_round7_ops.py additionally plants two bridge-linked
+    cliques that must split into exactly their two communities, and
+    checks repartition determinism + per-round plan shape (one keyed
+    join + one groupBy)."""
     from preprocessor_spark.caching import persist_scope
     from preprocessor_spark.operators.graph import label_propagation
 
@@ -6227,6 +6230,49 @@ def _quantreg_oracle_sql() -> str:
                          6) AS frac_below
             FROM {s}"""
     return _irls2_replay_sql(15, w, final)
+
+
+def _lpa_oracle_sql(rounds: int = 5) -> str:
+    """Unrolled replay of graph.label_propagation over the customer↔
+    supplier trade graph: synchronous LPA is a pure function of the edge
+    set (fixed rounds, integer votes, self-vote, ties to smallest label
+    string), so each round is one join + one vote count + one
+    deterministic top-1 — no floats anywhere."""
+    parts = [
+        """WITH sym AS (
+                SELECT DISTINCT u, v FROM (
+                    SELECT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                    UNION ALL
+                    SELECT 's' || l_suppkey AS u, 'c' || o_custkey AS v
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                ) WHERE u <> v
+            ), l0 AS (
+                SELECT DISTINCT u AS node, u AS community FROM sym
+            )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", v{r} AS (
+                SELECT node, community, COUNT(*) AS votes FROM (
+                    SELECT s.u AS node, l.community
+                    FROM sym s JOIN l{r - 1} l ON s.v = l.node
+                    UNION ALL
+                    SELECT node, community FROM l{r - 1}
+                ) GROUP BY node, community
+            ), l{r} AS (
+                SELECT node, community FROM (
+                    SELECT node, community,
+                           ROW_NUMBER() OVER (PARTITION BY node
+                               ORDER BY votes DESC, community ASC) AS rk
+                    FROM v{r}
+                ) WHERE rk = 1
+            )"""
+        )
+    return (
+        "\n            ".join(parts)
+        + f"\n            SELECT node, community FROM l{rounds} ORDER BY node"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8937,6 +8983,7 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
         # scaled-int64 engine re-run in DuckDB with identical doubles
         "huber_price_model": _huber_oracle_sql(),
         "quantreg_price_tau90": _quantreg_oracle_sql(),
+        "communities_lpa": _lpa_oracle_sql(5),
         "cusum_online_users": """
             WITH f AS (
                 SELECT user_id AS key, event_id AS pos,
