@@ -2174,6 +2174,45 @@ def funnel_user_events(spark, sf_dir):
     )
 
 
+def funnel_stream_report_events(spark, sf_dir):
+    """Streaming funnel drain report (streaming/__init__.py funnel_stream →
+    funnel_report_from_states): the applyInPandasWithState twin of the
+    batch funnel runs over the events table as a REAL availableNow stream
+    (one batch — the state update sorts each user's micro-batch by ts, so
+    the in-order drain contract holds), drains the per-user k-slot state
+    vectors to a memory sink, and aggregates them with the exact
+    BIGINT-microsecond gap arithmetic. Bit-equal to the batch
+    funnel_report after a full drain — so the DuckDB oracle is the SAME
+    chained-MIN SQL that grades funnel_user_events. The first
+    driver-graded query whose value flows through streaming state."""
+    import os as _os
+    import uuid
+
+    from preprocessor_spark.streaming import (
+        funnel_report_from_states,
+        funnel_stream,
+        run_available_now,
+    )
+
+    steps = ["view", "click", "purchase"]
+    schema = _t(spark, sf_dir, "events").schema
+    # testdata tables are single parquet FILES; the file stream source
+    # rejects a bare file path (basePath must be a directory) but accepts
+    # a glob, which also covers the directory-table layout
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_os.path.join(sf_dir, "events.parq*"))
+        .select("user_id", "ts", "event_type")
+    )
+    sink = f"funnel_states_{uuid.uuid4().hex[:10]}"
+    run_available_now(
+        funnel_stream(stream, steps, "user_id", "ts", "event_type"),
+        sink,
+        output_mode="update",
+    )
+    return funnel_report_from_states(spark.table(sink), steps)
+
+
 def cohort_retention_events(spark, sf_dir):
     """Weekly cohort retention matrix (operators/funnel.py
     cohort_retention): cohort = Monday-truncated week of each user's first
@@ -5513,6 +5552,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_orders_psi": drift_orders_psi,
         "drift_orders_ks": drift_orders_ks,
         "funnel_user_events": funnel_user_events,
+        # streaming-state funnel drain report (round 11, oracle-backed —
+        # bit-equal to the batch funnel by the drain contract)
+        "funnel_stream_report_events": funnel_stream_report_events,
         "interval_join_events": interval_join_events,
         "anomaly_mad_events": anomaly_mad_events,
         "event_transitions_markov": event_transitions_markov,
@@ -6278,7 +6320,7 @@ def _lpa_oracle_sql(rounds: int = 5) -> str:
 def oracle_sql() -> dict[str, str]:
     dp = "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
     charge = f"({dp}) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
-    return {
+    return _alias_shared_oracles({
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,
@@ -10911,7 +10953,16 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
             + _zorder_oracle_expr()
             + " AS zval FROM orders"
         ),
-    }
+    })
+
+
+def _alias_shared_oracles(d: dict[str, str]) -> dict[str, str]:
+    """Queries contract-equal to an existing one share its oracle: the
+    streaming funnel drain report is bit-equal to the batch funnel after
+    a full in-order drain (streaming/__init__.py funnel_stream docstring),
+    so the chained-MIN SQL grades both."""
+    d["funnel_stream_report_events"] = d["funnel_user_events"]
+    return d
 
 
 def _zorder_oracle_expr() -> str:
