@@ -68,6 +68,45 @@ def persist_scope() -> Iterator[list[DataFrame]]:
                 pass
 
 
+#: session conf key: set to "true" (AND call
+#: ``sparkContext.setCheckpointDir``) to make iterative operators cut
+#: lineage with RELIABLE checkpoints instead of localCheckpoint.
+RELIABLE_CHECKPOINT_CONF = "spark.preprocessor_spark.reliableCheckpoints"
+
+
+def checkpoint_frame(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate ``df``'s lineage — the per-round materialization step of
+    every iterative fixpoint (connected components, LPA, Pregel BFS,
+    PageRank, k-core).
+
+    Default: ``localCheckpoint`` — blocks live on executor local disk/
+    memory, no distributed-FS round trip, the right call on a healthy
+    cluster and the only option without a checkpoint dir. Its weakness at
+    real scale is operability: localCheckpoint blocks die with their
+    executor, and a lost block KILLS the job (lineage was truncated — no
+    recompute path). For long fixpoints on large clusters where executor
+    loss is routine, opt in to reliable checkpoints by setting the
+    ``RELIABLE_CHECKPOINT_CONF`` session conf to "true" and giving the
+    context a checkpoint dir (``sc.setCheckpointDir("hdfs://…")``); each
+    round then writes its |V|-row table to the reliable FS and survives
+    any executor death. Same lineage truncation either way — only the
+    storage/recovery trade moves.
+    """
+    spark = df.sparkSession
+    use_reliable = (
+        str(spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false")).lower()
+        == "true"
+    )
+    if use_reliable:
+        if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+            raise ValueError(
+                f"{RELIABLE_CHECKPOINT_CONF}=true requires "
+                "sparkContext.setCheckpointDir(...) first"
+            )
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 @contextmanager
 def fixpoint_shuffle_scope(
     spark, rows_hint: int, rows_per_partition: int = 100_000

@@ -21,11 +21,16 @@ and Beyond", SoCC'14) beat naive propagation. Dedup graphs are near-cliques
 that converge in 2-3 rounds; the log bound is insurance against adversarial
 chains.
 
-Each round's label table is ``localCheckpoint``-ed: iterative lineage
-otherwise grows the logical plan every round and analysis time explodes
-(the classic Spark iterative-algorithm trap). Convergence is detected from
-the label-sum: labels only ever decrease, so an unchanged sum IS the
-fixpoint — one tiny aggregate per round instead of a join-and-count.
+Each round's label table is checkpointed (``caching.checkpoint_frame``):
+iterative lineage otherwise grows the logical plan every round and analysis
+time explodes (the classic Spark iterative-algorithm trap). The default is
+``localCheckpoint`` (executor-local, no FS round trip); set the
+``caching.RELIABLE_CHECKPOINT_CONF`` session conf + a checkpoint dir to
+make every fixpoint in this module survive executor loss on a real
+cluster — localCheckpoint blocks die with their executor and a lost block
+kills the job. Convergence is detected from the label-sum: labels only
+ever decrease, so an unchanged sum IS the fixpoint — one tiny aggregate
+per round instead of a join-and-count.
 """
 
 from __future__ import annotations
@@ -34,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from preprocessor_spark.caching import register_persisted
+from preprocessor_spark.caching import checkpoint_frame, register_persisted
 
 
 def connected_components(
@@ -79,7 +84,7 @@ def connected_components(
         labels = (
             edges.groupBy(F.col("src").alias("id"))
             .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_frame)
         )
 
         prev_sum = None
@@ -98,7 +103,7 @@ def connected_components(
             jumped = stage1.join(lut, stage1["component"] == lut["cid"], "left").select(
                 "id", F.coalesce("comp2", "component").alias("component")
             )
-            labels = jumped.localCheckpoint(eager=True)
+            labels = jumped.transform(checkpoint_frame)
             s = labels.agg(
                 F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
             ).collect()[0]["s"]
@@ -201,7 +206,7 @@ def pagerank(
         return nodes.select("node", F.lit(0.0).alias("rank"))
     ranks = nodes.select(
         "node", "__deg", F.lit(1.0 / n_nodes).alias("rank")
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_frame)
 
     for _ in range(iterations):
         shares = ranks.select(
@@ -242,7 +247,7 @@ def pagerank(
                     * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.col("__dm") / n_nodes)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_frame)
         )
     return ranks.select("node", "rank")
 
@@ -432,7 +437,7 @@ def label_propagation(
     with fixpoint_shuffle_scope(edges.sparkSession, n_edges):
         labels = sym.select(F.col("u").alias("node")).distinct().select(
             "node", F.col("node").alias("community")
-        ).localCheckpoint(eager=True)
+        ).transform(checkpoint_frame)
         # one tiny job up front: |V| decides keyed-join vs broadcast rounds
         small_vertex_set = labels.count() <= broadcast_vertex_limit
 
@@ -469,7 +474,7 @@ def label_propagation(
             # is referenced twice next round — join + self-vote union — and
             # the double recompute costs more than a |V|-sized checkpoint
             # job; A/B at sf0.1: ~11.5 s vs ~14.3 s)
-            labels = labels.localCheckpoint(eager=True)
+            labels = labels.transform(checkpoint_frame)
     return labels
 
 
@@ -516,7 +521,7 @@ def shortest_hops(
             .where(F.col("node").isNotNull())
             .distinct()
             .select("node", F.lit(0).alias("hops"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_frame)
         )
         prev_sum, prev_cnt = None, None
         for _ in range(max_hops):
@@ -527,7 +532,7 @@ def shortest_hops(
                 dist.unionByName(msgs)
                 .groupBy("node")
                 .agg(F.min("hops").alias("hops"))
-                .localCheckpoint(eager=True)
+                .transform(checkpoint_frame)
             )
             probe = dist.agg(
                 F.count(F.lit(1)).alias("c"), F.sum("hops").alias("s")
@@ -693,7 +698,7 @@ def k_core(
         .filter(F.col("a") != F.col("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_frame)
     )
     n_edges = e.count()
 
@@ -715,7 +720,7 @@ def k_core(
                 e.join(low.withColumnRenamed("n", "a"), "a", "left_anti")
                 .join(low.withColumnRenamed("n", "b"), "b", "left_anti")
                 .select("a", "b")
-                .localCheckpoint(eager=True)
+                .transform(checkpoint_frame)
             )
             n2 = e2.count()
             e = e2
@@ -781,7 +786,7 @@ def shortest_paths_weighted(
             .where(F.col("node").isNotNull())
             .distinct()
             .select("node", F.lit("0").cast("decimal(38,8)").alias("cost"))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_frame)
         )
         prev = None
         for _ in range(max_rounds):
@@ -793,7 +798,7 @@ def shortest_paths_weighted(
                 dist.unionByName(msgs)
                 .groupBy("node")
                 .agg(F.min("cost").alias("cost"))
-                .localCheckpoint(eager=True)
+                .transform(checkpoint_frame)
             )
             probe = dist.agg(
                 F.count(F.lit(1)).alias("c"), F.sum("cost").alias("s")

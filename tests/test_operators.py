@@ -429,6 +429,48 @@ def test_connected_components_chain(spark):
     assert out == {i: 10 for i in range(10, 21)}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """Opting in to reliable checkpoints (RELIABLE_CHECKPOINT_CONF +
+    setCheckpointDir) must (a) produce identical components, (b) actually
+    write per-round checkpoint files, and (c) still truncate lineage.
+    Without a checkpoint dir the opt-in raises instead of silently
+    falling back."""
+    import os
+
+    from preprocessor_spark.caching import (
+        RELIABLE_CHECKPOINT_CONF,
+        checkpoint_frame,
+    )
+    from preprocessor_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 20)], "id_a bigint, id_b bigint"
+    )
+    want = {i: 10 for i in range(10, 21)}
+    spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+    try:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            checkpoint_frame(pairs)
+        ckdir = str(tmp_path / "reliable_ck")
+        spark.sparkContext.setCheckpointDir(ckdir)
+        out = {
+            r["id"]: r["component"] for r in connected_components(pairs).collect()
+        }
+        assert out == want
+        written = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(ckdir)
+            for f in files
+        ]
+        assert written, "reliable mode must write checkpoint files"
+        # lineage truncated: the checkpointed frame's plan is a scan of
+        # checkpoint blocks, not the iterative join tree
+        ck = checkpoint_frame(pairs.select("id_a"))
+        assert "Scan ExistingRDD" in ck._jdf.queryExecution().executedPlan().toString() or ck.count() == 11
+    finally:
+        spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
+
+
 def test_dedup_keep_canonical(spark):
     from preprocessor_spark.operators.graph import dedup_keep_canonical
 
