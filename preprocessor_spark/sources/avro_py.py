@@ -13,10 +13,14 @@ pattern as :mod:`preprocessor_spark.sources.warc`.
 
 Scale shape: one input partition per ``.avro`` file (the writer emits one
 file per Spark partition, so a write→read round trip preserves
-parallelism; a single giant file could additionally be split on sync
-markers — not needed for the file-per-partition layout). Decoding is
-interpreted Python — a compatibility path; on a cluster with the
-spark-avro jar, ``read_avro``/``write_avro`` use the JVM module instead.
+parallelism), and files larger than the ``split_size`` option (default
+128 MiB) are additionally split into byte ranges on sync markers — a
+single giant third-party container file fans out across tasks instead of
+serializing onto one (each range scans to the first marker starting
+inside it and owns the blocks that follow; see ``_iter_raw_blocks``).
+Decoding is interpreted Python — a compatibility path; on a cluster with
+the spark-avro jar, ``read_avro``/``write_avro`` use the JVM module
+instead.
 
 Type mapping (both directions):
 
@@ -320,14 +324,57 @@ def _iter_file_rows(path: str) -> Iterator[tuple]:
                 yield dec(bc)
 
 
-def _iter_raw_blocks(path: str) -> Iterator[tuple[int, bytes]]:
+def _scan_for_sync(f, start: int, sync: bytes) -> int | None:
+    """Byte offset of the first occurrence of the 16-byte ``sync`` marker
+    at offset >= ``start``, or None past EOF. Chunked scan with a 15-byte
+    overlap so markers straddling chunk edges are found. Naive byte
+    search, same as Avro's own DataFileReader.sync — a coincidental
+    marker inside block data misleads it with probability ~2^-128 per
+    position (the marker is 16 random-ish bytes)."""
+    chunk = 1 << 20
+    f.seek(start)
+    pos = start
+    tail = b""
+    while True:
+        buf = f.read(chunk)
+        if not buf:
+            return None
+        hay = tail + buf
+        idx = hay.find(sync)
+        if idx != -1:
+            return pos - len(tail) + idx
+        tail = hay[-15:]
+        pos += len(buf)
+
+
+def _iter_raw_blocks(
+    path: str, start: int = 0, end: int | None = None
+) -> Iterator[tuple[int, bytes]]:
     """(row_count, decompressed block bytes) per container block — memory
-    bounded by one decompressed block, shared by both decode paths."""
+    bounded by one decompressed block, shared by both decode paths.
+
+    ``start``/``end`` select a BYTE-RANGE SPLIT of one file (the Hadoop
+    input-split convention, keyed on sync markers): a block belongs to
+    the split that contains the START of the sync marker preceding it —
+    the header's trailing marker for the first block, each block's
+    trailing marker for its successor. Splits that partition [0, file
+    size) therefore process every block exactly once, and a block
+    straddling ``end`` is fully read by the split that owns it. The
+    defaults cover the whole file."""
     with open(path, "rb") as f:
         meta, sync, data_start = _read_header(f)
         codec = meta.get("avro.codec", b"null").decode("utf-8")
-        f.seek(data_start)
-        while True:
+        if end is None:
+            end = os.fstat(f.fileno()).st_size
+        if start <= data_start - 16:
+            block_start = data_start  # own the header marker → first block
+        else:
+            found = _scan_for_sync(f, start, sync)
+            if found is None or found >= end:
+                return  # no marker starts inside this split
+            block_start = found + 16
+        f.seek(block_start)
+        while block_start - 16 < end:
             n_rows = _read_file_varint(f)
             if n_rows is None:
                 return
@@ -337,6 +384,7 @@ def _iter_raw_blocks(path: str) -> Iterator[tuple[int, bytes]]:
                 raise ValueError("truncated Avro block")
             if f.read(16) != sync:
                 raise ValueError("Avro block sync marker mismatch")
+            block_start = f.tell()
             if codec == "deflate":
                 block = zlib.decompress(block, -15)
             elif codec != "null":
@@ -344,17 +392,20 @@ def _iter_raw_blocks(path: str) -> Iterator[tuple[int, bytes]]:
             yield n_rows, block
 
 
-def _iter_file_blocks(path: str) -> Iterator[list[tuple]]:
+def _iter_file_blocks(
+    path: str, start: int = 0, end: int | None = None
+) -> Iterator[list[tuple]]:
     """Like :func:`_iter_file_rows` but yields one list per container
     block — the natural Arrow batch boundary (memory bound unchanged:
-    one decompressed block was always materialized at a time)."""
+    one decompressed block was always materialized at a time). Honors
+    the same byte-range split semantics as :func:`_iter_raw_blocks`."""
     with open(path, "rb") as f:
         meta, _, _ = _read_header(f)
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     dec, typ = _decoder_and_type(schema)
     if not isinstance(typ, T.StructType):
         raise NotImplementedError("top-level Avro schema must be a record")
-    for n_rows, block in _iter_raw_blocks(path):
+    for n_rows, block in _iter_raw_blocks(path, start, end):
         bc = _Cursor(block)
         yield [dec(bc) for _ in range(n_rows)]
 
@@ -519,8 +570,10 @@ def _list_avro(path: str) -> list[str]:
 
 
 class _AvroPartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, start: int = 0, end: int | None = None):
         self.path = path
+        self.start = start
+        self.end = end
 
 
 class AvroPyReader(DataSourceReader):
@@ -528,12 +581,35 @@ class AvroPyReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("avro_py source requires a path")
+        try:
+            self.split_size = int(options.get("split_size", 128 << 20))
+        except (TypeError, ValueError):
+            raise ValueError("avro_py option split_size must be an int (bytes)")
+        if self.split_size <= 0:
+            raise ValueError("avro_py option split_size must be > 0")
 
     def partitions(self):
+        # One partition per file, PLUS sync-marker byte-range splits for
+        # files larger than split_size (default 128 MiB — the HDFS-block
+        # convention): a single giant third-party container file no
+        # longer serializes onto one task. Each split scans forward to
+        # the first sync marker starting inside its range and owns the
+        # blocks that follow (see _iter_raw_blocks) — the standard
+        # splittable-container contract, so ranges need no block index.
         files = _list_avro(self.path)
         if not files:
             raise FileNotFoundError(f"no .avro files under {self.path}")
-        return [_AvroPartition(p) for p in files]
+        parts = []
+        for p in files:
+            size = os.path.getsize(p)
+            if size <= self.split_size:
+                parts.append(_AvroPartition(p, 0, None))
+                continue
+            n = (size + self.split_size - 1) // self.split_size
+            step = (size + n - 1) // n
+            for s in range(0, size, step):
+                parts.append(_AvroPartition(p, s, min(s + step, size)))
+        return parts
 
     def read(self, partition):
         # Fast path (round-10): flat-primitive-record schemas decode via
@@ -557,7 +633,9 @@ class AvroPyReader(DataSourceReader):
             dec = _gen_flat_decoder(plan)
             uf = _struct.Struct("<f").unpack_from
             ud = _struct.Struct("<d").unpack_from
-            for n_rows, block in _iter_raw_blocks(partition.path):
+            for n_rows, block in _iter_raw_blocks(
+                partition.path, partition.start, partition.end
+            ):
                 if not n_rows:
                     continue
                 cols = dec(block, n_rows, uf, ud)
@@ -573,7 +651,7 @@ class AvroPyReader(DataSourceReader):
         # JVM-row conversion on the return path (round-8 verdict item 5;
         # measured ~2.4x on the sf0.1 roundtrip). Falls back to row mode
         # if a type has no arrow conversion.
-        rows_iter = _iter_file_blocks(partition.path)
+        rows_iter = _iter_file_blocks(partition.path, partition.start, partition.end)
         try:
             import pyarrow as pa
 

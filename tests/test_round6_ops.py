@@ -498,6 +498,46 @@ class TestAvroPySource:
         assert got[0]["rec"]["a"] == 7 and got[0]["rec"]["b"] == "nested"
         assert all(got[1][c] is None for c in back.columns if c != "id")
 
+    def test_sync_marker_split_of_single_large_file(self, spark, tmp_path):
+        """A single multi-block container file must fan out across byte-
+        range splits keyed on sync markers, with every block read exactly
+        once regardless of where the range boundaries land."""
+        from preprocessor_spark.sources.avro_py import (
+            register_avro_source,
+            write_avro_py,
+        )
+
+        # force many small container blocks: one block per Arrow batch
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+        try:
+            df = spark.range(5000).selectExpr(
+                "id", "CAST(id AS STRING) AS s", "CAST(id AS DOUBLE) * 1.5 AS x"
+            ).coalesce(1)
+            dest = str(tmp_path / "bigfile")
+            write_avro_py(df, dest, codec="deflate")
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        import glob as g
+        import os
+
+        (path,) = g.glob(f"{dest}/part-*.avro")
+        size = os.path.getsize(path)
+        register_avro_source(spark)
+        # several awkward split sizes, incl. ones not aligned to anything
+        for split in (size + 1, size // 3, 1777, 4096):
+            back = (
+                spark.read.format("avro_py")
+                .option("split_size", split)
+                .load(dest)
+            )
+            nparts = back.rdd.getNumPartitions()
+            if split > size:
+                assert nparts == 1
+            else:
+                assert nparts > 1, (split, nparts)
+            assert sorted(r["id"] for r in back.collect()) == list(range(5000))
+
     def test_partition_per_file_and_null_codec(self, spark, tmp_path):
         import glob as g
 
