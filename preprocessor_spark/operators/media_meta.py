@@ -97,6 +97,23 @@ def sniff_image_meta(payload: bytes) -> dict:
                 (seg,) = struct.unpack(">H", buf[i + 2 : i + 4])
                 i += 2 + seg
             return none
+        if p[:4] == b"RIFF" and p[8:12] == b"WEBP" and len(payload) >= 30:
+            chunk = p[12:16]
+            if chunk == b"VP8L" and payload[20] == 0x2F:
+                (bits,) = struct.unpack("<I", bytes(payload[21:25]))
+                return {"format": "webp", "width": (bits & 0x3FFF) + 1,
+                        "height": ((bits >> 14) & 0x3FFF) + 1, "bit_depth": 8}
+            if chunk == b"VP8 ":
+                w, h = struct.unpack("<HH", bytes(payload[26:30]))
+                return {"format": "webp", "width": w & 0x3FFF,
+                        "height": h & 0x3FFF, "bit_depth": 8}
+            if chunk == b"VP8X":
+                wb = bytes(payload[24:30])
+                w = 1 + (wb[0] | (wb[1] << 8) | (wb[2] << 16))
+                h = 1 + (wb[3] | (wb[4] << 8) | (wb[5] << 16))
+                return {"format": "webp", "width": w, "height": h,
+                        "bit_depth": 8}
+            return none
         if p[:4] in (b"II*\x00", b"MM\x00*"):
             buf = bytes(payload)
             bo = "<" if p[:2] == b"II" else ">"

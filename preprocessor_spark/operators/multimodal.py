@@ -264,9 +264,11 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode to a float32 grayscale [0,1] 2-D array.
 
     PPM/PGM, uncompressed BMP, PNG (all depths, color types, and interlace
-    modes), JPEG (baseline AND progressive), TIFF (8-bit strip layout, none/PackBits), and GIF (first frame; use
-    :mod:`preprocessor_spark.operators.gif` for animations) decode here
-    with no external dependency; anything else falls through to PIL when
+    modes), JPEG (baseline AND progressive), TIFF (8-bit strip layout, none/PackBits), GIF (first frame; use
+    :mod:`preprocessor_spark.operators.gif` for animations), and lossless
+    WebP (VP8L, all transforms — :mod:`preprocessor_spark.operators.webp`;
+    lossy VP8 raises the declared codec gate) decode here with no
+    external dependency; anything else falls through to PIL when
     available."""
     if not payload:
         raise ValueError("empty image payload")
@@ -289,6 +291,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from preprocessor_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from preprocessor_spark.operators.webp import decode_webp
+
+        return decode_webp(payload)  # lossless VP8L; lossy VP8 gates
     try:  # compressed formats need a real imaging lib
         import io
 
