@@ -4651,6 +4651,30 @@ def ewma_events_users(spark, sf_dir):
     )
 
 
+def trend_mann_kendall_users(spark, sf_dir):
+    """Per-user Mann-Kendall trend + Theil-Sen slope + Kendall tau-b
+    (operators/trend.py) over each user's last 50 events by event_id:
+    ONE keyed self-join bounds the pairwise expansion to k(k-1)/2 rows
+    per key; S, tie terms, and pair counts are exact integers and the
+    z/slope/tau arithmetic is a fixed IEEE expression — VALUE-oracled
+    (DuckDB replays the identical pair set and expression tree). Top 30
+    series by |z| (strongest monotone drift), the monitoring query a
+    metrics pipeline runs per series at scale."""
+    from preprocessor_spark.operators.trend import mann_kendall
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    out = mann_kendall(e, "user_id", "event_id", "value", last_k=50)
+    return out.select(
+        "key",
+        "n_used",
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round("z", 6).alias("z"),
+        F.round("kendall_tau_b", 6).alias("kendall_tau_b"),
+        F.round("theil_sen_slope", 6).alias("theil_sen_slope"),
+    ).orderBy(F.abs(F.col("z")).desc(), "key").limit(30)
+
+
 def _strong_tie_edges(spark, sf_dir):
     """Bipartite strong-tie customer↔supplier edges: distinct (cust, supp)
     pairs connected by a line item with quantity ≥ 45 — the thinned
@@ -5555,6 +5579,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming-state funnel drain report (round 11, oracle-backed —
         # bit-equal to the batch funnel by the drain contract)
         "funnel_stream_report_events": funnel_stream_report_events,
+        # Mann-Kendall trend + Theil-Sen + Kendall tau-b (round 11,
+        # oracle-backed — exact pairwise integers + fixed IEEE tree)
+        "trend_mann_kendall_users": trend_mann_kendall_users,
         "interval_join_events": interval_join_events,
         "anomaly_mad_events": anomaly_mad_events,
         "event_transitions_markov": event_transitions_markov,
@@ -9026,6 +9053,89 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
         "huber_price_model": _huber_oracle_sql(),
         "quantreg_price_tau90": _quantreg_oracle_sql(),
         "communities_lpa": _lpa_oracle_sql(5),
+        "trend_mann_kendall_users": """
+            WITH tail AS (
+                SELECT user_id AS key, event_id AS pos,
+                       CAST(value AS DOUBLE) AS x,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rd
+                FROM events
+                WHERE value IS NOT NULL AND event_id IS NOT NULL
+            ), lim AS (
+                SELECT key, pos, x FROM tail WHERE rd <= 50
+            ), pairs AS (
+                SELECT a.key,
+                       CASE WHEN b.x > a.x THEN 1
+                            WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn,
+                       (b.x - a.x) /
+                           (CAST(b.pos AS DOUBLE) - CAST(a.pos AS DOUBLE))
+                           AS slope
+                FROM lim a JOIN lim b ON a.key = b.key AND a.pos < b.pos
+            ), s_by_key AS (
+                SELECT key, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+                       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS tied_pairs
+                FROM pairs GROUP BY key
+            ), ties AS (
+                SELECT key,
+                       CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                           AS tie_term
+                FROM (SELECT key, x, CAST(COUNT(*) AS BIGINT) AS t
+                      FROM lim GROUP BY key, x)
+                GROUP BY key
+            ), counts AS (
+                SELECT key, CAST(COUNT(*) AS BIGINT) AS n_used
+                FROM lim GROUP BY key
+            ), ranked AS (
+                SELECT key, slope,
+                       ROW_NUMBER() OVER (PARTITION BY key
+                                          ORDER BY slope) AS rn,
+                       COUNT(*) OVER (PARTITION BY key) AS cnt
+                FROM pairs
+            ), med AS (
+                SELECT key,
+                       (MIN(slope) + MAX(slope)) / 2.0 AS theil_sen_slope
+                FROM ranked
+                WHERE rn = FLOOR((cnt + 1) / 2) OR rn = FLOOR(cnt / 2) + 1
+                GROUP BY key
+            ), rep AS (
+                SELECT c.key, c.n_used, s.s_stat,
+                       (CAST(c.n_used AS DOUBLE)
+                        * (CAST(c.n_used AS DOUBLE) - 1.0)
+                        * (2.0 * CAST(c.n_used AS DOUBLE) + 5.0)
+                        - CAST(t.tie_term AS DOUBLE)) / 18.0 AS var_s,
+                       s.n_pairs, s.tied_pairs, m.theil_sen_slope
+                FROM counts c
+                JOIN s_by_key s ON c.key = s.key
+                JOIN ties t ON c.key = t.key
+                LEFT JOIN med m ON c.key = m.key
+                WHERE c.n_used >= 2
+            ), scored AS (
+                SELECT key, n_used, s_stat,
+                       ROUND(var_s, 6) AS var_s,
+                       ROUND(CASE WHEN var_s > 0 THEN
+                           CASE WHEN s_stat > 0 THEN
+                                    (CAST(s_stat AS DOUBLE) - 1.0)
+                                        / sqrt(var_s)
+                                WHEN s_stat < 0 THEN
+                                    (CAST(s_stat AS DOUBLE) + 1.0)
+                                        / sqrt(var_s)
+                                ELSE 0.0 END
+                           ELSE 0.0 END, 6) AS z,
+                       ROUND(CASE WHEN CAST(n_pairs AS DOUBLE)
+                                       > CAST(tied_pairs AS DOUBLE) THEN
+                           CAST(s_stat AS DOUBLE)
+                               / sqrt((CAST(n_pairs AS DOUBLE)
+                                       - CAST(tied_pairs AS DOUBLE))
+                                      * CAST(n_pairs AS DOUBLE))
+                           END, 6) AS kendall_tau_b,
+                       ROUND(theil_sen_slope, 6) AS theil_sen_slope
+                FROM rep
+            )
+            SELECT * FROM scored
+            ORDER BY ABS(z) DESC, key LIMIT 30
+        """,
         "cusum_online_users": """
             WITH f AS (
                 SELECT user_id AS key, event_id AS pos,

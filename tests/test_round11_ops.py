@@ -1,0 +1,99 @@
+"""Round-11 operator tests: Mann-Kendall/Theil-Sen trend, Kendall tau-b,
+and the streaming sessionization twin."""
+
+import math
+
+import numpy as np
+import pytest
+
+
+def _mk_reference(xs):
+    """Brute-force Mann-Kendall + Theil-Sen on one series (positions are
+    1..n in order)."""
+    n = len(xs)
+    s = 0
+    slopes = []
+    tied = 0
+    npairs = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = float(xs[j]) - float(xs[i])
+            s += int(d > 0) - int(d < 0)
+            tied += int(d == 0)
+            npairs += 1
+            slopes.append(d / (j - i))
+    slopes.sort()
+    m = len(slopes)
+    lo = slopes[(m + 1) // 2 - 1]
+    hi = slopes[m // 2]
+    med = (lo + hi) / 2.0
+    from collections import Counter
+
+    tt = sum(t * (t - 1) * (2 * t + 5) for t in Counter(xs).values())
+    var_s = (n * (n - 1) * (2 * n + 5) - tt) / 18.0
+    if var_s > 0:
+        z = (s - 1) / math.sqrt(var_s) if s > 0 else (
+            (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+        )
+    else:
+        z = 0.0
+    tau = (
+        s / math.sqrt((npairs - tied) * npairs) if npairs > tied else None
+    )
+    return s, var_s, z, med, tau
+
+
+class TestMannKendall:
+    def test_matches_bruteforce_reference(self, spark):
+        from preprocessor_spark.operators.trend import mann_kendall
+
+        rng = np.random.default_rng(19)
+        series = {
+            "up": np.round(np.arange(20) * 0.5 + rng.normal(0, 1, 20), 2),
+            "down": np.round(-np.arange(15) * 0.3 + rng.normal(0, 0.5, 15), 2),
+            "flat": np.round(rng.normal(5, 0.1, 25), 2),
+            "ties": np.array([1.0, 2.0, 2.0, 2.0, 3.0, 1.0, 2.0]),
+        }
+        rows = [
+            (k, i + 1, float(v))
+            for k, xs in series.items()
+            for i, v in enumerate(xs)
+        ]
+        df = spark.createDataFrame(rows, "g string, pos long, v double")
+        got = {
+            r["key"]: r
+            for r in mann_kendall(df, "g", "pos", "v", last_k=100).collect()
+        }
+        for k, xs in series.items():
+            s, var_s, z, med, tau = _mk_reference(list(xs))
+            r = got[k]
+            assert r["s_stat"] == s, k
+            assert r["var_s"] == pytest.approx(var_s, rel=1e-12), k
+            assert r["z"] == pytest.approx(z, rel=1e-9), k
+            assert r["theil_sen_slope"] == pytest.approx(med, rel=1e-12), k
+            if tau is None:
+                assert r["kendall_tau_b"] is None, k
+            else:
+                assert r["kendall_tau_b"] == pytest.approx(tau, rel=1e-9), k
+        # signs make sense
+        assert got["up"]["z"] > 3 and got["down"]["z"] < -3
+        assert abs(got["flat"]["z"]) < 2
+        assert got["up"]["theil_sen_slope"] == pytest.approx(0.5, abs=0.2)
+
+    def test_last_k_window_bounds_pairs(self, spark):
+        from preprocessor_spark.operators.trend import mann_kendall
+
+        rows = [("u", i, float(i % 7)) for i in range(200)]
+        df = spark.createDataFrame(rows, "g string, pos long, v double")
+        r = mann_kendall(df, "g", "pos", "v", last_k=10).collect()[0]
+        assert r["n_used"] == 10
+
+    def test_outlier_resistance_of_theil_sen(self, spark):
+        from preprocessor_spark.operators.trend import mann_kendall
+
+        xs = [1.0 * i for i in range(30)]
+        xs[7] = 500.0  # gross outlier barely moves the slope median
+        rows = [("u", i + 1, v) for i, v in enumerate(xs)]
+        df = spark.createDataFrame(rows, "g string, pos long, v double")
+        r = mann_kendall(df, "g", "pos", "v", last_k=100).collect()[0]
+        assert r["theil_sen_slope"] == pytest.approx(1.0, abs=0.05)
