@@ -2213,6 +2213,42 @@ def funnel_stream_report_events(spark, sf_dir):
     return funnel_report_from_states(spark.table(sink), steps)
 
 
+def session_stream_report_events(spark, sf_dir):
+    """Streaming sessionization drain report (streaming/__init__.py
+    sessionize_stream → session_report_from_states): gap-based sessions
+    (1 h) accumulate in applyInPandasWithState per-user state over the
+    events table as a REAL availableNow stream, then the drained
+    emissions resolve to per-session stats. The gap test and duration
+    replicate the batch operator's float math exactly (us/1e6 doubles),
+    so after a full in-order drain the frame is bit-equal to the batch
+    session_stats — the DuckDB oracle is the SAME window SQL that grades
+    sessionize_user_events. Second streaming-state query in the graded
+    registry (the funnel twin's pattern)."""
+    import os as _os
+
+    from preprocessor_spark.streaming import (
+        run_available_now,
+        session_report_from_states,
+        sessionize_stream,
+    )
+
+    import uuid
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_os.path.join(sf_dir, "events.parq*"))
+        .select("user_id", "ts")
+    )
+    sink = f"session_states_{uuid.uuid4().hex[:10]}"
+    run_available_now(
+        sessionize_stream(stream, gap_seconds=3600.0),
+        sink,
+        output_mode="update",
+    )
+    return session_report_from_states(spark.table(sink))
+
+
 def cohort_retention_events(spark, sf_dir):
     """Weekly cohort retention matrix (operators/funnel.py
     cohort_retention): cohort = Monday-truncated week of each user's first
@@ -5582,6 +5618,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Mann-Kendall trend + Theil-Sen + Kendall tau-b (round 11,
         # oracle-backed — exact pairwise integers + fixed IEEE tree)
         "trend_mann_kendall_users": trend_mann_kendall_users,
+        # streaming-state sessionization drain report (round 11,
+        # oracle-backed — bit-equal to batch session_stats by the drain
+        # contract, same pattern as the funnel twin)
+        "session_stream_report_events": session_stream_report_events,
         "interval_join_events": interval_join_events,
         "anomaly_mad_events": anomaly_mad_events,
         "event_transitions_markov": event_transitions_markov,
@@ -11072,6 +11112,8 @@ def _alias_shared_oracles(d: dict[str, str]) -> dict[str, str]:
     a full in-order drain (streaming/__init__.py funnel_stream docstring),
     so the chained-MIN SQL grades both."""
     d["funnel_stream_report_events"] = d["funnel_user_events"]
+    # the sessionization drain report is bit-equal to batch session_stats
+    d["session_stream_report_events"] = d["sessionize_user_events"]
     return d
 
 

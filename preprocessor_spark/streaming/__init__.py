@@ -791,6 +791,110 @@ def funnel_stream(
     )
 
 
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: float,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stateful streaming gap-sessionization — the live twin of
+    :func:`preprocessor_spark.operators.sessions.session_stats`.
+
+    Per-user state is (events_seen, open-session seq/start/last/count) in
+    EPOCH-MICROSECOND bigints. The gap test replicates the batch
+    operator's float math exactly — ``us/1e6`` (exact int→double while
+    |us| < 2^53, i.e. until the year 2255) then a double subtraction
+    compared to the gap — so after a full per-key in-order drain the
+    per-session stats are BIT-EQUAL to the batch report. Each batch
+    emits every session it touched (closed ones finally, the open one
+    provisionally, tagged with the running event count); aggregate the
+    drained sink with :func:`session_report_from_states`.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if gap_seconds <= 0:
+        raise ValueError("gap_seconds must be > 0")
+    key_type = events.schema[user_col].dataType.simpleString()
+    out_schema = (
+        f"{user_col} {key_type}, session_seq bigint, n_total bigint, "
+        "n_events bigint, start_us bigint, end_us bigint"
+    )
+    state_schema = (
+        "n_total bigint, seq bigint, start_us bigint, last_us bigint, "
+        "n_in bigint"
+    )
+    gap = float(gap_seconds)
+
+    def _update(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            n_total, seq, start_us, last_us, n_in = state.get
+        else:
+            n_total, seq, start_us, last_us, n_in = 0, 0, None, None, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows[rows[ts_col].notna()].sort_values(ts_col)
+        emitted = []
+        for ts in rows[ts_col]:
+            us = pd.Timestamp(ts).value // 1000
+            n_total += 1
+            if last_us is None or (us / 1e6 - last_us / 1e6) > gap:
+                if last_us is not None:
+                    emitted.append((seq, n_total - 1, int(n_in), start_us, last_us))
+                seq += 1
+                start_us = us
+                n_in = 1
+            else:
+                n_in += 1
+            last_us = us
+        state.update((n_total, seq, start_us, last_us, n_in))
+        if last_us is not None:
+            emitted.append((seq, n_total, int(n_in), start_us, last_us))
+        if emitted:
+            yield pd.DataFrame(
+                [
+                    {
+                        user_col: key_tuple[0],
+                        "session_seq": s,
+                        "n_total": nt,
+                        "n_events": ne,
+                        "start_us": su,
+                        "end_us": lu,
+                    }
+                    for s, nt, ne, su, lu in emitted
+                ]
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        _update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def session_report_from_states(states: DataFrame) -> DataFrame:
+    """Drained sessionize_stream emissions → the batch ``session_stats``
+    frame (user_id, session_seq, n_events, session_start, session_end,
+    duration_sec), bit-equal after a full in-order drain. A session
+    re-emitted across batches resolves to its LATEST emission (max
+    n_total — the running event counter is nondecreasing)."""
+    user_col = states.columns[0]
+    per_session = states.groupBy(user_col, "session_seq").agg(
+        F.max_by("n_events", "n_total").alias("n_events"),
+        F.max_by("start_us", "n_total").alias("start_us"),
+        F.max_by("end_us", "n_total").alias("end_us"),
+    )
+    # the batch frame's duration: MAX(us/1e6) - MIN(us/1e6), same op order
+    sa = F.col("start_us").cast("double") / F.lit(1e6)
+    sb = F.col("end_us").cast("double") / F.lit(1e6)
+    return per_session.select(
+        user_col,
+        "session_seq",
+        "n_events",
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        F.round(sb - sa, 3).alias("duration_sec"),
+    )
+
+
 def funnel_report_from_states(states: DataFrame, steps: list[str]) -> DataFrame:
     """Drained per-user funnel states → the batch ``funnel_report`` frame
     (step_idx, step, n_users, conv_from_prev, avg_gap_secs), using the

@@ -88,6 +88,67 @@ class TestMannKendall:
         r = mann_kendall(df, "g", "pos", "v", last_k=10).collect()[0]
         assert r["n_used"] == 10
 
+    def test_session_stream_matches_batch_across_batches(self, spark, tmp_path):
+        """Two time-cut files drained with maxFilesPerTrigger=1 exercise
+        cross-batch state continuation: sessions spanning the cut must
+        merge, and the drained report must equal the batch session_stats
+        frame exactly."""
+        import pandas as pd
+
+        from preprocessor_spark.operators.sessions import session_stats
+        from preprocessor_spark.streaming import (
+            run_available_now,
+            session_report_from_states,
+            sessionize_stream,
+        )
+
+        rng = np.random.default_rng(23)
+        rows = []
+        base = pd.Timestamp("2024-03-01 00:00:00")
+        for u in range(8):
+            t = base
+            for _ in range(40):
+                gap_min = int(rng.choice([1, 5, 90, 200], p=[0.5, 0.3, 0.1, 0.1]))
+                t = t + pd.Timedelta(minutes=gap_min)
+                rows.append((u, t))
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        cut = pdf.ts.quantile(0.5)
+        src = str(tmp_path / "sess_src")
+        spark.createDataFrame(pdf[pdf.ts < cut]).coalesce(1).write.parquet(src)
+        spark.createDataFrame(pdf[pdf.ts >= cut]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_available_now(
+            sessionize_stream(stream, gap_seconds=3600.0),
+            "sess_state_t",
+            output_mode="update",
+        )
+        got = sorted(
+            session_report_from_states(spark.table("sess_state_t")).collect(),
+            key=lambda r: (r["user_id"], r["session_seq"]),
+        )
+        want = sorted(
+            session_stats(
+                spark.createDataFrame(pdf), "ts", ["user_id"], 3600.0
+            ).collect(),
+            key=lambda r: (r["user_id"], r["session_seq"]),
+        )
+        assert len(got) == len(want) > 8
+        for g, w in zip(got, want):
+            assert g["user_id"] == w["user_id"]
+            assert g["session_seq"] == w["session_seq"]
+            assert g["n_events"] == w["n_events"]
+            assert g["session_start"] == w["session_start"]
+            assert g["session_end"] == w["session_end"]
+            assert g["duration_sec"] == pytest.approx(
+                float(w["duration_sec"]), abs=1e-9
+            )
+
     def test_outlier_resistance_of_theil_sen(self, spark):
         from preprocessor_spark.operators.trend import mann_kendall
 
