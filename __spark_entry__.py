@@ -4711,6 +4711,44 @@ def trend_mann_kendall_users(spark, sf_dir):
     ).orderBy(F.abs(F.col("z")).desc(), "key").limit(30)
 
 
+def did_building_orders(spark, sf_dir):
+    """Difference-in-differences (operators/abtest.py diff_in_diff): did
+    BUILDING-segment customers' order values move after 1995-06-01
+    relative to everyone else? treated = customer's market segment,
+    post = order date cutoff, y = o_totalprice. One broadcast-dim join +
+    ONE groupBy over the two flags (exact DECIMAL cell moments), then a
+    fixed IEEE expression tree — VALUE-oracled. The quasi-experimental
+    complement to cuped_orders_experiment."""
+    from preprocessor_spark.operators.abtest import diff_in_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+        (F.col("o_orderdate") >= F.lit("1995-06-01").cast("date")).alias(
+            "post"
+        ),
+        F.col("o_totalprice").alias("y"),
+    )
+    out = diff_in_diff(j, "treated", "post", "y")
+    return out.select(
+        "n",
+        F.round("mean_control_pre", 4).alias("mean_control_pre"),
+        F.round("mean_control_post", 4).alias("mean_control_post"),
+        F.round("mean_treated_pre", 4).alias("mean_treated_pre"),
+        F.round("mean_treated_post", 4).alias("mean_treated_post"),
+        F.round("diff_control", 4).alias("diff_control"),
+        F.round("diff_treated", 4).alias("diff_treated"),
+        F.round("did_effect", 4).alias("did_effect"),
+        F.round("se", 4).alias("se"),
+        F.round("z", 6).alias("z"),
+        F.round("ci95_lo", 4).alias("ci95_lo"),
+        F.round("ci95_hi", 4).alias("ci95_hi"),
+    )
+
+
 def _strong_tie_edges(spark, sf_dir):
     """Bipartite strong-tie customer↔supplier edges: distinct (cust, supp)
     pairs connected by a line item with quantity ≥ 45 — the thinned
@@ -5622,6 +5660,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed — bit-equal to batch session_stats by the drain
         # contract, same pattern as the funnel twin)
         "session_stream_report_events": session_stream_report_events,
+        # difference-in-differences estimator (round 11, oracle-backed —
+        # exact DECIMAL cell moments + fixed IEEE tree, the cuped recipe)
+        "did_building_orders": did_building_orders,
         "interval_join_events": interval_join_events,
         "anomaly_mad_events": anomaly_mad_events,
         "event_transitions_markov": event_transitions_markov,
@@ -9093,6 +9134,68 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
         "huber_price_model": _huber_oracle_sql(),
         "quantreg_price_tau90": _quantreg_oracle_sql(),
         "communities_lpa": _lpa_oracle_sql(5),
+        "did_building_orders": """
+            WITH j AS (
+                SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0
+                       END AS t,
+                       CASE WHEN o_orderdate >= DATE '1995-06-01' THEN 1
+                       ELSE 0 END AS p,
+                       o_totalprice AS y
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                WHERE o_totalprice IS NOT NULL
+            ), cells AS (
+                SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(CAST(y AS DECIMAL(19,4))
+                                     * CAST(y AS DECIMAL(18,4))
+                                     AS DECIMAL(38,8))) AS DOUBLE) AS syy
+                FROM j GROUP BY t, p
+            ), piv AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n,
+                       MAX(CASE WHEN t=0 AND p=0 THEN CAST(n AS DOUBLE) END) AS n_00,
+                       MAX(CASE WHEN t=0 AND p=1 THEN CAST(n AS DOUBLE) END) AS n_01,
+                       MAX(CASE WHEN t=1 AND p=0 THEN CAST(n AS DOUBLE) END) AS n_10,
+                       MAX(CASE WHEN t=1 AND p=1 THEN CAST(n AS DOUBLE) END) AS n_11,
+                       MAX(CASE WHEN t=0 AND p=0 THEN sy END) AS sy_00,
+                       MAX(CASE WHEN t=0 AND p=1 THEN sy END) AS sy_01,
+                       MAX(CASE WHEN t=1 AND p=0 THEN sy END) AS sy_10,
+                       MAX(CASE WHEN t=1 AND p=1 THEN sy END) AS sy_11,
+                       MAX(CASE WHEN t=0 AND p=0 THEN syy END) AS syy_00,
+                       MAX(CASE WHEN t=0 AND p=1 THEN syy END) AS syy_01,
+                       MAX(CASE WHEN t=1 AND p=0 THEN syy END) AS syy_10,
+                       MAX(CASE WHEN t=1 AND p=1 THEN syy END) AS syy_11
+                FROM cells
+            ), calc AS (
+                SELECT n,
+                       sy_00 / n_00 AS m00, sy_01 / n_01 AS m01,
+                       sy_10 / n_10 AS m10, sy_11 / n_11 AS m11,
+                       (syy_00 - sy_00 * sy_00 / n_00) / (n_00 - 1.0) AS v00,
+                       (syy_01 - sy_01 * sy_01 / n_01) / (n_01 - 1.0) AS v01,
+                       (syy_10 - sy_10 * sy_10 / n_10) / (n_10 - 1.0) AS v10,
+                       (syy_11 - sy_11 * sy_11 / n_11) / (n_11 - 1.0) AS v11,
+                       n_00, n_01, n_10, n_11
+                FROM piv
+            ), eff AS (
+                SELECT n, m00, m01, m10, m11,
+                       (m11 - m10) - (m01 - m00) AS did_effect,
+                       sqrt(v11 / n_11 + v10 / n_10 + v01 / n_01
+                            + v00 / n_00) AS se
+                FROM calc
+            )
+            SELECT n,
+                   ROUND(m00, 4) AS mean_control_pre,
+                   ROUND(m01, 4) AS mean_control_post,
+                   ROUND(m10, 4) AS mean_treated_pre,
+                   ROUND(m11, 4) AS mean_treated_post,
+                   ROUND(m01 - m00, 4) AS diff_control,
+                   ROUND(m11 - m10, 4) AS diff_treated,
+                   ROUND(did_effect, 4) AS did_effect,
+                   ROUND(se, 4) AS se,
+                   ROUND(did_effect / se, 6) AS z,
+                   ROUND(did_effect - 1.959963984540054 * se, 4) AS ci95_lo,
+                   ROUND(did_effect + 1.959963984540054 * se, 4) AS ci95_hi
+            FROM eff
+        """,
         "trend_mann_kendall_users": """
             WITH tail AS (
                 SELECT user_id AS key, event_id AS pos,

@@ -199,6 +199,105 @@ def two_proportion_ztest(
     ).orderBy("treatment")
 
 
+def diff_in_diff(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Two-group × two-period difference-in-differences estimator — the
+    quasi-experimental workhorse when randomization isn't available
+    (Card & Krueger 1994 canonically): under the parallel-trends
+    assumption the treatment effect is
+
+        DiD = (ȳ_treated,post − ȳ_treated,pre)
+            − (ȳ_control,post − ȳ_control,pre)
+
+    with the large-sample SE from the four independent cell variances,
+    sqrt(Σ s²_cell/n_cell). ``treated_col`` and ``post_col`` must be
+    boolean (or 0/1) flags.
+
+    Engine-portability contract (the cuped recipe): ONE groupBy over the
+    two flags computes exact DECIMAL moments (n, Σy, Σy²) per cell, the
+    4-row cell frame pivots to one row, and every output is a fixed IEEE
+    expression over the exact sums — VALUE-oracle-able. The same
+    DECIMAL(18,4) overflow certificate as CUPED. Returns one row:
+    (n, the four cell means, per-group deltas, did_effect, se, z,
+    ci95_lo, ci95_hi).
+    """
+    y = F.col(y_col).cast("decimal(18,4)")
+    base = df.where(
+        F.col(treated_col).isNotNull()
+        & F.col(post_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    )
+    cells = base.groupBy(
+        F.col(treated_col).cast("int").alias("t"),
+        F.col(post_col).cast("int").alias("p"),
+    ).agg(
+        F.count(F.when(y.isNotNull(), F.lit(1))).alias("n"),
+        F.count(F.col(y_col)).alias("n_raw"),
+        F.sum(y.cast(_DEC)).alias("sy"),
+        F.sum((y * y).cast(_DEC)).alias("syy"),
+    )
+
+    def cell(t: int, p: int, col: str):
+        return F.max(
+            F.when((F.col("t") == t) & (F.col("p") == p), F.col(col))
+        )
+
+    pivoted = cells.groupBy().agg(
+        F.sum("n").alias("n"),
+        F.sum("n_raw").alias("n_raw"),
+        *[
+            cell(t, p, c).alias(f"{c}_{t}{p}")
+            for t in (0, 1)
+            for p in (0, 1)
+            for c in ("n", "sy", "syy")
+        ],
+    )
+    guard = F.coalesce(
+        F.assert_true(F.col("n") == F.col("n_raw"), F.lit(_OVERFLOW_MSG)).cast(
+            "long"
+        ),
+        F.col("n"),
+    )
+
+    def m(t: int, p: int):
+        return F.col(f"sy_{t}{p}").cast("double") / F.col(
+            f"n_{t}{p}"
+        ).cast("double")
+
+    def v(t: int, p: int):
+        n = F.col(f"n_{t}{p}").cast("double")
+        sy = F.col(f"sy_{t}{p}").cast("double")
+        syy = F.col(f"syy_{t}{p}").cast("double")
+        return (syy - sy * sy / n) / (n - F.lit(1.0))
+
+    effect = (m(1, 1) - m(1, 0)) - (m(0, 1) - m(0, 0))
+    se = F.sqrt(
+        v(1, 1) / F.col("n_11").cast("double")
+        + v(1, 0) / F.col("n_10").cast("double")
+        + v(0, 1) / F.col("n_01").cast("double")
+        + v(0, 0) / F.col("n_00").cast("double")
+    )
+    z975 = F.lit(1.959963984540054)
+    return pivoted.select(
+        guard.alias("n"),
+        m(0, 0).alias("mean_control_pre"),
+        m(0, 1).alias("mean_control_post"),
+        m(1, 0).alias("mean_treated_pre"),
+        m(1, 1).alias("mean_treated_post"),
+        (m(0, 1) - m(0, 0)).alias("diff_control"),
+        (m(1, 1) - m(1, 0)).alias("diff_treated"),
+        effect.alias("did_effect"),
+        se.alias("se"),
+        (effect / se).alias("z"),
+        (effect - z975 * se).alias("ci95_lo"),
+        (effect + z975 * se).alias("ci95_hi"),
+    )
+
+
 def _norm_ppf(q: float) -> float:
     """Scalar standard-normal quantile (Acklam's rational approximation,
     |rel err| < 1.15e-9) — driver-side only (plan constants)."""

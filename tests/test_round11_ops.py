@@ -149,6 +149,39 @@ class TestMannKendall:
                 float(w["duration_sec"]), abs=1e-9
             )
 
+    def test_diff_in_diff_recovers_planted_effect(self, spark):
+        from preprocessor_spark.operators.abtest import diff_in_diff
+
+        rng = np.random.default_rng(31)
+        rows = []
+        # control: 10 -> 12 (trend +2); treated: 20 -> 27 (trend +2,
+        # effect +5)
+        for t, p, mu, n in [
+            (0, 0, 10.0, 400),
+            (0, 1, 12.0, 400),
+            (1, 0, 20.0, 300),
+            (1, 1, 27.0, 300),
+        ]:
+            for v in rng.normal(mu, 1.0, n):
+                rows.append((bool(t), bool(p), round(float(v), 3)))
+        df = spark.createDataFrame(rows, "treated boolean, post boolean, y double")
+        r = diff_in_diff(df, "treated", "post", "y").collect()[0]
+        assert r["n"] == 1400
+        assert r["did_effect"] == pytest.approx(5.0, abs=0.3)
+        assert r["diff_control"] == pytest.approx(2.0, abs=0.2)
+        assert r["z"] > 10  # strongly significant
+        assert r["ci95_lo"] < r["did_effect"] < r["ci95_hi"]
+        # no effect -> z near zero
+        rows2 = [
+            (bool(t), bool(p), round(float(v), 3))
+            for t in (0, 1)
+            for p in (0, 1)
+            for v in rng.normal(10 + 2 * p, 1.0, 300)
+        ]
+        df2 = spark.createDataFrame(rows2, "treated boolean, post boolean, y double")
+        r2 = diff_in_diff(df2, "treated", "post", "y").collect()[0]
+        assert abs(r2["z"]) < 3
+
     def test_outlier_resistance_of_theil_sen(self, spark):
         from preprocessor_spark.operators.trend import mann_kendall
 
