@@ -4749,6 +4749,34 @@ def did_building_orders(spark, sf_dir):
     )
 
 
+def shrinkage_customer_value(spark, sf_dir):
+    """Empirical-Bayes (James-Stein) shrinkage of per-customer mean order
+    value (operators/shrinkage.py): thousands of customers, most with a
+    handful of orders — raw per-customer means are noise-ranked, the
+    normal-normal EB posterior shrinks each toward the grand mean by its
+    noise share. ONE groupBy of exact DECIMAL moments + quantized int64
+    window sums for the pooled SS terms (order-free), y post-scaled by
+    2^-17 (exact binary scaling) to keep the quantized grid inside
+    int64 at any sf — VALUE-oracled. Top 30 customers by absolute
+    shrinkage (the small-n flukes the estimator exists to fix)."""
+    from preprocessor_spark.operators.shrinkage import james_stein_means
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    out = james_stein_means(
+        o, "o_custkey", "o_totalprice", min_n=1, post_scale=2.0 ** -17
+    )
+    d = F.abs(F.col("mean_raw") - F.col("mean_shrunk"))
+    return out.select(
+        "group",
+        "n",
+        F.round("mean_raw", 6).alias("mean_raw"),
+        F.round("mean_shrunk", 6).alias("mean_shrunk"),
+        F.round("shrink_factor", 6).alias("shrink_factor"),
+        F.round("tau2", 6).alias("tau2"),
+        F.round(d, 6).alias("abs_shift"),
+    ).orderBy(F.col("abs_shift").desc(), "group").limit(30)
+
+
 def _strong_tie_edges(spark, sf_dir):
     """Bipartite strong-tie customer↔supplier edges: distinct (cust, supp)
     pairs connected by a line item with quantity ≥ 45 — the thinned
@@ -5663,6 +5691,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # difference-in-differences estimator (round 11, oracle-backed —
         # exact DECIMAL cell moments + fixed IEEE tree, the cuped recipe)
         "did_building_orders": did_building_orders,
+        # James-Stein empirical-Bayes shrinkage (round 11, oracle-backed —
+        # exact cell moments + quantized int64 pooled sums)
+        "shrinkage_customer_value": shrinkage_customer_value,
         "interval_join_events": interval_join_events,
         "anomaly_mad_events": anomaly_mad_events,
         "event_transitions_markov": event_transitions_markov,
@@ -9195,6 +9226,71 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
                    ROUND(did_effect - 1.959963984540054 * se, 4) AS ci95_lo,
                    ROUND(did_effect + 1.959963984540054 * se, 4) AS ci95_hi
             FROM eff
+        """,
+        "shrinkage_customer_value": """
+            WITH cells AS (
+                SELECT o_custkey AS "group", CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sy_dec,
+                       SUM(CAST(CAST(o_totalprice AS DECIMAL(19,4))
+                                * CAST(o_totalprice AS DECIMAL(18,4))
+                                AS DECIMAL(38,8))) AS syy_dec
+                FROM orders
+                WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+                GROUP BY o_custkey
+            ), scaled AS (
+                -- post_scale = 2^-17 (and its square): exact binary
+                -- scaling applied AFTER the exact decimal moments
+                SELECT "group", n,
+                       CAST(sy_dec AS DOUBLE) * 7.62939453125e-06 AS sy,
+                       CAST(syy_dec AS DOUBLE) * 5.820766091346741e-11 AS syy,
+                       CAST(n AS DOUBLE) AS nd,
+                       sy_dec
+                FROM cells
+            ), pooled AS (
+                SELECT *,
+                       CAST(SUM(n) OVER () AS DOUBLE) AS big_n,
+                       CAST(COUNT(*) OVER () AS DOUBLE) AS k,
+                       CAST(SUM(sy_dec) OVER () AS DOUBLE)
+                           * 7.62939453125e-06 AS gsy,
+                       CAST(SUM(n * n) OVER () AS DOUBLE) AS sum_n2
+                FROM scaled
+            ), terms AS (
+                SELECT *, gsy / big_n AS grand, sy / nd AS m
+                FROM pooled
+            ), qsums AS (
+                SELECT *,
+                       CAST(SUM(CAST(floor((syy - sy * sy / nd)
+                                           * 1000000000.0 + 0.5) AS BIGINT))
+                            OVER () AS DOUBLE) / 1000000000.0 AS ss_within,
+                       CAST(SUM(CAST(floor((nd * (m - grand) * (m - grand))
+                                           * 1000000000.0 + 0.5) AS BIGINT))
+                            OVER () AS DOUBLE) / 1000000000.0 AS ss_between
+                FROM terms
+            ), calc AS (
+                SELECT "group", n, m, grand,
+                       ss_within / (big_n - k) AS s2,
+                       GREATEST(0.0,
+                           (ss_between - (k - 1.0) * (ss_within / (big_n - k)))
+                           / (big_n - sum_n2 / big_n)) AS tau2,
+                       nd
+                FROM qsums
+            ), fin AS (
+                SELECT "group", n,
+                       m AS mean_raw,
+                       m + ((s2 / nd) / (s2 / nd + tau2)) * (grand - m)
+                           AS mean_shrunk,
+                       (s2 / nd) / (s2 / nd + tau2) AS shrink_factor,
+                       tau2
+                FROM calc
+            )
+            SELECT "group", n,
+                   ROUND(mean_raw, 6) AS mean_raw,
+                   ROUND(mean_shrunk, 6) AS mean_shrunk,
+                   ROUND(shrink_factor, 6) AS shrink_factor,
+                   ROUND(tau2, 6) AS tau2,
+                   ROUND(ABS(mean_raw - mean_shrunk), 6) AS abs_shift
+            FROM fin
+            ORDER BY abs_shift DESC, "group" LIMIT 30
         """,
         "trend_mann_kendall_users": """
             WITH tail AS (

@@ -182,6 +182,54 @@ class TestMannKendall:
         r2 = diff_in_diff(df2, "treated", "post", "y").collect()[0]
         assert abs(r2["z"]) < 3
 
+    def test_james_stein_shrinks_small_groups_and_cuts_mse(self, spark):
+        from preprocessor_spark.operators.shrinkage import james_stein_means
+
+        rng = np.random.default_rng(41)
+        truth = {}
+        rows = []
+        for g in range(60):
+            mu = float(rng.normal(50, 3))  # real between-group spread
+            n = int(rng.choice([2, 3, 5, 40, 80]))
+            truth[f"g{g}"] = mu
+            for v in rng.normal(mu, 10, n):
+                rows.append((f"g{g}", round(float(v), 3)))
+        df = spark.createDataFrame(rows, "g string, y double")
+        got = {r["group"]: r for r in james_stein_means(df, "g", "y").collect()}
+        assert len(got) == 60
+        # small-n groups shrink harder
+        small = [r for r in got.values() if r["n"] <= 5]
+        big = [r for r in got.values() if r["n"] >= 40]
+        assert min(r["shrink_factor"] for r in small) > max(
+            r["shrink_factor"] for r in big
+        )
+        # the EB estimate beats the raw mean in aggregate MSE vs truth
+        mse_raw = np.mean(
+            [(got[g]["mean_raw"] - truth[g]) ** 2 for g in truth]
+        )
+        mse_eb = np.mean(
+            [(got[g]["mean_shrunk"] - truth[g]) ** 2 for g in truth]
+        )
+        assert mse_eb < mse_raw
+        # tau2 recovers the planted between-group variance's scale
+        tau2 = next(iter(got.values()))["tau2"]
+        assert 2.0 < tau2 < 30.0
+
+    def test_james_stein_collapses_when_no_signal(self, spark):
+        from preprocessor_spark.operators.shrinkage import james_stein_means
+
+        rng = np.random.default_rng(43)
+        rows = [
+            (f"g{g}", round(float(v), 3))
+            for g in range(20)
+            for v in rng.normal(10, 5, 4)  # identical true means
+        ]
+        df = spark.createDataFrame(rows, "g string, y double")
+        out = james_stein_means(df, "g", "y").collect()
+        raw_spread = np.std([r["mean_raw"] for r in out])
+        eb_spread = np.std([r["mean_shrunk"] for r in out])
+        assert eb_spread < raw_spread * 0.7
+
     def test_outlier_resistance_of_theil_sen(self, spark):
         from preprocessor_spark.operators.trend import mann_kendall
 
