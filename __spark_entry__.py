@@ -4777,6 +4777,37 @@ def shrinkage_customer_value(spark, sf_dir):
     ).orderBy(F.col("abs_shift").desc(), "group").limit(30)
 
 
+def sequential_looks_orders(spark, sf_dir):
+    """Group-sequential monitoring (operators/abtest.py
+    sequential_ztest_looks): a hash-split experiment on orders
+    (variant = o_orderkey % 2, y = o_totalprice) peeked once per order
+    year, with O'Brien-Fleming-shape and Haybittle-Peto stopping
+    boundaries — the "don't inflate alpha by peeking" correction.
+    Exact DECIMAL cumulative cells + fixed IEEE tree per look —
+    VALUE-oracled. A null experiment by construction, so the boundary
+    columns should stay uncrossed (sanity the oracle also replays)."""
+    from preprocessor_spark.operators.abtest import sequential_ztest_looks
+
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2 == 1).alias("variant"),
+        F.col("o_totalprice").alias("y"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    out = sequential_ztest_looks(o, "variant", "y", "yr")
+    return out.select(
+        "look",
+        F.col("period").alias("yr"),
+        "n_cum",
+        F.round("mean_treated", 4).alias("mean_treated"),
+        F.round("mean_control", 4).alias("mean_control"),
+        F.round("z", 6).alias("z"),
+        F.round("obf_bound", 6).alias("obf_bound"),
+        F.round("hp_bound", 6).alias("hp_bound"),
+        "cross_obf",
+        "cross_hp",
+    ).orderBy("look")
+
+
 def _strong_tie_edges(spark, sf_dir):
     """Bipartite strong-tie customer↔supplier edges: distinct (cust, supp)
     pairs connected by a line item with quantity ≥ 45 — the thinned
@@ -5694,6 +5725,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # James-Stein empirical-Bayes shrinkage (round 11, oracle-backed —
         # exact cell moments + quantized int64 pooled sums)
         "shrinkage_customer_value": shrinkage_customer_value,
+        # group-sequential monitoring with OBF/Haybittle-Peto boundaries
+        # (round 11, oracle-backed — cumulative DECIMAL cells)
+        "sequential_looks_orders": sequential_looks_orders,
         "interval_join_events": interval_join_events,
         "anomaly_mad_events": anomaly_mad_events,
         "event_transitions_markov": event_transitions_markov,
@@ -9226,6 +9260,72 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
                    ROUND(did_effect - 1.959963984540054 * se, 4) AS ci95_lo,
                    ROUND(did_effect + 1.959963984540054 * se, 4) AS ci95_hi
             FROM eff
+        """,
+        "sequential_looks_orders": """
+            WITH src AS (
+                SELECT CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END AS v,
+                       year(o_orderdate) AS yr, o_totalprice AS y
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+            ), cells AS (
+                SELECT v, yr, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(y AS DECIMAL(18,4))) AS sy,
+                       SUM(CAST(CAST(y AS DECIMAL(19,4))
+                                * CAST(y AS DECIMAL(18,4))
+                                AS DECIMAL(38,8))) AS syy
+                FROM src GROUP BY v, yr
+            ), cum AS (
+                SELECT v, yr,
+                       SUM(n) OVER (PARTITION BY v ORDER BY yr
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cn,
+                       SUM(sy) OVER (PARTITION BY v ORDER BY yr
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS csy,
+                       SUM(syy) OVER (PARTITION BY v ORDER BY yr
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS csyy
+                FROM cells
+            ), j AS (
+                SELECT a.yr,
+                       CAST(a.cn AS DOUBLE) AS n1,
+                       CAST(a.csy AS DOUBLE) AS sy1,
+                       CAST(a.csyy AS DOUBLE) AS syy1,
+                       CAST(b.cn AS DOUBLE) AS n0,
+                       CAST(b.csy AS DOUBLE) AS sy0,
+                       CAST(b.csyy AS DOUBLE) AS syy0,
+                       CAST(a.cn + b.cn AS BIGINT) AS n_cum
+                FROM (SELECT * FROM cum WHERE v = 1) a
+                JOIN (SELECT * FROM cum WHERE v = 0) b ON a.yr = b.yr
+            ), looks AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (ORDER BY yr) AS look,
+                       CAST(COUNT(*) OVER () AS DOUBLE) AS k_total,
+                       CAST(COUNT(*) OVER () AS BIGINT) AS k_int
+                FROM j
+            ), calc AS (
+                SELECT look, yr, n_cum,
+                       sy1 / n1 AS m1, sy0 / n0 AS m0,
+                       (sy1 / n1 - sy0 / n0)
+                           / sqrt((syy1 - sy1 * sy1 / n1) / (n1 - 1.0) / n1
+                                  + (syy0 - sy0 * sy0 / n0) / (n0 - 1.0)
+                                    / n0) AS z,
+                       1.959963984540054
+                           * sqrt(k_total / CAST(look AS DOUBLE))
+                           AS obf_bound,
+                       CASE WHEN look = k_int THEN 1.959963984540054
+                            ELSE 3.0 END AS hp_bound
+                FROM looks
+            )
+            SELECT look, yr, n_cum,
+                   ROUND(m1, 4) AS mean_treated,
+                   ROUND(m0, 4) AS mean_control,
+                   ROUND(z, 6) AS z,
+                   ROUND(obf_bound, 6) AS obf_bound,
+                   ROUND(hp_bound, 6) AS hp_bound,
+                   ABS(z) > obf_bound AS cross_obf,
+                   ABS(z) > hp_bound AS cross_hp
+            FROM calc ORDER BY look
         """,
         "shrinkage_customer_value": """
             WITH cells AS (

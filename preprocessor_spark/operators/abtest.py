@@ -298,6 +298,115 @@ def diff_in_diff(
     )
 
 
+def sequential_ztest_looks(
+    df: DataFrame,
+    variant_col: str,
+    y_col: str,
+    period_col: str,
+) -> DataFrame:
+    """Group-sequential experiment monitoring: one two-sample z-test per
+    cumulative "look" (period), with the two classical always-valid
+    stopping boundaries every A/B platform ships —
+
+    - the O'Brien-Fleming SHAPE boundary z_{α/2}·sqrt(K/k) (conservative
+      early, nominal at the final look; the standard normal-approximation
+      form of OBF 1979), and
+    - the Haybittle-Peto rule (|z| > 3 at every interim look, z_{α/2} at
+      the final — Haybittle 1971, Peto et al. 1976),
+
+    so peeking at every period keeps the overall false-positive rate
+    near α = 0.05 instead of inflating it (the "why you can't just peek"
+    correction). ``variant_col`` must be a 0/1 flag.
+
+    Engine contract: per-(variant, period) exact DECIMAL cells, ordered
+    cumulative DECIMAL window sums (order-free — decimal addition is
+    exact), then a fixed IEEE tree per look — VALUE-oracle-able. One
+    groupBy + one |periods|-row window; nothing collects."""
+    y = F.col(y_col).cast("decimal(18,4)")
+    base = df.where(
+        F.col(variant_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(period_col).isNotNull()
+    )
+    cells = base.groupBy(
+        F.col(variant_col).cast("int").alias("v"),
+        F.col(period_col).alias("period"),
+    ).agg(
+        F.count(F.when(y.isNotNull(), F.lit(1))).alias("n"),
+        F.count(F.col(y_col)).alias("n_raw"),
+        F.sum(y.cast(_DEC)).alias("sy"),
+        F.sum((y * y).cast(_DEC)).alias("syy"),
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("v")
+        .orderBy("period")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "v",
+        "period",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("n_raw").over(wcum).alias("cn_raw"),
+        F.sum("sy").over(wcum).alias("csy"),
+        F.sum("syy").over(wcum).alias("csyy"),
+    )
+    a = cum.where(F.col("v") == 1).select(
+        "period",
+        F.col("cn").alias("n1"),
+        F.col("cn_raw").alias("n1_raw"),
+        F.col("csy").alias("sy1"),
+        F.col("csyy").alias("syy1"),
+    )
+    b = cum.where(F.col("v") == 0).select(
+        "period",
+        F.col("cn").alias("n0"),
+        F.col("cn_raw").alias("n0_raw"),
+        F.col("csy").alias("sy0"),
+        F.col("csyy").alias("syy0"),
+    )
+    j = a.join(b, "period")
+    wall = Window.partitionBy()
+    k_total = F.count(F.lit(1)).over(wall).cast("double")
+    look = F.row_number().over(Window.partitionBy().orderBy("period"))
+
+    def mv(n, sy, syy):
+        nd = F.col(n).cast("double")
+        s = F.col(sy).cast("double")
+        ss = F.col(syy).cast("double")
+        return s / nd, (ss - s * s / nd) / (nd - F.lit(1.0)), nd
+
+    m1, v1, n1 = mv("n1", "sy1", "syy1")
+    m0, v0, n0 = mv("n0", "sy0", "syy0")
+    z = (m1 - m0) / F.sqrt(v1 / n1 + v0 / n0)
+    guard = F.coalesce(
+        F.assert_true(
+            (F.col("n1") == F.col("n1_raw")) & (F.col("n0") == F.col("n0_raw")),
+            F.lit(_OVERFLOW_MSG),
+        ).cast("long"),
+        F.col("n1") + F.col("n0"),
+    )
+    z975 = F.lit(1.959963984540054)
+    lk = look.cast("double")
+    obf = z975 * F.sqrt(k_total / lk)
+    hp = F.when(look == F.count(F.lit(1)).over(wall), z975).otherwise(
+        F.lit(3.0)
+    )
+    return j.select(
+        look.alias("look"),
+        "period",
+        guard.alias("n_cum"),
+        m1.alias("mean_treated"),
+        m0.alias("mean_control"),
+        z.alias("z"),
+        obf.alias("obf_bound"),
+        hp.alias("hp_bound"),
+        (F.abs(z) > obf).alias("cross_obf"),
+        (F.abs(z) > hp).alias("cross_hp"),
+    )
+
+
 def _norm_ppf(q: float) -> float:
     """Scalar standard-normal quantile (Acklam's rational approximation,
     |rel err| < 1.15e-9) — driver-side only (plan constants)."""

@@ -230,6 +230,41 @@ class TestMannKendall:
         eb_spread = np.std([r["mean_shrunk"] for r in out])
         assert eb_spread < raw_spread * 0.7
 
+    def test_sequential_looks_null_and_effect(self, spark):
+        from preprocessor_spark.operators.abtest import sequential_ztest_looks
+
+        rng = np.random.default_rng(47)
+        # null experiment: no look should cross OBF (overwhelmingly)
+        rows = [
+            (bool(i % 2), round(float(rng.normal(10, 2)), 3), p)
+            for p in range(5)
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "variant boolean, y double, period int")
+        looks = sequential_ztest_looks(df, "variant", "y", "period").orderBy(
+            "look"
+        ).collect()
+        assert [r["look"] for r in looks] == [1, 2, 3, 4, 5]
+        # boundaries: OBF decreasing to ~1.96 at the last look; HP flat 3
+        # until the final 1.96
+        assert looks[0]["obf_bound"] > looks[-1]["obf_bound"]
+        assert looks[-1]["obf_bound"] == pytest.approx(1.959963984540054)
+        assert all(r["hp_bound"] == 3.0 for r in looks[:-1])
+        assert looks[-1]["hp_bound"] == pytest.approx(1.959963984540054)
+        assert not any(r["cross_obf"] for r in looks)
+        # strong effect from period 2 on: a later look crosses
+        rows2 = [
+            (bool(i % 2), round(float(rng.normal(10 + (3.0 if (i % 2 and p >= 2) else 0.0), 2)), 3), p)
+            for p in range(5)
+            for i in range(400)
+        ]
+        df2 = spark.createDataFrame(rows2, "variant boolean, y double, period int")
+        looks2 = sequential_ztest_looks(df2, "variant", "y", "period").orderBy(
+            "look"
+        ).collect()
+        assert any(r["cross_obf"] for r in looks2)
+        assert any(r["cross_hp"] for r in looks2)
+
     def test_outlier_resistance_of_theil_sen(self, spark):
         from preprocessor_spark.operators.trend import mann_kendall
 
