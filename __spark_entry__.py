@@ -4808,6 +4808,30 @@ def sequential_looks_orders(spark, sf_dir):
     ).orderBy("look")
 
 
+def containment_docs(spark, sf_dir):
+    """Word-shingle containment join (operators/dedup.py
+    containment_pairs): quote/excerpt detection the resemblance measures
+    miss — a short document fully contained in a long one has near-zero
+    Jaccard but containment ~1. Inverted shingle index with a
+    deterministic hot-shingle df cap (replayed by the oracle), never a
+    cross product — VALUE-oracled."""
+    from preprocessor_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = containment_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.5, max_df=200
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "shared_shingles",
+        "n_a",
+        "n_b",
+        F.round("containment_a_in_b", 6).alias("containment_a_in_b"),
+        F.round("containment_b_in_a", 6).alias("containment_b_in_a"),
+    ).orderBy("id_a", "id_b")
+
+
 def _strong_tie_edges(spark, sf_dir):
     """Bipartite strong-tie customer↔supplier edges: distinct (cust, supp)
     pairs connected by a line item with quantity ≥ 45 — the thinned
@@ -5728,6 +5752,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # group-sequential monitoring with OBF/Haybittle-Peto boundaries
         # (round 11, oracle-backed — cumulative DECIMAL cells)
         "sequential_looks_orders": sequential_looks_orders,
+        # asymmetric shingle-containment join for quote/excerpt detection
+        # (round 11, oracle-backed — exact integer intersections)
+        "containment_docs": containment_docs,
         "interval_join_events": interval_join_events,
         "anomaly_mad_events": anomaly_mad_events,
         "event_transitions_markov": event_transitions_markov,
@@ -9260,6 +9287,43 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
                    ROUND(did_effect - 1.959963984540054 * se, 4) AS ci95_lo,
                    ROUND(did_effect + 1.959963984540054 * se, 4) AS ci95_hi
             FROM eff
+        """,
+        "containment_docs": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(
+                               range(1, greatest(len(regexp_split_to_array(lower(text), '\\s+')) - 2, 1) + 1),
+                               i -> array_to_string(
+                                       list_slice(regexp_split_to_array(lower(text), '\\s+'), i, i + 2),
+                                       ' '))) AS g
+                FROM documents WHERE text IS NOT NULL
+            ), ex AS (
+                SELECT doc_id AS id, unnest(g) AS s FROM sh
+            ), sizes AS (
+                SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY id
+            ), dfreq AS (
+                SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 200
+            ), exf AS (
+                SELECT e.id, e.s FROM ex e JOIN dfreq USING (s)
+            ), inter AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM exf a JOIN exf b ON a.s = b.s AND a.id < b.id
+                GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b, c AS shared_shingles,
+                   sa.sz AS n_a, sb.sz AS n_b,
+                   ROUND(CAST(c AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6)
+                       AS containment_a_in_b,
+                   ROUND(CAST(c AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6)
+                       AS containment_b_in_a
+            FROM inter
+            JOIN sizes sa ON inter.id_a = sa.id
+            JOIN sizes sb ON inter.id_b = sb.id
+            WHERE GREATEST(CAST(c AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+                           CAST(c AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.5
+            ORDER BY id_a, id_b
         """,
         "sequential_looks_orders": """
             WITH src AS (

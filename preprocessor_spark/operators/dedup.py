@@ -1114,3 +1114,87 @@ def incremental_dedup_stats(
         F.round(frac, 6).alias("seen_window_frac"),
         ((F.col("exact_dup") == 0) & (frac < keep_below_frac)).cast("int").alias("keep"),
     )
+
+
+def containment_pairs(
+    df,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+):
+    """Exact word-shingle CONTAINMENT join — the asymmetric complement of
+    :func:`ngram_jaccard_pairs` for quote / excerpt / subset detection:
+    a 50-word quote inside a 5,000-word page has Jaccard ≈ 0.01 (invisible
+    to resemblance dedup) but containment ≈ 1.0 (Broder 1997 distinguishes
+    exactly these two measures).
+
+    containment(A in B) = |S(A) ∩ S(B)| / |S(A)| over distinct word
+    ``shingle_n``-grams. Pairs with max(containment either way) ≥
+    ``threshold`` are returned with both directions.
+
+    Scale shape: inverted shingle index (explode → equi-join on the
+    shingle → pair groupBy) — never a cross product. ``max_df`` drops
+    shingles appearing in more than that many documents from the INDEX
+    (boilerplate n-grams would join everything to everything); the
+    intersection then undercounts by at most those hot shingles while
+    denominators stay the full |S(A)| — deterministic, and the DuckDB
+    oracle replays the identical cap, so the operator is VALUE-oracled.
+    """
+    ws = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_sh = F.greatest(F.size(ws) - F.lit(shingle_n - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(
+                F.slice(ws, i, F.lit(shingle_n)), " "
+            ),
+        )
+    )
+    sh = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), shingles.alias("__g")
+    )
+    ex = sh.select("__id", F.explode("__g").alias("__s"))
+    ex = ex.persist()
+    try:
+        sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
+        dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+        exf = ex.join(
+            dfreq.where(F.col("__df") <= int(max_df)).select("__s"), "__s"
+        )
+        a = exf.alias("a")
+        b = exf.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.__s") == F.col("b.__s"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .groupBy(
+                F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        sa = sizes.select(F.col("__id").alias("id_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("__id").alias("id_b"), F.col("sz").alias("sz_b"))
+        cab = F.col("c").cast("double") / F.col("sz_a").cast("double")
+        cba = F.col("c").cast("double") / F.col("sz_b").cast("double")
+        out = (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .where(F.greatest(cab, cba) >= F.lit(float(threshold)))
+            .select(
+                "id_a",
+                "id_b",
+                F.col("c").alias("shared_shingles"),
+                F.col("sz_a").alias("n_a"),
+                F.col("sz_b").alias("n_b"),
+                cab.alias("containment_a_in_b"),
+                cba.alias("containment_b_in_a"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        ex.unpersist()
+    return out

@@ -265,6 +265,49 @@ class TestMannKendall:
         assert any(r["cross_obf"] for r in looks2)
         assert any(r["cross_hp"] for r in looks2)
 
+    def test_containment_detects_quotes_jaccard_misses(self, spark):
+        from preprocessor_spark.operators.dedup import containment_pairs
+
+        quote = "the quick brown fox jumps over the lazy dog tonight"
+        filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+        rows = [
+            (1, quote),
+            (2, filler + " " + quote + " " + filler.replace("w", "v")),
+            (3, "completely different text about other things entirely now"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r["id_a"], r["id_b"]): r
+            for r in containment_pairs(
+                df, "text", "doc_id", shingle_n=3, threshold=0.5
+            ).collect()
+        }
+        assert (1, 2) in out
+        r = out[(1, 2)]
+        # every shingle of the quote (except the two seam-crossing ones at
+        # the splice) appears in doc 2 -> containment(1 in 2) high, while
+        # Jaccard would be tiny (doc 2 has ~360 shingles)
+        assert r["containment_a_in_b"] >= 0.7
+        assert r["containment_b_in_a"] < 0.1
+        assert (1, 3) not in out and (2, 3) not in out
+
+    def test_containment_df_cap_drops_boilerplate(self, spark):
+        from preprocessor_spark.operators.dedup import containment_pairs
+
+        # 30 docs share ONE boilerplate sentence; with max_df below 30 the
+        # hot shingles leave the index and no pair qualifies
+        boiler = "all rights reserved contact us terms of service apply"
+        rows = [(i, f"doc {i} body text piece {i} " + boiler) for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        hits = containment_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=0.5, max_df=10
+        ).count()
+        assert hits == 0
+        hits_nocap = containment_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=0.5, max_df=1000
+        ).count()
+        assert hits_nocap > 100  # boilerplate joins everything
+
     def test_outlier_resistance_of_theil_sen(self, spark):
         from preprocessor_spark.operators.trend import mann_kendall
 
