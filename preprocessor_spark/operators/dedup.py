@@ -1123,6 +1123,7 @@ def containment_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int = 1000,
+    materialize: bool = True,
 ):
     """Exact word-shingle CONTAINMENT join — the asymmetric complement of
     :func:`ngram_jaccard_pairs` for quote / excerpt / subset detection:
@@ -1182,7 +1183,8 @@ def containment_pairs(
         F.col("__id"), shingles.alias("__g")
     )
     ex = sh.select("__id", F.explode("__g").alias("__s"))
-    ex = ex.persist()
+    if materialize:
+        ex = ex.persist()
     try:
         sizes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("sz"))
         # postings list per shingle (bounded by the df cap), pairs
@@ -1232,7 +1234,9 @@ def containment_pairs(
                 cba.alias("containment_b_in_a"),
             )
         )
-        out = out.localCheckpoint(eager=True)
+        if materialize:
+            out = out.localCheckpoint(eager=True)
     finally:
-        ex.unpersist()
+        if materialize:
+            ex.unpersist()
     return out

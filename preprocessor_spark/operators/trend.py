@@ -37,9 +37,14 @@ def mann_kendall(
     order_col: str,
     value_col: str,
     last_k: int = 50,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-key Mann-Kendall trend report over the last ``last_k``
-    observations in ``order_col`` order. See module docstring."""
+    observations in ``order_col`` order. See module docstring.
+
+    ``materialize=False`` returns the fully lazy plan (no persist, no
+    checkpoint) — for plan inspection/tests; production callers keep the
+    default so the twice-referenced pair frame computes once."""
     tail = (
         df.select(
             F.col(key_col).alias("key"),
@@ -56,7 +61,8 @@ def mann_kendall(
         .where(F.col("rd") <= last_k)
         .drop("rd")
     )
-    tail = tail.persist()
+    if materialize:
+        tail = tail.persist()
     try:
         a = tail.alias("a")
         b = tail.alias("b")
@@ -78,7 +84,8 @@ def mann_kendall(
             F.col("pb").cast("double") - F.col("pa").cast("double")
         )
         pairs = pairs.select("key", sgn.alias("sgn"), slope.alias("slope"))
-        pairs = pairs.persist()
+        if materialize:
+            pairs = pairs.persist()
 
         s_by_key = pairs.groupBy("key").agg(
             F.sum("sgn").cast("long").alias("s_stat"),
@@ -161,11 +168,13 @@ def mann_kendall(
             )
         )
         # materialize before unpersisting the inputs the plan references
-        out = out.localCheckpoint(eager=True)
+        if materialize:
+            out = out.localCheckpoint(eager=True)
     finally:
-        tail.unpersist()
-        try:
-            pairs.unpersist()
-        except Exception:
-            pass
+        if materialize:
+            tail.unpersist()
+            try:
+                pairs.unpersist()
+            except Exception:
+                pass
     return out

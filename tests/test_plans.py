@@ -406,20 +406,40 @@ def test_stump_cumulative_rides_range_partitioning(spark):
 def test_trend_pairs_join_is_keyed_not_cartesian(spark):
     """Mann-Kendall's pairwise expansion must plan as a key-equi hash/SMJ
     join with pos< as a residual — never a cartesian/BNLJ — and the
-    Theil-Sen median must not collapse to a SinglePartition sort."""
-    plan = formatted_plan(em.trend_mann_kendall_users(spark, SF))
+    Theil-Sen median must not collapse to a SinglePartition sort.
+    (materialize=False: the registry query checkpoints its result, which
+    would hide the real plan behind a Scan ExistingRDD.)"""
+    from preprocessor_spark.operators.trend import mann_kendall
+
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", "event_id", "value"
+    )
+    out = mann_kendall(
+        e, "user_id", "event_id", "value", last_k=50, materialize=False
+    )
+    plan = formatted_plan(out)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    head = plan.split("TakeOrderedAndProject")[0]
-    assert "Exchange SinglePartition" not in head, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
 
 
 def test_containment_index_join_not_cartesian(spark):
-    """The containment join is an inverted-index equi-join on the shingle
-    plus a pair groupBy — no cross product anywhere."""
-    plan = formatted_plan(em.containment_docs(spark, SF))
+    """The containment pair expansion is a per-shingle postings groupBy
+    plus in-array pair generation — no cross product, no self-join — and
+    the shingle build must sit ABOVE a repartition exchange (the
+    CollapseProject barrier that keeps the split from re-running per
+    array element)."""
+    from preprocessor_spark.operators.dedup import containment_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    out = containment_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.5, materialize=False
+    )
+    plan = formatted_plan(out)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "hashpartitioning(__id" in plan, plan  # the barrier exchange
 
 
 def test_shrinkage_is_one_groupby_plus_cell_window(spark):
