@@ -2705,6 +2705,43 @@ def knn_bruteforce(spark, sf_dir):
     )
 
 
+def ranking_eval_same_source(spark, sf_dir):
+    """Offline retrieval evaluation (operators/ranking_eval.py): score the
+    brute-force cosine top-10 as a retrieval system with NDCG@10 / MRR /
+    recall@10 / hit@10 against pseudo-qrels "a neighbor is relevant iff
+    it comes from the query document's source" — the standard IR-eval
+    loop (Järvelin-Kekäläinen DCG, TREC MRR) every search/ANN stack runs
+    offline. Joins and counts are exact; DCG terms quantize to the 1e-9
+    int64 grid before summing (order-free), log2/pow on small ints are
+    the mutual-information precedent — VALUE-oracled. One keyed join +
+    two groupBys per metric frame."""
+    from preprocessor_spark.operators.ranking_eval import ranking_metrics
+    from preprocessor_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    res = cosine_topk(
+        e, e.filter(F.col("vec_id") < 30), "embedding", "vec_id",
+        k=10, engine="arrow",
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    q = d.where(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("query_id"), F.col("source").alias("qsrc")
+    )
+    qrels = q.join(
+        d, (F.col("source") == F.col("qsrc")) & (F.col("doc_id") != F.col("query_id"))
+    ).select("query_id", "doc_id", F.lit(1).alias("rel"))
+    out = ranking_metrics(res, qrels, "query_id", "doc_id", "rank", "rel", k=10)
+    return out.select(
+        "query_id",
+        "n_retrieved",
+        "n_relevant",
+        F.round("ndcg", 6).alias("ndcg"),
+        F.round("mrr", 6).alias("mrr"),
+        F.round("recall", 6).alias("recall"),
+        "hit",
+    ).orderBy("query_id")
+
+
 def knn_graph_triangles(spark, sf_dir):
     """Triangle counts + local clustering coefficient over the k=5
     LSH-kNN graph of the embeddings table (operators/graph.py
@@ -5755,6 +5792,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asymmetric shingle-containment join for quote/excerpt detection
         # (round 11, oracle-backed — exact integer intersections)
         "containment_docs": containment_docs,
+        # offline retrieval eval: NDCG/MRR/recall over the cosine top-10
+        # (round 11, oracle-backed — quantized DCG sums)
+        "ranking_eval_same_source": ranking_eval_same_source,
         "interval_join_events": interval_join_events,
         "anomaly_mad_events": anomaly_mad_events,
         "event_transitions_markov": event_transitions_markov,
@@ -9455,6 +9495,84 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
                    ROUND(ABS(mean_raw - mean_shrunk), 6) AS abs_shift
             FROM fin
             ORDER BY abs_shift DESC, "group" LIMIT 30
+        """,
+        "ranking_eval_same_source": """
+            WITH q0 AS (
+                SELECT vec_id AS query_id,
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS qv
+                FROM embeddings WHERE vec_id < 30
+            ), c0 AS (
+                SELECT vec_id AS neighbor_id,
+                       list_transform(CAST(embedding AS DOUBLE[]), x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS cv
+                FROM embeddings
+            ), s AS (
+                SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos
+                FROM q0 CROSS JOIN c0 WHERE query_id <> neighbor_id
+            ), res AS (
+                SELECT query_id, neighbor_id AS doc_id, rank FROM (
+                    SELECT query_id, neighbor_id,
+                           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY ROUND(cos, 6) DESC, neighbor_id ASC)
+                               AS INTEGER) AS rank
+                    FROM s
+                ) WHERE rank <= 10
+            ), dq AS (
+                SELECT doc_id AS query_id, source AS qsrc
+                FROM documents WHERE doc_id < 30
+            ), qrels AS (
+                SELECT dq.query_id, d.doc_id, 1 AS rel
+                FROM dq JOIN documents d
+                  ON d.source = dq.qsrc AND d.doc_id <> dq.query_id
+            ), j AS (
+                SELECT res.query_id AS q, res.rank,
+                       COALESCE(qr.rel, 0) AS rel
+                FROM res LEFT JOIN qrels qr
+                  ON res.query_id = qr.query_id AND res.doc_id = qr.doc_id
+            ), perq AS (
+                SELECT q,
+                       CAST(SUM(CAST(floor(((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                                / log2(CAST(rank AS DOUBLE) + 1.0))
+                                * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                           / 1000000000.0 AS dcg,
+                       MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+                       CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_rel_retrieved,
+                       CAST(COUNT(*) AS BIGINT) AS n_retrieved
+                FROM j GROUP BY q
+            ), ideal AS (
+                SELECT q, CAST(SUM(qt) AS DOUBLE) / 1000000000.0 AS idcg
+                FROM (
+                    SELECT query_id AS q,
+                           CAST(floor(((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                               / log2(CAST(irank AS DOUBLE) + 1.0))
+                               * 1000000000.0 + 0.5) AS BIGINT) AS qt
+                    FROM (
+                        SELECT query_id, rel, doc_id,
+                               ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rel DESC, doc_id ASC) AS irank
+                        FROM qrels
+                    ) WHERE irank <= 10
+                ) GROUP BY q
+            ), nrel AS (
+                SELECT query_id AS q, CAST(COUNT(*) AS BIGINT) AS n_relevant
+                FROM qrels GROUP BY query_id
+            )
+            SELECT p.q AS query_id, p.n_retrieved,
+                   COALESCE(n.n_relevant, 0) AS n_relevant,
+                   ROUND(CASE WHEN COALESCE(i.idcg, 0.0) > 0
+                              THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg,
+                   ROUND(CASE WHEN p.first_rel IS NOT NULL
+                              THEN 1.0 / CAST(p.first_rel AS DOUBLE)
+                              ELSE 0.0 END, 6) AS mrr,
+                   ROUND(CASE WHEN COALESCE(n.n_relevant, 0) > 0
+                              THEN CAST(p.n_rel_retrieved AS DOUBLE)
+                                   / CAST(n.n_relevant AS DOUBLE)
+                              ELSE 0.0 END, 6) AS recall,
+                   p.n_rel_retrieved > 0 AS hit
+            FROM perq p
+            LEFT JOIN ideal i ON p.q = i.q
+            LEFT JOIN nrel n ON p.q = n.q
+            ORDER BY query_id
         """,
         "trend_mann_kendall_users": """
             WITH tail AS (

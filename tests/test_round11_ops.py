@@ -308,6 +308,59 @@ class TestMannKendall:
         ).count()
         assert hits_nocap > 100  # boilerplate joins everything
 
+    def test_ranking_metrics_match_reference(self, spark):
+        from preprocessor_spark.operators.ranking_eval import ranking_metrics
+
+        # q1: rel docs at ranks 1,3 of 2 relevant -> perfect recall
+        # q2: rel doc at rank 4 of 3 relevant
+        # q3: nothing relevant retrieved
+        results = spark.createDataFrame(
+            [("q1", f"d{i}", i) for i in range(1, 11)]
+            + [("q2", f"e{i}", i) for i in range(1, 11)]
+            + [("q3", f"f{i}", i) for i in range(1, 11)],
+            "query_id string, doc_id string, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [("q1", "d1", 1), ("q1", "d3", 1),
+             ("q2", "e4", 1), ("q2", "x9", 1), ("q2", "x10", 1),
+             ("q3", "z1", 1)],
+            "query_id string, doc_id string, rel int",
+        )
+        got = {
+            r["query_id"]: r
+            for r in ranking_metrics(results, qrels, k=10).collect()
+        }
+        dcg1 = 1 / math.log2(2) + 1 / math.log2(4)
+        idcg1 = 1 / math.log2(2) + 1 / math.log2(3)
+        assert got["q1"]["ndcg"] == pytest.approx(dcg1 / idcg1, abs=1e-6)
+        assert got["q1"]["mrr"] == 1.0
+        assert got["q1"]["recall"] == 1.0 and got["q1"]["hit"]
+        dcg2 = 1 / math.log2(5)
+        idcg2 = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+        assert got["q2"]["ndcg"] == pytest.approx(dcg2 / idcg2, abs=1e-6)
+        assert got["q2"]["mrr"] == 0.25
+        assert got["q2"]["recall"] == pytest.approx(1 / 3, abs=1e-6)
+        assert got["q3"]["ndcg"] == 0.0 and got["q3"]["mrr"] == 0.0
+        assert not got["q3"]["hit"] and got["q3"]["n_relevant"] == 1
+
+    def test_ranking_metrics_graded_gains(self, spark):
+        from preprocessor_spark.operators.ranking_eval import ranking_metrics
+
+        # graded rel=2 doc ranked below rel=1 doc -> NDCG < 1
+        results = spark.createDataFrame(
+            [("q", "a", 1), ("q", "b", 2)],
+            "query_id string, doc_id string, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [("q", "a", 1), ("q", "b", 2)],
+            "query_id string, doc_id string, rel int",
+        )
+        r = ranking_metrics(results, qrels, k=10).collect()[0]
+        dcg = 1 / math.log2(2) + 3 / math.log2(3)
+        idcg = 3 / math.log2(2) + 1 / math.log2(3)
+        assert r["ndcg"] == pytest.approx(dcg / idcg, abs=1e-6)
+        assert r["ndcg"] < 1.0
+
     def test_outlier_resistance_of_theil_sen(self, spark):
         from preprocessor_spark.operators.trend import mann_kendall
 
