@@ -2705,6 +2705,34 @@ def knn_bruteforce(spark, sf_dir):
     )
 
 
+def calibration_discount_returns(spark, sf_dir):
+    """Probability-calibration report + Murphy-decomposed Brier score
+    (operators/metrics.py calibration_report): treat scaled discount
+    (l_discount·10 ∈ [0,1]) as a "return probability" score against the
+    l_returnflag='R' label — the values-not-ranks complement of
+    eval_binary_discount's ROC-AUC. One map-side-combinable groupBy into
+    ≤10 bins, quantized int64 score sums, bounded-frame decomposition —
+    VALUE-oracled."""
+    from preprocessor_spark.operators.metrics import calibration_report
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") * 10.0).alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("label"),
+    )
+    out = calibration_report(l, "score", "label", n_bins=10)
+    return out.select(
+        "bin",
+        "n",
+        F.round("mean_predicted", 6).alias("mean_predicted"),
+        F.round("observed_rate", 6).alias("observed_rate"),
+        F.round("gap", 6).alias("gap"),
+        F.round("brier", 6).alias("brier"),
+        F.round("reliability", 6).alias("reliability"),
+        F.round("resolution", 6).alias("resolution"),
+        F.round("uncertainty", 6).alias("uncertainty"),
+    ).orderBy("bin")
+
+
 def ranking_eval_same_source(spark, sf_dir):
     """Offline retrieval evaluation (operators/ranking_eval.py): score the
     brute-force cosine top-10 as a retrieval system with NDCG@10 / MRR /
@@ -5795,6 +5823,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # offline retrieval eval: NDCG/MRR/recall over the cosine top-10
         # (round 11, oracle-backed — quantized DCG sums)
         "ranking_eval_same_source": ranking_eval_same_source,
+        # probability-calibration report + Murphy-decomposed Brier
+        # (round 11, oracle-backed — quantized bin moments)
+        "calibration_discount_returns": calibration_discount_returns,
         "interval_join_events": interval_join_events,
         "anomaly_mad_events": anomaly_mad_events,
         "event_transitions_markov": event_transitions_markov,
@@ -9495,6 +9526,61 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
                    ROUND(ABS(mean_raw - mean_shrunk), 6) AS abs_shift
             FROM fin
             ORDER BY abs_shift DESC, "group" LIMIT 30
+        """,
+        "calibration_discount_returns": """
+            WITH src AS (
+                SELECT LEAST(GREATEST(CAST(l_discount * 10.0 AS DOUBLE), 0.0),
+                             1.0) AS s,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+                FROM lineitem
+                WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+            ), cells AS (
+                SELECT LEAST(CAST(floor(s * 10.0) AS INTEGER), 9) AS bin,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(floor(s * 1000000000.0 + 0.5) AS BIGINT))
+                           AS qs,
+                       CAST(SUM(y) AS BIGINT) AS pos,
+                       SUM(CAST(floor(((s - CAST(y AS DOUBLE))
+                                       * (s - CAST(y AS DOUBLE)))
+                                      * 1000000000.0 + 0.5) AS BIGINT))
+                           AS qsq
+                FROM src GROUP BY 1
+            ), calc AS (
+                SELECT bin, n,
+                       (CAST(qs AS DOUBLE) / 1000000000.0)
+                           / CAST(n AS DOUBLE) AS mean_p,
+                       CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(SUM(n) OVER () AS DOUBLE) AS big_n,
+                       CAST(SUM(pos) OVER () AS DOUBLE) AS total_pos,
+                       (CAST(SUM(qsq) OVER () AS DOUBLE) / 1000000000.0)
+                           AS qsq_tot
+                FROM cells
+            ), dec AS (
+                SELECT *,
+                       total_pos / big_n AS base_rate,
+                       qsq_tot / big_n AS brier,
+                       CAST(SUM(CAST(floor((nd * (mean_p - rate)
+                                            * (mean_p - rate))
+                                           * 1000000000.0 + 0.5) AS BIGINT))
+                            OVER () AS DOUBLE) / 1000000000.0 / big_n
+                           AS reliability,
+                       CAST(SUM(CAST(floor((nd * (rate - total_pos / big_n)
+                                            * (rate - total_pos / big_n))
+                                           * 1000000000.0 + 0.5) AS BIGINT))
+                            OVER () AS DOUBLE) / 1000000000.0 / big_n
+                           AS resolution
+                FROM calc
+            )
+            SELECT bin, n,
+                   ROUND(mean_p, 6) AS mean_predicted,
+                   ROUND(rate, 6) AS observed_rate,
+                   ROUND(mean_p - rate, 6) AS gap,
+                   ROUND(brier, 6) AS brier,
+                   ROUND(reliability, 6) AS reliability,
+                   ROUND(resolution, 6) AS resolution,
+                   ROUND(base_rate * (1.0 - base_rate), 6) AS uncertainty
+            FROM dec ORDER BY bin
         """,
         "ranking_eval_same_source": """
             WITH q0 AS (

@@ -220,3 +220,87 @@ def gains_table(
         F.round(cum_pos.cast("double") / tot_pos.cast("double"), 6).alias("cum_gain"),
         F.round(rate / base, 6).alias("lift"),
     ).orderBy("bucket")
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Probability-calibration report + Brier decomposition — the "are the
+    scores probabilities?" check that completes the classifier-eval
+    family (ROC-AUC ranks; this grades the VALUES).
+
+    Bins scores into ``n_bins`` fixed-width bins over [0, 1] (scores are
+    clamped; bin = min(floor(s·B), B−1) so s = 1.0 lands in the top bin)
+    and reports per bin: n, mean predicted probability, observed positive
+    rate, and the gap. Every row also carries the global Brier score and
+    its Murphy (1973) decomposition over these bins —
+
+        BRIER = REL − RES + UNC
+        REL = Σ_b n_b (p̄_b − r_b)² / N      (reliability: what to fix)
+        RES = Σ_b n_b (r_b − base)² / N     (resolution: what's learned)
+        UNC = base (1 − base)               (irreducible)
+
+    (the decomposition is exact when computed from the same binning).
+
+    Engine contract: per-bin score sums quantize to the 1e-9 int64 grid
+    (labels/counts are exact ints), the bin frame is bounded (≤ n_bins
+    rows), and the decomposition's cross-bin sums quantize the same way —
+    VALUE-oracle-able, one map-side-combinable groupBy.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = F.least(F.greatest(F.col(score_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    y = F.col(label_col).cast("int")
+    b = F.least(
+        F.floor(s * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)
+    )
+
+    def q(expr):
+        return F.sum(F.floor(expr * F.lit(1e9) + F.lit(0.5)).cast("long"))
+
+    base = df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+    cells = base.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        q(s).alias("qs"),
+        F.sum(y).cast("long").alias("pos"),
+        q((s - y.cast("double")) * (s - y.cast("double"))).alias("qsq"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    nd = F.col("n").cast("double")
+    mean_p = (F.col("qs").cast("double") / F.lit(1e9)) / nd
+    rate = F.col("pos").cast("double") / nd
+    big_n = F.sum("n").over(w).cast("double")
+    total_pos = F.sum("pos").over(w).cast("double")
+    base_rate = total_pos / big_n
+    brier = (
+        F.sum("qsq").over(w).cast("double") / F.lit(1e9)
+    ) / big_n
+    # cross-bin sums over the bounded bin frame: quantize the per-bin
+    # double terms so window accumulation order cannot flip a bit
+    def qw(expr):
+        return (
+            F.sum(F.floor(expr * F.lit(1e9) + F.lit(0.5)).cast("long"))
+            .over(w)
+            .cast("double")
+            / F.lit(1e9)
+        )
+
+    rel = qw(nd * (mean_p - rate) * (mean_p - rate)) / big_n
+    res = qw(nd * (rate - base_rate) * (rate - base_rate)) / big_n
+    unc = base_rate * (F.lit(1.0) - base_rate)
+    return cells.select(
+        "bin",
+        "n",
+        mean_p.alias("mean_predicted"),
+        rate.alias("observed_rate"),
+        (mean_p - rate).alias("gap"),
+        brier.alias("brier"),
+        rel.alias("reliability"),
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
+    )

@@ -361,6 +361,53 @@ class TestMannKendall:
         assert r["ndcg"] == pytest.approx(dcg / idcg, abs=1e-6)
         assert r["ndcg"] < 1.0
 
+    def test_calibration_report_identity_and_gaps(self, spark):
+        from preprocessor_spark.operators.metrics import calibration_report
+
+        rng = np.random.default_rng(53)
+        rows = []
+        # scores constant within bins (bin centers) -> the Murphy identity
+        # BRIER = REL - RES + UNC holds exactly
+        for center, true_rate, n in [
+            (0.05, 0.05, 400),  # calibrated
+            (0.45, 0.45, 400),  # calibrated
+            (0.85, 0.55, 400),  # overconfident: gap = +0.3
+        ]:
+            ys = (rng.uniform(0, 1, n) < true_rate).astype(int)
+            rows += [(center, int(y)) for y in ys]
+        df = spark.createDataFrame(rows, "score double, label int")
+        out = {r["bin"]: r for r in calibration_report(df, "score", "label").collect()}
+        assert set(out) == {0, 4, 8}
+        r = out[8]
+        assert r["mean_predicted"] == pytest.approx(0.85, abs=1e-9)
+        assert abs(r["gap"] - (0.85 - r["observed_rate"])) < 1e-9
+        assert r["gap"] > 0.2  # overconfident bin surfaced
+        any_row = out[0]
+        ident = (
+            any_row["reliability"] - any_row["resolution"] + any_row["uncertainty"]
+        )
+        assert any_row["brier"] == pytest.approx(ident, abs=1e-6)
+        # a perfectly calibrated score set has near-zero reliability
+        rows2 = []
+        for center in (0.05, 0.25, 0.45, 0.65, 0.85):
+            ys = (rng.uniform(0, 1, 2000) < center).astype(int)
+            rows2 += [(center, int(y)) for y in ys]
+        df2 = spark.createDataFrame(rows2, "score double, label int")
+        r2 = calibration_report(df2, "score", "label").collect()[0]
+        assert r2["reliability"] < 0.002
+
+    def test_calibration_validation_and_clamp(self, spark):
+        from preprocessor_spark.operators.metrics import calibration_report
+
+        df = spark.createDataFrame(
+            [(1.7, 1), (-0.3, 0), (1.0, 1)], "score double, label int"
+        )
+        out = {r["bin"]: r for r in calibration_report(df, "score", "label").collect()}
+        assert set(out) == {0, 9}  # clamped into the edge bins
+        assert out[9]["n"] == 2
+        with pytest.raises(ValueError, match="n_bins"):
+            calibration_report(df, "score", "label", n_bins=1)
+
     def test_outlier_resistance_of_theil_sen(self, spark):
         from preprocessor_spark.operators.trend import mann_kendall
 
