@@ -408,3 +408,62 @@ def test_media_meta_webp_dims_agree_with_decode():
     meta = sniff_image_meta(payload)
     assert meta["format"] == "webp"
     assert (meta["width"], meta["height"]) == (34, 21)
+
+
+def test_truncated_and_corrupt_streams_raise_cleanly():
+    """Corrupt payloads must raise ValueError, never hang or index-crash."""
+    g = np.arange(100, dtype=np.uint8).reshape(10, 10)
+    good = encode_webp_lossless(g)
+    vp8l = _vp8l_of(good)
+    # truncated at several depths inside the bitstream
+    for cut in (1, 3, 8, len(vp8l) // 2, len(vp8l) - 1):
+        with pytest.raises(ValueError):
+            decode_vp8l(vp8l[:cut])
+    # bad signature byte
+    with pytest.raises(ValueError, match="signature"):
+        decode_vp8l(b"\x00" + vp8l[1:])
+    # nonzero version bits
+    bw = _BitWriter()
+    bw.write(9, 14)
+    bw.write(9, 14)
+    bw.write(0, 1)
+    bw.write(5, 3)  # version 5
+    with pytest.raises(ValueError, match="version"):
+        decode_vp8l(b"\x2f" + bw.done())
+
+
+def test_oversubscribed_prefix_code_rejected():
+    """A code-length assignment violating Kraft must raise, not decode
+    garbage."""
+    from preprocessor_spark.operators.webp import _Prefix
+
+    with pytest.raises(ValueError, match="not complete|no symbols"):
+        _Prefix([1, 1, 1])  # kraft 1.5
+    with pytest.raises(ValueError, match="not complete|no symbols"):
+        _Prefix([2, 2, 2])  # kraft 0.75 (incomplete)
+    with pytest.raises(ValueError, match="no symbols"):
+        _Prefix([0, 0])
+
+
+def test_backref_out_of_range_rejected():
+    """An LZ77 distance pointing before the image start must raise."""
+    bw = _BitWriter()
+    _header(bw, 4, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    green = _Codes(bw, 256 + 24, {7: 1, 256 + 5: 1})
+    red = _Codes(bw, 256, {0: 1})
+    blue = _Codes(bw, 256, {0: 1})
+    alpha = _Codes(bw, 256, {255: 1})
+    dist = _Codes(bw, 40, {13: 1})
+    green.emit(7)
+    red.emit(0)
+    blue.emit(0)
+    alpha.emit(255)
+    green.emit(256 + 5)  # length 8 > remaining 3 AND dist 128 > pos 1
+    bw.write(1, 1)
+    dist.emit(13)
+    bw.write(31, 5)
+    with pytest.raises(ValueError, match="backward reference"):
+        decode_vp8l(b"\x2f" + bw.done())
