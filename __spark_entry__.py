@@ -9306,6 +9306,7 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
                        o_totalprice AS y
                 FROM orders JOIN customer ON o_custkey = c_custkey
                 WHERE o_totalprice IS NOT NULL
+                  AND o_orderdate IS NOT NULL
             ), cells AS (
                 SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n,
                        CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
@@ -9360,17 +9361,26 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
             FROM eff
         """,
         "containment_docs": """
-            WITH sh AS (
-                SELECT doc_id,
+            -- replays the operator's exact-duplicate collapse: the index,
+            -- the df cap, and the pair join run on one representative per
+            -- distinct text; results expand back through the group map
+            -- (within-group pairs are containment 1.0 by identity)
+            WITH base AS (
+                SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+            ), grp AS (
+                SELECT text, MIN(doc_id) AS rid, COUNT(*) AS cnt
+                FROM base GROUP BY text
+            ), sh AS (
+                SELECT rid AS id,
                        list_distinct(
                            list_transform(
                                range(1, greatest(len(regexp_split_to_array(lower(text), '\\s+')) - 2, 1) + 1),
                                i -> array_to_string(
                                        list_slice(regexp_split_to_array(lower(text), '\\s+'), i, i + 2),
                                        ' '))) AS g
-                FROM documents WHERE text IS NOT NULL
+                FROM grp
             ), ex AS (
-                SELECT doc_id AS id, unnest(g) AS s FROM sh
+                SELECT id, unnest(g) AS s FROM sh
             ), sizes AS (
                 SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM ex GROUP BY id
             ), dfreq AS (
@@ -9382,18 +9392,43 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
                        CAST(COUNT(*) AS BIGINT) AS c
                 FROM exf a JOIN exf b ON a.s = b.s AND a.id < b.id
                 GROUP BY a.id, b.id
+            ), rep_out AS (
+                SELECT id_a, id_b, c, sa.sz AS n_a, sb.sz AS n_b,
+                       CAST(c AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cab,
+                       CAST(c AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cba
+                FROM inter
+                JOIN sizes sa ON inter.id_a = sa.id
+                JOIN sizes sb ON inter.id_b = sb.id
+                WHERE GREATEST(CAST(c AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+                               CAST(c AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.5
+            ), cross_exp AS (
+                SELECT LEAST(ma.doc_id, mb.doc_id) AS id_a,
+                       GREATEST(ma.doc_id, mb.doc_id) AS id_b,
+                       r.c AS shared_shingles,
+                       CASE WHEN ma.doc_id > mb.doc_id THEN r.n_b ELSE r.n_a END AS n_a,
+                       CASE WHEN ma.doc_id > mb.doc_id THEN r.n_a ELSE r.n_b END AS n_b,
+                       CASE WHEN ma.doc_id > mb.doc_id THEN r.cba ELSE r.cab END AS cab,
+                       CASE WHEN ma.doc_id > mb.doc_id THEN r.cab ELSE r.cba END AS cba
+                FROM rep_out r
+                JOIN grp gA ON r.id_a = gA.rid
+                JOIN grp gB ON r.id_b = gB.rid
+                JOIN base ma ON ma.text = gA.text
+                JOIN base mb ON mb.text = gB.text
+            ), within AS (
+                SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                       s.sz AS shared_shingles, s.sz AS n_a, s.sz AS n_b,
+                       CAST(1.0 AS DOUBLE) AS cab, CAST(1.0 AS DOUBLE) AS cba
+                FROM base x
+                JOIN base y ON x.text = y.text AND x.doc_id < y.doc_id
+                JOIN grp g ON x.text = g.text
+                JOIN sizes s ON s.id = g.rid
+            ), unioned AS (
+                SELECT * FROM cross_exp UNION ALL SELECT * FROM within
             )
-            SELECT id_a, id_b, c AS shared_shingles,
-                   sa.sz AS n_a, sb.sz AS n_b,
-                   ROUND(CAST(c AS DOUBLE) / CAST(sa.sz AS DOUBLE), 6)
-                       AS containment_a_in_b,
-                   ROUND(CAST(c AS DOUBLE) / CAST(sb.sz AS DOUBLE), 6)
-                       AS containment_b_in_a
-            FROM inter
-            JOIN sizes sa ON inter.id_a = sa.id
-            JOIN sizes sb ON inter.id_b = sb.id
-            WHERE GREATEST(CAST(c AS DOUBLE) / CAST(sa.sz AS DOUBLE),
-                           CAST(c AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.5
+            SELECT id_a, id_b, shared_shingles, n_a, n_b,
+                   ROUND(cab, 6) AS containment_a_in_b,
+                   ROUND(cba, 6) AS containment_b_in_a
+            FROM unioned
             ORDER BY id_a, id_b
         """,
         "sequential_looks_orders": """

@@ -1124,6 +1124,7 @@ def containment_pairs(
     threshold: float = 0.5,
     max_df: int = 1000,
     materialize: bool = True,
+    collapse_exact: bool = True,
 ):
     """Exact word-shingle CONTAINMENT join — the asymmetric complement of
     :func:`ngram_jaccard_pairs` for quote / excerpt / subset detection:
@@ -1142,7 +1143,148 @@ def containment_pairs(
     intersection then undercounts by at most those hot shingles while
     denominators stay the full |S(A)| — deterministic, and the DuckDB
     oracle replays the identical cap, so the operator is VALUE-oracled.
+
+    ``collapse_exact`` (default, the PPJoin/SemDeDup/fuzzy discipline):
+    verbatim-identical texts collapse on a content hash FIRST; the index,
+    the ``max_df`` cap, and the pair join all run on one representative
+    per group, and results expand back through keyed joins (within-group
+    pairs are containment 1.0 by identity; cross-group pairs inherit the
+    representative pair's counts, swapped when the expansion flips the
+    id order). Unlike PPJoin — where the collapse is purely a cost
+    optimization — the cap here is SEMANTIC: with the collapse, ``max_df``
+    counts DISTINCT texts per shingle, so a 10×-duplicated corpus no
+    longer inflates document frequencies past the cap and silently
+    undercounts intersections. That is the correct semantics for
+    duplicate-heavy web corpora, and it is what the DuckDB oracle
+    replays. The dup-free bypass below is therefore EXACT (``g == n``,
+    not PPJoin's 98% heuristic): only when every text is distinct is the
+    uncollapsed run bit-identical to the collapsed one.
     """
+    if collapse_exact:
+        m = register_persisted(
+            df.filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col).alias("__mid"), F.md5(F.col(text_col)).alias("__g")
+            )
+            .persist()
+        )
+        stats = m.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct("__g").alias("g")
+        ).first()
+        if stats["g"] == stats["n"]:
+            # zero duplicate texts: reps == docs, the collapsed and
+            # uncollapsed runs are bit-identical; skip the expansion joins
+            m.unpersist()
+            return containment_pairs(
+                df, text_col, id_col, shingle_n, threshold, max_df,
+                materialize=materialize, collapse_exact=False,
+            )
+        groups = m.groupBy("__g").agg(
+            F.min("__mid").alias("__rid"), F.count(F.lit(1)).alias("__cnt")
+        )
+        reps = groups.select("__g", "__rid")
+        rep_rows = df.join(
+            reps.select(F.col("__rid").alias(id_col)), id_col, "left_semi"
+        ).select(id_col, text_col)
+        rep_pairs = containment_pairs(
+            rep_rows, text_col, id_col, shingle_n, threshold, max_df,
+            materialize=materialize, collapse_exact=False,
+        )
+        # cross-group expansion: rep pair values flow to every member
+        # pair; a flipped id order swaps the (n_a, n_b) sizes and the two
+        # containment directions (c is symmetric)
+        ga = reps.select(F.col("__rid").alias("id_a"), F.col("__g").alias("__ga"))
+        gb = reps.select(F.col("__rid").alias("id_b"), F.col("__g").alias("__gb"))
+        ma = m.select(F.col("__mid").alias("__a"), F.col("__g").alias("__ga"))
+        mb = m.select(F.col("__mid").alias("__b"), F.col("__g").alias("__gb"))
+        swapped = F.col("__a") > F.col("__b")
+        cross = (
+            rep_pairs.join(ga, "id_a")
+            .join(gb, "id_b")
+            .select(
+                "__ga", "__gb", "shared_shingles", "n_a", "n_b",
+                "containment_a_in_b", "containment_b_in_a",
+            )
+            .join(ma, "__ga")
+            .join(mb, "__gb")
+            .select(
+                F.least("__a", "__b").alias("id_a"),
+                F.greatest("__a", "__b").alias("id_b"),
+                F.col("shared_shingles"),
+                F.when(swapped, F.col("n_b")).otherwise(F.col("n_a")).alias("n_a"),
+                F.when(swapped, F.col("n_a")).otherwise(F.col("n_b")).alias("n_b"),
+                F.when(swapped, F.col("containment_b_in_a"))
+                .otherwise(F.col("containment_a_in_b"))
+                .alias("containment_a_in_b"),
+                F.when(swapped, F.col("containment_a_in_b"))
+                .otherwise(F.col("containment_b_in_a"))
+                .alias("containment_b_in_a"),
+            )
+        )
+        # within-group pairs: identical texts → containment 1.0 both ways
+        # and shared == |S| == both sizes; |S| is recomputed only for the
+        # representatives of multi-member groups (a tiny projection)
+        multi = groups.where(F.col("__cnt") >= 2)
+        rep_sz = (
+            df.join(
+                multi.select(F.col("__rid").alias(id_col)), id_col, "left_semi"
+            )
+            .select(
+                F.col(id_col).alias("__rid"),
+                F.split(F.lower(F.col(text_col)), r"\s+").alias("__ws"),
+            )
+            .repartition(F.col("__rid"))
+            .select(
+                "__rid",
+                F.size(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.greatest(
+                                    F.size(F.col("__ws")) - F.lit(shingle_n - 1),
+                                    F.lit(1),
+                                ),
+                            ),
+                            lambda i: F.xxhash64(
+                                F.array_join(
+                                    F.slice(F.col("__ws"), i, F.lit(shingle_n)),
+                                    " ",
+                                )
+                            ),
+                        )
+                    )
+                )
+                .cast("long")
+                .alias("__sz"),
+            )
+        )
+        x, y = m.alias("x"), m.alias("y")
+        within = (
+            x.join(
+                y,
+                (F.col("x.__g") == F.col("y.__g"))
+                & (F.col("x.__mid") < F.col("y.__mid")),
+            )
+            .select(
+                F.col("x.__mid").alias("id_a"),
+                F.col("y.__mid").alias("id_b"),
+                F.col("x.__g").alias("__g"),
+            )
+            .join(multi.select("__g", "__rid"), "__g")
+            .join(rep_sz, "__rid")
+            .select(
+                "id_a",
+                "id_b",
+                F.col("__sz").alias("shared_shingles"),
+                F.col("__sz").alias("n_a"),
+                F.col("__sz").alias("n_b"),
+                F.lit(1.0).alias("containment_a_in_b"),
+                F.lit(1.0).alias("containment_b_in_a"),
+            )
+        )
+        return cross.unionByName(within)
+
     ws = F.col("__ws")
     n_sh = F.greatest(F.size(ws) - F.lit(shingle_n - 1), F.lit(1))
     # hash each shingle to int64 INSIDE the array builder: the index

@@ -53,9 +53,15 @@ def mann_kendall(
         )
         .where(F.col(value_col).isNotNull() & F.col(order_col).isNotNull())
         .withColumn(
+            # Secondary sort on the value makes the retained last_k window
+            # deterministic when order_col has duplicates per key (rows with
+            # identical (pos, x) are interchangeable for S and the slopes,
+            # so this fully pins the outputs).
             "rd",
             F.row_number().over(
-                Window.partitionBy("key").orderBy(F.col("pos").desc())
+                Window.partitionBy("key").orderBy(
+                    F.col("pos").desc(), F.col("x").desc()
+                )
             ),
         )
         .where(F.col("rd") <= last_k)

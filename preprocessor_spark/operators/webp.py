@@ -132,6 +132,8 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Prefix:
         lengths = [0] * alphabet_size
         if num_symbols == 2:
             sym1 = br.read(8)
+            if sym1 == sym0:
+                raise ValueError("duplicate symbol in simple prefix code")
             lengths[sym0] = 1
             lengths[sym1] = 1
         else:
@@ -143,7 +145,10 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _Prefix:
     cl_lengths = [0] * 19
     for i in range(num_codes):
         cl_lengths[_CL_ORDER[i]] = br.read(3)
-    cl = _Prefix(cl_lengths) if sum(1 for l in cl_lengths if l) > 1 else _SinglePrefix(
+    n_cl = sum(1 for l in cl_lengths if l)
+    if n_cl == 0:
+        raise ValueError("empty code-length code in prefix header")
+    cl = _Prefix(cl_lengths) if n_cl > 1 else _SinglePrefix(
         next(s for s, l in enumerate(cl_lengths) if l)
     )
     if br.read(1):  # use max_symbol shortcut

@@ -366,7 +366,7 @@ def _iter_raw_blocks(
         codec = meta.get("avro.codec", b"null").decode("utf-8")
         if end is None:
             end = os.fstat(f.fileno()).st_size
-        if start <= data_start - 16:
+        if start <= data_start - 16 < end:
             block_start = data_start  # own the header marker → first block
         else:
             found = _scan_for_sync(f, start, sync)

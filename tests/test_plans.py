@@ -442,6 +442,26 @@ def test_containment_index_join_not_cartesian(spark):
     assert "hashpartitioning(__id" in plan, plan  # the barrier exchange
 
 
+def test_containment_collapse_expansion_is_keyed(spark):
+    """With duplicated texts the collapse engages: the representative pair
+    frame expands through KEYED hash joins on the content-hash group (and
+    the within-group self-join is an equi-join on the hash) — no cartesian
+    product, no nested-loop join anywhere in the expanded plan."""
+    from preprocessor_spark.operators.dedup import containment_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    out = containment_pairs(
+        d.unionByName(dup), "text", "doc_id",
+        shingle_n=3, threshold=0.5, materialize=False,
+    )
+    plan = formatted_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # expansion joins key on the md5 group columns
+    assert "__ga" in plan and "__gb" in plan, plan
+
+
 def test_shrinkage_is_one_groupby_plus_cell_window(spark):
     """James-Stein: one data-sized groupBy; every window runs on the
     |groups|-row cell frame (a SinglePartition exchange of cells is fine —

@@ -1,0 +1,191 @@
+"""Round-12 operator tests: containment exact-dup collapse, prefix-code
+hardening, Avro split ownership, Mann-Kendall tie determinism."""
+
+import itertools
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestContainmentCollapse:
+    """containment_pairs collapse_exact: the df cap runs over DISTINCT
+    texts, within-group pairs are containment 1.0 by identity, and
+    cross-group pairs inherit the representative pair's values with the
+    correct orientation swap."""
+
+    TEXTS = {
+        1: "the quick brown fox jumps over the lazy dog tonight again",
+        2: " ".join(f"w{i} x{i} y{i}" for i in range(40))
+        + " the quick brown fox jumps over the lazy dog tonight again",
+        3: "completely different text about other things entirely now",
+    }
+
+    @staticmethod
+    def _shingles(t):
+        ws = t.lower().split()
+        n = max(len(ws) - 2, 1)
+        return {" ".join(ws[i : i + 3]) for i in range(n)}
+
+    def _reference(self, ids_texts, threshold=0.5, cap=1000):
+        sh = {i: self._shingles(t) for i, t in ids_texts.items()}
+        dfc = Counter()
+        for t in set(ids_texts.values()):
+            for s in self._shingles(t):
+                dfc[s] += 1
+        exp = {}
+        for a, b in itertools.combinations(sorted(sh), 2):
+            A, B = sh[a], sh[b]
+            if ids_texts[a] == ids_texts[b]:
+                exp[(a, b)] = (len(A), len(A), len(B), 1.0, 1.0)
+            else:
+                c = len({s for s in (A & B) if 2 <= dfc[s] <= cap})
+                cab, cba = c / len(A), c / len(B)
+                if max(cab, cba) >= threshold:
+                    exp[(a, b)] = (c, len(A), len(B), cab, cba)
+        return exp
+
+    def test_collapse_matches_distinct_text_semantics(self, spark):
+        from preprocessor_spark.operators.dedup import containment_pairs
+
+        ids_texts = {
+            i + 10 * k: t for i, t in self.TEXTS.items() for k in range(3)
+        }
+        df = spark.createDataFrame(
+            list(ids_texts.items()), "doc_id long, text string"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r
+            for r in containment_pairs(
+                df, "text", "doc_id", shingle_n=3, threshold=0.5
+            ).collect()
+        }
+        exp = self._reference(ids_texts)
+        assert set(got) == set(exp)
+        for k, (c, na, nb, cab, cba) in exp.items():
+            r = got[k]
+            assert r["shared_shingles"] == c, (k, r)
+            assert (r["n_a"], r["n_b"]) == (na, nb), (k, r)
+            assert abs(r["containment_a_in_b"] - cab) < 1e-9
+            assert abs(r["containment_b_in_a"] - cba) < 1e-9
+
+    def test_collapse_cap_counts_distinct_texts(self, spark):
+        """A 5x-duplicated quote must still be found: uncollapsed, the
+        duplication would push its shingles' df toward the cap; collapsed,
+        df counts distinct texts and the intersection is not undercut."""
+        from preprocessor_spark.operators.dedup import containment_pairs
+
+        quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        host = " ".join(f"h{i} j{i}" for i in range(30)) + " " + quote
+        rows = [(k, quote) for k in range(5)] + [(100, host)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # cap of 3 < 5 duplicates: per-doc df would exceed the cap for
+        # every quote shingle; per-distinct-text df is 2 (quote + host)
+        out = containment_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=0.9, max_df=3
+        )
+        pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        assert (0, 100) in pairs  # quote found inside the host
+        assert (0, 1) in pairs  # within-group identity pair
+
+    def test_bypass_identical_when_dup_free(self, spark):
+        from preprocessor_spark.operators.dedup import containment_pairs
+
+        df = spark.createDataFrame(
+            list(self.TEXTS.items()), "doc_id long, text string"
+        )
+        a = containment_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=0.5
+        ).collect()
+        b = containment_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=0.5,
+            collapse_exact=False,
+        ).collect()
+        key = lambda r: (r["id_a"], r["id_b"])
+        assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+class TestWebPPrefixHardening:
+    def test_duplicate_simple_code_symbol_rejected(self):
+        from preprocessor_spark.operators.webp import _BitReader, _read_prefix_code
+
+        # simple code, 2 symbols, 8-bit first symbol, sym1 == sym0 == 0x55
+        bits = [1, 1, 1] + [(0x55 >> i) & 1 for i in range(8)] * 2
+        v = 0
+        for i, b in enumerate(bits):
+            v |= b << i
+        br = _BitReader(v.to_bytes((len(bits) + 7) // 8, "little"))
+        with pytest.raises(ValueError, match="duplicate symbol"):
+            _read_prefix_code(br, 256)
+
+    def test_all_zero_code_length_code_rejected(self):
+        from preprocessor_spark.operators.webp import _BitReader, _read_prefix_code
+
+        # normal code, 4 code-length codes, all zero lengths
+        bits = [0] + [0, 0, 0, 0] + [0, 0, 0] * 4
+        v = 0
+        for i, b in enumerate(bits):
+            v |= b << i
+        br = _BitReader(v.to_bytes((len(bits) + 7) // 8 + 4, "little"))
+        with pytest.raises(ValueError, match="empty code-length"):
+            _read_prefix_code(br, 256)
+
+
+class TestAvroSplitOwnership:
+    def test_split_smaller_than_header_no_duplicate_rows(self, spark, tmp_path):
+        """When split_size is smaller than the container header, multiple
+        splits end inside the header; only the split CONTAINING the
+        header's trailing sync-marker start may claim the first blocks —
+        otherwise rows duplicate."""
+        from preprocessor_spark.sources.avro_py import (
+            _iter_raw_blocks,
+            register_avro_source,
+            write_avro_py,
+        )
+
+        df = spark.range(500).selectExpr(
+            "id", "CAST(id AS STRING) AS s"
+        ).coalesce(1)
+        dest = str(tmp_path / "tinysplit")
+        write_avro_py(df, dest, codec="null")
+        import glob as g
+        import os
+
+        (path,) = g.glob(f"{dest}/part-*.avro")
+        size = os.path.getsize(path)
+        # raw check: partition [0, size) into 64-byte splits — every
+        # block must be yielded by exactly one split
+        total = 0
+        step = 64
+        for start in range(0, size, step):
+            for n_rows, _ in _iter_raw_blocks(
+                path, start, min(start + step, size)
+            ):
+                total += n_rows
+        assert total == 500
+        register_avro_source(spark)
+        back = (
+            spark.read.format("avro_py").option("split_size", 64).load(dest)
+        )
+        assert sorted(r["id"] for r in back.collect()) == list(range(500))
+
+
+class TestMannKendallTieDeterminism:
+    def test_duplicate_order_values_deterministic(self, spark):
+        """With duplicated order positions the last_k tail must be pinned
+        by the (pos desc, value desc) sort — identical results run-to-run
+        and under different partitionings."""
+        from preprocessor_spark.operators.trend import mann_kendall
+
+        rows = [("k", p, float(v)) for p, v in
+                [(1, 5.0), (1, 9.0), (2, 3.0), (2, 7.0), (3, 1.0), (3, 8.0)]]
+        df1 = spark.createDataFrame(rows, "k string, pos int, v double")
+        df2 = spark.createDataFrame(rows[::-1], "k string, pos int, v double") \
+            .repartition(7)
+        r1 = mann_kendall(df1, "k", "pos", "v", last_k=4).collect()
+        r2 = mann_kendall(df2, "k", "pos", "v", last_k=4).collect()
+        assert len(r1) == len(r2) == 1
+        a, b = r1[0].asDict(), r2[0].asDict()
+        assert a == b, (a, b)
+        # the deterministic tail keeps the HIGHER value at each dup pos
+        assert a["n_used"] == 4
