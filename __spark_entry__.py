@@ -5530,14 +5530,12 @@ _GRADED_WINDOW = [
     # long-green r6b/r7 basics (funnel_user_events, interval_join_events,
     # drift_orders_ks, hopping_window_events) remain oracle-graded locally
     # at 51+ — same policy as rounds 4-8.
-    "assoc_rules_brands",
-    "cuped_orders_experiment",
-    "changepoint_user_values",
+    # (round-12 rotation: assoc_rules_brands, cuped_orders_experiment,
+    # changepoint_user_values, mutual_info_orders rotated out after three
+    # green rounds; all remain oracle-graded locally at 51+.)
     # seasonal_decompose_events grades LOCALLY (sf0.001): its outputs live
     # on a fine rational grid where last-digit round straddles across
-    # engines are structural at the driver's sf0.01 (see seasonal.py) —
-    # mutual information's transcendental outputs carry no such grid
-    "mutual_info_orders",
+    # engines are structural at the driver's sf0.01 (see seasonal.py)
     # round-9d promotion: eight new value-oracled operators — weighted
     # Bellman-Ford SSSP (iterative, recursive-CTE-replayed), linear
     # multi-touch attribution (fractional credit via exact cells + sorted
@@ -5548,12 +5546,11 @@ _GRADED_WINDOW = [
     # variant_props_events, recursive_cte_tree, row_ids_documents,
     # q2_min_cost_supplier) remain oracle-graded locally at 51+ — same
     # policy as rounds 4-9.
-    "graph_wsp_custsupp",
-    "attribution_linear_events",
-    "cv_ols_price_folds",
-    "bootstrap_ci_priority",
+    # (round-12 rotation: graph_wsp_custsupp, attribution_linear_events,
+    # cv_ols_price_folds, bootstrap_ci_priority, anova_price_priority
+    # rotated out after two green rounds; all remain oracle-graded locally
+    # at 51+.)
     "link_predict_custsupp",
-    "anova_price_priority",
     "ar2_forecast_users",
     "conformal_price_intervals",
     # round-10 promotion: the six round-9 value-oracled operators enter the
@@ -5588,6 +5585,24 @@ _GRADED_WINDOW = [
     "prop_ztest_orders",
     "skew_events_users",
     "event_sequences_users",
+    # round-12 promotion: the nine round-11 value-oracled operators enter
+    # the driver window (strict exact-compare re-simulated at sf0.01
+    # before freezing — the a00682f discipline): Mann-Kendall/Theil-Sen
+    # trend, difference-in-differences, James-Stein shrinkage,
+    # group-sequential monitoring, shingle-containment join (now with the
+    # exact-dup collapse), retrieval eval (NDCG/MRR/recall@k), Murphy-
+    # decomposed calibration report, and the streaming funnel +
+    # sessionization drains (graded by their batch oracles after an
+    # in-order availableNow drain).
+    "trend_mann_kendall_users",
+    "did_building_orders",
+    "shrinkage_customer_value",
+    "sequential_looks_orders",
+    "containment_docs",
+    "ranking_eval_same_source",
+    "calibration_discount_returns",
+    "funnel_stream_report_events",
+    "session_stream_report_events",
 ]
 
 
