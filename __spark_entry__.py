@@ -2836,27 +2836,26 @@ def knn_graph_nndescent(spark, sf_dir):
 
 
 def kmeans_embeddings(spark, sf_dir):
-    """Distributed Lloyd k-means (operators/clustering.py): k=8 fitted over
-    the FULL embeddings table — per-iteration cost is one narrow
-    mapInPandas scan emitting |partitions| k×(d+2) sketches, merged
-    driver-side in sorted-partition order (bit-reproducible refits); data
-    never collects. Rows-only by design (centroid float math); invariants
-    (sizes sum to row count, SSE non-increasing per iteration, assignment
-    == numpy argmin) are pytest-asserted in tests/test_round6_ops.py."""
+    """Distributed Lloyd k-means, exact-replay variant (operators/
+    clustering.py fit_kmeans_exact): k=8, 4 pinned iterations over the
+    FULL embeddings table — per-iteration cost is one narrow mapInPandas
+    scan emitting |partitions| integer sketches (counts + 1e9-grid
+    coordinate sums), merged driver-side as Python ints; data never
+    collects. VALUE-oracled: quantile seeding, int64-grid distances and
+    two-step centroid division make assignments and SSE bit-replayable by
+    the DuckDB oracle (the LPA/BFS integer-fixpoint discipline). The
+    float/BLAS production fit (fit_kmeans) stays pytest-graded
+    (tests/test_round6_ops.py invariants)."""
     from preprocessor_spark.operators.clustering import (
-        fit_kmeans,
-        kmeans_cluster_stats,
+        fit_kmeans_exact,
+        kmeans_cluster_stats_exact,
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    model = fit_kmeans(
-        e, "embedding", k=8, max_iter=8, sample_rows=2048, seed=13,
-        id_col="vec_id",
+    model = fit_kmeans_exact(
+        e, "embedding", id_col="vec_id", k=8, iters=4, sample_rows=2048
     )
-    out = kmeans_cluster_stats(e, "embedding", model)
-    return out.select(
-        "cluster", "n", F.round("sse", 4).alias("sse")
-    ).orderBy("cluster")
+    return kmeans_cluster_stats_exact(e, "embedding", model)
 
 
 def _synth_image_parquet(spark, sf_dir) -> str:
@@ -4306,14 +4305,14 @@ def communities_lpa(spark, sf_dir):
 
 
 def pagerank_custsupp(spark, sf_dir):
-    """PageRank (operators/graph.py) over the customer→supplier trade
-    graph (distinct pairs from orders⋈lineitem; node ids prefixed so the
-    two key spaces can't collide). Rows-only: float summation order makes
-    exact cross-engine hashes meaningless; tests grade it against an
-    independent numpy power iteration (1e-9) plus the sum-to-1 and
-    rank-floor invariants."""
-    from preprocessor_spark.caching import persist_scope
-    from preprocessor_spark.operators.graph import pagerank
+    """PageRank over the customer→supplier trade graph (distinct pairs
+    from orders⋈lineitem; node ids prefixed so the two key spaces can't
+    collide) — the exact-replay variant (operators/graph.py
+    pagerank_exact): rank mass on the int64 10^15 grid makes the per-dst
+    contribution sum order-free, so the DuckDB oracle replays all 5 power
+    iterations bit-for-bit (VALUE-oracled this round; the float pagerank
+    stays pytest-graded against the numpy reference)."""
+    from preprocessor_spark.operators.graph import pagerank_exact
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -4324,9 +4323,7 @@ def pagerank_custsupp(spark, sf_dir):
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
     )
-    return pagerank(edges, iterations=5).select(
-        "node", F.round(F.col("rank"), 9).alias("rank")
-    )
+    return pagerank_exact(edges, iterations=5).orderBy("node")
 
 
 def lateral_topn_orders(spark, sf_dir):
@@ -6558,6 +6555,133 @@ def _quantreg_oracle_sql() -> str:
                          6) AS frac_below
             FROM {s}"""
     return _irls2_replay_sql(15, w, final)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 4, sample_rows: int = 2048) -> str:
+    """Unrolled replay of clustering.fit_kmeans_exact + stats: quantile
+    seeding (sample = lowest ids, centroid j = row 1+(j·n)//k), then per
+    iteration one distance aggregate on the floor((x-c)²·1e12+0.5) int64
+    grid (order-free integer sums → exact argmin, ties to the lowest
+    cluster), one centroid update on the floor(x·1e9+0.5) grid with the
+    fixed two-step division, and a final assignment pass for (cluster, n,
+    sse = float(Σ dq)/1e12)."""
+    head = f"""WITH e AS (
+            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), ex AS (
+            SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e
+        ), smp AS (
+            SELECT v, row_number() OVER (ORDER BY id) AS rn FROM e
+            QUALIFY rn <= {sample_rows}
+        ), nn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM smp
+        ), init AS (
+            SELECT j.c, s.v
+            FROM (SELECT unnest(range({k})) AS c) j
+            CROSS JOIN nn
+            JOIN smp s ON s.rn = 1 + (j.c * nn.n) // {k}
+        ), cents0 AS (
+            SELECT c, generate_subscripts(v, 1) AS dim, unnest(v) AS cv
+            FROM init
+        )"""
+    parts = [head]
+    for t in range(iters):
+        parts.append(f""", d{t} AS (
+            SELECT ex.id, ct.c,
+                   SUM(CAST(floor((ex.x - ct.cv) * (ex.x - ct.cv)
+                                  * 1000000000000.0 + 0.5) AS HUGEINT)) AS dq
+            FROM ex JOIN cents{t} ct ON ex.dim = ct.dim
+            GROUP BY ex.id, ct.c
+        ), a{t} AS (
+            SELECT id, c FROM (
+                SELECT id, c,
+                       row_number() OVER (PARTITION BY id ORDER BY dq, c) AS rk
+                FROM d{t}
+            ) WHERE rk = 1
+        ), u{t} AS (
+            SELECT a.c, ex.dim,
+                   SUM(CAST(floor(ex.x * 1000000000.0 + 0.5) AS HUGEINT)) AS sq,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM a{t} a JOIN ex ON a.id = ex.id
+            GROUP BY a.c, ex.dim
+        ), cents{t + 1} AS (
+            SELECT p.c, p.dim,
+                   CASE WHEN u.cnt IS NULL THEN p.cv
+                        ELSE CAST(u.sq AS DOUBLE) / 1000000000.0 / u.cnt
+                   END AS cv
+            FROM cents{t} p
+            LEFT JOIN u{t} u ON p.c = u.c AND p.dim = u.dim
+        )""")
+    parts.append(f""", dfin AS (
+            SELECT ex.id, ct.c,
+                   SUM(CAST(floor((ex.x - ct.cv) * (ex.x - ct.cv)
+                                  * 1000000000000.0 + 0.5) AS HUGEINT)) AS dq
+            FROM ex JOIN cents{iters} ct ON ex.dim = ct.dim
+            GROUP BY ex.id, ct.c
+        ), afin AS (
+            SELECT id, c, dq FROM (
+                SELECT id, c, dq,
+                       row_number() OVER (PARTITION BY id ORDER BY dq, c) AS rk
+                FROM dfin
+            ) WHERE rk = 1
+        )
+        SELECT CAST(c AS INTEGER) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dq) AS DOUBLE) / 1000000000000.0 AS sse
+        FROM afin GROUP BY c ORDER BY cluster""")
+    return "".join(parts)
+
+
+def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled replay of graph.pagerank_exact over the customer→supplier
+    trade graph: rank mass on the int64 10^15 grid makes the per-dst
+    contribution sum order-free; every float op is a fixed-order IEEE
+    expression on identical doubles (literals embedded via repr)."""
+    d = repr(float(damping))
+    omd = repr(1.0 - float(damping))
+    parts = [
+        """WITH ed AS (
+            SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), degs AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM ed GROUP BY src
+        ), nodes AS (
+            SELECT n.node, COALESCE(d.deg, 0) AS deg FROM (
+                SELECT src AS node FROM ed UNION SELECT dst AS node FROM ed
+            ) n LEFT JOIN degs d ON n.node = d.node
+        ), nn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+        ), r0 AS (
+            SELECT node, deg, 1000000000000000 // nn.n AS q
+            FROM nodes CROSS JOIN nn
+        )"""
+    ]
+    for t in range(iterations):
+        parts.append(f""", s{t} AS (
+            SELECT node,
+                   CAST(floor(CAST(q AS DOUBLE) / deg + 0.5) AS BIGINT) AS share
+            FROM r{t} WHERE deg > 0
+        ), dm{t} AS (
+            SELECT COALESCE(SUM(q), 0) AS dm FROM r{t} WHERE deg = 0
+        ), i{t} AS (
+            SELECT e.dst AS node, SUM(s.share) AS inq
+            FROM ed e JOIN s{t} s ON e.src = s.node GROUP BY e.dst
+        ), r{t + 1} AS (
+            SELECT n.node, n.deg,
+                   CAST(floor(
+                       {omd} * (1000000000000000.0 / CAST(nn.n AS DOUBLE))
+                       + {d} * (CAST(COALESCE(i.inq, 0) AS DOUBLE)
+                                + CAST(dm.dm AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                       + 0.5) AS BIGINT) AS q
+            FROM nodes n
+            LEFT JOIN i{t} i ON n.node = i.node
+            CROSS JOIN dm{t} dm CROSS JOIN nn
+        )""")
+    parts.append(f"""
+        SELECT node, CAST(q AS DOUBLE) / 1000000000000000.0 AS rank
+        FROM r{iterations} ORDER BY node""")
+    return "".join(parts)
 
 
 def _lpa_oracle_sql(rounds: int = 5) -> str:
@@ -9312,6 +9436,11 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
         "huber_price_model": _huber_oracle_sql(),
         "quantreg_price_tau90": _quantreg_oracle_sql(),
         "communities_lpa": _lpa_oracle_sql(5),
+        # exact-replay Lloyd k-means: quantile seeding + int64-grid
+        # distances/updates unrolled per iteration (see _kmeans_oracle_sql)
+        "kmeans_embeddings": _kmeans_oracle_sql(8, 4, 2048),
+        # exact-replay PageRank: int64 rank-mass grid, unrolled 5 rounds
+        "pagerank_custsupp": _pagerank_oracle_sql(5),
         "did_building_orders": """
             WITH j AS (
                 SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0

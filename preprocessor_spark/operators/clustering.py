@@ -244,6 +244,158 @@ def save_kmeans(model: KMeansModel, path: str) -> None:
     )
 
 
+# --- exact-replay Lloyd variant -------------------------------------------
+# The float k-means above is the production path (BLAS-speed, rows-only
+# grading: BLAS/pairwise accumulation has no SQL twin). This variant pins
+# every float hazard to an integer grid so a DuckDB oracle replays the WHOLE
+# fit bit-for-bit (the LPA/BFS integer-fixpoint discipline):
+#   init      — "quantile" seeding: the sample is the sample_rows lowest ids
+#               (a TakeOrdered), centroid j is sample row (j*n)//k — fully
+#               order-determined, no RNG;
+#   distance  — per-dim terms floor((x_j-c_j)^2 * 1e12 + 0.5) summed as
+#               int64: identical IEEE ops per term on identical doubles,
+#               then an order-free integer sum → assignments are exact
+#               (argmin over ints, ties to the lowest cluster id);
+#   update    — coordinate sums on the floor(x*1e9 + 0.5) grid, centroid =
+#               float(sum)/1e9/count in the fixed two-step order → the new
+#               centroid doubles are identical across engines;
+#   sse       — the assigned row's integer distance summed per cluster
+#               (DECIMAL(38) against overflow), reported as float(sum)/1e12.
+# Per-partition int64 sketch bounds: |x|≤~4 ⇒ coordinate terms ≤ 4e9 and
+# distance terms ≤ 1.6e13; a 128 MB partition holds ≲1e6 rows ⇒ partial sums
+# ≤ 4e15 / 1.6e19 — the distance partial is kept per ROW (never summed into
+# the sketch), so int64 never overflows; cross-partition merges use Python
+# ints.
+
+_DIST_SCALE = 1e12
+_COORD_SCALE = 1e9
+
+
+def _exact_quantized_distances(X: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """n×k int64 matrix of grid distances: per-dim floor((x-c)²·1e12+0.5),
+    summed over dims — bitwise-replayable in SQL (see block comment)."""
+    d = X[:, None, :] - cents[None, :, :]
+    return np.floor(d * d * _DIST_SCALE + 0.5).astype("int64").sum(axis=2)
+
+
+def fit_kmeans_exact(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 4,
+    sample_rows: int = 2048,
+) -> KMeansModel:
+    """Exact-replay Lloyd fit (see block comment above). Runs exactly
+    ``iters`` iterations — a pinned count, like the IRLS replays."""
+    df = df.where(F.col(vec_col).isNotNull())
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    sample_df = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy("__id")
+        .limit(sample_rows)
+    )
+    sample = np.array(
+        [r["__v"] for r in sample_df.select("__v").collect()], dtype="float64"
+    )
+    n = len(sample)
+    if n == 0:
+        raise ValueError("fit_kmeans_exact: empty input")
+    if k > n:
+        raise ValueError("fit_kmeans_exact: k larger than the sample")
+    cents = sample[[(j * n) // k for j in range(k)]].copy()
+    d = cents.shape[1]
+
+    from preprocessor_spark.caching import register_persisted
+
+    pinned = register_persisted(vecs.persist())
+    pinned.count()
+    try:
+        for _ in range(iters):
+            c_bc = cents.copy()
+
+            def _sketch(it):
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
+                cnt = np.zeros(k, dtype="int64")
+                sums = np.zeros((k, d), dtype="int64")
+                for pdf in it:
+                    if not len(pdf):
+                        continue
+                    X = np.array(pdf["__v"].tolist(), dtype="float64")
+                    a = _exact_quantized_distances(X, c_bc).argmin(axis=1)
+                    qx = np.floor(X * _COORD_SCALE + 0.5).astype("int64")
+                    for c in range(k):
+                        m = a == c
+                        if m.any():
+                            cnt[c] += int(m.sum())
+                            sums[c] += qx[m].sum(axis=0)
+                yield pd.DataFrame(
+                    {"pid": [pid], "s": [np.concatenate([cnt.astype("float64"), sums.ravel().astype("float64")])]}
+                )
+
+            # int64 partials ride the sketch as EXACT doubles (bounds in the
+            # block comment keep them ≤ 2^53); merged as Python ints
+            parts = pinned.mapInPandas(_sketch, schema=_SKETCH_SCHEMA).collect()
+            cnt_tot = [0] * k
+            sum_tot = [[0] * d for _ in range(k)]
+            for r in parts:
+                s = np.asarray(r["s"], dtype="float64")
+                for c in range(k):
+                    cnt_tot[c] += int(s[c])
+                base = k
+                for c in range(k):
+                    for j in range(d):
+                        sum_tot[c][j] += int(s[base + c * d + j])
+            new_cents = cents.copy()
+            for c in range(k):
+                if cnt_tot[c] > 0:
+                    for j in range(d):
+                        new_cents[c, j] = float(sum_tot[c][j]) / _COORD_SCALE / cnt_tot[c]
+            cents = new_cents
+    finally:
+        pinned.unpersist()
+    return KMeansModel(
+        centroids=cents, iterations=iters, inertia_history=(), shifts=()
+    )
+
+
+def kmeans_cluster_stats_exact(
+    df: DataFrame, vec_col: str, model: KMeansModel
+) -> DataFrame:
+    """(cluster, n, sse) on the integer grid — sse = float(Σ dq)/1e12 with
+    the per-row dq bit-identical across engines (DECIMAL(38) guards the
+    cluster-level sum)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cents = model.centroids
+
+    @pandas_udf("struct<cluster:int,dq:long>")
+    def _assign(vs: pd.Series) -> pd.DataFrame:
+        X = np.array(vs.tolist(), dtype="float64")
+        dq = _exact_quantized_distances(X, cents)
+        a = dq.argmin(axis=1)
+        return pd.DataFrame(
+            {"cluster": a.astype("int32"), "dq": dq[np.arange(len(X)), a]}
+        )
+
+    return (
+        df.where(F.col(vec_col).isNotNull())
+        .select(_assign(F.col(vec_col).cast("array<double>")).alias("p"))
+        .select(F.col("p.cluster").alias("cluster"), F.col("p.dq").alias("dq"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("dq").cast("decimal(38,0)")).cast("double")
+                / F.lit(_DIST_SCALE)
+            ).alias("sse"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def load_kmeans(path: str) -> KMeansModel:
     z = np.load(path if path.endswith(".npz") else path + ".npz")
     return KMeansModel(

@@ -252,6 +252,106 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Exact-replay PageRank: rank mass lives on an int64 10^15 grid, so
+    the one order-dependent operation — summing contributions per dst —
+    becomes an order-free integer sum, and every remaining float op is a
+    fixed-order IEEE expression on identical doubles. A DuckDB oracle
+    replays the whole power iteration bit-for-bit (the LPA/BFS
+    integer-fixpoint discipline; see __spark_entry__._pagerank_oracle_sql).
+
+    Per iteration (all quantities integer unless noted):
+
+        share(u) = floor(double(q(u)) / deg(u) + 0.5)        deg > 0
+        in(v)    = Σ_{u→v} share(u)                          int64 sum
+        dm       = Σ_{deg(u)=0} q(u)
+        q'(v)    = floor( (1-d)·(10^15/N)
+                          + d·(double(in(v)) + double(dm)/N) + 0.5 )
+
+    Same zero-edge-shuffle shape as :func:`pagerank` (edges partitioned on
+    dst once, vertex-sized rank table broadcast per round). Output rank =
+    double(q)/10^15 — within 1e-15·iterations of the float power method.
+    The float :func:`pagerank` stays the production path for callers that
+    want mass conservation to the last ulp.
+    """
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = register_persisted(base.repartition(n_part, "dst").persist())
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    nodes = register_persisted(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(out_deg, on="node", how="left")
+        .fillna({"__deg": 0})
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    mass = 10**15
+    ranks = nodes.select(
+        "node", "__deg", F.lit(mass // n_nodes).alias("q")
+    ).transform(checkpoint_frame)
+
+    one_minus_d = 1.0 - damping
+    for _ in range(iterations):
+        shares = ranks.select(
+            "node",
+            F.when(
+                F.col("__deg") > 0,
+                F.floor(
+                    F.col("q").cast("double") / F.col("__deg") + F.lit(0.5)
+                ).cast("long"),
+            ).alias("__share"),
+            F.when(F.col("__deg") == 0, F.col("q")).otherwise(F.lit(0).cast("long")).alias("__dangling"),
+        )
+        dangling = shares.agg(F.sum("__dangling").alias("__dm"))
+        contribs = (
+            e.join(
+                F.broadcast(
+                    shares.where(F.col("__share").isNotNull())
+                    .select(F.col("node").alias("src"), "__share")
+                ),
+                on="src",
+            )
+            .groupBy("dst")  # reuses e's dst partitioning: no Exchange
+            .agg(F.sum("__share").alias("__in"))
+        )
+        # the expression tree below is replayed verbatim by the oracle —
+        # keep the op order in sync with _pagerank_oracle_sql
+        new_q = F.floor(
+            F.lit(one_minus_d) * (F.lit(1.0e15) / F.lit(float(n_nodes)))
+            + F.lit(damping)
+            * (
+                F.coalesce(F.col("__in"), F.lit(0).cast("long")).cast("double")
+                + F.col("__dm").cast("double") / F.lit(float(n_nodes))
+            )
+            + F.lit(0.5)
+        ).cast("long")
+        ranks = (
+            nodes.join(
+                F.broadcast(contribs.withColumnRenamed("dst", "node")),
+                on="node",
+                how="left",
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select("node", "__deg", new_q.alias("q"))
+            .transform(checkpoint_frame)
+        )
+    return ranks.select(
+        "node", (F.col("q").cast("double") / F.lit(1.0e15)).alias("rank")
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",

