@@ -3172,26 +3172,86 @@ def text_fingerprint(spark, sf_dir):
 
 
 def multimodal_image_features(spark, sf_dir):
-    """Multimodal plumbing end-to-end: documents.text re-encoded as an opaque
-    binary payload column, wrapped with typed media metadata, then decoded +
-    feature-extracted via Arrow-batched mapInPandas. Payloads here are text,
-    so the deterministic fake decoder runs; REAL pure-numpy decode/resize for
-    PPM/PGM/BMP is exercised pixel-exactly in tests/test_operators.py."""
-    from preprocessor_spark.operators.multimodal import attach_media_meta, image_features
+    """Multimodal image decode end-to-end with the REAL decoders and a FULL
+    DuckDB value oracle (the multimodal_video_frames precedent applied to
+    still formats): per document a flat-gray image is synthesized in one of
+    SEVEN real containers keyed off doc_id — PNG, GIF89a, baseline TIFF,
+    24-bit BMP, binary PGM, baseline JPEG (qval=1), lossless WebP (VP8L) —
+    then decoded + feature-extracted by operators.multimodal.image_features
+    (Arrow-batched mapInPandas, pure-numpy decoders, zero external deps).
+    Flat rasters with power-of-two dims make the features analytic: every
+    decode path emits exactly float32(v/255) per pixel (intensities
+    restricted to flat_gray_safe_values(), where WebP's Rec.601-in-float32
+    luma chain is also exact), the float32 pairwise mean of 2^k identical
+    values is exact, and std is exactly 0 — so the oracle reproduces
+    mean/std/width/height with a CAST, and the whole codec walk is
+    VALUE-graded, not just structure-checked. Pixel-exact decode coverage
+    on non-flat images stays in tests/test_operators.py / test_webp.py."""
+    import numpy as np
+    import pandas as pd
 
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    from preprocessor_spark.operators.gif import encode_gif
+    from preprocessor_spark.operators.jpeg import encode_jpeg
+    from preprocessor_spark.operators.multimodal import (
+        attach_media_meta,
+        encode_bmp_gray,
+        encode_png_gray,
+        flat_gray_safe_values,
+        image_features,
     )
-    d = attach_media_meta(d, "payload", "image", "raw")
-    feats = image_features(d, "doc_id", "payload", decoder="fake")
+    from preprocessor_spark.operators.tiff import encode_tiff
+    from preprocessor_spark.operators.webp import encode_webp_lossless
+
+    safe = flat_gray_safe_values()
+    n_safe = len(safe)
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 240)
+
+    def _synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = safe[(37 * did + 13) % n_safe]
+                w = 8 << (did % 3)
+                h = 8 << ((did // 3) % 3)
+                raster = np.full((h, w), v, dtype=np.uint8)
+                kind = did % 7
+                if kind == 0:
+                    payloads.append(encode_png_gray(raster))
+                elif kind == 1:
+                    payloads.append(encode_gif(raster))
+                elif kind == 2:
+                    payloads.append(encode_tiff(raster))
+                elif kind == 3:
+                    payloads.append(encode_bmp_gray(raster))
+                elif kind == 4:
+                    payloads.append(b"P5\n%d %d\n255\n" % (w, h) + raster.tobytes())
+                elif kind == 5:
+                    payloads.append(encode_jpeg(raster, qval=1))
+                else:
+                    payloads.append(encode_webp_lossless(raster))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    imgs = d.mapInPandas(_synth, "doc_id bigint, payload binary")
+    imgs = attach_media_meta(imgs, "payload", "image", "mixed")
+    feats = image_features(imgs, "doc_id", "payload", decoder="auto")
+    fmt = (
+        F.when(F.col("id") % 7 == 0, "png")
+        .when(F.col("id") % 7 == 1, "gif")
+        .when(F.col("id") % 7 == 2, "tiff")
+        .when(F.col("id") % 7 == 3, "bmp")
+        .when(F.col("id") % 7 == 4, "pgm")
+        .when(F.col("id") % 7 == 5, "jpeg")
+        .otherwise("webp")
+    )
     return feats.select(
         F.col("id").alias("doc_id"),
-        F.round("mean_intensity", 6).alias("mean_intensity"),
-        F.round("std_intensity", 6).alias("std_intensity"),
+        fmt.alias("fmt"),
+        "mean_intensity",
+        "std_intensity",
         "width",
         "height",
-    )
+    ).orderBy("doc_id")
 
 
 def multimodal_audio_features(spark, sf_dir):
@@ -6632,6 +6692,42 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 4, sample_rows: int = 2048) -> s
     return "".join(parts)
 
 
+def _image_features_oracle_sql() -> str:
+    """Analytic replay of multimodal_image_features: flat rasters decode
+    to exactly float32(v/255) per pixel on every format path (intensities
+    from flat_gray_safe_values — pure constant arithmetic embedded as a
+    literal), power-of-two pixel counts make the float32 mean exact, and a
+    flat image's std is exactly 0."""
+    from preprocessor_spark.operators.multimodal import flat_gray_safe_values
+
+    safe = flat_gray_safe_values()
+    lst = "[" + ", ".join(str(x) for x in safe) + "]"
+    return f"""
+        WITH d AS (
+            SELECT doc_id FROM documents WHERE doc_id < 240
+        ), v AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 7 AS INT)
+                        WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                        WHEN 2 THEN 'tiff' WHEN 3 THEN 'bmp'
+                        WHEN 4 THEN 'pgm' WHEN 5 THEN 'jpeg'
+                        ELSE 'webp' END AS fmt,
+                   list_extract({lst},
+                       CAST((37 * doc_id + 13) % {len(safe)} AS INT) + 1) AS val,
+                   CASE CAST(doc_id % 3 AS INT)
+                        WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 32 END AS w,
+                   CASE CAST((doc_id // 3) % 3 AS INT)
+                        WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 32 END AS h
+            FROM d
+        )
+        SELECT doc_id, fmt,
+               CAST(CAST(val / 255.0 AS FLOAT) AS DOUBLE) AS mean_intensity,
+               0.0 AS std_intensity,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height
+        FROM v ORDER BY doc_id"""
+
+
 def _pagerank_oracle_sql(iterations: int = 5, damping: float = 0.85) -> str:
     """Unrolled replay of graph.pagerank_exact over the customer→supplier
     trade graph: rank mass on the int64 10^15 grid makes the per-dst
@@ -9441,6 +9537,8 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
         "kmeans_embeddings": _kmeans_oracle_sql(8, 4, 2048),
         # exact-replay PageRank: int64 rank-mass grid, unrolled 5 rounds
         "pagerank_custsupp": _pagerank_oracle_sql(5),
+        # flat-pixel analytic replay of the 7-format real-decoder walk
+        "multimodal_image_features": _image_features_oracle_sql(),
         "did_building_orders": """
             WITH j AS (
                 SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0

@@ -322,6 +322,64 @@ def _encode_pgm(img: np.ndarray) -> bytes:
     return b"P5\n%d %d\n255\n" % (w, h) + u8.tobytes()
 
 
+def encode_png_gray(raster: np.ndarray) -> bytes:
+    """(h, w) uint8 → minimal valid grayscale PNG (color type 0, depth 8,
+    filter 0 scanlines, one zlib IDAT, real CRCs)."""
+    import struct
+    import zlib
+
+    u8 = raster.astype(np.uint8)
+    h, w = u8.shape
+    raw = b"".join(b"\x00" + u8[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_bmp_gray(raster: np.ndarray) -> bytes:
+    """(h, w) uint8 → uncompressed 24-bit BMP (BGR triplets of the gray
+    value, bottom-up rows padded to 4 bytes — the layout _decode_bmp
+    reads)."""
+    import struct
+
+    u8 = raster.astype(np.uint8)
+    h, w = u8.shape
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = np.repeat(u8[y], 3).tobytes()
+        rows += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    size = off + len(rows)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    return header + dib + bytes(rows)
+
+
+def flat_gray_safe_values() -> list[int]:
+    """The intensities v ∈ [0, 256) whose flat-gray decode is EXACTLY
+    float32(v/255) on every pure-numpy decode path, including WebP's
+    Rec.601-in-float32 luma chain (0.299v + 0.587v + 0.114v)/255 — the
+    other paths (PGM/BMP/GIF/TIFF/PNG/JPEG-flat) are exact for all 256
+    values (float32 division == float64-divide-then-narrow over the whole
+    range; verified in tests). Pure arithmetic on constants — no data, no
+    decoder involved — so an SQL oracle can embed the list as a literal."""
+    v = np.arange(256)
+    r = v.astype(np.float32)
+    luma = (0.299 * r + 0.587 * r + 0.114 * r) / 255.0
+    ref = v.astype(np.float64) / 255.0
+    return [int(x) for x in v[luma == ref.astype(np.float32)]]
+
+
 IMAGE_FEATURES_SCHEMA = (
     "id bigint, mean_intensity double, std_intensity double, width int, height int"
 )
@@ -351,8 +409,13 @@ def image_features(
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].values,
-                    "mean_intensity": [float(a.mean()) for a in imgs],
-                    "std_intensity": [float(a.std()) for a in imgs],
+                    # float64 accumulation: k·x is exact in double for any
+                    # float32 pixel x (24-bit mantissa), so flat images
+                    # yield mean == x and std == 0 bit-exactly — the
+                    # property the analytic value oracle relies on (same
+                    # discipline as sample_video_frames below)
+                    "mean_intensity": [float(a.mean(dtype=np.float64)) for a in imgs],
+                    "std_intensity": [float(a.std(dtype=np.float64)) for a in imgs],
                     "width": [a.shape[1] for a in imgs],
                     "height": [a.shape[0] for a in imgs],
                 }

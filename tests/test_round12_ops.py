@@ -193,6 +193,66 @@ class TestExactReplayFits:
         assert r1 == r2  # bit-identical under any layout
 
 
+class TestFlatImageExactness:
+    """Every still-image decode path emits exactly float32(v/255) per pixel
+    on flat rasters (webp restricted to flat_gray_safe_values), and
+    image_features' float64 accumulation makes mean/std analytic — the
+    contract the multimodal_image_features value oracle relies on."""
+
+    def test_all_formats_all_safe_values_exact(self):
+        import numpy as np
+
+        from preprocessor_spark.operators.gif import encode_gif
+        from preprocessor_spark.operators.jpeg import encode_jpeg
+        from preprocessor_spark.operators.multimodal import (
+            decode_image,
+            encode_bmp_gray,
+            encode_png_gray,
+            flat_gray_safe_values,
+        )
+        from preprocessor_spark.operators.tiff import encode_tiff
+        from preprocessor_spark.operators.webp import encode_webp_lossless
+
+        safe = flat_gray_safe_values()
+        assert len(safe) > 200  # most of the range survives the luma chain
+        encs = {
+            "png": encode_png_gray,
+            "gif": encode_gif,
+            "tiff": encode_tiff,
+            "bmp": encode_bmp_gray,
+            "pgm": lambda r: b"P5\n%d %d\n255\n" % (r.shape[1], r.shape[0])
+            + r.tobytes(),
+            "jpeg": lambda r: encode_jpeg(r, qval=1),
+            "webp": encode_webp_lossless,
+        }
+        for name, enc in encs.items():
+            for v in safe:
+                r = np.full((8, 16), v, dtype=np.uint8)
+                a = decode_image(enc(r))
+                want = float(np.float32(np.float64(v) / 255.0))
+                assert a.shape == (8, 16), (name, v)
+                assert float(a.mean(dtype=np.float64)) == want, (name, v)
+                assert float(a.std(dtype=np.float64)) == 0.0, (name, v)
+
+    def test_non_safe_values_exact_on_non_webp_paths(self):
+        """The 7 luma-unsafe intensities stay exact on the direct-gray
+        paths — only webp needs the restriction."""
+        import numpy as np
+
+        from preprocessor_spark.operators.multimodal import (
+            decode_image,
+            encode_png_gray,
+            flat_gray_safe_values,
+        )
+
+        unsafe = sorted(set(range(256)) - set(flat_gray_safe_values()))
+        assert unsafe  # the restriction exists for a reason
+        for v in unsafe[:8]:
+            a = decode_image(encode_png_gray(np.full((8, 8), v, dtype=np.uint8)))
+            want = float(np.float32(np.float64(v) / 255.0))
+            assert float(a.mean(dtype=np.float64)) == want
+
+
 class TestAvroSplitOwnership:
     def test_split_smaller_than_header_no_duplicate_rows(self, spark, tmp_path):
         """When split_size is smaller than the container header, multiple
