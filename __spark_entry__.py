@@ -2249,6 +2249,87 @@ def session_stream_report_events(spark, sf_dir):
     return session_report_from_states(spark.table(sink))
 
 
+def _last_emission_per_key(drained, key_col):
+    """Final state emission per key from an update-mode drain sink: the
+    row with the largest n (n grows with every per-key batch, so the max
+    is the post-drain state; a single availableNow batch emits exactly
+    one row per key and this is the identity)."""
+    w = Window.partitionBy(key_col).orderBy(F.col("n").desc())
+    return (
+        drained.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def holt_stream_report_users(spark, sf_dir):
+    """Streaming Holt drain report (streaming/__init__.py holt_stream):
+    the per-user level+trend recursion maintained in
+    applyInPandasWithState over the events table as a REAL availableNow
+    stream, drained to a memory sink; the final emission per key equals
+    the batch operator exactly after an in-order drain (pytest-asserted
+    twin contract), so the DuckDB oracle is the SAME two-phase
+    struct-accumulator list_reduce that grades forecast_holt_users.
+    Third streaming-state query in the graded registry."""
+    import os as _os
+    import uuid
+
+    from preprocessor_spark.streaming import holt_stream, run_available_now
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_os.path.join(sf_dir, "events.parq*"))
+        .select("user_id", "ts", "value")
+    )
+    sink = f"holt_states_{uuid.uuid4().hex[:10]}"
+    run_available_now(
+        holt_stream(stream, "user_id", "ts", "value", alpha=0.5, beta=0.3, horizon=3),
+        sink,
+        output_mode="update",
+    )
+    final = _last_emission_per_key(spark.table(sink), "user_id")
+    return final.select(
+        "user_id", "n", "level", "trend", "rmse",
+        F.col("forecast")[0].alias("f1"),
+        F.col("forecast")[1].alias("f2"),
+        F.col("forecast")[2].alias("f3"),
+    ).orderBy("user_id")
+
+
+def cusum_stream_report_events(spark, sf_dir):
+    """Streaming CUSUM drain report (streaming/__init__.py cusum_stream):
+    Page's one-sided S+/S- pair maintained in applyInPandasWithState over
+    the events table as a REAL availableNow stream, drained to a memory
+    sink; the final emission per key equals the batch operator exactly
+    after an in-order drain (pytest-asserted twin contract), so the
+    DuckDB oracle is the SAME struct-accumulator fold that grades
+    cusum_online_users. Fourth streaming-state query in the graded
+    registry."""
+    import os as _os
+    import uuid
+
+    from preprocessor_spark.streaming import cusum_stream, run_available_now
+
+    schema = _t(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_os.path.join(sf_dir, "events.parq*"))
+        .select("user_id", "event_id", "value")
+    )
+    sink = f"cusum_states_{uuid.uuid4().hex[:10]}"
+    run_available_now(
+        cusum_stream(
+            stream, "user_id", "event_id", "value",
+            target_mean=50.0, slack=25.0, threshold=200.0,
+        ),
+        sink,
+        output_mode="update",
+    )
+    final = _last_emission_per_key(spark.table(sink), "key")
+    return final.where(F.col("n_alarms") > 0).orderBy("key")
+
+
 def cohort_retention_events(spark, sf_dir):
     """Weekly cohort retention matrix (operators/funnel.py
     cohort_retention): cohort = Monday-truncated week of each user's first
@@ -5880,6 +5961,12 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-backed — bit-equal to batch session_stats by the drain
         # contract, same pattern as the funnel twin)
         "session_stream_report_events": session_stream_report_events,
+        # streaming-state Holt + CUSUM drain reports (round 12,
+        # oracle-backed — bit-equal to their batch operators by the drain
+        # contract; they share forecast_holt_users' / cusum_online_users'
+        # list_reduce fold oracles)
+        "holt_stream_report_users": holt_stream_report_users,
+        "cusum_stream_report_events": cusum_stream_report_events,
         # difference-in-differences estimator (round 11, oracle-backed —
         # exact DECIMAL cell moments + fixed IEEE tree, the cuped recipe)
         "did_building_orders": did_building_orders,
@@ -11958,6 +12045,11 @@ def _alias_shared_oracles(d: dict[str, str]) -> dict[str, str]:
     d["funnel_stream_report_events"] = d["funnel_user_events"]
     # the sessionization drain report is bit-equal to batch session_stats
     d["session_stream_report_events"] = d["sessionize_user_events"]
+    # the Holt / CUSUM drains are bit-equal to their batch operators after
+    # an in-order drain (streaming/__init__.py twin contracts), so the
+    # list_reduce fold oracles grade the streamed state too
+    d["holt_stream_report_users"] = d["forecast_holt_users"]
+    d["cusum_stream_report_events"] = d["cusum_online_users"]
     return d
 
 

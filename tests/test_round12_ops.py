@@ -193,6 +193,27 @@ class TestExactReplayFits:
         assert r1 == r2  # bit-identical under any layout
 
 
+class TestStreamDrainTwins:
+    """The Holt / CUSUM availableNow drain queries must be bit-equal to
+    their batch operators (the contract that lets them share oracles)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_holt_drain_equals_batch(self, spark):
+        import __spark_entry__ as em
+
+        a = em.holt_stream_report_users(spark, self.SF).collect()
+        b = em.forecast_holt_users(spark, self.SF).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_cusum_drain_equals_batch(self, spark):
+        import __spark_entry__ as em
+
+        a = em.cusum_stream_report_events(spark, self.SF).collect()
+        b = em.cusum_online_users(spark, self.SF).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 class TestFlatImageExactness:
     """Every still-image decode path emits exactly float32(v/255) per pixel
     on flat rasters (webp restricted to flat_gray_safe_values), and
