@@ -2975,6 +2975,74 @@ def _synth_image_parquet(spark, sf_dir) -> str:
     return dest
 
 
+def _synth_iceberg_table(spark, sf_dir) -> str:
+    """Materialize the Iceberg lineitem layout ONCE per sf-dir (the
+    _synth_image_parquet discipline: built outside the timed body, atomic
+    rename wins races): 8 range-partitioned parquet files sorted by
+    l_shipdate — tight per-file shipdate bounds are what makes the
+    metadata prune bite — committed through sources.iceberg.write_iceberg
+    (pure-Python manifests + manifest list + metadata.json)."""
+    import hashlib
+    import os
+    import shutil
+
+    from preprocessor_spark.sources.iceberg import write_iceberg
+
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|iceberg_v1".encode()
+    ).hexdigest()[:12]
+    dest = f"/tmp/iceberg_li_{key}"
+    if os.path.exists(os.path.join(dest, "metadata", "version-hint.text")):
+        return dest
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_shipdate",
+    )
+    tmp = f"{dest}.tmp-{spark.sparkContext.applicationId}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # metadata records the FINAL location (Avro strings are length-
+    # prefixed — paths can't be rewritten after the fact), then one
+    # atomic rename publishes the whole layout
+    write_iceberg(
+        li.repartitionByRange(8, "l_shipdate").sortWithinPartitions("l_shipdate"),
+        tmp,
+        publish_location=dest,
+    )
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another run won the race
+    return dest
+
+
+def iceberg_scan_lineitem(spark, sf_dir):
+    """Iceberg v2 metadata scan (sources/iceberg.py — pure-Python
+    manifest-list/manifest/metadata.json walk, no JVM jars): pricing
+    summary over l_shipdate >= 1997-09-01 against the committed lineitem
+    layout. File-level lower/upper bounds prune the range-sorted data
+    files BEFORE any parquet footer opens (pruning plan-asserted in
+    tests/test_iceberg.py); the residual predicate pushes into the
+    surviving scans. VALUE-oracled: the DuckDB twin runs the same
+    aggregate over the raw lineitem parquet — metadata routing must be
+    lossless."""
+    import datetime as _dt
+
+    from preprocessor_spark.sources.iceberg import read_iceberg
+
+    table = _synth_iceberg_table(spark, sf_dir)
+    cut = _dt.datetime(1997, 9, 1)
+    df = read_iceberg(spark, table, where=[("l_shipdate", ">=", cut)])
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),  # small ints: exact doubles
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def image_phash_neardup(spark, sf_dir):
     """Perceptual-hash image dedup, REAL decode end-to-end (operators/
     phash.py): pre-materialized PGM fixture parquet (_synth_image_parquet;
@@ -6033,6 +6101,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sliding/hopping windows in batch (round 5, oracle-backed)
         "hopping_window_events": hopping_window_events,
         "avro_roundtrip_orders": avro_roundtrip_orders,
+        # pure-Python Iceberg v2 metadata scan with stats pruning (round
+        # 12, oracle-backed — metadata routing must be lossless vs the raw
+        # parquet aggregate)
+        "iceberg_scan_lineitem": iceberg_scan_lineitem,
         "snapshot_orders_diff": snapshot_orders_diff,
         "higher_order_lineitem": higher_order_lineitem,
         "try_funcs_orders": try_funcs_orders,
@@ -11792,6 +11864,20 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                    MIN(o_orderdate) AS first_date
             FROM orders GROUP BY o_orderstatus
+        """,
+        # the Iceberg layout is an identity commit over lineitem, so the
+        # oracle aggregates the raw parquet with the same predicate — any
+        # manifest/bounds/pruning bug loses or duplicates rows and breaks it
+        "iceberg_scan_lineitem": """
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(l_quantity) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                       AS sum_price
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         # sorted-first float fold: accumulation order identical -> bit-exact
         "higher_order_lineitem": """
