@@ -69,6 +69,15 @@ def get_spark(
         # sessions; stack traces still carry the Python-side origin.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
+    # experiment/ops passthrough: JSON dict of extra conf pairs, e.g.
+    # SPARK_GRAFT_CONF_JSON='{"spark.python.worker.idleTimeoutSeconds":"60"}'
+    # — lets bench.py A/B a config without code changes
+    env_conf = os.environ.get("SPARK_GRAFT_CONF_JSON")
+    if env_conf:
+        import json as _json
+
+        for k, v in _json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
