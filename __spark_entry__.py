@@ -5478,6 +5478,45 @@ def gini_nation_balances(spark, sf_dir):
     return gini_by_group(j, "n_name", "c_acctbal")
 
 
+def kappa_lineitem_qty_price(spark, sf_dir):
+    """Cohen's kappa + linear/quadratic weighted kappa (operators/
+    metrics.py cohens_kappa) as a bin-boundary sensitivity audit: the two
+    "raters" are the SAME l_quantity discretized into width-10 bands with
+    the boundary shifted by one unit ((qty−1) DIV 10 vs qty DIV 10, both
+    capped at 4 over TPC-H's 1..50 range). Agreement is far above chance
+    (only qty ∈ {10,20,30,40,50} straddles a shifted boundary) and every
+    disagreement is distance-1 — exactly the regime where the weighted
+    variants order kappa < linear < quadratic. Both raters are pure
+    projections (no global sort/window — scale-exact), and every
+    statistic is one division of two exactly-computed integers —
+    VALUE-oracled."""
+    from preprocessor_spark.operators.metrics import cohens_kappa
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.least(
+            F.lit(4), F.floor((F.col("l_quantity") - 1) / F.lit(10.0)).cast("int")
+        ).alias("ra"),
+        F.least(
+            F.lit(4), F.floor(F.col("l_quantity") / F.lit(10.0)).cast("int")
+        ).alias("rb"),
+    )
+    return cohens_kappa(l, "ra", "rb")
+
+
+def theil_orders_priority(spark, sf_dir):
+    """Per-priority Theil T / mean-log-deviation (Theil L) / Atkinson(1)
+    inequality of order values (operators/inequality.py
+    theil_atkinson_by_group) — the decomposable complements of the Gini
+    report. Exact DECIMAL group means, per-row fixed-IEEE log terms
+    quantized to the int64 1e12 grid before summing — VALUE-oracled
+    (DuckDB replays term-for-term; ln/exp match libm across engines, the
+    mutual_info precedent)."""
+    from preprocessor_spark.operators.inequality import theil_atkinson_by_group
+
+    o = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    return theil_atkinson_by_group(o, "o_orderpriority", "o_totalprice")
+
+
 def benford_price_digits(spark, sf_dir):
     """Benford first-digit conformity audit of l_extendedprice per return
     flag (operators/benford.py): digits from the DECIMAL string rendering
@@ -5954,6 +5993,12 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 applied analytics: inequality / forensics / sequences /
         # proportional hazards
         "gini_nation_balances": gini_nation_balances,
+        # Theil T / L + Atkinson(1) decomposable inequality (round 12,
+        # oracle-backed — quantized log terms on the 1e12 int64 grid)
+        "theil_orders_priority": theil_orders_priority,
+        # Cohen's kappa + weighted variants (round 12, oracle-backed —
+        # every statistic one division of two exact integers)
+        "kappa_lineitem_qty_price": kappa_lineitem_qty_price,
         "benford_price_digits": benford_price_digits,
         "wquantile_price_by_flag": wquantile_price_by_flag,
         "prop_ztest_orders": prop_ztest_orders,
@@ -9558,6 +9603,88 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
         # Gini: rank weights and Lorenz conditional sums are exact
         # int64/DECIMAL; the twin replays the same windows and the
         # floor/frac decimal->double split
+        "kappa_lineitem_qty_price": """
+            WITH base AS (
+                SELECT LEAST(4, CAST(floor((l_quantity - 1) / 10.0) AS INT)) AS i,
+                       LEAST(4, CAST(floor(l_quantity / 10.0) AS INT)) AS j
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+            ), cells AS (
+                SELECT i, j, CAST(COUNT(*) AS BIGINT) AS nij
+                FROM base GROUP BY i, j
+            ), obs AS (
+                SELECT CAST(SUM(nij) AS BIGINT) AS n,
+                       CAST(COALESCE(SUM(nij) FILTER (WHERE i = j), 0)
+                            AS BIGINT) AS diag,
+                       SUM(CAST(abs(i - j) * nij AS HUGEINT)) AS dlin,
+                       SUM(CAST((i - j) * (i - j) * nij AS HUGEINT)) AS dquad,
+                       GREATEST(MAX(i), MAX(j)) + 1 AS k
+                FROM cells
+            ), rows_ AS (
+                SELECT i, CAST(SUM(nij) AS BIGINT) AS ri FROM cells GROUP BY i
+            ), cols_ AS (
+                SELECT j, CAST(SUM(nij) AS BIGINT) AS cj FROM cells GROUP BY j
+            ), expv AS (
+                SELECT COALESCE(SUM(CASE WHEN i = j
+                                         THEN CAST(ri * cj AS HUGEINT) END),
+                                0) AS ediag,
+                       SUM(CAST(abs(i - j) * ri * cj AS HUGEINT)) AS elin,
+                       SUM(CAST((i - j) * (i - j) * ri * cj AS HUGEINT)) AS equad
+                FROM rows_ CROSS JOIN cols_
+            )
+            SELECT n, CAST(k AS INT) AS k,
+                   ROUND(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+                   ROUND(CAST(ediag AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+                   ROUND(CAST(CAST(n * diag AS HUGEINT) - ediag AS DOUBLE)
+                         / CAST(CAST(n * n AS HUGEINT) - ediag AS DOUBLE), 6)
+                       AS kappa,
+                   ROUND(1.0 - CAST(n AS DOUBLE) * CAST(dlin AS DOUBLE)
+                               / CAST(elin AS DOUBLE), 6) AS kappa_linear,
+                   ROUND(1.0 - CAST(n AS DOUBLE) * CAST(dquad AS DOUBLE)
+                               / CAST(equad AS DOUBLE), 6) AS kappa_quadratic
+            FROM obs CROSS JOIN expv
+        """,
+        "theil_orders_priority": """
+            WITH base AS (
+                SELECT o_orderpriority AS grp, CAST(o_totalprice AS DOUBLE) AS x
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                  AND o_totalprice IS NOT NULL AND o_totalprice > 0
+            ), means AS (
+                SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(CAST(x AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS sx
+                FROM base GROUP BY grp
+            ), mu AS (
+                SELECT grp, n,
+                       (CAST(floor(sx) AS DOUBLE)
+                        + CAST(sx - floor(sx) AS DOUBLE))
+                       / CAST(n AS DOUBLE) AS mu
+                FROM means
+            ), cells AS (
+                SELECT b.grp,
+                       CAST(floor((b.x / m.mu) * ln(b.x / m.mu)
+                                  * 1000000000000.0 + 0.5) AS HUGEINT) AS qt,
+                       CAST(floor(ln(b.x) * 1000000000000.0 + 0.5)
+                            AS HUGEINT) AS ql
+                FROM base b JOIN mu m ON b.grp = m.grp
+            ), agg AS (
+                SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(qt) AS sqt, SUM(ql) AS sl
+                FROM cells GROUP BY grp
+            )
+            SELECT a.grp AS "group", a.n,
+                   ROUND(m.mu, 6) AS mean,
+                   ROUND(CAST(a.sqt AS DOUBLE) / 1000000000000.0
+                         / CAST(a.n AS DOUBLE), 6) AS theil_t,
+                   ROUND(ln(m.mu) - CAST(a.sl AS DOUBLE) / 1000000000000.0
+                         / CAST(a.n AS DOUBLE), 6) AS theil_l,
+                   ROUND(1.0 - exp(CAST(a.sl AS DOUBLE) / 1000000000000.0
+                                   / CAST(a.n AS DOUBLE)) / m.mu, 6)
+                       AS atkinson_1
+            FROM agg a JOIN mu m ON a.grp = m.grp
+            ORDER BY a.grp
+        """,
         "gini_nation_balances": """
             WITH base AS (
                 SELECT n.n_name AS grp, CAST(c.c_acctbal AS DECIMAL(18,4)) AS xd

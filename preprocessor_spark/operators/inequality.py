@@ -110,3 +110,70 @@ def gini_by_group(
             F.coalesce(_dec_double(F.col("st10")), F.lit(0.0)) / sx, 6
         ).alias("top10_share"),
     ).orderBy("group")
+
+
+def theil_atkinson_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group Theil T, mean-log-deviation (Theil L) and Atkinson(ε=1)
+    inequality indices — the decomposable complements of :func:`gini_by_group`
+    (Theil indices are additively decomposable between/within subgroups;
+    Gini is not — Shorrocks 1980).
+
+        T    = (1/n) Σ (x/μ)·ln(x/μ)
+        L    = ln μ − (1/n) Σ ln x          (mean log deviation)
+        A(1) = 1 − exp((1/n) Σ ln x) / μ    (geometric/arithmetic mean gap)
+
+    Exact-replay shape: μ comes from the exact DECIMAL(18,4) group sum
+    (one deterministic division), every per-row term is then a
+    fixed-order IEEE expression on identical doubles, and the two
+    order-dependent row sums (Σ t_i and Σ ln x_i) quantize to the int64
+    1e12 grid BEFORE summing (DECIMAL(38,0) against overflow) — the
+    DuckDB oracle replays term-for-term. Rows with value ≤ 0 are dropped
+    (logs undefined); n counts the kept rows.
+
+    Scale shape: one keyed exchange for the mean, one broadcast join
+    back, one map-side-combinable groupBy. |groups| output rows.
+    """
+    g = F.col(group_col)
+    base = df.where(
+        g.isNotNull() & F.col(value_col).isNotNull() & (F.col(value_col) > 0)
+    ).select(g.alias("group"), F.col(value_col).cast("double").alias("x"))
+    means = base.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,4)").cast(_DEC)).alias("sx"),
+    )
+    mu = (_dec_double(F.col("sx")) / F.col("n").cast("double")).alias("mu")
+    joined = base.join(F.broadcast(means.select("group", mu)), "group")
+    ratio = F.col("x") / F.col("mu")
+    t_term = ratio * F.log(ratio)
+    q = lambda c: F.floor(c * F.lit(1.0e12) + F.lit(0.5)).cast("decimal(38,0)")
+    cells = joined.select(
+        "group",
+        q(t_term).alias("qt"),
+        q(F.log(F.col("x"))).alias("ql"),
+    )
+    agg = (
+        cells.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qt").alias("sqt"),
+            F.sum("ql").alias("sql_"),
+        )
+        .join(F.broadcast(means.select("group", mu)), "group")
+    )
+    nd = F.col("n").cast("double")
+    theil_t = F.col("sqt").cast("double") / F.lit(1.0e12) / nd
+    mean_ln = F.col("sql_").cast("double") / F.lit(1.0e12) / nd
+    theil_l = F.log(F.col("mu")) - mean_ln
+    atkinson = F.lit(1.0) - F.exp(mean_ln) / F.col("mu")
+    return agg.select(
+        "group",
+        "n",
+        F.round(F.col("mu"), 6).alias("mean"),
+        F.round(theil_t, 6).alias("theil_t"),
+        F.round(theil_l, 6).alias("theil_l"),
+        F.round(atkinson, 6).alias("atkinson_1"),
+    ).orderBy("group")

@@ -304,3 +304,96 @@ def calibration_report(
         res.alias("resolution"),
         unc.alias("uncertainty"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two categorical
+    raters (Cohen 1960) — plus the linear- and quadratic-weighted variants
+    for ORDINAL categories (Cohen 1968): ``rater_a``/``rater_b`` must hold
+    integer category indices on the same scale.
+
+    Exact-replay algebra: with integer confusion cells n_ij, row/column
+    totals r_i, c_j and N, every statistic reduces to ONE division of two
+    exactly-computed integers —
+
+        kappa           = (N·Σ n_ii − Σ r_i c_i) / (N² − Σ r_i c_i)
+        kappa_linear    = 1 − N·Σ|i−j| n_ij / Σ|i−j| r_i c_j
+        kappa_quadratic = 1 − N·Σ(i−j)² n_ij / Σ(i−j)² r_i c_j
+
+    so the DuckDB oracle replays bit-for-bit (the integer products stay
+    DECIMAL(38,0) until the final cast; above 2^53 both engines round the
+    same exact integer to the same double).
+
+    Scale shape: one map-side-combinable groupBy to the ≤k² cell frame;
+    the r×c cross products live on |k|-row frames. One output row:
+    (n, k, po, pe, kappa, kappa_linear, kappa_quadratic).
+    """
+    a = F.col(rater_a).cast("long")
+    b = F.col(rater_b).cast("long")
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("i"), b.alias("j"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    obs = cells.agg(
+        F.sum("nij").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("i") == F.col("j"), F.col("nij"))), F.lit(0).cast("long")
+        ).alias("diag"),
+        F.sum(dec(F.abs(F.col("i") - F.col("j")) * F.col("nij"))).alias("dlin"),
+        F.sum(
+            dec((F.col("i") - F.col("j")) * (F.col("i") - F.col("j")) * F.col("nij"))
+        ).alias("dquad"),
+        (F.greatest(F.max("i"), F.max("j")) + 1).alias("k"),
+    )
+    rows = cells.groupBy("i").agg(F.sum("nij").alias("ri"))
+    colsf = cells.groupBy("j").agg(F.sum("nij").alias("cj"))
+    exp_ = (
+        rows.crossJoin(colsf)  # |k| x |k| marginal frame — never data-sized
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("i") == F.col("j"), dec(F.col("ri") * F.col("cj")))
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("ediag"),
+            F.sum(dec(F.abs(F.col("i") - F.col("j")) * F.col("ri") * F.col("cj")))
+            .alias("elin"),
+            F.sum(
+                dec(
+                    (F.col("i") - F.col("j"))
+                    * (F.col("i") - F.col("j"))
+                    * F.col("ri")
+                    * F.col("cj")
+                )
+            ).alias("equad"),
+        )
+    )
+    j = obs.crossJoin(exp_)  # two 1-row frames
+    nd = F.col("n").cast("double")
+    n2 = dec(F.col("n") * F.col("n"))
+    po = F.col("diag").cast("double") / nd
+    pe = F.col("ediag").cast("double") / (nd * nd)
+    kappa = (
+        dec(F.col("n") * F.col("diag")) - F.col("ediag")
+    ).cast("double") / (n2 - F.col("ediag")).cast("double")
+    klin = F.lit(1.0) - dec(F.col("n")).cast("double") * F.col("dlin").cast(
+        "double"
+    ) / F.col("elin").cast("double")
+    kquad = F.lit(1.0) - dec(F.col("n")).cast("double") * F.col("dquad").cast(
+        "double"
+    ) / F.col("equad").cast("double")
+    return j.select(
+        F.col("n"),
+        F.col("k").cast("int").alias("k"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(kappa, 6).alias("kappa"),
+        F.round(klin, 6).alias("kappa_linear"),
+        F.round(kquad, 6).alias("kappa_quadratic"),
+    )

@@ -332,3 +332,126 @@ class TestMannKendallTieDeterminism:
         assert a == b, (a, b)
         # the deterministic tail keeps the HIGHER value at each dup pos
         assert a["n_used"] == 4
+
+
+class TestTheilAtkinson:
+    def test_matches_numpy_reference(self, spark):
+        """Theil T / L / Atkinson(1) within quantization tolerance of the
+        direct numpy formulas, per group."""
+        import numpy as np
+        from preprocessor_spark.operators.inequality import (
+            theil_atkinson_by_group,
+        )
+
+        rng = np.random.default_rng(7)
+        rows = []
+        data = {}
+        for g in ("a", "b"):
+            xs = np.round(rng.lognormal(3.0, 0.8, 200), 4)
+            data[g] = xs
+            rows += [(g, float(x)) for x in xs]
+        df = spark.createDataFrame(rows, "g string, x double").repartition(5)
+        out = {
+            r["group"]: r
+            for r in theil_atkinson_by_group(df, "g", "x").collect()
+        }
+        for g, xs in data.items():
+            mu = xs.sum() / len(xs)
+            t = float(np.mean((xs / mu) * np.log(xs / mu)))
+            l = float(np.log(mu) - np.mean(np.log(xs)))
+            a1 = float(1.0 - np.exp(np.mean(np.log(xs))) / mu)
+            r = out[g]
+            assert r["n"] == len(xs)
+            assert abs(r["theil_t"] - t) < 1e-6
+            assert abs(r["theil_l"] - l) < 1e-6
+            assert abs(r["atkinson_1"] - a1) < 1e-6
+
+    def test_equal_values_give_zero_inequality(self, spark):
+        from preprocessor_spark.operators.inequality import (
+            theil_atkinson_by_group,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 42.5)] * 50, "g string, x double"
+        )
+        r = theil_atkinson_by_group(df, "g", "x").collect()[0]
+        assert r["theil_t"] == 0.0
+        assert r["theil_l"] == 0.0
+        assert r["atkinson_1"] == 0.0
+        assert r["mean"] == 42.5
+
+    def test_nonpositive_and_null_rows_dropped(self, spark):
+        from preprocessor_spark.operators.inequality import (
+            theil_atkinson_by_group,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 2.0), ("g", 0.0), ("g", -3.0), ("g", None)],
+            "g string, x double",
+        )
+        r = theil_atkinson_by_group(df, "g", "x").collect()[0]
+        assert r["n"] == 2
+
+
+class TestCohensKappa:
+    def test_hand_computed_confusion_matrix(self, spark):
+        """Classic 2x2 example: po=0.7, pe=0.5, kappa=0.4 exactly; the
+        weighted variants equal the unweighted one at k=2 (|i-j| is 0/1)."""
+        from preprocessor_spark.operators.metrics import cohens_kappa
+
+        rows = (
+            [(0, 0)] * 20 + [(0, 1)] * 5 + [(1, 0)] * 10 + [(1, 1)] * 15
+        )
+        df = spark.createDataFrame(rows, "ra int, rb int").repartition(4)
+        r = cohens_kappa(df, "ra", "rb").collect()[0]
+        assert r["n"] == 50 and r["k"] == 2
+        assert r["po"] == 0.7
+        assert r["pe"] == 0.5
+        assert r["kappa"] == 0.4
+        assert r["kappa_linear"] == 0.4
+        assert r["kappa_quadratic"] == 0.4
+
+    def test_weighted_matches_sklearn_formula(self, spark):
+        """3-category ordinal raters vs the textbook weighted-kappa
+        formula computed directly in numpy."""
+        import numpy as np
+        from preprocessor_spark.operators.metrics import cohens_kappa
+
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 3, 300)
+        b = np.clip(a + rng.integers(-1, 2, 300), 0, 2)
+        df = spark.createDataFrame(
+            [(int(x), int(y)) for x, y in zip(a, b)], "ra int, rb int"
+        )
+        r = cohens_kappa(df, "ra", "rb").collect()[0]
+        k = 3
+        conf = np.zeros((k, k))
+        for x, y in zip(a, b):
+            conf[x, y] += 1
+        n = conf.sum()
+        ri, cj = conf.sum(1), conf.sum(0)
+        for name, w in (
+            ("kappa_linear", np.abs(np.subtract.outer(range(k), range(k)))),
+            (
+                "kappa_quadratic",
+                np.subtract.outer(range(k), range(k)) ** 2,
+            ),
+        ):
+            expect = 1.0 - n * (w * conf).sum() / (
+                w * np.outer(ri, cj)
+            ).sum()
+            assert abs(r[name] - expect) < 1e-6, name
+        po = np.trace(conf) / n
+        pe = (ri * cj).sum() / n**2
+        assert abs(r["kappa"] - (po - pe) / (1 - pe)) < 1e-6
+
+    def test_perfect_agreement(self, spark):
+        from preprocessor_spark.operators.metrics import cohens_kappa
+
+        df = spark.createDataFrame(
+            [(i % 4, i % 4) for i in range(40)], "ra int, rb int"
+        )
+        r = cohens_kappa(df, "ra", "rb").collect()[0]
+        assert r["kappa"] == 1.0
+        assert r["kappa_linear"] == 1.0
+        assert r["kappa_quadratic"] == 1.0
