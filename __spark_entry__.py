@@ -5657,6 +5657,45 @@ def kruskal_value_events(spark, sf_dir):
     return kruskal_wallis(e, "value", "event_type")
 
 
+def jonckheere_priority_qty(spark, sf_dir):
+    """Jonckheere-Terpstra ordered-alternative test (operators/
+    rankstats.py jonckheere_terpstra): does line-item quantity trend UP
+    with order priority tier (the '1-URGENT'..'5-LOW' leading digit)?
+    In the synthetic data quantity is independent of priority, so the
+    test correctly grades the null (z near 0) — the exactness contract is
+    the point: doubled statistic + tie-corrected variance from exact
+    integer functionals, pairwise Σ on the bounded 5×50 cell frame, one
+    keyed join + one groupBy on the data — VALUE-oracled."""
+    from preprocessor_spark.operators.rankstats import jonckheere_terpstra
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("tier"),
+    )
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    return jonckheere_terpstra(j, "tier", "l_quantity")
+
+
+def cmh_discount_returns(spark, sf_dir):
+    """Cochran-Mantel-Haenszel stratified 2x2 test (operators/
+    hypotests.py cmh_test): deep-discount line items (discount > 5%) vs
+    return status, stratified by ship year — the confounder-adjusted "is
+    the association real once we compare like with like?" screen, plus
+    the MH common odds ratio. ONE map-side-combinable groupBy(year) to
+    exact int64 cells; stratum sums quantized to the int64 1e12 grid;
+    chi-square(1) p via the replayable Zelen-Severo polynomial —
+    VALUE-oracled."""
+    from preprocessor_spark.operators.hypotests import cmh_test
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("stratum"),
+        (F.col("l_discount") > 0.05).alias("exposed"),
+        (F.col("l_returnflag") == "R").alias("returned"),
+    )
+    return cmh_test(l, "stratum", "exposed", "returned")
+
+
 def acf_events_users(spark, sf_dir):
     """Per-user autocorrelation function (lags 1-5) + Ljung-Box Q
     (operators/ar.py acf_by_key): cleared-denominator exact DECIMAL lag
@@ -6005,6 +6044,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_events_users": skew_events_users,
         "spearman_lineitem": spearman_lineitem,
         "kruskal_value_events": kruskal_value_events,
+        # Jonckheere-Terpstra ordered-alternative + Cochran-Mantel-Haenszel
+        # stratified 2x2 (round 12, oracle-backed — exact integer
+        # functionals / 1e12-grid stratum sums)
+        "jonckheere_priority_qty": jonckheere_priority_qty,
+        "cmh_discount_returns": cmh_discount_returns,
         "acf_events_users": acf_events_users,
         "event_sequences_users": event_sequences_users,
         # Cox PH (rows-only: iterative partial-likelihood Newton fit)
@@ -9394,6 +9438,158 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(h, 6) AS h,
                    ROUND(CASE WHEN cc > 0 THEN h / cc END, 6) AS h_corrected
             FROM hh
+        """,
+        # Jonckheere-Terpstra: doubled statistic + every variance
+        # functional is an exact HUGEINT sum (== Spark's DECIMAL(38,0));
+        # z/p one fixed IEEE expression (Zelen-Severo polynomial twin)
+        "jonckheere_priority_qty": """
+            WITH base AS (
+                SELECT CAST(substring(o.o_orderpriority, 1, 1) AS INT)
+                           AS grp,
+                       l.l_quantity AS v
+                FROM lineitem l JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderpriority IS NOT NULL
+                      AND l.l_quantity IS NOT NULL
+            ), cells AS (
+                SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
+                FROM base GROUP BY 1, 2
+            ), jt2 AS (
+                SELECT COALESCE(SUM(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)
+                           * (CASE WHEN a.v < b.v THEN 2
+                                   WHEN a.v = b.v THEN 1 ELSE 0 END)),
+                           0) AS jt2
+                FROM cells a JOIN cells b ON a.grp < b.grp
+            ), gf AS (
+                SELECT CAST(SUM(m) AS HUGEINT) AS g_n,
+                       CAST(COUNT(*) AS BIGINT) AS g_k,
+                       CAST(SUM(m * m) AS HUGEINT) AS g_s2,
+                       CAST(SUM(m * (m - 1) * (2 * m + 5)) AS HUGEINT) AS g_a,
+                       CAST(SUM(m * (m - 1) * (m - 2)) AS HUGEINT) AS g_b,
+                       CAST(SUM(m * (m - 1)) AS HUGEINT) AS g_c
+                FROM (SELECT CAST(SUM(c) AS HUGEINT) AS m
+                      FROM cells GROUP BY grp)
+            ), tf AS (
+                SELECT CAST(SUM(m * (m - 1) * (2 * m + 5)) AS HUGEINT) AS t_a,
+                       CAST(SUM(m * (m - 1) * (m - 2)) AS HUGEINT) AS t_b,
+                       CAST(SUM(m * (m - 1)) AS HUGEINT) AS t_c
+                FROM (SELECT CAST(SUM(c) AS HUGEINT) AS m
+                      FROM cells GROUP BY v)
+            ), calc AS (
+                SELECT CAST(g_n AS DOUBLE) AS n,
+                       g_n AS n_raw, g_k,
+                       CAST(jt2 AS DOUBLE) / 2.0 AS jt,
+                       (CAST(g_n AS DOUBLE) * CAST(g_n AS DOUBLE)
+                        - CAST(g_s2 AS DOUBLE)) / 4.0 AS mean_jt,
+                       CAST(g_n AS DOUBLE) * (CAST(g_n AS DOUBLE) - 1.0)
+                           * (2.0 * CAST(g_n AS DOUBLE) + 5.0)
+                           - CAST(g_a AS DOUBLE) - CAST(t_a AS DOUBLE)
+                           AS big_a,
+                       CAST(g_b AS DOUBLE) * CAST(t_b AS DOUBLE) AS big_b,
+                       CAST(g_c AS DOUBLE) * CAST(t_c AS DOUBLE) AS big_c
+                FROM jt2 CROSS JOIN gf CROSS JOIN tf
+            ), vz AS (
+                SELECT *,
+                       big_a / 72.0
+                       + big_b / (36.0 * (n * (n - 1.0) * (n - 2.0)))
+                       + big_c / (8.0 * (n * (n - 1.0))) AS var_jt
+                FROM calc
+            ), zz AS (
+                SELECT *, (jt - mean_jt) / sqrt(var_jt) AS z,
+                       1.0 / (1.0 + 0.2316419
+                              * abs((jt - mean_jt) / sqrt(var_jt))) AS tt
+                FROM vz
+            )
+            SELECT CAST(n_raw AS BIGINT) AS n, CAST(g_k AS INT) AS k,
+                   ROUND(jt, 6) AS jt,
+                   ROUND(mean_jt, 6) AS mean_jt,
+                   ROUND(var_jt, 6) AS var_jt,
+                   CASE WHEN var_jt > 0 THEN ROUND(z, 6) END AS z,
+                   CASE WHEN var_jt > 0 THEN
+                       ROUND(2.0 * ((exp(-(abs(z) * abs(z)) / 2.0)
+                                     / 2.5066282746310002)
+                             * (tt * (0.319381530 + tt * (-0.356563782
+                                + tt * (1.781477937 + tt * (-1.821255978
+                                + tt * 1.330274429)))))), 6) END AS p_value
+            FROM zz
+        """,
+        # CMH: exact int64 2x2 cells per ship-year stratum; the four
+        # order-dependent stratum sums quantized to the 1e12 grid; chi2/p
+        # one fixed IEEE expression over the exact sums
+        "cmh_discount_returns": """
+            WITH base AS (
+                SELECT CAST(year(l_shipdate) AS INT) AS stratum,
+                       l_discount > 0.05 AS e,
+                       l_returnflag = 'R' AS o
+                FROM lineitem
+                WHERE l_shipdate IS NOT NULL AND l_discount IS NOT NULL
+                      AND l_returnflag IS NOT NULL
+            ), cells AS (
+                SELECT stratum,
+                       CAST(COALESCE(SUM(CASE WHEN e AND o THEN 1 END), 0)
+                            AS BIGINT) AS a,
+                       CAST(COALESCE(SUM(CASE WHEN e AND NOT o THEN 1 END), 0)
+                            AS BIGINT) AS b,
+                       CAST(COALESCE(SUM(CASE WHEN NOT e AND o THEN 1 END), 0)
+                            AS BIGINT) AS c,
+                       CAST(COALESCE(SUM(CASE WHEN NOT e AND NOT o THEN 1 END),
+                            0) AS BIGINT) AS d
+                FROM base GROUP BY stratum
+            ), kept AS (
+                SELECT * FROM cells WHERE a + b + c + d >= 2
+            ), terms AS (
+                SELECT a, b, c, d,
+                       CAST(a AS DOUBLE) + CAST(b AS DOUBLE)
+                           + CAST(c AS DOUBLE) + CAST(d AS DOUBLE) AS nd,
+                       (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                           * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) AS r1c1,
+                       (CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                           * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                           * (CAST(a AS DOUBLE) + CAST(c AS DOUBLE))
+                           * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)) AS marg4,
+                       CAST(a AS DOUBLE) * CAST(d AS DOUBLE) AS ad,
+                       CAST(b AS DOUBLE) * CAST(c AS DOUBLE) AS bc
+                FROM kept
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS INT) AS strata,
+                       CAST(SUM(a + b + c + d) AS BIGINT) AS n,
+                       CAST(SUM(a) AS BIGINT) AS sum_a,
+                       CAST(SUM(CAST(floor(r1c1 / nd * 1000000000000.0 + 0.5)
+                                AS HUGEINT)) AS HUGEINT) AS se,
+                       CAST(SUM(CAST(floor(marg4 / (nd * nd * (nd - 1.0))
+                                * 1000000000000.0 + 0.5) AS HUGEINT))
+                            AS HUGEINT) AS sv,
+                       CAST(SUM(CAST(floor(ad / nd * 1000000000000.0 + 0.5)
+                                AS HUGEINT)) AS HUGEINT) AS sr,
+                       CAST(SUM(CAST(floor(bc / nd * 1000000000000.0 + 0.5)
+                                AS HUGEINT)) AS HUGEINT) AS ss
+                FROM terms
+            ), calc AS (
+                SELECT strata, n, sum_a,
+                       CAST(se AS DOUBLE) / 1000000000000.0 AS sed,
+                       CAST(sv AS DOUBLE) / 1000000000000.0 AS svd,
+                       CAST(sr AS DOUBLE) / 1000000000000.0 AS srd,
+                       CAST(ss AS DOUBLE) / 1000000000000.0 AS ssd,
+                       CAST(sum_a AS DOUBLE) AS sad
+                FROM agg
+            ), chi AS (
+                SELECT *, (sad - sed) * (sad - sed) / svd AS chi2,
+                       1.0 / (1.0 + 0.2316419
+                              * sqrt((sad - sed) * (sad - sed) / svd)) AS tt
+                FROM calc
+            )
+            SELECT strata, n, sum_a,
+                   ROUND(sed, 6) AS expected,
+                   ROUND(svd, 6) AS variance,
+                   CASE WHEN svd > 0 THEN ROUND(chi2, 6) END AS cmh_chi2,
+                   CASE WHEN svd > 0 THEN
+                       ROUND(2.0 * ((exp(-(sqrt(chi2) * sqrt(chi2)) / 2.0)
+                                     / 2.5066282746310002)
+                             * (tt * (0.319381530 + tt * (-0.356563782
+                                + tt * (1.781477937 + tt * (-1.821255978
+                                + tt * 1.330274429)))))), 6) END AS p_value,
+                   CASE WHEN ssd > 0 THEN ROUND(srd / ssd, 6) END AS or_mh
+            FROM chi
         """,
         # per-key ACF: same LAG windows, cleared-denominator exact DECIMAL
         # lag moments, Ljung-Box terms folded in sorted order

@@ -530,3 +530,91 @@ def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             F.when((ha > 0) & (hb > 0), mi / F.sqrt(ha * hb)), 6
         ).alias("nmi"),
     )
+
+
+def cmh_test(
+    df: DataFrame,
+    stratum_col: str,
+    exposure_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of exposure→outcome association
+    ACROSS strata (Mantel & Haenszel 1959) — the confounder-adjusted 2×2
+    test: "is the association real once we compare like with like?", plus
+    the MH common odds-ratio estimate. ``exposure_col``/``outcome_col``
+    must be boolean or 0/1; rows with any null are dropped, strata with
+    n<2 are excluded (their hypergeometric variance is undefined).
+
+        χ²_CMH = (Σ_k a_k − Σ_k E_k)² / Σ_k V_k      (uncorrected)
+        E_k = r1_k·c1_k/n_k
+        V_k = r1_k·r2_k·c1_k·c2_k / (n_k²·(n_k−1))
+        OR_MH = Σ_k (a_k d_k/n_k) / Σ_k (b_k c_k/n_k)
+
+    Exact-replay algebra: the only data-sized pass is ONE map-side-
+    combinable groupBy(stratum) producing exact int64 cells (a,b,c,d);
+    every per-stratum term is then a fixed-association IEEE expression on
+    those integers, and the four order-dependent stratum sums (ΣE, ΣV,
+    Σad/n, Σbc/n) quantize to the int64 1e12 grid BEFORE summing
+    (DECIMAL(38,0) against overflow — the Theil/mutual-info idiom), so
+    the DuckDB oracle replays term-for-term. The χ²(1) p-value is
+    2·Φ̄(√χ²) via the replayable :func:`_normal_sf` polynomial.
+
+    Scale shape: |strata| output cells; everything after the first
+    groupBy lives on the bounded stratum frame. One row out.
+    """
+    s = F.col(stratum_col)
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    flag = lambda c: F.when(c, 1).otherwise(0)
+    cells = (
+        df.where(s.isNotNull() & e.isNotNull() & o.isNotNull())
+        .groupBy(s.alias("stratum"))
+        .agg(
+            F.sum(flag(e & o)).cast("long").alias("a"),
+            F.sum(flag(e & ~o)).cast("long").alias("b"),
+            F.sum(flag(~e & o)).cast("long").alias("c"),
+            F.sum(flag(~e & ~o)).cast("long").alias("d"),
+        )
+        .where((F.col("a") + F.col("b") + F.col("c") + F.col("d")) >= 2)
+    )
+    ad, bd, cd, dd_ = (F.col(x).cast("double") for x in "abcd")
+    nd = ad + bd + cd + dd_
+    e_k = (ad + bd) * (ad + cd) / nd
+    v_k = (
+        (ad + bd) * (cd + dd_) * (ad + cd) * (bd + dd_)
+        / (nd * nd * (nd - 1.0))
+    )
+    r_k = ad * dd_ / nd
+    s_k = bd * cd / nd
+    q = lambda c: F.floor(c * F.lit(1.0e12) + F.lit(0.5)).cast("decimal(38,0)")
+    agg = cells.agg(
+        F.count(F.lit(1)).alias("strata"),
+        F.sum(
+            (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("n_total"),
+        F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+        F.sum(q(e_k)).alias("se"),
+        F.sum(q(v_k)).alias("sv"),
+        F.sum(q(r_k)).alias("sr"),
+        F.sum(q(s_k)).alias("ss"),
+    )
+    sa = _dec_double(F.col("sa"))
+    se = _dec_double(F.col("se")) / F.lit(1.0e12)
+    sv = _dec_double(F.col("sv")) / F.lit(1.0e12)
+    sr = _dec_double(F.col("sr")) / F.lit(1.0e12)
+    ss = _dec_double(F.col("ss")) / F.lit(1.0e12)
+    chi2 = (sa - se) * (sa - se) / sv
+    return agg.select(
+        F.col("strata").cast("int").alias("strata"),
+        F.col("n_total").cast("long").alias("n"),
+        F.col("sa").cast("long").alias("sum_a"),
+        F.round(se, 6).alias("expected"),
+        F.round(sv, 6).alias("variance"),
+        F.round(F.when(sv > 0, chi2), 6).alias("cmh_chi2"),
+        F.round(
+            F.when(sv > 0, F.lit(2.0) * _normal_sf(F.sqrt(chi2))), 6
+        ).alias("p_value"),
+        F.round(F.when(ss > 0, sr / ss), 6).alias("or_mh"),
+    )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from preprocessor_spark.operators.hypotests import _dec_double
+from preprocessor_spark.operators.hypotests import _dec_double, _normal_sf
 
 _DEC = "decimal(38,0)"
 
@@ -88,6 +88,105 @@ def spearman_by_group(
         F.col("n"),
         F.round(F.when(den > 0, num / den), 6).alias("rho"),
     ).orderBy("group")
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across the
+    levels of ``group_col`` (Jonckheere 1954; Terpstra 1952): where
+    Kruskal-Wallis asks "do the k groups differ at all?", JT asks "do the
+    values trend UP with the group order?" and is far more powerful when
+    the ordering is real (dose levels, priority tiers, quality bands).
+
+        JT = Σ_{i<j} U_ij,   U_ij = #{x∈i, y∈j : x<y} + ½·#{x=y}
+
+    Exact-replay algebra: with per-(group, value) cell counts c, the
+    DOUBLED statistic 2·JT = Σ_{a.grp<b.grp} c_a·c_b·(2·[v_a<v_b] +
+    [v_a=v_b]) is an exact DECIMAL(38,0) sum, the null mean
+    (N² − Σn_i²)/4 and the tie-corrected variance (Hollander & Wolfe §6.2)
+
+        72·σ² ≈ A + 2B/(N(N−1)(N−2)) + 9C/(N(N−1))   — computed exactly as
+        σ² = A/72 + B/(36·N(N−1)(N−2)) + C/(8·N(N−1)),
+        A = N(N−1)(2N+5) − Σ_i n_i(n_i−1)(2n_i+5) − Σ_v t_v(t_v−1)(2t_v+5)
+        B = [Σ_i n_i(n_i−1)(n_i−2)]·[Σ_v t_v(t_v−1)(t_v−2)]
+        C = [Σ_i n_i(n_i−1)]·[Σ_v t_v(t_v−1)]
+
+    are all integer functionals (exact DECIMAL sums), and z enters one
+    fixed-association IEEE expression — VALUE-oracle-able. The two-sided
+    normal p-value uses the replayable Zelen-Severo polynomial
+    (:func:`~preprocessor_spark.operators.hypotests._normal_sf`). Returns
+    1 row: (n, k, jt, mean_jt, var_jt, z, p_value).
+
+    Shape: one groupBy(group, value) collapse is the only data-sized
+    pass; the pairwise Σ runs a theta self-join of the BOUNDED cell frame
+    (|cells|² work independent of row count — the kruskal_wallis
+    bounded-distinct-value contract), group/tie functionals live on
+    |k|- and |values|-row frames.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    cells = (
+        df.where(g.isNotNull() & v.isNotNull())
+        .groupBy(g.alias("grp"), v.alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    av, bv = F.col("a.v"), F.col("b.v")
+    w = F.when(av < bv, F.lit(2)).when(av == bv, F.lit(1)).otherwise(F.lit(0))
+    jt2 = (
+        a.join(b, F.col("a.grp") < F.col("b.grp"))
+        .select(
+            (F.col("a.c").cast(_DEC) * F.col("b.c").cast(_DEC) * w).alias("t")
+        )
+        .agg(F.coalesce(F.sum("t"), F.lit(0).cast(_DEC)).alias("jt2"))
+    )
+
+    def functionals(frame: DataFrame, cnt: str, prefix: str) -> DataFrame:
+        m = F.col(cnt).cast(_DEC)
+        return frame.agg(
+            F.sum(m).alias(f"{prefix}_n"),
+            F.count(F.lit(1)).alias(f"{prefix}_k"),
+            F.sum((m * m).cast(_DEC)).alias(f"{prefix}_s2"),
+            F.sum((m * (m - 1) * (2 * m + 5)).cast(_DEC)).alias(f"{prefix}_a"),
+            F.sum((m * (m - 1) * (m - 2)).cast(_DEC)).alias(f"{prefix}_b"),
+            F.sum((m * (m - 1)).cast(_DEC)).alias(f"{prefix}_c"),
+        )
+    groups = functionals(
+        cells.groupBy("grp").agg(F.sum("c").alias("n_g")), "n_g", "g"
+    )
+    ties = functionals(
+        cells.groupBy("v").agg(F.sum("c").alias("t_v")), "t_v", "t"
+    )
+    j = jt2.crossJoin(F.broadcast(groups)).crossJoin(F.broadcast(ties))
+    n = _dec_double(F.col("g_n"))
+    jt = _dec_double(F.col("jt2")) / F.lit(2.0)
+    mean = (n * n - _dec_double(F.col("g_s2"))) / F.lit(4.0)
+    big_a = (
+        n * (n - 1.0) * (2.0 * n + 5.0)
+        - _dec_double(F.col("g_a"))
+        - _dec_double(F.col("t_a"))
+    )
+    big_b = _dec_double(F.col("g_b")) * _dec_double(F.col("t_b"))
+    big_c = _dec_double(F.col("g_c")) * _dec_double(F.col("t_c"))
+    var = (
+        big_a / F.lit(72.0)
+        + big_b / (F.lit(36.0) * (n * (n - 1.0) * (n - 2.0)))
+        + big_c / (F.lit(8.0) * (n * (n - 1.0)))
+    )
+    z = (jt - mean) / F.sqrt(var)
+    return j.select(
+        F.col("g_n").cast("long").alias("n"),
+        F.col("g_k").cast("int").alias("k"),
+        F.round(jt, 6).alias("jt"),
+        F.round(mean, 6).alias("mean_jt"),
+        F.round(var, 6).alias("var_jt"),
+        F.round(F.when(var > 0, z), 6).alias("z"),
+        F.round(
+            F.when(var > 0, F.lit(2.0) * _normal_sf(F.abs(z))), 6
+        ).alias("p_value"),
+    )
 
 
 def kruskal_wallis(

@@ -455,3 +455,153 @@ class TestCohensKappa:
         assert r["kappa"] == 1.0
         assert r["kappa_linear"] == 1.0
         assert r["kappa_quadratic"] == 1.0
+
+
+class TestJonckheereTerpstra:
+    def test_matches_brute_force_with_ties(self, spark):
+        """JT statistic exact vs O(n^2) pairwise brute force; z/var exact
+        vs the tie-corrected Hollander-Wolfe formula computed directly."""
+        import numpy as np
+        from preprocessor_spark.operators.rankstats import (
+            jonckheere_terpstra,
+        )
+
+        rng = np.random.default_rng(3)
+        groups = {
+            1: rng.integers(1, 12, 40),
+            2: rng.integers(3, 14, 55),
+            3: rng.integers(5, 16, 35),
+        }
+        rows = [(g, float(v)) for g, xs in groups.items() for v in xs]
+        df = spark.createDataFrame(rows, "g int, v double").repartition(5)
+        r = jonckheere_terpstra(df, "g", "v").collect()[0]
+        jt = 0.0
+        ks = sorted(groups)
+        for i in range(len(ks)):
+            for j in range(i + 1, len(ks)):
+                for x in groups[ks[i]]:
+                    for y in groups[ks[j]]:
+                        jt += 1.0 if x < y else (0.5 if x == y else 0.0)
+        allv = np.concatenate(list(groups.values()))
+        n = len(allv)
+        ns = np.array([len(groups[k]) for k in ks], dtype=float)
+        ts = np.unique(allv, return_counts=True)[1].astype(float)
+        mean = (n * n - (ns**2).sum()) / 4.0
+        var = (
+            (n * (n - 1) * (2 * n + 5)
+             - (ns * (ns - 1) * (2 * ns + 5)).sum()
+             - (ts * (ts - 1) * (2 * ts + 5)).sum()) / 72.0
+            + (ns * (ns - 1) * (ns - 2)).sum()
+            * (ts * (ts - 1) * (ts - 2)).sum()
+            / (36.0 * n * (n - 1) * (n - 2))
+            + (ns * (ns - 1)).sum() * (ts * (ts - 1)).sum()
+            / (8.0 * n * (n - 1))
+        )
+        assert r["n"] == n and r["k"] == 3
+        assert r["jt"] == jt
+        assert r["mean_jt"] == mean
+        assert abs(r["var_jt"] - var) < 1e-5
+        assert abs(r["z"] - (jt - mean) / var**0.5) < 2e-6
+        assert 0.0 <= r["p_value"] < 1e-6  # strong planted up-trend
+
+    def test_no_ties_matches_classical_variance(self, spark):
+        """With all-distinct values the tie terms vanish and var must
+        equal the classical [N^2(2N+3) - sum n_i^2(2n_i+3)]/72."""
+        from preprocessor_spark.operators.rankstats import (
+            jonckheere_terpstra,
+        )
+
+        rows = [(1, float(v)) for v in range(10)] + [
+            (2, 100.0 + v) for v in range(15)
+        ] + [(3, 200.0 + v) for v in range(12)]
+        df = spark.createDataFrame(rows, "g int, v double")
+        r = jonckheere_terpstra(df, "g", "v").collect()[0]
+        n, ns = 37, [10, 15, 12]
+        var = (n * n * (2 * n + 3) - sum(m * m * (2 * m + 3) for m in ns)) / 72.0
+        assert r["var_jt"] == round(var, 6)
+        # perfectly ordered groups: JT hits its maximum sum n_i*n_j
+        assert r["jt"] == 10 * 15 + 10 * 12 + 15 * 12
+
+    def test_null_association_z_near_zero(self, spark):
+        import numpy as np
+        from preprocessor_spark.operators.rankstats import (
+            jonckheere_terpstra,
+        )
+
+        rng = np.random.default_rng(9)
+        rows = [
+            (int(g), float(v))
+            for g, v in zip(
+                rng.integers(1, 5, 400), rng.integers(0, 30, 400)
+            )
+        ]
+        df = spark.createDataFrame(rows, "g int, v double")
+        r = jonckheere_terpstra(df, "g", "v").collect()[0]
+        assert abs(r["z"]) < 3.0 and r["p_value"] > 1e-4
+
+
+class TestCMH:
+    def _tables(self, rng, k=4, n=200):
+        rows, tables = [], []
+        for s in range(k):
+            e = rng.random(n) < 0.4
+            o = rng.random(n) < (0.5 * e + 0.3 * ~e)
+            rows += [(s, bool(x), bool(y)) for x, y in zip(e, o)]
+            tables.append((
+                int((e & o).sum()), int((e & ~o).sum()),
+                int((~e & o).sum()), int((~e & ~o).sum()),
+            ))
+        return rows, tables
+
+    def test_matches_direct_formula(self, spark):
+        import numpy as np
+        from preprocessor_spark.operators.hypotests import cmh_test
+
+        rows, tables = self._tables(np.random.default_rng(5))
+        df = spark.createDataFrame(
+            rows, "s int, e boolean, o boolean"
+        ).repartition(7)
+        r = cmh_test(df, "s", "e", "o").collect()[0]
+        sa = sum(t[0] for t in tables)
+        se = sum((t[0] + t[1]) * (t[0] + t[2]) / sum(t) for t in tables)
+        sv = sum(
+            (t[0] + t[1]) * (t[2] + t[3]) * (t[0] + t[2]) * (t[1] + t[3])
+            / (sum(t) ** 2 * (sum(t) - 1))
+            for t in tables
+        )
+        orm = sum(t[0] * t[3] / sum(t) for t in tables) / sum(
+            t[1] * t[2] / sum(t) for t in tables
+        )
+        assert r["strata"] == 4 and r["n"] == 800 and r["sum_a"] == sa
+        assert abs(r["expected"] - se) < 1e-5
+        assert abs(r["variance"] - sv) < 1e-5
+        assert abs(r["cmh_chi2"] - (sa - se) ** 2 / sv) < 1e-4
+        assert abs(r["or_mh"] - orm) < 1e-5
+        assert r["p_value"] < 0.001  # planted within-stratum association
+
+    def test_confounder_only_association_is_adjusted_away(self, spark):
+        """Exposure and outcome both driven by the stratum but
+        independent WITHIN each stratum: the CMH chi2 must stay small
+        while a naive pooled chi2 would blow up (Simpson's regime)."""
+        import numpy as np
+        from preprocessor_spark.operators.hypotests import cmh_test
+
+        rng = np.random.default_rng(13)
+        rows = []
+        for s, rate in enumerate((0.1, 0.5, 0.9)):
+            e = rng.random(400) < rate
+            o = rng.random(400) < rate  # independent of e given s
+            rows += [(s, bool(x), bool(y)) for x, y in zip(e, o)]
+        df = spark.createDataFrame(rows, "s int, e boolean, o boolean")
+        r = cmh_test(df, "s", "e", "o").collect()[0]
+        assert r["cmh_chi2"] < 6.0 and r["p_value"] > 0.01
+
+    def test_degenerate_strata_dropped(self, spark):
+        from preprocessor_spark.operators.hypotests import cmh_test
+
+        rows = [(0, True, True)] + [
+            (1, bool(i % 2), bool((i // 2) % 2)) for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "s int, e boolean, o boolean")
+        r = cmh_test(df, "s", "e", "o").collect()[0]
+        assert r["strata"] == 1 and r["n"] == 40
