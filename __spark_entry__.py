@@ -5696,6 +5696,47 @@ def cmh_discount_returns(spark, sf_dir):
     return cmh_test(l, "stratum", "exposed", "returned")
 
 
+def ordinal_assoc_ship_calendar(spark, sf_dir):
+    """Goodman-Kruskal gamma / Somers' D / Kendall tau-b + tau-c
+    (operators/rankstats.py ordinal_association) between ship MONTH and
+    ship QUARTER — a calendar hierarchy, so the pair family separates
+    cleanly: gamma = 1 exactly (a coarsening admits no discordant pairs)
+    while tau-b and Somers' D(month|quarter) are pulled below 1 by the
+    within-quarter ties — the textbook demonstration of WHY the five
+    measures differ. All five pair counts are exact DECIMAL sums over the
+    bounded month×quarter cell frame — VALUE-oracled."""
+    from preprocessor_spark.operators.rankstats import ordinal_association
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        F.month("l_shipdate").alias("ship_month"),
+        F.quarter("l_shipdate").alias("ship_quarter"),
+    )
+    return ordinal_association(l, "ship_month", "ship_quarter")
+
+
+def mcnemar_purchase_halves(spark, sf_dir):
+    """McNemar's paired test (operators/hypotests.py mcnemar_test): per
+    user, was the user a heavy purchaser (≥7 purchase events) in the
+    first half of the month vs the second half — did the population
+    shift, netting out per-user propensity? Only the discordant users
+    (heavy→light, light→heavy) inform the statistic. ONE keyed groupBy
+    to per-user exact counts, one 4-cell reduce; chi-square(1) p via the
+    replayable Zelen-Severo polynomial — VALUE-oracled."""
+    from preprocessor_spark.operators.hypotests import mcnemar_test
+
+    e = _t(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, 1).otherwise(0)).alias("h1"),
+        F.sum(F.when(F.dayofmonth("ts") >= 16, 1).otherwise(0)).alias("h2"),
+    )
+    flags = per_user.select(
+        (F.col("h1") >= 7).alias("pre"), (F.col("h2") >= 7).alias("post")
+    )
+    return mcnemar_test(flags, "pre", "post")
+
+
 def acf_events_users(spark, sf_dir):
     """Per-user autocorrelation function (lags 1-5) + Ljung-Box Q
     (operators/ar.py acf_by_key): cleared-denominator exact DECIMAL lag
@@ -6049,6 +6090,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # functionals / 1e12-grid stratum sums)
         "jonckheere_priority_qty": jonckheere_priority_qty,
         "cmh_discount_returns": cmh_discount_returns,
+        # concordant/discordant ordinal-association family + McNemar
+        # paired test (round 12, oracle-backed)
+        "ordinal_assoc_ship_calendar": ordinal_assoc_ship_calendar,
+        "mcnemar_purchase_halves": mcnemar_purchase_halves,
         "acf_events_users": acf_events_users,
         "event_sequences_users": event_sequences_users,
         # Cox PH (rows-only: iterative partial-likelihood Newton fit)
@@ -9589,6 +9634,122 @@ def oracle_sql() -> dict[str, str]:
                                 + tt * (1.781477937 + tt * (-1.821255978
                                 + tt * 1.330274429)))))), 6) END AS p_value,
                    CASE WHEN ssd > 0 THEN ROUND(srd / ssd, 6) END AS or_mh
+            FROM chi
+        """,
+        # ordinal association: all five pair counts exact HUGEINT sums
+        # over the classified cell self-join; statistics fixed IEEE
+        "ordinal_assoc_ship_calendar": """
+            WITH base AS (
+                SELECT CAST(month(l_shipdate) AS INT) AS x,
+                       CAST(quarter(l_shipdate) AS INT) AS y
+                FROM lineitem WHERE l_shipdate IS NOT NULL
+            ), cells AS (
+                SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c
+                FROM base GROUP BY 1, 2
+            ), pairs AS (
+                SELECT COALESCE(SUM(CASE WHEN a.x < b.x AND a.y < b.y THEN
+                           CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) END),
+                           0) AS conc,
+                       COALESCE(SUM(CASE WHEN a.x < b.x AND a.y > b.y THEN
+                           CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) END),
+                           0) AS disc,
+                       COALESCE(SUM(CASE WHEN a.x = b.x THEN
+                           CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) END),
+                           0) AS ties_x,
+                       COALESCE(SUM(CASE WHEN a.x < b.x AND a.y = b.y THEN
+                           CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) END),
+                           0) AS ties_y
+                FROM cells a JOIN cells b
+                     ON a.x < b.x OR (a.x = b.x AND a.y < b.y)
+            ), dims AS (
+                SELECT CAST(SUM(c) AS HUGEINT) AS n,
+                       CAST(COUNT(DISTINCT x) AS BIGINT) AS kx,
+                       CAST(COUNT(DISTINCT y) AS BIGINT) AS ky
+                FROM cells
+            ), calc AS (
+                SELECT CAST(n AS BIGINT) AS n,
+                       CAST(kx AS INT) AS kx, CAST(ky AS INT) AS ky,
+                       CAST(conc AS BIGINT) AS conc,
+                       CAST(disc AS BIGINT) AS disc,
+                       CAST(ties_x AS BIGINT) AS ties_x,
+                       CAST(ties_y AS BIGINT) AS ties_y,
+                       CAST(conc AS DOUBLE) AS cd,
+                       CAST(disc AS DOUBLE) AS dd,
+                       CAST(ties_x AS DOUBLE) AS tx,
+                       CAST(ties_y AS DOUBLE) AS ty,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(LEAST(kx, ky) AS DOUBLE) AS m
+                FROM pairs CROSS JOIN dims
+            )
+            SELECT n, kx, ky, conc, disc, ties_x, ties_y,
+                   CASE WHEN cd + dd > 0 THEN
+                       ROUND((cd - dd) / (cd + dd), 6) END AS gamma,
+                   CASE WHEN cd + dd + ty > 0 THEN
+                       ROUND((cd - dd) / (cd + dd + ty), 6) END AS somers_dyx,
+                   CASE WHEN cd + dd + tx > 0 THEN
+                       ROUND((cd - dd) / (cd + dd + tx), 6) END AS somers_dxy,
+                   CASE WHEN sqrt((cd + dd + tx) * (cd + dd + ty)) > 0 THEN
+                       ROUND((cd - dd)
+                             / sqrt((cd + dd + tx) * (cd + dd + ty)), 6)
+                       END AS tau_b,
+                   CASE WHEN m > 1 THEN
+                       ROUND(2.0 * m * (cd - dd)
+                             / (nd * nd * (m - 1.0)), 6) END AS tau_c
+            FROM calc
+        """,
+        # McNemar: exact int64 concordance cells from one keyed groupBy;
+        # chi2/p fixed IEEE over the integers (Zelen-Severo twin)
+        "mcnemar_purchase_halves": """
+            WITH per_user AS (
+                SELECT user_id,
+                       SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS h1,
+                       SUM(CASE WHEN day(ts) >= 16 THEN 1 ELSE 0 END) AS h2
+                FROM events
+                WHERE event_type = 'purchase' AND user_id IS NOT NULL
+                GROUP BY user_id
+            ), flags AS (
+                SELECT h1 >= 7 AS pre, h2 >= 7 AS post FROM per_user
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(COALESCE(SUM(CASE WHEN pre AND post
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                           AS "both",
+                       CAST(COALESCE(SUM(CASE WHEN NOT pre AND NOT post
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                           AS neither,
+                       CAST(COALESCE(SUM(CASE WHEN pre AND NOT post
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                           AS b,
+                       CAST(COALESCE(SUM(CASE WHEN NOT pre AND post
+                                          THEN 1 ELSE 0 END), 0) AS BIGINT)
+                           AS c
+                FROM flags
+            ), calc AS (
+                SELECT *,
+                       CAST(b AS DOUBLE) AS bd, CAST(c AS DOUBLE) AS cd,
+                       CAST(b AS DOUBLE) + CAST(c AS DOUBLE) AS disc
+                FROM agg
+            ), chi AS (
+                SELECT *,
+                       (bd - cd) * (bd - cd) / disc AS chi2,
+                       1.0 / (1.0 + 0.2316419
+                              * sqrt((bd - cd) * (bd - cd) / disc)) AS tt
+                FROM calc
+            )
+            SELECT n, "both", neither, b, c,
+                   CASE WHEN disc > 0 THEN ROUND(chi2, 6) END AS chi2,
+                   CASE WHEN disc > 0 THEN
+                       CASE WHEN abs(bd - cd) > 1.0 THEN
+                           ROUND((abs(bd - cd) - 1.0) * (abs(bd - cd) - 1.0)
+                                 / disc, 6)
+                       ELSE 0.0 END END AS chi2_corrected,
+                   CASE WHEN disc > 0 THEN
+                       ROUND(2.0 * ((exp(-(sqrt(chi2) * sqrt(chi2)) / 2.0)
+                                     / 2.5066282746310002)
+                             * (tt * (0.319381530 + tt * (-0.356563782
+                                + tt * (1.781477937 + tt * (-1.821255978
+                                + tt * 1.330274429)))))), 6) END AS p_value,
+                   CASE WHEN cd > 0 THEN ROUND(bd / cd, 6) END AS odds_ratio
             FROM chi
         """,
         # per-key ACF: same LAG windows, cleared-denominator exact DECIMAL

@@ -618,3 +618,64 @@ def cmh_test(
         ).alias("p_value"),
         F.round(F.when(ss > 0, sr / ss), 6).alias("or_mh"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    before_col: str,
+    after_col: str,
+) -> DataFrame:
+    """McNemar's test for PAIRED binary outcomes (McNemar 1947) — one row
+    per subject with a before/after (or condition-A/condition-B) flag
+    pair; only the discordant counts b = #(1,0) and c = #(0,1) carry
+    information about a marginal shift:
+
+        χ²           = (b − c)² / (b + c)           (uncorrected)
+        χ²_corrected = (|b − c| − 1)² / (b + c)     (Edwards continuity)
+        OR           = b / c                         (matched-pairs odds)
+
+    The A/B twin of :func:`cmh_test` for repeated measures on the SAME
+    subjects (feature-launch before/after, model-A/model-B on identical
+    prompts) where the two-sample z-test would ignore the pairing.
+
+    Exact-replay algebra: ONE map-side-combinable aggregation to four
+    exact int64 concordance cells; every statistic is a fixed IEEE
+    expression on those integers; the χ²(1) p-value is 2·Φ̄(√χ²) via the
+    replayable :func:`_normal_sf` polynomial. Rows with a null flag are
+    dropped. Returns 1 row: (n, both, neither, b, c, chi2,
+    chi2_corrected, p_value, odds_ratio).
+    """
+    pre = F.col(before_col).cast("boolean")
+    post = F.col(after_col).cast("boolean")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    agg = df.where(pre.isNotNull() & post.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        flag(pre & post).alias("both"),
+        flag(~pre & ~post).alias("neither"),
+        flag(pre & ~post).alias("b"),
+        flag(~pre & post).alias("c"),
+    )
+    bd, cd = F.col("b").cast("double"), F.col("c").cast("double")
+    disc = bd + cd
+    chi2 = (bd - cd) * (bd - cd) / disc
+    chi2c = (
+        (F.abs(bd - cd) - 1.0) * (F.abs(bd - cd) - 1.0) / disc
+    )
+    return agg.select(
+        "n",
+        "both",
+        "neither",
+        "b",
+        "c",
+        F.round(F.when(disc > 0, chi2), 6).alias("chi2"),
+        F.round(
+            F.when(disc > 0, F.when(F.abs(bd - cd) > 1.0, chi2c).otherwise(
+                F.lit(0.0)
+            )),
+            6,
+        ).alias("chi2_corrected"),
+        F.round(
+            F.when(disc > 0, F.lit(2.0) * _normal_sf(F.sqrt(chi2))), 6
+        ).alias("p_value"),
+        F.round(F.when(cd > 0, bd / cd), 6).alias("odds_ratio"),
+    )

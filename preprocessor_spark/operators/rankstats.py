@@ -264,3 +264,100 @@ def kruskal_wallis(
         F.round(h, 6).alias("h"),
         F.round(F.when(c_corr > 0, h / c_corr), 6).alias("h_corrected"),
     )
+
+
+def ordinal_association(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Pairwise ordinal-association measures between two ordered columns:
+    Goodman-Kruskal gamma, Somers' D (both conditioning directions),
+    Kendall's tau-b and tau-c — the full concordant/discordant family
+    (Agresti, *Analysis of Ordinal Categorical Data* §2.4). They differ
+    only in how ties enter the denominator, which is why one operator
+    returns all five:
+
+        C / D = concordant / discordant pair counts
+        T_x   = pairs tied on x only,  T_y = tied on y only
+        gamma      = (C−D)/(C+D)
+        somers_dyx = (C−D)/(C+D+T_y)     (predicting y from x)
+        somers_dxy = (C−D)/(C+D+T_x)
+        tau_b      = (C−D)/√((C+D+T_x)(C+D+T_y))
+        tau_c      = 2m(C−D)/(n²(m−1)),  m = min(k_x, k_y)
+
+    Exact-replay algebra: all five pair counts are exact DECIMAL(38,0)
+    sums over the (x, y) cell frame — one self-join classified by sign,
+    the :func:`jonckheere_terpstra` idiom — and each statistic is one
+    fixed-association IEEE expression over those exact integers —
+    VALUE-oracle-able. Returns 1 row:
+    (n, kx, ky, conc, disc, ties_x, ties_y, gamma, somers_dyx,
+    somers_dxy, tau_b, tau_c).
+
+    Shape: one groupBy(x, y) collapse is the only data-sized pass; the
+    classified self-join runs on the BOUNDED cell frame (the
+    kruskal_wallis bounded-distinct-value contract).
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    cells = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .groupBy(x.alias("x"), y.alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.y"), F.col("b.y")
+    prod = F.col("a.c").cast(_DEC) * F.col("b.c").cast(_DEC)
+    cls = (
+        F.when((ax < bx) & (ay < by), F.lit("c"))
+        .when((ax < bx) & (ay > by), F.lit("d"))
+        .when((ax < bx) & (ay == by), F.lit("ty"))
+        .otherwise(F.lit("tx"))  # ax == bx, ay < by by the join condition
+    )
+    z = F.lit(0).cast(_DEC)
+    pairs = (
+        a.join(b, (ax < bx) | ((ax == bx) & (ay < by)))
+        .select(cls.alias("cls"), prod.alias("p"))
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("cls") == "c", F.col("p"))), z)
+            .alias("conc"),
+            F.coalesce(F.sum(F.when(F.col("cls") == "d", F.col("p"))), z)
+            .alias("disc"),
+            F.coalesce(F.sum(F.when(F.col("cls") == "tx", F.col("p"))), z)
+            .alias("ties_x"),
+            F.coalesce(F.sum(F.when(F.col("cls") == "ty", F.col("p"))), z)
+            .alias("ties_y"),
+        )
+    )
+    dims = cells.agg(
+        F.sum("c").cast(_DEC).alias("n"),
+        F.count_distinct(F.col("x")).alias("kx"),
+        F.count_distinct(F.col("y")).alias("ky"),
+    )
+    j = pairs.crossJoin(F.broadcast(dims))
+    cd_, dd_ = _dec_double(F.col("conc")), _dec_double(F.col("disc"))
+    tx, ty = _dec_double(F.col("ties_x")), _dec_double(F.col("ties_y"))
+    nd = _dec_double(F.col("n"))
+    m = F.least(F.col("kx"), F.col("ky")).cast("double")
+    num = cd_ - dd_
+    denb = F.sqrt((cd_ + dd_ + tx) * (cd_ + dd_ + ty))
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("kx").cast("int").alias("kx"),
+        F.col("ky").cast("int").alias("ky"),
+        F.col("conc").cast("long").alias("conc"),
+        F.col("disc").cast("long").alias("disc"),
+        F.col("ties_x").cast("long").alias("ties_x"),
+        F.col("ties_y").cast("long").alias("ties_y"),
+        F.round(F.when(cd_ + dd_ > 0, num / (cd_ + dd_)), 6).alias("gamma"),
+        F.round(
+            F.when(cd_ + dd_ + ty > 0, num / (cd_ + dd_ + ty)), 6
+        ).alias("somers_dyx"),
+        F.round(
+            F.when(cd_ + dd_ + tx > 0, num / (cd_ + dd_ + tx)), 6
+        ).alias("somers_dxy"),
+        F.round(F.when(denb > 0, num / denb), 6).alias("tau_b"),
+        F.round(
+            F.when(m > 1, 2.0 * m * num / (nd * nd * (m - 1.0))), 6
+        ).alias("tau_c"),
+    )

@@ -605,3 +605,109 @@ class TestCMH:
         df = spark.createDataFrame(rows, "s int, e boolean, o boolean")
         r = cmh_test(df, "s", "e", "o").collect()[0]
         assert r["strata"] == 1 and r["n"] == 40
+
+
+class TestOrdinalAssociation:
+    def test_matches_brute_force(self, spark):
+        """All five measures exact vs O(n^2) concordance counting."""
+        import itertools
+        import numpy as np
+        from preprocessor_spark.operators.rankstats import (
+            ordinal_association,
+        )
+
+        rng = np.random.default_rng(17)
+        xs = rng.integers(0, 5, 120)
+        ys = np.clip(xs + rng.integers(-2, 3, 120), 0, 4)
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in zip(xs, ys)], "x int, y int"
+        ).repartition(5)
+        r = ordinal_association(df, "x", "y").collect()[0]
+        conc = disc = tx = ty = 0
+        for (a1, b1), (a2, b2) in itertools.combinations(zip(xs, ys), 2):
+            if a1 != a2 and b1 != b2:
+                if (a1 < a2) == (b1 < b2):
+                    conc += 1
+                else:
+                    disc += 1
+            elif a1 == a2 and b1 != b2:
+                tx += 1
+            elif a1 != a2 and b1 == b2:
+                ty += 1
+        n, m = 120, 5
+        assert (r["conc"], r["disc"], r["ties_x"], r["ties_y"]) == (
+            conc, disc, tx, ty,
+        )
+        assert r["gamma"] == round((conc - disc) / (conc + disc), 6)
+        assert r["somers_dyx"] == round((conc - disc) / (conc + disc + ty), 6)
+        assert r["somers_dxy"] == round((conc - disc) / (conc + disc + tx), 6)
+        assert abs(
+            r["tau_b"]
+            - (conc - disc)
+            / ((conc + disc + tx) * (conc + disc + ty)) ** 0.5
+        ) < 1e-6
+        assert abs(
+            r["tau_c"] - 2.0 * m * (conc - disc) / (n * n * (m - 1.0))
+        ) < 1e-6
+
+    def test_coarsening_has_gamma_one_tau_below(self, spark):
+        """y = coarsening of x admits no discordant pairs: gamma == 1
+        exactly while ties pull tau_b strictly below 1."""
+        from preprocessor_spark.operators.rankstats import (
+            ordinal_association,
+        )
+
+        rows = [(v, v // 3) for v in range(12) for _ in range(5)]
+        df = spark.createDataFrame(rows, "x int, y int")
+        r = ordinal_association(df, "x", "y").collect()[0]
+        assert r["disc"] == 0 and r["gamma"] == 1.0
+        assert r["tau_b"] < 1.0 and r["somers_dyx"] < 1.0
+
+    def test_perfect_monotone(self, spark):
+        from preprocessor_spark.operators.rankstats import (
+            ordinal_association,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i * 2) for i in range(30)], "x int, y int"
+        )
+        r = ordinal_association(df, "x", "y").collect()[0]
+        assert r["gamma"] == 1.0 and r["tau_b"] == 1.0
+        assert r["somers_dyx"] == 1.0 and r["somers_dxy"] == 1.0
+
+
+class TestMcNemar:
+    def test_hand_computed_cells(self, spark):
+        from preprocessor_spark.operators.hypotests import mcnemar_test
+
+        rows = (
+            [(True, True)] * 30 + [(False, False)] * 40
+            + [(True, False)] * 5 + [(False, True)] * 15
+        )
+        df = spark.createDataFrame(rows, "pre boolean, post boolean")
+        r = mcnemar_test(df, "pre", "post").collect()[0]
+        assert (r["n"], r["both"], r["neither"], r["b"], r["c"]) == (
+            90, 30, 40, 5, 15,
+        )
+        assert r["chi2"] == 5.0  # (5-15)^2/20
+        assert r["chi2_corrected"] == 4.05  # (10-1)^2/20
+        assert r["odds_ratio"] == round(5 / 15, 6)
+        assert 0.02 < r["p_value"] < 0.03  # ~0.0253
+
+    def test_no_shift_is_null(self, spark):
+        from preprocessor_spark.operators.hypotests import mcnemar_test
+
+        rows = [(True, False)] * 10 + [(False, True)] * 10
+        df = spark.createDataFrame(rows, "pre boolean, post boolean")
+        r = mcnemar_test(df, "pre", "post").collect()[0]
+        assert r["chi2"] == 0.0 and r["chi2_corrected"] == 0.0
+        assert r["p_value"] == 1.0 and r["odds_ratio"] == 1.0
+
+    def test_nulls_dropped_and_zero_discordant_guard(self, spark):
+        from preprocessor_spark.operators.hypotests import mcnemar_test
+
+        rows = [(True, True), (False, False), (None, True), (True, None)]
+        df = spark.createDataFrame(rows, "pre boolean, post boolean")
+        r = mcnemar_test(df, "pre", "post").collect()[0]
+        assert r["n"] == 2 and r["b"] == 0 and r["c"] == 0
+        assert r["chi2"] is None and r["p_value"] is None
