@@ -3043,6 +3043,75 @@ def iceberg_scan_lineitem(spark, sf_dir):
     )
 
 
+def _synth_delta_table(spark, sf_dir) -> str:
+    """Materialize the Delta orders layout ONCE per sf-dir (the
+    _synth_iceberg_table discipline: built outside the timed body, atomic
+    rename wins races): TWO commits — an initial write of pre-1996 orders
+    and an append of the rest, each range-partitioned into 4 files sorted
+    by o_orderdate — so the reader exercises multi-commit log replay and
+    tight per-file date bounds make the stats prune bite."""
+    import hashlib
+    import os
+    import shutil
+
+    from preprocessor_spark.sources.delta import write_delta
+
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|delta_v1".encode()
+    ).hexdigest()[:12]
+    dest = f"/tmp/delta_ord_{key}"
+    if os.path.exists(os.path.join(dest, "_delta_log")):
+        return dest
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    cut = "1996-01-01"
+    tmp = f"{dest}.tmp-{spark.sparkContext.applicationId}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ranged = lambda df: df.repartitionByRange(
+        4, "o_orderdate"
+    ).sortWithinPartitions("o_orderdate")
+    write_delta(ranged(o.where(F.col("o_orderdate") < cut)), tmp)
+    write_delta(
+        ranged(o.where(F.col("o_orderdate") >= cut)), tmp, mode="append"
+    )
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another run won the race
+    return dest
+
+
+def delta_scan_orders(spark, sf_dir):
+    """Delta Lake transaction-log scan (sources/delta.py — pure-Python
+    JSON action-log replay + checkpoint support, no delta-spark jars):
+    priority revenue over o_orderdate >= 1997-01-01 against a TWO-commit
+    committed orders layout. Per-file stats JSON (minValues/maxValues
+    from parquet footers) prunes the range-sorted files BEFORE any footer
+    opens — the whole first commit and most of the second fall away
+    (pruning plan-asserted in tests/test_delta.py); the residual
+    predicate pushes into the surviving scans. VALUE-oracled: the DuckDB
+    twin runs the same aggregate over the raw orders parquet — log
+    routing must be lossless."""
+    import datetime as _dt
+
+    from preprocessor_spark.sources.delta import read_delta
+
+    table = _synth_delta_table(spark, sf_dir)
+    cut = _dt.datetime(1997, 1, 1)
+    df = read_delta(spark, table, where=[("o_orderdate", ">=", cut)])
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias(
+                "sum_price"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def image_phash_neardup(spark, sf_dir):
     """Perceptual-hash image dedup, REAL decode end-to-end (operators/
     phash.py): pre-materialized PGM fixture parquet (_synth_image_parquet;
@@ -6239,6 +6308,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 12, oracle-backed — metadata routing must be lossless vs the raw
         # parquet aggregate)
         "iceberg_scan_lineitem": iceberg_scan_lineitem,
+        # Delta Lake pure-Python log layer (round 12, oracle-backed —
+        # lossless metadata routing vs the raw parquet aggregate)
+        "delta_scan_orders": delta_scan_orders,
         "snapshot_orders_diff": snapshot_orders_diff,
         "higher_order_lineitem": higher_order_lineitem,
         "try_funcs_orders": try_funcs_orders,
@@ -12362,6 +12434,18 @@ LAG(x, 5) OVER (PARTITION BY key ORDER BY o) AS xl5
             WHERE l_shipdate >= TIMESTAMP '1997-09-01'
             GROUP BY l_returnflag
             ORDER BY l_returnflag
+        """,
+        # Delta scan: metadata routing must be lossless — same aggregate
+        # over the raw orders parquet
+        "delta_scan_orders": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                       AS sum_price
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         # sorted-first float fold: accumulation order identical -> bit-exact
         "higher_order_lineitem": """
