@@ -5765,6 +5765,74 @@ def cmh_discount_returns(spark, sf_dir):
     return cmh_test(l, "stratum", "exposed", "returned")
 
 
+def effect_sizes_returns(spark, sf_dir):
+    """Standardized effect sizes (operators/hypotests.py effect_sizes):
+    Cohen's d / Hedges' g / Glass's delta / common-language effect size
+    for extended price, returned (R) vs accepted (N) line items — the
+    "how big?" companion to the Welch t "is it real?". Same one-pass
+    exact DECIMAL moments as welch_ttest; CLES via the replayable
+    Zelen-Severo polynomial — VALUE-oracled."""
+    from preprocessor_spark.operators.hypotests import effect_sizes
+
+    l = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_returnflag")
+    return effect_sizes(l, "l_extendedprice", "l_returnflag", "R", "N")
+
+
+def ccc_order_reconciliation(spark, sf_dir):
+    """Lin's concordance correlation coefficient (operators/stats.py
+    concordance_ccc) as a data-quality reconciliation: per order, the sum
+    of line-item extended prices vs the header o_totalprice. CCC = 1 only
+    for exact agreement (slope 1, intercept 0) — where Pearson r scores
+    linear association. In the synthetic data headers do NOT reconcile
+    with detail sums (independent generators), which is exactly what the
+    statistic is for: the report quantifies the discrepancy. Keyed
+    pre-aggregation + keyed join; exact DECIMAL power sums —
+    VALUE-oracled."""
+    from preprocessor_spark.operators.stats import concordance_ccc
+
+    line_totals = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")))
+            .cast("double")
+            .alias("line_total")
+        )
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    j = o.join(line_totals, o["o_orderkey"] == line_totals["l_orderkey"])
+    return concordance_ccc(j, "line_total", "o_totalprice")
+
+
+def partial_corr_lineitem(spark, sf_dir):
+    """First-order partial correlation (operators/stats.py partial_corr):
+    extended price vs discount with quantity regressed out of both sides
+    — the "is the correlation real or is the confounder driving both?"
+    screen. In the synthetic data all three are independent, so the
+    partial correctly stays ≈ the raw r ≈ 0 — the exactness contract is
+    the point: one aggregation of exact DECIMAL power sums, every r a
+    fixed IEEE expression — VALUE-oracled."""
+    from preprocessor_spark.operators.stats import partial_corr
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_discount", "l_quantity"
+    )
+    return partial_corr(l, "l_extendedprice", "l_discount", "l_quantity")
+
+
+def brown_forsythe_price_flag(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test (operators/hypotests.py
+    brown_forsythe): are extended-price SPREADS equal across return
+    flags? — the robust (median-centered Levene) screen to run before any
+    pooled-variance test, and a spread-drift detector. Exact interpolated
+    group medians, |x − med| quantized to the int64 1e9 grid before the
+    ANOVA moment sums (the grid cancels in F) — VALUE-oracled."""
+    from preprocessor_spark.operators.hypotests import brown_forsythe
+
+    l = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_returnflag")
+    return brown_forsythe(l, "l_extendedprice", "l_returnflag")
+
+
 def ordinal_assoc_ship_calendar(spark, sf_dir):
     """Goodman-Kruskal gamma / Somers' D / Kendall tau-b + tau-c
     (operators/rankstats.py ordinal_association) between ship MONTH and
@@ -6163,6 +6231,12 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # paired test (round 12, oracle-backed)
         "ordinal_assoc_ship_calendar": ordinal_assoc_ship_calendar,
         "mcnemar_purchase_halves": mcnemar_purchase_halves,
+        # effect sizes / Lin's CCC reconciliation / partial correlation /
+        # Brown-Forsythe spread homogeneity (round 12, oracle-backed)
+        "effect_sizes_returns": effect_sizes_returns,
+        "ccc_order_reconciliation": ccc_order_reconciliation,
+        "partial_corr_lineitem": partial_corr_lineitem,
+        "brown_forsythe_price_flag": brown_forsythe_price_flag,
         "acf_events_users": acf_events_users,
         "event_sequences_users": event_sequences_users,
         # Cox PH (rows-only: iterative partial-likelihood Newton fit)
@@ -9707,6 +9781,218 @@ def oracle_sql() -> dict[str, str]:
                                 + tt * 1.330274429)))))), 6) END AS p_value,
                    CASE WHEN ssd > 0 THEN ROUND(srd / ssd, 6) END AS or_mh
             FROM chi
+        """,
+        # effect sizes: the welch moment CTE + fixed IEEE effect
+        # expressions; CLES via the Zelen-Severo polynomial twin
+        "effect_sizes_returns": """
+            WITH f AS (
+                SELECT l_extendedprice AS x, l_returnflag AS g FROM lineitem
+                WHERE l_returnflag IN ('R', 'N')
+                  AND l_extendedprice IS NOT NULL
+            ), m AS (
+                SELECT
+                    COUNT(CASE WHEN g = 'R' THEN 1 END) AS na,
+                    CAST(SUM(CASE WHEN g = 'R' THEN CAST(CAST(x AS DECIMAL(18,4)) AS DECIMAL(38,8)) END) AS DOUBLE) AS sa,
+                    CAST(SUM(CASE WHEN g = 'R' THEN CAST(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(18,4)) AS DECIMAL(38,8)) END) AS DOUBLE) AS qa,
+                    COUNT(CASE WHEN g = 'N' THEN 1 END) AS nb,
+                    CAST(SUM(CASE WHEN g = 'N' THEN CAST(CAST(x AS DECIMAL(18,4)) AS DECIMAL(38,8)) END) AS DOUBLE) AS sb,
+                    CAST(SUM(CASE WHEN g = 'N' THEN CAST(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(18,4)) AS DECIMAL(38,8)) END) AS DOUBLE) AS qb
+                FROM f
+            ), s AS (
+                SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+                       (qa - sa * sa / na) / (na - 1) AS va,
+                       (qb - sb * sb / nb) / (nb - 1) AS vb,
+                       CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+                FROM m
+            ), d AS (
+                SELECT *,
+                       sqrt(((nad - 1.0) * va + (nbd - 1.0) * vb)
+                            / (nad + nbd - 2.0)) AS sp,
+                       (ma - mb) / sqrt(va + vb) AS zc
+                FROM s
+            ), p AS (
+                SELECT *, 1.0 / (1.0 + 0.2316419 * abs(zc)) AS tt FROM d
+            ), cl AS (
+                SELECT *,
+                       ((exp(-(abs(zc) * abs(zc)) / 2.0)
+                         / 2.5066282746310002)
+                        * (tt * (0.319381530 + tt * (-0.356563782
+                           + tt * (1.781477937 + tt * (-1.821255978
+                           + tt * 1.330274429)))))) AS sf_abs
+                FROM p
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   ROUND(ma - mb, 6) AS mean_diff,
+                   CASE WHEN sp > 0 THEN
+                       ROUND((ma - mb) / sp, 6) END AS cohen_d,
+                   CASE WHEN sp > 0 THEN
+                       ROUND((ma - mb) / sp
+                             * (1.0 - 3.0 / (4.0 * (nad + nbd) - 9.0)), 6)
+                       END AS hedges_g,
+                   CASE WHEN vb > 0 THEN
+                       ROUND((ma - mb) / sqrt(vb), 6) END AS glass_delta,
+                   CASE WHEN va + vb > 0 THEN
+                       ROUND(CASE WHEN zc >= 0 THEN 1.0 - sf_abs
+                                  ELSE sf_abs END, 6) END AS cles
+            FROM cl
+        """,
+        # Lin's CCC: exact DECIMAL power sums (corr-matrix widening) +
+        # floor/frac split casts; 1/n moments per Lin's definition
+        "ccc_order_reconciliation": """
+            WITH lt AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                            AS DOUBLE) AS x
+                FROM lineitem GROUP BY l_orderkey
+            ), f AS (
+                SELECT lt.x AS x, o.o_totalprice AS y
+                FROM orders o JOIN lt ON o.o_orderkey = lt.l_orderkey
+                WHERE lt.x IS NOT NULL AND o.o_totalprice IS NOT NULL
+            ), m AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(CAST(x AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS sx,
+                       SUM(CAST(CAST(y AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS sy,
+                       SUM(CAST(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS sxx,
+                       SUM(CAST(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS syy,
+                       SUM(CAST(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS sxy
+                FROM f
+            ), dd AS (
+                SELECT CAST(n AS DOUBLE) AS nd, n,
+                       CAST(floor(sx) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE) AS sxd,
+                       CAST(floor(sy) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE) AS syd,
+                       CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE) AS sxxd,
+                       CAST(floor(syy) AS DOUBLE) + CAST(syy - floor(syy) AS DOUBLE) AS syyd,
+                       CAST(floor(sxy) AS DOUBLE) + CAST(sxy - floor(sxy) AS DOUBLE) AS sxyd
+                FROM m
+            ), c AS (
+                SELECT n, nd,
+                       sxd / nd AS mx, syd / nd AS my,
+                       sxxd / nd - (sxd / nd) * (sxd / nd) AS vx,
+                       syyd / nd - (syd / nd) * (syd / nd) AS vy,
+                       sxyd / nd - (sxd / nd) * (syd / nd) AS cxy
+                FROM dd
+            ), r AS (
+                SELECT *,
+                       sqrt(vx * vy) AS r_den,
+                       vx + vy + (mx - my) * (mx - my) AS ccc_den
+                FROM c
+            )
+            SELECT n,
+                   ROUND(mx, 6) AS mean_x, ROUND(my, 6) AS mean_y,
+                   CASE WHEN r_den > 0 THEN
+                       ROUND(cxy / r_den, 6) END AS pearson_r,
+                   CASE WHEN ccc_den > 0 THEN
+                       ROUND(2.0 * cxy / ccc_den, 6) END AS ccc,
+                   CASE WHEN r_den > 0 AND ccc_den > 0
+                             AND cxy / r_den <> 0 THEN
+                       ROUND((2.0 * cxy / ccc_den) / (cxy / r_den), 6)
+                       END AS c_b
+            FROM r
+        """,
+        # partial correlation: three pairwise r from the same exact
+        # moment frame, then the first-order partial — fixed IEEE
+        "partial_corr_lineitem": """
+            WITH f AS (
+                SELECT l_extendedprice AS x, l_discount AS y,
+                       l_quantity AS z
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                      AND l_discount IS NOT NULL AND l_quantity IS NOT NULL
+            ), m AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(CAST(x AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS sx,
+                       SUM(CAST(CAST(y AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS sy,
+                       SUM(CAST(CAST(z AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS sz,
+                       SUM(CAST(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS sxx,
+                       SUM(CAST(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS syy,
+                       SUM(CAST(CAST(z AS DECIMAL(19,4)) * CAST(z AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS szz,
+                       SUM(CAST(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS sxy,
+                       SUM(CAST(CAST(x AS DECIMAL(19,4)) * CAST(z AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS sxz,
+                       SUM(CAST(CAST(y AS DECIMAL(19,4)) * CAST(z AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS syz
+                FROM f
+            ), dd AS (
+                SELECT CAST(n AS DOUBLE) AS nd, n,
+                       CAST(floor(sx) AS DOUBLE) + CAST(sx - floor(sx) AS DOUBLE) AS sxd,
+                       CAST(floor(sy) AS DOUBLE) + CAST(sy - floor(sy) AS DOUBLE) AS syd,
+                       CAST(floor(sz) AS DOUBLE) + CAST(sz - floor(sz) AS DOUBLE) AS szd,
+                       CAST(floor(sxx) AS DOUBLE) + CAST(sxx - floor(sxx) AS DOUBLE) AS sxxd,
+                       CAST(floor(syy) AS DOUBLE) + CAST(syy - floor(syy) AS DOUBLE) AS syyd,
+                       CAST(floor(szz) AS DOUBLE) + CAST(szz - floor(szz) AS DOUBLE) AS szzd,
+                       CAST(floor(sxy) AS DOUBLE) + CAST(sxy - floor(sxy) AS DOUBLE) AS sxyd,
+                       CAST(floor(sxz) AS DOUBLE) + CAST(sxz - floor(sxz) AS DOUBLE) AS sxzd,
+                       CAST(floor(syz) AS DOUBLE) + CAST(syz - floor(syz) AS DOUBLE) AS syzd
+                FROM m
+            ), r AS (
+                SELECT n,
+                       (nd * sxyd - sxd * syd)
+                       / sqrt((nd * sxxd - sxd * sxd)
+                              * (nd * syyd - syd * syd)) AS rxy,
+                       (nd * sxzd - sxd * szd)
+                       / sqrt((nd * sxxd - sxd * sxd)
+                              * (nd * szzd - szd * szd)) AS rxz,
+                       (nd * syzd - syd * szd)
+                       / sqrt((nd * syyd - syd * syd)
+                              * (nd * szzd - szd * szd)) AS ryz
+                FROM dd
+            )
+            SELECT n,
+                   ROUND(rxy, 6) AS r_xy,
+                   ROUND(rxz, 6) AS r_xz,
+                   ROUND(ryz, 6) AS r_yz,
+                   CASE WHEN sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) > 0
+                       THEN ROUND((rxy - rxz * ryz)
+                            / sqrt((1.0 - rxz * rxz)
+                                   * (1.0 - ryz * ryz)), 6)
+                       END AS r_xy_z
+            FROM r
+        """,
+        # Brown-Forsythe: quantile_cont == Spark percentile (skew
+        # precedent); |x-med| on the 1e9 grid; anova fold identities
+        "brown_forsythe_price_flag": """
+            WITH base AS (
+                SELECT l_returnflag AS grp,
+                       CAST(l_extendedprice AS DOUBLE) AS x
+                FROM lineitem
+                WHERE l_returnflag IS NOT NULL
+                      AND l_extendedprice IS NOT NULL
+            ), meds AS (
+                SELECT grp, quantile_cont(x, 0.5) AS med
+                FROM base GROUP BY grp
+            ), cells AS (
+                SELECT b.grp,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       SUM(CAST(floor(abs(b.x - m.med) * 1000000000.0 + 0.5)
+                           AS HUGEINT)) AS s,
+                       SUM(CAST(floor(abs(b.x - m.med) * 1000000000.0 + 0.5)
+                           AS HUGEINT)
+                           * CAST(floor(abs(b.x - m.med) * 1000000000.0 + 0.5)
+                           AS HUGEINT)) AS q
+                FROM base b JOIN meds m ON b.grp = m.grp
+                GROUP BY b.grp
+            ), tot AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                       CAST(COUNT(*) AS BIGINT) AS k,
+                       CAST(SUM(s) AS DOUBLE) AS s_tot,
+                       CAST(SUM(q) AS DOUBLE) AS q_tot,
+                       list_reduce(list_prepend(0.0, list_sort(list(
+                           CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+                       ))), (acc, x) -> acc + x) AS sum_term
+                FROM cells
+            ), ff AS (
+                SELECT n_total, k,
+                       CAST(n_total AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+                       sum_term - s_tot * s_tot / CAST(n_total AS DOUBLE)
+                           AS ssb,
+                       q_tot - sum_term AS ssw
+                FROM tot
+            )
+            SELECT n_total AS n, k,
+                   CAST(kd - 1 AS BIGINT) AS df_between,
+                   CAST(nd - kd AS BIGINT) AS df_within,
+                   CASE WHEN ssw > 0 THEN
+                       ROUND((ssb / (kd - 1)) / (ssw / (nd - kd)), 6)
+                       END AS f_stat
+            FROM ff
         """,
         # ordinal association: all five pair counts exact HUGEINT sums
         # over the classified cell self-join; statistics fixed IEEE

@@ -679,3 +679,144 @@ def mcnemar_test(
         ).alias("p_value"),
         F.round(F.when(cd > 0, bd / cd), 6).alias("odds_ratio"),
     )
+
+
+def effect_sizes(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Standardized effect sizes for a two-group comparison — the "how
+    big, in units a human can compare across metrics?" companion to
+    :func:`welch_ttest`'s "is it real?":
+
+        cohen_d     = (x̄_a − x̄_b) / s_pooled
+        hedges_g    = d · (1 − 3/(4(n_a+n_b) − 9))     (small-sample bias)
+        glass_delta = (x̄_a − x̄_b) / s_b               (b = control scale)
+        cles        = Φ((x̄_a − x̄_b) / √(s_a² + s_b²)) (P(random a > random b))
+
+    Exact-replay algebra: the SAME one-pass exact DECIMAL moments as
+    welch_ttest (overflow certificate included); every effect size is a
+    fixed IEEE expression, CLES via the replayable :func:`_normal_sf`
+    polynomial. Returns 1 row: (n_a, n_b, mean_diff, cohen_d, hedges_g,
+    glass_delta, cles).
+    """
+    g = F.col(group_col)
+    row = (
+        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .agg(
+            *[
+                m.alias(n)
+                for m, n in zip(
+                    _moments(df, value_col, g == F.lit(group_a))
+                    + _moments(df, value_col, g == F.lit(group_b)),
+                    ["na", "na_raw", "sa", "qa", "nb", "nb_raw", "sb", "qb"],
+                )
+            ]
+        )
+    )
+    na = F.coalesce(
+        F.assert_true(
+            (F.col("na") == F.col("na_raw")) & (F.col("nb") == F.col("nb_raw")),
+            F.lit(_WELCH_OVERFLOW_MSG),
+        ).cast("long"),
+        F.col("na"),
+    )
+    sa, qa = F.col("sa").cast("double"), F.col("qa").cast("double")
+    nb, sb, qb = F.col("nb"), F.col("sb").cast("double"), F.col("qb").cast("double")
+    ma, mb = sa / na, sb / nb
+    va = (qa - sa * sa / na) / (na - 1)
+    vb = (qb - sb * sb / nb) / (nb - 1)
+    nad, nbd = na.cast("double"), nb.cast("double")
+    sp = F.sqrt(((nad - 1.0) * va + (nbd - 1.0) * vb) / (nad + nbd - 2.0))
+    d = (ma - mb) / sp
+    gcorr = 1.0 - 3.0 / (4.0 * (nad + nbd) - 9.0)
+    zc = (ma - mb) / F.sqrt(va + vb)
+    cles = F.when(zc >= 0, 1.0 - _normal_sf(zc)).otherwise(_normal_sf(-zc))
+    return row.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(ma - mb, 6).alias("mean_diff"),
+        F.round(F.when(sp > 0, d), 6).alias("cohen_d"),
+        F.round(F.when(sp > 0, d * gcorr), 6).alias("hedges_g"),
+        F.round(F.when(vb > 0, (ma - mb) / F.sqrt(vb)), 6).alias(
+            "glass_delta"
+        ),
+        F.round(F.when(va + vb > 0, cles), 6).alias("cles"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Brown-Forsythe test of VARIANCE homogeneity across groups (Levene
+    with the median center — robust to non-normality): a one-way ANOVA on
+    the absolute deviations w = |x − median_g|. The screen to run BEFORE
+    trusting a pooled-variance test, and a drift detector for spread
+    changes that mean-based monitors miss.
+
+    Exact-replay algebra: group medians come from the exact interpolated
+    percentile (identical in Spark and DuckDB — the skew-report
+    precedent); w is then quantized to the int64 1e9 grid BEFORE the
+    moment sums (w in grid units — the F statistic is scale-invariant so
+    the grid cancels; a DECIMAL cast of the irrational-looking doubles
+    would hit engine rounding-mode edges, the Theil lesson), SSB/SSW use
+    the anova_oneway identities with the sorted-fold Σ S_g²/n_g. Returns
+    1 row: (n, k, df_between, df_within, f_stat). F-distribution p needs
+    the incomplete beta and is left to the caller (the ANOVA contract).
+
+    Shape: one keyed percentile groupBy, one broadcast join back, one
+    map-side-combinable moment groupBy; |groups|-row frames after.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    base = df.where(g.isNotNull() & v.isNotNull()).select(
+        g.alias("grp"), v.cast("double").alias("x")
+    )
+    meds = base.groupBy("grp").agg(
+        F.percentile(F.col("x"), F.lit(0.5)).alias("med")
+    )
+    wq = F.floor(
+        F.abs(F.col("x") - F.col("med")) * F.lit(1.0e9) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    cells = (
+        base.join(F.broadcast(meds), "grp")
+        .select("grp", wq.alias("w"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("w")).alias("s"),
+            F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("q"),
+        )
+    )
+    wt = Window.partitionBy()
+    sd = _dec_double(F.col("s"))
+    term = sd * sd / F.col("n")
+    agg = cells.select(
+        F.col("n"),
+        term.alias("term"),
+        F.sum("n").over(wt).alias("nn"),
+        F.sum("s").over(wt).alias("ss"),
+        F.sum("q").over(wt).alias("qq"),
+    ).agg(
+        F.max("nn").alias("n_total"),
+        F.count(F.lit(1)).alias("k"),
+        F.max(_dec_double(F.col("ss"))).alias("s_tot"),
+        F.max(_dec_double(F.col("qq"))).alias("q_tot"),
+        F.aggregate(
+            F.sort_array(F.collect_list("term")), F.lit(0.0), lambda a, x: a + x
+        ).alias("sum_term"),
+    )
+    n = F.col("n_total").cast("double")
+    k = F.col("k").cast("double")
+    ssb = F.col("sum_term") - F.col("s_tot") * F.col("s_tot") / n
+    ssw = F.col("q_tot") - F.col("sum_term")
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    return agg.select(
+        F.col("n_total").alias("n"),
+        F.col("k"),
+        (k - 1).cast("long").alias("df_between"),
+        (n - k).cast("long").alias("df_within"),
+        F.round(F.when(ssw > 0, f_stat), 6).alias("f_stat"),
+    )

@@ -428,3 +428,113 @@ def mad_outlier_report(
         )
         .orderBy(*group_cols)
     )
+
+
+def concordance_ccc(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Lin's concordance correlation coefficient (Lin 1989) — AGREEMENT
+    between two measurements of the same thing, not just linear
+    association: CCC = 1 only when y == x exactly (slope 1, intercept 0),
+    so it is the reconciliation statistic (header totals vs detail sums,
+    instrument A vs instrument B) where Pearson r would happily report 1
+    for y = 2x + 5.
+
+        CCC = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²)     (1/n moments, per Lin)
+        C_b = CCC / r                                 (bias-correction factor)
+
+    ONE groupBy-free aggregation of exact DECIMAL power sums (the
+    corr_matrix contract: values cast DECIMAL(18,4), products at (37,8)
+    stay inside both engines' 38-digit cap); every output is a fixed
+    IEEE expression over those exact sums — VALUE-oracle-able. Returns
+    1 row: (n, mean_x, mean_y, pearson_r, ccc, c_b). Rows with either
+    value null are dropped.
+    """
+    keep = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    x, y = _dec(x_col), _dec(y_col)
+    agg = df.where(keep).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    dd = lambda c: F.floor(c).cast("double") + (c - F.floor(c)).cast("double")
+    sx, sy = dd(F.col("sx")), dd(F.col("sy"))
+    sxx, syy, sxy = dd(F.col("sxx")), dd(F.col("syy")), dd(F.col("sxy"))
+    mx, my = sx / n, sy / n
+    vx = sxx / n - mx * mx  # 1/n variances per Lin's definition
+    vy = syy / n - my * my
+    cxy = sxy / n - mx * my
+    r_den = F.sqrt(vx * vy)
+    ccc_den = vx + vy + (mx - my) * (mx - my)
+    r = cxy / r_den
+    ccc = 2.0 * cxy / ccc_den
+    return agg.select(
+        F.col("n"),
+        F.round(mx, 6).alias("mean_x"),
+        F.round(my, 6).alias("mean_y"),
+        F.round(F.when(r_den > 0, r), 6).alias("pearson_r"),
+        F.round(F.when(ccc_den > 0, ccc), 6).alias("ccc"),
+        F.round(
+            F.when((r_den > 0) & (ccc_den > 0) & (r != 0), ccc / r), 6
+        ).alias("c_b"),
+    )
+
+
+def partial_corr(
+    df: DataFrame, x_col: str, y_col: str, z_col: str
+) -> DataFrame:
+    """First-order partial correlation r_xy·z — the x↔y association with
+    the confounder z regressed out of BOTH sides (the screening question
+    "is this correlation real or is z driving both?"):
+
+        r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))
+
+    ONE aggregation of exact DECIMAL power sums for all three columns and
+    three cross products (the corr_matrix contract); each pairwise r and
+    the partial are fixed IEEE expressions — VALUE-oracle-able. Returns
+    1 row: (n, r_xy, r_xz, r_yz, r_xy_z). Rows with any null dropped.
+    """
+    keep = (
+        F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+        & F.col(z_col).isNotNull()
+    )
+    x, y, z = _dec(x_col), _dec(y_col), _dec(z_col)
+    agg = df.where(keep).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(z * z).alias("szz"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * z).alias("sxz"),
+        F.sum(y * z).alias("syz"),
+    )
+    n = F.col("n").cast("double")
+    dd = lambda c: F.floor(c).cast("double") + (c - F.floor(c)).cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        num = n * dd(F.col(sab)) - dd(F.col(sa)) * dd(F.col(sb))
+        den = F.sqrt(
+            (n * dd(F.col(saa)) - dd(F.col(sa)) * dd(F.col(sa)))
+            * (n * dd(F.col(sbb)) - dd(F.col(sb)) * dd(F.col(sb)))
+        )
+        return F.when(den > 0, num / den)
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    pden = F.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    return agg.select(
+        F.col("n"),
+        F.round(rxy, 6).alias("r_xy"),
+        F.round(rxz, 6).alias("r_xz"),
+        F.round(ryz, 6).alias("r_yz"),
+        F.round(
+            F.when(pden > 0, (rxy - rxz * ryz) / pden), 6
+        ).alias("r_xy_z"),
+    )

@@ -711,3 +711,175 @@ class TestMcNemar:
         r = mcnemar_test(df, "pre", "post").collect()[0]
         assert r["n"] == 2 and r["b"] == 0 and r["c"] == 0
         assert r["chi2"] is None and r["p_value"] is None
+
+
+class TestEffectSizes:
+    def test_matches_direct_formulas(self, spark):
+        import numpy as np
+        from preprocessor_spark.operators.hypotests import effect_sizes
+
+        rng = np.random.default_rng(21)
+        a = np.round(rng.normal(10.0, 2.0, 150), 4)
+        b = np.round(rng.normal(9.0, 3.0, 120), 4)
+        rows = [("a", float(x)) for x in a] + [("b", float(x)) for x in b]
+        df = spark.createDataFrame(rows, "g string, x double").repartition(5)
+        r = effect_sizes(df, "x", "g", "a", "b").collect()[0]
+        na, nb = len(a), len(b)
+        va, vb = a.var(ddof=1), b.var(ddof=1)
+        sp = (((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)) ** 0.5
+        d = (a.mean() - b.mean()) / sp
+        assert r["n_a"] == na and r["n_b"] == nb
+        assert abs(r["mean_diff"] - (a.mean() - b.mean())) < 1e-6
+        assert abs(r["cohen_d"] - d) < 1e-5
+        assert abs(r["hedges_g"] - d * (1 - 3 / (4 * (na + nb) - 9))) < 1e-5
+        assert abs(r["glass_delta"] - (a.mean() - b.mean()) / vb**0.5) < 1e-5
+        # CLES via the normal CDF of the standardized mean difference
+        from math import erf, sqrt
+
+        z = (a.mean() - b.mean()) / (va + vb) ** 0.5
+        cles = 0.5 * (1 + erf(z / sqrt(2)))
+        assert abs(r["cles"] - cles) < 1e-4  # polynomial |err| < 7.5e-8 + data
+
+    def test_zero_effect(self, spark):
+        from preprocessor_spark.operators.hypotests import effect_sizes
+
+        rows = [("a", float(v)) for v in range(20)] + [
+            ("b", float(v)) for v in range(20)
+        ]
+        df = spark.createDataFrame(rows, "g string, x double")
+        r = effect_sizes(df, "x", "g", "a", "b").collect()[0]
+        assert r["cohen_d"] == 0.0 and r["cles"] == 0.5
+
+
+class TestCCC:
+    def test_perfect_agreement_and_scale_shift(self, spark):
+        from preprocessor_spark.operators.stats import concordance_ccc
+
+        rows = [(float(v), float(v)) for v in range(1, 51)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        r = concordance_ccc(df, "x", "y").collect()[0]
+        assert r["ccc"] == 1.0 and r["pearson_r"] == 1.0
+
+        shifted = spark.createDataFrame(
+            [(float(v), float(v) + 10.0) for v in range(1, 51)],
+            "x double, y double",
+        )
+        r2 = concordance_ccc(shifted, "x", "y").collect()[0]
+        assert r2["pearson_r"] == 1.0  # blind to the shift
+        # agreement is not association: vx = vy = (50^2-1)/12 = 208.25,
+        # ccc = 2*208.25 / (2*208.25 + 10^2) = 0.806389 exactly
+        assert r2["ccc"] == 0.806389
+
+    def test_matches_lin_formula(self, spark):
+        import numpy as np
+        from preprocessor_spark.operators.stats import concordance_ccc
+
+        rng = np.random.default_rng(23)
+        x = np.round(rng.normal(50, 10, 200), 4)
+        y = np.round(x + rng.normal(0, 5, 200), 4)
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x, y)],
+            "x double, y double",
+        )
+        r = concordance_ccc(df, "x", "y").collect()[0]
+        vx, vy = x.var(), y.var()  # 1/n variances per Lin
+        cxy = ((x - x.mean()) * (y - y.mean())).mean()
+        ccc = 2 * cxy / (vx + vy + (x.mean() - y.mean()) ** 2)
+        assert abs(r["ccc"] - ccc) < 1e-5
+        assert abs(r["pearson_r"] - cxy / (vx * vy) ** 0.5) < 1e-5
+        assert abs(r["c_b"] - r["ccc"] / r["pearson_r"]) < 1e-5
+
+
+class TestPartialCorr:
+    def test_confounded_association_vanishes(self, spark):
+        """x and y both driven by z, independent given z: raw r_xy is
+        large, the partial r_xy.z collapses toward 0."""
+        import numpy as np
+        from preprocessor_spark.operators.stats import partial_corr
+
+        rng = np.random.default_rng(29)
+        z = np.round(rng.normal(0, 3, 400), 4)
+        x = np.round(z + rng.normal(0, 1, 400), 4)
+        y = np.round(z + rng.normal(0, 1, 400), 4)
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+            "x double, y double, z double",
+        )
+        r = partial_corr(df, "x", "y", "z").collect()[0]
+        assert r["r_xy"] > 0.7
+        assert abs(r["r_xy_z"]) < 0.2
+
+    def test_matches_direct_formula(self, spark):
+        import numpy as np
+        from preprocessor_spark.operators.stats import partial_corr
+
+        rng = np.random.default_rng(31)
+        m = np.round(rng.normal(0, 2, (300, 3)), 4)
+        df = spark.createDataFrame(
+            [tuple(float(v) for v in row) for row in m],
+            "x double, y double, z double",
+        )
+        r = partial_corr(df, "x", "y", "z").collect()[0]
+        c = np.corrcoef(m.T)
+        rxy, rxz, ryz = c[0, 1], c[0, 2], c[1, 2]
+        expect = (rxy - rxz * ryz) / (
+            (1 - rxz**2) * (1 - ryz**2)
+        ) ** 0.5
+        assert abs(r["r_xy"] - rxy) < 1e-5
+        assert abs(r["r_xy_z"] - expect) < 1e-5
+
+
+class TestBrownForsythe:
+    def test_equal_spreads_small_f(self, spark):
+        import numpy as np
+        from preprocessor_spark.operators.hypotests import brown_forsythe
+
+        rng = np.random.default_rng(37)
+        rows = [
+            (g, float(np.round(rng.normal(10.0 * (i + 1), 2.0), 4)))
+            for i, g in enumerate("abc")
+            for _ in range(200)
+            for g2 in [g]
+        ]
+        df = spark.createDataFrame(rows, "g string, x double")
+        r = brown_forsythe(df, "x", "g").collect()[0]
+        # means differ wildly but spreads are equal: BF must NOT fire
+        assert r["n"] == 600 and r["k"] == 3
+        assert r["f_stat"] < 4.0
+
+    def test_unequal_spreads_large_f(self, spark):
+        import numpy as np
+        from preprocessor_spark.operators.hypotests import brown_forsythe
+
+        rng = np.random.default_rng(41)
+        rows = [("a", float(v)) for v in np.round(rng.normal(0, 1, 300), 4)]
+        rows += [("b", float(v)) for v in np.round(rng.normal(0, 6, 300), 4)]
+        df = spark.createDataFrame(rows, "g string, x double").repartition(7)
+        r = brown_forsythe(df, "x", "g").collect()[0]
+        assert r["f_stat"] > 50.0
+
+    def test_matches_scipy_style_reference(self, spark):
+        """F equals the direct median-centered Levene computation (up to
+        the documented 1e-9 deviation grid)."""
+        import numpy as np
+        from preprocessor_spark.operators.hypotests import brown_forsythe
+
+        rng = np.random.default_rng(43)
+        groups = {
+            "a": np.round(rng.normal(5, 1.0, 80), 4),
+            "b": np.round(rng.normal(5, 2.0, 90), 4),
+            "c": np.round(rng.normal(5, 3.0, 70), 4),
+        }
+        rows = [(g, float(v)) for g, xs in groups.items() for v in xs]
+        df = spark.createDataFrame(rows, "g string, x double")
+        r = brown_forsythe(df, "x", "g").collect()[0]
+        w = {g: np.abs(xs - np.median(xs)) for g, xs in groups.items()}
+        allw = np.concatenate(list(w.values()))
+        nn, kk = len(allw), 3
+        ssb = sum(
+            len(ws) * (ws.mean() - allw.mean()) ** 2 for ws in w.values()
+        )
+        ssw = sum(((ws - ws.mean()) ** 2).sum() for ws in w.values())
+        f = (ssb / (kk - 1)) / (ssw / (nn - kk))
+        assert r["n"] == nn
+        assert abs(r["f_stat"] - f) < 1e-4
