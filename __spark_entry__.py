@@ -2158,6 +2158,115 @@ def interval_join_events(spark, sf_dir):
     )
 
 
+def interval_join_stream_events(spark, sf_dir):
+    """STREAM-STREAM interval join drain (streaming/__init__.py
+    interval_join_stream): the error-incident-windows × same-user-clicks
+    join of interval_join_events run as TWO real watermarked availableNow
+    streams over the events table — Spark's stream-stream inner join with
+    an event-time range condition bounding both state stores. Inner-join
+    emissions do not wait for the watermark, so one drain yields exactly
+    the batch join's pairs; the per-user aggregate is bit-equal to
+    interval_join_events and the SAME naive range-join DuckDB oracle
+    grades the streamed path (the funnel-drain precedent)."""
+    import os as _os
+    import uuid
+
+    from preprocessor_spark.streaming import (
+        interval_join_stream,
+        run_available_now,
+    )
+
+    schema = _t(spark, sf_dir, "events").schema
+    glob = _os.path.join(sf_dir, "events.parq*")
+
+    def _stream():
+        return spark.readStream.schema(schema).parquet(glob)
+
+    err = (
+        _stream()
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").alias("win_start"),
+            (F.col("ts") + F.expr("INTERVAL 3600 SECONDS")).alias("win_end"),
+        )
+    )
+    clk = (
+        _stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    pairs = interval_join_stream(
+        clk, err, "click_ts", "win_start", "win_end", on=["user_id"]
+    )
+    sink = f"ivjoin_pairs_{uuid.uuid4().hex[:10]}"
+    run_available_now(pairs, sink, output_mode="append")
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("click_id").alias("n_clicks"),
+            F.countDistinct("err_id").alias("n_errors"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def cochrans_q_user_types(spark, sf_dir):
+    """Cochran's Q test (operators/hypotests.py cochrans_q): did the SAME
+    users clear the ≥7-events bar at different rates across the five
+    event types? The k-condition extension of McNemar — per-user
+    propensity nets out, only within-user differences count. The
+    user×type grid is COMPLETED before the test (absent counts are 0, not
+    missing), so every subject is a complete block. Exact integer
+    functionals, Q one fixed division — VALUE-oracled."""
+    from preprocessor_spark.operators.hypotests import cochrans_q
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    users = e.select("user_id").distinct()
+    types = e.select("event_type").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            (F.coalesce(F.col("cnt"), F.lit(0)) >= 7).alias("y"),
+        )
+    )
+    return cochrans_q(grid, "user_id", "event_type", "y")
+
+
+def kendalls_w_type_users(spark, sf_dir):
+    """Kendall's coefficient of concordance W (operators/rankstats.py
+    kendalls_w): do the five event types agree on the ORDERING of users
+    by activity? Each type "rates" every user by event count (exact
+    integers — rank determinism needs no float sums); users missing a
+    type are dropped by the complete-block contract and counted. Doubled
+    tie-corrected rank sums, all functionals exact DECIMAL —
+    VALUE-oracled."""
+    from preprocessor_spark.operators.rankstats import kendalls_w
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return kendalls_w(counts, "user_id", "event_type", "n_events")
+
+
 def funnel_user_events(spark, sf_dir):
     """Strictly-ordered first-touch conversion funnel (operators/funnel.py
     funnel_report): view → click → purchase per user, each step's earliest
@@ -6331,6 +6440,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (round 11, oracle-backed — quantized bin moments)
         "calibration_discount_returns": calibration_discount_returns,
         "interval_join_events": interval_join_events,
+        # stream-stream interval join drain + Cochran's Q + Kendall's W
+        # (round 12, oracle-backed)
+        "interval_join_stream_events": interval_join_stream_events,
+        "cochrans_q_user_types": cochrans_q_user_types,
+        "kendalls_w_type_users": kendalls_w_type_users,
         "anomaly_mad_events": anomaly_mad_events,
         "event_transitions_markov": event_transitions_markov,
         "cohort_retention_events": cohort_retention_events,
@@ -9994,6 +10108,137 @@ def oracle_sql() -> dict[str, str]:
                        END AS f_stat
             FROM ff
         """,
+        # Cochran's Q: completed user-x-type grid, exact integer subject/
+        # treatment totals, Q one fixed division
+        "cochrans_q_user_types": """
+            WITH counts AS (
+                SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2
+            ), users AS (
+                SELECT DISTINCT user_id FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), types AS (
+                SELECT DISTINCT event_type FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), grid AS (
+                SELECT u.user_id, t.event_type,
+                       COALESCE(c.cnt, 0) >= 7 AS y
+                FROM users u CROSS JOIN types t
+                LEFT JOIN counts c
+                     ON c.user_id = u.user_id
+                        AND c.event_type = t.event_type
+            ), kf AS (
+                SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+                FROM grid
+            ), l AS (
+                SELECT user_id,
+                       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                           AS l_i
+                FROM grid GROUP BY user_id
+            ), g AS (
+                SELECT event_type,
+                       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                           AS g_j
+                FROM grid GROUP BY event_type
+            ), st AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                       CAST(SUM(CAST(l_i AS HUGEINT)) AS HUGEINT) AS sl,
+                       CAST(SUM(CAST(l_i AS HUGEINT)
+                                * CAST(l_i AS HUGEINT)) AS HUGEINT) AS sl2
+                FROM l
+            ), gt AS (
+                SELECT CAST(SUM(CAST(g_j AS HUGEINT)) AS HUGEINT) AS sg,
+                       CAST(SUM(CAST(g_j AS HUGEINT)
+                                * CAST(g_j AS HUGEINT)) AS HUGEINT) AS sg2
+                FROM g
+            ), calc AS (
+                SELECT n_subjects, k,
+                       CAST(k AS DOUBLE) AS kd,
+                       CAST(sl AS DOUBLE) AS sld,
+                       CAST(sl2 AS DOUBLE) AS sl2d,
+                       CAST(sg AS DOUBLE) AS sgd,
+                       CAST(sg2 AS DOUBLE) AS sg2d
+                FROM st CROSS JOIN gt CROSS JOIN kf
+            )
+            SELECT n_subjects,
+                   CAST(0 AS BIGINT) AS n_dropped,
+                   CAST(k AS INT) AS k,
+                   CAST(k - 1 AS INT) AS dof,
+                   CASE WHEN kd * sld - sl2d > 0 THEN
+                       ROUND((kd - 1.0) * (kd * sg2d - sgd * sgd)
+                             / (kd * sld - sl2d), 6) END AS q_stat
+            FROM calc
+        """,
+        # Kendall's W: per-rater doubled ranks (half-integer grid), tie
+        # terms and subject rank sums exact HUGEINT; W fixed IEEE
+        "kendalls_w_type_users": """
+            WITH base AS (
+                SELECT user_id AS subj, event_type AS rater,
+                       CAST(COUNT(*) AS BIGINT) AS x
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2
+            ), mf AS (
+                SELECT CAST(COUNT(DISTINCT rater) AS BIGINT) AS m FROM base
+            ), cnts AS (
+                SELECT subj, CAST(COUNT(DISTINCT rater) AS BIGINT) AS m_i
+                FROM base GROUP BY subj
+            ), complete AS (
+                SELECT subj FROM cnts CROSS JOIN mf WHERE m_i = m
+            ), dropped AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped
+                FROM cnts CROSS JOIN mf WHERE m_i <> m
+            ), kept AS (
+                SELECT b.* FROM base b JOIN complete USING (subj)
+            ), cells AS (
+                SELECT rater, x, CAST(COUNT(*) AS BIGINT) AS t
+                FROM kept GROUP BY 1, 2
+            ), ranked AS (
+                SELECT rater, x, t,
+                       2 * CAST(COALESCE(SUM(t) OVER (PARTITION BY rater
+                           ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) + t + 1 AS r2
+                FROM cells
+            ), ties AS (
+                SELECT CAST(SUM(tt) AS HUGEINT) AS st
+                FROM (SELECT CAST(SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                                      * CAST(t AS HUGEINT)
+                                      - CAST(t AS HUGEINT)) AS HUGEINT) AS tt
+                      FROM ranked GROUP BY rater)
+            ), per_subj AS (
+                SELECT k.subj,
+                       CAST(SUM(CAST(r.r2 AS HUGEINT)) AS HUGEINT) AS r2_i
+                FROM kept k JOIN ranked r
+                     ON k.rater = r.rater AND k.x = r.x
+                GROUP BY k.subj
+            ), tot AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                       CAST(SUM(r2_i * r2_i) AS HUGEINT) AS sr2
+                FROM per_subj
+            ), calc AS (
+                SELECT n_subjects, m, n_dropped,
+                       CAST(n_subjects AS DOUBLE) AS nd,
+                       CAST(m AS DOUBLE) AS md,
+                       CAST(sr2 AS DOUBLE) / 4.0 AS sr2d,
+                       CAST(st AS DOUBLE) AS std
+                FROM tot CROSS JOIN mf CROSS JOIN ties CROSS JOIN dropped
+            ), wcalc AS (
+                SELECT *,
+                       12.0 * sr2d - 3.0 * md * md * nd * (nd + 1.0)
+                           * (nd + 1.0) AS num,
+                       md * md * nd * (nd * nd - 1.0) - md * std AS den
+                FROM calc
+            )
+            SELECT n_subjects, n_dropped,
+                   CAST(m AS INT) AS m,
+                   CAST(n_subjects - 1 AS BIGINT) AS dof,
+                   CASE WHEN den > 0 THEN ROUND(num / den, 6) END AS w,
+                   CASE WHEN den > 0 THEN
+                       ROUND(md * (nd - 1.0) * (num / den), 6) END AS chi2
+            FROM wcalc
+        """,
         # ordinal association: all five pair counts exact HUGEINT sums
         # over the classified cell self-join; statistics fixed IEEE
         "ordinal_assoc_ship_calendar": """
@@ -12990,6 +13235,10 @@ def _alias_shared_oracles(d: dict[str, str]) -> dict[str, str]:
     # list_reduce fold oracles grade the streamed state too
     d["holt_stream_report_users"] = d["forecast_holt_users"]
     d["cusum_stream_report_events"] = d["cusum_online_users"]
+    # the stream-stream interval join drains exactly the batch join's
+    # pairs (inner-join emissions do not wait for the watermark), so the
+    # naive range-join oracle grades the streamed path too
+    d["interval_join_stream_events"] = d["interval_join_events"]
     return d
 
 

@@ -820,3 +820,86 @@ def brown_forsythe(
         (n - k).cast("long").alias("df_within"),
         F.round(F.when(ssw > 0, f_stat), 6).alias("f_stat"),
     )
+
+
+def cochrans_q(
+    df: DataFrame,
+    subject_col: str,
+    treatment_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) — the k-treatment extension of
+    :func:`mcnemar_test`: did the SAME subjects succeed at different
+    rates across k conditions (k model variants on identical prompts,
+    k funnel steps per user)? Long input: one row per (subject,
+    treatment) with a boolean outcome; only subjects observed under ALL
+    k treatments enter (the complete-block requirement — incomplete
+    subjects are dropped and counted).
+
+        Q = (k−1)·[k·ΣG_j² − (ΣG_j)²] / [k·ΣL_i − ΣL_i²]
+
+    with G_j = per-treatment success totals and L_i = per-subject success
+    totals — every term an exact int64/DECIMAL sum, Q one fixed IEEE
+    division — VALUE-oracle-able. Q ~ χ²(k−1) under H0; the p-value needs
+    the incomplete gamma and is left to the caller (the ANOVA contract).
+    Returns 1 row: (n_subjects, n_dropped, k, q_stat, dof).
+
+    Shape: one groupBy(subject) pass (map-side combinable) carrying the
+    per-treatment flags; treatment totals on the |k| frame. No data-sized
+    shuffle beyond the subject collapse.
+    """
+    s, t = F.col(subject_col), F.col(treatment_col)
+    o = F.col(outcome_col).cast("boolean")
+    base = df.where(s.isNotNull() & t.isNotNull() & o.isNotNull()).select(
+        s.alias("subj"), t.alias("trt"), o.cast("int").alias("y")
+    )
+    k_frame = base.agg(F.count_distinct(F.col("trt")).alias("k"))
+    per_subj = base.groupBy("subj").agg(
+        F.count_distinct(F.col("trt")).alias("k_i"),
+        F.sum("y").cast("long").alias("l_i"),
+    )
+    per_subj = per_subj.crossJoin(F.broadcast(k_frame))
+    complete = per_subj.where(F.col("k_i") == F.col("k"))
+    subj_tot = complete.agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum("l_i").cast("decimal(38,0)").alias("sl"),
+        F.sum((F.col("l_i") * F.col("l_i")).cast("decimal(38,0)")).alias(
+            "sl2"
+        ),
+    )
+    dropped = per_subj.where(F.col("k_i") != F.col("k")).agg(
+        F.count(F.lit(1)).alias("n_dropped")
+    )
+    trt_tot = (
+        base.join(
+            complete.select(F.col("subj")), "subj"
+        )  # complete blocks only
+        .groupBy("trt")
+        .agg(F.sum("y").cast("long").alias("g_j"))
+        .agg(
+            F.sum(F.col("g_j").cast("decimal(38,0)")).alias("sg"),
+            F.sum(
+                (
+                    F.col("g_j").cast("decimal(38,0)")
+                    * F.col("g_j").cast("decimal(38,0)")
+                ).cast("decimal(38,0)")
+            ).alias("sg2"),
+        )
+    )
+    j = (
+        subj_tot.crossJoin(F.broadcast(trt_tot))
+        .crossJoin(F.broadcast(k_frame))
+        .crossJoin(F.broadcast(dropped))
+    )
+    kd = F.col("k").cast("double")
+    sl, sl2 = _dec_double(F.col("sl")), _dec_double(F.col("sl2"))
+    sg, sg2 = _dec_double(F.col("sg")), _dec_double(F.col("sg2"))
+    den = kd * sl - sl2
+    q = (kd - 1.0) * (kd * sg2 - sg * sg) / den
+    return j.select(
+        F.col("n_subjects"),
+        F.col("n_dropped"),
+        F.col("k").cast("int").alias("k"),
+        (F.col("k") - 1).cast("int").alias("dof"),
+        F.round(F.when(den > 0, q), 6).alias("q_stat"),
+    )

@@ -361,3 +361,100 @@ def ordinal_association(
             F.when(m > 1, 2.0 * m * num / (nd * nd * (m - 1.0))), 6
         ).alias("tau_c"),
     )
+
+
+def kendalls_w(
+    df: DataFrame,
+    subject_col: str,
+    rater_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W (Kendall & Babington Smith
+    1939) — do m raters agree on the ORDERING of n subjects? The
+    multi-rater generalization of rank correlation (m judges scoring
+    submissions, m ranking models ordering the same candidates), with the
+    standard tie correction:
+
+        W = (12·ΣR_i² − 3·m²·n·(n+1)²) / (m²·n·(n²−1) − m·ΣT_j)
+        T_j = Σ_groups (t³ − t) within rater j
+
+    Only subjects scored by ALL m raters enter (complete-block
+    requirement; incomplete subjects are dropped and counted). Exact
+    replay: per-rater average ranks live on the half-integer grid, so
+    DOUBLED rank sums R2_i = 2·R_i are exact integers; ΣR2_i² = 4·ΣR_i²
+    and every other functional is an exact DECIMAL sum — W is one fixed
+    IEEE expression — VALUE-oracle-able. Returns 1 row:
+    (n_subjects, n_dropped, m, w, chi2, dof) where χ² = m(n−1)W is the
+    large-n test statistic (p left to the caller, the ANOVA contract).
+
+    Shape: one groupBy(rater, subject) collapse; ranking windows
+    partitioned BY RATER over the distinct per-rater value frames (the
+    kruskal_wallis bounded-curve contract — parallelism is |raters|);
+    |subjects|-row frames after.
+    """
+    s, r, v = F.col(subject_col), F.col(rater_col), F.col(value_col)
+    base = df.where(s.isNotNull() & r.isNotNull() & v.isNotNull()).select(
+        s.alias("subj"), r.alias("rater"), v.alias("x")
+    )
+    m_frame = base.agg(F.count_distinct(F.col("rater")).alias("m"))
+    counts = base.groupBy("subj").agg(
+        F.count_distinct(F.col("rater")).alias("m_i")
+    ).crossJoin(F.broadcast(m_frame))
+    complete = counts.where(F.col("m_i") == F.col("m")).select("subj")
+    dropped = counts.where(F.col("m_i") != F.col("m")).agg(
+        F.count(F.lit(1)).alias("n_dropped")
+    )
+    kept = base.join(complete, "subj")
+    # per (rater, value) cells -> doubled average rank within rater
+    cells = kept.groupBy("rater", "x").agg(F.count(F.lit(1)).alias("t"))
+    w_rk = Window.partitionBy("rater").orderBy("x")
+    below = F.coalesce(
+        F.sum("t").over(w_rk.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    ranked = cells.select(
+        "rater",
+        "x",
+        "t",
+        (F.lit(2) * below + F.col("t") + F.lit(1)).alias("r2"),
+    )
+    # tie correction per rater, then summed over raters
+    ties = ranked.groupBy("rater").agg(
+        F.sum(
+            (
+                F.col("t").cast(_DEC) * F.col("t").cast(_DEC)
+                * F.col("t").cast(_DEC)
+                - F.col("t").cast(_DEC)
+            ).cast(_DEC)
+        ).alias("t_j")
+    ).agg(F.sum("t_j").alias("st"))
+    # per-subject doubled rank sums over raters
+    per_subj = (
+        kept.join(ranked, ["rater", "x"])
+        .groupBy("subj")
+        .agg(F.sum(F.col("r2").cast(_DEC)).alias("r2_i"))
+    )
+    subj_tot = per_subj.agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum((F.col("r2_i") * F.col("r2_i")).cast(_DEC)).alias("sr2"),
+    )
+    j = (
+        subj_tot.crossJoin(F.broadcast(m_frame))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(dropped))
+    )
+    nd = F.col("n_subjects").cast("double")
+    md = F.col("m").cast("double")
+    sr2 = _dec_double(F.col("sr2")) / F.lit(4.0)  # ΣR_i² from doubled sums
+    st = _dec_double(F.col("st"))
+    num = 12.0 * sr2 - 3.0 * md * md * nd * (nd + 1.0) * (nd + 1.0)
+    den = md * md * nd * (nd * nd - 1.0) - md * st
+    w = num / den
+    return j.select(
+        F.col("n_subjects"),
+        F.col("n_dropped"),
+        F.col("m").cast("int").alias("m"),
+        (F.col("n_subjects") - 1).cast("long").alias("dof"),
+        F.round(F.when(den > 0, w), 6).alias("w"),
+        F.round(F.when(den > 0, md * (nd - 1.0) * w), 6).alias("chi2"),
+    )

@@ -912,3 +912,60 @@ def funnel_report_from_states(states: DataFrame, steps: list[str]) -> DataFrame:
         ]
     )
     return _report_from_per_user(per_user, tcols, steps)
+
+
+def interval_join_stream(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    on: list[str],
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join: each arriving point row matches every
+    interval row with the same ``on`` keys whose [start, end] contains the
+    point's event time — the continuous twin of
+    :func:`preprocessor_spark.operators.interval.interval_join` (incident
+    windows catching clicks, sessions catching beacons) built on Spark's
+    watermarked stream-stream inner join.
+
+    Both sides carry a ``watermark_delay`` event-time watermark; the join
+    condition is the equi keys plus the explicit time range
+    ``start <= ts <= end``, which Spark uses to BOUND the buffered state
+    on both sides (late rows beyond the watermark are dropped, matched
+    pairs emit append-mode as soon as both sides arrive). Inner-join
+    emissions do not wait for the watermark, so a single availableNow
+    drain yields exactly the batch join's pairs — the twin contract the
+    registry query grades via the batch oracle.
+
+    Returns all columns of ``points`` plus the non-``on`` columns of
+    ``intervals``. Column names must not otherwise collide. The three
+    event-time columns are cast to TIMESTAMP (watermarks reject
+    TIMESTAMP_NTZ; with the engine's fixed UTC session timezone the cast
+    is value-preserving).
+    """
+    p = (
+        points.withColumn(point_ts, F.col(point_ts).cast("timestamp"))
+        .withWatermark(point_ts, watermark_delay)
+        .alias("p")
+    )
+    i = (
+        intervals.withColumn(start_col, F.col(start_col).cast("timestamp"))
+        .withColumn(end_col, F.col(end_col).cast("timestamp"))
+        .withWatermark(start_col, watermark_delay)
+        .alias("i")
+    )
+    cond = None
+    for c in on:
+        eq = F.col(f"p.{c}") == F.col(f"i.{c}")
+        cond = eq if cond is None else (cond & eq)
+    rng = (F.col(f"p.{point_ts}") >= F.col(f"i.{start_col}")) & (
+        F.col(f"p.{point_ts}") <= F.col(f"i.{end_col}")
+    )
+    cond = rng if cond is None else (cond & rng)
+    other = [c for c in intervals.columns if c not in on]
+    return p.join(i, cond, "inner").select(
+        *[F.col(f"p.{c}") for c in points.columns],
+        *[F.col(f"i.{c}") for c in other],
+    )

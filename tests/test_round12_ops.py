@@ -883,3 +883,202 @@ class TestBrownForsythe:
         f = (ssb / (kk - 1)) / (ssw / (nn - kk))
         assert r["n"] == nn
         assert abs(r["f_stat"] - f) < 1e-4
+
+
+class TestCochransQ:
+    def test_matches_direct_formula(self, spark):
+        import numpy as np
+        from preprocessor_spark.operators.hypotests import cochrans_q
+
+        rng = np.random.default_rng(47)
+        n, k = 120, 4
+        y = rng.random((n, k)) < np.array([0.3, 0.4, 0.5, 0.6])
+        rows = [
+            (i, f"t{j}", bool(y[i, j])) for i in range(n) for j in range(k)
+        ]
+        df = spark.createDataFrame(
+            rows, "subj int, trt string, y boolean"
+        ).repartition(7)
+        r = cochrans_q(df, "subj", "trt", "y").collect()[0]
+        l_i = y.sum(axis=1)
+        g_j = y.sum(axis=0)
+        q = (
+            (k - 1)
+            * (k * (g_j**2).sum() - g_j.sum() ** 2)
+            / (k * l_i.sum() - (l_i**2).sum())
+        )
+        assert r["n_subjects"] == n and r["n_dropped"] == 0
+        assert r["k"] == k and r["dof"] == k - 1
+        assert abs(r["q_stat"] - q) < 1e-5
+
+    def test_incomplete_blocks_dropped(self, spark):
+        from preprocessor_spark.operators.hypotests import cochrans_q
+
+        rows = [
+            (i, t, bool((i + len(t)) % 2))
+            for i in range(10)
+            for t in ("a", "b", "c")
+        ] + [(100, "a", True)]  # subject 100 misses b and c
+        df = spark.createDataFrame(rows, "subj int, trt string, y boolean")
+        r = cochrans_q(df, "subj", "trt", "y").collect()[0]
+        assert r["n_subjects"] == 10 and r["n_dropped"] == 1
+
+    def test_identical_treatment_totals_zero_q(self, spark):
+        """Each subject succeeds under exactly one (rotating) treatment:
+        within-subject variation exists (den > 0) but the treatment
+        totals are equal, so Q must be exactly 0."""
+        from preprocessor_spark.operators.hypotests import cochrans_q
+
+        rows = [
+            (i, t, bool(j == i % 3))
+            for i in range(30)
+            for j, t in enumerate(("a", "b", "c"))
+        ]
+        df = spark.createDataFrame(rows, "subj int, trt string, y boolean")
+        r = cochrans_q(df, "subj", "trt", "y").collect()[0]
+        assert r["q_stat"] == 0.0
+
+    def test_all_or_nothing_subjects_undefined(self, spark):
+        """Subjects that are all-success or all-failure carry no
+        discordant information: the denominator is 0 and Q is NULL."""
+        from preprocessor_spark.operators.hypotests import cochrans_q
+
+        rows = [
+            (i, t, bool(i % 3 == 0))
+            for i in range(30)
+            for t in ("a", "b", "c")
+        ]
+        df = spark.createDataFrame(rows, "subj int, trt string, y boolean")
+        r = cochrans_q(df, "subj", "trt", "y").collect()[0]
+        assert r["q_stat"] is None
+
+
+class TestKendallsW:
+    def test_perfect_concordance(self, spark):
+        from preprocessor_spark.operators.rankstats import kendalls_w
+
+        rows = [
+            (s, f"r{j}", float(s * 10 + j))  # same order for every rater
+            for s in range(20)
+            for j in range(4)
+        ]
+        df = spark.createDataFrame(rows, "subj int, rater string, x double")
+        r = kendalls_w(df, "subj", "rater", "x").collect()[0]
+        assert r["m"] == 4 and r["n_subjects"] == 20
+        assert r["w"] == 1.0
+
+    def test_matches_direct_formula_with_ties(self, spark):
+        import numpy as np
+        from preprocessor_spark.operators.rankstats import kendalls_w
+
+        def rankdata(a):  # average ranks, ties share the mean rank
+            a = np.asarray(a)
+            order = np.argsort(a, kind="stable")
+            ranks = np.empty(len(a), dtype=float)
+            i = 0
+            while i < len(a):
+                j = i
+                while j + 1 < len(a) and a[order[j + 1]] == a[order[i]]:
+                    j += 1
+                ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+                i = j + 1
+            return ranks
+
+        rng = np.random.default_rng(53)
+        n, m = 40, 5
+        scores = rng.integers(0, 12, (m, n)).astype(float)  # heavy ties
+        rows = [
+            (s, f"r{j}", float(scores[j, s]))
+            for s in range(n)
+            for j in range(m)
+        ]
+        df = spark.createDataFrame(
+            rows, "subj int, rater string, x double"
+        ).repartition(5)
+        r = kendalls_w(df, "subj", "rater", "x").collect()[0]
+        ranks = np.array([rankdata(scores[j]) for j in range(m)])
+        r_i = ranks.sum(axis=0)
+        t_corr = 0.0
+        for j in range(m):
+            _, counts = np.unique(scores[j], return_counts=True)
+            t_corr += (counts**3 - counts).sum()
+        w = (12 * (r_i**2).sum() - 3 * m * m * n * (n + 1) ** 2) / (
+            m * m * n * (n**2 - 1) - m * t_corr
+        )
+        assert abs(r["w"] - w) < 1e-6
+        assert abs(r["chi2"] - m * (n - 1) * w) < 1e-4
+
+    def test_incomplete_subjects_dropped(self, spark):
+        from preprocessor_spark.operators.rankstats import kendalls_w
+
+        rows = [
+            (s, f"r{j}", float(s + j)) for s in range(10) for j in range(3)
+        ] + [(99, "r0", 5.0)]
+        df = spark.createDataFrame(rows, "subj int, rater string, x double")
+        r = kendalls_w(df, "subj", "rater", "x").collect()[0]
+        assert r["n_subjects"] == 10 and r["n_dropped"] == 1
+
+
+class TestIntervalJoinStream:
+    def test_drain_equals_batch_join(self, spark):
+        """The stream-stream drain must produce exactly the batch
+        interval join's pairs on the same inputs."""
+        import uuid
+
+        from preprocessor_spark.operators.interval import interval_join
+        from preprocessor_spark.streaming import (
+            interval_join_stream,
+            run_available_now,
+        )
+
+        e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        err_b = e.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").alias("win_start"),
+            (F.col("ts") + F.expr("INTERVAL 3600 SECONDS")).alias("win_end"),
+        )
+        clk_b = e.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        batch = {
+            (r["click_id"], r["err_id"])
+            for r in interval_join(
+                clk_b, err_b, "click_ts", "win_start", "win_end",
+                on=["user_id"], bin_seconds=3600.0,
+            ).collect()
+        }
+
+        schema = e.schema
+        glob = "/root/testdata/sf0.001/events.parq*"
+
+        def _s():
+            return spark.readStream.schema(schema).parquet(glob)
+
+        err_s = _s().filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.col("ts").alias("win_start"),
+            (F.col("ts") + F.expr("INTERVAL 3600 SECONDS")).alias("win_end"),
+        )
+        clk_s = _s().filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        sink = f"ivj_test_{uuid.uuid4().hex[:8]}"
+        run_available_now(
+            interval_join_stream(
+                clk_s, err_s, "click_ts", "win_start", "win_end",
+                on=["user_id"],
+            ),
+            sink,
+            output_mode="append",
+        )
+        streamed = {
+            (r["click_id"], r["err_id"])
+            for r in spark.table(sink).collect()
+        }
+        assert streamed == batch and len(batch) > 0
