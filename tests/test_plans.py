@@ -481,3 +481,106 @@ def test_did_single_groupby_no_window(spark):
     plan = formatted_plan(em.did_building_orders(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan  # customer dim broadcast
+
+
+def test_theil_broadcasts_group_means_back(spark):
+    """theil_atkinson_by_group joins the |groups|-row mean frame back to
+    the data BROADCAST (a shuffle join would re-exchange the fact side);
+    no cartesian anywhere."""
+    from preprocessor_spark.operators.inequality import theil_atkinson_by_group
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = formatted_plan(
+        theil_atkinson_by_group(o, "o_orderpriority", "o_totalprice")
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_brown_forsythe_broadcasts_medians(spark):
+    """brown_forsythe joins per-group medians back broadcast; the
+    deviation moments then combine map-side (no extra data exchange
+    beyond the two keyed groupBys)."""
+    from preprocessor_spark.operators.hypotests import brown_forsythe
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = formatted_plan(
+        brown_forsythe(li, "l_extendedprice", "l_returnflag")
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cmh_is_one_keyed_groupby_no_window(spark):
+    """cmh_test's only data-sized pass is the groupBy(stratum) — no
+    window functions, no cartesian, exactly one hash-partitioning
+    exchange feeds the stratum cells."""
+    from preprocessor_spark.operators.hypotests import cmh_test
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.year("l_shipdate").alias("s"),
+        (F.col("l_discount") > 0.05).alias("e"),
+        (F.col("l_returnflag") == "R").alias("o"),
+    )
+    plan = formatted_plan(cmh_test(li, "s", "e", "o"))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # exactly one keyed exchange (the stratum cells); the only other
+    # exchange is the 1-row final reduce (SinglePartition)
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "hashpartitioning(s#" in plan, plan
+
+
+def test_jonckheere_data_join_is_keyed_cells_bounded(spark):
+    """The JT registry shape: the lineitem-orders join is a keyed
+    hash/SMJ join (never cartesian); the pairwise theta join runs on
+    POST-AGGREGATE cell frames only (every theta-join input must sit
+    above a HashAggregate, so its size is the bounded |cells|, not the
+    data)."""
+    from preprocessor_spark.operators.rankstats import jonckheere_terpstra
+
+    l = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("tier"),
+    )
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    plan = formatted_plan(jonckheere_terpstra(j, "tier", "l_quantity"))
+    # the DATA join (lineitem x orders) must be keyed
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+    # the pairwise theta join and the functionals cross joins are
+    # nested-loop/cartesian BY DESIGN — but every such join consumes
+    # POST-AGGREGATE frames, so the cell collapse (group,value) and the
+    # group/tie functional aggregates must all be present; the data-side
+    # keyed exchange feeds exactly one (grp, v) collapse
+    assert plan.count("HashAggregate") >= 6, plan  # 3 agg pairs (partial+final)
+    assert "hashpartitioning(grp" in plan, plan
+
+
+def test_delta_scan_pushes_residual_predicate(spark, tmp_path):
+    """read_delta's residual predicate must reach the parquet scan as a
+    pushed filter (metadata pruning above, row-group pruning below)."""
+    import datetime as dt
+
+    from preprocessor_spark.sources.delta import read_delta, write_delta
+
+    t = str(tmp_path / "dplan")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    write_delta(
+        o.repartitionByRange(4, "o_orderdate").sortWithinPartitions(
+            "o_orderdate"
+        ),
+        t,
+    )
+    df = read_delta(
+        spark, t, where=[("o_orderdate", ">=", dt.datetime(1997, 1, 1))]
+    )
+    plan = formatted_plan(df)
+    assert "PushedFilters: [" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
