@@ -55,6 +55,11 @@ _LOG_DIR = "_delta_log"
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
+class ConcurrentDeltaCommit(RuntimeError):
+    """Another writer committed the same version first (the optimistic-
+    concurrency loser); re-read table state and retry."""
+
+
 # ------------------------------------------------------------------- helpers
 
 
@@ -236,11 +241,28 @@ def write_delta(
             }
         }
     )
-    tmp = _log_path(table_path, version) + f".tmp-{_uuid.uuid4().hex}"
+    # the Delta commit protocol is PUT-if-absent on the version file: two
+    # writers racing to the same version must not clobber each other —
+    # the loser surfaces a conflict instead (os.rename would overwrite)
+    final = _log_path(table_path, version)
+    tmp = final + f".tmp-{_uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
-    os.rename(tmp, _log_path(table_path, version))
+    try:
+        os.link(tmp, final)  # atomic fail-if-exists publish
+    except FileExistsError:
+        os.remove(tmp)
+        for rel in moved:
+            try:
+                os.remove(rel)  # orphaned data files of the losing commit
+            except OSError:
+                pass
+        raise ConcurrentDeltaCommit(
+            f"version {version} of {table_path} was committed concurrently;"
+            " re-read the table state and retry the write"
+        ) from None
+    os.remove(tmp)
 
     if checkpoint_interval > 0 and version > 0 and (
         version % checkpoint_interval == 0

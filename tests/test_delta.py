@@ -187,3 +187,27 @@ class TestDeltaSpecShape:
             "o_orderkey"
         ]
         assert "T" in stats["minValues"]["o_orderdate"]  # ISO timestamp
+
+
+class TestDeltaConcurrency:
+    def test_losing_commit_raises_not_clobbers(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """True race: both writers read latest=0, the other lands v1
+        first. The loser must raise ConcurrentDeltaCommit and leave the
+        winner's commit intact — never overwrite it."""
+        from preprocessor_spark.sources import delta as delta_mod
+
+        t = str(tmp_path / "race")
+        o = _orders(spark).limit(20)
+        write_delta(o, t)
+        winner = os.path.join(t, "_delta_log", f"{1:020d}.json")
+        with open(winner, "w") as fh:
+            fh.write('{"commitInfo": {"operation": "WINNER"}}\n')
+        # pin the loser's view of the log to before the winner's commit
+        monkeypatch.setattr(delta_mod, "_latest_version", lambda p: 0)
+        with pytest.raises(
+            delta_mod.ConcurrentDeltaCommit, match="version 1"
+        ):
+            delta_mod.write_delta(o, t, mode="append")
+        assert '"WINNER"' in open(winner).read()  # untouched
