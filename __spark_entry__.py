@@ -2267,6 +2267,53 @@ def kendalls_w_type_users(spark, sf_dir):
     return kendalls_w(counts, "user_id", "event_type", "n_events")
 
 
+def friedman_types_by_user(spark, sf_dir):
+    """Friedman test via the Kendall-W identity (operators/rankstats.py
+    kendalls_w): rank the five event TYPES within each user block by
+    activity count — χ²_F = m(k−1)·W with blocks as raters and
+    treatments as subjects, which is exactly kendalls_w's chi2 output
+    with the roles swapped. The repeated-measures rank ANOVA ("did the
+    same users rank the channels differently?"); tie-corrected, exact
+    doubled-rank integers — VALUE-oracled."""
+    from preprocessor_spark.operators.rankstats import kendalls_w
+
+    e = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return kendalls_w(counts, "event_type", "user_id", "n_events")
+
+
+def mood_median_price_flag(spark, sf_dir):
+    """Mood's median test as a composition (grand percentile + the
+    existing chi2_independence operator): classify every line item as
+    above/at-or-below the GRAND median extended price, then test the
+    2×3 (above × return flag) table — the nonparametric "do the groups
+    straddle the same center?" screen, robust where means mislead. The
+    1-row median frame broadcasts back (no collect); exact integer cells,
+    the chi2 sorted-fold — VALUE-oracled."""
+    from preprocessor_spark.operators.hypotests import chi2_independence
+
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_returnflag"
+    ).where(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
+    med = l.agg(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("med")
+    )
+    flagged = l.crossJoin(F.broadcast(med)).select(
+        "l_returnflag",
+        F.when(F.col("l_extendedprice") > F.col("med"), 1)
+        .otherwise(0)
+        .alias("above"),
+    )
+    return chi2_independence(flagged, "l_returnflag", "above")
+
+
 def funnel_user_events(spark, sf_dir):
     """Strictly-ordered first-touch conversion funnel (operators/funnel.py
     funnel_report): view → click → purchase per user, each step's earliest
@@ -3209,6 +3256,61 @@ def delta_scan_orders(spark, sf_dir):
     table = _synth_delta_table(spark, sf_dir)
     cut = _dt.datetime(1997, 1, 1)
     df = read_delta(spark, table, where=[("o_orderdate", ">=", cut)])
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias(
+                "sum_price"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _synth_iceberg_mor_table(spark, sf_dir) -> str:
+    """Materialize the merge-on-read Iceberg orders layout ONCE per
+    sf-dir: base commit (4 files) PUBLISHED first (delete-file paths are
+    absolute, so the position-delete commit must run against the final
+    location), then a predicate DELETE of the '1-URGENT' tier as a v2
+    position-delete snapshot. A completion marker gates re-entry; a
+    concurrent second builder's delete is idempotent (0 new positions)."""
+    import hashlib
+    import os
+
+    from preprocessor_spark.sources.iceberg import delete_iceberg, write_iceberg
+
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|iceberg_mor_v1".encode()
+    ).hexdigest()[:12]
+    dest = f"/tmp/iceberg_mor_{key}"
+    marker = os.path.join(dest, "_MOR_READY")
+    if os.path.exists(marker):
+        return dest
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"
+    )
+    if not os.path.exists(os.path.join(dest, "metadata", "version-hint.text")):
+        write_iceberg(o.repartition(4), dest)
+    delete_iceberg(spark, dest, [("o_orderpriority", "=", "1-URGENT")])
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return dest
+
+
+def iceberg_mor_scan_orders(spark, sf_dir):
+    """Iceberg v2 MERGE-ON-READ scan (sources/iceberg.py delete_iceberg +
+    read_iceberg): the orders table committed as an Iceberg layout, then
+    DELETE FROM ... WHERE priority = '1-URGENT' executed as a position-
+    delete snapshot (spec content=1 manifest; no data file rewritten);
+    the scan anti-joins (file, row-ordinal) pairs — Spark's
+    _metadata.row_index — before aggregating per remaining priority.
+    VALUE-oracled: the DuckDB twin aggregates the raw orders parquet
+    minus the deleted tier — delete routing must be exact, row-level."""
+    from preprocessor_spark.sources.iceberg import read_iceberg
+
+    table = _synth_iceberg_mor_table(spark, sf_dir)
+    df = read_iceberg(spark, table)
     return (
         df.groupBy("o_orderpriority")
         .agg(
@@ -6445,6 +6547,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_stream_events": interval_join_stream_events,
         "cochrans_q_user_types": cochrans_q_user_types,
         "kendalls_w_type_users": kendalls_w_type_users,
+        # Friedman (Kendall-W identity) + Mood's median composition +
+        # Iceberg v2 merge-on-read scan (round 12, oracle-backed)
+        "friedman_types_by_user": friedman_types_by_user,
+        "mood_median_price_flag": mood_median_price_flag,
+        "iceberg_mor_scan_orders": iceberg_mor_scan_orders,
         "anomaly_mad_events": anomaly_mad_events,
         "event_transitions_markov": event_transitions_markov,
         "cohort_retention_events": cohort_retention_events,
@@ -10238,6 +10345,123 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN den > 0 THEN
                        ROUND(md * (nd - 1.0) * (num / den), 6) END AS chi2
             FROM wcalc
+        """,
+        # Friedman via the Kendall-W identity: the kendalls_w SQL with
+        # blocks (users) as raters and treatments (types) as subjects
+        "friedman_types_by_user": """
+            WITH base AS (
+                SELECT event_type AS subj, user_id AS rater,
+                       CAST(COUNT(*) AS BIGINT) AS x
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2
+            ), mf AS (
+                SELECT CAST(COUNT(DISTINCT rater) AS BIGINT) AS m FROM base
+            ), cnts AS (
+                SELECT subj, CAST(COUNT(DISTINCT rater) AS BIGINT) AS m_i
+                FROM base GROUP BY subj
+            ), complete AS (
+                SELECT subj FROM cnts CROSS JOIN mf WHERE m_i = m
+            ), dropped AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped
+                FROM cnts CROSS JOIN mf WHERE m_i <> m
+            ), kept AS (
+                SELECT b.* FROM base b JOIN complete USING (subj)
+            ), cells AS (
+                SELECT rater, x, CAST(COUNT(*) AS BIGINT) AS t
+                FROM kept GROUP BY 1, 2
+            ), ranked AS (
+                SELECT rater, x, t,
+                       2 * CAST(COALESCE(SUM(t) OVER (PARTITION BY rater
+                           ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) + t + 1 AS r2
+                FROM cells
+            ), ties AS (
+                SELECT CAST(SUM(tt) AS HUGEINT) AS st
+                FROM (SELECT CAST(SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                                      * CAST(t AS HUGEINT)
+                                      - CAST(t AS HUGEINT)) AS HUGEINT) AS tt
+                      FROM ranked GROUP BY rater)
+            ), per_subj AS (
+                SELECT k.subj,
+                       CAST(SUM(CAST(r.r2 AS HUGEINT)) AS HUGEINT) AS r2_i
+                FROM kept k JOIN ranked r
+                     ON k.rater = r.rater AND k.x = r.x
+                GROUP BY k.subj
+            ), tot AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                       CAST(SUM(r2_i * r2_i) AS HUGEINT) AS sr2
+                FROM per_subj
+            ), calc AS (
+                SELECT n_subjects, m, n_dropped,
+                       CAST(n_subjects AS DOUBLE) AS nd,
+                       CAST(m AS DOUBLE) AS md,
+                       CAST(sr2 AS DOUBLE) / 4.0 AS sr2d,
+                       CAST(st AS DOUBLE) AS std
+                FROM tot CROSS JOIN mf CROSS JOIN ties CROSS JOIN dropped
+            ), wcalc AS (
+                SELECT *,
+                       12.0 * sr2d - 3.0 * md * md * nd * (nd + 1.0)
+                           * (nd + 1.0) AS num,
+                       md * md * nd * (nd * nd - 1.0) - md * std AS den
+                FROM calc
+            )
+            SELECT n_subjects, n_dropped,
+                   CAST(m AS INT) AS m,
+                   CAST(n_subjects - 1 AS BIGINT) AS dof,
+                   CASE WHEN den > 0 THEN ROUND(num / den, 6) END AS w,
+                   CASE WHEN den > 0 THEN
+                       ROUND(md * (nd - 1.0) * (num / den), 6) END AS chi2
+            FROM wcalc
+        """,
+        # Mood's median: grand quantile_cont flag + the chi2 fold
+        "mood_median_price_flag": """
+            WITH f AS (
+                SELECT l_returnflag, l_extendedprice FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                      AND l_returnflag IS NOT NULL
+            ), med AS (
+                SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM f
+            ), flagged AS (
+                SELECT l_returnflag AS a,
+                       CASE WHEN l_extendedprice > med THEN 1 ELSE 0 END AS b
+                FROM f CROSS JOIN med
+            ), cells AS (
+                SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+                FROM flagged GROUP BY 1, 2
+            ), per AS (
+                SELECT a, b, o,
+                       CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS ra,
+                       CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS cb,
+                       CAST(SUM(o) OVER () AS BIGINT) AS n
+                FROM cells
+            ), agg AS (
+                SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS cells,
+                       COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb,
+                       list_reduce(
+                           list_prepend(0.0, list_sort(list(o * o / (CAST(ra AS DOUBLE) * cb / n)))),
+                           (acc, x) -> acc + x
+                       ) AS sum_o2e
+                FROM per
+            )
+            SELECT n, cells,
+                   (ka - 1) * (kb - 1) AS dof,
+                   ROUND(sum_o2e - n, 6) AS chi2,
+                   ROUND(sqrt((sum_o2e - n) / (n * LEAST(ka - 1, kb - 1))), 6)
+                       AS cramers_v
+            FROM agg
+        """,
+        # Iceberg MOR: delete routing must be row-exact — same aggregate
+        # over the raw orders minus the deleted tier
+        "iceberg_mor_scan_orders": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                       AS sum_price
+            FROM orders
+            WHERE o_orderpriority <> '1-URGENT'
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         # ordinal association: all five pair counts exact HUGEINT sums
         # over the classified cell self-join; statistics fixed IEEE

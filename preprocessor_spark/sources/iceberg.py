@@ -52,7 +52,7 @@ import struct
 import time
 import uuid as _uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -307,13 +307,14 @@ def _enc_manifest_entry(
     snapshot_id: int,
     seq: int | None,
     file_info: dict,
+    content: int = 0,
 ) -> bytes:
     out = bytearray()
     _enc_long(out, status)
     _enc_opt(out, snapshot_id, _enc_long)
     _enc_opt(out, seq, _enc_long)  # null inherits the manifest's sequence
     _enc_opt(out, seq, _enc_long)
-    _enc_long(out, 0)  # content: data
+    _enc_long(out, content)  # 0 = data, 1 = position deletes (spec v2)
     _enc_str(out, file_info["file_path"])
     _enc_str(out, "PARQUET")
     # partition record r102: zero fields, zero bytes
@@ -331,7 +332,7 @@ def _enc_manifest_file(m: dict) -> bytes:
     _enc_str(out, m["manifest_path"])
     _enc_long(out, m["manifest_length"])
     _enc_long(out, 0)  # partition_spec_id
-    _enc_long(out, 0)  # content: data
+    _enc_long(out, m.get("content", 0))  # 0 = data, 1 = delete manifest
     _enc_long(out, m["sequence_number"])
     _enc_long(out, m["min_sequence_number"])
     _enc_long(out, m["added_snapshot_id"])
@@ -632,10 +633,14 @@ def plan_iceberg_scan(
             raise ValueError(f"unsupported predicate op {op!r}")
     kept, total = [], 0
     for m in _read_manifest_list(snap["manifest-list"]):
+        if m.get("content", 0) != 0:
+            continue  # delete manifests are not data
         for entry in _avro_records(m["manifest_path"]):
             if entry["status"] == 2:  # deleted
                 continue
             dfile = entry["data_file"]
+            if dfile.get("content", 0) != 0:
+                continue
             total += 1
             lower = _kv_to_dict(dfile.get("lower_bounds"))
             upper = _kv_to_dict(dfile.get("upper_bounds"))
@@ -652,6 +657,37 @@ def plan_iceberg_scan(
     return kept, total, _spark_schema(meta), by_name
 
 
+def position_delete_files(
+    table_path: str, snapshot_id: int | None = None
+) -> list[str]:
+    """Paths of the snapshot's position-delete parquet files (v2 spec
+    content=1 manifests / data-file entries)."""
+    meta, _ = _load_metadata(table_path)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg metadata at {table_path}")
+    snap = _resolve_snapshot(meta, snapshot_id)
+    out = []
+    for m in _read_manifest_list(snap["manifest-list"]):
+        if m.get("content", 0) != 1:
+            continue
+        for entry in _avro_records(m["manifest_path"]):
+            if entry["status"] == 2:
+                continue
+            dfile = entry["data_file"]
+            if dfile.get("content", 0) == 1:
+                out.append(dfile["file_path"])
+    return out
+
+
+# strip the file URI scheme Spark's _metadata.file_path carries so row
+# positions join against the plain absolute paths manifests record
+_STRIP_SCHEME = r"^file:/*"
+
+
+def _plain_path(c: Column) -> Column:
+    return F.regexp_replace(c, _STRIP_SCHEME, "/")
+
+
 def read_iceberg(
     spark: SparkSession,
     table_path: str,
@@ -659,11 +695,34 @@ def read_iceberg(
     where: list[tuple] | None = None,
 ) -> DataFrame:
     """Iceberg table scan: stats-pruned file list + residual predicate.
-    With ``snapshot_id`` this is time travel to any committed snapshot."""
+    With ``snapshot_id`` this is time travel to any committed snapshot.
+
+    MERGE-ON-READ: when the snapshot carries position-delete files
+    (:func:`delete_iceberg`), each data row's (file, row-ordinal) — from
+    Spark's ``_metadata.file_path`` / ``_metadata.row_index`` hidden
+    columns — is ANTI-JOINED against the delete set before the residual
+    predicate. Position deletes name explicit (path, pos) pairs, so
+    applying the full delete set to every data file is exact regardless
+    of sequence numbers (a newer file's path cannot collide — data dirs
+    are per-commit UUIDs)."""
     kept, _total, schema, _ = plan_iceberg_scan(table_path, snapshot_id, where)
     if not kept:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(*kept)
+    dels = position_delete_files(table_path, snapshot_id)
+    if dels:
+        base = spark.read.schema(schema).parquet(*kept).select(
+            "*",
+            _plain_path(F.col("_metadata.file_path")).alias("__fp"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        dd = spark.read.parquet(*dels).select(
+            F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+        )
+        df = base.join(
+            F.broadcast(dd), ["__fp", "__pos"], "left_anti"
+        ).drop("__fp", "__pos")
+    else:
+        df = spark.read.schema(schema).parquet(*kept)
     for col, op, lit in where or []:
         c = F.col(col)
         df = df.filter(
@@ -672,3 +731,142 @@ def read_iceberg(
             )
         )
     return df
+
+
+def delete_iceberg(
+    spark: SparkSession,
+    table_path: str,
+    where: list[tuple],
+) -> tuple[int, int]:
+    """DELETE FROM the Iceberg table by predicate, v2 merge-on-read
+    style: no data file is rewritten — the matching rows' (file path,
+    row ordinal) pairs are written as a POSITION-DELETE parquet (spec
+    §position-delete-files: columns ``file_path``, ``pos``, sorted) and
+    committed as a new snapshot whose manifest list carries the previous
+    data manifests forward plus one content=1 delete manifest. Readers
+    (:func:`read_iceberg`) apply the deletes with an anti-join.
+
+    ``where`` is the same (column, op, literal) conjunction the scan
+    planner takes — file pruning bounds the scan to files that can
+    contain matches. Returns (new_snapshot_id, n_deleted); if no row
+    matches, no snapshot is committed and the current id is returned.
+
+    Scale shape: one distributed scan of the PRUNED file set projecting
+    only (path, pos); the delete parquet is data-sized in the number of
+    DELETED rows only.
+    """
+    meta, ver = _load_metadata(table_path)
+    if meta is None:
+        raise FileNotFoundError(f"no Iceberg metadata at {table_path}")
+    kept, _total, schema, _ = plan_iceberg_scan(table_path, None, where)
+    cur_snap = _resolve_snapshot(meta, None)
+    if not kept:
+        return cur_snap["snapshot-id"], 0
+    base = spark.read.schema(schema).parquet(*kept).select(
+        _plain_path(F.col("_metadata.file_path")).alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        *[F.col(c) for c in {cond[0] for cond in where}],
+    )
+    pred = None
+    for col, op, lit in where:
+        c = F.col(col)
+        e = {"<": c < lit, "<=": c <= lit, ">": c > lit, ">=": c >= lit}.get(
+            op, c == lit
+        )
+        pred = e if pred is None else (pred & e)
+    # the existing deletes must not be deleted twice (idempotent re-runs):
+    # anti-join against the current delete set first
+    positions = base.filter(pred).select("file_path", "pos")
+    old = position_delete_files(table_path)
+    if old:
+        prev = spark.read.parquet(*old).select("file_path", "pos")
+        positions = positions.join(
+            F.broadcast(prev), ["file_path", "pos"], "left_anti"
+        )
+    n_deleted = positions.count()
+    if n_deleted == 0:
+        return cur_snap["snapshot-id"], 0
+
+    meta_dir = os.path.join(table_path, "metadata")
+    commit = _uuid.uuid4().hex[:12]
+    del_dir = os.path.join(table_path, "data", f"{commit}-deletes")
+    (
+        positions.coalesce(1)
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("error")
+        .parquet(del_dir)
+    )
+    del_files = sorted(
+        os.path.join(del_dir, p)
+        for p in os.listdir(del_dir)
+        if p.endswith(".parquet")
+    )
+    snapshot_id = int.from_bytes(os.urandom(7), "big")
+    seq = meta["last-sequence-number"] + 1
+    entries = []
+    for p in del_files:
+        entries.append(
+            _enc_manifest_entry(
+                1,
+                snapshot_id,
+                seq,
+                {
+                    "file_path": p,
+                    "record_count": n_deleted,
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+                content=1,
+            )
+        )
+    man_path = os.path.join(meta_dir, f"manifest-{commit}-deletes.avro")
+    man_len = _avro_write(man_path, _MANIFEST_SCHEMA, entries)
+    del_manifest = {
+        "manifest_path": man_path,
+        "manifest_length": man_len,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(del_files),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_deleted,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+    }
+    manifests = [del_manifest] + list(
+        _read_manifest_list(cur_snap["manifest-list"])
+    )
+    ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-{commit}.avro")
+    _avro_write(
+        ml_path,
+        _MANIFEST_LIST_SCHEMA,
+        [_enc_manifest_file(m) for m in manifests],
+    )
+    now_ms = int(time.time() * 1000)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": ml_path,
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(len(del_files)),
+            "added-position-deletes": str(n_deleted),
+        },
+        "schema-id": 0,
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = list(meta["snapshots"]) + [snapshot]
+    new_meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    new_ver = ver + 1
+    with open(os.path.join(meta_dir, f"v{new_ver}.metadata.json"), "w") as f:
+        json.dump(new_meta, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(new_ver))
+    return snapshot_id, n_deleted

@@ -8,6 +8,7 @@ import shutil
 import struct
 
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module")
@@ -217,3 +218,119 @@ class TestIcebergFormat:
                 actual_min = pdf[0][0]
                 assert lo is not None and hi is not None
                 assert lo <= actual_min <= hi
+
+
+class TestPositionDeletes:
+    """v2 merge-on-read: delete_iceberg writes position-delete parquet +
+    a content=1 delete manifest; read_iceberg anti-joins (path, pos)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _table(self, spark, tmp_path):
+        t = str(tmp_path / "mor")
+        o = spark.read.parquet(f"{self.SF}/orders.parquet").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        from preprocessor_spark.sources.iceberg import write_iceberg
+
+        snap0 = write_iceberg(o.repartition(4), t)
+        return t, o, snap0
+
+    def test_delete_then_scan_matches_filtered_batch(self, spark, tmp_path):
+        from preprocessor_spark.sources.iceberg import (
+            delete_iceberg,
+            position_delete_files,
+        )
+
+        from preprocessor_spark.sources.iceberg import read_iceberg
+
+        t, o, snap0 = self._table(spark, tmp_path)
+        n0 = o.count()
+        _sid, nd = delete_iceberg(
+            spark, t, [("o_orderpriority", "=", "1-URGENT")]
+        )
+        expect = o.where(F.col("o_orderpriority") != "1-URGENT")
+        assert nd == n0 - expect.count() and nd > 0
+        got = read_iceberg(spark, t)
+        assert got.count() == expect.count()
+        assert sorted(r["o_orderkey"] for r in got.collect()) == sorted(
+            r["o_orderkey"] for r in expect.collect()
+        )
+        assert len(position_delete_files(t)) == 1
+        # time travel to the pre-delete snapshot still sees every row
+        assert read_iceberg(spark, t, snapshot_id=snap0).count() == n0
+
+    def test_redelete_is_idempotent_and_deletes_stack(self, spark, tmp_path):
+        from preprocessor_spark.sources.iceberg import delete_iceberg
+
+        t, o, _ = self._table(spark, tmp_path)
+        sid1, nd1 = delete_iceberg(
+            spark, t, [("o_orderpriority", "=", "1-URGENT")]
+        )
+        sid2, nd2 = delete_iceberg(
+            spark, t, [("o_orderpriority", "=", "1-URGENT")]
+        )
+        assert nd2 == 0 and sid2 == sid1  # no empty snapshot committed
+        _sid3, nd3 = delete_iceberg(
+            spark, t, [("o_totalprice", ">", 400000.0)]
+        )
+        from preprocessor_spark.sources.iceberg import read_iceberg
+
+        assert nd3 > 0
+        expect = o.where(
+            (F.col("o_orderpriority") != "1-URGENT")
+            & (F.col("o_totalprice") <= 400000.0)
+        )
+        got = read_iceberg(spark, t)
+        assert got.count() == expect.count()
+        a = got.agg(F.sum("o_orderkey")).collect()[0][0]
+        b = expect.agg(F.sum("o_orderkey")).collect()[0][0]
+        assert a == b
+
+    def test_delete_manifest_is_content_one(self, spark, tmp_path):
+        """Spec shape: the delete snapshot's manifest list carries the
+        data manifests (content=0) forward plus one content=1 manifest;
+        the data-file walk must not count delete files."""
+        from preprocessor_spark.sources.iceberg import (
+            _load_metadata,
+            _read_manifest_list,
+            _resolve_snapshot,
+            delete_iceberg,
+        )
+
+        t, _o, _ = self._table(spark, tmp_path)
+        delete_iceberg(spark, t, [("o_orderpriority", "=", "2-HIGH")])
+        meta, _ = _load_metadata(t)
+        snap = _resolve_snapshot(meta, None)
+        contents = sorted(
+            m.get("content", 0)
+            for m in _read_manifest_list(snap["manifest-list"])
+        )
+        assert contents == [0, 1]
+        from preprocessor_spark.sources.iceberg import plan_iceberg_scan
+
+        kept, total, _schema, _ = plan_iceberg_scan(t)
+        assert total == 4 and len(kept) == 4  # data files only
+
+    def test_append_after_delete_untouched(self, spark, tmp_path):
+        """Rows appended AFTER a delete must all survive (position
+        deletes name explicit paths — new files cannot be hit)."""
+        from preprocessor_spark.sources.iceberg import delete_iceberg
+
+        from preprocessor_spark.sources.iceberg import (
+            read_iceberg,
+            write_iceberg,
+        )
+
+        t, o, _ = self._table(spark, tmp_path)
+        delete_iceberg(spark, t, [("o_orderpriority", "=", "1-URGENT")])
+        extra = o.limit(50).withColumn(
+            "o_orderpriority", F.lit("1-URGENT")
+        )
+        write_iceberg(extra, t, mode="append")
+        urgent_now = (
+            read_iceberg(spark, t)
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .count()
+        )
+        assert urgent_now == 50  # the appended urgents, none of the old
