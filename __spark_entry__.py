@@ -32,6 +32,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _stream_rows_hint(sf_dir: str, pattern: str = "events.parq*") -> int:
+    """Approximate row count of a streaming drain's file source from its
+    on-disk bytes (~10 B/row compressed parquet — deliberately an
+    OVERestimate of rows: it can only raise the partition clamp toward
+    the session default, never starve a big input of partitions).
+    Driver-side listing, no Spark job. Sizes the drain's state-store
+    partitioning via run_available_now(rows_hint=...)."""
+    import glob as _glob
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(p) for p in _glob.glob(_os.path.join(sf_dir, pattern))
+    )
+    return max(1, total // 10)
+
+
 def _dec(col, prec=12, scale=2):
     return col.cast(f"decimal({prec},{scale})")
 
@@ -2205,7 +2221,9 @@ def interval_join_stream_events(spark, sf_dir):
         clk, err, "click_ts", "win_start", "win_end", on=["user_id"]
     )
     sink = f"ivjoin_pairs_{uuid.uuid4().hex[:10]}"
-    run_available_now(pairs, sink, output_mode="append")
+    run_available_now(
+        pairs, sink, output_mode="append", rows_hint=_stream_rows_hint(sf_dir)
+    )
     return (
         spark.table(sink)
         .groupBy("user_id")
@@ -2365,6 +2383,7 @@ def funnel_stream_report_events(spark, sf_dir):
         funnel_stream(stream, steps, "user_id", "ts", "event_type"),
         sink,
         output_mode="update",
+        rows_hint=_stream_rows_hint(sf_dir),
     )
     return funnel_report_from_states(spark.table(sink), steps)
 
@@ -2401,6 +2420,7 @@ def session_stream_report_events(spark, sf_dir):
         sessionize_stream(stream, gap_seconds=3600.0),
         sink,
         output_mode="update",
+        rows_hint=_stream_rows_hint(sf_dir),
     )
     return session_report_from_states(spark.table(sink))
 
@@ -2443,6 +2463,7 @@ def holt_stream_report_users(spark, sf_dir):
         holt_stream(stream, "user_id", "ts", "value", alpha=0.5, beta=0.3, horizon=3),
         sink,
         output_mode="update",
+        rows_hint=_stream_rows_hint(sf_dir),
     )
     final = _last_emission_per_key(spark.table(sink), "user_id")
     return final.select(
@@ -2481,6 +2502,7 @@ def cusum_stream_report_events(spark, sf_dir):
         ),
         sink,
         output_mode="update",
+        rows_hint=_stream_rows_hint(sf_dir),
     )
     final = _last_emission_per_key(spark.table(sink), "key")
     return final.where(F.col("n_alarms") > 0).orderBy("key")

@@ -41,6 +41,46 @@ from pyspark.sql.window import Window
 
 from preprocessor_spark.caching import checkpoint_frame, register_persisted
 
+# Per-round vertex-table broadcast budget for the fixpoint loops below —
+# the same dial label_propagation ships with. ~8M nodes × tens of bytes is
+# a few hundred MB broadcast: fine on real executors, and far under the
+# 8 GB / 512M-row broadcast hard cap. Past it every loop degrades to its
+# classic keyed-join (one-shuffle-per-round Pregel) shape.
+_BROADCAST_VERTEX_LIMIT = 8_000_000
+# ...and the floor under which broadcasting is NOT worth it: below ~half a
+# million edges the loop's keyed join (already clamped to a few shuffle
+# partitions by fixpoint_shuffle_scope) costs less than the per-round
+# driver collect + rebroadcast of the vertex table (A/B-measured at sf0.1:
+# the 72k-edge strong-tie graph and the dedup pair graphs got SLOWER under
+# per-round broadcast; the 1.17M-edge trade graph got 1.6× faster).
+_BROADCAST_MIN_EDGES = 500_000
+
+
+def _maybe_broadcast(
+    df: DataFrame,
+    n_rows: int | None,
+    edge_rows: int | None = None,
+    limit: int = _BROADCAST_VERTEX_LIMIT,
+) -> DataFrame:
+    """Broadcast a vertex-sized frame into a per-round fixpoint join while
+    its MEASURED row count stays under ``limit`` AND the edge table it
+    joins is big enough (``edge_rows`` ≥ _BROADCAST_MIN_EDGES) for the
+    avoided per-round edge exchange to beat the broadcast's driver
+    round-trip (the label_propagation / pagerank discipline): the
+    persisted edge table then never re-shuffles inside the loop — the join
+    is a map-side BroadcastHashJoin and the only per-round exchange left
+    is the vertex-bounded aggregate. Both counts come from the loop's own
+    setup/convergence probes, so the decision is runtime-adaptive: at
+    100 TB frontiers the vertex count exceeds the limit and the keyed join
+    stands. Join RESULTS are identical either way; the downstream
+    min/count aggregates are order-independent exact arithmetic, so the
+    fixpoint output is bit-equal under both shapes."""
+    if edge_rows is not None and edge_rows < _BROADCAST_MIN_EDGES:
+        return df
+    if n_rows is not None and n_rows <= limit:
+        return F.broadcast(df)
+    return df
+
 
 def connected_components(
     pairs: DataFrame,
@@ -81,18 +121,25 @@ def connected_components(
         # first round's message min is just min(neighbor id), so start
         # every node at min(id, min neighbor) directly — one groupBy
         # instead of a full join+groupBy+jump+checkpoint round
-        labels = (
-            edges.groupBy(F.col("src").alias("id"))
-            .agg(F.least(F.first("src"), F.min("dst")).alias("component"))
-            .transform(checkpoint_frame)
-        )
+        # lazy checkpoint + probe: the convergence probe is the action that
+        # materializes each round's checkpoint, so a round costs ONE job
+        # (eager checkpoint + separate probe was two)
+        labels = edges.groupBy(F.col("src").alias("id")).agg(
+            F.least(F.first("src"), F.min("dst")).alias("component")
+        ).transform(lambda df: checkpoint_frame(df, eager=False))
+        n_nodes = labels.count()  # materializes; |V| is constant across rounds
 
         prev_sum = None
         for _ in range(max_iterations):
-            # 1. propagate: my label vs my neighbors' labels
-            msgs = edges.join(labels.withColumnRenamed("id", "src"), "src").select(
-                F.col("dst").alias("id"), "component"
-            )
+            # 1. propagate: my label vs my neighbors' labels. The label
+            # table is vertex-sized — broadcast it (runtime-gated on the
+            # measured |V|) so the persisted edge table never re-shuffles;
+            # the vote groupBy partial-aggregates map-side, so its exchange
+            # is vertex-bounded, not |E|-sized.
+            msgs = edges.join(
+                _maybe_broadcast(labels.withColumnRenamed("id", "src"), n_nodes, n_edges),
+                "src",
+            ).select(F.col("dst").alias("id"), "component")
             stage1 = (
                 labels.unionByName(msgs).groupBy("id").agg(F.min("component").alias("component"))
             )
@@ -100,10 +147,12 @@ def connected_components(
             lut = stage1.select(
                 F.col("id").alias("cid"), F.col("component").alias("comp2")
             )
-            jumped = stage1.join(lut, stage1["component"] == lut["cid"], "left").select(
-                "id", F.coalesce("comp2", "component").alias("component")
-            )
-            labels = jumped.transform(checkpoint_frame)
+            jumped = stage1.join(
+                _maybe_broadcast(lut, n_nodes, n_edges),
+                stage1["component"] == lut["cid"],
+                "left",
+            ).select("id", F.coalesce("comp2", "component").alias("component"))
+            labels = jumped.transform(lambda df: checkpoint_frame(df, eager=False))
             s = labels.agg(
                 F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
             ).collect()[0]["s"]
@@ -621,18 +670,24 @@ def shortest_hops(
             .where(F.col("node").isNotNull())
             .distinct()
             .select("node", F.lit(0).alias("hops"))
-            .transform(checkpoint_frame)
+            .transform(lambda df: checkpoint_frame(df, eager=False))
         )
+        n_dist = dist.count()  # materializes the lazy checkpoint
         prev_sum, prev_cnt = None, None
         for _ in range(max_hops):
+            # frontier table is vertex-sized: broadcast it (gated on the
+            # probe's measured count) so the persisted edge table never
+            # re-shuffles; the min groupBy partial-aggregates map-side, so
+            # its exchange is vertex-bounded. Lazy checkpoint + probe = one
+            # job per round.
             msgs = e.join(
-                dist.withColumnRenamed("node", "s"), "s"
+                _maybe_broadcast(dist.withColumnRenamed("node", "s"), n_dist, n_edges), "s"
             ).select(F.col("d").alias("node"), (F.col("hops") + 1).alias("hops"))
             dist = (
                 dist.unionByName(msgs)
                 .groupBy("node")
                 .agg(F.min("hops").alias("hops"))
-                .transform(checkpoint_frame)
+                .transform(lambda df: checkpoint_frame(df, eager=False))
             )
             probe = dist.agg(
                 F.count(F.lit(1)).alias("c"), F.sum("hops").alias("s")
@@ -640,6 +695,7 @@ def shortest_hops(
             if (probe["c"], probe["s"]) == (prev_cnt, prev_sum):
                 break
             prev_cnt, prev_sum = probe["c"], probe["s"]
+            n_dist = probe["c"]
     e.unpersist()
     return dist
 
@@ -798,9 +854,9 @@ def k_core(
         .filter(F.col("a") != F.col("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
-        .transform(checkpoint_frame)
+        .transform(lambda df: checkpoint_frame(df, eager=False))
     )
-    n_edges = e.count()
+    n_edges = e.count()  # materializes the lazy checkpoint
 
     from preprocessor_spark.caching import fixpoint_shuffle_scope
 
@@ -815,12 +871,24 @@ def k_core(
                 .groupBy("n")
                 .agg(F.count(F.lit(1)).alias("d"))
             )
+            # the sub-k node frame is vertex-sized (|low| <= |V| <= 2·|E|,
+            # and n_edges is tracked every round): broadcast-gate it so the
+            # two anti joins never shuffle the surviving edge table; lazy
+            # checkpoint + count = one job per round
             low = deg.filter(F.col("d") < k).select("n")
             e2 = (
-                e.join(low.withColumnRenamed("n", "a"), "a", "left_anti")
-                .join(low.withColumnRenamed("n", "b"), "b", "left_anti")
+                e.join(
+                    _maybe_broadcast(low.withColumnRenamed("n", "a"), 2 * n_edges, n_edges),
+                    "a",
+                    "left_anti",
+                )
+                .join(
+                    _maybe_broadcast(low.withColumnRenamed("n", "b"), 2 * n_edges, n_edges),
+                    "b",
+                    "left_anti",
+                )
                 .select("a", "b")
-                .transform(checkpoint_frame)
+                .transform(lambda df: checkpoint_frame(df, eager=False))
             )
             n2 = e2.count()
             e = e2
@@ -886,11 +954,18 @@ def shortest_paths_weighted(
             .where(F.col("node").isNotNull())
             .distinct()
             .select("node", F.lit("0").cast("decimal(38,8)").alias("cost"))
-            .transform(checkpoint_frame)
+            .transform(lambda df: checkpoint_frame(df, eager=False))
         )
+        n_dist = dist.count()  # materializes the lazy checkpoint
         prev = None
         for _ in range(max_rounds):
-            msgs = e.join(dist.withColumnRenamed("node", "s"), "s").select(
+            # broadcast the vertex-sized frontier (probe-count gated) so
+            # the persisted edge table never re-shuffles; min over exact
+            # DECIMAL is order-independent, so results are bit-equal under
+            # either join shape. Lazy checkpoint + probe = one job/round.
+            msgs = e.join(
+                _maybe_broadcast(dist.withColumnRenamed("node", "s"), n_dist, n_edges), "s"
+            ).select(
                 F.col("d").alias("node"),
                 (F.col("cost") + F.col("w")).cast("decimal(38,8)").alias("cost"),
             )
@@ -898,7 +973,7 @@ def shortest_paths_weighted(
                 dist.unionByName(msgs)
                 .groupBy("node")
                 .agg(F.min("cost").alias("cost"))
-                .transform(checkpoint_frame)
+                .transform(lambda df: checkpoint_frame(df, eager=False))
             )
             probe = dist.agg(
                 F.count(F.lit(1)).alias("c"), F.sum("cost").alias("s")
@@ -907,5 +982,6 @@ def shortest_paths_weighted(
             if key == prev:
                 break
             prev = key
+            n_dist = probe["c"]
     e.unpersist()
     return dist

@@ -177,66 +177,74 @@ def cox_ph(
         Window.unboundedPreceding, 0
     )
     beta, loglik, converged, it = 0.0, None, False, 0
-    for it in range(1, max_iter + 1):
-        bx = F.lit(float(beta)) * F.col("x")
-        r0q = F.exp(bx).cast("decimal(28,12)")
-        r1q = (F.col("x") * F.exp(bx)).cast("decimal(28,10)")
-        r2q = (F.col("x") * F.col("x") * F.exp(bx)).cast("decimal(28,8)")
-        per = base.groupBy("t").agg(
-            F.count(F.lit(1)).alias("m"),
-            F.count(r0q).alias("m_q"),
-            F.sum("e").alias("dk"),
-            F.sum(F.when(F.col("e") == 1, F.col("x").cast("decimal(28,10)"))).alias(
-                "sxe"
-            ),
-            F.sum(r0q.cast("decimal(38,12)")).alias("s0"),
-            F.sum(r1q.cast("decimal(38,10)")).alias("s1"),
-            F.sum(r2q.cast("decimal(38,8)")).alias("s2"),
-        )
-        # overflow certificate: a quantization NULL silently shrinks the
-        # risk set under non-ANSI Spark — fail loudly instead
-        m_ok = F.coalesce(
-            F.assert_true(F.col("m") == F.col("m_q"), F.lit(_COX_OVERFLOW_MSG)).cast(
-                "long"
-            ),
-            F.col("m"),
-        )
-        from preprocessor_spark.operators.hypotests import _dec_double
+    from preprocessor_spark.caching import fixpoint_shuffle_scope
 
-        cum = per.select(
-            "t", "dk", "sxe", m_ok.alias("m"),
-            F.sum("s0").over(w_desc).alias("r0"),
-            F.sum("s1").over(w_desc).alias("r1"),
-            F.sum("s2").over(w_desc).alias("r2"),
-        ).where(F.col("dk") > 0)
-        r0 = _dec_double(F.col("r0"))
-        r1 = _dec_double(F.col("r1"))
-        r2 = _dec_double(F.col("r2"))
-        dkd = F.col("dk").cast("double")
-        u_t = _dec_double(F.col("sxe")) - dkd * (r1 / r0)
-        i_t = dkd * (r2 / r0 - (r1 / r0) * (r1 / r0))
-        ll_t = F.lit(float(beta)) * _dec_double(F.col("sxe")) - dkd * F.log(r0)
-        # bounded curve frame: sorted folds keep the cross-time sums
-        # order-independent
-        row = cum.agg(
-            F.aggregate(
-                F.sort_array(F.collect_list(u_t)), F.lit(0.0), lambda a, v: a + v
-            ).alias("u"),
-            F.aggregate(
-                F.sort_array(F.collect_list(i_t)), F.lit(0.0), lambda a, v: a + v
-            ).alias("i"),
-            F.aggregate(
-                F.sort_array(F.collect_list(ll_t)), F.lit(0.0), lambda a, v: a + v
-            ).alias("ll"),
-        ).collect()[0]
-        u, info, loglik = row["u"], row["i"], row["ll"]
-        if info <= 0:
-            break
-        step = u / info
-        beta += step
-        if abs(step) < tol:
-            converged = True
-            break
+    # size the per-iteration groupBy(duration) shuffles to the measured
+    # base count instead of the session default (the graph-fixpoint
+    # policy): at toy scale this folds 64 near-empty reduce tasks per
+    # Newton step into 8; at 100 TB the clamp is a no-op. Reduce-side
+    # partitioning cannot change the exact quantized-DECIMAL sums.
+    with fixpoint_shuffle_scope(df.sparkSession, n):
+        for it in range(1, max_iter + 1):
+            bx = F.lit(float(beta)) * F.col("x")
+            r0q = F.exp(bx).cast("decimal(28,12)")
+            r1q = (F.col("x") * F.exp(bx)).cast("decimal(28,10)")
+            r2q = (F.col("x") * F.col("x") * F.exp(bx)).cast("decimal(28,8)")
+            per = base.groupBy("t").agg(
+                F.count(F.lit(1)).alias("m"),
+                F.count(r0q).alias("m_q"),
+                F.sum("e").alias("dk"),
+                F.sum(F.when(F.col("e") == 1, F.col("x").cast("decimal(28,10)"))).alias(
+                    "sxe"
+                ),
+                F.sum(r0q.cast("decimal(38,12)")).alias("s0"),
+                F.sum(r1q.cast("decimal(38,10)")).alias("s1"),
+                F.sum(r2q.cast("decimal(38,8)")).alias("s2"),
+            )
+            # overflow certificate: a quantization NULL silently shrinks the
+            # risk set under non-ANSI Spark — fail loudly instead
+            m_ok = F.coalesce(
+                F.assert_true(F.col("m") == F.col("m_q"), F.lit(_COX_OVERFLOW_MSG)).cast(
+                    "long"
+                ),
+                F.col("m"),
+            )
+            from preprocessor_spark.operators.hypotests import _dec_double
+
+            cum = per.select(
+                "t", "dk", "sxe", m_ok.alias("m"),
+                F.sum("s0").over(w_desc).alias("r0"),
+                F.sum("s1").over(w_desc).alias("r1"),
+                F.sum("s2").over(w_desc).alias("r2"),
+            ).where(F.col("dk") > 0)
+            r0 = _dec_double(F.col("r0"))
+            r1 = _dec_double(F.col("r1"))
+            r2 = _dec_double(F.col("r2"))
+            dkd = F.col("dk").cast("double")
+            u_t = _dec_double(F.col("sxe")) - dkd * (r1 / r0)
+            i_t = dkd * (r2 / r0 - (r1 / r0) * (r1 / r0))
+            ll_t = F.lit(float(beta)) * _dec_double(F.col("sxe")) - dkd * F.log(r0)
+            # bounded curve frame: sorted folds keep the cross-time sums
+            # order-independent
+            row = cum.agg(
+                F.aggregate(
+                    F.sort_array(F.collect_list(u_t)), F.lit(0.0), lambda a, v: a + v
+                ).alias("u"),
+                F.aggregate(
+                    F.sort_array(F.collect_list(i_t)), F.lit(0.0), lambda a, v: a + v
+                ).alias("i"),
+                F.aggregate(
+                    F.sort_array(F.collect_list(ll_t)), F.lit(0.0), lambda a, v: a + v
+                ).alias("ll"),
+            ).collect()[0]
+            u, info, loglik = row["u"], row["i"], row["ll"]
+            if info <= 0:
+                break
+            step = u / info
+            beta += step
+            if abs(step) < tol:
+                converged = True
+                break
     # final information at the converged beta for the SE
     se = (1.0 / info) ** 0.5 if info and info > 0 else None
     base.unpersist()

@@ -142,18 +142,49 @@ def run_foreach_batch(stream_df: DataFrame, batch_fn, timeout: int = 120):
     return q
 
 
-def run_available_now(stream_df: DataFrame, table_name: str, output_mode: str = "append", timeout: int = 120):
+def run_available_now(
+    stream_df: DataFrame,
+    table_name: str,
+    output_mode: str = "append",
+    timeout: int = 120,
+    rows_hint: int | None = None,
+):
     """Drain everything currently available into an in-memory table and stop.
     Returns after the trigger completes; read results with
-    ``spark.table(table_name)``."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    ``spark.table(table_name)``.
+
+    ``rows_hint`` (approximate input rows) sizes the streaming query's
+    state/shuffle partitioning via
+    :func:`preprocessor_spark.caching.fixpoint_shuffle_scope` — a stateful
+    streaming query pins ``spark.sql.shuffle.partitions`` at its FIRST
+    batch as the state-store partition count, and every micro-batch then
+    loads+commits one store per partition per stateful operator (×4 for a
+    stream-stream join). At the session default that is a fleet of
+    near-empty state stores whose per-batch setup/commit dominates a small
+    drain; the scope clamps the count to the data
+    (clamp(rows/100k, 8, session default)), and at 100 TB the hint exceeds
+    the session default so the clamp is a no-op — the same scale-adaptive
+    policy the iterative fixpoints use. Per-key state contents and emitted
+    rows are partitioning-independent, so results are unchanged. The scope
+    stays open until the drain terminates (the conf is read per batch)."""
+    from contextlib import nullcontext
+
+    from preprocessor_spark.caching import fixpoint_shuffle_scope
+
+    scope = (
+        fixpoint_shuffle_scope(stream_df.sparkSession, rows_hint)
+        if rows_hint is not None
+        else nullcontext()
     )
-    q.awaitTermination(timeout)
+    with scope:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout)
     return q
 
 
