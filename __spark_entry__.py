@@ -4827,14 +4827,25 @@ def pagerank_custsupp(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # LONG-encoded node ids through the power iteration (customer = 2·key,
+    # supplier = 2·key+1): the data-sized distinct + dst repartition and
+    # the per-round broadcasts move 8-byte ints instead of strings (guide
+    # §2.3). Every rank is a per-node function of the edge set — the int64
+    # contribution sums are order-free — so decoding the ids afterward
+    # reproduces exactly the rows the string-keyed run produced; the
+    # replay oracle is unchanged.
     edges = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
     )
-    return pagerank_exact(edges, iterations=5).orderBy("node")
+    out = pagerank_exact(edges, iterations=5)
+    node_str = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node DIV 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("node DIV 2")))
+    return out.select(node_str.alias("node"), "rank").orderBy("node")
 
 
 def lateral_topn_orders(spark, sf_dir):
@@ -5190,11 +5201,18 @@ def graph_hops_custsupp(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # LONG-encoded node ids through the fixpoint (customer = 2·key,
+    # supplier = 2·key+1 — the _strong_tie_edges discipline): the
+    # data-sized distinct and every per-round join/aggregate shuffle
+    # 8-byte ints instead of ~8-char strings (guide §2.3 narrower keys).
+    # Hop distances are id-ORDER-independent (min over ints), so decoding
+    # back to the "c…"/"s…" labels at the end reproduces the exact rows
+    # the string-keyed walk produced; the DuckDB oracle is unchanged.
     pairs = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("b"),
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
         )
         .distinct()
     )
@@ -5204,10 +5222,13 @@ def graph_hops_custsupp(spark, sf_dir):
     seeds = (
         _t(spark, sf_dir, "supplier")
         .where(F.col("s_nationkey") == 0)
-        .select(F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"))
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
     )
     out = shortest_hops(edges, seeds, max_hops=4)
-    return out.orderBy("node")
+    node_str = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("c"), F.expr("node DIV 2"))
+    ).otherwise(F.concat(F.lit("s"), F.expr("node DIV 2")))
+    return out.select(node_str.alias("node"), "hops").orderBy("node")
 
 
 def anova_price_priority(spark, sf_dir):

@@ -63,16 +63,28 @@ def kfold_cv_ols2(
     x1c = F.col(x1).cast("decimal(18,4)")
     x2c = F.col(x2).cast("decimal(18,4)")
     yc = F.col(y).cast("decimal(18,4)")
-    base = df.where(
-        F.col(x1).isNotNull() & F.col(x2).isNotNull() & F.col(y).isNotNull()
-    ).select(
-        (split_bucket_expr(F.col(id_col)) % k).cast("int").alias("fold"),
-        x1c.alias("x1d"),
-        x2c.alias("x2d"),
-        yc.alias("yd"),
-        F.col(x1).cast("double").alias("x1v"),
-        F.col(x2).cast("double").alias("x2v"),
-        F.col(y).cast("double").alias("yv"),
+    from preprocessor_spark.caching import register_persisted
+
+    # persisted: BOTH passes (training-moment agg and held-out scoring)
+    # reference this frame, and without the cache each would re-run the
+    # md5 fold bucket + the DECIMAL casts over every row — the md5 alone
+    # is the single most expensive per-row expression here. Values are
+    # identical either way; register_persisted lets a caller's
+    # persist_scope release the cache after materializing.
+    base = register_persisted(
+        df.where(
+            F.col(x1).isNotNull() & F.col(x2).isNotNull() & F.col(y).isNotNull()
+        )
+        .select(
+            (split_bucket_expr(F.col(id_col)) % k).cast("int").alias("fold"),
+            x1c.alias("x1d"),
+            x2c.alias("x2d"),
+            yc.alias("yd"),
+            F.col(x1).cast("double").alias("x1v"),
+            F.col(x2).cast("double").alias("x2v"),
+            F.col(y).cast("double").alias("yv"),
+        )
+        .persist()
     )
 
     def _s(expr, name):

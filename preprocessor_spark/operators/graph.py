@@ -349,7 +349,7 @@ def pagerank_exact(
     mass = 10**15
     ranks = nodes.select(
         "node", "__deg", F.lit(mass // n_nodes).alias("q")
-    ).transform(checkpoint_frame)
+    ).transform(lambda df: checkpoint_frame(df, eager=False))
 
     one_minus_d = 1.0 - damping
     for _ in range(iterations):
@@ -394,7 +394,7 @@ def pagerank_exact(
             )
             .crossJoin(F.broadcast(dangling))
             .select("node", "__deg", new_q.alias("q"))
-            .transform(checkpoint_frame)
+            .transform(lambda df: checkpoint_frame(df, eager=False))
         )
     return ranks.select(
         "node", (F.col("q").cast("double") / F.lit(1.0e15)).alias("rank")
@@ -586,7 +586,7 @@ def label_propagation(
     with fixpoint_shuffle_scope(edges.sparkSession, n_edges):
         labels = sym.select(F.col("u").alias("node")).distinct().select(
             "node", F.col("node").alias("community")
-        ).transform(checkpoint_frame)
+        ).transform(lambda df: checkpoint_frame(df, eager=False))
         # one tiny job up front: |V| decides keyed-join vs broadcast rounds
         small_vertex_set = labels.count() <= broadcast_vertex_limit
 
@@ -622,7 +622,12 @@ def label_propagation(
             # every-other-round persist-then-checkpoint (the off-round frame
             # is referenced twice next round — join + self-vote union — and
             # the double recompute costs more than a |V|-sized checkpoint
-            # job; A/B at sf0.1: ~11.5 s vs ~14.3 s)
+            # job; A/B at sf0.1: ~11.5 s vs ~14.3 s). EAGER on purpose:
+            # the next round references labels twice (broadcast build +
+            # self-vote union) with no convergence probe to merge into —
+            # the round-12 lazy-checkpoint A/B measured eager 6.0 s vs
+            # lazy 8.2 s solo for communities_lpa, the opposite of the
+            # probe-merged fixpoints above.
             labels = labels.transform(checkpoint_frame)
     return labels
 
