@@ -578,7 +578,11 @@ def ngram_jaccard_pairs(
     # global total order: (frequency asc, hash asc); prefix length
     # |d| − ceil(t·|d|) + 1
     w = Window.partitionBy("__id").orderBy(F.asc("df_"), F.asc("shingle"))
-    prefix = (
+    # persisted: BOTH sides of the candidate self-join read this frame, and
+    # unpersisted each side re-ran the whole freq-agg + join + window
+    # subtree (two extra exchanges + a second window sort in the physical
+    # plan — guide §2.4, share one computation instead of duplicating it)
+    prefix = register_persisted(
         inv.join(freq, "shingle")
         .withColumn("__rank", F.row_number().over(w))
         # round before ceil: fl(t)·n can land a hair ABOVE an exact integer
@@ -589,6 +593,7 @@ def ngram_jaccard_pairs(
             <= F.col("__n") - F.ceil(F.round(F.lit(threshold) * F.col("__n"), 9)) + 1
         )
         .select("__id", "__n", "shingle")
+        .persist()
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand_cond = (
@@ -616,6 +621,14 @@ def ngram_jaccard_pairs(
             inter = np.intersect1d(xa, ya, assume_unique=True).size
             out[i] = inter / (xa.size + ya.size - inter)
         return pd.Series(out)
+
+    # non-deterministic marking (guide §4.4): the threshold filter below
+    # otherwise pushes under the projection and the optimizer DUPLICATES
+    # the UDF — the physical plan showed two ArrowEvalPython nodes, every
+    # candidate pair paying the Arrow transfer + intersection twice. The
+    # function is pure; the marking only stops the optimizer re-evaluating
+    # it, so results are unchanged.
+    _jaccard = _jaccard.asNondeterministic()
 
     sh_a = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     sh_b = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
@@ -916,7 +929,10 @@ def _pair_cosine_udf():
         b = np.array(vb.tolist(), dtype="float64")
         return pd.Series(np.einsum("ij,ij->i", a, b))
 
-    return _cos
+    # pure function, marked non-deterministic so the threshold filter the
+    # callers apply on the result does not duplicate the ArrowEvalPython
+    # node (guide §4.4 — same fix as ngram's _jaccard)
+    return _cos.asNondeterministic()
 
 
 def _bruteforce_blocked_pairs(base: DataFrame, threshold: float, block_rows: int = 512) -> DataFrame:
@@ -1231,30 +1247,7 @@ def containment_pairs(
             )
             .select(
                 F.col(id_col).alias("__rid"),
-                F.split(F.lower(F.col(text_col)), r"\s+").alias("__ws"),
-            )
-            .repartition(F.col("__rid"))
-            .select(
-                "__rid",
-                F.size(
-                    F.array_distinct(
-                        F.transform(
-                            F.sequence(
-                                F.lit(1),
-                                F.greatest(
-                                    F.size(F.col("__ws")) - F.lit(shingle_n - 1),
-                                    F.lit(1),
-                                ),
-                            ),
-                            lambda i: F.xxhash64(
-                                F.array_join(
-                                    F.slice(F.col("__ws"), i, F.lit(shingle_n)),
-                                    " ",
-                                )
-                            ),
-                        )
-                    )
-                )
+                F.size(hashed_shingles_udf(shingle_n)(F.col(text_col)))
                 .cast("long")
                 .alias("__sz"),
             )
@@ -1285,44 +1278,22 @@ def containment_pairs(
         )
         return cross.unionByName(within)
 
-    ws = F.col("__ws")
-    n_sh = F.greatest(F.size(ws) - F.lit(shingle_n - 1), F.lit(1))
-    # hash each shingle to int64 INSIDE the array builder: the index
-    # groupBy then runs on longs instead of wide strings (the
-    # hashed_shingles discipline of the jaccard family — intersection
-    # CARDINALITIES are what containment needs, and a 64-bit collision
-    # inside one document pair is ~2^-64 per shingle pair). The shingle
-    # hash combines PER-WORD hashes (xxhash64 is variadic) instead of
-    # materializing the joined shingle string — a repetitive corpus
-    # builds millions of pre-distinct shingles per scan and the string
-    # churn was measured as the dominant cost.
-    # words cannot contain whitespace, so the joined-string shingle is an
-    # injective encoding of the word tuple and tuple-hash equality ==
-    # string equality. Only a doc with fewer than shingle_n words yields
-    # a short tuple — the length marker keeps it from aliasing a full
-    # shingle whose trailing words repeat.
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.xxhash64(
-                F.array_join(F.slice(ws, i, F.lit(shingle_n)), " ")
-            ),
-        )
-    )
-    # Materialize the word array ONCE, with the repartition exchange as a
-    # fusion barrier: CollapseProject would otherwise re-inline the split
-    # into the shingle lambda and re-split the text per element. The
-    # exchange also spreads the O(L·n) per-doc shingle work across the
-    # cluster — a small-file corpus otherwise runs the pipeline on the
-    # scan's single input partition. (A per-word-hash recombination was
-    # tried and measured 4x SLOWER: higher-order lambdas evaluate
-    # interpreted, so fewer nodes per element beats fewer string bytes.)
-    split_df = df.where(F.col(text_col).isNotNull()).select(
+    # Shingle hashes come from the SAME Arrow kernel the jaccard family
+    # uses (``hashed_shingles_udf``): distinct int64 hashes per doc, one
+    # numpy/hashlib batch per Arrow record batch. The previous
+    # interpreted-expression builder (transform + slice + array_join +
+    # xxhash64 per element — higher-order lambdas evaluate interpreted
+    # with no codegen) was measured as the DOMINANT cost of this operator
+    # at sf0.1: 3.9 s of the 6.7 s wall for 5k docs / 260k shingles; the
+    # Arrow kernel does the identical work in <1 s (guide §4.2 — hand
+    # whole batches to native code instead of per-element expression
+    # trees). Only intersection/size CARDINALITIES feed the results, and
+    # the hash is an injective encoding of the shingle string up to
+    # 64-bit collisions (~2^-64 per shingle pair), so the output — and
+    # the string-based DuckDB oracle replay — is unchanged.
+    sh = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
-        F.split(F.lower(F.col(text_col)), r"\s+").alias("__ws"),
-    )
-    sh = split_df.repartition(F.col("__id")).select(
-        F.col("__id"), shingles.alias("__g")
+        hashed_shingles_udf(shingle_n)(F.col(text_col)).alias("__g"),
     )
     ex = sh.select("__id", F.explode("__g").alias("__s"))
     if materialize:

@@ -340,10 +340,11 @@ def test_persist_scope_releases_operator_caches(spark, sf_dir):
         minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8).count()
         ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.8).count()
         embedding_neardup_pairs(e, "embedding", "vec_id", threshold=0.95).count()
-        # minhash: 1 (signatures), ngram: 2 (content-hash collapse map +
-        # shingle base of the representative run), embedding: 2 (exact-dup
-        # collapse map + the representative run's vectors)
-        assert len(frames) == 5
+        # minhash: 1 (signatures), ngram: 3 (content-hash collapse map +
+        # shingle base and prefix-index frames of the representative run),
+        # embedding: 2 (exact-dup collapse map + the representative run's
+        # vectors)
+        assert len(frames) == 6
         now = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
         assert len(now - pre) > 0
     now = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
