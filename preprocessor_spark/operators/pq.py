@@ -79,18 +79,46 @@ def pq_train(
     for j in range(m):
         x = sample[:, j * dsub : (j + 1) * dsub]
         cents = x[rng.choice(len(x), n_codes, replace=False)].copy()
+        # BIT-IDENTICAL fast Lloyd's (this loop dominated the 3 PQ queries'
+        # driver-side cost — ~2.2 s of each). Three rewrites, each provably
+        # reproducing the naive loop bit-for-bit:
+        #  - |x|² rows hoisted out of the loop; d2 assembled with in-place
+        #    adds in the SAME association order ((xx − 2s) + cn; IEEE
+        #    a−b ≡ a+(−b) and fl(−2s) is the exact negation of fl(2s)),
+        #  - per-cluster means only for clusters whose MEMBERSHIP changed
+        #    (unchanged member set ⇒ identical numpy pairwise mean ⇒
+        #    skipping the recompute is a no-op); members come from a
+        #    stable argsort slice, which preserves the original row order
+        #    the boolean mask produced,
+        #  - stop when the assignment reaches a fixed point (unchanged
+        #    assignment ⇒ unchanged means ⇒ every later iteration is a
+        #    no-op).
+        xx = (x * x).sum(axis=1, keepdims=True)
+        prev = None
         for _ in range(kmeans_iters):
             # L2 argmin == argmax(2<x,c> - |c|^2); B×K distances
-            d2 = (
-                (x * x).sum(axis=1, keepdims=True)
-                - 2.0 * (x @ cents.T)
-                + (cents * cents).sum(axis=1)[None, :]
-            )
+            d2 = -2.0 * (x @ cents.T)
+            d2 += xx
+            d2 += (cents * cents).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
-            for c in range(n_codes):
-                members = x[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
+            if prev is not None and np.array_equal(assign, prev):
+                break
+            if prev is None:
+                dirty = np.arange(n_codes)
+            else:
+                moved = assign != prev
+                dirty = np.unique(
+                    np.concatenate([assign[moved], prev[moved]])
+                )
+            order = np.argsort(assign, kind="stable")
+            xs = x[order]
+            sa = assign[order]
+            starts = np.searchsorted(sa, dirty, side="left")
+            ends = np.searchsorted(sa, dirty, side="right")
+            for c, s, e in zip(dirty.tolist(), starts.tolist(), ends.tolist()):
+                if e > s:
+                    cents[c] = xs[s:e].mean(axis=0)
+            prev = assign
         books[j] = cents
     return books
 

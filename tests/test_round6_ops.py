@@ -1200,6 +1200,46 @@ class TestProductQuantization:
         with pytest.raises(ValueError, match="not divisible"):
             pq_train(df, "v", m=2)
 
+    def test_pq_train_matches_naive_lloyds_bitwise(self, spark, emb):
+        """The vectorized Lloyd's loop (hoisted |x|², in-place d2 assembly,
+        dirty-cluster-only means, fixed-point early stop) must reproduce
+        the naive masked-mean reference BIT-FOR-BIT — the optimization
+        contract that keeps the PQ queries' outputs unchanged."""
+        import numpy as np
+
+        from preprocessor_spark.operators.pq import _unit_rows, pq_train
+
+        sample = np.array(
+            [r[0] for r in emb.select("embedding").limit(512).collect()],
+            dtype="float64",
+        )
+        sample = _unit_rows(sample)
+        m, n_codes, iters, seed = 8, 64, 10, 3
+        d = sample.shape[1]
+        dsub = d // m
+        rng = np.random.RandomState(seed)
+        want = np.empty((m, n_codes, dsub), dtype="float64")
+        for j in range(m):
+            x = sample[:, j * dsub : (j + 1) * dsub]
+            cents = x[rng.choice(len(x), n_codes, replace=False)].copy()
+            for _ in range(iters):
+                d2 = (
+                    (x * x).sum(axis=1, keepdims=True)
+                    - 2.0 * (x @ cents.T)
+                    + (cents * cents).sum(axis=1)[None, :]
+                )
+                assign = d2.argmin(axis=1)
+                for c in range(n_codes):
+                    members = x[assign == c]
+                    if len(members):
+                        cents[c] = members.mean(axis=0)
+            want[j] = cents
+        got = pq_train(
+            emb, "embedding", m=m, n_codes=n_codes, sample_rows=512,
+            kmeans_iters=iters, seed=seed,
+        )
+        assert np.array_equal(got, want)
+
 
 class TestMMRRerank:
     def test_mmr_skips_near_duplicate(self, spark):
