@@ -1766,7 +1766,10 @@ def corr_by_returnflag(spark, sf_dir):
     groups × pairs; exact decimal sums, oracle replays identical math."""
     from preprocessor_spark.operators.stats import corr_matrix_grouped
 
-    l = _t(spark, sf_dir, "lineitem")
+    # _par: the co-moment partial aggregation is the whole query; the
+    # single-row-group testdata file would otherwise run it in ONE task
+    # (exact decimal sums — partition-layout-independent, A/B'd identical)
+    l = _par(_t(spark, sf_dir, "lineitem"))
     out = corr_matrix_grouped(
         l, ["l_quantity", "l_extendedprice", "l_discount"], ["l_returnflag"]
     )

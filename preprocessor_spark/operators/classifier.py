@@ -41,31 +41,47 @@ from pyspark.sql.types import StructType
 from preprocessor_spark.caching import register_persisted
 
 
+# blake2b digest per DISTINCT n-gram, memoized per executor process: the
+# naive per-occurrence hashing dominated the classifier queries' task time
+# (one hash-object construction per character position). The digest is
+# stored dim-independent (raw 32-bit int); `% dim` happens at use. Bounded
+# so a pathological corpus cannot grow executor memory without limit —
+# above the cap we still hash, we just stop remembering.
+_NGRAM_MEMO: dict = {}
+_NGRAM_MEMO_CAP = 1 << 20
+
+
 def _feature_matrix(texts, dim: int, ngram: int = 3) -> np.ndarray:
     """Hashed char-n-gram count features, L2-normalized, dense (rows, dim).
 
-    Vectorized per batch: one python loop over docs, numpy bincount per doc.
+    Bit-identical to hashing every occurrence: per-bucket values are sums
+    of integer-valued counts (< 2^53, exact in float64), so accumulating
+    per-distinct-n-gram counts instead of unit increments yields the same
+    row, hence the same norm and the same normalized features.
     Deterministic across workers (hash = blake2b of the n-gram bytes)."""
     import hashlib
+    from collections import Counter
 
+    memo = _NGRAM_MEMO
+    blake2b = hashlib.blake2b
     out = np.zeros((len(texts), dim), dtype=np.float64)
     for r, t in enumerate(texts):
         t = (t or "").lower()
-        if len(t) < ngram:
+        span = len(t) - ngram + 1
+        if span <= 0:
             continue
-        idx = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(t[i : i + ngram].encode(), digest_size=4).digest(),
-                    "big",
-                )
-                % dim
-                for i in range(len(t) - ngram + 1)
-            ),
-            dtype=np.int64,
-            count=len(t) - ngram + 1,
-        )
-        row = np.bincount(idx, minlength=dim).astype(np.float64)
+        cnt = Counter([t[i : i + ngram] for i in range(span)])
+        idx = np.empty(len(cnt), dtype=np.int64)
+        vals = np.empty(len(cnt), dtype=np.float64)
+        for j, (g, c) in enumerate(cnt.items()):
+            h = memo.get(g)
+            if h is None:
+                h = int.from_bytes(blake2b(g.encode(), digest_size=4).digest(), "big")
+                if len(memo) < _NGRAM_MEMO_CAP:
+                    memo[g] = h
+            idx[j] = h % dim
+            vals[j] = c
+        row = np.bincount(idx, weights=vals, minlength=dim)
         n = np.linalg.norm(row)
         if n > 0:
             row /= n

@@ -118,6 +118,13 @@ def huber_fit(
     converged = False
     n = 0
     use_dec = False  # sticky: once the int64 engine trips, stay on DECIMAL
+    # AQE adds a stage-materialization round-trip to every IRLS step's tiny
+    # fixed-shape aggregation (the frame is persisted, the output one row) —
+    # off for the fit loop, restored after; plan-level only, the quantized
+    # sums are bit-identical either way (the gmm_fit pattern)
+    spark = df.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         # init from one unweighted OLS step (w = 1 everywhere)
         for it in range(1, max_iter + 1):
@@ -207,6 +214,7 @@ def huber_fit(
             F.abs(F.col(target) - r) > F.lit(float(delta))
         ).count()
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         clean.unpersist()
     return {
         "n": int(n),

@@ -110,11 +110,18 @@ def logreg_fit(
     # cache it for the fit's lifetime (released in the finally below)
     clean = clean.persist()
     theta = np.zeros(len(features) + 1)
+    # AQE off for the fit loop (the huber_fit/gmm_fit pattern): each Newton
+    # step's one-row aggregation otherwise pays a stage-materialization
+    # round-trip; plan-level only, the quantized sums are bit-identical
+    spark = df.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         theta, n, it, loss, converged = _irls(
             clean, features, target, theta, l2, max_iter, tol
         )
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         clean.unpersist()
     return {
         "n": n,

@@ -64,6 +64,11 @@ def quantile_fit(
     converged = False
     n = 0
     use_dec = False  # sticky DECIMAL fallback, same policy as huber_fit
+    # AQE off for the fit loop (the huber_fit/gmm_fit pattern): each step's
+    # one-row aggregation otherwise pays a stage-materialization round-trip
+    spark = df.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for it in range(1, max_iter + 1):
             r = F.lit(float(theta[0]))
@@ -143,6 +148,7 @@ def quantile_fit(
             r = r + F.lit(float(theta[j + 1])) * F.col(fname)
         n_below = clean.where(F.col(target) < r).count()
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         clean.unpersist()
     return {
         "n": int(n),

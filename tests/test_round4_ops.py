@@ -203,6 +203,59 @@ def test_classifier_separates_planted_junk(spark, planted_quality):
     assert mc > 0.7 > 0.3 > mj
 
 
+def test_feature_matrix_matches_per_occurrence_hashing_bitwise():
+    """The memoized Counter featurizer must reproduce the naive
+    hash-every-occurrence reference BIT-FOR-BIT — the optimization
+    contract that keeps classifier training and scores unchanged."""
+    import hashlib
+
+    from preprocessor_spark.operators.classifier import _feature_matrix
+
+    def naive(texts, dim, ngram=3):
+        out = np.zeros((len(texts), dim), dtype=np.float64)
+        for r, t in enumerate(texts):
+            t = (t or "").lower()
+            if len(t) < ngram:
+                continue
+            idx = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            t[i : i + ngram].encode(), digest_size=4
+                        ).digest(),
+                        "big",
+                    )
+                    % dim
+                    for i in range(len(t) - ngram + 1)
+                ),
+                dtype=np.int64,
+                count=len(t) - ngram + 1,
+            )
+            row = np.bincount(idx, minlength=dim).astype(np.float64)
+            n = np.linalg.norm(row)
+            if n > 0:
+                row /= n
+            out[r] = row
+        return out
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog",
+        "$$$ ###!! ??%% @@@@ ^^^ " * 8,
+        "aaaaaaaaaaaaaaaaaaaaaa",          # heavy within-doc repetition
+        "ab",                               # shorter than ngram
+        "",
+        None,
+        "naïve café résumé — ünïcödé",
+        "MiXeD CaSe LOWERS to the same grams",
+    ]
+    for dim in (64, 256):
+        got = _feature_matrix(texts, dim)
+        want = naive(texts, dim)
+        assert np.array_equal(got, want)
+    # second call hits the memo — still identical
+    assert np.array_equal(_feature_matrix(texts, 256), naive(texts, 256))
+
+
 def test_classifier_deterministic(spark, planted_quality):
     m1 = fit_quality_classifier(
         planted_quality, "text", "label", dim=128, iterations=5, lr=2.0
