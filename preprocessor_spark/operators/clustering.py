@@ -488,7 +488,10 @@ def dbscan_cosine(
         .join(cores.withColumnRenamed("id", "dst"), "dst")
         .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
     )
-    cc = connected_components(core_edges)
+    # edges is symmetric/distinct/self-loop-free and the core filter is
+    # per-node, so core_edges inherits all three properties: CC can skip
+    # its explode + |E|-sized distinct (symmetric_distinct contract)
+    cc = connected_components(core_edges, symmetric_distinct=True)
     core_clusters = register_persisted(
         cores.join(cc, cores.id == cc.id, "left")
         .select(

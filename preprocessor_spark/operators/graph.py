@@ -87,29 +87,44 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    symmetric_distinct: bool = False,
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``; ``component`` is
     the smallest id reachable from ``id`` (canonical representative).
 
+    ``symmetric_distinct``: the caller asserts ``pairs`` is ALREADY a
+    symmetric ((a,b) implies (b,a)), self-loop-free, duplicate-free edge
+    list — skip the explode + |E|-sized ``distinct`` shuffle that
+    symmetrization otherwise costs (dbscan's core-core subgraph is the
+    in-repo case: derived from an already-symmetrized distinct edge list
+    by a per-node filter, which preserves all three properties). The
+    symmetrized edge SET is identical either way, so every min-label
+    round — and therefore the output — is unchanged.
+
     Raises if not converged after ``max_iterations`` rounds (log-scale:
     25 rounds cover diameters ~2^25 with pointer jumping)."""
-    # symmetric edge list via ONE explode — a union of two selects would
-    # scan (and recompute) the possibly-expensive pairs input twice before
-    # the persist below materializes. Self-loops drop out (never change a
-    # min).
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
-                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
-                )
-            ).alias("e")
+    if symmetric_distinct:
+        edges = pairs.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
         )
-        .select("e.src", "e.dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    else:
+        # symmetric edge list via ONE explode — a union of two selects
+        # would scan (and recompute) the possibly-expensive pairs input
+        # twice before the persist below materializes. Self-loops drop out
+        # (never change a min).
+        edges = (
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                        F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
     edges = register_persisted(edges.persist())
     n_edges = edges.count()  # materializes the persist; sizes the fixpoint
 

@@ -45,6 +45,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan (coalesce/skew-split) the shuffles INSIDE cached
+        # plans too (SPARK-42101; off by default only for layout
+        # back-compat). Every iterative operator here persists an edge/
+        # signature/ratings frame and re-reads it tens of times per
+        # fixpoint; without this the cache materializes at the raw
+        # session shuffle count (64 near-empty partitions at demo scale —
+        # measured 64-task stages inside every fixpoint round), with it
+        # the cached layout follows AQE's byte-sized coalescing at any
+        # scale (locally a handful of tasks; at 100 TB ~advisory-sized
+        # partitions, where coalescing is a no-op). Paired A/B at sf0.1:
+        # dedup_connected_components 10.4→6.8 s, dbscan 10.8→7.5 s, huber
+        # 3.7→2.9 s, communities_lpa 7.9→6.8 s, no regressions; results
+        # bit-identical (collected and compared).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.shuffle.partitions", shuffle)
         # Arrow for any toPandas()/pandas_udf boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -430,6 +430,35 @@ def test_connected_components_chain(spark):
     assert out == {i: 10 for i in range(10, 21)}
 
 
+def test_cc_symmetric_contract_matches_default(spark):
+    """``symmetric_distinct=True`` (caller asserts a pre-symmetrized,
+    distinct, self-loop-free edge list — the dbscan core-subgraph case)
+    must return EXACTLY the default path's output: the symmetrized edge
+    set is identical, so every min-label round is too."""
+    from pyspark.sql import functions as F
+
+    from preprocessor_spark.operators.graph import connected_components
+
+    one_dir = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13)],
+        "id_a bigint, id_b bigint",
+    )
+    sym = one_dir.unionByName(
+        one_dir.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).distinct()
+    want = sorted(
+        (r["id"], r["component"]) for r in connected_components(sym).collect()
+    )
+    got = sorted(
+        (r["id"], r["component"])
+        for r in connected_components(sym, symmetric_distinct=True).collect()
+    )
+    assert got == want
+    assert dict(got) == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """Opting in to reliable checkpoints (RELIABLE_CHECKPOINT_CONF +
     setCheckpointDir) must (a) produce identical components, (b) actually
