@@ -1123,12 +1123,13 @@ def text_lm_quality(spark, sf_dir):
     """CCNet-style LM quality scoring (operators/lm_score.py): corpus-
     trained char-trigram unigram LM with add-1 smoothing; per-doc mean gram
     log-probability. Outliers (junk/mojibake/wrong-language) score low."""
-    from preprocessor_spark.caching import persist_scope
     from preprocessor_spark.operators.lm_score import char_ngram_lm_scores
 
     d = _par(_t(spark, sf_dir, "documents"))
-    with persist_scope():
-        return char_ngram_lm_scores(d, "text", "doc_id", n=3).orderBy("doc_id")
+    # fully lazy: the operator recomputes its gram explode per consumer BY
+    # DESIGN (see lm_score.py — cheaper than caching an occurrence-sized
+    # frame, locally and at scale), so there is nothing to keep alive
+    return char_ngram_lm_scores(d, "text", "doc_id", n=3).orderBy("doc_id")
 
 
 def ridge_regression_lineitem(spark, sf_dir):
@@ -1576,9 +1577,16 @@ def dedup_substring_spans(spark, sf_dir):
             F.col("doc_id") % 50 == 0, F.concat(F.col("text"), F.lit(" " + _BP40))
         ).otherwise(F.col("text")),
     )
-    with persist_scope():
+    # materialize INSIDE the scope: the persisted window-hash gram frame
+    # feeds THREE consumers (hash counts, per-doc totals, dup counts); a
+    # lazily returned plan would run the md5 window kernel 3× after the
+    # scope released the cache. Replanning disabled so the live cache
+    # keeps a parallel layout for the three per-occurrence consumers.
+    from preprocessor_spark.caching import cached_plan_replanning_disabled
+
+    with persist_scope(), cached_plan_replanning_disabled(spark):
         out = substring_dup_stats(d, "text", "doc_id", window_tokens=30)
-        return out.orderBy("doc_id")
+        return out.orderBy("doc_id").localCheckpoint(eager=True)
 
 
 def text_line_dedup(spark, sf_dir):
@@ -4786,10 +4794,18 @@ def dsir_select_docs(spark, sf_dir):
     from preprocessor_spark.operators.dsir import dsir_select
 
     d = _par(_t(spark, sf_dir, "documents"))
-    with persist_scope():
-        return dsir_select(
+    # materialize INSIDE the scope: the persisted n-gram bucket explode
+    # feeds both the count pass and the per-doc weight pass; a lazily
+    # returned plan would explode the corpus twice after the scope
+    # released the cache. Replanning disabled so the live cache keeps a
+    # parallel layout for the per-occurrence join+groupBy downstream.
+    from preprocessor_spark.caching import cached_plan_replanning_disabled
+
+    with persist_scope(), cached_plan_replanning_disabled(spark):
+        out = dsir_select(
             d, "text", "doc_id", F.col("source").isin("src0", "src1"), k=100
         ).orderBy("doc_id")
+        return out.localCheckpoint(eager=True)
 
 
 def communities_lpa(spark, sf_dir):

@@ -108,6 +108,40 @@ def checkpoint_frame(df: DataFrame, eager: bool = True) -> DataFrame:
 
 
 @contextmanager
+def cached_plan_replanning_disabled(spark) -> Iterator[None]:
+    """Scope-disable ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``.
+
+    The session factory enables cached-plan AQE re-planning globally: it is
+    a large win for the iterative fixpoint family, whose persisted frames
+    are re-read through dozens of near-empty shuffle stages per query
+    (paired A/B: dedup_connected_components −1.2 s, dbscan −4.1 s at
+    sf0.1). But the same coalescing collapses a SMALL-BYTES cached frame
+    to one or two partitions, and an operator whose downstream work is
+    row-EXPANDING or compute-dense relative to the cached bytes (the
+    Mann-Kendall k² pair self-join; the DSIR/LM n-gram explode feeding a
+    join + groupBy over every occurrence) then runs that work nearly
+    serially — the cost is per-ROW downstream, not per-BYTE cached, so
+    byte-based coalescing under-provisions it. Paired A/B at sf0.1:
+    trend_mann_kendall_users 2.6–3.8 s with the conf on vs 1.3 s off,
+    every run consistent.
+
+    Wrap an operator's plan-build AND materialization in this scope to keep
+    its caches at the layout the surrounding shuffle config chose. The conf
+    is read at plan-compile time, so the scope must enclose the action that
+    materializes the cache (the same contract as fixpoint_shuffle_scope).
+    At 100 TB the scope is conservative-safe: cached frames there are
+    advisory-sized anyway, so disabling re-planning costs nothing.
+    """
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+@contextmanager
 def fixpoint_shuffle_scope(
     spark, rows_hint: int, rows_per_partition: int = 100_000
 ) -> Iterator[int]:

@@ -18,7 +18,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from preprocessor_spark.caching import register_persisted
 
 
 def char_ngram_lm_scores(
@@ -41,7 +40,12 @@ def char_ngram_lm_scores(
     )
     grams = F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
     exploded = df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("__g"))
-    exploded = register_persisted(exploded.persist())
+    # deliberately NOT persisted: the explode is pure codegen (lower +
+    # substr — no hashing), so recomputing it for the count pass and the
+    # scoring pass is two pipelined projected scans, while caching it
+    # materializes ~n_chars rows (~10× the corpus bytes) — measured 0.5 s
+    # SLOWER at sf0.1 and strictly worse at scale (guide §5: cache only
+    # when recompute costs more than the memory pressure)
     counts = exploded.groupBy("__g").agg(F.count(F.lit(1)).alias("__c"))
     stats = counts.agg(
         F.sum("__c").alias("__N"), F.count(F.lit(1)).alias("__V")

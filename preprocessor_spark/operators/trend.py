@@ -44,7 +44,35 @@ def mann_kendall(
 
     ``materialize=False`` returns the fully lazy plan (no persist, no
     checkpoint) — for plan inspection/tests; production callers keep the
-    default so the twice-referenced pair frame computes once."""
+    default so the twice-referenced pair frame computes once.
+
+    The materialized path scope-disables cached-plan AQE re-planning for
+    the WHOLE build (``persist()`` compiles the cached fragment's physical
+    plan at registration time, so the scope must start before the first
+    persist): the cached tail/pair frames are small in BYTES but the pair
+    self-join and its consumers are k²-row-expanding, so the session-wide
+    byte-based cache coalescing would run them nearly serially (paired
+    A/B at sf0.1: 2.6–3.8 s with re-planning on vs 1.3 s off)."""
+    if materialize:
+        from preprocessor_spark.caching import cached_plan_replanning_disabled
+
+        with cached_plan_replanning_disabled(df.sparkSession):
+            return _mann_kendall_build(
+                df, key_col, order_col, value_col, last_k, materialize=True
+            )
+    return _mann_kendall_build(
+        df, key_col, order_col, value_col, last_k, materialize=False
+    )
+
+
+def _mann_kendall_build(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    last_k: int,
+    materialize: bool,
+) -> DataFrame:
     tail = (
         df.select(
             F.col(key_col).alias("key"),
@@ -174,6 +202,7 @@ def mann_kendall(
             )
         )
         # materialize before unpersisting the inputs the plan references
+        # (still under the caller's replanning-disabled scope)
         if materialize:
             out = out.localCheckpoint(eager=True)
     finally:
