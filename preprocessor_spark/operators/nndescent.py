@@ -257,12 +257,29 @@ def nndescent_knn_graph(
             .filter(F.col("a") < F.col("b"))
             .distinct()
         )
-        cand = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
-            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        # score each UNORDERED pair once and mirror the scored rows:
+        # cosine is bitwise direction-symmetric (elementwise multiply and
+        # the norm product are IEEE-commutative, the sum runs in vector-
+        # element order either way), so (b,a,sim) is exactly the row the
+        # old both-directions scoring produced — half the Arrow transfer
+        # and half the GEMM rows per round. The existing-edge anti join
+        # moves AFTER the mirror (same cardinality through the anti as
+        # before; duplicates vs the kept edge set must still be dropped so
+        # a known neighbor does not occupy two rank slots in the merge).
+        scored_c = _score(
+            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+            vectors,
+            id_col,
+            vec_col,
+            bcast,
         )
-        new = cand.join(edges.select("src", "dst"), ["src", "dst"], "left_anti")
-        scored = _score(new, vectors, id_col, vec_col, bcast)
-        merged = _topk(edges.union(scored), k)
+        scored = scored_c.union(
+            scored_c.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "sim"
+            )
+        )
+        new = scored.join(edges.select("src", "dst"), ["src", "dst"], "left_anti")
+        merged = _topk(edges.union(new), k)
         edges = merged.localCheckpoint(eager=True)
 
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
