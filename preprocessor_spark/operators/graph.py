@@ -82,12 +82,50 @@ def _maybe_broadcast(
     return df
 
 
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    """Exact (id, component) table for a SMALL materialized symmetric edge
+    list: min-representative union-find with path compression. component =
+    min id reachable from id — the same identity the distributed min-label
+    fixpoint converges to, so the returned table is equal row-for-row.
+    Bounded by ``connected_components(driver_below=...)``; the collect is
+    the only data movement (≤ driver_below rows of two ids)."""
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = edges.schema["src"].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for r in edges.collect():
+        a, b = r["src"], r["dst"]
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # union by MIN root: the root IS the min id
+    rows = [(x, find(x)) for x in sorted(nodes)]
+    schema = StructType(
+        [StructField("id", id_type, True), StructField("component", id_type, True)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
     symmetric_distinct: bool = False,
+    driver_below: int = 200_000,
 ) -> DataFrame:
     """(id, component) for every id appearing in ``pairs``; ``component`` is
     the smallest id reachable from ``id`` (canonical representative).
@@ -100,6 +138,21 @@ def connected_components(
     by a per-node filter, which preserves all three properties). The
     symmetrized edge SET is identical either way, so every min-label
     round — and therefore the output — is unchanged.
+
+    ``driver_below``: when the MEASURED symmetric edge count is at or
+    under this bound, solve on the driver with a min-representative
+    union-find instead of running the distributed fixpoint — the same
+    runtime-size-gated routing as ``nndescent_knn_graph(exact_below=...)``
+    and the kmeans/PQ driver-side Lloyd's. A dedup pair graph small
+    enough to collect (≤200k rows ≈ a few MB, far under the repo's 1M-row
+    broadcast guards) costs 2-3 synchronous fixpoint rounds × several
+    scheduler barriers each when solved distributively; union-find is
+    microseconds and returns EXACTLY the same table (component = min
+    reachable id — union by min root + path compression computes that
+    identity directly; asserted against the fixpoint in
+    tests/test_operators.py). At scale the gate never fires (edge lists
+    are data-sized) and the fixpoint below is unchanged. Pass 0 to force
+    the distributed path.
 
     Raises if not converged after ``max_iterations`` rounds (log-scale:
     25 rounds cover diameters ~2^25 with pointer jumping)."""
@@ -128,9 +181,14 @@ def connected_components(
     edges = register_persisted(edges.persist())
     n_edges = edges.count()  # materializes the persist; sizes the fixpoint
 
+    spark = pairs.sparkSession
+    if n_edges <= driver_below:
+        out = _driver_union_find(spark, edges)
+        edges.unpersist()
+        return out
+
     from preprocessor_spark.caching import fixpoint_shuffle_scope
 
-    spark = pairs.sparkSession
     with fixpoint_shuffle_scope(spark, n_edges):
         # round-1 propagate fused into init: with identity labels, the
         # first round's message min is just min(neighbor id), so start

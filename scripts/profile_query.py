@@ -29,7 +29,9 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_PROFILE_RUNS", "3"))
-    plans_dir = os.path.join(REPO, "plans", "r12")
+    plans_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_TAG", "r13")
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     spark = get_spark("preprocessor-spark-profile")

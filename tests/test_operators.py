@@ -394,7 +394,10 @@ def test_connected_components_matches_union_find(spark, sf_dir):
     with persist_scope():
         pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.3)
         pair_rows = [(r["id_a"], r["id_b"]) for r in pairs.select("id_a", "id_b").collect()]
-        got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+        got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, driver_below=0).collect()
+    }
 
     parent: dict[int, int] = {}
 
@@ -426,7 +429,10 @@ def test_connected_components_chain(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(10, 20)], "id_a bigint, id_b bigint"
     )
-    out = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, driver_below=0).collect()
+    }
     assert out == {i: 10 for i in range(10, 21)}
 
 
@@ -449,11 +455,14 @@ def test_cc_symmetric_contract_matches_default(spark):
         )
     ).distinct()
     want = sorted(
-        (r["id"], r["component"]) for r in connected_components(sym).collect()
+        (r["id"], r["component"])
+        for r in connected_components(sym, driver_below=0).collect()
     )
     got = sorted(
         (r["id"], r["component"])
-        for r in connected_components(sym, symmetric_distinct=True).collect()
+        for r in connected_components(
+            sym, symmetric_distinct=True, driver_below=0
+        ).collect()
     )
     assert got == want
     assert dict(got) == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10, 13: 10}
@@ -484,7 +493,8 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         ckdir = str(tmp_path / "reliable_ck")
         spark.sparkContext.setCheckpointDir(ckdir)
         out = {
-            r["id"]: r["component"] for r in connected_components(pairs).collect()
+            r["id"]: r["component"]
+            for r in connected_components(pairs, driver_below=0).collect()
         }
         assert out == want
         written = [
@@ -2062,3 +2072,47 @@ def test_group_hash_split_no_leakage(spark, sf_dir):
          group_hash_split(d.repartition(7), "source", {"train": 0.8, "val": 0.1, "test": 0.1})
          .select("doc_id", "split").collect()}
     assert a == b
+
+
+def test_cc_driver_gate_matches_distributed_fixpoint(spark):
+    """The size-gated driver union-find (``driver_below``) must return
+    EXACTLY the distributed min-label fixpoint's table — same ids, same
+    components, same schema — on a graph mixing chains (transitivity),
+    cliques, and isolated pairs, under both the default and the
+    ``symmetric_distinct`` contract."""
+    from pyspark.sql import functions as F
+
+    from preprocessor_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 20)]  # chain 10..20
+        + [(100, 101), (100, 102), (101, 102)]  # clique
+        + [(7, 3)],  # isolated pair, reversed order
+        "id_a bigint, id_b bigint",
+    )
+    want = sorted(
+        (r["id"], r["component"])
+        for r in connected_components(pairs, driver_below=0).collect()
+    )
+    got = sorted(
+        (r["id"], r["component"])
+        for r in connected_components(pairs, driver_below=10**6).collect()
+    )
+    assert got == want
+    assert dict(got)[3] == 3 and dict(got)[7] == 3
+    # symmetric_distinct contract: same equality through the driver gate
+    sym = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).distinct()
+    got_sym = sorted(
+        (r["id"], r["component"])
+        for r in connected_components(
+            sym, symmetric_distinct=True, driver_below=10**6
+        ).collect()
+    )
+    assert got_sym == want
+    # schema parity: the driver path must return the same column names and
+    # id-typed columns the fixpoint does
+    out = connected_components(pairs, driver_below=10**6)
+    assert [f.name for f in out.schema.fields] == ["id", "component"]
+    assert {f.dataType.simpleString() for f in out.schema.fields} == {"bigint"}
