@@ -4825,12 +4825,35 @@ def communities_lpa(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    # the trade graph is BIPARTITE (customer vs supplier key spaces), so
+    # deduplicating the directed (custkey, suppkey) LONG pairs first and
+    # exploding both directions afterward yields exactly the symmetric,
+    # duplicate-free, loop-free edge list LPA's internal symmetrization
+    # would build — while the |E|-sized distinct exchange moves two 8-byte
+    # ints per row instead of two exploded strings (guide §2.3/§2.4; the
+    # pagerank_custsupp long-key discipline). symmetric_distinct=True
+    # hands that contract to the operator.
+    pairs = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
     )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                    F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+                ),
+                F.struct(
+                    F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+                    F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     with persist_scope():
-        out = label_propagation(edges, rounds=5)
+        out = label_propagation(edges, rounds=5, symmetric_distinct=True)
         return out.orderBy("node")
 
 

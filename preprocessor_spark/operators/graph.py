@@ -116,6 +116,13 @@ def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
     schema = StructType(
         [StructField("id", id_type, True), StructField("component", id_type, True)]
     )
+    if rows:
+        import pandas as pd
+
+        # Arrow-path createDataFrame: ships as Arrow batches, not pickled Rows
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["id", "component"]), schema
+        )
     return spark.createDataFrame(rows, schema)
 
 
@@ -607,12 +614,91 @@ def clustering_coefficient(
     )
 
 
+def _driver_label_propagation(
+    spark, sym: DataFrame, rounds: int
+) -> DataFrame:
+    """Exact synchronous-LPA replay for a SMALL materialized symmetric edge
+    list: the same per-round votes (each undirected neighbor once + the
+    self-vote) and the same deterministic tie-break (votes desc, label asc)
+    as the distributed loop, vectorized in numpy. Label order comes from
+    sorting the node values with their native comparison (int64 numeric /
+    codepoint order for strings — identical to Spark's BIGINT / UTF8String
+    binary order on this engine's id domains), so every round's winner —
+    and therefore the output table — is equal row-for-row (asserted in
+    tests/test_round7_ops.py). Bounded by
+    ``label_propagation(driver_below=...)``; the toPandas of the
+    (already-distinct) edge list is the only data movement."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = sym.schema["u"].dataType
+    pdf = sym.toPandas()
+    pdf = pdf.dropna()  # a null endpoint drops the edge in both paths
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["u"], pdf["v"]], ignore_index=True), sort=False
+    )
+    n = len(uniques)
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("node", id_type, True),
+                    StructField("community", id_type, True),
+                ]
+            ),
+        )
+    vals = np.asarray(uniques)
+    order = np.argsort(vals, kind="stable")  # native type order
+    rank = np.empty(n, dtype="int64")
+    rank[order] = np.arange(n, dtype="int64")
+    half = len(pdf)
+    iu = rank[codes[:half]]
+    iv = rank[codes[half:]]
+    labels = np.arange(n, dtype="int64")
+    self_nodes = np.arange(n, dtype="int64")
+    for _ in range(rounds):
+        vote_node = np.concatenate([iu, self_nodes])
+        vote_lab = np.concatenate([labels[iv], labels])
+        keys = vote_node * n + vote_lab
+        uk, cnt = np.unique(keys, return_counts=True)  # sorted (node, lab)
+        ku = uk // n
+        klab = uk % n
+        # top-1 per node by (votes desc, label asc) without a lexsort:
+        # composite = votes·n + (n-1-label) is max'd per node-segment by
+        # maximum.reduceat, then decoded — the argmax with the exact
+        # tie-break baked into the value
+        composite = cnt * n + (n - 1 - klab)
+        seg = np.ones(len(ku), dtype=bool)
+        seg[1:] = ku[1:] != ku[:-1]
+        starts = np.flatnonzero(seg)
+        best = np.maximum.reduceat(composite, starts)
+        labels = labels.copy()
+        labels[ku[starts]] = (n - 1) - (best % n)
+    sorted_vals = vals[order]
+    schema = StructType(
+        [
+            StructField("node", id_type, True),
+            StructField("community", id_type, True),
+        ]
+    )
+    # Arrow-path createDataFrame (guide §6): a pandas frame ships as Arrow
+    # batches instead of pickled Row objects
+    out_pdf = pd.DataFrame(
+        {"node": sorted_vals, "community": sorted_vals[labels]}
+    )
+    return spark.createDataFrame(out_pdf, schema)
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     rounds: int = 5,
     broadcast_vertex_limit: int = 8_000_000,
+    symmetric_distinct: bool = False,
+    driver_below: int = 4_000_000,
 ) -> DataFrame:
     """Synchronous label-propagation community detection → (node,
     community); community ids are node ids (each community is named after
@@ -637,22 +723,45 @@ def label_propagation(
     hash-join, still one keyed join + one groupBy per round with no driver
     traffic; ``localCheckpoint`` truncates the iterative lineage exactly
     like :func:`connected_components`.
+
+    ``symmetric_distinct``: the caller asserts ``edges`` is ALREADY a
+    symmetric, self-loop-free, duplicate-free edge list — skip the explode
+    + |E|-sized ``distinct`` (the :func:`connected_components` contract;
+    the trade-graph query qualifies by construction: distinct BIPARTITE
+    (customer, supplier) pairs symmetrize with no possible duplicate or
+    loop).
+
+    ``driver_below``: when the MEASURED symmetric edge count fits, replay
+    the fixed-round synchronous loop on the driver
+    (:func:`_driver_label_propagation`) instead of paying ``rounds`` ×
+    (broadcast build + two vote exchanges + eager checkpoint) of scheduler
+    barriers — the same runtime-size-gated routing as
+    ``connected_components(driver_below=...)``, bit-equal output by the
+    same vote/tie-break arithmetic. Pass 0 to force the distributed loop.
     """
-    sym = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
-                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
-                )
-            ).alias("e")
+    if symmetric_distinct:
+        sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        sym = (
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                        F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        .select("e.u", "e.v")
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
     sym = register_persisted(sym.persist())
     n_edges = sym.count()  # materializes the persist; sizes the fixpoint
+
+    if n_edges <= driver_below:
+        out = _driver_label_propagation(edges.sparkSession, sym, rounds)
+        sym.unpersist()
+        return out
 
     from preprocessor_spark.caching import fixpoint_shuffle_scope
 

@@ -289,9 +289,16 @@ class TestLabelPropagation:
         from preprocessor_spark.operators.graph import label_propagation
 
         e = self._edges(spark)
-        a = sorted(map(tuple, label_propagation(e, rounds=4).collect()))
+        a = sorted(
+            map(tuple, label_propagation(e, rounds=4, driver_below=0).collect())
+        )
         b = sorted(
-            map(tuple, label_propagation(e.repartition(7), rounds=4).collect())
+            map(
+                tuple,
+                label_propagation(
+                    e.repartition(7), rounds=4, driver_below=0
+                ).collect(),
+            )
         )
         assert a == b
 
@@ -305,11 +312,59 @@ class TestLabelPropagation:
         out = label_propagation(e, rounds=3).collect()
         assert len({r.community for r in out}) == 1
 
+    def test_driver_gate_matches_distributed_loop(self, spark):
+        """The size-gated driver replay must return EXACTLY the distributed
+        synchronous loop's table — same nodes, same communities — on the
+        bridged-cliques graph (long ids) and on a string-keyed bipartite
+        graph where the tie-break exercises lexicographic label order."""
+        from pyspark.sql import functions as F
+
+        from preprocessor_spark.operators.graph import label_propagation
+
+        e = self._edges(spark)
+        want = sorted(
+            map(tuple, label_propagation(e, rounds=5, driver_below=0).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                label_propagation(e, rounds=5, driver_below=10**6).collect(),
+            )
+        )
+        assert got == want
+        es = e.select(
+            F.concat(F.lit("c"), F.col("src")).alias("src"),
+            F.concat(F.lit("s"), F.col("dst")).alias("dst"),
+        )
+        want_s = sorted(
+            map(tuple, label_propagation(es, rounds=5, driver_below=0).collect())
+        )
+        got_s = sorted(
+            map(
+                tuple,
+                label_propagation(es, rounds=5, driver_below=10**6).collect(),
+            )
+        )
+        assert got_s == want_s
+        # symmetric_distinct contract: pre-symmetrized input, same table
+        sym = es.unionByName(
+            es.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        got_sym = sorted(
+            map(
+                tuple,
+                label_propagation(
+                    sym, rounds=5, symmetric_distinct=True, driver_below=10**6
+                ).collect(),
+            )
+        )
+        assert got_sym == want_s
+
     def test_no_cartesian(self, spark):
         from preprocessor_spark.operators.graph import label_propagation
 
         plan = (
-            label_propagation(self._edges(spark), rounds=1)
+            label_propagation(self._edges(spark), rounds=1, driver_below=0)
             ._jdf.queryExecution()
             .executedPlan()
             .toString()
