@@ -290,20 +290,37 @@ def ivfpq_assign_encode(
     of code instead of the raw vector."""
     from pyspark.sql.functions import pandas_udf
 
-    from preprocessor_spark.operators.similarity import ivf_assign
-
     bks = books
+    cmat = cents.T  # d×C
 
-    @pandas_udf("array<smallint>")
-    def _enc(vecs: pd.Series) -> pd.Series:
-        # same numpy re-normalization as pq_encode so both index-building
-        # paths produce bit-identical codes (argmin ties included)
+    @pandas_udf("struct<cell:int, code:array<smallint>>")
+    def _assign_enc(vecs: pd.Series) -> pd.DataFrame:
+        # ONE fused Arrow pass for cell routing + PQ encoding: the corpus
+        # vectors used to cross the JVM→Python boundary twice (the
+        # ivf_assign nearest-cell UDF, then the encode UDF re-reading
+        # __cv) — data-sized traffic at any corpus scale (guide §4.1).
+        # Arithmetic is kept call-for-call identical to the two-UDF path:
+        # the same _unit_rows re-normalization of the JVM-normalized
+        # input feeds BOTH the cell argsort (same np.argsort(-sims) call
+        # ivf_assign's element_at(..., 1) read) and _encode_mat, so cells
+        # and codes are bit-equal (asserted in tests/test_round6_ops.py).
         mat = _unit_rows(np.array(vecs.tolist(), dtype="float64"))
-        return pd.Series(list(_encode_mat(mat, bks)))
+        sims = mat @ cmat  # B×C
+        order = np.argsort(-sims, axis=1)
+        return pd.DataFrame(
+            {
+                "cell": order[:, 0].astype("int32"),
+                "code": list(_encode_mat(mat, bks)),
+            }
+        )
 
-    assigned = ivf_assign(corpus, cents, vec_col, id_col)
-    return assigned.select(
-        "neighbor_id", "__cell", _enc(F.col("__cv")).alias("pq_code")
+    base = _normalized(corpus, vec_col, id_col, "neighbor_id", "__cv")
+    return base.select(
+        "neighbor_id", _assign_enc(F.col("__cv")).alias("__ac")
+    ).select(
+        "neighbor_id",
+        F.col("__ac.cell").alias("__cell"),
+        F.col("__ac.code").alias("pq_code"),
     )
 
 
@@ -346,16 +363,21 @@ def ivfpq_search(
         F.explode(F.slice(_nearest_cells_udf(cents)(F.col("__qv")), 1, n_probe)),
     )
     q = register_persisted(q.persist())
+    # ONE collect serves the LUT build AND the probe-cell pushdown (was
+    # two driver jobs over the same cached frame)
+    allrows = q.limit(1_000_001 * max(n_probe, 1)).collect()
+    by_qid: dict = {}
+    for r in allrows:
+        by_qid.setdefault(r["query_id"], r["__qv"])
+    if len(by_qid) > 1_000_000:
+        raise ValueError("ivfpq_search: query side exceeds the 1M-row guard")
     if prune_cells:
-        probed = sorted(r["__cell"] for r in q.select("__cell").distinct().collect())
+        probed = sorted({r["__cell"] for r in allrows})
         index = index.filter(F.col("__cell").isin(probed))
 
-    qrows = q.select("query_id", "__qv").distinct().limit(1_000_001).collect()
-    if len(qrows) > 1_000_000:
-        raise ValueError("ivfpq_search: query side exceeds the 1M-row guard")
     m, n_codes, dsub = books.shape
-    qids = np.array([r["query_id"] for r in qrows], dtype="int64")
-    qmat = np.array([r["__qv"] for r in qrows], dtype="float64")
+    qids = np.array(sorted(by_qid), dtype="int64")
+    qmat = np.array([by_qid[int(i)] for i in qids], dtype="float64")
     lut = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qids), m, dsub), books)
     pos = {int(i): n for n, i in enumerate(qids)}
     bc = index.sparkSession.sparkContext.broadcast((pos, lut))
@@ -397,21 +419,34 @@ def ivfpq_search(
     )
     if refine is None:
         return ranked
-    corp = _normalized(refine, vec_col, id_col, "neighbor_id", "__nv")
+    # The candidate set is bounded by |Q|·k·refine_factor BY CONSTRUCTION
+    # (the rank window above), but the planner cannot see that — an
+    # estimate-driven sort-merge join would shuffle the ENTIRE raw corpus
+    # by id to serve a handful of point lookups (guide §3.1: pick the
+    # strategy deliberately). Broadcast the candidate ids instead: the
+    # corpus never shuffles, and the normalize expressions run only on the
+    # matched candidate rows rather than every corpus row (same per-row
+    # arithmetic on the same rows → identical cosines).
+    cand = ranked.select(
+        "query_id", F.col("neighbor_id").alias("__cand_nid")
+    )
+    matched = refine.join(F.broadcast(cand), F.col(id_col) == F.col("__cand_nid"))
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(vec_d, F.lit(0.0), lambda acc, x: acc + x * x))
+    corp = matched.select(
+        "query_id",
+        F.col("__cand_nid").alias("neighbor_id"),
+        F.transform(vec_d, lambda x: x / nrm).alias("__nv"),
+    )
     qvecs = q.select("query_id", "__qv").distinct()
-    exact = (
-        ranked.select("query_id", "neighbor_id")
-        .join(corp, "neighbor_id")
-        .join(qvecs, "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.aggregate(
-                F.zip_with("__qv", "__nv", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("cosine"),
-        )
+    exact = corp.join(F.broadcast(qvecs), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with("__qv", "__nv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("cosine"),
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
