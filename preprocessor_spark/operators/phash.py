@@ -219,16 +219,27 @@ def _rep_near_pairs(h: DataFrame, max_hamming: int, max_bucket: int) -> DataFram
     offs = [sum(widths[:i]) for i in range(n_chunks)]
 
     reps = h.groupBy("__h").agg(F.min("__id").alias("__id")).select("__id", "__h")
-    chunks = None
-    for i, (o, w) in enumerate(zip(offs, widths)):
-        mask = (1 << w) - 1
-        c = reps.select(
-            "__id",
-            "__h",
+    # one explode instead of an n_chunks-way unionAll: the union form
+    # re-ran the reps groupBy once per chunk, and the unpersisted result
+    # was then consumed three more times (bucket sizing + both self-join
+    # sides) — at 5 consumers the distinct-hash aggregation executed 12×
+    # per query (guide §2.4). The persisted explode computes it once.
+    chunk_structs = [
+        F.struct(
             F.lit(i).alias("__ci"),
-            F.shiftright(F.col("__h"), o).bitwiseAND(F.lit(mask)).alias("__cv"),
+            F.shiftright(F.col("__h"), o)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("__cv"),
         )
-        chunks = c if chunks is None else chunks.unionAll(c)
+        for i, (o, w) in enumerate(zip(offs, widths))
+    ]
+    chunks = register_persisted(
+        reps.select(
+            "__id", "__h", F.explode(F.array(*chunk_structs)).alias("__c")
+        )
+        .select("__id", "__h", "__c.__ci", "__c.__cv")
+        .persist()
+    )
 
     sizes = chunks.groupBy("__ci", "__cv").agg(F.count(F.lit(1)).alias("__n"))
     kept = chunks.join(
