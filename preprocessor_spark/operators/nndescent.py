@@ -262,10 +262,17 @@ def nndescent_knn_graph(
         # the norm product are IEEE-commutative, the sum runs in vector-
         # element order either way), so (b,a,sim) is exactly the row the
         # old both-directions scoring produced — half the Arrow transfer
-        # and half the GEMM rows per round. The existing-edge anti join
-        # moves AFTER the mirror (same cardinality through the anti as
-        # before; duplicates vs the kept edge set must still be dropped so
-        # a known neighbor does not occupy two rank slots in the merge).
+        # and half the GEMM rows per round. NOTE the anti-join input now
+        # includes candidate pairs already present (in one or both
+        # directions) in the kept edge set — those rows re-score through
+        # the Arrow/GEMM path and are only then dropped; pre-filtering
+        # fully-known pairs with a canonical (least,greatest) anti join
+        # was A/B'd at derived sf1 and REGRESSED 10.1 → 17.4 s (the
+        # per-round known-pair groupBy + anti join over the candidate
+        # stream costs more than the skipped scoring saves), so the
+        # re-scoring stays deliberate. The existing-edge anti join runs
+        # AFTER the mirror: already-kept directions must be dropped so a
+        # known neighbor does not occupy two rank slots in the merge.
         scored_c = _score(
             pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
             vectors,
