@@ -41,6 +41,20 @@ class ALSModel:
     rmse_history: tuple  # in-sample RMSE after each full iteration
 
 
+#: ratings-count gate for hoisting the per-half-step (repartition + sort)
+#: into two persisted layouts built once. BELOW the gate the hoist is a
+#: measured REGRESSION (round-12 A/B at sf0.1: +0.7 s — the hoisted
+#: exchanges move ~86k tiny rows while the extra InMemoryRelation adds a
+#: materialization job and per-step cache-read overhead); ABOVE it the
+#: `iterations` re-shuffles + re-sorts removed per side are data-sized and
+#: dominate (guide §2.4). Partition boundaries and in-partition order are
+#: identical to the per-step repartition (same count, same key, same sort;
+#: explicit numPartitions, which AQE never coalesces), so every Arrow batch
+#: — and therefore the fit — is bit-identical (asserted in
+#: tests/test_round9b_ops.py).
+ALS_LAYOUT_HOIST_MIN_ROWS = 10_000_000
+
+
 def _solve_side(
     ratings: DataFrame,
     solve_col: str,
@@ -50,6 +64,7 @@ def _solve_side(
     fixed_factors: np.ndarray,
     rank: int,
     reg: float,
+    prelaid: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One ALS half-step: per-``solve_col`` ridge solve against the
     broadcast ``fixed`` factors. Returns (ids, factors) sorted by id.
@@ -91,16 +106,22 @@ def _solve_side(
                 }
             )
 
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    parts = (
+    if prelaid:
+        # caller guarantees ratings is ALREADY hash-partitioned on
+        # solve_col and sorted (solve_col, fixed_col) — the hoisted layout
+        laid = ratings
+    else:
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         # repartition on the solve key (each key's partials come from ONE
         # task) and SORT within partitions: shuffle-fetch order is
         # nondeterministic, so without the sort the Arrow batch boundaries
         # — and therefore which partial sums a straddling key splits into —
         # would vary run to run and break bit-determinism
-        ratings.repartition(n_shuffle, solve_col)
-        .sortWithinPartitions(solve_col, fixed_col)
-        .mapInPandas(
+        laid = ratings.repartition(n_shuffle, solve_col).sortWithinPartitions(
+            solve_col, fixed_col
+        )
+    parts = (
+        laid.mapInPandas(
             _partials,
             "__id long, __n long, __a array<double>, __b array<double>",
         )
@@ -157,6 +178,7 @@ def als_fit(
     n_shuffle = int(ratings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     n_parts = max(8, min(n_shuffle, (int(n_ratings) + 99_999) // 100_000))
     r = r.repartition(n_parts, "__u").persist()
+    r_u = r_i = None
     try:
         item_ids = np.array(
             sorted(x["__i"] for x in r.select("__i").distinct().collect()),
@@ -175,18 +197,44 @@ def als_fit(
         # the alternating loop is a fixpoint: size its per-step shuffles
         # to the ratings, not the session default (no-op at scale)
         with fixpoint_shuffle_scope(ratings.sparkSession, n_ratings):
+            hoist = n_ratings >= ALS_LAYOUT_HOIST_MIN_ROWS
+            if hoist:
+                # build each half-step's (key-partitioned, sorted) layout
+                # ONCE instead of re-shuffling + re-sorting the immutable
+                # ratings every iteration — see ALS_LAYOUT_HOIST_MIN_ROWS
+                spark = ratings.sparkSession
+                n_sh = int(
+                    spark.conf.get("spark.sql.shuffle.partitions", "32")
+                )
+                r_u = (
+                    r.repartition(n_sh, "__u")
+                    .sortWithinPartitions("__u", "__i")
+                    .persist()
+                )
+                r_i = (
+                    r.repartition(n_sh, "__i")
+                    .sortWithinPartitions("__i", "__u")
+                    .persist()
+                )
             for _ in range(iterations):
                 user_ids, user_f = _solve_side(
-                    r, "__u", "__i", "__r", item_ids, item_f, rank, reg
+                    r_u if hoist else r,
+                    "__u", "__i", "__r", item_ids, item_f, rank, reg,
+                    prelaid=hoist,
                 )
                 item_ids, item_f = _solve_side(
-                    r, "__i", "__u", "__r", user_ids, user_f, rank, reg
+                    r_i if hoist else r,
+                    "__i", "__u", "__r", user_ids, user_f, rank, reg,
+                    prelaid=hoist,
                 )
                 rmse_hist.append(
                     _rmse(r, user_ids, user_f, item_ids, item_f)
                 )
     finally:
         r.unpersist()
+        for cached in (r_u, r_i):
+            if cached is not None:
+                cached.unpersist()
     return ALSModel(
         rank=rank,
         reg=float(reg),

@@ -317,3 +317,27 @@ def test_shortest_hops_planted_graph(spark):
     seeds2 = spark.createDataFrame([(1,), (5,)], "node long")
     got3 = {r.node: r.hops for r in shortest_hops(e, seeds2, max_hops=10).collect()}
     assert got3 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_als_layout_hoist_bitwise_equal(spark, monkeypatch):
+    """Forcing the rows-gated layout hoist (ALS_LAYOUT_HOIST_MIN_ROWS = 0)
+    must reproduce the per-step-repartition fit BIT-FOR-BIT: same
+    partition count, same key, same in-partition sort -> identical Arrow
+    batches -> identical partials -> identical factors and RMSE trace."""
+    from preprocessor_spark.operators import als as als_mod
+
+    rng = np.random.default_rng(21)
+    rows = [
+        (int(u), int(i), float(round(rng.normal(3, 1), 3)))
+        for u in range(30)
+        for i in rng.choice(25, 8, replace=False)
+    ]
+    df = spark.createDataFrame(rows, "u long, i long, r double")
+    base = als_mod.als_fit(df, "u", "i", "r", rank=3, iterations=4, seed=2)
+    monkeypatch.setattr(als_mod, "ALS_LAYOUT_HOIST_MIN_ROWS", 0)
+    hoisted = als_mod.als_fit(df, "u", "i", "r", rank=3, iterations=4, seed=2)
+    assert base.rmse_history == hoisted.rmse_history
+    assert np.array_equal(base.user_factors, hoisted.user_factors)
+    assert np.array_equal(base.item_factors, hoisted.item_factors)
+    assert np.array_equal(base.user_ids, hoisted.user_ids)
+    assert np.array_equal(base.item_ids, hoisted.item_ids)
