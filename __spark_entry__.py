@@ -1582,6 +1582,12 @@ def dedup_substring_spans(spark, sf_dir):
     # lazily returned plan would run the md5 window kernel 3× after the
     # scope released the cache. Replanning disabled so the live cache
     # keeps a parallel layout for the three per-occurrence consumers.
+    # NOTE: the eager localCheckpoint pins its result-sized blocks on
+    # executors with no release path (and dies with a lost executor —
+    # lineage is truncated). Fine for a bench/driver harness whose session
+    # materializes each query once; a long-lived production caller should
+    # prefer persist+count inside the scope with caller-side unpersist, or
+    # checkpoint_frame with the reliable-checkpoint opt-in.
     from preprocessor_spark.caching import cached_plan_replanning_disabled
 
     with persist_scope(), cached_plan_replanning_disabled(spark):
@@ -4799,6 +4805,9 @@ def dsir_select_docs(spark, sf_dir):
     # returned plan would explode the corpus twice after the scope
     # released the cache. Replanning disabled so the live cache keeps a
     # parallel layout for the per-occurrence join+groupBy downstream.
+    # NOTE: the eager localCheckpoint pins result-sized executor blocks
+    # with no release path (see dedup_substring_spans) — bench-harness
+    # appropriate; long-lived callers should persist+unpersist instead.
     from preprocessor_spark.caching import cached_plan_replanning_disabled
 
     with persist_scope(), cached_plan_replanning_disabled(spark):

@@ -107,6 +107,38 @@ def checkpoint_frame(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+# SQL-conf scopes mutate SESSION-GLOBAL state. Concurrent driver threads
+# sharing one session (persist_scope is thread-local precisely because that
+# is contemplated) could otherwise interleave save/restore and leave the
+# later-exiting scope's stale "original" behind — silently losing, e.g.,
+# cached-plan re-planning session-wide. A saved-value STACK per
+# (session, key), guarded by a module lock, fixes both shapes: same-thread
+# NESTING restores the enclosing scope's value exactly as before, and any
+# interleaving of scopes across threads still lands on the true pre-scope
+# value once the last scope exits (mid-flight a session conf is one global,
+# so concurrent different-value scopes inherently race on which value is
+# live — only the final state can be guaranteed).
+_conf_scope_lock = threading.Lock()
+_conf_scope_stacks: dict = {}
+
+
+@contextmanager
+def _conf_scope(spark, key: str, value: str) -> Iterator[None]:
+    ident = (id(spark), key)
+    with _conf_scope_lock:
+        _conf_scope_stacks.setdefault(ident, []).append(spark.conf.get(key))
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        with _conf_scope_lock:
+            stack = _conf_scope_stacks[ident]
+            restore = stack.pop()
+            if not stack:
+                del _conf_scope_stacks[ident]
+            spark.conf.set(key, restore)
+
+
 @contextmanager
 def cached_plan_replanning_disabled(spark) -> Iterator[None]:
     """Scope-disable ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``.
@@ -133,12 +165,8 @@ def cached_plan_replanning_disabled(spark) -> Iterator[None]:
     advisory-sized anyway, so disabling re-planning costs nothing.
     """
     key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    old = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try:
+    with _conf_scope(spark, key, "false"):
         yield
-    finally:
-        spark.conf.set(key, old)
 
 
 @contextmanager
@@ -166,8 +194,5 @@ def fixpoint_shuffle_scope(
     """
     old = spark.conf.get("spark.sql.shuffle.partitions")
     n = max(8, min(int(old), (int(rows_hint) + rows_per_partition - 1) // rows_per_partition))
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
+    with _conf_scope(spark, "spark.sql.shuffle.partitions", str(n)):
         yield n
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -2116,3 +2116,36 @@ def test_cc_driver_gate_matches_distributed_fixpoint(spark):
     out = connected_components(pairs, driver_below=10**6)
     assert [f.name for f in out.schema.fields] == ["id", "component"]
     assert {f.dataType.simpleString() for f in out.schema.fields} == {"bigint"}
+
+
+def test_conf_scopes_restore_under_nesting_and_interleaving(spark):
+    """The conf scopes (fixpoint_shuffle_scope / cached_plan_replanning_
+    disabled) must restore the ENCLOSING value on nested exit and the true
+    original after any interleaved (out-of-order) exit sequence — the
+    save/restore stack regression an interleaving pair of plain
+    save-then-restore scopes would fail."""
+    from preprocessor_spark.caching import (
+        cached_plan_replanning_disabled,
+        fixpoint_shuffle_scope,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    original = spark.conf.get(key)
+    with fixpoint_shuffle_scope(spark, 16 * 100_000) as outer_n:
+        assert spark.conf.get(key) == str(outer_n)
+        with fixpoint_shuffle_scope(spark, 8 * 100_000) as inner_n:
+            assert spark.conf.get(key) == str(inner_n)
+        # nested exit restores the ENCLOSING scope's value, not the root
+        assert spark.conf.get(key) == str(outer_n)
+    assert spark.conf.get(key) == original
+
+    rkey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    rorig = spark.conf.get(rkey)
+    # interleaved (not nested) exits: enter A, enter B, exit A, exit B
+    a = cached_plan_replanning_disabled(spark)
+    b = cached_plan_replanning_disabled(spark)
+    a.__enter__()
+    b.__enter__()
+    a.__exit__(None, None, None)
+    b.__exit__(None, None, None)
+    assert spark.conf.get(rkey) == rorig
