@@ -814,6 +814,58 @@ def label_propagation(
     return labels
 
 
+def _driver_bfs(
+    spark, e: DataFrame, seeds: DataFrame, seed_col: str, max_hops: int
+) -> DataFrame:
+    """Exact multi-source BFS replay for a SMALL materialized edge list:
+    level-synchronous frontier expansion in numpy. Hop distances are exact
+    integers and the min-plus fixpoint is confluent, so the table equals
+    the distributed loop's row-for-row (asserted in tests). Node universe =
+    edge endpoints ∪ seeds, exactly like the distributed init (an isolated
+    seed reports 0). Bounded by ``shortest_hops(driver_below=...)``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    id_type = e.schema["s"].dataType
+    epdf = e.toPandas()
+    spdf = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .toPandas()
+    )
+    codes, uniques = pd.factorize(
+        pd.concat([epdf["s"], epdf["d"], spdf["node"]], ignore_index=True),
+        sort=False,
+    )
+    n = len(uniques)
+    schema = StructType(
+        [
+            StructField("node", id_type, True),
+            StructField("hops", IntegerType(), False),
+        ]
+    )
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    ne = len(epdf)
+    iu = codes[:ne]
+    iv = codes[ne : 2 * ne]
+    iseed = codes[2 * ne :]
+    INF = np.iinfo(np.int64).max
+    dist = np.full(n, INF, dtype="int64")
+    dist[iseed] = 0
+    for level in range(max_hops):
+        active = dist[iu] == level
+        if not active.any():
+            break
+        np.minimum.at(dist, iv[active], level + 1)
+    reached = dist < INF
+    vals = np.asarray(uniques)[reached]
+    out = pd.DataFrame({"node": vals, "hops": dist[reached].astype("int32")})
+    return spark.createDataFrame(out, schema)
+
+
 def shortest_hops(
     edges: DataFrame,
     seeds: DataFrame,
@@ -821,6 +873,7 @@ def shortest_hops(
     dst: str = "dst",
     seed_col: str = "node",
     max_hops: int = 10,
+    driver_below: int = 2_000_000,
 ) -> DataFrame:
     """Multi-source BFS hop distances — (node, hops) for every node
     reachable from ``seeds`` within ``max_hops`` directed edges (pass a
@@ -848,9 +901,17 @@ def shortest_hops(
     e = register_persisted(e.persist())
     n_edges = e.count()
 
-    from preprocessor_spark.caching import fixpoint_shuffle_scope
-
     spark = edges.sparkSession
+    if n_edges <= driver_below:
+        # size-gated driver replay (the connected_components / LPA
+        # discipline): hop distances are exact integers with a confluent
+        # min-plus fixpoint — zero per-round scheduler barriers, identical
+        # table. Pass driver_below=0 to force the distributed loop.
+        out = _driver_bfs(spark, e, seeds, seed_col, max_hops)
+        e.unpersist()
+        return out
+
+    from preprocessor_spark.caching import fixpoint_shuffle_scope
     with fixpoint_shuffle_scope(spark, n_edges):
         dist = (
             seeds.select(F.col(seed_col).alias("node"))

@@ -341,3 +341,25 @@ def test_als_layout_hoist_bitwise_equal(spark, monkeypatch):
     assert np.array_equal(base.item_factors, hoisted.item_factors)
     assert np.array_equal(base.user_ids, hoisted.user_ids)
     assert np.array_equal(base.item_ids, hoisted.item_ids)
+
+
+def test_bfs_driver_gate_matches_distributed_loop(spark):
+    """The size-gated driver BFS replay must return EXACTLY the
+    distributed fixpoint's table — same reached set, same hop counts,
+    same schema — including isolated seeds and the max_hops truncation."""
+    from preprocessor_spark.operators.graph import shortest_hops
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12)]
+    sym = edges + [(b, a) for a, b in edges]
+    e = spark.createDataFrame(sym, "src long, dst long")
+    for seed_rows, hops in (([(1,), (10,)], 10), ([(1,), (10,)], 2),
+                            ([(1,), (5,)], 10), ([(99,)], 3)):
+        seeds = spark.createDataFrame(seed_rows, "node long")
+        want = sorted(
+            map(tuple, shortest_hops(e, seeds, max_hops=hops,
+                                     driver_below=0).collect())
+        )
+        got_df = shortest_hops(e, seeds, max_hops=hops, driver_below=10**6)
+        got = sorted(map(tuple, got_df.collect()))
+        assert got == want, (seed_rows, hops)
+    assert [f.name for f in got_df.schema.fields] == ["node", "hops"]
