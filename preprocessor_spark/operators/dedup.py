@@ -1362,24 +1362,20 @@ def containment_pairs(
             .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
             .where(F.size("ids").between(2, int(max_df)))
         )
-        pair_arr = F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("ids"), i + F.lit(2), F.size(F.col("ids"))
-                    ),
-                    lambda y: F.struct(
-                        x.alias("id_a"), y.alias("id_b")
-                    ),
-                ),
-            )
-        )
+        # pair generation via two codegen Generate (explode) nodes + a
+        # filter instead of the nested transform/slice/flatten lambda
+        # chain: higher-order lambdas evaluate INTERPRETED (the r12
+        # containment finding, one layer up), and this stage measured
+        # 1.8 s of the 4.0 s warm wall at sf0.1. The k² exploded rows per
+        # posting filter down to the identical C(k,2) ordered pair set
+        # (ids are distinct within a posting — one row per doc per
+        # shingle), so the groupBy count — and the output — is unchanged
+        # (verified row-equal at sf0.1).
         inter = (
-            postings.select(F.explode(pair_arr).alias("p"))
-            .groupBy(
-                F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
-            )
+            postings.select(F.explode("ids").alias("id_a"), "ids")
+            .select("id_a", F.explode("ids").alias("id_b"))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("c"))
         )
         sa = sizes.select(F.col("__id").alias("id_a"), F.col("sz").alias("sz_a"))
